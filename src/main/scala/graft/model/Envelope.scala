@@ -1,0 +1,155 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical message-envelope schema for topic logs.
+ *
+ * Mirrors the reference's message model (behavioral spec only):
+ *  - `Message.java` accessors: key, value, eventTime, publishTime,
+ *    sequenceId, orderingKey, properties, schemaVersion, redeliveryCount
+ *    (reference pulsar-client-api/.../api/Message.java:49-272)
+ *  - wire `MessageMetadata` / `SingleMessageMetadata`
+ *    (reference pulsar-common/src/main/proto/PulsarApi.proto:106,168)
+ *
+ * Deliberately isomorphic to Spark's Kafka source schema so every
+ * downstream operator is plain Catalyst.
+ */
+object Envelope {
+  val Topic          = "topic"
+  val Partition      = "partition"
+  val Offset         = "offset"
+  val BatchIndex     = "batch_index"
+  val Key            = "key"
+  val OrderingKey    = "ordering_key"
+  val Value          = "value"
+  val ProducerName   = "producer_name"
+  val SequenceId     = "sequence_id"
+  val PublishTime    = "publish_time"
+  val EventTime      = "event_time"
+  val Properties     = "properties"
+  val SchemaVersion  = "schema_version"
+  val DeliverAt      = "deliver_at"
+  val RedeliveryCnt  = "redelivery_count"
+  val ReplicatedFrom = "replicated_from"
+
+  /** Full envelope schema (SURVEY.md §1.4). */
+  val schema: StructType = StructType(Seq(
+    StructField(Topic, StringType),
+    StructField(Partition, IntegerType),
+    StructField(Offset, LongType),
+    StructField(BatchIndex, IntegerType),
+    StructField(Key, StringType),
+    StructField(OrderingKey, BinaryType),
+    StructField(Value, BinaryType),
+    StructField(ProducerName, StringType),
+    StructField(SequenceId, LongType),
+    StructField(PublishTime, TimestampType),
+    StructField(EventTime, TimestampType),
+    StructField(Properties, MapType(StringType, StringType)),
+    StructField(SchemaVersion, IntegerType),
+    StructField(DeliverAt, TimestampType),
+    StructField(RedeliveryCnt, IntegerType),
+    StructField(ReplicatedFrom, StringType)
+  ))
+
+  /**
+   * Deterministic envelope view over the driver `events` table — the shared
+   * fixture generator used by both the Spark queries and the DuckDB oracle
+   * (FIXTURES.md §B): no randomness, every column derives from event columns.
+   *
+   *  - partition      = user_id % 4 (4-partition topic, key-hash routing stand-in)
+   *  - offset         = event_id (publish order; monotonic per partition too)
+   *  - key            = user_id as string
+   *  - value          = props JSON; tombstone (NULL) when event_type = 'error'
+   *    (compaction tombstone = empty payload, reference
+   *    AbstractTwoPhaseCompactor.java:118 keyed null-payload handling)
+   *  - producer_name  = 'p' || user_id % 4
+   *  - sequence_id    = event_id, with an injected duplicate of the previous
+   *    sequence on every 10th event (dedup fixture)
+   *  - deliver_at     = ts + (event_id % 7) hours (delayed-delivery fixture)
+   *  - redelivery_count = event_id % 5 (DLQ fixture)
+   *  - replicated_from = 'cluster-' || event_id % 3 (geo-replication fixture)
+   */
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
+    // timestamp type, so read it as a long and truncate to microseconds —
+    // the DuckDB oracle CTE applies the identical epoch_ns // 1000.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    ev.select(
+      lit("persistent://public/default/events").as(Topic),
+      (col("user_id") % 4).cast(IntegerType).as(Partition),
+      col("event_id").as(Offset),
+      lit(0).as(BatchIndex),
+      col("user_id").cast(StringType).as(Key),
+      when(col("event_type") === "error", lit(null).cast(StringType))
+        .otherwise(col("props")).as(Value),
+      concat(lit("p"), (col("user_id") % 4).cast(StringType)).as(ProducerName),
+      when(col("event_id") % 10 === 0, col("event_id") - 1)
+        .otherwise(col("event_id")).as(SequenceId),
+      col("ts").as(PublishTime),
+      col("ts").as(EventTime),
+      col("event_type").as("event_type"),
+      col("value").as("metric_value"),
+      (col("ts") + expr("make_interval(0,0,0,0,event_id % 7,0,0)")).as(DeliverAt),
+      (col("event_id") % 5).cast(IntegerType).as(RedeliveryCnt),
+      concat(lit("cluster-"), (col("event_id") % 3).cast(StringType)).as(ReplicatedFrom)
+    )
+  }
+
+  /**
+   * The same derivation as [[fromEvents]] in DuckDB SQL, for oracle queries.
+   * Kept as a CTE fragment so every oracle shares one definition.
+   */
+  val duckdbCte: String =
+    """ev AS (
+      |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+      |),
+      |envelope AS (
+      |  SELECT
+      |    'persistent://public/default/events' AS topic,
+      |    CAST(user_id % 4 AS INT) AS partition,
+      |    event_id AS "offset",
+      |    0 AS batch_index,
+      |    CAST(user_id AS VARCHAR) AS key,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE props END AS value,
+      |    'p' || CAST(user_id % 4 AS VARCHAR) AS producer_name,
+      |    CASE WHEN event_id % 10 = 0 THEN event_id - 1 ELSE event_id END AS sequence_id,
+      |    ts AS publish_time,
+      |    ts AS event_time,
+      |    event_type,
+      |    value AS metric_value,
+      |    ts + to_hours(event_id % 7) AS deliver_at,
+      |    CAST(event_id % 5 AS INT) AS redelivery_count,
+      |    'cluster-' || CAST(event_id % 3 AS VARCHAR) AS replicated_from
+      |  FROM ev
+      |)""".stripMargin
+}
+
+/**
+ * Topic name parsing: {persistent|non-persistent}://tenant/namespace/topic.
+ * Reference: pulsar-common/.../naming/TopicName.java:34.
+ */
+final case class TopicName(domain: String, tenant: String, namespace: String, topic: String) {
+  require(domain == "persistent" || domain == "non-persistent", s"bad domain: $domain")
+  def fqn: String = s"$domain://$tenant/$namespace/$topic"
+  /** Path convention for the parquet-backed topic log. */
+  def path(root: String): String = s"$root/$tenant/$namespace/$topic"
+  /** Internal partition topic name, reference TopicName.getPartition. */
+  def partition(i: Int): String = s"$fqn-partition-$i"
+}
+
+object TopicName {
+  private val Re = "(persistent|non-persistent)://([^/]+)/([^/]+)/(.+)".r
+  def parse(s: String): TopicName = s match {
+    case Re(d, t, ns, tp) => TopicName(d, t, ns, tp)
+    case _ if !s.contains("://") =>
+      // short name defaults to persistent://public/default/<topic>
+      TopicName("persistent", "public", "default", s)
+    case _ => throw new IllegalArgumentException(s"invalid topic name: $s")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.model.Envelope
+import graft.functions.Murmur3Pulsar
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Consumption-side dispatch operators: delayed delivery, TTL, retention,
+ * admin scans (peek / last ids / skip), Key_Shared routing, negative-ack
+ * redelivery, DLQ/retry routing, geo-replication loop filter.
+ *
+ * Each maps a broker-side imperative mechanism onto a declarative Catalyst
+ * plan (SURVEY.md §2.3/2.6/2.10/2.11/2.13).
+ */
+object Dispatch {
+
+  /**
+   * Delayed delivery: only rows whose `deliver_at` is due dispatch at a
+   * trigger; not-yet-due rows stay in the log for the next trigger.
+   * Reference: InMemoryDelayedDeliveryTracker.java:117,170 (priority queue
+   * of (deliverAt, ledger, entry)), dispatched in deliver-at order.
+   * The log being re-readable replaces the in-memory queue; at 100 TB the
+   * due check is a pruned `deliver_at <= T` parquet filter (bucket the log
+   * by due-date for the BucketDelayedDeliveryTracker.java:68 analog).
+   */
+  def dueMessages(log: DataFrame, batchTime: Column): DataFrame =
+    log.filter(col(Envelope.DeliverAt).isNull ||
+      col(Envelope.DeliverAt) <= batchTime)
+
+  /** Rows held back (scheduled in the future) at `batchTime`. */
+  def scheduledAfter(log: DataFrame, batchTime: Column): DataFrame =
+    log.filter(col(Envelope.DeliverAt) > batchTime)
+
+  /**
+   * TTL expiry (PersistentMessageExpiryMonitor.java:88,134): messages older
+   * than ttl relative to `now` are expired (acked past); survivors remain.
+   */
+  def applyTtl(log: DataFrame, now: Column, ttlSeconds: Long): DataFrame =
+    log.filter(col(Envelope.PublishTime) >= now - expr(s"INTERVAL $ttlSeconds SECOND"))
+
+  /**
+   * Peek first N messages per partition from a position (Topics.peekMessages):
+   * smallest offsets ≥ cursor. Window-ranked; per-partition sort only.
+   */
+  def peek(log: DataFrame, n: Int, fromOffset: Long = 0L): DataFrame = {
+    val w = Window.partitionBy(Envelope.Partition).orderBy(Envelope.Offset)
+    log.filter(col(Envelope.Offset) >= fromOffset)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
+
+  /** Last message id per partition (Consumer.getLastMessageIds). */
+  def lastMessageIds(log: DataFrame): DataFrame =
+    log.groupBy(col(Envelope.Partition))
+      .agg(max(Envelope.Offset).as("last_offset"))
+
+  /**
+   * Key_Shared consumer assignment over the 65536-slot hash ring
+   * (ConsistentHashingStickyKeyConsumerSelector.java:104; AUTO_SPLIT
+   * divides the range evenly). `numConsumers` even split of [0, 65536).
+   */
+  def keySharedAssign(log: DataFrame, numConsumers: Int): DataFrame = {
+    val routingKey =
+      if (log.columns.contains(Envelope.OrderingKey))
+        coalesce(col(Envelope.OrderingKey).cast("string"), col(Envelope.Key))
+      else col(Envelope.Key)
+    val slot = Murmur3Pulsar.pulsar_hash(routingKey) % Murmur3Pulsar.HashRangeSize
+    val rangeSize = Murmur3Pulsar.HashRangeSize / numConsumers
+    log.withColumn("slot", slot)
+      .withColumn("consumer_id", least(col("slot") / rangeSize,
+        lit(numConsumers - 1)).cast("int"))
+  }
+
+  /**
+   * STICKY explicit hash ranges (HashRangeExclusiveStickyKeyConsumerSelector;
+   * KeySharedPolicy.ranges): route by [start, end] slot ranges.
+   */
+  def keySharedSticky(log: DataFrame, ranges: Seq[(Int, Int, String)]): DataFrame = {
+    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) % Murmur3Pulsar.HashRangeSize
+    val assigned = ranges.foldLeft(lit(null).cast("string")) {
+      case (acc, (lo, hi, consumer)) =>
+        when(slot.between(lo, hi), lit(consumer)).otherwise(acc)
+    }
+    log.withColumn("slot", slot).withColumn("consumer_id", assigned)
+  }
+
+  /**
+   * DLQ / retry routing (DeadLetterPolicy.java:46-64; reconsumeLater):
+   * rows past maxRedeliverCount go to `<topic>-<sub>-DLQ`; others to the
+   * retry topic with a backoff deliver_at (NegativeAcksTracker semantics:
+   * redelivery after backoff(redeliveryCount)).
+   */
+  def dlqRoute(log: DataFrame, subscription: String, maxRedeliverCount: Int,
+               backoffBaseSeconds: Long = 60L): DataFrame = {
+    val dlqTopic = concat(col(Envelope.Topic), lit(s"-$subscription-DLQ"))
+    val retryTopic = concat(col(Envelope.Topic), lit(s"-$subscription-RETRY"))
+    log.withColumn("route_topic",
+        when(col(Envelope.RedeliveryCnt) > maxRedeliverCount, dlqTopic)
+          .otherwise(retryTopic))
+      .withColumn("next_deliver_at",
+        when(col(Envelope.RedeliveryCnt) > maxRedeliverCount,
+          lit(null).cast("timestamp"))
+          .otherwise(col(Envelope.PublishTime) +
+            expr(s"make_interval(0,0,0,0,0,0,$backoffBaseSeconds * pow(2, redelivery_count))")))
+  }
+
+  /**
+   * Geo-replication copy filter (PersistentReplicator.java:372 +
+   * MessageDeduplication.isDuplicateReplV1:345 cycle rule): when
+   * replicating to `targetCluster`, skip rows that originated there and
+   * rows the local cluster already re-published (replicated_from = self).
+   */
+  def replicateTo(log: DataFrame, selfCluster: String, targetCluster: String): DataFrame =
+    log.filter((col(Envelope.ReplicatedFrom).isNull ||
+        (col(Envelope.ReplicatedFrom) =!= targetCluster)) &&
+      (col(Envelope.ReplicatedFrom).isNull ||
+        col(Envelope.ReplicatedFrom) =!= selfCluster))
+
+  /**
+   * Admin skip N messages (Topics.skip:1538): advance the cursor past the
+   * next N offsets per partition; returns the new cursor per partition.
+   */
+  def skipMessages(log: DataFrame, cursor: Map[Int, Long], n: Int): DataFrame = {
+    val w = Window.partitionBy(Envelope.Partition).orderBy(Envelope.Offset)
+    val cursorDf = log.sparkSession.createDataFrame(cursor.toSeq.map {
+      case (p, o) => (p, o)
+    }).toDF(Envelope.Partition, "cursor")
+    log.join(broadcast(cursorDf), Seq(Envelope.Partition), "left")
+      .filter(col("cursor").isNull || col(Envelope.Offset) > col("cursor"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .groupBy(Envelope.Partition)
+      .agg(max(Envelope.Offset).as("new_cursor"))
+  }
+}
