@@ -18,21 +18,24 @@ object MinHash {
 
   /**
    * MinHash signature of `numHashes` permutations over word shingles.
-   * Permutation i is simulated with xxhash64(shingle, seed=i); the
+   * Permutation i is simulated with xxhash64(seed=i, shingle); the
    * signature entry is the min hash per seed — standard one-pass trick.
+   *
+   * The shingle array and the per-shingle base hashes are materialized
+   * ONCE per row (separate projections) before fanning out to the
+   * `numHashes` mins — without this, Catalyst inlines the shingle
+   * expression into every min and recomputes the split/slice 32×.
    */
-  def signature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = TextOps.shingles(text, shingleN)
-    val sigs = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }
-    array(sigs: _*)
-  }
-
-  /** Attach a minhash signature column. */
   def withSignature(docs: DataFrame, textCol: String = "text",
-                    shingleN: Int = 3, numHashes: Int = 32): DataFrame =
-    docs.withColumn("minhash", signature(col(textCol), shingleN, numHashes))
+                    shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sigs = (0 until numHashes).map { seed =>
+      array_min(transform(col("_sh"), s => xxhash64(lit(seed), s)))
+    }
+    docs
+      .withColumn("_sh", TextOps.shingles(col(textCol), shingleN))
+      .withColumn("minhash", array(sigs: _*))
+      .drop("_sh")
+  }
 
   /**
    * LSH candidate pairs: split the signature into `bands` bands of
@@ -98,6 +101,28 @@ object MinHash {
   def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("simhash", simhash(col(textCol)))
 
+  /**
+   * Scale-path SimHash: explode token hashes and compute the 64 bit-votes
+   * as one hash aggregation (map-side partial agg; 64 simple codegen'd
+   * sums) instead of 64 nested array-aggregate lambdas per row. Returns
+   * (idCol, simhash). Identical result to [[simhash]].
+   */
+  def simhashAgg(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("_h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"_v$j")
+    }
+    val sig = (0 until 64).map { j =>
+      when(col(s"_v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -111,7 +136,8 @@ object MinHash {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val sig = withSimhash(docs, textCol).select(col(idCol).as("id"), col("simhash"))
+    val sig = simhashAgg(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
     val keyed = sig.select(col("id"), col("simhash"),
       explode(array((0 until blocks).map { blk =>
         struct(lit(blk).as("blk"),

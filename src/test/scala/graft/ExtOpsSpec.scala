@@ -1,0 +1,116 @@
+package graft
+
+import graft.ext.{MinHash, TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the hash-based extension operators (the ones the
+  * DuckDB oracle can't express — this is their correctness gate). */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf001/documents.parquet")
+  private lazy val vecs = spark.read.parquet(s"$sf001/embeddings.parquet")
+
+  test("shingles: n-grams count = tokens - n + 1 (distinct-capped)") {
+    val row = Seq(("a b c d e f")).toDF("text")
+      .select(TextOps.shingles(col("text"), 3).as("sh"))
+      .select(size(col("sh"))).as[Int].head()
+    assert(row == 4)
+  }
+
+  test("minhash-LSH candidates cover all true high-jaccard pairs (recall=1 on planted dups)") {
+    val truth = TextOps.jaccardPairs(docs, n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cands = MinHash.lshCandidates(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    val missed = truth -- cands
+    assert(missed.isEmpty, s"LSH missed true pairs: $missed")
+  }
+
+  test("minhash est_jaccard approximates true jaccard within 0.25") {
+    val truth = TextOps.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val est = MinHash.lshCandidates(docs)
+    val joined = truth.join(est, Seq("id_a", "id_b"))
+      .select(abs(col("jaccard") - col("est_jaccard")).as("err"))
+      .agg(max("err")).as[Double].head()
+    assert(joined < 0.25, s"max |true - est| = $joined")
+  }
+
+  test("simhashAgg equals the expression-based simhash") {
+    val sample = docs.limit(50)
+    val viaExpr = MinHash.withSimhash(sample)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val viaAgg = MinHash.simhashAgg(sample)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaExpr)
+  }
+
+  test("simhash pairs are near-dups: block-index finds all pairs within hamming<=3") {
+    // brute-force truth over the 500-doc corpus
+    val sig = MinHash.simhashAgg(docs).select(col("doc_id").as("id"), col("simhash"))
+    val a = sig.toDF("id_a", "sh_a")
+    val b = sig.toDF("id_b", "sh_b")
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("h", MinHash.hamming(col("sh_a"), col("sh_b")))
+      .filter(col("h") <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = MinHash.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == truth)
+  }
+
+  test("exactDedup keeps one row per distinct text") {
+    val withDups = docs.unionByName(docs.limit(10)) // inject 10 exact dups
+    val deduped = TextOps.exactDedup(withDups)
+    assert(deduped.count() == docs.count())
+    val groups = TextOps.exactDupGroups(withDups)
+    assert(groups.count() == 10)
+    assert(groups.filter(col("dup_count") =!= 2).count() == 0)
+  }
+
+  test("cosine: known vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+                 (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+                 (Array(1f, 0f, 0f), Array(-1f, 0f, 0f)))
+      .toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    assert(math.abs(df(0) - 0.0) < 1e-12)
+    assert(math.abs(df(1) - 1.0) < 1e-12)
+    assert(math.abs(df(2) + 1.0) < 1e-12)
+  }
+
+  test("annBruteForce: k results per query, descending sim, no self-match") {
+    val queries = vecs.filter(col("vec_id") < 5)
+    val res = VectorOps.annBruteForce(vecs, queries, 5).cache()
+    val perQuery = res.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(perQuery.forall(_ == 5))
+    assert(res.filter(col("query_id") === col("corpus_id")).count() == 0)
+    val monotone = res.withColumn("prev",
+        lag("sim", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("prev") < col("sim"))
+    assert(monotone.count() == 0)
+  }
+
+  test("annLsh results are a subset of correct similarities (verified exactly)") {
+    val queries = vecs.filter(col("vec_id") < 5)
+    val approx = VectorOps.annLsh(vecs, queries, 5, dim = 64)
+    // every returned sim must equal the exact cosine of that pair
+    val joined = approx.join(
+        vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(vecs.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")), "corpus_id")
+      .withColumn("true_sim", VectorOps.cosine(col("cv"), col("qv")))
+      .filter(abs(col("sim") - col("true_sim")) > 1e-9)
+    assert(joined.count() == 0)
+  }
+
+  test("lang-id + quality columns are well-formed") {
+    val lid = TextOps.withLangId(docs)
+    assert(lid.filter(col("fnword_ratio") < 0 || col("fnword_ratio") > 1).count() == 0)
+    val q = TextOps.withQualityScore(docs)
+    assert(q.filter(col("stopword_ratio") < 0 || col("punct_ratio") < 0).count() == 0)
+    assert(q.filter(col("n_tokens") <= 0).count() == 0)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.model.Envelope
+import graft.operators.{Compaction, Dedup, Dispatch, Windows}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantics specs for compaction / dedup / dispatch, transliterated from
+  * the reference's representative tests (SURVEY.md §5):
+  * CompactionTest.java, BrokerMessageDeduplicationTest.java,
+  * DelayedDeliveryTest.java. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** tiny hand-built log: (key, value, offset, event_time_sec, producer, seq) */
+  private def mkLog(rows: Seq[(String, String, Long, Long, String, Long)]): DataFrame =
+    rows.toDF(Envelope.Key, Envelope.Value, Envelope.Offset, "ets",
+        Envelope.ProducerName, Envelope.SequenceId)
+      .withColumn(Envelope.EventTime, timestamp_seconds(col("ets")))
+      .withColumn(Envelope.Partition, lit(0))
+      .drop("ets")
+
+  test("compaction keeps last value per key in publish order (CompactionTest LWW)") {
+    val log = mkLog(Seq(
+      ("k1", "v1", 0L, 10L, "p0", 0L),
+      ("k2", "a", 1L, 11L, "p0", 1L),
+      ("k1", "v2", 2L, 9L, "p0", 2L),   // later offset, earlier event time
+      ("k2", "b", 3L, 12L, "p0", 3L)))
+    val got = Compaction.publishOrder(log)
+      .select(Envelope.Key, Envelope.Value).as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "v2", "k2" -> "b"))
+  }
+
+  test("compaction tombstone (null value) removes the key") {
+    val log = mkLog(Seq(
+      ("k1", "v1", 0L, 10L, "p0", 0L),
+      ("k1", null, 1L, 11L, "p0", 1L),
+      ("k2", "x", 2L, 12L, "p0", 2L)))
+    val got = Compaction.publishOrder(log).select(Envelope.Key)
+      .as[String].collect().toSet
+    assert(got == Set("k2"))
+  }
+
+  test("event-time compaction keeps max event_time, offset tie-break") {
+    val log = mkLog(Seq(
+      ("k1", "old", 0L, 100L, "p0", 0L),
+      ("k1", "newer-event-time", 1L, 200L, "p0", 1L),
+      ("k1", "late-arrival-older-event", 2L, 150L, "p0", 2L),
+      ("k2", "t1", 3L, 50L, "p0", 3L),
+      ("k2", "t2", 4L, 50L, "p0", 4L))) // equal event time -> higher offset
+    val got = Compaction.eventTimeOrder(log)
+      .select(Envelope.Key, Envelope.Value).as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "newer-event-time", "k2" -> "t2"))
+  }
+
+  test("dedup drops duplicate and regressed sequence ids per producer") {
+    val log = mkLog(Seq(
+      ("k", "a", 0L, 0L, "p1", 0L),
+      ("k", "b", 1L, 0L, "p1", 1L),
+      ("k", "b-dup", 2L, 0L, "p1", 1L),   // duplicate seq -> dropped
+      ("k", "regress", 3L, 0L, "p1", 0L), // lower seq -> dropped
+      ("k", "c", 4L, 0L, "p1", 2L),
+      ("k", "other", 5L, 0L, "p2", 0L)))  // different producer unaffected
+    val kept = Dedup.dedupBatch(log).select(Envelope.Value)
+      .as[String].collect().toSet
+    assert(kept == Set("a", "b", "c", "other"))
+  }
+
+  test("dedup is idempotent and preserves strictly-increasing streams") {
+    val clean = mkLog((0L until 50L).map(i => ("k", s"v$i", i, 0L, "p", i)))
+    assert(Dedup.dedupBatch(clean).count() == 50)
+    val once = Dedup.dedupBatch(Dedup.dedupBatch(clean))
+    assert(once.count() == 50)
+  }
+
+  test("dedupAppend drops batch rows at/below committed high-water state") {
+    val state = Seq(("p1", 10L)).toDF(Envelope.ProducerName, "highest_sequence_pushed")
+    val batch = mkLog(Seq(
+      ("k", "old", 100L, 0L, "p1", 9L),
+      ("k", "dup-hw", 101L, 0L, "p1", 10L),
+      ("k", "new", 102L, 0L, "p1", 11L),
+      ("k", "fresh-producer", 103L, 0L, "p9", 0L)))
+    val kept = Dedup.dedupAppend(batch, state).select(Envelope.Value)
+      .as[String].collect().toSet
+    assert(kept == Set("new", "fresh-producer"))
+  }
+
+  test("delayed delivery: due/scheduled split is a partition of the log") {
+    val env = Envelope.fromEvents(spark, sf001)
+    val t = lit("2024-01-15 00:00:00").cast("timestamp")
+    val due = Dispatch.dueMessages(env, t).count()
+    val sched = Dispatch.scheduledAfter(env, t).count()
+    assert(due + sched == env.count())
+    // every due row's deliver_at <= t
+    assert(Dispatch.dueMessages(env, t)
+      .filter(col(Envelope.DeliverAt) > t).count() == 0)
+  }
+
+  test("DLQ routing: rows over maxRedeliverCount go to DLQ, others carry backoff") {
+    val env = Envelope.fromEvents(spark, sf001)
+    val routed = Dispatch.dlqRoute(env, "s", maxRedeliverCount = 3)
+    val dlq = routed.filter(col("route_topic").endsWith("-DLQ"))
+    val retry = routed.filter(col("route_topic").endsWith("-RETRY"))
+    assert(dlq.filter(col(Envelope.RedeliveryCnt) <= 3).count() == 0)
+    assert(retry.filter(col("next_deliver_at").isNull).count() == 0)
+    assert(dlq.count() + retry.count() == env.count())
+  }
+
+  test("Key_Shared sticky ranges route each key to exactly one consumer") {
+    val env = Envelope.fromEvents(spark, sf001)
+    val routed = Dispatch.keySharedSticky(env,
+      Seq((0, 32767, "c1"), (32768, 65535, "c2")))
+    assert(routed.filter(col("consumer_id").isNull).count() == 0)
+    // a key always lands on the same consumer
+    val multi = routed.groupBy(Envelope.Key)
+      .agg(countDistinct("consumer_id").as("n")).filter(col("n") > 1)
+    assert(multi.count() == 0)
+  }
+
+  test("count windows (batch): only full windows fire, in arrival order") {
+    val log = mkLog((0L until 25L).map(i => ("k", s"v$i", i, 0L, "p", i)))
+      .withColumn("metric_value", col(Envelope.Offset).cast("double"))
+    val fired = Windows.countTumblingBatch(log, Envelope.Key, Envelope.Offset,
+        10, Seq(sum("metric_value").as("s"), max(Envelope.Offset).as("mx")))
+    val rows = fired.orderBy("window_id")
+      .select("window_id", "s", "mx").as[(Long, Double, Long)].collect()
+    // 25 rows -> two full windows of 10; trailing 5 not fired
+    assert(rows.toSeq == Seq((0L, 45.0, 9L), (1L, 145.0, 19L)))
+  }
+}
