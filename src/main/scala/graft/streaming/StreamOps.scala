@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.model.Envelope
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Streaming forms of the view/dedup/window operators: TableView as a
+ * continuously-updated last-by-key aggregate, streaming produce-dedup,
+ * late-data side output.
+ */
+object StreamOps {
+
+  /**
+   * Streaming TableView (reference TableViewImpl.java:50,206): last value
+   * per key, updated continuously. `max_by(struct(offset, value), offset)`
+   * in Update mode; `refresh()` (TableView.refreshAsync:138) =
+   * `processAllAvailable()` on the returned query.
+   */
+  def tableView(stream: DataFrame, keyCol: String = Envelope.Key,
+                valueCol: String = Envelope.Value): DataFrame =
+    stream.groupBy(col(keyCol))
+      .agg(max_by(col(valueCol), col(Envelope.Offset)).as(valueCol),
+        max(Envelope.Offset).as("as_of_offset"))
+
+  /** Materialize a streaming TableView into an in-memory table readable
+    * as `spark.table(viewName)`; returns the query (stop() to drop). */
+  def tableViewQuery(stream: DataFrame, viewName: String, checkpoint: String,
+                     keyCol: String = Envelope.Key,
+                     valueCol: String = Envelope.Value): StreamingQuery =
+    tableView(stream, keyCol, valueCol).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(viewName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /**
+   * Streaming effectively-once produce dedup (reference
+   * MessageDeduplication §2.8): drop (producer_name, sequence_id)
+   * duplicates arriving within the watermark horizon. The watermark bound
+   * mirrors the broker's dedup snapshot horizon — state is pruned the
+   * same way MessageDeduplication.takeSnapshot bounds replay.
+   */
+  def dedupWithinWatermark(stream: DataFrame, lag: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(Envelope.PublishTime, lag)
+      .dropDuplicatesWithinWatermark(Envelope.ProducerName, Envelope.SequenceId)
+
+  /**
+   * Late-data side output (reference WindowConfig.lateDataTopic §2.5):
+   * Spark silently drops rows behind the watermark, so the fork happens
+   * in foreachBatch — rows older than the query's last committed watermark
+   * route to `lateSink`, the rest to `mainProcess`. This reproduces the
+   * reference's WindowFunctionExecutor late-routing observably.
+   */
+  def withLateDataSplit(stream: DataFrame, eventTimeCol: String, maxLag: String,
+                        checkpoint: String,
+                        mainProcess: DataFrame => Unit,
+                        lateSink: DataFrame => Unit): StreamingQuery = {
+    @volatile var lastWatermark: Option[java.sql.Timestamp] = None
+    val q = stream.withWatermark(eventTimeCol, maxLag).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lastWatermark match {
+          case Some(wm) =>
+            lateSink(batch.filter(col(eventTimeCol) < lit(wm)))
+            mainProcess(batch.filter(col(eventTimeCol) >= lit(wm)))
+          case None => mainProcess(batch)
+        }
+      }
+      .start()
+    // watermark observer: refresh after each progress event
+    stream.sparkSession.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.id == q.id) {
+            Option(e.progress.eventTime.get("watermark")).foreach { w =>
+              val ts = java.sql.Timestamp.from(java.time.Instant.parse(w))
+              if (ts.getTime > 0) lastWatermark = Some(ts)
+            }
+          }
+      })
+    q
+  }
+
+  /**
+   * Geo-replication copy job (reference PersistentReplicator §2.13): a
+   * streaming query that filters loop-causing rows and re-publishes into
+   * the remote topic path, stamping replicated_from.
+   */
+  def replicator(stream: DataFrame, selfCluster: String, targetPath: String,
+                 checkpoint: String): StreamingQuery =
+    stream
+      .filter(col(Envelope.ReplicatedFrom).isNull ||
+        col(Envelope.ReplicatedFrom) =!= selfCluster)
+      .withColumn(Envelope.ReplicatedFrom, lit(selfCluster))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", targetPath)
+      .start()
+}

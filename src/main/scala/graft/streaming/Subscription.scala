@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.log.TopicLog
+import graft.model.Envelope
+import graft.functions.Murmur3Pulsar
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, StreamingQuery, Trigger}
+
+/**
+ * Subscription = named durable cursor + dispatch mode over a topic
+ * (reference SubscriptionType.java:33-61; PersistentSubscription).
+ *
+ * Spark mapping (SURVEY.md §1.1/§2.10): each subscription is a streaming
+ * query over the topic log with its own checkpoint directory (the cursor).
+ * Dispatch modes become plan shapes:
+ *  - Exclusive/Failover: one query, per-partition order preserved
+ *    (`sortWithinPartitions(offset)` inside each microbatch);
+ *  - Shared: unordered fan-out — `repartition(n)` round-robin, per-message
+ *    acks tracked in the ack-state table;
+ *  - Key_Shared: `repartition(n, pulsar_hash(key))` — Spark's hash
+ *    exchange IS the sticky assignment (stronger than the reference:
+ *    assignment never rebalances mid-run).
+ *
+ * Flow control (reference CommandFlow permits, ConsumerImpl.java:1098):
+ * `maxFilesPerTrigger` / `maxBytesPerTrigger` + trigger interval bound
+ * each microbatch — the BatchReceivePolicy.java:66 knobs.
+ */
+sealed trait SubscriptionType
+object SubscriptionType {
+  case object Exclusive extends SubscriptionType
+  case object Failover extends SubscriptionType
+  case object Shared extends SubscriptionType
+  case object KeyShared extends SubscriptionType
+}
+
+final case class BatchReceivePolicy(
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[String] = None,
+    trigger: Trigger = Trigger.AvailableNow())
+
+final class Subscription(
+    val log: TopicLog,
+    val name: String,
+    val subType: SubscriptionType,
+    val checkpointRoot: String,
+    val numWorkers: Int = 4,
+    val policy: BatchReceivePolicy = BatchReceivePolicy()) {
+
+  private def spark: SparkSession = log.spark
+
+  /** Cursor location — one checkpoint dir per (topic, subscription). */
+  def checkpointDir: String =
+    s"$checkpointRoot/${log.name.tenant}/${log.name.namespace}/${log.name.topic}/$name"
+
+  /** Streaming view of the topic log (file-source incremental read). */
+  def stream(): DataFrame = {
+    var r: DataStreamReader = spark.readStream
+      .schema(spark.read.parquet(log.name.path(log.root)).schema)
+    policy.maxFilesPerTrigger.foreach(n =>
+      r = r.option("maxFilesPerTrigger", n))
+    policy.maxBytesPerTrigger.foreach(b =>
+      r = r.option("maxBytesPerTrigger", b))
+    val df = r.parquet(log.name.path(log.root))
+    subType match {
+      case SubscriptionType.Exclusive | SubscriptionType.Failover => df
+      case SubscriptionType.Shared => df.repartition(numWorkers)
+      case SubscriptionType.KeyShared =>
+        df.repartition(numWorkers,
+          pmod(Murmur3Pulsar.pulsar_hash(col(Envelope.Key)), lit(65536)))
+    }
+  }
+
+  /**
+   * Run the subscription into `process` via foreachBatch — the consumer
+   * loop. Checkpoint commit = cumulative ack (cursor markDelete).
+   */
+  def consume(process: (DataFrame, Long) => Unit): StreamingQuery =
+    stream().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(policy.trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        process(batch, epochId)
+      }
+      .start()
+
+  /**
+   * Seek (reference Consumer.seek:513): drop the cursor and restart from
+   * a position. With a file-source the position is expressed as a filter;
+   * durable seek = wipe checkpoint + filtered restart.
+   */
+  def seekFilter(fromOffset: Long): DataFrame =
+    stream().filter(col(Envelope.Offset) >= fromOffset)
+}
+
+/**
+ * Ack-state table: selective (out-of-order) acks that a plain checkpoint
+ * cursor can't express — reference ManagedCursorImpl.individualDeletedMessages
+ * (ManagedCursorImpl.java:203) + batch-index acks (AckSetState.java).
+ *
+ * Layout: parquet log of ack events keyed (partition, offset, batch_index);
+ * the mark-delete position per partition is the highest offset below which
+ * every message is acked. At scale the ack log compacts periodically into
+ * (partition, markDelete, individually_acked_ranges).
+ */
+object AckState {
+  def emptyAcks(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType))))
+
+  /** markDeletePosition per partition: highest prefix-complete offset.
+    * Computed distributed: rank acked offsets per partition; the prefix
+    * is intact while offset == rank - 1 (dense from 0). */
+  def markDeletePosition(acks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("partition").orderBy("offset")
+    acks.select(col("partition"), col("offset")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("offset") === col("rn") - 1)
+      .groupBy("partition").agg(max("offset").as("mark_delete"))
+  }
+
+  /** Unacked backlog per partition (reference BacklogQuotaManager input):
+    * messages above markDelete not individually acked. */
+  def backlog(log: DataFrame, acks: DataFrame): DataFrame =
+    log.select(col(Envelope.Partition).as("partition"), col(Envelope.Offset).as("offset"))
+      .join(acks.select(col("partition"), col("offset")).distinct(),
+        Seq("partition", "offset"), "left_anti")
+      .groupBy("partition").agg(count(lit(1)).as("backlog"))
+}

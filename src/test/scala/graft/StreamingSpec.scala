@@ -1,0 +1,77 @@
+package graft
+
+import graft.model.Envelope
+import graft.operators.Windows
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming semantics: count windows fire incrementally with state,
+  * streaming TableView tracks last-by-key, watermark dedup. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming count windows fire across microbatches with buffered state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val out = Windows.countTumblingStream(input.toDS(), count = 3)
+    val q = out.writeStream.format("memory").queryName("cw")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0))           // no fire yet
+      q.processAllAvailable()
+      assert(spark.table("cw").count() == 0)
+      input.addData(("a", 3.0), ("a", 4.0), ("b", 1.0)) // a fires w0, buffers 4.0
+      q.processAllAvailable()
+      val r1 = spark.table("cw").as[Windows.CountWindowFired].collect()
+      assert(r1.toSeq == Seq(Windows.CountWindowFired("a", 0, 3, 6.0, 1.0, 3.0)))
+      input.addData(("a", 5.0), ("a", 6.0), ("b", 2.0), ("b", 3.0)) // a w1, b w0
+      q.processAllAvailable()
+      val r2 = spark.table("cw").as[Windows.CountWindowFired].collect()
+        .map(f => (f.key, f.windowId, f.sum)).toSet
+      assert(r2 == Set(("a", 0L, 6.0), ("a", 1L, 15.0), ("b", 0L, 6.0)))
+    } finally q.stop()
+  }
+
+  test("streaming TableView converges to last value per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Long)]
+    val stream = input.toDF()
+      .toDF(Envelope.Key, Envelope.Value, Envelope.Offset)
+    val ckpt = Files.createTempDirectory("tv-ckpt").toString
+    val q = StreamOps.tableViewQuery(stream, "tv_test", ckpt)
+    try {
+      input.addData(("k1", "v1", 0L), ("k2", "a", 1L))
+      q.processAllAvailable() // TableView.refresh barrier
+      val s1 = spark.table("tv_test")
+        .select(Envelope.Key, Envelope.Value).as[(String, String)].collect().toMap
+      assert(s1 == Map("k1" -> "v1", "k2" -> "a"))
+      input.addData(("k1", "v2", 2L))
+      q.processAllAvailable()
+      val s2 = spark.table("tv_test")
+        .select(Envelope.Key, Envelope.Value).as[(String, String)].collect().toMap
+      assert(s2 == Map("k1" -> "v2", "k2" -> "a"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops (producer, seq) duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = input.toDF()
+      .toDF(Envelope.ProducerName, Envelope.SequenceId, "t")
+      .withColumn(Envelope.PublishTime, timestamp_seconds(col("t")))
+    val deduped = StreamOps.dedupWithinWatermark(stream, "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      input.addData(("p1", 0L, 100L), ("p1", 1L, 101L), ("p1", 1L, 102L))
+      q.processAllAvailable()
+      input.addData(("p1", 1L, 103L), ("p1", 2L, 104L)) // dup again + new
+      q.processAllAvailable()
+      val seqs = spark.table("dd")
+        .select(Envelope.SequenceId).as[Long].collect().sorted
+      assert(seqs.toSeq == Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+}
