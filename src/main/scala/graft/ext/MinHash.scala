@@ -27,15 +27,10 @@ object MinHash {
    * expression into every min and recomputes the split/slice 32×.
    */
   def withSignature(docs: DataFrame, textCol: String = "text",
-                    shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
-    val sigs = (0 until numHashes).map { seed =>
-      array_min(transform(col("_sh"), s => xxhash64(lit(seed), s)))
-    }
-    docs
-      .withColumn("_sh", TextOps.shingles(col(textCol), shingleN))
-      .withColumn("minhash", array(sigs: _*))
-      .drop("_sh")
-  }
+                    shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    docs.withColumn("minhash", graft.functions.Sketch.minhash_sig(
+      graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true),
+      numHashes))
 
   /**
    * LSH candidate pairs: split the signature into `bands` bands of
@@ -53,9 +48,8 @@ object MinHash {
     val banded = sig.select(col("id"), col("minhash"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            xxhash64(concat_ws(",",
-              slice(col("minhash"), b * rows + 1, rows).cast("array<string>"))
-            ).as("band_hash"))
+            xxhash64(lit(b), slice(col("minhash"), b * rows + 1, rows))
+              .as("band_hash"))
         }: _*)).as("bh"))
       .select(col("id"), col("minhash"), col("bh.band"), col("bh.band_hash"))
     val a = banded.toDF("id_a", "mh_a", "band", "band_hash")
@@ -102,26 +96,17 @@ object MinHash {
     docs.withColumn("simhash", simhash(col(textCol)))
 
   /**
-   * Scale-path SimHash: explode token hashes and compute the 64 bit-votes
-   * as one hash aggregation (map-side partial agg; 64 simple codegen'd
-   * sums) instead of 64 nested array-aggregate lambdas per row. Returns
-   * (idCol, simhash). Identical result to [[simhash]].
+   * Scale-path SimHash: tokens hashed once per row, then the 64 bit-votes
+   * computed by the native [[graft.functions.SimHashSigExpr]] kernel in a
+   * single pass (one virtual call per row). Identical result to
+   * [[simhash]] — the expression-tree version is kept as its test oracle.
    */
   def simhashAgg(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val hashed = docs
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("_h"), j).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"_v$j")
-    }
-    val sig = (0 until 64).map { j =>
-      when(col(s"_v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), sig.as("simhash"))
-  }
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.Sketch.simhash_sig(
+        graft.functions.Sketch.shingle_hashes(col(textCol), 1, distinct = false))
+        .as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

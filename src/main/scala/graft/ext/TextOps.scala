@@ -126,12 +126,14 @@ object TextOps {
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxDf: Long = Long.MaxValue): DataFrame = {
+    // shingles hashed in one native pass (no shingle strings materialized;
+    // the inverted-index join key is an 8-byte hash)
     val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"),
+        graft.functions.Sketch.shingle_hashes(col(textCol), n, distinct = true).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val posting = sh.select(col("id"), col("n_sh"),
-        explode(col("sh")).as("shingle"))
-      .withColumn("shingle_h", xxhash64(col("shingle")))
+        explode(col("sh")).as("shingle_h"))
       .select("id", "n_sh", "shingle_h")
     val pruned =
       if (maxDf == Long.MaxValue) posting

@@ -21,14 +21,14 @@ import org.apache.spark.sql.functions._
  */
 object VectorOps {
 
-  /** dot(a, b) in double precision, sequential (deterministic) order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in double precision, sequential (deterministic) order —
+    * native kernel (graft.functions.DotProductExpr), one call per row. */
+  def dot(a: Column, b: Column): Column = graft.functions.Sketch.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single-pass cosine similarity (native kernel). */
+  def cosine(a: Column, b: Column): Column = graft.functions.Sketch.cosine_sim(a, b)
 
   /**
    * Brute-force exact top-k cosine neighbors for each query vector.
@@ -51,22 +51,12 @@ object VectorOps {
 
   /**
    * Random-hyperplane (sign) LSH signature: bit i = sign(dot(v, h_i))
-   * where hyperplane h_i is a deterministic pseudo-random ±1 vector
-   * derived from xxhash64(i, dim-index) — reproducible across runs with
-   * no stored model.
+   * where hyperplane h_i is a deterministic pseudo-random ±1 vector —
+   * native single-pass kernel (graft.functions.SignLshExpr), reproducible
+   * across runs with no stored model.
    */
-  def signLshSignature(vec: Column, dim: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { i =>
-      // ±1 hyperplane component per (plane i, dimension j)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, j) =>
-          x.cast("double") *
-            when(xxhash64(lit(i), j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_.bitwiseOR(_))
-  }
+  def signLshSignature(vec: Column, dim: Int, bits: Int): Column =
+    graft.functions.Sketch.sign_lsh(vec, bits)
 
   /**
    * LSH-bucketed approximate top-k: probe only corpus vectors whose

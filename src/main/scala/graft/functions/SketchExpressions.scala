@@ -1,0 +1,243 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native kernels for the similarity/sketch operators. Spark's higher-order
+ * array functions (`transform`/`aggregate`) evaluate interpreted, one
+ * closure call per element — for 64-dim × 32-plane per-row loops that is
+ * the hot path at 100 TB. Each expression here is one virtual call per
+ * row with a JIT-compiled tight loop over ArrayData.
+ *
+ * All randomness is derived from splitmix64 (public-domain mixer,
+ * Steele/Lea/Flood "Fast Splittable Pseudorandom Number Generators",
+ * OOPSLA 2014) so results are deterministic with no stored model.
+ */
+object Sketch {
+
+  @inline final def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Columns API */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sign_lsh(vec: Column, bits: Int): Column =
+    ColumnBridge.column(SignLshExpr(ColumnBridge.expression(vec), bits))
+  def minhash_sig(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes), k))
+  def simhash_sig(hashes: Column): Column =
+    ColumnBridge.column(SimHashSigExpr(ColumnBridge.expression(hashes)))
+  def shingle_hashes(text: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n, distinct))
+
+  private[functions] def toDoubleAt(arr: ArrayData, et: DataType, i: Int): Double =
+    et match {
+      case FloatType  => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case LongType   => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case _ => throw new IllegalArgumentException(s"bad element type $et")
+    }
+}
+
+trait VectorPairExpr extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+}
+
+/** dot(a, b): sequential-order double accumulation. */
+case class DotProductExpr(left: Expression, right: Expression) extends VectorPairExpr {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += Sketch.toDoubleAt(a, ta, i) * Sketch.toDoubleAt(b, tb, i); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** cosine(a, b) in one pass over both arrays. */
+case class CosineSimExpr(left: Expression, right: Expression) extends VectorPairExpr {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = Sketch.toDoubleAt(a, ta, i); val y = Sketch.toDoubleAt(b, tb, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/**
+ * Random-hyperplane (sign) LSH signature: bit i of the result is
+ * sign(Σ_j v[j]·h_ij) with hyperplane components h_ij = ±1 derived from
+ * splitmix64(i·dim + j). One pass computes all `bits` projections.
+ */
+case class SignLshExpr(child: Expression, bits: Int) extends UnaryExpression
+    with CodegenFallback {
+  require(bits >= 1 && bits <= 64, "bits in [1, 64]")
+  override def dataType: DataType = LongType
+  private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val et = elemType
+    val n = arr.numElements()
+    val acc = new Array[Double](bits)
+    var j = 0
+    while (j < n) {
+      val x = Sketch.toDoubleAt(arr, et, j)
+      var i = 0
+      while (i < bits) {
+        // ±1 by parity of the mixed (plane, dim) index
+        if ((Sketch.splitmix64(i.toLong * 1048576 + j) & 1L) == 1L) acc(i) += x
+        else acc(i) -= x
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L; var i = 0
+    while (i < bits) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "sign_lsh"
+}
+
+/**
+ * MinHash signature from pre-hashed shingles: permutation i is the
+ * multiply-mix universal hash h -> splitmix-mixed (a_i·h + b_i); the
+ * signature entry is the minimum per permutation. Strings are hashed
+ * ONCE (xxhash64 upstream); the k permutations are integer arithmetic.
+ */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(k)(i => Sketch.splitmix64(2L * i) | 1L) // odd multipliers
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(i => Sketch.splitmix64(2L * i + 1))
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val p = Sketch.splitmix64(as(i) * h + bs(i))
+        if (p < sig(i)) sig(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/**
+ * Word-shingle hashes in one pass: split `text` on single spaces, hash
+ * each token with XXH64 (seed 42 — identical to Spark's `xxhash64` on
+ * strings), then combine each n-token window order-dependently with
+ * splitmix64. No shingle strings are ever materialized — at 100 TB the
+ * per-row cost is one tokenizer pass + integer mixing, and the downstream
+ * shuffle carries 8-byte hashes.
+ *
+ * `distinct = true` dedups the shingle set per row (Jaccard semantics);
+ * `n = 1, distinct = false` yields plain token hashes (SimHash input).
+ */
+case class ShingleHashExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .split(org.apache.spark.unsafe.types.UTF8String.fromString(" "), -1)
+    val t = toks.length
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      val tok = toks(i)
+      th(i) = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset,
+        tok.numBytes, 42L)
+      i += 1
+    }
+    if (n == 1 && !distinct) return new GenericArrayData(th)
+    val m = t - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = th(i)
+      var k = 1
+      while (k < n) { h = Sketch.splitmix64(h ^ (th(i + k) * 0x9e3779b97f4a7c15L)); k += 1 }
+      out(i) = h
+      i += 1
+    }
+    if (!distinct) new GenericArrayData(out)
+    else {
+      java.util.Arrays.sort(out)
+      var w = 0; var r = 0
+      while (r < m) {
+        if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+        r += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/**
+ * SimHash (Charikar 2002) from pre-hashed tokens: bit j of the result is
+ * the sign of Σ tokens (±1 by bit j of the token hash). Single pass.
+ */
+case class SimHashSigExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "simhash_sig"
+}
