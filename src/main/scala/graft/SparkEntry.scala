@@ -300,6 +300,82 @@ object SparkEntry {
         countDistinct(Envelope.Key).cast("bigint").as("n_keys"))
       .orderBy("consumer_id")
 
+  /** §2.2 chunking: split value into 4-byte chunks, reassemble, prove
+    * content equality (output = the reassembled payloads themselves). */
+  private def qChunkReassembly(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir).filter(col(Envelope.Value).isNotNull &&
+      col(Envelope.Offset) < 100)
+      .select(col(Envelope.Offset), col(Envelope.Value))
+    val chunks = operators.Chunking.split(e, Envelope.Value, chunkSize = 4,
+      uuidCols = Seq(Envelope.Offset))
+    operators.Chunking.reassemble(chunks)
+      .select(col("chunk_uuid"), col("payload"))
+      .orderBy("chunk_uuid")
+  }
+
+  /** §2.2 message crypto: encrypt+decrypt round trip — output counts of
+    * rows whose decrypted value equals the original (oracle = plain
+    * envelope counts, so any crypto loss breaks the hash match). */
+  private def qCryptoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = "0123456789abcdef"
+    val e = env(s, dir).filter(col(Envelope.Value).isNotNull)
+    val roundtrip = operators.Produce.decryptValue(
+      operators.Produce.encryptValue(
+        e.withColumn("orig", col(Envelope.Value)), key), key)
+    roundtrip.filter(col(Envelope.Value) === col("orig"))
+      .groupBy("event_type").agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("event_type")
+  }
+
+  /** §2.3 backlog quota: per-partition backlog + eviction cursor. */
+  private def qBacklogQuota(s: SparkSession, dir: String): DataFrame =
+    graft.log.Admin.backlogQuota(env(s, dir),
+        Map(0 -> -1L, 1 -> -1L, 2 -> -1L, 3 -> -1L), quotaMessages = 1000)
+      .select(col(Envelope.Partition), col("backlog").cast("bigint").as("backlog"),
+        col("head"), col("over_quota"), col("evict_to"))
+      .orderBy(Envelope.Partition)
+
+  /** §2.3 admin skip: cursor after skipping 100 messages per partition. */
+  private def qAdminSkip(s: SparkSession, dir: String): DataFrame =
+    Dispatch.skipMessages(env(s, dir),
+        Map(0 -> -1L, 1 -> -1L, 2 -> -1L, 3 -> -1L), n = 100)
+      .orderBy(Envelope.Partition)
+
+  /** §2.4 distinct aggregation: exact count-distinct users per type. */
+  private def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    env(s, dir).groupBy("event_type")
+      .agg(countDistinct(Envelope.Key).cast("bigint").as("n_users"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .orderBy("event_type")
+
+  /** §2.1 produce path end-to-end: route + append into a real topic log,
+    * read back (murmur3 routing — rows-only oracle). */
+  private def qTopicLogRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q-log").toString
+    val tl = new graft.log.TopicLog(s, root,
+      graft.model.TopicName.parse("persistent://public/default/events"), 4)
+    val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+    tl.append(e)
+    tl.read().groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
+  /** Multimodal plumbing: binary payloads -> decode meta -> resize plan ->
+    * features (stubbed codecs, real Spark shape; rows-only oracle). */
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = tbl(s, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select("doc_id", "payload")
+    val meta = ext.Multimodal.withDecodedMeta(media, "payload")
+    val resized = ext.Multimodal.withResizeTarget(meta, maxSide = 256)
+    ext.Multimodal.withFeatures(resized, "payload", dim = 16)
+      .select(col("doc_id"), col("media_meta.width").as("w"),
+        col("target_width"), element_at(col("features"), 1).as("f0"))
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
   // LLM-pipeline extension operators (BASELINE.json north star)
   // =====================================================================
@@ -417,6 +493,13 @@ object SparkEntry {
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),
+    "chunk_reassembly" -> (qChunkReassembly _),
+    "crypto_roundtrip" -> (qCryptoRoundtrip _),
+    "backlog_quota" -> (qBacklogQuota _),
+    "admin_skip" -> (qAdminSkip _),
+    "q_count_distinct" -> (qCountDistinct _),
+    "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
+    "multimodal_pipeline" -> (qMultimodal _),
     // llm-pipeline extensions
     "text_tokens" -> (qTextTokens _),
     "lang_id" -> (qLangId _),
@@ -591,6 +674,28 @@ object SparkEntry {
         |  SELECT * FROM envelope WHERE event_type = 'purchase'
         |  UNION ALL SELECT * FROM envelope WHERE event_type = 'click') t
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "chunk_reassembly" -> envSql(
+      """SELECT CAST("offset" AS VARCHAR) AS chunk_uuid, value AS payload
+        |FROM envelope WHERE value IS NOT NULL AND "offset" < 100
+        |ORDER BY chunk_uuid""".stripMargin),
+    "crypto_roundtrip" -> envSql(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM envelope
+        |WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "backlog_quota" -> envSql(
+      """SELECT partition, CAST(COUNT(*) AS BIGINT) AS backlog,
+        |  MAX("offset") AS head, COUNT(*) > 1000 AS over_quota,
+        |  CASE WHEN COUNT(*) > 1000 THEN MAX("offset") - 1000 END AS evict_to
+        |FROM envelope GROUP BY partition ORDER BY partition""".stripMargin),
+    "admin_skip" -> envSql(
+      """SELECT partition, MAX("offset") AS new_cursor FROM (
+        |  SELECT partition, "offset",
+        |    ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") AS rn
+        |  FROM envelope) t WHERE rn <= 100
+        |GROUP BY partition ORDER BY partition""".stripMargin),
+    "q_count_distinct" -> envSql(
+      """SELECT event_type, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM envelope GROUP BY event_type ORDER BY event_type""".stripMargin),
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)

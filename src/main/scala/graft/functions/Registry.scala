@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * SQL surface for the engine's custom expressions (SURVEY §2.15: parity
+ * needs Spark's whole `functions._` catalog — free — plus the
+ * Pulsar-specific expressions exposed to SQL users).
+ *
+ * Two registration paths:
+ *  - [[Registry.registerAll]] for an existing session;
+ *  - [[GraftExtensions]] via `spark.sql.extensions=graft.functions.GraftExtensions`
+ *    for injection at session build (the idiomatic deployment).
+ */
+object Registry {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "pulsar_hash" -> (es => PulsarHashExpr(es.head)),
+    "dot_product" -> (es => DotProductExpr(es(0), es(1))),
+    "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
+    "sign_lsh" -> (es => SignLshExpr(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "minhash_sig" -> (es => MinHashSigExpr(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "simhash_sig" -> (es => SimHashSigExpr(es.head)),
+    "shingle_hashes" -> (es => ShingleHashExpr(es(0),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Boolean]))
+  )
+
+  def registerAll(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Session-extension injection point (SparkSessionExtensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    Seq[(String, Seq[Expression] => Expression)](
+      "pulsar_hash" -> (es => PulsarHashExpr(es.head)),
+      "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
+      "dot_product" -> (es => DotProductExpr(es(0), es(1))),
+      "simhash_sig" -> (es => SimHashSigExpr(es.head))
+    ).foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+  }
+}

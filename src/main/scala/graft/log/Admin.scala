@@ -1,0 +1,150 @@
+package graft.log
+
+import graft.model.Envelope
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.JavaConverters._
+
+/**
+ * Log-management jobs: retention trim, truncate, tiered-storage offload,
+ * small-file coalescing, backlog quota — the reference's broker/admin
+ * verbs over the parquet-backed topic log.
+ *
+ *  - retention (ManagedLedgerImpl.internalTrimLedgers:2596 /
+ *    hasLedgerRetentionExpired:2698): delete whole files whose max
+ *    publish_time is past retention — file-level, no row rewrite, exactly
+ *    like dropping whole ledgers;
+ *  - truncate (Topics.truncate): drop all data files, keep topic + cursors;
+ *  - offload (LedgerOffloader.java:137/183): move cold files to a cold
+ *    tier path; readers union hot + cold transparently;
+ *  - coalesce: compact many small parquet files per partition (the
+ *    ledger-rollover analog, SURVEY §4);
+ *  - backlog quota (BacklogQuotaManager; broker.conf:177-180): measure
+ *    un-acked backlog, enforce consumer_backlog_eviction by advancing the
+ *    cursor.
+ */
+object Admin {
+
+  private def dataFiles(log: TopicLog): Seq[Path] = {
+    val base = Paths.get(log.name.path(log.root))
+    if (!Files.exists(base)) Seq.empty
+    else Files.walk(base).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_manifest") && !p.toString.contains("_cold"))
+      .toSeq
+  }
+
+  /**
+   * Delete data files entirely older than `retentionMs` relative to
+   * `nowMs` (by parquet publish_time max statistic, read via footer).
+   * Returns number of files removed. File-granular like ledger trim:
+   * a file survives while any row is in retention.
+   */
+  def retentionTrim(log: TopicLog, nowMs: Long, retentionMs: Long): Int = {
+    val spark = log.spark
+    val cutoff = new java.sql.Timestamp(nowMs - retentionMs)
+    val victims = dataFiles(log).filter { p =>
+      val df = spark.read.parquet(p.toString)
+      val mx = df.agg(max(Envelope.PublishTime)).head()
+      !mx.isNullAt(0) && mx.getTimestamp(0).before(cutoff)
+    }
+    victims.foreach(Files.deleteIfExists(_))
+    victims.size
+  }
+
+  /** Truncate: remove every data file (manifest/cursors untouched — the
+    * reference keeps the topic and subscriptions alive). */
+  def truncate(log: TopicLog): Int = {
+    val victims = dataFiles(log)
+    victims.foreach(Files.deleteIfExists(_))
+    victims.size
+  }
+
+  /**
+   * Offload files whose rows are all at/below `beforeOffset` to the cold
+   * tier directory `<topic>/_cold/`, preserving the partition subpath.
+   * Returns files moved. [[readTiered]] unions hot + cold.
+   */
+  def offload(log: TopicLog, beforeOffset: Long): Int = {
+    val spark = log.spark
+    val base = Paths.get(log.name.path(log.root))
+    val moved = dataFiles(log).filter { p =>
+      val mx = spark.read.parquet(p.toString).agg(max(Envelope.Offset)).head()
+      !mx.isNullAt(0) && mx.getLong(0) <= beforeOffset
+    }
+    moved.foreach { p =>
+      val rel = base.relativize(p)
+      val target = base.resolve("_cold").resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    moved.size
+  }
+
+  /** Transparent hot+cold read (reference readOffloaded). */
+  def readTiered(log: TopicLog): DataFrame = {
+    val spark = log.spark
+    val base = log.name.path(log.root)
+    val cold = Paths.get(base, "_cold")
+    val hot = log.read()
+    if (!Files.exists(cold)) hot
+    else {
+      // cold files keep their hive partition dirs under _cold/
+      val coldDf = spark.read
+        .option("basePath", cold.toString)
+        .parquet(cold.toString)
+      hot.unionByName(coldDf, allowMissingColumns = true)
+    }
+  }
+
+  /**
+   * Coalesce small files: rewrite each log partition's files into
+   * `filesPerPartition` (the ledger-rollover/compaction-of-segments
+   * analog). Data is unchanged; this is the scan-efficiency job a 100 TB
+   * log needs continuously.
+   */
+  def coalesceFiles(log: TopicLog, filesPerPartition: Int = 1): Unit = {
+    val spark = log.spark
+    val base = log.name.path(log.root)
+    val snapshot = spark.read.parquet(base).cache()
+    snapshot.count()
+    val tmp = base + "_rewrite"
+    snapshot.repartition(filesPerPartition, col(Envelope.Partition))
+      .write.mode("overwrite").partitionBy(Envelope.Partition).parquet(tmp)
+    snapshot.unpersist()
+    // swap data dirs, keep manifest
+    dataFiles(log).foreach(Files.deleteIfExists(_))
+    val tmpPath = Paths.get(tmp)
+    Files.walk(tmpPath).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).foreach { p =>
+        val rel = tmpPath.relativize(p)
+        val target = Paths.get(base).resolve(rel)
+        Files.createDirectories(target.getParent)
+        Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+    Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
+
+  /**
+   * Backlog quota check (BacklogQuotaManager.checkQuota): returns
+   * per-partition backlog with quota verdict; `evictOldest` = the
+   * consumer_backlog_eviction policy — computes the advanced cursor
+   * (mark-delete) per partition that brings backlog within quota.
+   */
+  def backlogQuota(log: DataFrame, cursor: Map[Int, Long],
+                   quotaMessages: Long): DataFrame = {
+    val spark = log.sparkSession
+    val cursorDf = spark.createDataFrame(cursor.toSeq)
+      .toDF(Envelope.Partition, "cursor")
+    log.join(broadcast(cursorDf), Seq(Envelope.Partition), "left")
+      .filter(col("cursor").isNull || col(Envelope.Offset) > col("cursor"))
+      .groupBy(Envelope.Partition)
+      .agg(count(lit(1)).as("backlog"), max(Envelope.Offset).as("head"))
+      .withColumn("over_quota", col("backlog") > quotaMessages)
+      .withColumn("evict_to",
+        when(col("over_quota"), col("head") - quotaMessages).otherwise(lit(null)))
+  }
+}

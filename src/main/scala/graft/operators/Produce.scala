@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.model.Envelope
+import graft.functions.Murmur3Pulsar
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Producer-side routing and metadata — the MessageRouter surface
+ * (reference MessageRoutingMode.java:39-55: SinglePartition,
+ * RoundRobinPartition, CustomPartition; MessageRouter.choosePartition;
+ * key hash per HashingScheme.Murmur3_32Hash).
+ */
+object Produce {
+
+  sealed trait Routing
+  object Routing {
+    /** All unkeyed messages to one partition (keyed still hash). */
+    case object SinglePartition extends Routing
+    /** Unkeyed messages round-robin; keyed messages by key hash. */
+    case object RoundRobin extends Routing
+    /** User expression decides the partition. */
+    final case class Custom(partition: Column) extends Routing
+  }
+
+  private def keyHashPartition(n: Int): Column =
+    pmod(Murmur3Pulsar.pulsar_hash(col(Envelope.Key)), lit(n)).cast("int")
+
+  /**
+   * Assign the `partition` column per routing mode. Round-robin derives a
+   * stable rotation from a per-batch row rank (monotonically_increasing_id
+   * is partition-local; a global row_number would serialize — so RR uses
+   * id % n, which matches the reference's "distribute evenly" contract
+   * without a global ordering guarantee).
+   */
+  def route(batch: DataFrame, mode: Routing, numPartitions: Int): DataFrame = {
+    val keyed = col(Envelope.Key).isNotNull
+    mode match {
+      case Routing.SinglePartition =>
+        batch.withColumn(Envelope.Partition,
+          when(keyed, keyHashPartition(numPartitions)).otherwise(lit(0)))
+      case Routing.RoundRobin =>
+        batch.withColumn(Envelope.Partition,
+          when(keyed, keyHashPartition(numPartitions))
+            .otherwise(pmod(monotonically_increasing_id(), lit(numPartitions))
+              .cast("int")))
+      case Routing.Custom(p) =>
+        batch.withColumn(Envelope.Partition, p.cast("int"))
+    }
+  }
+
+  /**
+   * End-to-end message encryption (reference MessageCrypto.java /
+   * CryptoKeyReader: producer encrypts payload, consumer decrypts).
+   * Spark-native via the built-in aes_encrypt/aes_decrypt expressions
+   * (codegen'd); GCM carries a random IV per row like the reference's
+   * per-batch session key.
+   */
+  def encryptValue(df: DataFrame, key: String,
+                   valueCol: String = Envelope.Value): DataFrame =
+    df.withColumn(valueCol,
+      base64(aes_encrypt(col(valueCol).cast("binary"), lit(key))))
+
+  def decryptValue(df: DataFrame, key: String,
+                   valueCol: String = Envelope.Value): DataFrame =
+    df.withColumn(valueCol,
+      aes_decrypt(unbase64(col(valueCol)), lit(key)).cast("string"))
+
+  /**
+   * Producer/consumer interceptor analog (reference
+   * ProducerInterceptor.onSend / ConsumerInterceptor.beforeConsume):
+   * composable DataFrame → DataFrame hooks applied around produce/consume.
+   */
+  def withInterceptors(df: DataFrame,
+                       interceptors: Seq[DataFrame => DataFrame]): DataFrame =
+    interceptors.foldLeft(df)((d, f) => f(d))
+}

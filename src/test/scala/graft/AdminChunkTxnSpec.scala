@@ -1,0 +1,155 @@
+package graft
+
+import graft.log.{Admin, TopicLog, Txn}
+import graft.model.{Envelope, TopicName}
+import graft.operators.{Chunking, Produce}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Chunking, routing modes, crypto, admin jobs, transactions-lite,
+  * multimodal plumbing, SQL registration. */
+class AdminChunkTxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLog(parts: Int = 4): TopicLog = {
+    val root = Files.createTempDirectory("graft-admin").toString
+    new TopicLog(spark, root, TopicName.parse("t"), numPartitions = parts)
+  }
+
+  private def batch(ids: Range) =
+    ids.map(i => (s"u${i % 7}", s"payload-$i", s"prod-${i % 3}", i.toLong, i.toLong))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, "t")
+      .withColumn(Envelope.PublishTime, timestamp_seconds(col("t"))).drop("t")
+
+  test("chunk split + reassemble round-trips payloads over the chunk size") {
+    val docs = Seq((1L, "A" * 25 + "B" * 25 + "C" * 10), (2L, "short"))
+      .toDF("id", "payload")
+    val chunks = Chunking.split(docs, "payload", chunkSize = 25, uuidCols = Seq("id"))
+    assert(chunks.filter($"chunk_uuid" === "1").count() == 3)
+    assert(chunks.filter($"chunk_uuid" === "2").count() == 1)
+    val back = Chunking.reassemble(chunks)
+      .select($"chunk_uuid", $"payload").as[(String, String)].collect().toMap
+    assert(back("1") == "A" * 25 + "B" * 25 + "C" * 10)
+    assert(back("2") == "short")
+  }
+
+  test("reassemble drops incomplete chunk groups") {
+    val docs = Seq((1L, "x" * 50)).toDF("id", "payload")
+    val chunks = Chunking.split(docs, "payload", 20, Seq("id"))
+      .filter($"chunk_id" =!= 1) // lose the middle chunk
+    assert(Chunking.reassemble(chunks).count() == 0)
+  }
+
+  test("routing: single-partition, round-robin spread, custom") {
+    val unkeyed = (0 until 100).map(i => (null: String, s"v$i"))
+      .toDF(Envelope.Key, Envelope.Value)
+    val single = Produce.route(unkeyed, Produce.Routing.SinglePartition, 4)
+    assert(single.select(Envelope.Partition).distinct().as[Int].collect().toSeq == Seq(0))
+    val rr = Produce.route(unkeyed, Produce.Routing.RoundRobin, 4)
+    assert(rr.select(Envelope.Partition).distinct().count() > 1)
+    val custom = Produce.route(unkeyed, Produce.Routing.Custom(lit(2)), 4)
+    assert(custom.select(Envelope.Partition).distinct().as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("message crypto round-trips through aes encrypt/decrypt") {
+    val df = Seq(("k1", "secret-payload")).toDF(Envelope.Key, Envelope.Value)
+    val key = "0123456789abcdef" // 16-byte AES key
+    val enc = Produce.encryptValue(df, key)
+    assert(enc.select(Envelope.Value).as[String].head() != "secret-payload")
+    val dec = Produce.decryptValue(enc, key)
+    assert(dec.select(Envelope.Value).as[String].head() == "secret-payload")
+  }
+
+  private def parquetFiles(log: TopicLog): Int = {
+    import scala.collection.JavaConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(log.name.path(log.root)))
+      .iterator().asScala
+      .count(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_cold"))
+  }
+
+  test("retention trim deletes fully-expired files, truncate removes all") {
+    val log = freshLog()
+    log.append(batch(0 until 50))    // publish_time seconds 0..49 (1970)
+    assert(Admin.retentionTrim(log, nowMs = 100000L, retentionMs = 10000L) > 0)
+    assert(parquetFiles(log) == 0)   // everything was ancient
+    val log2 = freshLog()
+    log2.append(batch(0 until 30))
+    assert(Admin.truncate(log2) > 0)
+    assert(parquetFiles(log2) == 0)
+  }
+
+  test("offload moves cold files; tiered read still sees every row") {
+    val log = freshLog()
+    log.append(batch(0 until 40))
+    val hw1 = log.highWater().values.max  // first-batch files all <= hw1
+    log.append(batch(40 until 80))
+    val total = log.read().count()
+    val moved = Admin.offload(log, beforeOffset = hw1)
+    assert(moved > 0)
+    assert(Admin.readTiered(log).count() == total)
+  }
+
+  test("coalesceFiles preserves data while reducing file count") {
+    val log = freshLog()
+    log.append(batch(0 until 30))
+    log.append(batch(30 until 60))
+    val before = log.read().orderBy(Envelope.Partition, Envelope.Offset)
+      .select(Envelope.Value).as[String].collect().toSeq
+    Admin.coalesceFiles(log, filesPerPartition = 1)
+    val after = log.read().orderBy(Envelope.Partition, Envelope.Offset)
+      .select(Envelope.Value).as[String].collect().toSeq
+    assert(after == before)
+  }
+
+  test("backlog quota flags partitions over quota with eviction cursor") {
+    val log = freshLog(2)
+    log.append(batch(0 until 100))
+    val verdict = Admin.backlogQuota(log.read(), Map(0 -> -1L, 1 -> -1L),
+      quotaMessages = 10)
+    val over = verdict.filter($"over_quota").count()
+    assert(over == 2)
+    val evict = verdict.filter($"evict_to".isNotNull).count()
+    assert(evict == 2)
+  }
+
+  test("txn commit makes all topics visible; abort leaves nothing") {
+    val root = Files.createTempDirectory("graft-txn").toString
+    val l1 = new TopicLog(spark, root, TopicName.parse("t1"))
+    val l2 = new TopicLog(spark, root, TopicName.parse("t2"))
+    Txn.begin(root).produce(l1, batch(0 until 10))
+      .produce(l2, batch(0 until 5)).commit()
+    assert(l1.read().count() == 10 && l2.read().count() == 5)
+    Txn.begin(root).produce(l1, batch(10 until 20)).abort()
+    assert(l1.read().count() == 10, "aborted txn must be invisible")
+  }
+
+  test("multimodal: decode meta, features, resize plan, frame sampling") {
+    import graft.ext.Multimodal
+    val media = Seq((1L, "fake-image-bytes-aaaa"), (2L, "bb"))
+      .toDF("id", "s").withColumn("payload", $"s".cast("binary")).drop("s")
+    val meta = Multimodal.withDecodedMeta(media, "payload")
+    assert(meta.select($"media_meta.width").as[Int].collect().forall(_ >= 64))
+    val feats = Multimodal.withFeatures(media, "payload", dim = 16)
+    assert(feats.select(size($"features")).as[Int].collect().forall(_ == 16))
+    // determinism: same bytes -> same features
+    val f2 = Multimodal.withFeatures(media, "payload", dim = 16)
+    assert(feats.select("id", "features").collect().toSeq ==
+      f2.select("id", "features").collect().toSeq)
+    val resized = Multimodal.withResizeTarget(meta, maxSide = 128)
+    assert(resized.filter($"target_width" > 128 || $"target_height" > 128).count() == 0)
+    val frames = Multimodal.sampleFrames(meta, everyMs = 50)
+    assert(frames.count() >= meta.count())
+  }
+
+  test("SQL registration exposes custom expressions") {
+    graft.functions.Registry.registerAll(spark)
+    val h = spark.sql("SELECT pulsar_hash('user-1') AS h").as[Int].head()
+    assert(h == graft.functions.Murmur3Pulsar.hashBytes("user-1".getBytes("UTF-8")))
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
