@@ -1,0 +1,64 @@
+package graft
+
+/**
+ * Plan-shape regression gates: the properties that make these operators
+ * scale (pushdown, broadcast, partial aggregation, shuffle counts) are
+ * asserted on the optimized physical plans so a refactor can't silently
+ * regress them into full-scan / shuffle-everything plans.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q3: dimension joins broadcast; filters reach the parquet scan") {
+    val p = plan("q3_top_orders")
+    assert(countOccurrences(p, "BroadcastHashJoin") == 2, p.take(500))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q5: six-way join stays broadcast at dim sizes; no cartesian") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1: aggregation is partial (map-side) before the exchange") {
+    val p = plan("q1_pricing")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("compaction: one hash shuffle of partial max_by, not a global sort of the log") {
+    val p = plan("compaction_publish")
+    assert(p.contains("partial_max_by"), "map-side combine missing")
+    // exactly one hash exchange (the final orderBy adds a range exchange)
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+  }
+
+  test("scan pruning: text_tokens reads only the needed columns") {
+    val p = plan("text_tokens")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
+  }
+
+  test("ann brute force broadcasts the query side, not the corpus") {
+    val p = plan("ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("dedup_seq: running-max window is a single exchange on producer_name") {
+    val p = plan("dedup_seq")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("peek: per-partition rank does not globally sort the log") {
+    val p = plan("peek_messages")
+    // window partitioned by `partition` -> hash exchange + local sort only
+    assert(countOccurrences(p, "Exchange rangepartitioning") <= 1) // only final ORDER BY
+  }
+}
