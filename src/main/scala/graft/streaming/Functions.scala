@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.model.Envelope
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/**
+ * The Pulsar Functions compute surface (reference
+ * pulsar-functions/api-java/.../Function.java:34 `T process(X, Context)`;
+ * Context.java: counters, state, per-message properties, fan-out via
+ * newOutputMessage) re-expressed Spark-first.
+ *
+ * Execution parity (JavaInstanceRunnable.run §3.3): one streaming query
+ * per function; `parallelism` = shuffle partitions, not processes. The
+ * process() contract:
+ *  - return Some(out) → publish to the output topic;
+ *  - return None      → message filtered out (reference
+ *    JavaInstanceRunnable.java:430 skips send on null result).
+ */
+object Functions {
+
+  /** Per-record view handed to the user function (Record.java:46-115). */
+  final case class FnRecord[T](
+      key: String, value: T, eventTime: java.sql.Timestamp,
+      partition: Int, offset: Long, properties: Map[String, String])
+
+  /**
+   * 1→0/1 map function over a typed stream — `Function.process`. Runs as
+   * a codegen-friendly flatMap; None drops the record.
+   */
+  def mapFunction[I: Encoder, O: Encoder](in: Dataset[I])(
+      process: I => Option[O]): Dataset[O] =
+    in.flatMap(process(_))
+
+  /**
+   * Fan-out / side outputs (Context.newOutputMessage:156): the function
+   * emits (topic, payload) pairs; the runner groups by topic and appends
+   * each group to its log — N sinks from one pass, the foreachBatch shape.
+   */
+  def fanOut[I: Encoder](in: Dataset[I])(
+      emit: I => Seq[(String, String)]): DataFrame = {
+    import in.sparkSession.implicits._
+    in.flatMap(emit(_)).toDF("out_topic", "payload")
+  }
+
+  /**
+   * Keyed counters (BaseContext.incrCounter:161-187 / getCounter): a
+   * running streaming aggregation per (function, counter-key) — the
+   * BookKeeper-table counter store becomes Spark state-store state.
+   */
+  def counterStore[I](in: Dataset[I])(key: I => String, incr: I => Long)(
+      implicit e: Encoder[I]): DataFrame = {
+    import in.sparkSession.implicits._
+    in.map(r => (key(r), incr(r))).toDF("counter_key", "delta")
+      .groupBy("counter_key").agg(sum("delta").as("counter"))
+  }
+
+  /**
+   * Arbitrary keyed state (ByteBufferStateStore.java:82-92 put/get/
+   * delete): flatMapGroupsWithState with a user state type. `step`
+   * receives (key, new values, previous state) and returns (outputs,
+   * next state or None to delete) — exactly the put/get/delete surface.
+   */
+  def statefulFunction[K: Encoder, V: Encoder, S: Encoder, O: Encoder](
+      in: Dataset[V])(keyOf: V => K)(
+      step: (K, Iterator[V], Option[S]) => (Iterator[O], Option[S])): Dataset[O] =
+    in.groupByKey(keyOf)
+      .flatMapGroupsWithState[S, O](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (k, vs, state: GroupState[S]) =>
+          val (out, next) = step(k, vs, state.getOption)
+          next match {
+            case Some(s) => state.update(s)
+            case None    => if (state.exists) state.remove()
+          }
+          out
+      }
+
+  /**
+   * Windowed function (WindowFunction.java:38 `process(Collection<Record>)`)
+   * over event-time windows: watermark + groupBy(window) +
+   * collect_list, then the user function over the window's records —
+   * the WindowManager/trigger machinery is Spark's (SURVEY §2.5).
+   */
+  def windowFunction(in: DataFrame, eventTimeCol: String, length: String,
+                     maxLag: String, keyCols: Seq[String]): DataFrame =
+    in.withWatermark(eventTimeCol, maxLag)
+      .groupBy(window(col(eventTimeCol), length) +:
+        keyCols.map(col): _*)
+      .agg(collect_list(struct(in.columns.map(col): _*)).as("records"),
+        count(lit(1)).as("n_records"))
+
+  /**
+   * Processing guarantees (JavaInstanceRunnable.java:328,436-440):
+   *  - AT_LEAST_ONCE: default — checkpoint commits after sink write;
+   *  - EFFECTIVELY_ONCE: AT_LEAST_ONCE + seq-dedup at the output append
+   *    (StreamOps.dedupWithinWatermark) + idempotent manifest commit;
+   *  - AT_MOST_ONCE: not modeled (would require ack-before-process;
+   *    documented divergence).
+   */
+  sealed trait Guarantee
+  object Guarantee {
+    case object AtLeastOnce extends Guarantee
+    case object EffectivelyOnce extends Guarantee
+  }
+
+  /** Run a function pipeline source→transform→sink with the chosen
+    * guarantee applied at the output boundary. */
+  def run(source: DataFrame, transform: DataFrame => DataFrame,
+          sinkPath: String, checkpoint: String,
+          guarantee: Guarantee = Guarantee.AtLeastOnce): StreamingQuery = {
+    val transformed = transform(source)
+    val out = guarantee match {
+      case Guarantee.AtLeastOnce => transformed
+      case Guarantee.EffectivelyOnce =>
+        StreamOps.dedupWithinWatermark(transformed)
+    }
+    out.writeStream
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", sinkPath)
+      .start()
+  }
+}
