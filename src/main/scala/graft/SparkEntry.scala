@@ -739,7 +739,19 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
         |FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    list_cosine_similarity(CAST(cv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS sim
+        |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+        |ranked AS (SELECT query_id, corpus_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, corpus_id, round(sim, 6) AS sim_r FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     // keyshared_assign, fingerprint_dups, minhash_lsh, simhash_pairs,
     // ann_bruteforce, ann_lsh, cosine_near_dup: hash-/float-topology-based —
     // no SQL oracle (driver records rows-only checks); covered by ScalaTest
