@@ -162,6 +162,38 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("c_custkey")).limit(10)
   }
 
+  /** TPC-H Q6-style selective scan-aggregate (pushdown showcase). */
+  private def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") &&
+        col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).cast("bigint").as("n"))
+
+  /** Left outer join: every customer with order stats, null-filled. */
+  private def qLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("total"))
+      .orderBy("c_custkey")
+  }
+
+  /** CUBE aggregate (grouping-sets surface). */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   // =====================================================================
   // Pulsar-parity operators over the deterministic envelope (FIXTURES §B)
   // =====================================================================
@@ -474,6 +506,9 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_distinct" -> (qDistinct _),
     "q_top_customers" -> (qTopCustomers _),
+    "q6_forecast" -> (q6Forecast _),
+    "q_left_outer" -> (qLeftOuter _),
+    "q_cube" -> (qCube _),
     // pulsar parity
     "compaction_publish" -> (qCompactionPublish _),
     "compaction_eventtime" -> (qCompactionEventTime _),
@@ -574,6 +609,25 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""".stripMargin,
+    "q_left_outer" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  COALESCE(o.n_orders, 0) AS n_orders, o.total
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "compaction_publish" -> envSql(
       """SELECT key, value, "offset" FROM (
         |  SELECT key, value, "offset",

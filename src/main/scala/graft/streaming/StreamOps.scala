@@ -51,41 +51,33 @@ object StreamOps {
   /**
    * Late-data side output (reference WindowConfig.lateDataTopic §2.5):
    * Spark silently drops rows behind the watermark, so the fork happens
-   * in foreachBatch — rows older than the query's last committed watermark
-   * route to `lateSink`, the rest to `mainProcess`. This reproduces the
-   * reference's WindowFunctionExecutor late-routing observably.
+   * in foreachBatch against an explicitly-maintained watermark =
+   * max(event_time seen in prior batches) − maxLag — exactly the
+   * reference's WaterMarkEventGenerator.java:43 rule (max-minus-lag,
+   * advanced between triggers, never within one). Rows behind it route
+   * to `lateSink`; the rest to `mainProcess`.
    */
-  def withLateDataSplit(stream: DataFrame, eventTimeCol: String, maxLag: String,
+  def withLateDataSplit(stream: DataFrame, eventTimeCol: String, maxLagMs: Long,
                         checkpoint: String,
                         mainProcess: DataFrame => Unit,
                         lateSink: DataFrame => Unit): StreamingQuery = {
-    @volatile var lastWatermark: Option[java.sql.Timestamp] = None
-    val q = stream.withWatermark(eventTimeCol, maxLag).writeStream
+    @volatile var maxSeenMs = Long.MinValue
+    stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        lastWatermark match {
-          case Some(wm) =>
-            lateSink(batch.filter(col(eventTimeCol) < lit(wm)))
-            mainProcess(batch.filter(col(eventTimeCol) >= lit(wm)))
-          case None => mainProcess(batch)
+        val b = batch.persist()
+        if (maxSeenMs == Long.MinValue) mainProcess(b)
+        else {
+          val wm = new java.sql.Timestamp(maxSeenMs - maxLagMs)
+          lateSink(b.filter(col(eventTimeCol) < lit(wm)))
+          mainProcess(b.filter(col(eventTimeCol) >= lit(wm)))
         }
+        val mx = b.agg(max(eventTimeCol)).head()
+        if (!mx.isNullAt(0))
+          maxSeenMs = math.max(maxSeenMs, mx.getTimestamp(0).getTime)
+        b.unpersist(); ()
       }
       .start()
-    // watermark observer: refresh after each progress event
-    stream.sparkSession.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit =
-          if (e.progress.id == q.id) {
-            Option(e.progress.eventTime.get("watermark")).foreach { w =>
-              val ts = java.sql.Timestamp.from(java.time.Instant.parse(w))
-              if (ts.getTime > 0) lastWatermark = Some(ts)
-            }
-          }
-      })
-    q
   }
 
   /**

@@ -1,0 +1,56 @@
+package graft
+
+import graft.model.Envelope
+import graft.operators.{DelayedBuckets, Dispatch}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class DelayedLateDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed delayed index: due scan is partition-pruned and matches the full scan") {
+    val env = graft.model.Envelope.fromEvents(spark, sf001)
+    val idx = Files.createTempDirectory("graft-delayed").toString + "/idx"
+    DelayedBuckets.buildIndex(env, idx)
+
+    val t = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val due = DelayedBuckets.dueAt(spark, idx, t)
+
+    // correctness: bucketed result == naive full-scan result
+    val naive = Dispatch.dueMessages(env, lit(t))
+      .filter(col(Envelope.DeliverAt).isNotNull)
+    assert(due.count() == naive.count())
+
+    // scale property: the scan carries a partition filter on due_bucket
+    val plan = due.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(due_bucket"), plan.take(600))
+    // and actually prunes: fewer files read than exist in the index
+    val allBuckets = spark.read.parquet(idx)
+      .select("due_bucket").distinct().count()
+    val readBuckets = due.select("due_bucket").distinct().count()
+    assert(readBuckets < allBuckets)
+  }
+
+  test("late-data split routes pre-watermark rows to the late sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("k", "t")
+      .withColumn("event_time", timestamp_seconds(col("t")))
+    val ckpt = Files.createTempDirectory("graft-late").toString
+    val main = scala.collection.mutable.ListBuffer[Long]()
+    val late = scala.collection.mutable.ListBuffer[Long]()
+    val q = StreamOps.withLateDataSplit(stream, "event_time", 10000L, ckpt,
+      mainProcess = b => main ++= b.select("t").as[Long](spark.implicits.newLongEncoder).collect(),
+      lateSink = b => late ++= b.select("t").as[Long](spark.implicits.newLongEncoder).collect())
+    try {
+      input.addData(("a", 1000L), ("a", 2000L)) // watermark -> 2000 - 10 = 1990
+      q.processAllAvailable()
+      input.addData(("a", 100L), ("a", 2100L))  // 100 is far behind the watermark
+      q.processAllAvailable()
+      assert(late.contains(100L), s"late=$late main=$main")
+      assert(main.contains(2100L) && !main.contains(100L))
+    } finally q.stop()
+  }
+}
