@@ -113,6 +113,21 @@ object SchemaRegistry {
     df.withColumn("decoded", decoded)
   }
 
+  /**
+   * AUTO_PRODUCE write validation (reference Schema.AUTO_PRODUCE_BYTES →
+   * `schema.validate` before send): a writer DataFrame may append only if
+   * its schema can be read by the topic's latest registered schema.
+   * Returns the rejected reason or None.
+   */
+  def validateProduce(writerSchema: StructType,
+                      registered: Seq[StructType]): Option[String] =
+    registered.lastOption match {
+      case None => None // no schema registered -> schema-less topic
+      case Some(latest) =>
+        if (canRead(latest, writerSchema)) None
+        else Some(s"writer schema $writerSchema incompatible with topic schema $latest")
+    }
+
   /** Widest struct across versions (union of fields, all nullable). */
   private def widest(versions: Seq[StructType]): StructType = {
     val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
