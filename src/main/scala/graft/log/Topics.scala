@@ -1,0 +1,70 @@
+package graft.log
+
+import graft.model.TopicName
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+import scala.collection.JavaConverters._
+
+/**
+ * Topic catalog over the log root — the namespace/topic discovery surface
+ * (reference NamespaceService lookup + `CommandWatchTopicList`
+ * PulsarApi.proto:794 for regex subscriptions).
+ *
+ * Layout convention: `<root>/<tenant>/<namespace>/<topic>/partition=i/`.
+ * Discovery is a directory walk (the metadata-store read); regex
+ * subscribe re-resolves per call — call again per microbatch for the
+ * reference's dynamic topic discovery.
+ */
+object Topics {
+
+  /** All topics under the root, as fully-qualified names. */
+  def list(root: String): Seq[TopicName] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Seq.empty
+    Files.walk(rootPath, 3).iterator().asScala
+      .filter(p => Files.isDirectory(p) && rootPath.relativize(p).getNameCount == 3)
+      .filterNot(_.getFileName.toString.startsWith("_"))
+      .map { p =>
+        val rel = rootPath.relativize(p)
+        TopicName("persistent", rel.getName(0).toString,
+          rel.getName(1).toString, rel.getName(2).toString)
+      }.toSeq.sortBy(_.fqn)
+  }
+
+  /** Topics in a namespace whose topic name matches `pattern` (the
+    * `ConsumerBuilder.topicsPattern` regex subscribe). */
+  def listMatching(root: String, tenant: String, namespace: String,
+                   pattern: String): Seq[TopicName] = {
+    val re = pattern.r
+    list(root).filter(t => t.tenant == tenant && t.namespace == namespace &&
+      re.pattern.matcher(t.topic).matches())
+  }
+
+  /**
+   * Multi-topic / regex subscribe as one DataFrame: bag union of every
+   * matching topic's committed log (per-topic order preserved within
+   * partitions; no dedup — exactly the reference's multi-topic consumer).
+   */
+  def subscribePattern(spark: SparkSession, root: String, tenant: String,
+                       namespace: String, pattern: String,
+                       numPartitions: Int = 4): DataFrame = {
+    val matching = listMatching(root, tenant, namespace, pattern)
+    require(matching.nonEmpty, s"no topics match $pattern")
+    matching.map(t => new TopicLog(spark, root, t, numPartitions).read())
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Create a partitioned topic (metadata only — data dirs appear on
+    * first append). Reference Topics.createPartitionedTopic. */
+  def createPartitioned(root: String, name: TopicName, partitions: Int): Unit = {
+    val meta = Paths.get(name.path(root), "_meta")
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve("partitions"), partitions.toString)
+  }
+
+  def partitionCount(root: String, name: TopicName): Option[Int] = {
+    val f = Paths.get(name.path(root), "_meta", "partitions")
+    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
+  }
+}

@@ -131,4 +131,28 @@ object AckState {
       .join(acks.select(col("partition"), col("offset")).distinct(),
         Seq("partition", "offset"), "left_anti")
       .groupBy("partition").agg(count(lit(1)).as("backlog"))
+
+  /**
+   * Unacked-message timeout tracker (reference UnAckedMessageTracker:
+   * messages delivered but not acked within `ackTimeout` are redelivered
+   * with redelivery_count+1). `delivered` carries (partition, offset,
+   * delivered_at); returns the redelivery set with bumped counts and a
+   * backoff deliver_at (NegativeAcksTracker/RedeliveryBackoff).
+   */
+  def redeliverOnTimeout(log: DataFrame, delivered: DataFrame, acks: DataFrame,
+                         now: java.sql.Timestamp, ackTimeoutMs: Long,
+                         backoffBaseMs: Long = 60000L): DataFrame = {
+    val timedOut = delivered
+      .filter(col("delivered_at") <=
+        new java.sql.Timestamp(now.getTime - ackTimeoutMs))
+      .join(acks.select(col("partition"), col("offset")).distinct(),
+        Seq("partition", "offset"), "left_anti")
+    log.join(timedOut.select("partition", "offset"),
+        Seq(Envelope.Partition, Envelope.Offset))
+      .withColumn(Envelope.RedeliveryCnt,
+        coalesce(col(Envelope.RedeliveryCnt), lit(0)) + 1)
+      .withColumn(Envelope.DeliverAt,
+        lit(now) + expr(s"make_interval(0,0,0,0,0,0," +
+          s"$backoffBaseMs * pow(2, ${Envelope.RedeliveryCnt} - 1) / 1000.0)"))
+  }
 }
