@@ -309,6 +309,26 @@ object SparkEntry {
       .select(col(Envelope.Key), col("window_id"), col("sum_value"), col("last_offset"))
       .orderBy(Envelope.Key, "window_id")
 
+  /** §2.5 session windows (30-minute inactivity gap) per user — Spark
+    * session_window vs the oracle's gaps-and-islands reconstruction. */
+  private def qSessionWindows(s: SparkSession, dir: String): DataFrame =
+    env(s, dir)
+      .groupBy(session_window(col(Envelope.EventTime), "30 minutes"),
+        col(Envelope.Key))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(Envelope.Key)
+      .agg(count(lit(1)).cast("bigint").as("n_sessions"),
+        sum("n").cast("bigint").as("n_events"))
+      .orderBy(col(Envelope.Key))
+
+  /** §2.4 exact percentiles (median/p25/p75) per event type. */
+  private def qMedian(s: SparkSession, dir: String): DataFrame =
+    env(s, dir).groupBy("event_type")
+      .agg(expr("percentile(metric_value, 0.5)").as("median_value"),
+        expr("percentile(metric_value, 0.25)").as("p25"),
+        expr("percentile(metric_value, 0.75)").as("p75"))
+      .orderBy("event_type")
+
   /** §2.7 keyed counters per user. */
   private def qCounters(s: SparkSession, dir: String): DataFrame =
     Windows.counters(env(s, dir), Envelope.Key)
@@ -525,6 +545,8 @@ object SparkEntry {
     "window_tumbling" -> (qWindowTumbling _),
     "window_sliding" -> (qWindowSliding _),
     "window_count" -> (qWindowCount _),
+    "session_windows" -> (qSessionWindows _),
+    "q_median" -> (qMedian _),
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),
@@ -720,6 +742,26 @@ object SparkEntry {
         |  FROM envelope) t
         |GROUP BY key, window_id HAVING COUNT(*) = 20
         |ORDER BY key, window_id""".stripMargin),
+    "session_windows" -> envSql(
+      """SELECT key, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT key, SUM(new_s) OVER (PARTITION BY key ORDER BY event_time, "offset"
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT key, event_time, "offset",
+        |      CASE WHEN LAG(event_time) OVER w IS NULL
+        |           OR event_time - LAG(event_time) OVER w >= INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_s
+        |    FROM envelope WINDOW w AS (PARTITION BY key ORDER BY event_time, "offset")
+        |  ) m) t
+        |GROUP BY key ORDER BY key""".stripMargin),
+    "q_median" -> envSql(
+      """SELECT event_type,
+        |  quantile_cont(metric_value, 0.5) AS median_value,
+        |  quantile_cont(metric_value, 0.25) AS p25,
+        |  quantile_cont(metric_value, 0.75) AS p75
+        |FROM envelope GROUP BY event_type ORDER BY event_type""".stripMargin),
     "counters" -> envSql(
       """SELECT key, CAST(COUNT(*) AS BIGINT) AS counter FROM envelope
         |GROUP BY key ORDER BY key""".stripMargin),
