@@ -72,4 +72,45 @@ object Compaction {
     val tail = log.filter(col(Envelope.Offset) > horizon)
     snapshot.unionByName(tail)
   }
+
+  /**
+   * Admin triggerCompaction (reference Topics.triggerCompaction:2066 →
+   * the two-phase compactor writing a compacted ledger): materialize the
+   * compacted snapshot to `<topic>/_compacted/` with the horizon offset
+   * recorded, so readCompacted consumers read the snapshot file + tail
+   * instead of recompacting. Returns the horizon.
+   */
+  def triggerCompaction(log: graft.log.TopicLog): Map[Int, Long] = {
+    val data = log.read()
+    // horizon is PER PARTITION — offsets (like the reference's MessageIds)
+    // only order within a partition
+    val horizon = log.highWater()
+    if (horizon.isEmpty) return Map.empty
+    val outDir = log.name.path(log.root) + "/_compacted"
+    publishOrder(data).write.mode("overwrite").parquet(outDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_horizon"),
+      horizon.map { case (p, o) => s"$p,$o" }.mkString("\n"))
+    horizon
+  }
+
+  /** Consumer with readCompacted=true against a materialized snapshot:
+    * snapshot files + uncompacted tail past the recorded per-partition
+    * horizon. */
+  def readCompactedTopic(log: graft.log.TopicLog): DataFrame = {
+    val outDir = log.name.path(log.root) + "/_compacted"
+    val horizonFile = java.nio.file.Paths.get(outDir, "_horizon")
+    require(java.nio.file.Files.exists(horizonFile),
+      "no compacted snapshot — run triggerCompaction first")
+    val horizon = java.nio.file.Files.readString(horizonFile).trim
+      .split("\n").filter(_.nonEmpty)
+      .map { l => val Array(p, o) = l.split(","); p.toInt -> o.toLong }.toMap
+    val snapshot = log.spark.read.parquet(outDir)
+    val pastHorizon = horizon.map { case (p, o) =>
+      (col(Envelope.Partition) === p) && (col(Envelope.Offset) > o)
+    }.reduce(_ || _) ||
+      !col(Envelope.Partition).isin(horizon.keys.toSeq: _*)
+    val tail = log.read().filter(pastHorizon)
+    snapshot.unionByName(tail)
+  }
 }
