@@ -329,6 +329,18 @@ object SparkEntry {
         expr("percentile(metric_value, 0.75)").as("p75"))
       .orderBy("event_type")
 
+  /** §2.4 mergeable HLL sketches: per-type sketch, global estimate via
+    * sketch merge (custom TypedImperativeAggregate — rows-only oracle;
+    * exactness is covered by q_count_distinct + HllSpec). */
+  private def qHllCardinality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    env(s, dir).groupBy("event_type")
+      .agg(Hll.hll_sketch(col(Envelope.Key)).as("sk"),
+        countDistinct(Envelope.Key).cast("bigint").as("exact"))
+      .select(col("event_type"), Hll.hll_estimate(col("sk")).as("est"), col("exact"))
+      .orderBy("event_type")
+  }
+
   /** §2.7 keyed counters per user. */
   private def qCounters(s: SparkSession, dir: String): DataFrame =
     Windows.counters(env(s, dir), Envelope.Key)
@@ -547,6 +559,7 @@ object SparkEntry {
     "window_count" -> (qWindowCount _),
     "session_windows" -> (qSessionWindows _),
     "q_median" -> (qMedian _),
+    "hll_cardinality" -> (qHllCardinality _),
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),

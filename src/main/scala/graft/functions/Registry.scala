@@ -26,7 +26,10 @@ object Registry {
     "simhash_sig" -> (es => SimHashSigExpr(es.head)),
     "shingle_hashes" -> (es => ShingleHashExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
-      es(2).eval().asInstanceOf[Boolean]))
+      es(2).eval().asInstanceOf[Boolean])),
+    "hll_sketch" -> (es => HllSketchAgg(es.head, Hll.DefaultP).toAggregateExpression()),
+    "hll_merge" -> (es => HllMergeAgg(es.head).toAggregateExpression()),
+    "hll_estimate" -> (es => HllEstimateExpr(es.head))
   )
 
   def registerAll(spark: SparkSession): Unit =

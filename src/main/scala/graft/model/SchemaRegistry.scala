@@ -128,6 +128,26 @@ object SchemaRegistry {
         else Some(s"writer schema $writerSchema incompatible with topic schema $latest")
     }
 
+  /**
+   * KEY_VALUE schema decode (reference SchemaType.KEY_VALUE:120 with
+   * KeyValueEncodingType.java:33-38):
+   *  - INLINE: both key and value travel in the payload → one struct;
+   *  - SEPARATED: key bytes live in the envelope `key` field, value in
+   *    the payload → key decoded from the envelope column.
+   * JSON codecs here; the shape generalizes to avro/protobuf decoders.
+   */
+  def decodeKeyValue(df: DataFrame, keySchema: StructType, valueSchema: StructType,
+                     separated: Boolean,
+                     payloadCol: String = Envelope.Value): DataFrame =
+    if (separated)
+      df.withColumn("kv", struct(
+        from_json(col(Envelope.Key), keySchema).as("key"),
+        from_json(col(payloadCol), valueSchema).as("value")))
+    else
+      df.withColumn("kv",
+        from_json(col(payloadCol), StructType(Seq(
+          StructField("key", keySchema), StructField("value", valueSchema)))))
+
   /** Widest struct across versions (union of fields, all nullable). */
   private def widest(versions: Seq[StructType]): StructType = {
     val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()

@@ -69,6 +69,21 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(u.filter(u("email").isNull).count() == 1)
   }
 
+  test("KEY_VALUE decode: INLINE from payload, SEPARATED from envelope key") {
+    val ks = StructType(Seq(StructField("uid", LongType)))
+    val vs = StructType(Seq(StructField("amount", DoubleType)))
+    val sep = Seq(("""{"uid": 7}""", """{"amount": 1.5}"""))
+      .toDF("key", "value")
+    val outSep = SchemaRegistry.decodeKeyValue(sep, ks, vs, separated = true)
+      .select("kv.key.uid", "kv.value.amount").collect().head
+    assert(outSep.getLong(0) == 7L && outSep.getDouble(1) == 1.5)
+    val inl = Seq(("ignored", """{"key": {"uid": 9}, "value": {"amount": 2.5}}"""))
+      .toDF("key", "value")
+    val outInl = SchemaRegistry.decodeKeyValue(inl, ks, vs, separated = false)
+      .select("kv.key.uid", "kv.value.amount").collect().head
+    assert(outInl.getLong(0) == 9L && outInl.getDouble(1) == 2.5)
+  }
+
   test("versioned JSON decode dispatches per schema_version") {
     val v1s = StructType(Seq(StructField("k", LongType)))
     val v2s = StructType(Seq(StructField("k", LongType), StructField("tag", StringType)))
