@@ -525,6 +525,29 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
       .orderBy("id_a", "id_b")
 
+  /**
+   * Composite training-data pipeline, end-to-end oracle-checked:
+   * quality filter → exact dedup (md5) → near-dup removal (5-gram
+   * Jaccard ≥ 0.8, keep the smaller doc_id of each pair) → corpus stats
+   * per language. Every stage is SQL-expressible so the whole pipeline
+   * hash-matches DuckDB.
+   */
+  private def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val quality = TextOps.withQualityScore(docs)
+      .filter(col("n_tokens") >= 10 && col("mean_word_len").between(2.0, 12.0))
+      .select("doc_id", "text", "lang")
+    val exactDeduped = TextOps.exactDedup(quality)
+    val nearDupIds = TextOps.jaccardPairs(exactDeduped, n = 5, threshold = 0.8)
+      .select(col("id_b").as("doc_id")).distinct()
+    val clean = exactDeduped.join(nearDupIds, Seq("doc_id"), "left_anti")
+    clean.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("bigint")).cast("bigint")
+          .as("total_tokens"))
+      .orderBy("lang")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -581,7 +604,8 @@ object SparkEntry {
     "simhash_pairs" -> (qSimHash _),
     "ann_bruteforce" -> (qAnnBrute _),
     "ann_lsh" -> (qAnnLsh _),
-    "cosine_near_dup" -> (qCosineNearDup _)
+    "cosine_near_dup" -> (qCosineNearDup _),
+    "pipeline_clean_corpus" -> (qPipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -849,6 +873,38 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH quality AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10
+        |    AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0),
+        |exact_deduped AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM quality) t WHERE rn = 1),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM exact_deduped) t),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |near_dups AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM pairs
+        |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+        |clean AS (
+        |  SELECT * FROM exact_deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM near_dups))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM clean GROUP BY lang ORDER BY lang""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
