@@ -747,7 +747,7 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") AS rn
         |  FROM envelope) t WHERE rn <= 10 ORDER BY partition, "offset"""".stripMargin),
     "dlq_route" -> envSql(
-      """SELECT CASE WHEN redelivery_count > 3
+      """SELECT CASE WHEN redelivery_count >= 3
         |  THEN topic || '-sub1-DLQ' ELSE topic || '-sub1-RETRY' END AS route_topic,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM envelope GROUP BY 1 ORDER BY route_topic""".stripMargin),

@@ -32,23 +32,39 @@ object Admin {
     if (!Files.exists(base)) Seq.empty
     else Files.walk(base).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") &&
-        !p.toString.contains("_manifest") && !p.toString.contains("_cold"))
+        // any underscore-prefixed subtree is metadata/derived (manifest,
+        // cold tier, compacted snapshots, txn markers) — never touch it
+        !base.relativize(p).iterator().asScala.exists(
+          _.getFileName.toString.startsWith("_")))
       .toSeq
+  }
+
+  /** Per-file max of `aggCol` in ONE distributed job (input_file_name
+    * grouping) — the O(N-files) sequential-job trap is exactly what a
+    * continuous 100 TB maintenance path cannot afford. */
+  private def fileMax(log: TopicLog, aggCol: String): Map[String, Any] = {
+    val files = dataFiles(log)
+    if (files.isEmpty) return Map.empty
+    log.spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(max(aggCol).as("m"))
+      .collect()
+      .map(r => r.getString(0).stripPrefix("file://") -> r.get(1)).toMap
   }
 
   /**
    * Delete data files entirely older than `retentionMs` relative to
-   * `nowMs` (by parquet publish_time max statistic, read via footer).
-   * Returns number of files removed. File-granular like ledger trim:
-   * a file survives while any row is in retention.
+   * `nowMs`. Returns number of files removed. File-granular like ledger
+   * trim: a file survives while any row is in retention.
    */
   def retentionTrim(log: TopicLog, nowMs: Long, retentionMs: Long): Int = {
-    val spark = log.spark
     val cutoff = new java.sql.Timestamp(nowMs - retentionMs)
+    val maxByFile = fileMax(log, Envelope.PublishTime)
     val victims = dataFiles(log).filter { p =>
-      val df = spark.read.parquet(p.toString)
-      val mx = df.agg(max(Envelope.PublishTime)).head()
-      !mx.isNullAt(0) && mx.getTimestamp(0).before(cutoff)
+      maxByFile.get(p.toString) match {
+        case Some(ts: java.sql.Timestamp) => ts.before(cutoff)
+        case _ => false
+      }
     }
     victims.foreach(Files.deleteIfExists(_))
     victims.size
@@ -68,11 +84,13 @@ object Admin {
    * Returns files moved. [[readTiered]] unions hot + cold.
    */
   def offload(log: TopicLog, beforeOffset: Long): Int = {
-    val spark = log.spark
     val base = Paths.get(log.name.path(log.root))
+    val maxByFile = fileMax(log, Envelope.Offset)
     val moved = dataFiles(log).filter { p =>
-      val mx = spark.read.parquet(p.toString).agg(max(Envelope.Offset)).head()
-      !mx.isNullAt(0) && mx.getLong(0) <= beforeOffset
+      maxByFile.get(p.toString) match {
+        case Some(o: java.lang.Long) => o <= beforeOffset
+        case _ => false
+      }
     }
     moved.foreach { p =>
       val rel = base.relativize(p)

@@ -29,6 +29,15 @@ import scala.collection.JavaConverters._
  *  - appends are append-only parquet writes; the manifest commit is a single
  *    atomic file move (same pattern as a Spark streaming sink commit log).
  */
+object TopicLog {
+  /** A staged (data-written, not yet reader-visible) append: the manifest
+    * content is the commit token — publishing it is one atomic file move.
+    * Used by [[graft.log.Txn]] for multi-topic atomicity. */
+  final case class StagedAppend(epoch: Long, manifestLines: String, count: Long) {
+    def manifestPath: String = s"$epoch.commit"
+  }
+}
+
 final class TopicLog(val spark: SparkSession, val root: String, val name: TopicName,
                      val numPartitions: Int = 4) {
 
@@ -54,6 +63,8 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     }
   }
 
+  import TopicLog.StagedAppend
+
   /**
    * Produce a batch: route rows to partitions, assign monotonically
    * increasing offsets per partition, append parquet, commit manifest.
@@ -63,9 +74,19 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
    *   unkeyed     → caller pre-assigns `partition` (round-robin stand-in)
    *
    * `df` must carry envelope columns except topic/partition/offset, which
-   * this method derives. Returns count appended.
+   * this method derives. Returns count appended. Appends are single-writer
+   * per topic (the reference serializes per-partition adds the same way,
+   * ManagedLedgerImpl.internalAsyncAddEntry:821).
    */
   def append(df: DataFrame): Long = {
+    val staged = stageAppend(df)
+    publishManifest(staged)
+    staged.count
+  }
+
+  /** Phase 1: write data files + compute the manifest, WITHOUT publishing
+    * — rows stay invisible to readers until [[publishManifest]]. */
+  def stageAppend(df: DataFrame): StagedAppend = {
     val hw = highWater()
     val hwDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -99,11 +120,18 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     staged.unpersist()
     val merged = (0 until numPartitions)
       .map(p => p -> math.max(hw.getOrElse(p, -1L), newHw.getOrElse(p, -1L)))
+    StagedAppend(epoch, merged.map { case (p, o) => s"$p,$o" }.mkString("\n"), n)
+  }
+
+  /** Phase 2: publish the manifest — one atomic move; this is the commit
+    * point after which readers see the staged rows. */
+  def publishManifest(staged: StagedAppend): Unit = {
     Files.createDirectories(manifestDir)
-    val tmp = manifestDir.resolve(s"$epoch.tmp")
-    Files.write(tmp, merged.map { case (p, o) => s"$p,$o" }.mkString("\n").getBytes)
-    Files.move(tmp, manifestDir.resolve(s"$epoch.commit"), StandardCopyOption.ATOMIC_MOVE)
-    n
+    val target = manifestDir.resolve(staged.manifestPath)
+    if (Files.exists(target)) return // idempotent (txn recovery replays)
+    val tmp = manifestDir.resolve(s"${staged.epoch}.tmp")
+    Files.write(tmp, staged.manifestLines.getBytes)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Full-log batch read (committed data only — up to the manifest HW). */

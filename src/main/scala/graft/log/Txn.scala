@@ -1,8 +1,6 @@
 package graft.log
 
-import graft.model.Envelope
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.collection.JavaConverters._
@@ -13,17 +11,21 @@ import scala.collection.JavaConverters._
  * subsystem (Transaction.java:30-93 commit/abort, transaction buffer
  * markers, TransactionIsolationLevel READ_COMMITTED).
  *
- * Architecture divergence (documented in SURVEY §2.12): no 2-phase
- * coordinator is rebuilt. Data files for every topic in the txn are
- * staged first (invisible — readers only see manifest-committed offsets),
- * then a single txn-commit marker is written atomically, then per-topic
- * manifests are published. Recovery rule: manifests without their txn
- * marker are garbage; staged files without manifests are invisible
- * anyway. Abort = delete staged files; nothing was ever visible.
+ * Protocol (no 2PC coordinator rebuilt; the txn MARKER is the single
+ * commit point):
+ *  1. stage: every topic's data files are written, invisible (readers
+ *     only see manifest-committed offsets);
+ *  2. marker: one atomic file move writes `<txnId>.committed` carrying
+ *     every topic's manifest content;
+ *  3. publish: each topic's manifest is moved into place (idempotent).
  *
- * This yields the same end-to-end guarantees the reference's
- * txn-produce gives a consumer: either every topic sees the batch or
- * none does, and nothing is readable before commit.
+ * Crash analysis: before the marker → nothing was ever visible, staged
+ * files are invisible garbage; after the marker but before/during
+ * publish → [[Txn.recover]] replays the manifests straight from the
+ * marker (publishManifest is idempotent), completing the commit. So a
+ * consumer either eventually sees every topic's batch or none — the
+ * same end-to-end contract the reference's txn-produce gives, with the
+ * marker playing the transaction buffer's commit-marker role.
  */
 final class Txn private (val txnId: String, root: String) {
   private val staged =
@@ -37,20 +39,26 @@ final class Txn private (val txnId: String, root: String) {
     this
   }
 
-  /** Commit: append every staged batch, then write the txn marker.
-    * Appends use the normal manifest path — each append is atomic; the
-    * txn marker records the set for recovery auditing. */
+  /** Commit: stage all data, write the marker (the atomic commit point),
+    * then publish every manifest. */
   def commit(): Unit = {
     require(state == "OPEN", s"txn $txnId is $state")
     val markerDir = Paths.get(root, "_txn")
     Files.createDirectories(markerDir)
-    val results = staged.map { case (log, batch) => log.append(batch) }
+    // phase 1: stage every batch (data invisible)
+    val prepared = staged.map { case (log, batch) =>
+      (log, log.stageAppend(batch))
+    }.toList
+    // phase 2: single atomic commit point
     val tmp = markerDir.resolve(s"$txnId.tmp")
-    Files.write(tmp,
-      staged.map(_._1.name.fqn).zip(results)
-        .map { case (t, n) => s"$t,$n" }.mkString("\n").getBytes)
+    Files.write(tmp, prepared.map { case (log, s) =>
+      Seq(log.name.path(root), s.epoch.toString, s.count.toString,
+        s.manifestLines.replace("\n", ";")).mkString("\t")
+    }.mkString("\n").getBytes)
     Files.move(tmp, markerDir.resolve(s"$txnId.committed"),
       StandardCopyOption.ATOMIC_MOVE)
+    // phase 3: publish (idempotent; recover() replays on crash)
+    prepared.foreach { case (log, s) => log.publishManifest(s) }
     state = "COMMITTED"
   }
 
@@ -69,4 +77,31 @@ object Txn {
   /** Begin a transaction (TransactionBuilder.build analog). */
   def begin(root: String): Txn =
     new Txn(s"txn-${System.currentTimeMillis()}-${counter.incrementAndGet()}", root)
+
+  /**
+   * Recovery: replay the manifests of every committed marker (recovery
+   * rule from the class doc — a marker without its manifests means the
+   * process died mid-publish). Idempotent; run at startup.
+   */
+  def recover(root: String): Int = {
+    val markerDir = Paths.get(root, "_txn")
+    if (!Files.exists(markerDir)) return 0
+    var replayed = 0
+    Files.list(markerDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".committed"))
+      .foreach { marker =>
+        Files.readAllLines(marker).asScala.filter(_.nonEmpty).foreach { line =>
+          val Array(topicPath, epoch, _, hwJoined) = line.split("\t")
+          val manifestFile = Paths.get(topicPath, "_manifest", s"$epoch.commit")
+          if (!Files.exists(manifestFile)) {
+            Files.createDirectories(manifestFile.getParent)
+            val tmp = manifestFile.resolveSibling(s"$epoch.recover.tmp")
+            Files.write(tmp, hwJoined.replace(";", "\n").getBytes)
+            Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE)
+            replayed += 1
+          }
+        }
+      }
+    replayed
+  }
 }

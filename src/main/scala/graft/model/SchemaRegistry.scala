@@ -148,11 +148,22 @@ object SchemaRegistry {
         from_json(col(payloadCol), StructType(Seq(
           StructField("key", keySchema), StructField("value", valueSchema)))))
 
-  /** Widest struct across versions (union of fields, all nullable). */
+  /** Widest struct across versions: union of fields, all nullable; on a
+    * per-field type conflict keep the type that can READ the other (long
+    * beats int, double beats float) so later widened versions are never
+    * narrowed-and-corrupted on decode. */
   private def widest(versions: Seq[StructType]): StructType = {
     val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
-    versions.foreach(_.fields.foreach(f =>
-      fields.getOrElseUpdate(f.name, f.copy(nullable = true))))
+    versions.foreach(_.fields.foreach { f =>
+      fields.get(f.name) match {
+        case None => fields(f.name) = f.copy(nullable = true)
+        case Some(prev) =>
+          if (prev.dataType != f.dataType &&
+              typeCompatible(f.dataType, prev.dataType))
+            fields(f.name) = f.copy(nullable = true) // f is wider
+        // else keep prev (already widest or incomparable)
+      }
+    })
     StructType(fields.values.toSeq)
   }
 }

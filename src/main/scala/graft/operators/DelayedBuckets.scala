@@ -38,9 +38,11 @@ object DelayedBuckets {
    */
   def dueAt(spark: SparkSession, indexPath: String,
             t: java.sql.Timestamp): DataFrame = {
-    val bucket = new java.text.SimpleDateFormat(BucketFmt) {
-      setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    }.format(t)
+    // compute the bucket label with the SAME expression + session timezone
+    // used by buildIndex (a driver-side formatter with a different tz
+    // would mislabel the horizon and silently never dispatch)
+    val bucket = spark.range(1)
+      .select(bucketOf(lit(t)).as("b")).head().getString(0)
     spark.read.parquet(indexPath)
       .filter(col("due_bucket") <= bucket)          // partition-pruned
       .filter(col(Envelope.DeliverAt) <= lit(t))    // row-level residual

@@ -96,12 +96,12 @@ object Dispatch {
                backoffBaseSeconds: Long = 60L): DataFrame = {
     val dlqTopic = concat(col(Envelope.Topic), lit(s"-$subscription-DLQ"))
     val retryTopic = concat(col(Envelope.Topic), lit(s"-$subscription-RETRY"))
-    log.withColumn("route_topic",
-        when(col(Envelope.RedeliveryCnt) > maxRedeliverCount, dlqTopic)
-          .otherwise(retryTopic))
+    // dead-letter at >= maxRedeliverCount, matching the reference's
+    // possibleToDeadLetter (redeliveryCount >= policy.maxRedeliverCount)
+    val toDlq = col(Envelope.RedeliveryCnt) >= maxRedeliverCount
+    log.withColumn("route_topic", when(toDlq, dlqTopic).otherwise(retryTopic))
       .withColumn("next_deliver_at",
-        when(col(Envelope.RedeliveryCnt) > maxRedeliverCount,
-          lit(null).cast("timestamp"))
+        when(toDlq, lit(null).cast("timestamp"))
           .otherwise(col(Envelope.PublishTime) +
             expr(s"make_interval(0,0,0,0,0,0,$backoffBaseSeconds * pow(2, redelivery_count))")))
   }

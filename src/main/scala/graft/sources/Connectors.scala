@@ -36,8 +36,14 @@ object Connectors {
   /**
    * File source (reference pulsar-io/file): tail a directory as a stream
    * and produce every record into `topic`. `discover/prepare/readNext`
-   * become Spark's file-source listing + microbatch planning; exactly-once
-   * via the checkpoint + append manifest.
+   * become Spark's file-source listing + microbatch planning.
+   *
+   * Effectively-once: foreachBatch is at-least-once (a crash between
+   * append and checkpoint commit replays the batch), so sequence ids are
+   * CONTENT-DERIVED (stable across replays) and the append anti-joins
+   * against (producer, sequence) pairs already in the log — a replayed
+   * batch appends zero rows. This is the engine's own §2.8 dedup applied
+   * at the connector boundary.
    */
   def fileSourceToTopic(spark: SparkSession, inputDir: String, schema: StructType,
                         format: String, topic: TopicLog, keyCol: String,
@@ -55,10 +61,17 @@ object Connectors {
             col(keyCol).cast("string").as(Envelope.Key),
             to_json(struct(batch.columns.map(col): _*)).as(Envelope.Value),
             lit("io-file-source").as(Envelope.ProducerName),
-            monotonically_increasing_id().as(Envelope.SequenceId),
+            xxhash64(to_json(struct(batch.columns.map(col): _*)))
+              .as(Envelope.SequenceId),
             current_timestamp().as(Envelope.PublishTime),
             current_timestamp().as(Envelope.EventTime))
-          topic.append(envelope): Unit
+          val existing = topic.read()
+          val fresh =
+            if (existing.isEmpty) envelope
+            else envelope.join(
+              existing.select(Envelope.ProducerName, Envelope.SequenceId).distinct(),
+              Seq(Envelope.ProducerName, Envelope.SequenceId), "left_anti")
+          if (!fresh.isEmpty) topic.append(fresh): Unit
         }
       }
       .start()

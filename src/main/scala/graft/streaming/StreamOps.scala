@@ -61,7 +61,13 @@ object StreamOps {
                         checkpoint: String,
                         mainProcess: DataFrame => Unit,
                         lateSink: DataFrame => Unit): StreamingQuery = {
-    @volatile var maxSeenMs = Long.MinValue
+    // the watermark must survive restarts with the checkpoint, or a
+    // resumed query would misroute arbitrarily late rows to mainProcess
+    val wmFile = java.nio.file.Paths.get(checkpoint, "graft-watermark")
+    @volatile var maxSeenMs: Long =
+      if (java.nio.file.Files.exists(wmFile))
+        java.nio.file.Files.readString(wmFile).trim.toLong
+      else Long.MinValue
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -73,8 +79,15 @@ object StreamOps {
           mainProcess(b.filter(col(eventTimeCol) >= lit(wm)))
         }
         val mx = b.agg(max(eventTimeCol)).head()
-        if (!mx.isNullAt(0))
+        if (!mx.isNullAt(0)) {
           maxSeenMs = math.max(maxSeenMs, mx.getTimestamp(0).getTime)
+          java.nio.file.Files.createDirectories(wmFile.getParent)
+          val tmp = wmFile.resolveSibling("graft-watermark.tmp")
+          java.nio.file.Files.writeString(tmp, maxSeenMs.toString)
+          java.nio.file.Files.move(tmp, wmFile,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         b.unpersist(); ()
       }
       .start()
@@ -82,14 +95,18 @@ object StreamOps {
 
   /**
    * Geo-replication copy job (reference PersistentReplicator §2.13): a
-   * streaming query that filters loop-causing rows and re-publishes into
-   * the remote topic path, stamping replicated_from.
+   * streaming query that re-publishes into the remote cluster's topic
+   * path, stamping replicated_from. Loop rule (MessageDeduplication
+   * .isDuplicateReplV1:345): skip rows that ORIGINATED AT THE TARGET —
+   * in a bi-directional A↔B setup a row B sent to A must never be echoed
+   * back to B.
    */
-  def replicator(stream: DataFrame, selfCluster: String, targetPath: String,
-                 checkpoint: String): StreamingQuery =
+  def replicator(stream: DataFrame, selfCluster: String, targetCluster: String,
+                 targetPath: String, checkpoint: String): StreamingQuery =
     stream
       .filter(col(Envelope.ReplicatedFrom).isNull ||
-        col(Envelope.ReplicatedFrom) =!= selfCluster)
+        (col(Envelope.ReplicatedFrom) =!= targetCluster &&
+          col(Envelope.ReplicatedFrom) =!= selfCluster))
       .withColumn(Envelope.ReplicatedFrom, lit(selfCluster))
       .writeStream
       .option("checkpointLocation", checkpoint)

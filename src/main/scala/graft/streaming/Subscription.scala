@@ -53,10 +53,13 @@ final class Subscription(
   def checkpointDir: String =
     s"$checkpointRoot/${log.name.tenant}/${log.name.namespace}/${log.name.topic}/$name"
 
-  /** Streaming view of the topic log (file-source incremental read). */
+  /** Streaming view of the topic log (file-source incremental read).
+    * Works on an empty (never-appended) topic via the envelope schema. */
   def stream(): DataFrame = {
-    var r: DataStreamReader = spark.readStream
-      .schema(spark.read.parquet(log.name.path(log.root)).schema)
+    val schema =
+      try spark.read.parquet(log.name.path(log.root)).schema
+      catch { case _: Throwable => Envelope.schema }
+    var r: DataStreamReader = spark.readStream.schema(schema)
     policy.maxFilesPerTrigger.foreach(n =>
       r = r.option("maxFilesPerTrigger", n))
     policy.maxBytesPerTrigger.foreach(b =>
@@ -74,13 +77,27 @@ final class Subscription(
   /**
    * Run the subscription into `process` via foreachBatch — the consumer
    * loop. Checkpoint commit = cumulative ack (cursor markDelete).
+   *
+   * READ_COMMITTED: the file source lists raw parquet, which can include
+   * orphaned files from a producer crash between data write and manifest
+   * commit — each microbatch is filtered to the manifest high-water so
+   * subscribers never observe uncommitted rows (the same gate
+   * TopicLog.read applies to batch readers).
    */
   def consume(process: (DataFrame, Long) => Unit): StreamingQuery =
     stream().writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(policy.trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        process(batch, epochId)
+        val hw = log.highWater()
+        val committed =
+          if (hw.isEmpty) batch.limit(0)
+          else if (batch.columns.contains(Envelope.Offset)) batch.filter(
+            hw.map { case (p, o) =>
+              (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
+            }.reduce(_ || _))
+          else batch
+        process(committed, epochId)
       }
       .start()
 

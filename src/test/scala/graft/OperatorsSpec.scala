@@ -101,7 +101,9 @@ class OperatorsSpec extends SparkSpec {
     val routed = Dispatch.dlqRoute(env, "s", maxRedeliverCount = 3)
     val dlq = routed.filter(col("route_topic").endsWith("-DLQ"))
     val retry = routed.filter(col("route_topic").endsWith("-RETRY"))
-    assert(dlq.filter(col(Envelope.RedeliveryCnt) <= 3).count() == 0)
+    // dead-letter at >= maxRedeliverCount (reference possibleToDeadLetter)
+    assert(dlq.filter(col(Envelope.RedeliveryCnt) < 3).count() == 0)
+    assert(retry.filter(col(Envelope.RedeliveryCnt) >= 3).count() == 0)
     assert(retry.filter(col("next_deliver_at").isNull).count() == 0)
     assert(dlq.count() + retry.count() == env.count())
   }

@@ -26,11 +26,10 @@ class ReplicatorJoinSpec extends SparkSpec {
     val stream = spark.readStream
       .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
       .parquet(topic.name.path(topic.root))
-    // replicating east->west: skip rows that already originated at west
-    val q = StreamOps.replicator(
-      stream.filter(col(Envelope.ReplicatedFrom).isNull ||
-        col(Envelope.ReplicatedFrom) =!= "west"),
-      selfCluster = "east", targetPath = remotePath,
+    // replicating east->west: the replicator itself must skip rows that
+    // originated at west (no pre-filtering here — that's the contract)
+    val q = StreamOps.replicator(stream, selfCluster = "east",
+      targetCluster = "west", targetPath = remotePath,
       checkpoint = s"$dir/ckpt")
     q.processAllAvailable(); q.stop()
 
