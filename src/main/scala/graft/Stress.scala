@@ -1,0 +1,79 @@
+package graft
+
+import graft.model.Envelope
+import graft.operators.{Compaction, Dedup}
+import graft.ext.{MinHash, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scaling probe: replicate the sf0.1 tables K× (with perturbed ids so
+ * cardinalities scale too) and time the scale-critical operators at 1×
+ * vs K×. Near-linear growth validates the plan shapes; super-linear
+ * growth flags a shuffle/skew problem before it meets real 100 TB.
+ *
+ * Usage: SPARK_GRAFT_SCALE=10 sbt "runMain graft.Stress"
+ */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** K copies with shifted ids: K× rows AND K× distinct keys. */
+    def scaled(df: DataFrame, idCols: Seq[String], k: Int): DataFrame =
+      (0 until k).map { i =>
+        idCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionByName(_))
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"STRESS $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($n rows)")
+    }
+
+    val env1 = Envelope.fromEvents(spark, sfDir).cache(); env1.count()
+    val envK = scaled(spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")), Seq("event_id", "user_id"), k)
+      .cache()
+    envK.count()
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet").cache(); docs1.count()
+    val docsK = scaled(spark.read.parquet(s"$sfDir/documents.parquet"),
+      Seq("doc_id"), k).cache()
+    docsK.count()
+
+    def envelope(ev: DataFrame): DataFrame = ev.select(
+      col("user_id").cast("string").as(Envelope.Key),
+      col("props").as(Envelope.Value),
+      concat(lit("p"), (col("user_id") % 50).cast("string")).as(Envelope.ProducerName),
+      col("event_id").as(Envelope.SequenceId),
+      col("ts").as(Envelope.PublishTime),
+      col("ts").as(Envelope.EventTime),
+      col("event_id").as(Envelope.Offset))
+
+    println(s"== 1x (events=${env1.count()}, docs=${docs1.count()}) ==")
+    time("compaction")(Compaction.publishOrder(env1.withColumnRenamed("metric_value", "mv")).count())
+    time("dedup_seq")(Dedup.dedupBatch(env1).count())
+    time("minhash_lsh")(MinHash.lshCandidates(docs1).count())
+    time("jaccard_pairs")(TextOps.jaccardPairs(docs1, n = 5, threshold = 0.5).count())
+    time("simhash_pairs")(MinHash.simhashPairs(docs1, 3).count())
+
+    println(s"== ${k}x (events=${envK.count()}, docs=${docsK.count()}) ==")
+    val envKE = envelope(envK)
+    time("compaction")(Compaction.publishOrder(envKE).count())
+    time("dedup_seq")(Dedup.dedupBatch(envKE).count())
+    time("minhash_lsh")(MinHash.lshCandidates(docsK).count())
+    time("jaccard_pairs")(TextOps.jaccardPairs(docsK, n = 5, threshold = 0.5).count())
+    time("simhash_pairs")(MinHash.simhashPairs(docsK, 3).count())
+    spark.stop()
+  }
+}
