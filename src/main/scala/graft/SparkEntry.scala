@@ -525,6 +525,23 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
       .orderBy("id_a", "id_b")
 
+  /** Corpus-DF boilerplate removal: tokens present in > 60% of documents
+    * are corpus chrome; each document is reassembled without them. The
+    * md5 of every cleaned document is oracle-compared. */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val maxDf = (docs.count() * 6) / 10
+    TextOps.removeBoilerplateLines(docs, maxDf, sep = " ")
+      .select(col("doc_id"), md5(col("text")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition-ratio quality rule (top-bigram fraction per doc). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.withRepetitionRatio(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("top_bigram_ratio"))
+      .orderBy("doc_id")
+
   /**
    * Composite training-data pipeline, end-to-end oracle-checked:
    * quality filter → exact dedup (md5) → near-dup removal (5-gram
@@ -605,7 +622,9 @@ object SparkEntry {
     "ann_bruteforce" -> (qAnnBrute _),
     "ann_lsh" -> (qAnnLsh _),
     "cosine_near_dup" -> (qCosineNearDup _),
-    "pipeline_clean_corpus" -> (qPipeline _)
+    "pipeline_clean_corpus" -> (qPipeline _),
+    "boilerplate_removal" -> (qBoilerplate _),
+    "repetition_ratio" -> (qRepetition _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -873,6 +892,29 @@ object SparkEntry {
         |FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "boilerplate_removal" ->
+      """WITH blocklist AS (
+        |  SELECT list(tok) AS bl FROM (
+        |    SELECT tok FROM (
+        |      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents) t
+        |    GROUP BY tok
+        |    HAVING COUNT(*) > (SELECT COUNT(*) * 6 // 10 FROM documents)) b)
+        |SELECT doc_id,
+        |  md5(COALESCE(array_to_string(list_filter(string_split(text, ' '),
+        |    t -> NOT list_contains(bl, t)), ' '), '')) AS clean_hash
+        |FROM documents CROSS JOIN blocklist ORDER BY doc_id""".stripMargin,
+    "repetition_ratio" ->
+      """SELECT doc_id,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_ratio
+        |FROM (
+        |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bg
+        |    FROM documents) t
+        |  GROUP BY doc_id, bg) g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH quality AS (
         |  SELECT doc_id, text, lang FROM documents

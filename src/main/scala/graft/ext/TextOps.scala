@@ -104,6 +104,60 @@ object TextOps {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /**
+   * Boilerplate line removal (the cross-document dedup rule used in
+   * pre-training corpora: lines recurring across many documents are
+   * headers/footers/nav chrome). Lines occurring in more than `maxDocFreq`
+   * docs are dropped from every document; the rest of each document is
+   * reassembled in original line order.
+   *
+   * Scale shape: explode lines → doc-frequency count keyed by the line
+   * hash (8-byte shuffle key) → broadcast-able blocklist when small, else
+   * shuffle join back. One pass over the corpus either way.
+   */
+  def removeBoilerplateLines(docs: DataFrame, maxDocFreq: Long,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("line_no", "line")))
+    val docFreq = lines.select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("line")
+    val cleaned = lines.join(docFreq, Seq("line"), "left_anti")
+      .groupBy(idCol)
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line"))).as(textCol))
+    // a document whose every line was boilerplate survives as empty —
+    // dropping it silently would skew downstream corpus counts
+    docs.select(col(idCol)).join(cleaned, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
+  /**
+   * Repetition-ratio quality signal (Gopher-style rule): the fraction of
+   * all word bigrams taken by the single most frequent bigram. High
+   * values flag degenerate/repetitive text.
+   */
+  def withRepetitionRatio(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val bigrams = docs.select(col(idCol),
+        explode(shinglesAll(col(textCol), 2)).as("bg"))
+    val ratio = bigrams.groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg((max("c").cast("double") / sum("c")).as("top_bigram_ratio"))
+    docs.join(ratio, Seq(idCol), "left")
+  }
+
+  /** All (non-distinct) word n-gram shingles per document. */
+  def shinglesAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), size(toks) - n)
+    transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
   /** Distinct word n-gram shingles per document. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -27,6 +27,15 @@ object Compaction {
    * Latest row per key by the given ordering, tombstones removed.
    * Implemented with max_by over the full row struct so it stays a single
    * shuffle-reduced aggregate (no row_number window = no total sort).
+   *
+   * Strategy note: max_by on a struct buffer plans as SortAggregate (the
+   * struct buffer isn't UnsafeRow-mutable), which is still the right call
+   * at 100 TB — the partial aggregate emits ≤ one row per key per task,
+   * so the SHUFFLE carries |keys| rows. The alternative (hash-agg
+   * max(offset) then self-join the log on (key, offset)) would shuffle
+   * the full log through the join; per-task sort CPU is the cheaper coin.
+   * Mirrors the reference's phase-1/phase-2 trade
+   * (AbstractTwoPhaseCompactor scans twice; we sort once).
    */
   def compact(log: DataFrame, keyCol: String, orderBy: Seq[Column],
               valueCol: String): DataFrame = {
