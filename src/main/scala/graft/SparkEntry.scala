@@ -479,13 +479,13 @@ object SparkEntry {
     TextOps.jaccardPairs(tbl(s, dir, "documents"), n = 5, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** Document fingerprints (xxhash64 — rows-only oracle). */
+  /** Normalized-fingerprint duplicate groups (md5 form so the oracle can
+    * replicate; production path keys on the 8-byte xxhash64 twin). */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.withFingerprint(tbl(s, dir, "documents"))
-      .groupBy("fp_norm").agg(count(lit(1)).cast("bigint").as("n"),
+      .groupBy("fp_norm_md5").agg(count(lit(1)).cast("bigint").as("n"),
         min("doc_id").as("keep_id"))
-      .filter(col("n") > 1)
-      .orderBy("fp_norm")
+      .orderBy("fp_norm_md5")
 
   /** MinHash-LSH near-dup candidates (rows-only oracle). */
   private def qMinHashLsh(s: SparkSession, dir: String): DataFrame =
@@ -870,6 +870,10 @@ object SparkEntry {
         |  CAST(SUM(CAST(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS DECIMAL(18,9))) AS DOUBLE) AS sum_mean_word_len
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "fingerprint_dups" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_norm_md5,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp_norm_md5""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS dup_count,
         |  MIN(doc_id) AS keep_id

@@ -75,13 +75,17 @@ object TextOps {
   /**
    * Document fingerprint: 64-bit content hash (xxhash64) plus a
    * normalized-content hash (lowercased, whitespace-collapsed) — the
-   * cheap first-tier exact/near-exact dup key.
+   * cheap first-tier exact/near-exact dup key. `fp_norm_md5` carries the
+   * oracle-portable form of the normalized fingerprint (md5 exists in
+   * every engine; the xxhash64 columns are the 8-byte production keys).
    */
-  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val normalized = regexp_replace(lower(col(textCol)), "\\s+", " ")
     docs
       .withColumn("fp_exact", xxhash64(col(textCol)))
-      .withColumn("fp_norm",
-        xxhash64(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withColumn("fp_norm", xxhash64(normalized))
+      .withColumn("fp_norm_md5", md5(normalized))
+  }
 
   /**
    * Exact-duplicate groups by content hash: one shuffle keyed on the
