@@ -309,6 +309,17 @@ object SparkEntry {
       .select(col(Envelope.Key), col("window_id"), col("sum_value"), col("last_offset"))
       .orderBy(Envelope.Key, "window_id")
 
+  /** §2.5/§7.4 sliding count windows: every 10th event per user fires a
+    * window over the last 25 events (decimal-exact sum). */
+  private def qWindowCountSliding(s: SparkSession, dir: String): DataFrame =
+    Windows.countSlidingBatch(
+        env(s, dir).withColumn("mv", dec(col("metric_value"))),
+        Envelope.Key, Envelope.Offset, length = 25, slide = 10, valueCol = "mv")
+      .select(col(Envelope.Key), col("trigger_id"),
+        col("w_sum").cast("double").as("w_sum"),
+        col("w_max").cast("double").as("w_max"))
+      .orderBy(Envelope.Key, "trigger_id")
+
   /** §2.5 session windows (30-minute inactivity gap) per user — Spark
     * session_window vs the oracle's gaps-and-islands reconstruction. */
   private def qSessionWindows(s: SparkSession, dir: String): DataFrame =
@@ -597,6 +608,7 @@ object SparkEntry {
     "window_tumbling" -> (qWindowTumbling _),
     "window_sliding" -> (qWindowSliding _),
     "window_count" -> (qWindowCount _),
+    "window_count_sliding" -> (qWindowCountSliding _),
     "session_windows" -> (qSessionWindows _),
     "q_median" -> (qMedian _),
     "hll_cardinality" -> (qHllCardinality _),
@@ -798,6 +810,20 @@ object SparkEntry {
         |  FROM envelope) t
         |GROUP BY key, window_id HAVING COUNT(*) = 20
         |ORDER BY key, window_id""".stripMargin),
+    "window_count_sliding" -> envSql(
+      """SELECT key, trigger_id, w_sum, w_max FROM (
+        |  SELECT key,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    COUNT(*) OVER f AS w_count,
+        |    CAST(SUM(CAST(metric_value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS w_sum,
+        |    CAST(CAST(MAX(CAST(metric_value AS DECIMAL(18,2))) OVER f AS DECIMAL(18,2)) AS DOUBLE) AS w_max,
+        |    CAST(ROW_NUMBER() OVER w // 10 AS BIGINT) AS trigger_id
+        |  FROM envelope
+        |  WINDOW w AS (PARTITION BY key ORDER BY "offset"),
+        |         f AS (PARTITION BY key ORDER BY "offset"
+        |               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) t
+        |WHERE rn % 10 = 0 AND w_count = 25
+        |ORDER BY key, trigger_id""".stripMargin),
     "session_windows" -> envSql(
       """SELECT key, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
         |  CAST(COUNT(*) AS BIGINT) AS n_events

@@ -50,6 +50,28 @@ object Windows {
       .drop("_n")
   }
 
+  /**
+   * Batch sliding count windows (WindowConfig windowLengthCount +
+   * slidingIntervalCount; CountTriggerPolicy fires every `slide` rows,
+   * CountEvictionPolicy keeps the last `length` rows): per key, a window
+   * fires at every `slide`-th arrival and aggregates the most recent
+   * `length` rows. One pass: rank rows per key, compute the frame
+   * aggregate ROWS BETWEEN length-1 PRECEDING AND CURRENT ROW, keep
+   * trigger rows — no self-join, no buffering.
+   */
+  def countSlidingBatch(df: DataFrame, keyCol: String, orderCol: String,
+                        length: Int, slide: Int, valueCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(orderCol)
+    val frame = byKey.rowsBetween(-(length - 1), 0)
+    df.withColumn("_rn", row_number().over(byKey))
+      .withColumn("w_count", count(lit(1)).over(frame))
+      .withColumn("w_sum", sum(col(valueCol)).over(frame))
+      .withColumn("w_max", max(col(valueCol)).over(frame))
+      .filter(col("_rn") % slide === 0 && col("w_count") === length)
+      .withColumn("trigger_id", (col("_rn") / slide).cast("long"))
+      .drop("_rn")
+  }
+
   /** Late-row split relative to an explicit watermark timestamp:
    * (onTime, late). Reference routes late rows to `lateDataTopic`
    * (WindowConfig.java:41); Spark drops them, so the side output is an
