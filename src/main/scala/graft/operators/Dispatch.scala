@@ -74,6 +74,46 @@ object Dispatch {
   }
 
   /**
+   * AUTO_SPLIT consistent-hash-ring selector (reference
+   * ConsistentHashingStickyKeyConsumerSelector.java:40,104): each consumer
+   * owns `pointsPerConsumer` ring points at murmur3(name + "-" + i) %
+   * 65536; a key's slot is served by the first point clockwise (ceiling,
+   * wrapping to the first point — NavigableMap.ceilingEntry semantics).
+   * Consumer churn therefore only moves the keys between the leaving/
+   * joining consumer's points and their predecessors — the minimal-
+   * movement property the reference buys with this structure.
+   *
+   * The ring is computed driver-side (tiny) and compiled into a codegen'd
+   * CASE chain over ring intervals — no UDF, no broadcast lookup.
+   */
+  def keySharedConsistentHash(log: DataFrame, consumers: Seq[String],
+                              pointsPerConsumer: Int = 100): DataFrame = {
+    require(consumers.nonEmpty)
+    val ring: Seq[(Int, String)] = consumers.flatMap { c =>
+      (0 until pointsPerConsumer).map { i =>
+        Murmur3Pulsar.hashBytes(s"$c-$i".getBytes("UTF-8")) %
+          Murmur3Pulsar.HashRangeSize -> c
+      }
+    }.sortBy(_._1)
+    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) %
+      Murmur3Pulsar.HashRangeSize
+    // ceiling lookup as one FLAT CaseWhen (a nested when-chain of 100×C
+    // branches overflows the column converter's recursion): slot <=
+    // point_k -> owner_k in ring order; past the last point wraps to the
+    // first point's owner
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, LessThanOrEqual, Literal}
+    val slotE = ColumnBridge.expression(slot)
+    val branches = ring.map { case (point, owner) =>
+      (LessThanOrEqual(slotE, Literal(point)): org.apache.spark.sql.catalyst.expressions.Expression,
+        Literal.create(owner): org.apache.spark.sql.catalyst.expressions.Expression)
+    }
+    val assigned = ColumnBridge.column(
+      CaseWhen(branches, Some(Literal.create(ring.head._2))))
+    log.withColumn("slot", slot).withColumn("consumer_id", assigned)
+  }
+
+  /**
    * STICKY explicit hash ranges (HashRangeExclusiveStickyKeyConsumerSelector;
    * KeySharedPolicy.ranges): route by [start, end] slot ranges.
    */

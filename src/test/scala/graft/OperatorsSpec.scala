@@ -119,6 +119,26 @@ class OperatorsSpec extends SparkSpec {
     assert(multi.count() == 0)
   }
 
+  test("consistent-hash ring: total assignment, per-key stability, minimal movement on churn") {
+    val env = Envelope.fromEvents(spark, sf001)
+    val c3 = Seq("c1", "c2", "c3")
+    val a3 = Dispatch.keySharedConsistentHash(env, c3)
+    assert(a3.filter(col("consumer_id").isNull).count() == 0)
+    assert(a3.select("consumer_id").distinct().count() >= 2)
+    // per-key stickiness
+    assert(a3.groupBy(Envelope.Key).agg(countDistinct("consumer_id").as("n"))
+      .filter(col("n") > 1).count() == 0)
+    // minimal movement: dropping c3 must not move any key that was on c1/c2
+    val a2 = Dispatch.keySharedConsistentHash(env, Seq("c1", "c2"))
+    val moved = a3.select(col(Envelope.Key), col("consumer_id").as("before"))
+      .distinct()
+      .join(a2.select(col(Envelope.Key), col("consumer_id").as("after")).distinct(),
+        Seq(Envelope.Key))
+      .filter(col("before") =!= "c3" && col("before") =!= col("after"))
+    assert(moved.count() == 0,
+      "keys not owned by the leaving consumer must stay put")
+  }
+
   test("count windows (batch): only full windows fire, in arrival order") {
     val log = mkLog((0L until 25L).map(i => ("k", s"v$i", i, 0L, "p", i)))
       .withColumn("metric_value", col(Envelope.Offset).cast("double"))
