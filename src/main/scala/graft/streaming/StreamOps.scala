@@ -42,6 +42,10 @@ object StreamOps {
    * duplicates arriving within the watermark horizon. The watermark bound
    * mirrors the broker's dedup snapshot horizon — state is pruned the
    * same way MessageDeduplication.takeSnapshot bounds replay.
+   *
+   * Caveat: rows with event times at/near the 1970 epoch sit at Spark's
+   * initial watermark and can be treated as expired — real publish times
+   * are always safe; synthetic epoch-zero fixtures are not.
    */
   def dedupWithinWatermark(stream: DataFrame, lag: String = "10 minutes"): DataFrame =
     stream
