@@ -101,6 +101,33 @@ object SparkEntry {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q7-style volume shipping: revenue between two nation pairs by
+    * ship year (4-way join + derived grouping column). */
+  private def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = tbl(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val n2 = tbl(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    val sp = tbl(s, dir, "supplier")
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    val l = tbl(s, dir, "lineitem")
+    l.join(sp, l("l_suppkey") === sp("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), sp("s_nationkey") === n1("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === n2("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).cast("bigint").as("n"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Semi-join (EXISTS): order priorities having returned lineitems. */
   private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val o = tbl(s, dir, "orders")
@@ -590,6 +617,7 @@ object SparkEntry {
     "q_distinct" -> (qDistinct _),
     "q_top_customers" -> (qTopCustomers _),
     "q6_forecast" -> (q6Forecast _),
+    "q7_volume" -> (q7Volume _),
     "q_left_outer" -> (qLeftOuter _),
     "q_cube" -> (qCube _),
     // pulsar parity
@@ -706,6 +734,20 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_left_outer" ->
       """SELECT c_custkey, c_mktsegment,
         |  COALESCE(o.n_orders, 0) AS n_orders, o.total

@@ -62,6 +62,17 @@ object Compaction {
       Seq(col(Envelope.EventTime), col(Envelope.Offset)), Envelope.Value)
 
   /**
+   * Strategic compaction (reference StrategicTwoPhaseCompactor.java:62
+   * with a pluggable TopicCompactionStrategy — "should this message
+   * replace the current latest for its key?"): any total-order strategy
+   * expressible as a sort key keeps the same single-aggregation plan.
+   * E.g. `Seq(col("metric_value"), col(Envelope.Offset))` keeps the
+   * max-valued message per key (offset tie-break).
+   */
+  def strategic(log: DataFrame, strategyOrder: Seq[Column]): DataFrame =
+    compact(log, Envelope.Key, strategyOrder, Envelope.Value)
+
+  /**
    * TableView batch snapshot (reference TableView.java:28-146,
    * TableViewImpl.java:206 `handleMessage` keeps last value per key,
    * removing the key on null payload): identical to publish-order

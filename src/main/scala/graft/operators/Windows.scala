@@ -119,6 +119,35 @@ object Windows {
       }
   }
 
+  /**
+   * Streaming sliding count windows (windowLengthCount +
+   * slidingIntervalCount): keep the last `length` values per key in
+   * state; every `slide`-th arrival fires an aggregate over the buffer —
+   * WindowManager's count trigger + count eviction as one state function.
+   */
+  def countSlidingStream(ds: Dataset[(String, Double)], length: Int,
+                         slide: Int): Dataset[CountWindowFired] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[CountWindowState, CountWindowFired](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[CountWindowState]) =>
+          val prev = state.getOption.getOrElse(CountWindowState(Nil, 0L))
+          var buf = prev.buffer
+          var arrivals = prev.windowsFired // reused as arrival counter
+          val out = scala.collection.mutable.ListBuffer[CountWindowFired]()
+          rows.foreach { case (_, v) =>
+            buf = (buf :+ v).takeRight(length) // count eviction
+            arrivals += 1
+            if (arrivals % slide == 0 && buf.size == length)
+              out += CountWindowFired(key, arrivals / slide, length,
+                buf.sum, buf.min, buf.max)
+          }
+          state.update(CountWindowState(buf, arrivals))
+          out.iterator
+      }
+  }
+
   /** Keyed counter state (BaseContext.incrCounter:161-187) as a streaming
    * aggregation — counters are just a running grouped count/sum. */
   def counters(df: DataFrame, keyCol: String): DataFrame =

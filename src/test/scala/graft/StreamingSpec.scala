@@ -34,6 +34,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding count windows: trigger every `slide`, evict to `length`") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val out = Windows.countSlidingStream(input.toDS(), length = 3, slide = 2)
+    val q = out.writeStream.format("memory").queryName("csw")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0)) // arrival 2: trigger, buffer only 2 -> no fire
+      q.processAllAvailable()
+      assert(spark.table("csw").count() == 0)
+      input.addData(("a", 3.0), ("a", 4.0)) // arrival 4: trigger over last 3 = [2,3,4]
+      q.processAllAvailable()
+      val r = spark.table("csw").as[Windows.CountWindowFired].collect()
+      assert(r.map(f => (f.windowId, f.sum)).toSet == Set((2L, 9.0)))
+      input.addData(("a", 5.0), ("a", 6.0)) // arrival 6: last 3 = [4,5,6]
+      q.processAllAvailable()
+      val r2 = spark.table("csw").as[Windows.CountWindowFired].collect()
+      assert(r2.map(f => (f.windowId, f.sum)).toSet == Set((2L, 9.0), (3L, 15.0)))
+    } finally q.stop()
+  }
+
+  test("strategic compaction: custom strategy keeps max-valued message per key") {
+    import graft.operators.Compaction
+    val log = Seq(
+      ("k1", "low", 0L, 1.0), ("k1", "high", 1L, 9.0), ("k1", "mid", 2L, 5.0),
+      ("k2", "only", 3L, 2.0))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.Offset, "metric_value")
+    val got = Compaction.strategic(log,
+        Seq(col("metric_value"), col(Envelope.Offset)))
+      .select(Envelope.Key, Envelope.Value).as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "high", "k2" -> "only"))
+  }
+
   test("streaming TableView converges to last value per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, Long)]
