@@ -478,6 +478,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** §2.10 Key_Shared hash parity, oracle-checked: the DuckDB side
+    * reimplements murmur3_32 in pure SQL (overflow-safe 32-bit arithmetic
+    * macros), so the slot of every key — and thus the whole ring
+    * assignment — hash-matches the engine's Catalyst pulsar_hash. */
+  private def qKeySharedOracle(s: SparkSession, dir: String): DataFrame =
+    Dispatch.keySharedAssign(env(s, dir), 4)
+      .groupBy("consumer_id")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"),
+        min("slot").cast("bigint").as("min_slot"),
+        max("slot").cast("bigint").as("max_slot"))
+      .orderBy("consumer_id")
+
   // =====================================================================
   // LLM-pipeline extension operators (BASELINE.json north star)
   // =====================================================================
@@ -643,6 +656,7 @@ object SparkEntry {
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),
+    "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "chunk_reassembly" -> (qChunkReassembly _),
     "crypto_roundtrip" -> (qCryptoRoundtrip _),
     "backlog_quota" -> (qBacklogQuota _),
@@ -894,6 +908,35 @@ object SparkEntry {
         |  SELECT * FROM envelope WHERE event_type = 'purchase'
         |  UNION ALL SELECT * FROM envelope WHERE event_type = 'click') t
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "keyshared_hash_oracle" -> (
+      """CREATE OR REPLACE MACRO mul32(a, bl, bh) AS (((a * bl) + (((a * bh) & 65535) << 16)) & 4294967295);
+        |CREATE OR REPLACE MACRO rotl32(x, r) AS (((x << r) | (x >> (32 - r))) & 4294967295);
+        |CREATE OR REPLACE MACRO mmix(k) AS (mul32(rotl32(mul32(k, 11601, 52382), 15), 13715, 7047));
+        |CREATE OR REPLACE MACRO fmix1(h0) AS (mul32(xor(h0, h0 >> 16), 51819, 34283));
+        |CREATE OR REPLACE MACRO fmix2(h1) AS (mul32(xor(h1, h1 >> 13), 44597, 49842));
+        |CREATE OR REPLACE MACRO fmixx(h0) AS (xor(fmix2(fmix1(h0)), fmix2(fmix1(h0)) >> 16));
+        |CREATE OR REPLACE MACRO strbytes(s, i) AS (CASE WHEN length(s) >= i THEN CAST(ord(substr(s, i, 1)) AS BIGINT) ELSE CAST(0 AS BIGINT) END);
+        |CREATE OR REPLACE MACRO chunk1(s) AS (strbytes(s,1) + (strbytes(s,2) << 8) + (strbytes(s,3) << 16) + (strbytes(s,4) << 24));
+        |CREATE OR REPLACE MACRO tail1(s) AS (strbytes(s,1) + (strbytes(s,2) << 8) + (strbytes(s,3) << 16));
+        |CREATE OR REPLACE MACRO tail2(s) AS (strbytes(s,5) + (strbytes(s,6) << 8) + (strbytes(s,7) << 16));
+        |CREATE OR REPLACE MACRO h1body(s) AS (((rotl32(mmix(chunk1(s)), 13) * 5) + 3864292196) & 4294967295);
+        |CREATE OR REPLACE MACRO mm3_8(s) AS ((
+        |  CASE WHEN length(s) <= 3 THEN fmixx(xor(xor(CAST(0 AS BIGINT), mmix(tail1(s))), length(s)))
+        |       WHEN length(s) = 4 THEN fmixx(xor(h1body(s), 4))
+        |       ELSE fmixx(xor(xor(h1body(s), mmix(tail2(s))), length(s)))
+        |  END) & 2147483647);
+        |WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), envelope AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
+        |), slots AS (
+        |  SELECT key, mm3_8(key) % 65536 AS slot,
+        |    CAST(least((mm3_8(key) % 65536) // 16384, 3) AS INT) AS consumer_id
+        |  FROM envelope)
+        |SELECT consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+        |  MIN(slot) AS min_slot, MAX(slot) AS max_slot
+        |FROM slots GROUP BY consumer_id ORDER BY consumer_id""").stripMargin,
     "chunk_reassembly" -> envSql(
       """SELECT CAST("offset" AS VARCHAR) AS chunk_uuid, value AS payload
         |FROM envelope WHERE value IS NOT NULL AND "offset" < 100
