@@ -141,6 +141,28 @@ object AckState {
       .groupBy("partition").agg(max("offset").as("mark_delete"))
   }
 
+  /**
+   * Batch-index acks (reference AckSetState / EntryBatchIndexesAcks;
+   * `acknowledgmentAtBatchIndexLevelEnabled`): individual messages inside
+   * a batched entry ack independently; the entry completes — and can
+   * advance markDelete — only when every batch index is acked.
+   *
+   * `acks` carries (partition, offset, batch_index); `entrySizes` carries
+   * (partition, offset, batch_size). Returns completed entries, feeding
+   * [[markDeletePosition]].
+   */
+  def completedEntries(acks: DataFrame, entrySizes: DataFrame): DataFrame =
+    acks.select(col("partition"), col("offset"), col("batch_index")).distinct()
+      .groupBy("partition", "offset")
+      .agg(count(lit(1)).as("acked"))
+      .join(entrySizes, Seq("partition", "offset"))
+      .filter(col("acked") === col("batch_size"))
+      .select("partition", "offset")
+
+  /** Batch-index-aware markDelete: dense prefix over COMPLETED entries. */
+  def markDeleteWithBatchAcks(acks: DataFrame, entrySizes: DataFrame): DataFrame =
+    markDeletePosition(completedEntries(acks, entrySizes))
+
   /** Unacked backlog per partition (reference BacklogQuotaManager input):
     * messages above markDelete not individually acked. */
   def backlog(log: DataFrame, acks: DataFrame): DataFrame =

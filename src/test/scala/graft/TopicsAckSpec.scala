@@ -50,6 +50,23 @@ class TopicsAckSpec extends SparkSpec {
     assert(!md.contains(1), "partition 1 has no dense prefix from 0")
   }
 
+  test("batch-index acks: entry completes only when every index is acked") {
+    val entrySizes = Seq((0, 0L, 2L), (0, 1L, 3L), (0, 2L, 1L))
+      .toDF("partition", "offset", "batch_size")
+    val acks = Seq(
+      (0, 0L, 0), (0, 0L, 1),          // entry 0 fully acked (2/2)
+      (0, 1L, 0), (0, 1L, 2),          // entry 1 partial (2/3)
+      (0, 2L, 0))                      // entry 2 fully acked (1/1)
+      .toDF("partition", "offset", "batch_index")
+    val completed = AckState.completedEntries(acks, entrySizes)
+      .select("offset").as[Long].collect().toSet
+    assert(completed == Set(0L, 2L))
+    // markDelete stops at 0: offset 1 is incomplete, so 2 can't join the prefix
+    val md = AckState.markDeleteWithBatchAcks(acks, entrySizes)
+      .select("mark_delete").as[Long].collect().toSeq
+    assert(md == Seq(0L))
+  }
+
   test("ack-timeout redelivery bumps count and schedules backoff") {
     val log = Seq((0, 0L, "a", 0), (0, 1L, "b", 0), (0, 2L, "c", 0))
       .toDF(Envelope.Partition, Envelope.Offset, Envelope.Value, Envelope.RedeliveryCnt)
