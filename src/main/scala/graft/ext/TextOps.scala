@@ -155,20 +155,20 @@ object TextOps {
     docs.join(ratio, Seq(idCol), "left")
   }
 
-  /** All (non-distinct) word n-gram shingles per document. */
+  /** All (non-distinct) word n-gram shingles per document; empty array
+    * for documents shorter than n tokens (sequence(0, size-n) would
+    * otherwise count DOWN and slice would throw on start 0). */
   def shinglesAll(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val idx = sequence(lit(0), size(toks) - n)
-    transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n,
+      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct word n-gram shingles per document. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val idx = sequence(lit(0), size(toks) - n)
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Distinct word n-gram shingles per document (empty if < n tokens). */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(shinglesAll(text, n))
 
   /**
    * N-gram Jaccard near-duplicate pairs via inverted-index join:

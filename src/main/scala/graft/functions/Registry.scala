@@ -27,7 +27,9 @@ object Registry {
     "shingle_hashes" -> (es => ShingleHashExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Boolean])),
-    "hll_sketch" -> (es => HllSketchAgg(es.head, Hll.DefaultP).toAggregateExpression()),
+    "hll_sketch" -> (es => HllSketchAgg(es.head,
+      if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue()
+      else Hll.DefaultP).toAggregateExpression()),
     "hll_merge" -> (es => HllMergeAgg(es.head).toAggregateExpression()),
     "hll_estimate" -> (es => HllEstimateExpr(es.head))
   )

@@ -49,7 +49,15 @@ object Admin {
       .groupBy(input_file_name().as("f"))
       .agg(max(aggCol).as("m"))
       .collect()
-      .map(r => r.getString(0).stripPrefix("file://") -> r.get(1)).toMap
+      .map { r =>
+        // input_file_name() is a URI (possibly percent-encoded); decode to
+        // a filesystem path so lookups against Path.toString can't
+        // silently miss (which would no-op retention/offload forever)
+        val raw = r.getString(0)
+        val path = try Paths.get(java.net.URI.create(raw)).toString
+        catch { case _: Throwable => raw.stripPrefix("file:") }
+        path -> r.get(1)
+      }.toMap
   }
 
   /**

@@ -36,6 +36,41 @@ object TopicLog {
   final case class StagedAppend(epoch: Long, manifestLines: String, count: Long) {
     def manifestPath: String = s"$epoch.commit"
   }
+
+  /** Move `_staging/<epoch>/` files into the readable partition dirs,
+    * preserving relative paths; idempotent (skips already-moved files). */
+  private[log] def completeStagedMoves(basePath: String, epoch: Long): Unit = {
+    val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
+    if (!Files.exists(stagingDir)) return
+    Files.walk(stagingDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+      .foreach { p =>
+        val target = Paths.get(basePath).resolve(stagingDir.relativize(p))
+        Files.createDirectories(target.getParent)
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    // clean the emptied staging tree
+    Files.walk(stagingDir).iterator().asScala.toSeq.reverse
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => })
+  }
+
+  /** Recovery: complete moves for every staged epoch whose manifest is
+    * committed (crash between manifest write and file moves). Epochs with
+    * NO manifest stay staged — invisible garbage, never visible rows.
+    * Returns epochs healed. */
+  def recoverStaging(topicPath: String): Int = {
+    val stagingRoot = Paths.get(topicPath, "_staging")
+    if (!Files.exists(stagingRoot)) return 0
+    var healed = 0
+    Files.list(stagingRoot).iterator().asScala.toSeq.foreach { dir =>
+      val epoch = dir.getFileName.toString
+      if (Files.exists(Paths.get(topicPath, "_manifest", s"$epoch.commit"))) {
+        completeStagedMoves(topicPath, epoch.toLong)
+        healed += 1
+      }
+    }
+    healed
+  }
 }
 
 final class TopicLog(val spark: SparkSession, val root: String, val name: TopicName,
@@ -112,7 +147,11 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
     val staged = withOffsets.persist()
     val n = staged.count()
-    staged.write.mode("append").partitionBy(Envelope.Partition).parquet(basePath)
+    // data lands under _staging/<epoch>/ — underscore dirs are invisible
+    // to Spark file listing, so neither batch readers nor streaming
+    // subscribers can observe rows before publishManifest moves them
+    staged.write.mode("append").partitionBy(Envelope.Partition)
+      .parquet(s"$basePath/_staging/$epoch")
 
     // new high-water per partition
     val newHw = staged.groupBy(Envelope.Partition).agg(max(Envelope.Offset).as("m"))
@@ -123,15 +162,30 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     StagedAppend(epoch, merged.map { case (p, o) => s"$p,$o" }.mkString("\n"), n)
   }
 
-  /** Phase 2: publish the manifest — one atomic move; this is the commit
-    * point after which readers see the staged rows. */
+  /** Phase 2: publish — manifest write (the atomic commit point) then
+    * move the staged files into the readable partition dirs. Streaming
+    * subscribers list files only after the move, by which time the
+    * manifest exists, so the read-committed gate passes them through
+    * (never drops a committed row). A crash between manifest and moves is
+    * healed by [[TopicLog.recoverStaging]]. Idempotent when the same
+    * manifest is republished (txn recovery); a DIFFERENT manifest at the
+    * same epoch means two writers raced — fail loudly rather than
+    * silently dropping one commit (appends are single-writer per topic,
+    * ManagedLedgerImpl.internalAsyncAddEntry:821). */
   def publishManifest(staged: StagedAppend): Unit = {
     Files.createDirectories(manifestDir)
     val target = manifestDir.resolve(staged.manifestPath)
-    if (Files.exists(target)) return // idempotent (txn recovery replays)
-    val tmp = manifestDir.resolve(s"${staged.epoch}.tmp")
-    Files.write(tmp, staged.manifestLines.getBytes)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(target)) {
+      val existing = new String(Files.readAllBytes(target))
+      require(existing == staged.manifestLines,
+        s"manifest epoch ${staged.epoch} already committed with different " +
+          s"content — concurrent writers detected on ${name.fqn}")
+    } else {
+      val tmp = manifestDir.resolve(s"${staged.epoch}.tmp")
+      Files.write(tmp, staged.manifestLines.getBytes)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    TopicLog.completeStagedMoves(basePath, staged.epoch)
   }
 
   /** Full-log batch read (committed data only — up to the manifest HW). */

@@ -45,10 +45,17 @@ final class Txn private (val txnId: String, root: String) {
     require(state == "OPEN", s"txn $txnId is $state")
     val markerDir = Paths.get(root, "_txn")
     Files.createDirectories(markerDir)
-    // phase 1: stage every batch (data invisible)
-    val prepared = staged.map { case (log, batch) =>
-      (log, log.stageAppend(batch))
+    // phase 1: stage every batch (data invisible). Batches to the SAME
+    // topic are unioned first — staging them separately would compute the
+    // same epoch/base offsets twice (colliding offsets, dropped manifest).
+    val perTopic = staged.toList.groupBy(_._1.name.fqn).values.map { group =>
+      val log = group.head._1
+      val combined = group.map(_._2).reduce(_.unionByName(_))
+      (log, combined)
     }.toList
+    val prepared = perTopic.map { case (log, batch) =>
+      (log, log.stageAppend(batch))
+    }
     // phase 2: single atomic commit point
     val tmp = markerDir.resolve(s"$txnId.tmp")
     Files.write(tmp, prepared.map { case (log, s) =>
@@ -100,6 +107,8 @@ object Txn {
             Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE)
             replayed += 1
           }
+          // crash between manifest write and staged-file moves
+          replayed += TopicLog.recoverStaging(topicPath)
         }
       }
     replayed

@@ -101,11 +101,15 @@ object Compaction {
    * instead of recompacting. Returns the horizon.
    */
   def triggerCompaction(log: graft.log.TopicLog): Map[Int, Long] = {
-    val data = log.read()
     // horizon is PER PARTITION — offsets (like the reference's MessageIds)
-    // only order within a partition
+    // only order within a partition. Snapshot it FIRST and bound the scan
+    // by it: a commit landing between "read" and "record horizon" would
+    // otherwise fall into neither snapshot nor tail.
     val horizon = log.highWater()
     if (horizon.isEmpty) return Map.empty
+    val data = log.read().filter(horizon.map { case (p, o) =>
+      (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
+    }.reduce(_ || _))
     val outDir = log.name.path(log.root) + "/_compacted"
     publishOrder(data).write.mode("overwrite").parquet(outDir)
     java.nio.file.Files.writeString(

@@ -61,7 +61,11 @@ object Connectors {
             col(keyCol).cast("string").as(Envelope.Key),
             to_json(struct(batch.columns.map(col): _*)).as(Envelope.Value),
             lit("io-file-source").as(Envelope.ProducerName),
-            xxhash64(to_json(struct(batch.columns.map(col): _*)))
+            // salt with the source file so identical records in DIFFERENT
+            // files keep distinct sequence ids; identical records within
+            // one file still conflate (documented connector limitation)
+            xxhash64(input_file_name(),
+              to_json(struct(batch.columns.map(col): _*)))
               .as(Envelope.SequenceId),
             current_timestamp().as(Envelope.PublishTime),
             current_timestamp().as(Envelope.EventTime))
@@ -80,6 +84,9 @@ object Connectors {
    * Topic → sink (reference Sink.write(Record)): stream the topic into
    * any Spark-writable target; here a parquet/json/csv directory (the
    * `file`/`hdfs3` sink), with per-record ack = checkpoint commit.
+   * Uncommitted data never reaches the sink: appends stage under
+   * `_staging/` (invisible to file listing) and only move into the
+   * readable dirs at manifest publish.
    */
   def topicToFileSink(topic: TopicLog, outDir: String, format: String,
                       checkpoint: String): StreamingQuery = {

@@ -66,32 +66,41 @@ object StreamOps {
                         mainProcess: DataFrame => Unit,
                         lateSink: DataFrame => Unit): StreamingQuery = {
     // the watermark must survive restarts with the checkpoint, or a
-    // resumed query would misroute arbitrarily late rows to mainProcess
+    // resumed query would misroute arbitrarily late rows to mainProcess.
+    // The file records (batchId, wmBeforeBatch, maxSeenAfter): a REPLAYED
+    // batch (crash after the file write but before the checkpoint commit)
+    // re-reads its own wmBefore, so routing is identical on replay.
     val wmFile = java.nio.file.Paths.get(checkpoint, "graft-watermark")
-    @volatile var maxSeenMs: Long =
-      if (java.nio.file.Files.exists(wmFile))
-        java.nio.file.Files.readString(wmFile).trim.toLong
-      else Long.MinValue
+    def readWmFile(): Option[(Long, Long, Long)] =
+      if (!java.nio.file.Files.exists(wmFile)) None
+      else java.nio.file.Files.readString(wmFile).trim.split(",") match {
+        case Array(b, w, m) => Some((b.toLong, w.toLong, m.toLong))
+        case _ => None
+      }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
-        if (maxSeenMs == Long.MinValue) mainProcess(b)
+        val wmBefore = readWmFile() match {
+          case Some((recordedId, wb, _)) if recordedId == batchId => wb // replay
+          case Some((_, _, maxAfter)) => maxAfter
+          case None => Long.MinValue
+        }
+        if (wmBefore == Long.MinValue) mainProcess(b)
         else {
-          val wm = new java.sql.Timestamp(maxSeenMs - maxLagMs)
+          val wm = new java.sql.Timestamp(wmBefore - maxLagMs)
           lateSink(b.filter(col(eventTimeCol) < lit(wm)))
           mainProcess(b.filter(col(eventTimeCol) >= lit(wm)))
         }
         val mx = b.agg(max(eventTimeCol)).head()
-        if (!mx.isNullAt(0)) {
-          maxSeenMs = math.max(maxSeenMs, mx.getTimestamp(0).getTime)
-          java.nio.file.Files.createDirectories(wmFile.getParent)
-          val tmp = wmFile.resolveSibling("graft-watermark.tmp")
-          java.nio.file.Files.writeString(tmp, maxSeenMs.toString)
-          java.nio.file.Files.move(tmp, wmFile,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
+        val newMax = if (mx.isNullAt(0)) wmBefore
+          else math.max(wmBefore, mx.getTimestamp(0).getTime)
+        java.nio.file.Files.createDirectories(wmFile.getParent)
+        val tmp = wmFile.resolveSibling("graft-watermark.tmp")
+        java.nio.file.Files.writeString(tmp, s"$batchId,$wmBefore,$newMax")
+        java.nio.file.Files.move(tmp, wmFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         b.unpersist(); ()
       }
       .start()

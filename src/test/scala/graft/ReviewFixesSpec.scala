@@ -132,6 +132,49 @@ class ReviewFixesSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("txn with two produces to the SAME topic commits both without offset collision") {
+    val root = Files.createTempDirectory("graft-txn-same").toString
+    val l1 = new TopicLog(spark, root, TopicName.parse("same-topic"))
+    Txn.begin(root).produce(l1, batch(0 until 10))
+      .produce(l1, batch(10 until 25)).commit()
+    assert(l1.read().count() == 25)
+    // offsets dense per partition — no collisions from double staging
+    val dup = l1.read().groupBy(Envelope.Partition, Envelope.Offset)
+      .count().filter(col("count") > 1)
+    assert(dup.count() == 0, "colliding offsets detected")
+  }
+
+  test("staged-but-unpublished appends are invisible to streams AND batch; recovery heals mid-publish crash") {
+    val root = Files.createTempDirectory("graft-staging").toString
+    val tl = new TopicLog(spark, root, TopicName.parse("stage-topic"), 2)
+    tl.append(batch(0 until 10))
+    // stage without publishing: nothing visible anywhere
+    val stagedAppend = tl.stageAppend(batch(10 until 30))
+    assert(tl.read().count() == 10)
+    import scala.collection.JavaConverters._
+    val listed = spark.read.parquet(tl.name.path(root)).count()
+    assert(listed == 10, "staged files must be invisible to raw file listing")
+    // simulate crash after manifest write but before moves:
+    // write the manifest manually, leave files staged
+    val manifestFile = Paths.get(tl.name.path(root), "_manifest",
+      stagedAppend.manifestPath)
+    Files.write(manifestFile, stagedAppend.manifestLines.getBytes)
+    assert(spark.read.parquet(tl.name.path(root)).count() == 10,
+      "rows still not in readable dirs")
+    val healed = TopicLog.recoverStaging(tl.name.path(root))
+    assert(healed == 1)
+    assert(tl.read().count() == 30, "recovery completes the publish")
+  }
+
+  test("repetition ratio survives documents shorter than the n-gram") {
+    val docs = Seq((1L, "single"), (2L, ""), (3L, "two words here"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.TextOps.withRepetitionRatio(docs)
+    assert(r.count() == 3) // no crash; short docs get null ratio
+    assert(r.filter(col("doc_id") === 3L)
+      .select("top_bigram_ratio").head().getDouble(0) == 0.5)
+  }
+
   test("versioned decode widens int->long instead of corrupting") {
     val v1 = StructType(Seq(StructField("a", IntegerType)))
     val v2 = StructType(Seq(StructField("a", LongType)))
