@@ -54,13 +54,16 @@ object MinHash {
       .select(col("id"), col("minhash"), col("bh.band"), col("bh.band_hash"))
     val a = banded.toDF("id_a", "mh_a", "band", "band_hash")
     val b = banded.toDF("id_b", "mh_b", "band", "band_hash")
+    // est_jaccard is deterministic per (id_a, id_b), so compute it BEFORE
+    // the candidate dedup: the distinct then shuffles only
+    // (id, id, double) — 24 bytes/pair — instead of carrying both full
+    // minhash signature arrays (~512 bytes/pair) through the exchange.
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "mh_a", "mh_b").distinct()
       .withColumn("est_jaccard",
         size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) =>
           (x === y)), b => b)).cast("double") / size(col("mh_a")))
-      .select("id_a", "id_b", "est_jaccard")
+      .select("id_a", "id_b", "est_jaccard").distinct()
   }
 
   /** MinHash-LSH dedup: drop docs whose estimated Jaccard to a
@@ -132,11 +135,12 @@ object MinHash {
       .select(col("id"), col("simhash"), col("k.blk"), col("k.blk_val"))
     val a = keyed.toDF("id_a", "sh_a", "blk", "blk_val")
     val b = keyed.toDF("id_b", "sh_b", "blk", "blk_val")
+    // Hamming distance computed (and thresholded) pre-distinct so the
+    // dedup exchange carries three scalars per pair, not the signatures.
     a.join(b, Seq("blk", "blk_val"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 }

@@ -80,10 +80,13 @@ object VectorOps {
     }
     val c = keyed(corpus, "corpus_id", "cv")
     val q = keyed(queries, "query_id", "qv")
+    // sim is deterministic per (query, corpus) pair, so compute it BEFORE
+    // the candidate dedup: the distinct's exchange then carries
+    // (id, id, double) instead of both full embedding arrays.
     val cands = c.join(q, Seq("tbl", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "qv", "corpus_id", "cv").distinct()
       .withColumn("sim", cosine(col("cv"), col("qv")))
+      .select("query_id", "corpus_id", "sim").distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("corpus_id"))
     cands.withColumn("rank", row_number().over(w))
@@ -110,11 +113,13 @@ object VectorOps {
       .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
     val a = keyed.toDF("id_a", "va", "tbl", "bucket")
     val b = keyed.toDF("id_b", "vb", "tbl", "bucket")
+    // Exact verify runs pre-distinct: threshold filter drops most
+    // candidates before the dedup exchange, which then shuffles only
+    // (id_a, id_b, sim) — never the vectors.
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "va", "id_b", "vb").distinct()
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .select("id_a", "id_b", "sim").distinct()
   }
 }

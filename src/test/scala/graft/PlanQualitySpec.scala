@@ -61,4 +61,32 @@ class PlanQualitySpec extends SparkSpec {
     // window partitioned by `partition` -> hash exchange + local sort only
     assert(countOccurrences(p, "Exchange rangepartitioning") <= 1) // only final ORDER BY
   }
+
+  /**
+   * No shuffle in the similarity tier may be keyed on an array column:
+   * candidate dedup must distinct on (ids, precomputed scalar sim), never
+   * on the minhash signature / embedding arrays themselves. Checked on
+   * the optimized logical plan (Aggregate grouping keys and Join keys),
+   * which is where a distinct-over-arrays would surface.
+   */
+  test("similarity ops: no shuffle or aggregation keyed on an array column") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("minhash_lsh", "simhash_pairs", "ann_lsh", "cosine_near_dup")) {
+      val qe = SparkEntry.queries(q)(spark, sf001).queryExecution
+      val badAgg = qe.optimizedPlan.collect {
+        case a: Aggregate if a.groupingExpressions.exists(_.dataType.isInstanceOf[ArrayType]) => a
+      }
+      assert(badAgg.isEmpty, s"$q: aggregation keyed on array column:\n${badAgg.mkString("\n")}")
+      val badExchange = qe.sparkPlan.collect {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+          case hp: HashPartitioning => hp.expressions.exists(_.dataType.isInstanceOf[ArrayType])
+          case _ => false
+        }) => e
+      }
+      assert(badExchange.isEmpty, s"$q: shuffle hash-keyed on array column:\n${badExchange.mkString("\n")}")
+    }
+  }
 }
