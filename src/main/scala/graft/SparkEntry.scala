@@ -32,6 +32,29 @@ object SparkEntry {
   private def envSql(body: String): String =
     s"WITH ${Envelope.duckdbCte}\n$body"
 
+  /** Pure-SQL murmur3_32 (x86, seed 0) over ≤8-byte ASCII keys, in
+    * overflow-safe 32-bit arithmetic (16-bit-split multiplies): the DuckDB
+    * twin of [[graft.functions.Murmur3Pulsar.pulsar_hash]]. Shared by every
+    * oracle that must reproduce the engine's key routing. */
+  private val mm3Macros: String =
+    """CREATE OR REPLACE MACRO mul32(a, bl, bh) AS (((a * bl) + (((a * bh) & 65535) << 16)) & 4294967295);
+      |CREATE OR REPLACE MACRO rotl32(x, r) AS (((x << r) | (x >> (32 - r))) & 4294967295);
+      |CREATE OR REPLACE MACRO mmix(k) AS (mul32(rotl32(mul32(k, 11601, 52382), 15), 13715, 7047));
+      |CREATE OR REPLACE MACRO fmix1(h0) AS (mul32(xor(h0, h0 >> 16), 51819, 34283));
+      |CREATE OR REPLACE MACRO fmix2(h1) AS (mul32(xor(h1, h1 >> 13), 44597, 49842));
+      |CREATE OR REPLACE MACRO fmixx(h0) AS (xor(fmix2(fmix1(h0)), fmix2(fmix1(h0)) >> 16));
+      |CREATE OR REPLACE MACRO strbytes(s, i) AS (CASE WHEN length(s) >= i THEN CAST(ord(substr(s, i, 1)) AS BIGINT) ELSE CAST(0 AS BIGINT) END);
+      |CREATE OR REPLACE MACRO chunk1(s) AS (strbytes(s,1) + (strbytes(s,2) << 8) + (strbytes(s,3) << 16) + (strbytes(s,4) << 24));
+      |CREATE OR REPLACE MACRO tail1(s) AS (strbytes(s,1) + (strbytes(s,2) << 8) + (strbytes(s,3) << 16));
+      |CREATE OR REPLACE MACRO tail2(s) AS (strbytes(s,5) + (strbytes(s,6) << 8) + (strbytes(s,7) << 16));
+      |CREATE OR REPLACE MACRO h1body(s) AS (((rotl32(mmix(chunk1(s)), 13) * 5) + 3864292196) & 4294967295);
+      |CREATE OR REPLACE MACRO mm3_8(s) AS ((
+      |  CASE WHEN length(s) <= 3 THEN fmixx(xor(xor(CAST(0 AS BIGINT), mmix(tail1(s))), length(s)))
+      |       WHEN length(s) = 4 THEN fmixx(xor(h1body(s), 4))
+      |       ELSE fmixx(xor(xor(h1body(s), mmix(tail2(s))), length(s)))
+      |  END) & 2147483647);
+      |""".stripMargin
+
   // =====================================================================
   // Flagship (driver smoke-checks rows > 0 on sf0.001): the SURVEY §7.2
   // end-to-end slice — envelope → tumbling event-time window aggregate.
@@ -908,24 +931,8 @@ object SparkEntry {
         |  SELECT * FROM envelope WHERE event_type = 'purchase'
         |  UNION ALL SELECT * FROM envelope WHERE event_type = 'click') t
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
-    "keyshared_hash_oracle" -> (
-      """CREATE OR REPLACE MACRO mul32(a, bl, bh) AS (((a * bl) + (((a * bh) & 65535) << 16)) & 4294967295);
-        |CREATE OR REPLACE MACRO rotl32(x, r) AS (((x << r) | (x >> (32 - r))) & 4294967295);
-        |CREATE OR REPLACE MACRO mmix(k) AS (mul32(rotl32(mul32(k, 11601, 52382), 15), 13715, 7047));
-        |CREATE OR REPLACE MACRO fmix1(h0) AS (mul32(xor(h0, h0 >> 16), 51819, 34283));
-        |CREATE OR REPLACE MACRO fmix2(h1) AS (mul32(xor(h1, h1 >> 13), 44597, 49842));
-        |CREATE OR REPLACE MACRO fmixx(h0) AS (xor(fmix2(fmix1(h0)), fmix2(fmix1(h0)) >> 16));
-        |CREATE OR REPLACE MACRO strbytes(s, i) AS (CASE WHEN length(s) >= i THEN CAST(ord(substr(s, i, 1)) AS BIGINT) ELSE CAST(0 AS BIGINT) END);
-        |CREATE OR REPLACE MACRO chunk1(s) AS (strbytes(s,1) + (strbytes(s,2) << 8) + (strbytes(s,3) << 16) + (strbytes(s,4) << 24));
-        |CREATE OR REPLACE MACRO tail1(s) AS (strbytes(s,1) + (strbytes(s,2) << 8) + (strbytes(s,3) << 16));
-        |CREATE OR REPLACE MACRO tail2(s) AS (strbytes(s,5) + (strbytes(s,6) << 8) + (strbytes(s,7) << 16));
-        |CREATE OR REPLACE MACRO h1body(s) AS (((rotl32(mmix(chunk1(s)), 13) * 5) + 3864292196) & 4294967295);
-        |CREATE OR REPLACE MACRO mm3_8(s) AS ((
-        |  CASE WHEN length(s) <= 3 THEN fmixx(xor(xor(CAST(0 AS BIGINT), mmix(tail1(s))), length(s)))
-        |       WHEN length(s) = 4 THEN fmixx(xor(h1body(s), 4))
-        |       ELSE fmixx(xor(xor(h1body(s), mmix(tail2(s))), length(s)))
-        |  END) & 2147483647);
-        |WITH ev AS (
+    "keyshared_hash_oracle" -> (mm3Macros +
+      """WITH ev AS (
         |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
         |), envelope AS (
         |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
@@ -936,7 +943,29 @@ object SparkEntry {
         |SELECT consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
         |  MIN(slot) AS min_slot, MAX(slot) AS max_slot
-        |FROM slots GROUP BY consumer_id ORDER BY consumer_id""").stripMargin,
+        |FROM slots GROUP BY consumer_id ORDER BY consumer_id""".stripMargin),
+    "keyshared_assign" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), envelope AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
+        |), slots AS (
+        |  SELECT key,
+        |    CAST(least((mm3_8(key) % 65536) // 16384, 3) AS INT) AS consumer_id
+        |  FROM envelope)
+        |SELECT consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+        |FROM slots GROUP BY consumer_id ORDER BY consumer_id""".stripMargin),
+    "topic_log_roundtrip" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), envelope AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
+        |), routed AS (
+        |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition FROM envelope)
+        |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
+        |FROM routed GROUP BY partition ORDER BY partition""".stripMargin),
     "chunk_reassembly" -> envSql(
       """SELECT CAST("offset" AS VARCHAR) AS chunk_uuid, value AS payload
         |FROM envelope WHERE value IS NOT NULL AND "offset" < 100
@@ -1074,9 +1103,8 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, corpus_id, round(sim, 6) AS sim_r FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    // keyshared_assign, fingerprint_dups, minhash_lsh, simhash_pairs,
-    // ann_bruteforce, ann_lsh, cosine_near_dup: hash-/float-topology-based —
-    // no SQL oracle (driver records rows-only checks); covered by ScalaTest
-    // invariants instead.
+    // minhash_lsh, simhash_pairs, ann_lsh, cosine_near_dup: hash-topology-
+    // based — no SQL oracle (driver records rows-only checks); covered by
+    // ScalaTest invariants instead.
   )
 }
