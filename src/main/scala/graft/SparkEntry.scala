@@ -53,7 +53,43 @@ object SparkEntry {
       |       WHEN length(s) = 4 THEN fmixx(xor(h1body(s), 4))
       |       ELSE fmixx(xor(xor(h1body(s), mmix(tail2(s))), length(s)))
       |  END) & 2147483647);
+      |CREATE OR REPLACE MACRO h1body_i(k) AS (((rotl32(mmix(CAST(k AS BIGINT)), 13) * 5) + 3864292196) & 4294967295);
+      |CREATE OR REPLACE MACRO mm3_i4(k) AS (fmixx(xor(h1body_i(k), 4)));
       |""".stripMargin
+
+  /** DuckDB twin of the engine's sign-LSH bucketing (VectorOps.annLsh /
+    * cosineNearDupPairs, 32 bits = 4 tables × 8): hyperplane component
+    * (i, j) is ±1 by the parity of murmur3_32(i·65536 + j) — the same
+    * derivation as [[graft.functions.SignLshExpr]] — so signatures,
+    * buckets and candidate sets match the engine exactly. */
+  private val signLshCte: String =
+    """planes AS (
+      |  SELECT i, list_transform(range(0, 64), j ->
+      |    CASE WHEN (mm3_i4(i * 65536 + j) & 1) = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS h
+      |  FROM range(0, 32) t(i)),
+      |sigs AS (
+      |  SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), h) > 0
+      |                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+      |buckets AS (
+      |  SELECT vec_id, t AS tbl, (sig >> (t * 8)) & 255 AS bucket
+      |  FROM sigs CROSS JOIN range(0, 4) r(t))""".stripMargin
+
+  /** Brute-force exact 3-gram word-shingle Jaccard pairs at ≥ 0.8: the
+    * truth set that both LSH candidate paths (minhash_lsh, simhash_pairs)
+    * must reproduce after their exact-verify join. */
+  private val jaccardBruteSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+      |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(jac, 6) AS jac_r FROM pairs
+      |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   // =====================================================================
   // Flagship (driver smoke-checks rows > 0 on sf0.001): the SURVEY §7.2
@@ -561,15 +597,22 @@ object SparkEntry {
         min("doc_id").as("keep_id"))
       .orderBy("fp_norm_md5")
 
-  /** MinHash-LSH near-dup candidates (rows-only oracle). */
+  /** MinHash-LSH near-dup pairs, exact-verified: banded candidates, then
+    * exact Jaccard ≥ 0.8 on the shingle sets. Oracle = DuckDB brute-force
+    * 3-gram Jaccard — candidate recall at 0.8 with 16 bands is 1-8e-8,
+    * so the emitted set equals the true set and hash-matches. */
   private def qMinHashLsh(s: SparkSession, dir: String): DataFrame =
-    MinHash.lshCandidates(tbl(s, dir, "documents"))
-      .filter(col("est_jaccard") >= 0.5)
+    MinHash.lshVerifiedPairs(tbl(s, dir, "documents"), threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs within Hamming distance 3 (rows-only). */
+  /** SimHash near-dup pairs (Hamming ≤ 7 block-permuted candidates,
+    * 8 blocks × 8 bits), exact-verified at Jaccard ≥ 0.8 against the same
+    * brute-force oracle — a second, independent candidate path to the
+    * same truth set. Hamming 7 because ~10%-token-edit near-dups flip up
+    * to ~6 simhash bits on these documents. */
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
-    MinHash.simhashPairs(tbl(s, dir, "documents"), maxHamming = 3)
+    MinHash.simhashVerifiedPairs(tbl(s, dir, "documents"), maxHamming = 7,
+        threshold = 0.8)
       .orderBy("id_a", "id_b")
 
   /** Brute-force exact top-5 cosine neighbors for 20 query vectors. */
@@ -582,13 +625,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate ANN (rows-only oracle — recall-traded). */
+  /** LSH-bucketed approximate ANN. The murmur3-derived hyperplanes are
+    * reproducible in pure SQL, so the oracle recomputes the SAME buckets,
+    * candidates and ranks in DuckDB — an exact hash-match on an
+    * approximate operator. */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val vecs = tbl(s, dir, "embeddings")
     val queries = vecs.filter(col("vec_id") < 20)
     VectorOps.annLsh(vecs, queries, 5, dim = 64)
-      .groupBy("query_id").agg(count(lit(1)).cast("bigint").as("n_found"))
-      .orderBy("query_id")
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("corpus_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
   }
 
   /** Embedding-cosine near-duplicate pairs (rows-only oracle).
@@ -1102,9 +1149,40 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT query_id, rank, corpus_id, round(sim, 6) AS sim_r FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    // minhash_lsh, simhash_pairs, ann_lsh, cosine_near_dup: hash-topology-
-    // based — no SQL oracle (driver records rows-only checks); covered by
-    // ScalaTest invariants instead.
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "minhash_lsh" -> jaccardBruteSql,
+    "simhash_pairs" -> jaccardBruteSql,
+    "ann_lsh" -> (mm3Macros +
+      s"""WITH $signLshCte,
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+        |  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])) AS sim
+        |  FROM cands JOIN embeddings qe ON qe.vec_id = cands.query_id
+        |             JOIN embeddings ce ON ce.vec_id = cands.corpus_id),
+        |ranked AS (SELECT query_id, corpus_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, corpus_id, round(sim, 6) AS sim_r FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "cosine_near_dup" -> (mm3Macros +
+      s"""WITH $signLshCte,
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS sim
+        |  FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
+        |             JOIN embeddings eb ON eb.vec_id = pairs.id_b)
+        |SELECT id_a, id_b, round(sim, 6) AS sim_r FROM scored
+        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+    // Every registered query now has an oracle: the similarity tier is
+    // checked by reproducing LSH bucketing in SQL (murmur3 hyperplanes)
+    // or by brute-forcing the exact-verified truth set.
   )
 }

@@ -66,6 +66,56 @@ object MinHash {
       .select("id_a", "id_b", "est_jaccard").distinct()
   }
 
+  /**
+   * Exact-verified LSH near-dup pairs: LSH candidate generation, then a
+   * verify join that ships each candidate's shingle-hash set ONCE (keyed
+   * on scalar doc ids) and computes exact Jaccard = |A∩B| / |A∪B|;
+   * only pairs at or above `threshold` survive. This is the end-to-end
+   * MinHash-LSH dedup contract — candidates bound the work, the exact
+   * recompute guarantees soundness — and its output is oracle-checkable
+   * (DuckDB brute-forces the same exact Jaccard over string shingles).
+   *
+   * `bands` defaults to 16 (rows=2) here, tighter than the candidate
+   * default, so recall at threshold ≥ 0.8 is 1 - (1-s²)^16 ≈ 1-8e-8 —
+   * effectively exhaustive while still never comparing all pairs.
+   */
+  def lshVerifiedPairs(docs: DataFrame, threshold: Double = 0.8,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, numHashes: Int = 32,
+                       bands: Int = 16): DataFrame = {
+    val cands = lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
+      .select("id_a", "id_b")
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true).as("sh"))
+    cands
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
+  }
+
+  /** SimHash analog of [[lshVerifiedPairs]]: block-permuted candidate
+    * pairs within `maxHamming`, then the same exact-Jaccard verify join. */
+  def simhashVerifiedPairs(docs: DataFrame, maxHamming: Int = 3,
+                           threshold: Double = 0.8, idCol: String = "doc_id",
+                           textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    val cands = simhashPairs(docs, maxHamming, idCol, textCol)
+      .select("id_a", "id_b")
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true).as("sh"))
+    cands
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
+  }
+
   /** MinHash-LSH dedup: drop docs whose estimated Jaccard to a
    * smaller-id doc exceeds `threshold`. */
   def lshDedup(docs: DataFrame, threshold: Double = 0.8,

@@ -69,6 +69,27 @@ object Murmur3Pulsar {
 
   def hashString(s: UTF8String): Int = hashBytes(s.getBytes)
 
+  /** murmur3_32 (seed 0) of a 4-byte little-endian int — equal to
+    * `hashBytes` of the int's LE bytes, but branch-free. Used as the
+    * deterministic "randomness" for LSH hyperplanes because it is
+    * reproducible in pure DuckDB SQL (the `mm3_i4` oracle macro),
+    * unlike splitmix64 whose 64-bit wrapping arithmetic is not. */
+  def hashInt(k0: Int): Int = {
+    var k1 = k0 * 0xcc9e2d51
+    k1 = Integer.rotateLeft(k1, 15)
+    k1 *= 0x1b873593
+    var h1 = k1 // seed 0
+    h1 = Integer.rotateLeft(h1, 13)
+    h1 = h1 * 5 + 0xe6546b64
+    h1 ^= 4 // length
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1 & Integer.MAX_VALUE
+  }
+
   /** Column API: non-negative murmur3_32 of the UTF-8 key. */
   def pulsar_hash(c: Column): Column =
     ColumnBridge.column(PulsarHashExpr(ColumnBridge.expression(c)))

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
  * the hot path at 100 TB. Each expression here is one virtual call per
  * row with a JIT-compiled tight loop over ArrayData.
  *
- * All randomness is derived from splitmix64 (public-domain mixer,
- * Steele/Lea/Flood "Fast Splittable Pseudorandom Number Generators",
- * OOPSLA 2014) so results are deterministic with no stored model.
+ * All randomness is derived deterministically with no stored model:
+ * splitmix64 (public-domain mixer, Steele/Lea/Flood OOPSLA 2014) for the
+ * minhash permutations, murmur3_32 for the sign-LSH hyperplanes (the
+ * latter so the DuckDB oracle can reproduce bucket assignment exactly —
+ * splitmix64's 64-bit wrapping arithmetic has no safe SQL twin).
  */
 object Sketch {
 
@@ -92,29 +94,41 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorPair
 
 /**
  * Random-hyperplane (sign) LSH signature: bit i of the result is
- * sign(Σ_j v[j]·h_ij) with hyperplane components h_ij = ±1 derived from
- * splitmix64(i·dim + j). One pass computes all `bits` projections.
+ * sign(Σ_j v[j]·h_ij) with hyperplane components h_ij = ±1 by the parity
+ * of murmur3_32(i·65536 + j) — chosen over splitmix64 because murmur3_32
+ * is reproducible in pure DuckDB SQL (32-bit overflow-safe macros), so
+ * the whole LSH bucket assignment is oracle-checkable, not just the
+ * verified similarities. One pass computes all `bits` projections.
  */
 case class SignLshExpr(child: Expression, bits: Int) extends UnaryExpression
     with CodegenFallback {
   require(bits >= 1 && bits <= 64, "bits in [1, 64]")
   override def dataType: DataType = LongType
   private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+  // ±1 hyperplane components, materialized once per task (not per row);
+  // racing initializations compute identical tables, so the unsynchronized
+  // publish is benign.
+  @transient private var planes: Array[Array[Double]] = _
+  private def planesFor(n: Int): Array[Array[Double]] = {
+    var p = planes
+    if (p == null || p(0).length < n) {
+      p = Array.tabulate(bits, n)((i, j) =>
+        if ((Murmur3Pulsar.hashInt(i * 65536 + j) & 1) == 1) 1.0 else -1.0)
+      planes = p
+    }
+    p
+  }
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val et = elemType
     val n = arr.numElements()
+    val p = planesFor(n)
     val acc = new Array[Double](bits)
     var j = 0
     while (j < n) {
       val x = Sketch.toDoubleAt(arr, et, j)
       var i = 0
-      while (i < bits) {
-        // ±1 by parity of the mixed (plane, dim) index
-        if ((Sketch.splitmix64(i.toLong * 1048576 + j) & 1L) == 1L) acc(i) += x
-        else acc(i) -= x
-        i += 1
-      }
+      while (i < bits) { acc(i) += x * p(i)(j); i += 1 }
       j += 1
     }
     var sig = 0L; var i = 0

@@ -40,6 +40,15 @@ class PulsarHashSpec extends SparkSpec {
     assert(viaExpr.toSeq == direct)
   }
 
+  test("hashInt equals hashBytes of the int's little-endian bytes") {
+    val rnd = new scala.util.Random(11)
+    for (k <- Seq(0, 1, 5, 65536, 31 * 65536 + 63, Int.MaxValue, -1) ++
+              Seq.fill(500)(rnd.nextInt())) {
+      val le = Array[Byte](k.toByte, (k >> 8).toByte, (k >> 16).toByte, (k >> 24).toByte)
+      assert(Murmur3Pulsar.hashInt(k) == Murmur3Pulsar.hashBytes(le), s"k=$k")
+    }
+  }
+
   test("hash is non-negative; slot in [0, 65536)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 2000) {
