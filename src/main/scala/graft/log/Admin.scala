@@ -29,14 +29,29 @@ object Admin {
 
   private def dataFiles(log: TopicLog): Seq[Path] = {
     val base = Paths.get(log.name.path(log.root))
-    if (!Files.exists(base)) Seq.empty
-    else Files.walk(base).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") &&
-        // any underscore-prefixed subtree is metadata/derived (manifest,
-        // cold tier, compacted snapshots, txn markers) — never touch it
-        !base.relativize(p).iterator().asScala.exists(
-          _.getFileName.toString.startsWith("_")))
-      .toSeq
+    log.manifestFiles() match {
+      // file snapshot active (post-coalesce): the manifest, not the
+      // directory, defines liveness — unreferenced files awaiting vacuum
+      // must not be re-trimmed/offloaded/counted
+      case Some(live) => live.map(base.resolve(_)).filter(Files.exists(_))
+      case None =>
+        if (!Files.exists(base)) Seq.empty
+        else Files.walk(base).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") &&
+            // any underscore-prefixed subtree is metadata/derived (manifest,
+            // cold tier, compacted snapshots, txn markers) — never touch it
+            !base.relativize(p).iterator().asScala.exists(
+              _.getFileName.toString.startsWith("_")))
+          .toSeq
+    }
+  }
+
+  /** Drop `victims` from the manifest snapshot (when active) BEFORE the
+    * physical delete/move, so no committed manifest references a missing
+    * file. */
+  private def unreference(log: TopicLog, victims: Seq[Path]): Unit = {
+    val base = Paths.get(log.name.path(log.root))
+    log.dropFromSnapshot(victims.map(p => base.relativize(p).toString))
   }
 
   /** Per-file max of `aggCol` in ONE distributed job (input_file_name
@@ -74,6 +89,7 @@ object Admin {
         case _ => false
       }
     }
+    unreference(log, victims)
     victims.foreach(Files.deleteIfExists(_))
     victims.size
   }
@@ -82,6 +98,7 @@ object Admin {
     * reference keeps the topic and subscriptions alive). */
   def truncate(log: TopicLog): Int = {
     val victims = dataFiles(log)
+    unreference(log, victims)
     victims.foreach(Files.deleteIfExists(_))
     victims.size
   }
@@ -100,6 +117,7 @@ object Admin {
         case _ => false
       }
     }
+    unreference(log, moved)
     moved.foreach { p =>
       val rel = base.relativize(p)
       val target = base.resolve("_cold").resolve(rel)
@@ -130,29 +148,19 @@ object Admin {
    * `filesPerPartition` (the ledger-rollover/compaction-of-segments
    * analog). Data is unchanged; this is the scan-efficiency job a 100 TB
    * log needs continuously.
+   *
+   * Crash-safe and cache-free: the committed snapshot streams once from
+   * [[TopicLog.read]] into `_staging/` and becomes visible at a single
+   * atomic manifest commit ([[TopicLog.replaceDataFiles]]); the replaced
+   * files stay on disk (unreferenced) until [[TopicLog.vacuum]], so
+   * batch readers never observe a gap. A running FILE-SOURCE subscriber
+   * will list the rewritten files as new and redeliver rows at or below
+   * its cursor — the documented at-least-once envelope; effectively-once
+   * consumers dedupe via the (partition, offset) cursor gate.
    */
-  def coalesceFiles(log: TopicLog, filesPerPartition: Int = 1): Unit = {
-    val spark = log.spark
-    val base = log.name.path(log.root)
-    val snapshot = spark.read.parquet(base).cache()
-    snapshot.count()
-    val tmp = base + "_rewrite"
-    snapshot.repartition(filesPerPartition, col(Envelope.Partition))
-      .write.mode("overwrite").partitionBy(Envelope.Partition).parquet(tmp)
-    snapshot.unpersist()
-    // swap data dirs, keep manifest
-    dataFiles(log).foreach(Files.deleteIfExists(_))
-    val tmpPath = Paths.get(tmp)
-    Files.walk(tmpPath).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).foreach { p =>
-        val rel = tmpPath.relativize(p)
-        val target = Paths.get(base).resolve(rel)
-        Files.createDirectories(target.getParent)
-        Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
-      }
-    Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
-  }
+  def coalesceFiles(log: TopicLog, filesPerPartition: Int = 1): Unit =
+    log.replaceDataFiles(
+      log.read().repartition(filesPerPartition, col(Envelope.Partition)))
 
   /**
    * Backlog quota check (BacklogQuotaManager.checkQuota): returns

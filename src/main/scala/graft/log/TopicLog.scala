@@ -30,6 +30,10 @@ import scala.collection.JavaConverters._
  *    atomic file move (same pattern as a Spark streaming sink commit log).
  */
 object TopicLog {
+  /** Marker path meaning "file snapshot active but empty" (see
+    * [[TopicLog.manifestFiles]]). */
+  private[log] val EmptySnapshotMarker = "-"
+
   /** A staged (data-written, not yet reader-visible) append: the manifest
     * content is the commit token — publishing it is one atomic file move.
     * Used by [[graft.log.Txn]] for multi-topic atomicity. */
@@ -86,17 +90,43 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       .map(_.getFileName.toString).filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong).toSeq.sorted
 
-  /** Per-partition high-water offsets from the latest commit manifest. */
-  def highWater(): Map[Int, Long] = {
-    val epochs = committedEpochs()
-    if (epochs.isEmpty) Map.empty
-    else {
-      val last = manifestDir.resolve(s"${epochs.last}.commit")
-      Files.readAllLines(last).asScala.filter(_.nonEmpty).map { line =>
-        val Array(p, o) = line.split(","); p.toInt -> o.toLong
-      }.toMap
-    }
+  private def latestManifestLines(): Seq[String] =
+    committedEpochs().lastOption.map { e =>
+      Files.readAllLines(manifestDir.resolve(s"$e.commit")).asScala
+        .filter(_.nonEmpty).toSeq
+    }.getOrElse(Seq.empty)
+
+  /** Per-partition high-water offsets from the latest commit manifest
+    * (`p,offset` lines; `F,` file-snapshot lines are skipped). */
+  def highWater(): Map[Int, Long] =
+    latestManifestLines().filterNot(_.startsWith("F,")).map { line =>
+      val Array(p, o) = line.split(","); p.toInt -> o.toLong
+    }.toMap
+
+  /**
+   * Explicit file snapshot from the latest manifest: relative paths of
+   * the live data files, or None while the manifest is offset-only
+   * (append-only mode, where the directory listing IS the snapshot).
+   * A file snapshot appears after the first [[replaceDataFiles]]
+   * (coalesce) and is carried forward by every later append — the same
+   * snapshot-isolation trick as a Delta/Iceberg commit log: rewrites
+   * become visible at one atomic manifest commit, and replaced files
+   * stay on disk (unreferenced) until [[vacuum]], so concurrent readers
+   * planned against the old snapshot never lose rows.
+   */
+  def manifestFiles(): Option[Seq[String]] = {
+    val fs = latestManifestLines().filter(_.startsWith("F,"))
+      .map(_.stripPrefix("F,"))
+    // "F,-" is the explicit EMPTY snapshot (all files dropped) — distinct
+    // from "no F lines at all", which means offset-only legacy mode
+    if (fs.isEmpty) None else Some(fs.filterNot(_ == TopicLog.EmptySnapshotMarker))
   }
+
+  /** `Seq("F,relpath"...)` lines for a snapshot, with the explicit
+    * empty-snapshot marker when `files` is empty. */
+  private def fileSnapshotLines(files: Seq[String]): Seq[String] =
+    if (files.isEmpty) Seq(s"F,${TopicLog.EmptySnapshotMarker}")
+    else files.map("F," + _)
 
   import TopicLog.StagedAppend
 
@@ -159,7 +189,80 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     staged.unpersist()
     val merged = (0 until numPartitions)
       .map(p => p -> math.max(hw.getOrElse(p, -1L), newHw.getOrElse(p, -1L)))
-    StagedAppend(epoch, merged.map { case (p, o) => s"$p,$o" }.mkString("\n"), n)
+    val hwLines = merged.map { case (p, o) => s"$p,$o" }
+    // once a file snapshot is active (post-coalesce), every manifest must
+    // carry it forward: previous live files + the files this append stages
+    val fileLines = manifestFiles() match {
+      case Some(prev) => fileSnapshotLines(prev ++ stagedRelPaths(epoch))
+      case None => Seq.empty
+    }
+    StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), n)
+  }
+
+  /** Relative (final) paths of the parquet files staged for `epoch` —
+    * staging preserves the partition subtree, so the relative path under
+    * `_staging/<epoch>/` is the path the file will live at after publish. */
+  private def stagedRelPaths(epoch: Long): Seq[String] = {
+    val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
+    Files.walk(stagingDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => stagingDir.relativize(p).toString).toSeq.sorted
+  }
+
+  /**
+   * Atomically replace the topic's data files with `df` (same rows, new
+   * physical layout — the coalesce/rewrite path): stage the new files,
+   * then commit a manifest whose file snapshot lists EXACTLY them. The
+   * swap is the one atomic manifest move; a crash before it leaves the
+   * old snapshot intact (staged files are invisible garbage), a crash
+   * after it is healed by [[TopicLog.recoverStaging]]. Replaced files
+   * stay on disk until [[vacuum]] so readers mid-plan keep working.
+   * No caching: `df` is written once, directly to staging.
+   */
+  def replaceDataFiles(df: DataFrame): Unit = {
+    val hw = highWater()
+    val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
+    df.write.mode("append").partitionBy(Envelope.Partition)
+      .parquet(s"$basePath/_staging/$epoch")
+    val hwLines = (0 until numPartitions).map(p => s"$p,${hw.getOrElse(p, -1L)}")
+    val fileLines = fileSnapshotLines(stagedRelPaths(epoch))
+    publishManifest(StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), 0))
+  }
+
+  /** Publish a next-epoch manifest dropping `relPaths` from the file
+    * snapshot. Call BEFORE physically deleting/moving files (retention,
+    * offload, truncate) so no committed manifest ever references a
+    * missing file. No-op in offset-only mode, where the directory
+    * listing reflects deletions by itself. */
+  def dropFromSnapshot(relPaths: Seq[String]): Unit = manifestFiles() match {
+    case Some(live) =>
+      val drop = relPaths.toSet
+      val hw = highWater()
+      val epoch = committedEpochs().last + 1
+      val hwLines = (0 until numPartitions).map(p => s"$p,${hw.getOrElse(p, -1L)}")
+      val fileLines = fileSnapshotLines(live.filterNot(drop))
+      publishManifest(StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), 0))
+    case None => ()
+  }
+
+  /** Delete data files no longer referenced by the current file snapshot
+    * (the deferred half of [[replaceDataFiles]]). Run once in-flight
+    * reader plans have drained. Returns files deleted; no-op (0) in
+    * offset-only mode. */
+  def vacuum(): Int = manifestFiles() match {
+    case Some(live) =>
+      val liveSet = live.toSet
+      val base = Paths.get(basePath)
+      val victims = Files.walk(base).iterator().asScala
+        .filter { p =>
+          p.toString.endsWith(".parquet") &&
+            !base.relativize(p).iterator().asScala.exists(
+              _.getFileName.toString.startsWith("_")) &&
+            !liveSet.contains(base.relativize(p).toString)
+        }.toSeq
+      victims.foreach(Files.deleteIfExists(_))
+      victims.size
+    case None => 0
   }
 
   /** Phase 2: publish — manifest write (the atomic commit point) then
@@ -188,7 +291,8 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     TopicLog.completeStagedMoves(basePath, staged.epoch)
   }
 
-  /** Full-log batch read (committed data only — up to the manifest HW). */
+  /** Full-log batch read (committed data only — up to the manifest HW,
+    * restricted to the manifest file snapshot when one is active). */
   def read(): DataFrame = {
     val hw = highWater()
     if (hw.isEmpty) spark.createDataFrame(
@@ -197,7 +301,18 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       val cond = hw.map { case (p, o) =>
         (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
       }.reduce(_ || _)
-      spark.read.parquet(basePath).filter(cond)
+      manifestFiles() match {
+        case Some(files) if files.isEmpty =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
+        case Some(files) =>
+          // explicit snapshot: plan exactly the listed files (basePath
+          // keeps hive partition-column discovery working)
+          spark.read.option("basePath", basePath)
+            .parquet(files.map(f => s"$basePath/$f"): _*)
+            .filter(cond)
+        case None => spark.read.parquet(basePath).filter(cond)
+      }
     }
   }
 

@@ -1,0 +1,142 @@
+package graft
+
+import graft.log.{Admin, TopicLog}
+import graft.model.{Envelope, TopicName}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.collection.JavaConverters._
+
+/**
+ * Crash-safety and snapshot-isolation contract of the coalesce/rewrite
+ * path (Admin.coalesceFiles → TopicLog.replaceDataFiles): the rewrite
+ * becomes visible at ONE atomic manifest commit; a crash on either side
+ * of that commit never loses a committed row; replaced files survive
+ * until vacuum so concurrent readers keep working.
+ */
+class CoalesceSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLog(parts: Int = 4): TopicLog = {
+    val root = Files.createTempDirectory("graft-coalesce").toString
+    new TopicLog(spark, root, TopicName.parse("t"), numPartitions = parts)
+  }
+
+  private def batch(ids: Range) =
+    ids.map(i => (s"u${i % 7}", s"payload-$i", s"prod-${i % 3}", i.toLong, i.toLong))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, "t")
+      .withColumn(Envelope.PublishTime, timestamp_seconds(col("t"))).drop("t")
+
+  private def contents(log: TopicLog): Set[(Int, Long, String)] =
+    log.read().select(col(Envelope.Partition), col(Envelope.Offset),
+      col(Envelope.Value)).as[(Int, Long, String)].collect().toSet
+
+  private def physicalParquet(log: TopicLog): Seq[String] = {
+    val base = Paths.get(log.name.path(log.root))
+    Files.walk(base).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !base.relativize(p).iterator().asScala.exists(
+          _.getFileName.toString.startsWith("_")))
+      .map(p => base.relativize(p).toString).toSeq
+  }
+
+  test("coalesce preserves rows, snapshots the file list, defers deletion to vacuum") {
+    val log = freshLog()
+    log.append(batch(0 until 50))
+    log.append(batch(50 until 100))
+    log.append(batch(100 until 150))
+    val before = contents(log)
+    val filesBefore = physicalParquet(log).size
+    assert(filesBefore > 4, "need several small files to coalesce")
+
+    Admin.coalesceFiles(log, filesPerPartition = 1)
+    assert(contents(log) == before, "rows unchanged across coalesce")
+    val snapshot = log.manifestFiles().getOrElse(fail("file snapshot missing"))
+    assert(snapshot.size == 4, "one file per partition")
+    // old files still on disk (deferred delete), but unreferenced
+    assert(physicalParquet(log).size == filesBefore + 4)
+
+    val deleted = log.vacuum()
+    assert(deleted == filesBefore)
+    assert(contents(log) == before, "rows unchanged across vacuum")
+    assert(physicalParquet(log).toSet == snapshot.toSet)
+  }
+
+  test("crash BEFORE manifest commit: staged rewrite stays invisible, old snapshot intact") {
+    val log = freshLog()
+    log.append(batch(0 until 80))
+    val before = contents(log)
+    // simulate the rewrite dying after its staging write, before commit
+    log.read().repartition(1, col(Envelope.Partition))
+      .write.mode("append").partitionBy(Envelope.Partition)
+      .parquet(log.name.path(log.root) + "/_staging/999")
+    assert(contents(log) == before, "uncommitted staging never visible")
+    // recovery must NOT promote a manifest-less epoch
+    assert(TopicLog.recoverStaging(log.name.path(log.root)) == 0)
+    assert(contents(log) == before)
+  }
+
+  test("crash BETWEEN manifest commit and staged moves: recovery completes the swap") {
+    val log = freshLog()
+    log.append(batch(0 until 80))
+    val before = contents(log)
+    val base = log.name.path(log.root)
+
+    // stage the coalesced files exactly as replaceDataFiles would
+    val epoch = 1L
+    log.read().repartition(1, col(Envelope.Partition))
+      .write.mode("append").partitionBy(Envelope.Partition)
+      .parquet(s"$base/_staging/$epoch")
+    val stagingDir = Paths.get(base, "_staging", epoch.toString)
+    val staged = Files.walk(stagingDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => stagingDir.relativize(p).toString).toSeq.sorted
+    val hwLines = (0 until 4).map(p => s"$p,${log.highWater().getOrElse(p, -1L)}")
+    // "crash": the manifest commit lands, the file moves never run
+    Files.write(Paths.get(base, "_manifest", s"$epoch.commit"),
+      (hwLines ++ staged.map("F," + _)).mkString("\n").getBytes)
+
+    assert(TopicLog.recoverStaging(base) == 1, "recovery heals the committed epoch")
+    assert(contents(log) == before, "no committed row lost across the crash window")
+    assert(log.manifestFiles().get.toSet == staged.toSet)
+  }
+
+  test("appends after coalesce carry the file snapshot forward — no duplicate reads") {
+    val log = freshLog()
+    log.append(batch(0 until 60))
+    Admin.coalesceFiles(log, filesPerPartition = 1)
+    // old files still on disk; a snapshot-unaware reader would double-count
+    log.append(batch(60 until 90))
+    val rows = log.read().count()
+    assert(rows == 90, s"expected 90 rows, got $rows")
+    assert(log.manifestFiles().get.size > 4, "snapshot grew with the append")
+    // vacuum keeps exactly the snapshot
+    log.vacuum()
+    assert(log.read().count() == 90)
+  }
+
+  test("retention and offload stay manifest-consistent after coalesce") {
+    val log = freshLog()
+    log.append(batch(0 until 100))
+    Admin.coalesceFiles(log, filesPerPartition = 1)
+    log.vacuum()
+    // offload everything at/below offset 10 per partition: coalesced files
+    // span all offsets so nothing qualifies — then offload all
+    assert(Admin.offload(log, beforeOffset = 5) == 0)
+    val moved = Admin.offload(log, beforeOffset = Long.MaxValue)
+    assert(moved == 4)
+    assert(log.manifestFiles().get.isEmpty, "snapshot explicitly empty, not legacy")
+    assert(log.read().count() == 0)
+    assert(Admin.readTiered(log).count() == 100, "cold tier still readable")
+
+    val log2 = freshLog()
+    log2.append(batch(0 until 100))
+    Admin.coalesceFiles(log2, filesPerPartition = 1)
+    log2.vacuum()
+    val removed = Admin.truncate(log2)
+    assert(removed == 4)
+    assert(log2.manifestFiles().get.isEmpty)
+    assert(physicalParquet(log2).isEmpty)
+    assert(log2.read().count() == 0)
+  }
+}
