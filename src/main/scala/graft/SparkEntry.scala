@@ -523,17 +523,23 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
-  /** Multimodal plumbing: binary payloads -> decode meta -> resize plan ->
-    * features (stubbed codecs, real Spark shape; rows-only oracle). */
+  /** Multimodal pipeline with REAL header decoding: spec-valid PNG/JPEG/
+    * GIF/WAV fixture bytes are synthesized per doc_id, then parsed back
+    * by the container-header codecs and fed through the resize planner.
+    * The oracle recomputes the fixture formulas in SQL, so a hash match
+    * proves the parsers recover the true dimensions/channels/duration
+    * from the bytes on every row. */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
-    val media = tbl(s, dir, "documents")
-      .withColumn("payload", col("text").cast("binary"))
-      .select("doc_id", "payload")
+    val docs = tbl(s, dir, "documents").select("doc_id")
+    val media = ext.Multimodal.synthesizeMedia(docs, "doc_id")
     val meta = ext.Multimodal.withDecodedMeta(media, "payload")
-    val resized = ext.Multimodal.withResizeTarget(meta, maxSide = 256)
-    ext.Multimodal.withFeatures(resized, "payload", dim = 16)
-      .select(col("doc_id"), col("media_meta.width").as("w"),
-        col("target_width"), element_at(col("features"), 1).as("f0"))
+    ext.Multimodal.withResizeTarget(meta, maxSide = 256)
+      .select(col("doc_id"), col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.n_channels").as("n_channels"),
+        col("media_meta.duration_ms").as("duration_ms"),
+        col("target_width"))
       .orderBy("doc_id")
   }
 
@@ -1180,9 +1186,30 @@ object SparkEntry {
         |  FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.id_a
         |             JOIN embeddings eb ON eb.vec_id = pairs.id_b)
         |SELECT id_a, id_b, round(sim, 6) AS sim_r FROM scored
-        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)
-    // Every registered query now has an oracle: the similarity tier is
-    // checked by reproducing LSH bucketing in SQL (murmur3 hyperplanes)
-    // or by brute-forcing the exact-verified truth set.
+        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+    // Mirrors Multimodal.MediaGen.forId exactly: a hash match proves the
+    // header parsers recover the true dims/channels/duration from the
+    // synthesized spec-valid PNG/JPEG/GIF/WAV bytes on every row.
+    "multimodal_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 4 AS k,
+        |    CAST(64 + (doc_id % 512) AS INT) AS w,
+        |    CAST(64 + ((doc_id * 7) % 512) AS INT) AS h,
+        |    CAST(1 + (doc_id % 2) AS INT) AS wav_ch,
+        |    8000 + (doc_id % 100) * 16 AS wav_data
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+        |  CASE WHEN k < 3 THEN w END AS width,
+        |  CASE WHEN k < 3 THEN h END AS height,
+        |  CASE WHEN k < 3 THEN CAST(3 AS INT) ELSE wav_ch END AS n_channels,
+        |  CAST(CASE WHEN k < 3 THEN 0 ELSE (wav_data * 1000) // (8000 * wav_ch * 2) END AS BIGINT) AS duration_ms,
+        |  CASE WHEN k < 3 THEN CAST(floor(w * least(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / greatest(w, h))) AS INT) END AS target_width
+        |FROM m ORDER BY doc_id""".stripMargin
+    // Every registered query now has an oracle except hll_cardinality
+    // (approximate by construction; bounded by HllSpec instead). The
+    // similarity tier is checked by reproducing LSH bucketing in SQL
+    // (murmur3 hyperplanes) or by brute-forcing the exact-verified truth
+    // set; multimodal by inverting the fixture formulas.
   )
 }

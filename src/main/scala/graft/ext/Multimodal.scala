@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
  * decode / feature-extract / resize / frame-sample run as partition-local
  * batch transforms.
  *
- * The actual codec calls are STUBBED (no image/audio libraries in this
- * environment) with deterministic fakes derived from the bytes — clearly
- * marked below. Everything Spark-side is real and load-bearing at scale:
- * the schema, the binary column handling, the mapPartitions batch shape
- * (one JVM-side batch per partition, the Scala analog of mapInPandas
- * batches), and the partition sizing guidance.
+ * Container-header decoding is REAL: PNG (IHDR), JPEG (SOFn marker
+ * walk), GIF and RIFF/WAV headers are parsed from the bytes per the
+ * public format specs — pure JVM, no codec libraries. What remains a
+ * deterministic STUB (clearly marked) is pixel/sample decoding and the
+ * feature-extraction forward pass, which need real media libraries not
+ * present in this environment. Everything Spark-side is real and
+ * load-bearing at scale: the schema, the binary column handling, the
+ * mapPartitions batch shape (one JVM-side batch per partition, the
+ * Scala analog of mapInPandas batches), and the partition sizing
+ * guidance.
  *
  * Scale notes (100 TB of media): keep payloads in parquet BINARY next to
  * metadata so predicate pushdown on metadata prunes before any decode;
@@ -35,12 +39,106 @@ object Multimodal {
     StructField("size_bytes", LongType)))
 
   // ======================================================================
-  // STUB: deterministic fake codecs. In production these call the real
-  // image/audio libraries; signatures and batch shape are the contract.
+  // Real container-header codecs (public format specs, pure JVM):
+  // PNG spec (W3C, IHDR chunk), JPEG/JFIF (ITU T.81 marker structure),
+  // GIF89a (screen descriptor), RIFF/WAVE (fmt + data chunks).
+  // ======================================================================
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 26 && b.take(8).sameElements(PngSig)
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** PNG IHDR: width/height BE32 at offsets 16/20; channel count from the
+    * color type at 25 (0 gray, 2 rgb, 3 palette, 4 gray+a, 6 rgba). */
+  private def parsePng(b: Array[Byte]): Row = {
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => 3
+    }
+    Row("image", "png", be32(b, 16), be32(b, 20), channels, 0L, b.length.toLong)
+  }
+
+  /** JPEG: walk the marker stream past APPn/COM/quant tables to the first
+    * SOFn frame header (C0–CF minus the non-frame C4/C8/CC); height is
+    * BE16 at SOF+5, width at SOF+7, component count at SOF+9. */
+  private def parseJpeg(b: Array[Byte]): Option[Row] = {
+    var i = 2
+    while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+      val m = b(i + 1) & 0xff
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (i + 9 >= b.length) return None
+        return Some(Row("image", "jpeg", be16(b, i + 7), be16(b, i + 5),
+          b(i + 9) & 0xff, 0L, b.length.toLong))
+      } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        i += 2 // standalone markers carry no length
+      } else {
+        i += 2 + be16(b, i + 2)
+      }
+    }
+    None
+  }
+
+  /** GIF logical screen descriptor: width/height LE16 at offsets 6/8. */
+  private def parseGif(b: Array[Byte]): Row =
+    Row("image", "gif", le16(b, 6), le16(b, 8), 3, 0L, b.length.toLong)
+
+  /** RIFF/WAVE: walk chunks from offset 12; `fmt ` gives channels and
+    * byte rate, `data` gives payload size; duration = data·1000/byteRate. */
+  private def parseWav(b: Array[Byte]): Option[Row] = {
+    var pos = 12
+    var channels = 0; var byteRate = 0L; var dataSize = -1L
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (id == "fmt " && pos + 16 <= b.length) {
+        channels = le16(b, pos + 10)
+        byteRate = le32(b, pos + 16)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels == 0 || byteRate == 0 || dataSize < 0) None
+    else Some(Row("audio", "wav", null, null, channels,
+      dataSize * 1000L / byteRate, b.length.toLong))
+  }
+
+  /** Sniff + parse a real container header; unknown formats fall back to
+    * the deterministic stub. */
+  private[ext] def decodeMeta(bytes: Array[Byte], mediaType: String): Row =
+    if (isPng(bytes)) parsePng(bytes)
+    else if (isGif(bytes)) parseGif(bytes)
+    else if (isWav(bytes)) parseWav(bytes).getOrElse(stubDecode(bytes, mediaType))
+    else if (isJpeg(bytes)) parseJpeg(bytes).getOrElse(stubDecode(bytes, mediaType))
+    else stubDecode(bytes, mediaType)
+
+  // ======================================================================
+  // STUB: deterministic fakes for what genuinely needs media libraries —
+  // pixel decoding (unknown formats) and the encoder forward pass.
+  // Signatures and batch shape are the contract.
   // ======================================================================
 
   /** STUB decode: fake metadata derived deterministically from content
-    * bytes (stands in for reading the real container header). */
+    * bytes (fallback when no known container header is present). */
   private[ext] def stubDecode(bytes: Array[Byte], mediaType: String): Row = {
     val h = graft.functions.Sketch.splitmix64(
       java.util.Arrays.hashCode(bytes).toLong)
@@ -80,10 +178,10 @@ object Multimodal {
       StructField("media_meta", mediaMetaSchema))
     val bytesIdx = df.schema.fieldIndex(bytesCol)
     val rdd = df.rdd.mapPartitions { rows =>
-      // codec init happens once per partition here (stubbed)
+      // header parsers are stateless; real pixel codecs would init here
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](bytesIdx)
-        Row.fromSeq(r.toSeq :+ stubDecode(bytes, mediaType))
+        Row.fromSeq(r.toSeq :+ decodeMeta(bytes, mediaType))
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -130,4 +228,87 @@ object Multimodal {
         explode(sequence(lit(0L), col("media_meta.duration_ms"), lit(everyMs))))
       .withColumn("frame_id",
         concat_ws(":", col("media_meta.size_bytes"), col("frame_ms")))
+
+  // ======================================================================
+  // Deterministic media fixtures: REAL, spec-valid container bytes
+  // (checksummed PNG, marker-correct JPEG, GIF89a, PCM WAV) generated
+  // from an id — the test/benchmark data source for the decode path.
+  // ======================================================================
+
+  object MediaGen {
+    private def be16b(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    private def be32b(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    private def le32b(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+
+    private def pngChunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val t = tpe.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32b(data.length) ++ t ++ data ++ be32b(crc.getValue.toInt)
+    }
+
+    /** Minimal valid PNG: signature + IHDR (8-bit RGB) + empty IDAT + IEND,
+      * all chunks CRC32-checksummed per the spec. */
+    def png(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        pngChunk("IHDR", be32b(w) ++ be32b(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+        pngChunk("IDAT", Array.emptyByteArray) ++
+        pngChunk("IEND", Array.emptyByteArray)
+
+    /** Minimal valid JPEG: SOI, JFIF APP0, SOF0 (8-bit, 3 components), EOI. */
+    def jpeg(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xd8.toByte,
+        0xff.toByte, 0xe0.toByte, 0x00, 0x10,
+        'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+        0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08) ++
+        be16b(h) ++ be16b(w) ++
+        Array[Byte](0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00,
+          0xff.toByte, 0xd9.toByte)
+
+    /** Minimal GIF89a: header + logical screen descriptor + trailer. */
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++ le16b(w) ++ le16b(h) ++
+        Array[Byte](0x70, 0x00, 0x00, 0x3b)
+
+    /** Minimal PCM WAV: RIFF/WAVE with fmt (16-bit PCM) + data chunk of
+      * `dataLen` zero bytes. */
+    def wav(sampleRate: Int, channels: Int, dataLen: Int): Array[Byte] = {
+      val byteRate = sampleRate * channels * 2
+      "RIFF".getBytes("US-ASCII") ++ le32b(36L + dataLen) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32b(16) ++ le16b(1) ++ le16b(channels) ++
+        le32b(sampleRate) ++ le32b(byteRate) ++ le16b(channels * 2) ++ le16b(16) ++
+        "data".getBytes("US-ASCII") ++ le32b(dataLen) ++ new Array[Byte](dataLen)
+    }
+
+    /** The fixture formulas keyed by id — mirrored verbatim by the DuckDB
+      * oracle of `multimodal_pipeline`, which is what lets a hash-match
+      * prove the parsers invert the builders on every row. */
+    def forId(id: Long): Array[Byte] = {
+      val w = 64 + (id % 512).toInt
+      val h = 64 + ((id * 7) % 512).toInt
+      (id % 4) match {
+        case 0 => png(w, h)
+        case 1 => jpeg(w, h)
+        case 2 => gif(w, h)
+        case _ => wav(8000, 1 + (id % 2).toInt, 8000 + (id % 100).toInt * 16)
+      }
+    }
+  }
+
+  /** Synthesize a deterministic media payload per row of `idCol` (the
+    * fixture source for the decode pipeline when no real media corpus is
+    * attached). */
+  def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ MediaGen.forId(r.getLong(idIdx))))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.ext.Multimodal.MediaGen
+import org.apache.spark.sql.Row
+
+/**
+ * Real container-header codecs: golden bytes (hand-assembled per the
+ * public specs, independent of MediaGen) plus builder↔parser roundtrips
+ * and the distributed decode pipeline.
+ */
+class MultimodalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decode(b: Array[Byte]): Row = {
+    val df = Seq(Tuple1(b)).toDF("payload")
+    Multimodal.withDecodedMeta(df, "payload")
+      .select("media_meta.*").collect().head
+  }
+
+  test("golden PNG: the canonical 1x1 RGBA header parses to 1x1, 4 channels") {
+    // PNG signature + IHDR for width=1, height=1, bit depth 8, color type 6
+    // (RGBA) with its well-known CRC 0x1f15c489 — bytes straight from the
+    // W3C spec, not from our builder.
+    val golden = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1f, 0x15, 0xc4, 0x89).map(_.toByte)
+    val m = decode(golden)
+    assert(m.getString(1) == "png")
+    assert(m.getInt(2) == 1 && m.getInt(3) == 1)
+    assert(m.getInt(4) == 4, "color type 6 = RGBA = 4 channels")
+  }
+
+  test("JPEG marker walk skips APPn/COM segments before SOF0") {
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0x00, 0x09) ++
+      "comment".getBytes("US-ASCII")
+    val base = MediaGen.jpeg(640, 480)
+    // splice a COM segment between SOI and the rest
+    val spliced = base.take(2) ++ com ++ base.drop(2)
+    val m = decode(spliced)
+    assert(m.getString(1) == "jpeg")
+    assert(m.getInt(2) == 640 && m.getInt(3) == 480)
+    assert(m.getInt(4) == 3)
+  }
+
+  test("builders roundtrip through the parsers for many sizes") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 30) {
+      val w = 1 + rnd.nextInt(4000); val h = 1 + rnd.nextInt(4000)
+      val png = decode(MediaGen.png(w, h))
+      assert((png.getString(1), png.getInt(2), png.getInt(3), png.getInt(4)) ==
+        ("png", w, h, 3))
+      val jpg = decode(MediaGen.jpeg(w min 65535, h min 65535))
+      assert((jpg.getString(1), jpg.getInt(2), jpg.getInt(3)) ==
+        ("jpeg", w min 65535, h min 65535))
+      val gif = decode(MediaGen.gif(w min 65535, h min 65535))
+      assert((gif.getString(1), gif.getInt(2), gif.getInt(3)) ==
+        ("gif", w min 65535, h min 65535))
+    }
+  }
+
+  test("WAV fmt/data chunk walk: channels and duration") {
+    // 8000 Hz, stereo, 16-bit: byteRate 32000; 64000 bytes = 2000 ms
+    val m = decode(MediaGen.wav(8000, 2, 64000))
+    assert(m.getString(0) == "audio" && m.getString(1) == "wav")
+    assert(m.isNullAt(2) && m.isNullAt(3))
+    assert(m.getInt(4) == 2)
+    assert(m.getLong(5) == 2000L)
+  }
+
+  test("built PNG chunks carry valid CRC32 (spec conformance of the builder)") {
+    val b = MediaGen.png(123, 77)
+    // IHDR: length at 8, type at 12, data 13 bytes, CRC after
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 12, 4 + 13)
+    val stored = ((b(29) & 0xffL) << 24) | ((b(30) & 0xffL) << 16) |
+      ((b(31) & 0xffL) << 8) | (b(32) & 0xffL)
+    assert(stored == crc.getValue)
+  }
+
+  test("unknown bytes fall back to the deterministic stub") {
+    val m = decode("definitely not an image".getBytes("UTF-8"))
+    assert(m.getString(1) == "stub")
+  }
+
+  test("synthesizeMedia + decode recovers the fixture formulas distributed") {
+    val ids = spark.range(0, 64).toDF("doc_id").repartition(8)
+    val decoded = Multimodal.withDecodedMeta(
+      Multimodal.synthesizeMedia(ids, "doc_id"), "payload")
+      .select($"doc_id", $"media_meta.format", $"media_meta.width",
+        $"media_meta.height", $"media_meta.n_channels", $"media_meta.duration_ms")
+      .as[(Long, String, Option[Int], Option[Int], Int, Long)]
+      .collect().sortBy(_._1)
+    for ((id, fmt, w, h, ch, dur) <- decoded) {
+      val ew = 64 + (id % 512).toInt; val eh = 64 + ((id * 7) % 512).toInt
+      (id % 4) match {
+        case 0 => assert((fmt, w, h, ch, dur) == ("png", Some(ew), Some(eh), 3, 0L))
+        case 1 => assert((fmt, w, h, ch, dur) == ("jpeg", Some(ew), Some(eh), 3, 0L))
+        case 2 => assert((fmt, w, h, ch, dur) == ("gif", Some(ew), Some(eh), 3, 0L))
+        case _ =>
+          val c = 1 + (id % 2).toInt
+          val expectedDur = (8000 + (id % 100) * 16) * 1000L / (8000L * c * 2)
+          assert((fmt, w, h, ch, dur) == ("wav", None, None, c, expectedDur))
+      }
+    }
+  }
+}
