@@ -590,9 +590,12 @@ object SparkEntry {
         col("keep_id"))
       .orderBy("content_hash")
 
-  /** N-gram (5-gram) Jaccard near-duplicate pairs. */
+  /** N-gram (5-gram) Jaccard near-duplicate pairs. maxDf caps hot-shingle
+    * posting lists (the skew bound); near-dup clusters are a handful of
+    * docs, so 250 loses nothing while bounding the worst list at 250². */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    TextOps.jaccardPairs(tbl(s, dir, "documents"), n = 5, threshold = 0.5)
+    TextOps.jaccardPairs(tbl(s, dir, "documents"), n = 5, threshold = 0.5,
+        maxDf = 250)
       .orderBy("id_a", "id_b")
 
   /** Normalized-fingerprint duplicate groups (md5 form so the oracle can
@@ -682,7 +685,8 @@ object SparkEntry {
       .filter(col("n_tokens") >= 10 && col("mean_word_len").between(2.0, 12.0))
       .select("doc_id", "text", "lang")
     val exactDeduped = TextOps.exactDedup(quality)
-    val nearDupIds = TextOps.jaccardPairs(exactDeduped, n = 5, threshold = 0.8)
+    val nearDupIds = TextOps.jaccardPairs(exactDeduped, n = 5, threshold = 0.8,
+        maxDf = 250)
       .select(col("id_b").as("doc_id")).distinct()
     val clean = exactDeduped.join(nearDupIds, Seq("doc_id"), "left_anti")
     clean.groupBy("lang")

@@ -64,7 +64,8 @@ object Stress {
     time("compaction")(Compaction.publishOrder(env1.withColumnRenamed("metric_value", "mv")).count())
     time("dedup_seq")(Dedup.dedupBatch(env1).count())
     time("minhash_lsh")(MinHash.lshCandidates(docs1).count())
-    time("jaccard_pairs")(TextOps.jaccardPairs(docs1, n = 5, threshold = 0.5).count())
+    time("jaccard_pairs")(TextOps.jaccardPairs(docs1, n = 5, threshold = 0.5,
+      maxDf = 250).count())
     time("simhash_pairs")(MinHash.simhashPairs(docs1, 3).count())
 
     println(s"== ${k}x (events=${envK.count()}, docs=${docsK.count()}) ==")
@@ -72,7 +73,8 @@ object Stress {
     time("compaction")(Compaction.publishOrder(envKE).count())
     time("dedup_seq")(Dedup.dedupBatch(envKE).count())
     time("minhash_lsh")(MinHash.lshCandidates(docsK).count())
-    time("jaccard_pairs")(TextOps.jaccardPairs(docsK, n = 5, threshold = 0.5).count())
+    time("jaccard_pairs")(TextOps.jaccardPairs(docsK, n = 5, threshold = 0.5,
+      maxDf = 250).count())
     time("simhash_pairs")(MinHash.simhashPairs(docsK, 3).count())
     spark.stop()
   }

@@ -125,11 +125,15 @@ object TextOps {
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("line_no", "line")))
-    val docFreq = lines.select(col(idCol), col("line")).distinct()
-      .groupBy("line").agg(count(lit(1)).as("df"))
+      // every shuffle below keys on the 8-byte line hash, never the line
+      // text — at 100 TB the doc-frequency count and the blocklist join
+      // would otherwise move the full line strings through each exchange
+      .withColumn("line_h", xxhash64(col("line")))
+    val docFreq = lines.select(col(idCol), col("line_h")).distinct()
+      .groupBy("line_h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
-      .select("line")
-    val cleaned = lines.join(docFreq, Seq("line"), "left_anti")
+      .select("line_h")
+    val cleaned = lines.join(docFreq, Seq("line_h"), "left_anti")
       .groupBy(idCol)
       .agg(concat_ws(sep,
         transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
@@ -171,44 +175,47 @@ object TextOps {
     array_distinct(shinglesAll(text, n))
 
   /**
-   * N-gram Jaccard near-duplicate pairs via inverted-index join:
-   * explode distinct shingles → self-join on shingle (the inverted index)
-   * → per-pair intersection count → Jaccard = |∩| / (|A|+|B|−|∩|).
+   * N-gram Jaccard near-duplicate pairs via inverted-index candidates +
+   * exact verify: explode distinct shingles → self-join on shingle (the
+   * inverted index) → distinct candidate (id, id) pairs → verify join
+   * computing exact Jaccard = |∩| / |∪| over the shingle sets.
    *
-   * Scale design: the join key is an 8-byte xxhash64 of the shingle (not
-   * the string); candidate generation only pairs documents sharing at
-   * least one shingle, so cost tracks the number of true near-dup pairs,
-   * not n². Hot shingles (stopword n-grams) are the skew risk — cap them
-   * with a document-frequency filter (`maxDf`), the standard trick.
+   * Scale design: the index key is an 8-byte xxhash64 of the shingle
+   * (no shingle strings materialized); candidate generation only pairs
+   * documents sharing a shingle, so cost tracks true near-dup pairs, not
+   * n². Hot shingles (stopword n-grams) are the skew risk: `maxDf` caps
+   * the inverted index by document frequency, which bounds the worst
+   * posting list at O(maxDf²) pairs. The cap prunes CANDIDATES only —
+   * the verify join recomputes Jaccard over the full shingle sets, so
+   * output values stay exact; a pair is only lost if its EVERY shared
+   * shingle is hotter than the cap, which no near-duplicate pair is at
+   * any sane cap (near-dups share their long tail of rare shingles).
    */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxDf: Long = Long.MaxValue): DataFrame = {
-    // shingles hashed in one native pass (no shingle strings materialized;
-    // the inverted-index join key is an 8-byte hash)
     val sh = docs
       .select(col(idCol).as("id"),
         graft.functions.Sketch.shingle_hashes(col(textCol), n, distinct = true).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val posting = sh.select(col("id"), col("n_sh"),
-        explode(col("sh")).as("shingle_h"))
-      .select("id", "n_sh", "shingle_h")
+    val posting = sh.select(col("id"), explode(col("sh")).as("shingle_h"))
     val pruned =
       if (maxDf == Long.MaxValue) posting
       else {
         val dfCounts = posting.groupBy("shingle_h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
-        posting.join(dfCounts, Seq("shingle_h"))
-          .select("id", "n_sh", "shingle_h")
+        posting.join(dfCounts, Seq("shingle_h")).select("id", "shingle_h")
       }
-    val a = pruned.toDF("id_a", "n_a", "shingle_h")
-    val b = pruned.toDF("id_b", "n_b", "shingle_h")
-    a.join(b, Seq("shingle_h"))
+    val a = pruned.select(col("id").as("id_a"), col("shingle_h"))
+    val b = pruned.select(col("id").as("id_b"), col("shingle_h"))
+    val cands = a.join(b, Seq("shingle_h"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
