@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.StructType
  * |---|---|
  * | file                       | `FileSource` below (readStream text/json/csv) |
  * | kafka / kafka-connect      | `spark.readStream.format("kafka")` |
- * | jdbc (insert/upsert/delete)| `spark.read/write.format("jdbc")` + MERGE in foreachBatch |
+ * | jdbc (insert/upsert/delete)| `topicToJdbcSink` below (batched upsert/delete in foreachBatch) |
  * | elastic-search, solr       | es-hadoop / solr-spark sinks in foreachBatch |
  * | aws-s3 / hdfs3 / alluxio   | any hadoop-fs path (file formats built in) |
  * | debezium/canal CDC         | CDC topic as a schema'd stream; apply with last-write-wins compaction |
@@ -111,4 +111,120 @@ object Connectors {
   def batchSource(spark: SparkSession, paths: Seq[String], schema: StructType,
                   format: String): DataFrame =
     spark.read.schema(schema).format(format).load(paths: _*)
+
+  /** Write modes of the JDBC sink (reference
+    * pulsar-io/jdbc/core/.../JdbcAbstractSink.java:52 INSERT/UPSERT/DELETE
+    * mutation routing). */
+  sealed trait JdbcMode
+  object JdbcMode {
+    case object Insert extends JdbcMode
+    case object Upsert extends JdbcMode
+    case object Delete extends JdbcMode
+  }
+
+  /**
+   * Topic → JDBC sink (reference pulsar-io/jdbc): stream the topic into a
+   * relational table with INSERT / UPSERT / DELETE semantics.
+   *
+   * Shape: foreachBatch → foreachPartition → one connection and batched
+   * PreparedStatements per partition (`batchSize` rows per round trip) —
+   * executors write in parallel, nothing funnels through the driver.
+   * Upsert is the dialect-portable two-step (batched UPDATE, then INSERT
+   * for the keys that updated zero rows) rather than vendor MERGE, so it
+   * runs on any JDBC target. Microbatches are HW-filtered: uncommitted
+   * rows never reach the sink (same read-committed gate as
+   * Subscription.consume).
+   *
+   * Delivery: at-least-once per foreachBatch; UPSERT and DELETE are
+   * idempotent so replays converge, INSERT mode can duplicate on replay
+   * (the reference sink carries the same caveat).
+   */
+  def topicToJdbcSink(topic: TopicLog, url: String, table: String,
+                      keyCols: Seq[(String, String)],
+                      valueCols: Seq[(String, String)],
+                      mode: JdbcMode, checkpoint: String,
+                      batchSize: Int = 500): StreamingQuery = {
+    val spark = topic.spark
+    // (topicColumn -> tableColumn) mapping: envelope names like key/value
+    // are reserved words in most SQL dialects
+    val projection = (keyCols ++ valueCols).map { case (tc, dbc) => col(tc).as(dbc) }
+    val dbKeys = keyCols.map(_._2)
+    val dbVals = valueCols.map(_._2)
+    spark.readStream
+      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
+      .parquet(topic.name.path(topic.root))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hw = topic.highWater()
+        val committed =
+          if (hw.isEmpty) batch.limit(0)
+          else batch.filter(hw.map { case (p, o) =>
+            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
+          }.reduce(_ || _))
+        committed.select(projection: _*).rdd.foreachPartition { rows =>
+          if (rows.hasNext) writeJdbcPartition(
+            rows, url, table, dbKeys, dbVals, mode, batchSize)
+        }
+      }
+      .start()
+  }
+
+  /** Executor-side partition writer: one connection, batched statements. */
+  private def writeJdbcPartition(rows: Iterator[org.apache.spark.sql.Row],
+                                 url: String, table: String,
+                                 keyCols: Seq[String], valueCols: Seq[String],
+                                 mode: JdbcMode, batchSize: Int): Unit = {
+    val cols = keyCols ++ valueCols
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+        s"(${cols.map(_ => "?").mkString(", ")})"
+      val updateSql = s"UPDATE $table SET " +
+        valueCols.map(c => s"$c = ?").mkString(", ") +
+        " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND ")
+      val deleteSql = s"DELETE FROM $table WHERE " +
+        keyCols.map(c => s"$c = ?").mkString(" AND ")
+
+      def bind(ps: java.sql.PreparedStatement, row: org.apache.spark.sql.Row,
+               order: Seq[String]): Unit =
+        order.zipWithIndex.foreach { case (c, i) =>
+          ps.setObject(i + 1, row.getAs[Any](c)) }
+
+      mode match {
+        case JdbcMode.Insert =>
+          val ps = conn.prepareStatement(insertSql)
+          var n = 0
+          rows.foreach { r =>
+            bind(ps, r, cols); ps.addBatch(); n += 1
+            if (n % batchSize == 0) ps.executeBatch(): Unit
+          }
+          ps.executeBatch(); ps.close()
+        case JdbcMode.Delete =>
+          val ps = conn.prepareStatement(deleteSql)
+          var n = 0
+          rows.foreach { r =>
+            bind(ps, r, keyCols); ps.addBatch(); n += 1
+            if (n % batchSize == 0) ps.executeBatch(): Unit
+          }
+          ps.executeBatch(); ps.close()
+        case JdbcMode.Upsert =>
+          val up = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          rows.grouped(batchSize).foreach { group =>
+            group.foreach { r => bind(up, r, valueCols ++ keyCols); up.addBatch() }
+            val counts = up.executeBatch()
+            // keys that updated zero rows don't exist yet → INSERT them
+            group.iterator.zip(counts.iterator).foreach { case (r, c) =>
+              if (c == 0) { bind(ins, r, cols); ins.addBatch() }
+            }
+            ins.executeBatch(): Unit
+          }
+          up.close(); ins.close()
+      }
+      conn.commit()
+    } finally conn.close()
+  }
 }
