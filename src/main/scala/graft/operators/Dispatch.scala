@@ -89,18 +89,31 @@ object Dispatch {
   def keySharedConsistentHash(log: DataFrame, consumers: Seq[String],
                               pointsPerConsumer: Int = 100): DataFrame = {
     require(consumers.nonEmpty)
-    val ring: Seq[(Int, String)] = consumers.flatMap { c =>
+    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) %
+      Murmur3Pulsar.HashRangeSize
+    log.withColumn("slot", slot)
+      .withColumn("consumer_id",
+        ringAssign(ringPoints(consumers, pointsPerConsumer), col("slot")))
+  }
+
+  /** Each consumer's `pointsPerConsumer` ring points at
+    * murmur3(name + "-" + i) % 65536, sorted — the structure whose
+    * ceiling lookup gives consistent hashing its minimal-movement
+    * property under membership change. */
+  private def ringPoints(consumers: Seq[String],
+                         pointsPerConsumer: Int): Seq[(Int, String)] =
+    consumers.flatMap { c =>
       (0 until pointsPerConsumer).map { i =>
         Murmur3Pulsar.hashBytes(s"$c-$i".getBytes("UTF-8")) %
           Murmur3Pulsar.HashRangeSize -> c
       }
     }.sortBy(_._1)
-    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) %
-      Murmur3Pulsar.HashRangeSize
-    // ceiling lookup as one FLAT CaseWhen (a nested when-chain of 100×C
-    // branches overflows the column converter's recursion): slot <=
-    // point_k -> owner_k in ring order; past the last point wraps to the
-    // first point's owner
+
+  /** Ceiling lookup over the ring as one FLAT CaseWhen (a nested
+    * when-chain of 100×C branches overflows the column converter's
+    * recursion): slot <= point_k -> owner_k in ring order; past the last
+    * point wraps to the first point's owner. Codegen'd, no UDF. */
+  private def ringAssign(ring: Seq[(Int, String)], slot: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{CaseWhen, LessThanOrEqual, Literal}
     val slotE = ColumnBridge.expression(slot)
@@ -108,9 +121,45 @@ object Dispatch {
       (LessThanOrEqual(slotE, Literal(point)): org.apache.spark.sql.catalyst.expressions.Expression,
         Literal.create(owner): org.apache.spark.sql.catalyst.expressions.Expression)
     }
-    val assigned = ColumnBridge.column(
-      CaseWhen(branches, Some(Literal.create(ring.head._2))))
-    log.withColumn("slot", slot).withColumn("consumer_id", assigned)
+    ColumnBridge.column(CaseWhen(branches, Some(Literal.create(ring.head._2))))
+  }
+
+  /**
+   * Key_Shared membership change (reference
+   * ConsistentHashingStickyKeyConsumerSelector.java:104 addConsumer/
+   * removeConsumer + DrainingHashesTracker): assign every row under the
+   * ring BEFORE and AFTER the change. Consistent hashing guarantees
+   * minimal movement — on ADD, a key either keeps its owner or moves to
+   * a joining consumer; on REMOVE, only the leaving consumers' keys move.
+   *
+   * Draining preserves per-key order through the handover exactly as the
+   * reference does: rows on a moved slot at or below the per-partition
+   * `drainedUpTo` cursor are still in flight on the old owner, so they
+   * stay with it (`consumer_id` = old); the new owner only receives
+   * offsets strictly above the cursor. Columns out: `slot`,
+   * `consumer_before`, `consumer_after`, `moved`, `consumer_id`
+   * (the effective post-rebalance route).
+   */
+  def keySharedRebalance(log: DataFrame,
+                         oldConsumers: Seq[String], newConsumers: Seq[String],
+                         drainedUpTo: Map[Int, Long] = Map.empty,
+                         pointsPerConsumer: Int = 100): DataFrame = {
+    require(oldConsumers.nonEmpty && newConsumers.nonEmpty)
+    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) %
+      Murmur3Pulsar.HashRangeSize
+    val drained = typedLit(drainedUpTo.map { case (p, o) => p -> o })
+    log.withColumn("slot", slot)
+      .withColumn("consumer_before",
+        ringAssign(ringPoints(oldConsumers, pointsPerConsumer), col("slot")))
+      .withColumn("consumer_after",
+        ringAssign(ringPoints(newConsumers, pointsPerConsumer), col("slot")))
+      .withColumn("moved", col("consumer_before") =!= col("consumer_after"))
+      .withColumn("consumer_id",
+        when(col("moved") &&
+            col(Envelope.Offset) <= coalesce(
+              element_at(drained, col(Envelope.Partition)), lit(Long.MinValue)),
+          col("consumer_before"))
+          .otherwise(col("consumer_after")))
   }
 
   /**

@@ -139,6 +139,50 @@ class OperatorsSpec extends SparkSpec {
       "keys not owned by the leaving consumer must stay put")
   }
 
+  test("rebalance: adding a consumer moves keys ONLY to the joiner; draining holds in-flight rows") {
+    val env = Envelope.fromEvents(spark, sf001)
+    val reb = Dispatch.keySharedRebalance(env,
+      oldConsumers = Seq("c1", "c2", "c3"),
+      newConsumers = Seq("c1", "c2", "c3", "c4")).cache()
+    // minimal movement on ADD: every moved key lands on the joining
+    // consumer — no lateral movement between surviving consumers
+    assert(reb.filter(col("moved") && col("consumer_after") =!= "c4").count() == 0)
+    // something actually moved (the joiner took ring segments)
+    val movedCount = reb.filter(col("moved")).count()
+    assert(movedCount > 0)
+    // and not too much: expected share is ~1/4 of traffic
+    assert(movedCount < reb.count() / 2, "movement should be bounded")
+    // with no drain cursor, effective route == post-change ring
+    assert(reb.filter(col("consumer_id") =!= col("consumer_after")).count() == 0)
+    reb.unpersist()
+
+    // draining: rows on moved slots at/below the cursor stay with the old
+    // owner (in flight there), later offsets go to the new owner — so the
+    // new owner never sees an offset <= one still owned by the old owner,
+    // which is exactly the per-key order guarantee during churn
+    val cursor = env.groupBy(Envelope.Partition)
+      .agg(expr(s"percentile_approx(${Envelope.Offset}, 0.5)").cast("long").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val drain = Dispatch.keySharedRebalance(env,
+      oldConsumers = Seq("c1", "c2", "c3"),
+      newConsumers = Seq("c1", "c2", "c3", "c4"),
+      drainedUpTo = cursor).cache()
+    val wrongHold = drain.filter(col("moved") &&
+      col(Envelope.Offset) <= element_at(
+        typedLit(cursor.map { case (p, o) => p -> o }), col(Envelope.Partition)) &&
+      col("consumer_id") =!= col("consumer_before"))
+    assert(wrongHold.count() == 0, "in-flight rows must stay with the old owner")
+    val wrongNew = drain.filter(col("moved") &&
+      col(Envelope.Offset) > element_at(
+        typedLit(cursor.map { case (p, o) => p -> o }), col(Envelope.Partition)) &&
+      col("consumer_id") =!= col("consumer_after"))
+    assert(wrongNew.count() == 0, "post-drain rows must route to the new owner")
+    // unmoved keys are untouched by draining
+    assert(drain.filter(!col("moved") &&
+      col("consumer_id") =!= col("consumer_before")).count() == 0)
+    drain.unpersist()
+  }
+
   test("count windows (batch): only full windows fire, in arrival order") {
     val log = mkLog((0L until 25L).map(i => ("k", s"v$i", i, 0L, "p", i)))
       .withColumn("metric_value", col(Envelope.Offset).cast("double"))
