@@ -322,11 +322,24 @@ object SparkEntry {
       .orderBy(Envelope.ProducerName)
   }
 
-  /** §2.11 delayed delivery: due rows at a fixed trigger time. */
-  private def qDelayedDue(s: SparkSession, dir: String): DataFrame =
-    Dispatch.dueMessages(env(s, dir), lit("2024-01-15 00:00:00").cast("timestamp"))
+  /** §2.11 delayed delivery via the bucketed due index (the at-scale
+    * path): delayed rows land hive-partitioned by coarse due bucket; the
+    * trigger reads only buckets ≤ bucket(T) — `PartitionFilters` prune
+    * the scan to O(due data), never O(backlog) — plus the row-level
+    * residual `deliver_at <= T`. Undelayed rows dispatch immediately and
+    * never enter the index. Oracle unchanged: the union equals the flat
+    * `deliver_at IS NULL OR deliver_at <= T` predicate. */
+  private def qDelayedDue(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-due-idx").toString
+    operators.DelayedBuckets.buildIndex(e, idx)
+    val due = operators.DelayedBuckets.dueAt(s, idx,
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    e.filter(col(Envelope.DeliverAt).isNull)
       .select(col(Envelope.Offset), col(Envelope.Partition))
+      .unionByName(due.select(col(Envelope.Offset), col(Envelope.Partition)))
       .orderBy(Envelope.Offset)
+  }
 
   /** §2.3 TTL expiry: survivors per event_type with ttl = 7 days. */
   private def qTtl(s: SparkSession, dir: String): DataFrame = {

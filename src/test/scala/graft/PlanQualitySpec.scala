@@ -62,6 +62,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange rangepartitioning") <= 1) // only final ORDER BY
   }
 
+  test("delayed_due reads the bucketed index with partition pruning") {
+    val p = plan("delayed_due")
+    assert(p.contains("PartitionFilters: [isnotnull(due_bucket"), p.take(1200))
+    assert(p.contains("due_bucket#") && p.contains("<= 2024011500"),
+      "horizon predicate must prune due buckets at planning time")
+  }
+
   /**
    * No shuffle in the similarity tier may be keyed on an array column:
    * candidate dedup must distinct on (ids, precomputed scalar sim), never
