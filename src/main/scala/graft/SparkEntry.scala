@@ -341,11 +341,13 @@ object SparkEntry {
       .orderBy(Envelope.Offset)
   }
 
-  /** §2.3 TTL expiry: survivors per event_type with ttl = 7 days. */
+  /** §2.3 TTL expiry: survivors per event_type with ttl = 7 days. The
+    * "now" watermark (max publish time) is a 1-row aggregate broadcast
+    * into the plan — one job, no driver-side `agg().head` pre-pass. */
   private def qTtl(s: SparkSession, dir: String): DataFrame = {
     val e = env(s, dir)
-    val maxTs = e.agg(max(Envelope.PublishTime)).head.getTimestamp(0)
-    Dispatch.applyTtl(e, lit(maxTs), 7L * 24 * 3600)
+    val nowDf = e.agg(max(col(Envelope.PublishTime)).as("_now"))
+    Dispatch.applyTtl(e.crossJoin(broadcast(nowDf)), col("_now"), 7L * 24 * 3600)
       .groupBy("event_type").agg(count(lit(1)).cast("bigint").as("n"))
       .orderBy("event_type")
   }
@@ -670,14 +672,13 @@ object SparkEntry {
 
   /** Corpus-DF boilerplate removal: tokens present in > 60% of documents
     * are corpus chrome; each document is reassembled without them. The
-    * md5 of every cleaned document is oracle-compared. */
-  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(s, dir, "documents")
-    val maxDf = (docs.count() * 6) / 10
-    TextOps.removeBoilerplateLines(docs, maxDf, sep = " ")
+    * md5 of every cleaned document is oracle-compared. The 60% cap is
+    * computed inside the plan (broadcast scalar) — no count() pre-pass. */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextOps.removeBoilerplateLinesByRatio(tbl(s, dir, "documents"),
+        num = 6, den = 10, sep = " ")
       .select(col("doc_id"), md5(col("text")).as("clean_hash"))
       .orderBy("doc_id")
-  }
 
   /** Repetition-ratio quality rule (top-bigram fraction per doc). */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =

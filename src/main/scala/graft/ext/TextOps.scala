@@ -121,7 +121,33 @@ object TextOps {
    */
   def removeBoilerplateLines(docs: DataFrame, maxDocFreq: Long,
                              idCol: String = "doc_id", textCol: String = "text",
-                             sep: String = "\n"): DataFrame = {
+                             sep: String = "\n"): DataFrame =
+    removeBoilerplateImpl(docs, identity, col("df") > maxDocFreq,
+      idCol, textCol, sep)
+
+  /**
+   * As [[removeBoilerplateLines]], but the document-frequency cap is the
+   * corpus fraction `num/den`, computed INSIDE the plan (the 1-row corpus
+   * count broadcast onto the doc-frequency table) — no driver-side
+   * `count()` pre-pass, so the whole cleanup stays one job. The cap uses
+   * integer semantics `df > (numDocs · num) div den`, identical to
+   * passing `(numDocs * num) / den` to the Long overload.
+   */
+  def removeBoilerplateLinesByRatio(docs: DataFrame, num: Int, den: Int,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text",
+                                    sep: String = "\n"): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("_n_docs"))
+    removeBoilerplateImpl(docs,
+      _.crossJoin(broadcast(total)),
+      col("df") > expr(s"_n_docs * $num div $den"),
+      idCol, textCol, sep)
+  }
+
+  private def removeBoilerplateImpl(docs: DataFrame,
+                                    withCap: DataFrame => DataFrame,
+                                    capCond: Column, idCol: String,
+                                    textCol: String, sep: String): DataFrame = {
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("line_no", "line")))
@@ -129,9 +155,9 @@ object TextOps {
       // text — at 100 TB the doc-frequency count and the blocklist join
       // would otherwise move the full line strings through each exchange
       .withColumn("line_h", xxhash64(col("line")))
-    val docFreq = lines.select(col(idCol), col("line_h")).distinct()
-      .groupBy("line_h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
+    val docFreq = withCap(lines.select(col(idCol), col("line_h")).distinct()
+        .groupBy("line_h").agg(count(lit(1)).as("df")))
+      .filter(capCond)
       .select("line_h")
     val cleaned = lines.join(docFreq, Seq("line_h"), "left_anti")
       .groupBy(idCol)
