@@ -18,14 +18,23 @@ import org.apache.spark.sql.functions._
  */
 object DelayedBuckets {
 
-  private val BucketFmt = "yyyyMMddHH"
+  // Daily buckets by default: granularity trades pruning precision
+  // against partition-directory count (the residual deliver_at filter
+  // keeps results exact either way). Hourly ("yyyyMMddHH") suits dense
+  // short-horizon backlogs; daily keeps file counts sane when delays
+  // spread over months.
+  private val BucketFmt = "yyyyMMdd"
 
   def bucketOf(c: org.apache.spark.sql.Column) = date_format(c, BucketFmt)
 
-  /** Write the delayed subset of `log` into the bucketed index dir. */
+  /** Write the delayed subset of `log` into the bucketed index dir.
+    * Rows are repartitioned BY the bucket first: without it every task
+    * opens a writer for every bucket it sees (tasks × buckets tiny
+    * files); with it each bucket is one task's single file. */
   def buildIndex(log: DataFrame, indexPath: String): Unit =
     log.filter(col(Envelope.DeliverAt).isNotNull)
       .withColumn("due_bucket", bucketOf(col(Envelope.DeliverAt)))
+      .repartition(col("due_bucket"))
       .write.mode("overwrite")
       .partitionBy("due_bucket")
       .parquet(indexPath)

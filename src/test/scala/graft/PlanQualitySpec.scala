@@ -65,7 +65,7 @@ class PlanQualitySpec extends SparkSpec {
   test("delayed_due reads the bucketed index with partition pruning") {
     val p = plan("delayed_due")
     assert(p.contains("PartitionFilters: [isnotnull(due_bucket"), p.take(1200))
-    assert(p.contains("due_bucket#") && p.contains("<= 2024011500"),
+    assert(p.contains("due_bucket#") && p.contains("<= 20240115"),
       "horizon predicate must prune due buckets at planning time")
   }
 
