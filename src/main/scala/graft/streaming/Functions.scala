@@ -96,13 +96,18 @@ object Functions {
    *  - AT_LEAST_ONCE: default — checkpoint commits after sink write;
    *  - EFFECTIVELY_ONCE: AT_LEAST_ONCE + seq-dedup at the output append
    *    (StreamOps.dedupWithinWatermark) + idempotent manifest commit;
-   *  - AT_MOST_ONCE: not modeled (would require ack-before-process;
-   *    documented divergence).
+   *  - AT_MOST_ONCE: ack-before-process — an atomic per-epoch ack marker
+   *    is committed BEFORE the sink write, and a replayed epoch whose
+   *    marker already exists is dropped, not reprocessed. A crash between
+   *    ack and sink loses exactly that in-flight batch and nothing is
+   *    ever delivered twice (the reference acks the message on receipt
+   *    for this mode, with the same loss window).
    */
   sealed trait Guarantee
   object Guarantee {
     case object AtLeastOnce extends Guarantee
     case object EffectivelyOnce extends Guarantee
+    case object AtMostOnce extends Guarantee
   }
 
   /** Run a function pipeline source→transform→sink with the chosen
@@ -111,14 +116,37 @@ object Functions {
           sinkPath: String, checkpoint: String,
           guarantee: Guarantee = Guarantee.AtLeastOnce): StreamingQuery = {
     val transformed = transform(source)
-    val out = guarantee match {
-      case Guarantee.AtLeastOnce => transformed
-      case Guarantee.EffectivelyOnce =>
-        StreamOps.dedupWithinWatermark(transformed)
+    guarantee match {
+      case Guarantee.AtMostOnce =>
+        transformed.writeStream
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            import java.nio.file.{Files, Paths, StandardCopyOption}
+            val ackDir = Paths.get(checkpoint, "_acks")
+            Files.createDirectories(ackDir)
+            val marker = ackDir.resolve(s"$epochId.acked")
+            if (!Files.exists(marker)) {
+              // ack FIRST (atomic marker), process second — the order is
+              // the whole guarantee
+              val tmp = ackDir.resolve(s"$epochId.tmp")
+              Files.write(tmp, Array.emptyByteArray)
+              Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+              batch.write.mode("append").parquet(sinkPath)
+            }
+            // marker already present: this epoch was acked by a previous
+            // attempt that died mid-process — drop it (at-most-once)
+          }
+          .start()
+      case g =>
+        val out = g match {
+          case Guarantee.EffectivelyOnce =>
+            StreamOps.dedupWithinWatermark(transformed)
+          case _ => transformed
+        }
+        out.writeStream
+          .option("checkpointLocation", checkpoint)
+          .format("parquet").option("path", sinkPath)
+          .start()
     }
-    out.writeStream
-      .option("checkpointLocation", checkpoint)
-      .format("parquet").option("path", sinkPath)
-      .start()
   }
 }

@@ -75,4 +75,46 @@ class CursorResumeSpec extends SparkSpec {
     assert(out.count() == 20, s"retried produces must collapse: ${out.count()}")
     assert(out.select(Envelope.SequenceId).distinct().count() == 20)
   }
+
+  test("at-most-once: acked-but-unprocessed batch is dropped on replay, never duplicated") {
+    val root = Files.createTempDirectory("graft-amo").toString
+    val tl = new TopicLog(spark, root, TopicName.parse("amo-topic"), 1)
+    tl.append(batch(0 until 30))
+
+    val sub = new Subscription(tl, "amo-sub", SubscriptionType.Exclusive,
+      checkpointRoot = s"$root/_cursors")
+    val sinkPath = s"$root/sink"
+    val ckpt = s"$root/fn-ckpt"
+    def runOnce(): Unit = {
+      val q = Functions.run(sub.stream(),
+        transform = df => df.select(Envelope.ProducerName, Envelope.SequenceId,
+          Envelope.Value),
+        sinkPath = sinkPath, checkpoint = ckpt,
+        guarantee = Functions.Guarantee.AtMostOnce)
+      q.processAllAvailable(); q.stop()
+    }
+    // happy path: batch 0 acked then processed
+    runOnce()
+    assert(spark.read.parquet(sinkPath).count() == 30)
+
+    // crash window: epoch 1 was ACKED by a consumer that died before
+    // processing — simulate by pre-writing its ack marker; the replayed
+    // batch must be dropped (lost), not reprocessed
+    tl.append(batch(30 until 50))
+    val ackDir = java.nio.file.Paths.get(ckpt, "_acks")
+    java.nio.file.Files.createDirectories(ackDir)
+    java.nio.file.Files.write(ackDir.resolve("1.acked"), Array.emptyByteArray)
+    runOnce()
+    assert(spark.read.parquet(sinkPath).count() == 30,
+      "acked-but-unprocessed batch must be lost, not replayed")
+
+    // subsequent batches process normally, exactly once
+    tl.append(batch(50 until 60))
+    runOnce()
+    val vals = spark.read.parquet(sinkPath)
+      .select(Envelope.Value).as[String](spark.implicits.newStringEncoder)
+      .collect().toSeq
+    assert(vals.size == 40, s"30 + 10 (epoch-1 rows lost): ${vals.size}")
+    assert(vals.distinct.size == 40, "nothing delivered twice")
+  }
 }
