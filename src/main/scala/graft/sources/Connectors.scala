@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.log.TopicLog
 import graft.model.Envelope
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -111,6 +111,41 @@ object Connectors {
   def batchSource(spark: SparkSession, paths: Seq[String], schema: StructType,
                   format: String): DataFrame =
     spark.read.schema(schema).format(format).load(paths: _*)
+
+  /**
+   * Push source (reference pulsar-io/core PushSource.java:36 `consume` /
+   * BatchPushSource.java): the connector CALLS `push(record)` instead of
+   * being polled. Spark-first shape: records buffer into a MemoryStream
+   * (the callback's thread-safe queue) and a streaming query drains each
+   * microbatch into the topic appender — `consume()` → `push()`,
+   * poll-loop → microbatch trigger. BatchPush is the same object fed
+   * from a discover/prepare loop (push a whole split per call).
+   *
+   * `toEnvelope` maps the pushed records to envelope columns (key,
+   * value, producer_name, sequence_id, publish_time...); stable
+   * content-derived sequence ids give the §2.8 dedup path replay
+   * protection exactly as in [[fileSourceToTopic]].
+   */
+  final class PushSource[T](spark: SparkSession, topic: TopicLog,
+                            toEnvelope: Dataset[T] => DataFrame,
+                            checkpoint: String)(
+                            implicit enc: org.apache.spark.sql.Encoder[T]) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    private val buffer = MemoryStream[T]
+
+    /** The connector callback: thread-safe, non-blocking enqueue. */
+    def push(records: T*): Unit = { buffer.addData(records): Unit }
+
+    /** Start draining pushed records into the topic. */
+    def start(): StreamingQuery =
+      toEnvelope(buffer.toDS()).writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) topic.append(batch): Unit
+        }
+        .start()
+  }
 
   /** Write modes of the JDBC sink (reference
     * pulsar-io/jdbc/core/.../JdbcAbstractSink.java:52 INSERT/UPSERT/DELETE

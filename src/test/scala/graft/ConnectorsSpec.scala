@@ -38,6 +38,32 @@ class ConnectorsSpec extends SparkSpec {
     assert(names == Set("x", "y", "z"))
   }
 
+  test("push source: callback-style records drain into the topic across pushes") {
+    val dir = Files.createTempDirectory("graft-push").toString
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("push-in"), 2)
+    val src = new Connectors.PushSource[(String, String)](spark, topic,
+      toEnvelope = ds => ds.toDF("k", "v").select(
+        col("k").as(graft.model.Envelope.Key),
+        col("v").as(graft.model.Envelope.Value),
+        lit("push-src").as(graft.model.Envelope.ProducerName),
+        xxhash64(col("v")).as(graft.model.Envelope.SequenceId),
+        current_timestamp().as(graft.model.Envelope.PublishTime),
+        current_timestamp().as(graft.model.Envelope.EventTime)),
+      checkpoint = s"$dir/ckpt")
+    val q = src.start()
+    src.push("a" -> "1", "b" -> "2")
+    q.processAllAvailable()
+    assert(topic.read().count() == 2)
+    // the callback keeps feeding while the query runs (PushSource contract)
+    src.push("c" -> "3")
+    q.processAllAvailable()
+    assert(topic.read().count() == 3)
+    // keys routed by murmur3 like any produce path
+    assert(topic.read().select(graft.model.Envelope.Partition)
+      .distinct().count() >= 1)
+    q.stop()
+  }
+
   test("jdbc sink: insert, upsert (update-else-insert), delete against embedded Derby") {
     val dir = Files.createTempDirectory("graft-jdbc").toString
     val url = s"jdbc:derby:$dir/db;create=true"
