@@ -424,10 +424,8 @@ object SparkEntry {
   /** §2.5 session windows (30-minute inactivity gap) per user — Spark
     * session_window vs the oracle's gaps-and-islands reconstruction. */
   private def qSessionWindows(s: SparkSession, dir: String): DataFrame =
-    env(s, dir)
-      .groupBy(session_window(col(Envelope.EventTime), "30 minutes"),
-        col(Envelope.Key))
-      .agg(count(lit(1)).as("n"))
+    Windows.session(env(s, dir), Envelope.EventTime, "30 minutes",
+        keys = Seq(col(Envelope.Key)), aggs = Seq(count(lit(1)).as("n")))
       .groupBy(Envelope.Key)
       .agg(count(lit(1)).cast("bigint").as("n_sessions"),
         sum("n").cast("bigint").as("n_events"))

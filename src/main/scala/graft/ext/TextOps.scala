@@ -177,9 +177,12 @@ object TextOps {
    */
   def withRepetitionRatio(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    // bigrams are hashed in one native pass and NEVER materialized as
+    // strings — both aggregations shuffle (id, 8-byte hash) keys only
     val bigrams = docs.select(col(idCol),
-        explode(shinglesAll(col(textCol), 2)).as("bg"))
-    val ratio = bigrams.groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+        explode(graft.functions.Sketch.shingle_hashes(
+          col(textCol), 2, distinct = false)).as("bg_h"))
+    val ratio = bigrams.groupBy(idCol, "bg_h").agg(count(lit(1)).as("c"))
       .groupBy(idCol)
       .agg((max("c").cast("double") / sum("c")).as("top_bigram_ratio"))
     docs.join(ratio, Seq(idCol), "left")

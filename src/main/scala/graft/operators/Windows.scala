@@ -29,6 +29,19 @@ object Windows {
               keys: Seq[Column], aggs: Seq[Column]): DataFrame =
     df.groupBy(window(col(tsCol), length, slide) +: keys: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Session windows (inactivity gap) — batch or streaming input. On a
+    * stream, pair with `withWatermark` upstream (or use `maxLag` here)
+    * and Append output: a session fires once the watermark passes its
+    * last event + gap, and events arriving within the gap MERGE into the
+    * open session across microbatches (Spark's native session merge). */
+  def session(df: DataFrame, tsCol: String, gap: String,
+              keys: Seq[Column], aggs: Seq[Column],
+              maxLag: Option[String] = None): DataFrame = {
+    val in = maxLag.fold(df)(df.withWatermark(tsCol, _))
+    in.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /**
    * Batch count-based tumbling windows (CountTriggerPolicy.java:34 +
    * CountEvictionPolicy): per key, rows are grouped into consecutive

@@ -34,6 +34,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: events within the gap merge, session fires past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDS().toDF("k", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs") + 1700000000L))
+    val out = Windows.session(df, "ts", gap = "10 minutes",
+      keys = Seq(col("k")),
+      aggs = Seq(count(lit(1)).as("n"), min("secs").as("first"), max("secs").as("last")),
+      maxLag = Some("0 seconds"))
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // two events 5 min apart: one open session (nothing fires yet)
+      input.addData(("u1", 0L), ("u1", 300L))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0)
+      // an event 5 more minutes on MERGES into the same session across
+      // microbatches; a far-future event then pushes the watermark past
+      // the gap and the merged session fires as ONE row of 3 events
+      input.addData(("u1", 600L))
+      q.processAllAvailable()
+      input.addData(("u1", 7200L))
+      q.processAllAvailable()
+      val fired = spark.table("sess")
+        .select("k", "n", "first", "last")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(fired == Set(("u1", 3L, 0L, 600L)),
+        s"expected one merged 3-event session, got $fired")
+    } finally q.stop()
+  }
+
   test("streaming sliding count windows: trigger every `slide`, evict to `length`") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
