@@ -95,6 +95,50 @@ object VectorOps {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k — the second scale path beside
+   * sign-LSH, same probe-join shape: a deterministic k-means coarse
+   * quantizer (Spark ML, fixed seed) partitions the corpus into `nlist`
+   * cells; each query probes its `nprobe` nearest cells and verifies
+   * exact cosine on candidates only. With `nprobe = nlist` this equals
+   * brute force (the spec asserts it); smaller nprobe trades recall for
+   * an `nprobe/nlist` slice of the scan — at 100 TB the cell assignment
+   * is a partition key, so a probe touches only its cells' files.
+   */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(iters)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(c.select("fv"))
+    val cells = model.transform(c).drop("fv")
+    // centroids are tiny (nlist × dim) — broadcast as a literal table
+    val centroids = corpus.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .select("query_id", "corpus_id", "sim").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs above `threshold`, via the same
    * LSH bucketing (exact verify on candidates).
    */

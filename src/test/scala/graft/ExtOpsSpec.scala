@@ -106,6 +106,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("annIvf: full probe equals brute force; partial probe is a sound subset") {
+    val queries = vecs.filter(col("vec_id") < 5)
+    // probing every cell must reproduce exact brute-force top-k
+    val full = VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 8)
+      .select("query_id", "rank", "corpus_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = VectorOps.annBruteForce(vecs, queries, 5)
+      .select("query_id", "rank", "corpus_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == brute, "nprobe = nlist must equal brute force")
+    // partial probe: at most k per query, sims exact, ranks descending
+    val part = VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 2).cache()
+    assert(part.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+    val verified = part.join(
+        vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(vecs.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")), "corpus_id")
+      .withColumn("true_sim", VectorOps.cosine(col("cv"), col("qv")))
+      .filter(abs(col("sim") - col("true_sim")) > 1e-9)
+    assert(verified.count() == 0, "every emitted sim is the exact cosine")
+    part.unpersist()
+  }
+
   test("lang-id + quality columns are well-formed") {
     val lid = TextOps.withLangId(docs)
     assert(lid.filter(col("fnword_ratio") < 0 || col("fnword_ratio") > 1).count() == 0)
