@@ -75,6 +75,21 @@ object SparkEntry {
       |  SELECT vec_id, t AS tbl, (sig >> (t * 8)) & 255 AS bucket
       |  FROM sigs CROSS JOIN range(0, 4) r(t))""".stripMargin
 
+  /** Exact top-5 cosine neighbors for the 20 query vectors — the oracle
+    * for ann_bruteforce and for ann_ivf's exact (all-cells-probed) mode. */
+  private val annBruteSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, corpus_id,
+      |    list_cosine_similarity(CAST(cv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS sim
+      |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+      |ranked AS (SELECT query_id, corpus_id, sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, corpus_id, round(sim, 6) AS sim_r FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Brute-force exact 3-gram word-shingle Jaccard pairs at ≥ 0.8: the
     * truth set that both LSH candidate paths (minhash_lsh, simhash_pairs)
     * must reproduce after their exact-verify join. */
@@ -660,6 +675,20 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN in exact mode (nprobe = nlist): every cell is probed, so
+    * the result provably equals brute-force top-k regardless of where
+    * k-means placed the centroids — the whole quantize→probe→verify
+    * machinery runs end-to-end against the brute-force oracle. Partial
+    * probes (the recall trade) are covered by ExtOpsSpec. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = tbl(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 20)
+    VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 8)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("corpus_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (rows-only oracle).
     * Threshold 0.4: the synthetic embeddings top out at cosine ≈ 0.49, so
     * 0.4 exercises candidate-generation + verify with non-empty output. */
@@ -767,6 +796,7 @@ object SparkEntry {
     "simhash_pairs" -> (qSimHash _),
     "ann_bruteforce" -> (qAnnBrute _),
     "ann_lsh" -> (qAnnLsh _),
+    "ann_ivf" -> (qAnnIvf _),
     "cosine_near_dup" -> (qCosineNearDup _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
@@ -1160,18 +1190,10 @@ object SparkEntry {
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM clean GROUP BY lang ORDER BY lang""".stripMargin,
-    "ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT query_id, corpus_id,
-        |    list_cosine_similarity(CAST(cv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS sim
-        |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
-        |ranked AS (SELECT query_id, corpus_id, sim,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, corpus_id, round(sim, 6) AS sim_r FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_bruteforce" -> annBruteSql,
+    // IVF in exact mode (nprobe = nlist) provably equals brute force —
+    // same oracle; the machinery difference is all on the Spark side.
+    "ann_ivf" -> annBruteSql,
     "minhash_lsh" -> jaccardBruteSql,
     "simhash_pairs" -> jaccardBruteSql,
     "ann_lsh" -> (mm3Macros +
