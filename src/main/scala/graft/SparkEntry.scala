@@ -683,7 +683,9 @@ object SparkEntry {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val vecs = tbl(s, dir, "embeddings")
     val queries = vecs.filter(col("vec_id") < 20)
-    VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 8)
+    // iters=1: with every cell probed, centroid quality cannot affect
+    // the result — don't pay for Lloyd refinement the query can't see
+    VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 8, iters = 1)
       .select(col("query_id"), col("rank").cast("bigint").as("rank"),
         col("corpus_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("query_id", "rank")
