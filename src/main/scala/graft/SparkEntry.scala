@@ -551,6 +551,22 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** §2.10 Key_Shared membership change, fully oracle-checked: the
+    * DuckDB side rebuilds BOTH consistent-hash rings in SQL (ring point
+    * = mm3_8("c-i") % 65536, ceiling lookup with the engine's exact
+    * (point, owner) tie-break and wrap-around) and reproduces every
+    * row's before/after owner — hash collisions between ring points
+    * included. Movement counts per (before → after) pair are the output,
+    * so the minimal-movement property is itself oracle-verified. */
+  private def qKeySharedRebalance(s: SparkSession, dir: String): DataFrame =
+    Dispatch.keySharedRebalance(env(s, dir),
+        oldConsumers = Seq("c1", "c2", "c3"),
+        newConsumers = Seq("c1", "c2", "c3", "c4"))
+      .groupBy("consumer_before", "consumer_after")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"))
+      .orderBy("consumer_before", "consumer_after")
+
   /** Multimodal pipeline with REAL header decoding: spec-valid PNG/JPEG/
     * GIF/WAV fixture bytes are synthesized per doc_id, then parsed back
     * by the container-header codecs and fed through the resize planner.
@@ -779,6 +795,7 @@ object SparkEntry {
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),
+    "keyshared_rebalance" -> (qKeySharedRebalance _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "chunk_reassembly" -> (qChunkReassembly _),
     "crypto_roundtrip" -> (qCryptoRoundtrip _),
@@ -1057,6 +1074,44 @@ object SparkEntry {
         |SELECT consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
         |FROM slots GROUP BY consumer_id ORDER BY consumer_id""".stripMargin),
+    // Both consistent-hash rings rebuilt in pure SQL: point = mm3_8 of
+    // the "consumer-i" name; ceiling lookup = first (point, owner) with
+    // point >= slot, wrapping to the smallest point — the same
+    // tie-break order as Dispatch.ringAssign's stable sort.
+    // The rings are materialized as temp tables (separate statements):
+    // the mm3_8 macro expands to a large expression tree, and three
+    // evaluation regions in one pipeline exhaust DuckDB's per-thread
+    // allocations at high thread counts.
+    "keyshared_rebalance" -> (mm3Macros +
+      """CREATE OR REPLACE TEMP TABLE graft_ring_old AS
+        |  SELECT mm3_8(c || '-' || CAST(i AS VARCHAR)) % 65536 AS point, c AS owner
+        |  FROM (SELECT unnest(['c1','c2','c3']) AS c) cs CROSS JOIN range(0, 100) t(i);
+        |CREATE OR REPLACE TEMP TABLE graft_ring_new AS
+        |  SELECT mm3_8(c || '-' || CAST(i AS VARCHAR)) % 65536 AS point, c AS owner
+        |  FROM (SELECT unnest(['c1','c2','c3','c4']) AS c) cs CROSS JOIN range(0, 100) t(i);
+        |WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), envelope AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
+        |), slots AS (
+        |  SELECT key, mm3_8(key) % 65536 AS slot FROM envelope
+        |), uniq AS (SELECT DISTINCT key, slot FROM slots
+        |), a_old AS (
+        |  SELECT key, owner AS consumer_before FROM (
+        |    SELECT u.key, r.owner,
+        |      ROW_NUMBER() OVER (PARTITION BY u.key ORDER BY (r.point < u.slot), r.point, r.owner) AS rn
+        |    FROM uniq u CROSS JOIN graft_ring_old r) t WHERE rn = 1
+        |), a_new AS (
+        |  SELECT key, owner AS consumer_after FROM (
+        |    SELECT u.key, r.owner,
+        |      ROW_NUMBER() OVER (PARTITION BY u.key ORDER BY (r.point < u.slot), r.point, r.owner) AS rn
+        |    FROM uniq u CROSS JOIN graft_ring_new r) t WHERE rn = 1
+        |), joined AS (
+        |  SELECT s.key, consumer_before, consumer_after
+        |  FROM slots s JOIN a_old USING (key) JOIN a_new USING (key))
+        |SELECT consumer_before, consumer_after, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+        |FROM joined GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "topic_log_roundtrip" -> (mm3Macros +
       """WITH ev AS (
         |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
