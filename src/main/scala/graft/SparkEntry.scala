@@ -75,6 +75,20 @@ object SparkEntry {
       |  SELECT vec_id, t AS tbl, (sig >> (t * 8)) & 255 AS bucket
       |  FROM sigs CROSS JOIN range(0, 4) r(t))""".stripMargin
 
+  /** Key-routed per-partition counts and dense max offsets — the oracle
+    * for topic_log_roundtrip AND coalesce_roundtrip (a coalesce must be
+    * content-neutral, so the same truth applies). */
+  private val topicLogRoundtripSql: String = mm3Macros +
+    """WITH ev AS (
+      |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+      |), envelope AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
+      |), routed AS (
+      |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition FROM envelope)
+      |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
+      |FROM routed GROUP BY partition ORDER BY partition""".stripMargin
+
   /** Exact top-5 cosine neighbors for the 20 query vectors — the oracle
     * for ann_bruteforce and for ann_ivf's exact (all-cells-probed) mode. */
   private val annBruteSql: String =
@@ -567,6 +581,25 @@ object SparkEntry {
         countDistinct(Envelope.Key).cast("bigint").as("n_keys"))
       .orderBy("consumer_before", "consumer_after")
 
+  /** Snapshot coalesce end-to-end on the oracle surface: append through
+    * the produce path, coalesce to one file per partition (manifest file
+    * snapshot), vacuum the replaced files — and prove content identity:
+    * the output (and oracle) is exactly topic_log_roundtrip's, so any
+    * row lost or duplicated by the rewrite breaks the hash match. */
+  private def qCoalesceRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q-coalesce").toString
+    val tl = new graft.log.TopicLog(s, root,
+      graft.model.TopicName.parse("persistent://public/default/events"), 4)
+    val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+    tl.append(e)
+    graft.log.Admin.coalesceFiles(tl, filesPerPartition = 1)
+    tl.vacuum()
+    tl.read().groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
   /** Multimodal pipeline with REAL header decoding: spec-valid PNG/JPEG/
     * GIF/WAV fixture bytes are synthesized per doc_id, then parsed back
     * by the container-header codecs and fed through the resize planner.
@@ -803,6 +836,7 @@ object SparkEntry {
     "admin_skip" -> (qAdminSkip _),
     "q_count_distinct" -> (qCountDistinct _),
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
+    "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
     "multimodal_pipeline" -> (qMultimodal _),
     // llm-pipeline extensions
     "text_tokens" -> (qTextTokens _),
@@ -1112,16 +1146,10 @@ object SparkEntry {
         |SELECT consumer_before, consumer_after, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
         |FROM joined GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "topic_log_roundtrip" -> (mm3Macros +
-      """WITH ev AS (
-        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
-        |), envelope AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
-        |), routed AS (
-        |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition FROM envelope)
-        |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
-        |FROM routed GROUP BY partition ORDER BY partition""".stripMargin),
+    "topic_log_roundtrip" -> topicLogRoundtripSql,
+    // coalesce+vacuum must be content-neutral: same oracle as the plain
+    // produce round trip — a lost or duplicated row breaks the match
+    "coalesce_roundtrip" -> topicLogRoundtripSql,
     "chunk_reassembly" -> envSql(
       """SELECT CAST("offset" AS VARCHAR) AS chunk_uuid, value AS payload
         |FROM envelope WHERE value IS NOT NULL AND "offset" < 100
