@@ -72,6 +72,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("verified LSH pairs == naive exact jaccard >= 0.8 over random corpora with planted dups (3 seeds)") {
+    import graft.ext.MinHash
+    for (seed <- 40L to 42L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 300).map(i => s"w$i")
+      val base = scala.collection.mutable.ArrayBuffer[String]()
+      val docs = (0 until 120).map { i =>
+        val text =
+          if (i >= 10 && rnd.nextInt(4) == 0 && base.nonEmpty) {
+            // planted near-dup: mutate ~2% of a previous doc's tokens
+            val src = base(rnd.nextInt(base.length)).split(" ")
+            src.map(t => if (rnd.nextInt(50) == 0)
+              vocab(rnd.nextInt(vocab.size)) else t).mkString(" ")
+          } else (0 until 80 + rnd.nextInt(40))
+            .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        base += text
+        (i.toLong, text)
+      }
+      // naive truth: exact 3-gram shingle-set jaccard over all pairs
+      def sh(t: String): Set[Seq[String]] =
+        t.split(" ", -1).toSeq.sliding(3).filter(_.size == 3).toSet
+      val truth = (for {
+        a <- docs; b <- docs if a._1 < b._1
+        sa = sh(a._2); sb = sh(b._2)
+        u = (sa ++ sb).size if u > 0
+        j = (sa & sb).size.toDouble / u if j >= 0.8
+      } yield (a._1, b._1, math.rint(j * 1e6) / 1e6)).toSet
+      assert(truth.nonEmpty, s"seed $seed planted no dups")
+
+      val df = docs.toDF("doc_id", "text")
+      val viaMinhash = MinHash.lshVerifiedPairs(df, threshold = 0.8)
+        .select("id_a", "id_b", "jac_r").as[(Long, Long, Double)].collect().toSet
+      assert(viaMinhash == truth, s"minhash seed $seed")
+      val viaSimhash = MinHash.simhashVerifiedPairs(df, maxHamming = 7,
+          threshold = 0.8)
+        .select("id_a", "id_b", "jac_r").as[(Long, Long, Double)].collect().toSet
+      assert(viaSimhash == truth, s"simhash seed $seed")
+    }
+  }
+
   test("count windows == naive chunking (5 seeds)") {
     for (seed <- 30L to 34L) {
       val log = randomLog(seed, 200).map(m => m.copy(value = "x"))
