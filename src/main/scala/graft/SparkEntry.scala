@@ -32,10 +32,16 @@ object SparkEntry {
   private def envSql(body: String): String =
     s"WITH ${Envelope.duckdbCte}\n$body"
 
-  /** Pure-SQL murmur3_32 (x86, seed 0) over ≤8-byte ASCII keys, in
+  /** Pure-SQL murmur3_32 (x86, seed 0) over ≤7-byte ASCII keys, in
     * overflow-safe 32-bit arithmetic (16-bit-split multiplies): the DuckDB
     * twin of [[graft.functions.Murmur3Pulsar.pulsar_hash]]. Shared by every
-    * oracle that must reproduce the engine's key routing. */
+    * oracle that must reproduce the engine's key routing. Lengths 0–3 are
+    * tail-only, 4 is one body round, 5–7 body + tail; ≥8 bytes would need
+    * a second body round whose macro expansion explodes combinatorially
+    * (each nested macro duplicates its argument), so those yield NULL —
+    * a mis-scoped key fails LOUDLY in the oracle (hash mismatch) instead
+    * of silently diverging. Test keys (user ids, consumer-point names)
+    * are ≤7 bytes up to sf 1.0. */
   private val mm3Macros: String =
     """CREATE OR REPLACE MACRO mul32(a, bl, bh) AS (((a * bl) + (((a * bh) & 65535) << 16)) & 4294967295);
       |CREATE OR REPLACE MACRO rotl32(x, r) AS (((x << r) | (x >> (32 - r))) & 4294967295);
@@ -51,7 +57,8 @@ object SparkEntry {
       |CREATE OR REPLACE MACRO mm3_8(s) AS ((
       |  CASE WHEN length(s) <= 3 THEN fmixx(xor(xor(CAST(0 AS BIGINT), mmix(tail1(s))), length(s)))
       |       WHEN length(s) = 4 THEN fmixx(xor(h1body(s), 4))
-      |       ELSE fmixx(xor(xor(h1body(s), mmix(tail2(s))), length(s)))
+      |       WHEN length(s) <= 7 THEN fmixx(xor(xor(h1body(s), mmix(tail2(s))), length(s)))
+      |       ELSE NULL
       |  END) & 2147483647);
       |CREATE OR REPLACE MACRO h1body_i(k) AS (((rotl32(mmix(CAST(k AS BIGINT)), 13) * 5) + 3864292196) & 4294967295);
       |CREATE OR REPLACE MACRO mm3_i4(k) AS (fmixx(xor(h1body_i(k), 4)));

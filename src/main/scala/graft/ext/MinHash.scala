@@ -87,13 +87,7 @@ object MinHash {
       .select("id_a", "id_b")
     val sh = docs.select(col(idCol).as("id"),
       graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true).as("sh"))
-    cands
-      .join(sh.toDF("id_a", "sh_a"), "id_a")
-      .join(sh.toDF("id_b", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
+    TextOps.verifyExactJaccard(cands, sh, threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
   }
 
@@ -106,13 +100,7 @@ object MinHash {
       .select("id_a", "id_b")
     val sh = docs.select(col(idCol).as("id"),
       graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true).as("sh"))
-    cands
-      .join(sh.toDF("id_a", "sh_a"), "id_a")
-      .join(sh.toDF("id_b", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
+    TextOps.verifyExactJaccard(cands, sh, threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
   }
 

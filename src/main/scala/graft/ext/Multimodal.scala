@@ -109,7 +109,11 @@ object Multimodal {
     while (pos + 8 <= b.length) {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = le32(b, pos + 4)
-      if (id == "fmt " && pos + 16 <= b.length) {
+      // a chunk size beyond the buffer means a truncated/malformed file
+      // (it also guards the Int overflow of sizes >= 2^31) — bail out and
+      // let the caller fall back to the stub
+      if (size > b.length) return None
+      if (id == "fmt " && pos + 20 <= b.length) {
         channels = le16(b, pos + 10)
         byteRate = le32(b, pos + 16)
       } else if (id == "data") {

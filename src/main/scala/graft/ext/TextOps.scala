@@ -239,6 +239,22 @@ object TextOps {
     val cands = a.join(b, Seq("shingle_h"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    verifyExactJaccard(cands, sh, threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * The exact-verify join every candidate-generation path (inverted
+   * index, MinHash-LSH, SimHash) funnels through: ship each candidate's
+   * shingle set once (keyed on scalar ids), compute exact Jaccard =
+   * |∩| / |∪|, keep pairs at/above `threshold`. One definition so the
+   * three oracle-coupled paths can never drift apart.
+   *
+   * `cands` must have columns (id_a, id_b); `sh` columns (id, sh).
+   * Returns (id_a, id_b, jaccard) plus the shingle columns.
+   */
+  private[ext] def verifyExactJaccard(cands: DataFrame, sh: DataFrame,
+                                      threshold: Double): DataFrame =
     cands
       .join(sh.toDF("id_a", "sh_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b"), "id_b")
@@ -246,6 +262,4 @@ object TextOps {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
 }

@@ -175,6 +175,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       .drop("_rn", "base_offset")
 
     val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
+    clearStaging(epoch) // a crashed prior attempt may have left files here
     val staged = withOffsets.persist()
     val n = staged.count()
     // data lands under _staging/<epoch>/ — underscore dirs are invisible
@@ -197,6 +198,19 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       case None => Seq.empty
     }
     StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), n)
+  }
+
+  /** Remove any leftover staging tree for `epoch`. An un-published epoch
+    * ≥ the last committed one can only be garbage from a crashed attempt
+    * (a COMMITTED epoch would have advanced committedEpochs, so the next
+    * staging write picks a higher number) — without this purge, a retry
+    * writing with mode("append") would stage the stale files alongside
+    * the fresh ones and commit every row twice. */
+  private def clearStaging(epoch: Long): Unit = {
+    val dir = Paths.get(basePath, "_staging", epoch.toString)
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
   }
 
   /** Relative (final) paths of the parquet files staged for `epoch` —
@@ -222,6 +236,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
   def replaceDataFiles(df: DataFrame): Unit = {
     val hw = highWater()
     val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
+    clearStaging(epoch) // a crashed prior attempt may have left files here
     df.write.mode("append").partitionBy(Envelope.Partition)
       .parquet(s"$basePath/_staging/$epoch")
     val hwLines = (0 until numPartitions).map(p => s"$p,${hw.getOrElse(p, -1L)}")

@@ -198,10 +198,19 @@ object Connectors {
           else batch.filter(hw.map { case (p, o) =>
             (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
           }.reduce(_ || _))
-        committed.select(projection: _*).rdd.foreachPartition { rows =>
-          if (rows.hasNext) writeJdbcPartition(
-            rows, url, table, dbKeys, dbVals, mode, batchSize)
-        }
+        // per-key apply order: a key routes to exactly one topic
+        // partition, so its offsets are a total order — repartition by
+        // key and sort within partitions so replays and multi-file
+        // batches converge to last-write-wins, never arrival order
+        committed
+          .select(projection :+ col(Envelope.Offset).as("_apply_order"): _*)
+          .repartition(dbKeys.map(col): _*)
+          .sortWithinPartitions(col("_apply_order"))
+          .select((dbKeys ++ dbVals).map(col): _*)
+          .rdd.foreachPartition { rows =>
+            if (rows.hasNext) writeJdbcPartition(
+              rows, url, table, dbKeys, dbVals, mode, batchSize)
+          }
       }
       .start()
   }
@@ -248,14 +257,32 @@ object Connectors {
         case JdbcMode.Upsert =>
           val up = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
+          // keys INSERTed by this partition: a later duplicate of such a
+          // key also reports update-count 0 from the same batch (the
+          // batch ran before the insert), and must UPDATE, not INSERT
+          // again — otherwise a repeated key in one microbatch dies on
+          // the primary-key constraint
+          val inserted = scala.collection.mutable.HashSet[Seq[Any]]()
           rows.grouped(batchSize).foreach { group =>
             group.foreach { r => bind(up, r, valueCols ++ keyCols); up.addBatch() }
             val counts = up.executeBatch()
-            // keys that updated zero rows don't exist yet → INSERT them
             group.iterator.zip(counts.iterator).foreach { case (r, c) =>
-              if (c == 0) { bind(ins, r, cols); ins.addBatch() }
+              val key = keyCols.map(r.getAs[Any])
+              // SUCCESS_NO_INFO drivers don't report counts — probe with
+              // a single UPDATE so "0 rows" is never guessed
+              val updatedRows =
+                if (c == java.sql.Statement.SUCCESS_NO_INFO) {
+                  bind(up, r, valueCols ++ keyCols); up.executeUpdate()
+                } else c
+              if (updatedRows == 0) {
+                if (inserted.contains(key)) {
+                  bind(up, r, valueCols ++ keyCols); up.executeUpdate(): Unit
+                } else {
+                  bind(ins, r, cols); ins.executeUpdate()
+                  inserted += key
+                }
+              }
             }
-            ins.executeBatch(): Unit
           }
           up.close(); ins.close()
       }

@@ -101,6 +101,23 @@ class CoalesceSnapshotSpec extends SparkSpec {
     assert(log.manifestFiles().get.toSet == staged.toSet)
   }
 
+  test("coalesce RETRY after a staging-only crash does not duplicate rows") {
+    val log = freshLog()
+    log.append(batch(0 until 70))
+    val before = contents(log)
+    // crashed first attempt: staged files exist at the NEXT epoch (1),
+    // no manifest — exactly what a retry will reuse
+    log.read().repartition(1, col(Envelope.Partition))
+      .write.mode("append").partitionBy(Envelope.Partition)
+      .parquet(log.name.path(log.root) + "/_staging/1")
+    // the retry must purge the stale staging, not append beside it
+    Admin.coalesceFiles(log, filesPerPartition = 1)
+    assert(contents(log) == before, "stale staged files must not double rows")
+    assert(log.manifestFiles().get.size == 4)
+    log.vacuum()
+    assert(contents(log) == before)
+  }
+
   test("appends after coalesce carry the file snapshot forward — no duplicate reads") {
     val log = freshLog()
     log.append(batch(0 until 60))

@@ -119,7 +119,19 @@ class ConnectorsSpec extends SparkSpec {
     q3.awaitTermination(60000)
     assert(tableRows().isEmpty)
 
-    // insert mode appends rows verbatim into a PK-less table: all 5
+    // duplicate keys WITHIN one replayed batch: the first occurrence
+    // inserts, later ones update — no primary-key violation, and the
+    // last value (highest offset) wins
+    topic.append(envelopeBatch(Seq("e" -> "1", "e" -> "2")))
+    val q5 = Connectors.topicToJdbcSink(topic, url, "sink_t",
+      keyCols = Seq(graft.model.Envelope.Key -> "k"),
+      valueCols = Seq(graft.model.Envelope.Value -> "v"),
+      mode = Connectors.JdbcMode.Upsert, checkpoint = s"$dir/ckpt-dup")
+    q5.awaitTermination(60000)
+    assert(tableRows() == Map("a" -> "10", "b" -> "2", "c" -> "3",
+      "d" -> "4", "e" -> "2"), tableRows().toString)
+
+    // insert mode appends rows verbatim into a PK-less table: all 7
     // produced envelope rows land, including both values of key 'a'
     val c2 = java.sql.DriverManager.getConnection(url)
     c2.createStatement().executeUpdate(
@@ -133,7 +145,7 @@ class ConnectorsSpec extends SparkSpec {
     val c3 = java.sql.DriverManager.getConnection(url)
     val rs = c3.createStatement().executeQuery("SELECT COUNT(*) FROM sink_ins")
     rs.next()
-    assert(rs.getInt(1) == 5)
+    assert(rs.getInt(1) == 7)
     c3.close()
   }
 

@@ -85,6 +85,23 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(m.getString(1) == "stub")
   }
 
+  test("malformed RIFF files fall back to the stub instead of crashing") {
+    // valid RIFF/WAVE magic, then a chunk whose size overruns the buffer
+    val overrun = ("RIFF".getBytes("US-ASCII") ++
+      Array[Byte](100, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0x7f)) ++ new Array[Byte](24)
+    assert(decode(overrun).getString(1) == "stub")
+    // fmt chunk header fits but its body is truncated mid-field
+    val truncated = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](40, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++
+      "pad ".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      new Array[Byte](20) ++
+      "fmt ".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0)
+    assert(truncated.length == 48)
+    assert(decode(truncated).getString(1) == "stub")
+  }
+
   test("synthesizeMedia + decode recovers the fixture formulas distributed") {
     val ids = spark.range(0, 64).toDF("doc_id").repartition(8)
     val decoded = Multimodal.withDecodedMeta(
