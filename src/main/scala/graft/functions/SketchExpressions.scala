@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -11,8 +10,10 @@ import org.apache.spark.sql.types._
  * Native kernels for the similarity/sketch operators. Spark's higher-order
  * array functions (`transform`/`aggregate`) evaluate interpreted, one
  * closure call per element — for 64-dim × 32-plane per-row loops that is
- * the hot path at 100 TB. Each expression here is one virtual call per
- * row with a JIT-compiled tight loop over ArrayData.
+ * the hot path at 100 TB. Every expression here participates in
+ * whole-stage codegen with NO per-row InternalRow materialization:
+ * dot/cosine emit their loops inline in the generated Java, the rest
+ * call a typed `kernel` method directly (KernelCodegen).
  *
  * All randomness is derived deterministically with no stored model:
  * splitmix64 (public-domain mixer, Steele/Lea/Flood OOPSLA 2014) for the
@@ -53,13 +54,24 @@ object Sketch {
     }
 }
 
-trait VectorPairExpr extends BinaryExpression with CodegenFallback {
+trait VectorPairExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+  /** Java accessor snippet reading element `i` of ArrayData `v` as double. */
+  protected def getAsDouble(v: String, e: Expression, i: String): String =
+    elemType(e) match {
+      case FloatType   => s"(double) $v.getFloat($i)"
+      case DoubleType  => s"$v.getDouble($i)"
+      case LongType    => s"(double) $v.getLong($i)"
+      case IntegerType => s"(double) $v.getInt($i)"
+      case t => throw new IllegalArgumentException(s"bad element type $t")
+    }
 }
 
-/** dot(a, b): sequential-order double accumulation. */
+/** dot(a, b): sequential-order double accumulation. Real codegen — the
+  * loop is emitted inline in the whole-stage-generated Java, no
+  * InternalRow materialization (which CodegenFallback would pay per row). */
 case class DotProductExpr(left: Expression, right: Expression) extends VectorPairExpr {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -69,12 +81,26 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorPai
     while (i < n) { s += Sketch.toDoubleAt(a, ta, i) * Sketch.toDoubleAt(b, tb, i); i += 1 }
     s
   }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (${getAsDouble(a, left, i)}) * (${getAsDouble(b, right, i)});
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "dot_product"
 }
 
-/** cosine(a, b) in one pass over both arrays. */
+/** cosine(a, b) in one pass over both arrays; inline codegen loop. */
 case class CosineSimExpr(left: Expression, right: Expression) extends VectorPairExpr {
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -87,6 +113,24 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorPair
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getAsDouble(a, left, i)};
+         |  double $y = ${getAsDouble(b, right, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
@@ -101,7 +145,7 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorPair
  * verified similarities. One pass computes all `bits` projections.
  */
 case class SignLshExpr(child: Expression, bits: Int) extends UnaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
   require(bits >= 1 && bits <= 64, "bits in [1, 64]")
   override def dataType: DataType = LongType
   private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
@@ -118,8 +162,7 @@ case class SignLshExpr(child: Expression, bits: Int) extends UnaryExpression
     }
     p
   }
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def kernel(arr: ArrayData): Long = {
     val et = elemType
     val n = arr.numElements()
     val p = planesFor(n)
@@ -135,8 +178,26 @@ case class SignLshExpr(child: Expression, bits: Int) extends UnaryExpression
     while (i < bits) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
     sig
   }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "sign_lsh"
+}
+
+/**
+ * Codegen for the per-row kernels: emit a direct call to the typed
+ * `kernel` method on this expression instance (installed as a codegen
+ * reference object). Unlike CodegenFallback there is NO InternalRow
+ * materialization per call — the input stays a primitive/ArrayData local
+ * in the generated Java, and the kernel body is one JIT-friendly loop.
+ */
+trait KernelCodegen extends UnaryExpression {
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("kernelExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
 }
 
 /**
@@ -146,14 +207,13 @@ case class SignLshExpr(child: Expression, bits: Int) extends UnaryExpression
  * ONCE (xxhash64 upstream); the k permutations are integer arithmetic.
  */
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient private lazy val as: Array[Long] =
     Array.tabulate(k)(i => Sketch.splitmix64(2L * i) | 1L) // odd multipliers
   @transient private lazy val bs: Array[Long] =
     Array.tabulate(k)(i => Sketch.splitmix64(2L * i + 1))
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var j = 0
@@ -169,6 +229,7 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
     }
     new GenericArrayData(sig)
   }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "minhash_sig"
 }
@@ -185,11 +246,11 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
  * `n = 1, distinct = false` yields plain token hashes (SimHash input).
  */
 case class ShingleHashExpr(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
   require(n >= 1, "shingle size >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+  def kernel(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = s
       .split(org.apache.spark.unsafe.types.UTF8String.fromString(" "), -1)
     val t = toks.length
     val th = new Array[Long](t)
@@ -223,6 +284,8 @@ case class ShingleHashExpr(child: Expression, n: Int, distinct: Boolean)
       new GenericArrayData(java.util.Arrays.copyOf(out, w))
     }
   }
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "shingle_hashes"
 }
@@ -232,10 +295,9 @@ case class ShingleHashExpr(child: Expression, n: Int, distinct: Boolean)
  * the sign of Σ tokens (±1 by bit j of the token hash). Single pass.
  */
 case class SimHashSigExpr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def kernel(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var j = 0
@@ -252,6 +314,7 @@ case class SimHashSigExpr(child: Expression) extends UnaryExpression
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "simhash_sig"
 }
