@@ -572,6 +572,19 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** §2.10 STICKY explicit hash ranges, oracle-checked — including the
+    * reference behavior for slots OUTSIDE every range (no consumer:
+    * NULL routing), exercised via a deliberate gap at 21846..29999. */
+  private def qKeySharedSticky(s: SparkSession, dir: String): DataFrame =
+    Dispatch.keySharedSticky(env(s, dir),
+        Seq((0, 21845, "c1"), (30000, 52000, "c2"), (52001, 65535, "c3")))
+      .groupBy("consumer_id")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"),
+        min("slot").cast("bigint").as("min_slot"),
+        max("slot").cast("bigint").as("max_slot"))
+      .orderBy("consumer_id")
+
   /** §2.10 Key_Shared membership change, fully oracle-checked: the
     * DuckDB side rebuilds BOTH consistent-hash rings in SQL (ring point
     * = mm3_8("c-i") % 65536, ceiling lookup with the engine's exact
@@ -836,6 +849,7 @@ object SparkEntry {
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),
     "keyshared_rebalance" -> (qKeySharedRebalance _),
+    "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "chunk_reassembly" -> (qChunkReassembly _),
     "crypto_roundtrip" -> (qCryptoRoundtrip _),
@@ -1119,6 +1133,24 @@ object SparkEntry {
     // the "consumer-i" name; ceiling lookup = first (point, owner) with
     // point >= slot, wrapping to the smallest point — the same
     // tie-break order as Dispatch.ringAssign's stable sort.
+    "keyshared_sticky" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), envelope AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
+        |), slots AS (
+        |  SELECT key, mm3_8(key) % 65536 AS slot FROM envelope
+        |), assigned AS (
+        |  SELECT key, slot,
+        |    CASE WHEN slot BETWEEN 0 AND 21845 THEN 'c1'
+        |         WHEN slot BETWEEN 30000 AND 52000 THEN 'c2'
+        |         WHEN slot BETWEEN 52001 AND 65535 THEN 'c3'
+        |    END AS consumer_id
+        |  FROM slots)
+        |SELECT consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+        |  MIN(slot) AS min_slot, MAX(slot) AS max_slot
+        |FROM assigned GROUP BY consumer_id ORDER BY consumer_id""".stripMargin),
     // The rings are materialized as temp tables (separate statements):
     // the mm3_8 macro expands to a large expression tree, and three
     // evaluation regions in one pipeline exhaust DuckDB's per-thread
