@@ -111,11 +111,14 @@ object SparkEntry {
       |SELECT query_id, rank, corpus_id, round(sim, 6) AS sim_r FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** Brute-force exact 3-gram word-shingle Jaccard pairs at ≥ 0.8: the
-    * truth set that both LSH candidate paths (minhash_lsh, simhash_pairs)
-    * must reproduce after their exact-verify join. */
-  private val jaccardBruteSql: String =
-    """WITH docs AS (
+  /** Brute-force exact 3-gram word-shingle Jaccard pairs at ≥ threshold:
+    * the truth set an LSH candidate path must reproduce after its
+    * exact-verify join. minhash_lsh claims ≥ 0.8 (16-band recall
+    * 1-8e-8 there); simhash_pairs claims ≥ 0.9, the near-identical tier
+    * where Hamming ≤ 7 candidate recall holds (a 0.89-Jaccard pair can
+    * flip 8+ simhash bits — observed at sf0.001). */
+  private def jaccardBruteSql(threshold: String): String =
+    s"""WITH docs AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
       |  FROM documents),
@@ -125,7 +128,7 @@ object SparkEntry {
       |      len(list_distinct(list_concat(a.sh, b.sh))) AS jac
       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, round(jac, 6) AS jac_r FROM pairs
-      |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin
+      |WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
 
   // =====================================================================
   // Flagship (driver smoke-checks rows > 0 on sf0.001): the SURVEY §7.2
@@ -712,13 +715,14 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs (Hamming ≤ 7 block-permuted candidates,
-    * 8 blocks × 8 bits), exact-verified at Jaccard ≥ 0.8 against the same
-    * brute-force oracle — a second, independent candidate path to the
-    * same truth set. Hamming 7 because ~10%-token-edit near-dups flip up
-    * to ~6 simhash bits on these documents. */
+    * 8 blocks × 8 bits), exact-verified at Jaccard ≥ 0.9 against the
+    * brute-force oracle — the near-identical tier where the Hamming
+    * bound gives full recall (a 0.89-Jaccard pair can flip 8+ bits).
+    * The 0.8 tier is minhash_lsh's claim; together the two paths bracket
+    * the dedup spectrum. */
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
     MinHash.simhashVerifiedPairs(tbl(s, dir, "documents"), maxHamming = 7,
-        threshold = 0.8)
+        threshold = 0.9)
       .orderBy("id_a", "id_b")
 
   /** Brute-force exact top-5 cosine neighbors for 20 query vectors. */
@@ -1318,8 +1322,8 @@ object SparkEntry {
     // IVF in exact mode (nprobe = nlist) provably equals brute force —
     // same oracle; the machinery difference is all on the Spark side.
     "ann_ivf" -> annBruteSql,
-    "minhash_lsh" -> jaccardBruteSql,
-    "simhash_pairs" -> jaccardBruteSql,
+    "minhash_lsh" -> jaccardBruteSql("0.8"),
+    "simhash_pairs" -> jaccardBruteSql("0.9"),
     "ann_lsh" -> (mm3Macros +
       s"""WITH $signLshCte,
         |cands AS (
