@@ -409,6 +409,19 @@ object SparkEntry {
       .select(col(Envelope.Partition), col(Envelope.Offset), col(Envelope.Key))
       .orderBy(Envelope.Partition, Envelope.Offset)
 
+  /** §2.3/2.6 examine message: the 5th from earliest and 3rd from latest
+    * per partition, unioned with a direction tag. */
+  private def qExamine(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    Dispatch.examineMessage(e, "earliest", 5)
+      .select(lit("earliest").as("from_pos"), col(Envelope.Partition),
+        col(Envelope.Offset), col(Envelope.Key))
+      .unionByName(Dispatch.examineMessage(e, "latest", 3)
+        .select(lit("latest").as("from_pos"), col(Envelope.Partition),
+          col(Envelope.Offset), col(Envelope.Key)))
+      .orderBy("from_pos", Envelope.Partition)
+  }
+
   /** §2.10 DLQ/retry routing after maxRedeliverCount = 3. */
   private def qDlqRoute(s: SparkSession, dir: String): DataFrame =
     Dispatch.dlqRoute(env(s, dir), "sub1", 3)
@@ -840,6 +853,7 @@ object SparkEntry {
     "seek_by_time" -> (qSeekByTime _),
     "last_message_ids" -> (qLastIds _),
     "peek_messages" -> (qPeek _),
+    "examine_message" -> (qExamine _),
     "dlq_route" -> (qDlqRoute _),
     "replication_filter" -> (qReplication _),
     "window_tumbling" -> (qWindowTumbling _),
@@ -1033,6 +1047,18 @@ object SparkEntry {
         |  SELECT partition, "offset", key,
         |    ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") AS rn
         |  FROM envelope) t WHERE rn <= 10 ORDER BY partition, "offset"""".stripMargin),
+    "examine_message" -> envSql(
+      """SELECT * FROM (
+        |  SELECT 'earliest' AS from_pos, partition, "offset", key FROM (
+        |    SELECT partition, "offset", key,
+        |      ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") AS rn
+        |    FROM envelope) t WHERE rn = 5
+        |  UNION ALL
+        |  SELECT 'latest' AS from_pos, partition, "offset", key FROM (
+        |    SELECT partition, "offset", key,
+        |      ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset" DESC) AS rn
+        |    FROM envelope) t WHERE rn = 3) u
+        |ORDER BY from_pos, partition""".stripMargin),
     "dlq_route" -> envSql(
       """SELECT CASE WHEN redelivery_count >= 3
         |  THEN topic || '-sub1-DLQ' ELSE topic || '-sub1-RETRY' END AS route_topic,

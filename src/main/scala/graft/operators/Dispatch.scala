@@ -57,6 +57,26 @@ object Dispatch {
       .agg(max(Envelope.Offset).as("last_offset"))
 
   /**
+   * Examine the single message at 1-based position `n` per partition,
+   * counting from the earliest or the latest message (reference
+   * Topics.examineMessage / admin `examinemessages`
+   * --initialPosition earliest|latest --messagePosition N). Same
+   * WindowGroupLimit shape as peek: per-partition rank, map-side
+   * top-n, never a global sort.
+   */
+  def examineMessage(log: DataFrame, initialPosition: String, n: Long): DataFrame = {
+    val order = initialPosition match {
+      case "earliest" => col(Envelope.Offset).asc
+      case "latest"   => col(Envelope.Offset).desc
+      case other => throw new IllegalArgumentException(
+        s"initialPosition must be earliest|latest, got $other")
+    }
+    val w = Window.partitionBy(Envelope.Partition).orderBy(order)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === n).drop("_rn")
+  }
+
+  /**
    * Key_Shared consumer assignment over the 65536-slot hash ring
    * (ConsistentHashingStickyKeyConsumerSelector.java:104; AUTO_SPLIT
    * divides the range evenly). `numConsumers` even split of [0, 65536).
