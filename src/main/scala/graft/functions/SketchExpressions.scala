@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -10,10 +11,14 @@ import org.apache.spark.sql.types._
  * Native kernels for the similarity/sketch operators. Spark's higher-order
  * array functions (`transform`/`aggregate`) evaluate interpreted, one
  * closure call per element — for 64-dim × 32-plane per-row loops that is
- * the hot path at 100 TB. Every expression here participates in
- * whole-stage codegen with NO per-row InternalRow materialization:
- * dot/cosine emit their loops inline in the generated Java, the rest
- * call a typed `kernel` method directly (KernelCodegen).
+ * the hot path at 100 TB. dot/cosine emit their loops inline in the
+ * whole-stage-generated Java; the array/string kernels stay
+ * CodegenFallback — measured DELIBERATELY: swapping them to a direct
+ * kernel-call codegen regressed the 10× similarity stress ~25% (the
+ * banding/explode stages' generated methods are already near the JIT
+ * method-size limit; growing them de-optimizes the whole stage), while
+ * the small inline dot/cosine loops improved ann_lsh. Each kernel body
+ * is still one JIT-compiled loop per row either way.
  *
  * All randomness is derived deterministically with no stored model:
  * splitmix64 (public-domain mixer, Steele/Lea/Flood OOPSLA 2014) for the
@@ -145,7 +150,7 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorPair
  * verified similarities. One pass computes all `bits` projections.
  */
 case class SignLshExpr(child: Expression, bits: Int) extends UnaryExpression
-    with KernelCodegen {
+    with CodegenFallback {
   require(bits >= 1 && bits <= 64, "bits in [1, 64]")
   override def dataType: DataType = LongType
   private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
@@ -184,30 +189,13 @@ case class SignLshExpr(child: Expression, bits: Int) extends UnaryExpression
 }
 
 /**
- * Codegen for the per-row kernels: emit a direct call to the typed
- * `kernel` method on this expression instance (installed as a codegen
- * reference object). Unlike CodegenFallback there is NO InternalRow
- * materialization per call — the input stays a primitive/ArrayData local
- * in the generated Java, and the kernel body is one JIT-friendly loop.
- */
-trait KernelCodegen extends UnaryExpression {
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val ref = ctx.addReferenceObj("kernelExpr", this, getClass.getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
-  }
-}
-
-/**
  * MinHash signature from pre-hashed shingles: permutation i is the
  * multiply-mix universal hash h -> splitmix-mixed (a_i·h + b_i); the
  * signature entry is the minimum per permutation. Strings are hashed
  * ONCE (xxhash64 upstream); the k permutations are integer arithmetic.
  */
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
-    with KernelCodegen {
+    with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient private lazy val as: Array[Long] =
     Array.tabulate(k)(i => Sketch.splitmix64(2L * i) | 1L) // odd multipliers
@@ -246,7 +234,7 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
  * `n = 1, distinct = false` yields plain token hashes (SimHash input).
  */
 case class ShingleHashExpr(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with KernelCodegen {
+    extends UnaryExpression with CodegenFallback {
   require(n >= 1, "shingle size >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   def kernel(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
@@ -295,7 +283,7 @@ case class ShingleHashExpr(child: Expression, n: Int, distinct: Boolean)
  * the sign of Σ tokens (±1 by bit j of the token hash). Single pass.
  */
 case class SimHashSigExpr(child: Expression) extends UnaryExpression
-    with KernelCodegen {
+    with CodegenFallback {
   override def dataType: DataType = LongType
   def kernel(arr: ArrayData): Long = {
     val n = arr.numElements()
