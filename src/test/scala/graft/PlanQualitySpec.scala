@@ -62,6 +62,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange rangepartitioning") <= 1) // only final ORDER BY
   }
 
+  test("peek/examine rank map-side: WindowGroupLimit bounds rows before the exchange") {
+    for (q <- Seq("peek_messages", "examine_message")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(400)}")
+    }
+  }
+
   test("delayed_due reads the bucketed index with partition pruning") {
     val p = plan("delayed_due")
     assert(p.contains("PartitionFilters: [isnotnull(due_bucket"), p.take(1200))
