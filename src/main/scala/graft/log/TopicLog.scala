@@ -176,25 +176,36 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
 
     val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
     clearStaging(epoch) // a crashed prior attempt may have left files here
-    val staged = withOffsets.persist()
-    val n = staged.count()
-    // data lands under _staging/<epoch>/ — underscore dirs are invisible
-    // to Spark file listing, so neither batch readers nor streaming
-    // subscribers can observe rows before publishManifest moves them
-    staged.write.mode("append").partitionBy(Envelope.Partition)
+    // ONE computation of the batch, straight to disk — data lands under
+    // _staging/<epoch>/ (underscore dirs are invisible to Spark file
+    // listing, so neither batch readers nor streaming subscribers can
+    // observe rows before publishManifest moves them). No persist: a
+    // 100 TB incoming batch cannot be cached, but the just-written
+    // staged files can be re-read cheaply (two columns, parquet
+    // min/max stats, page-cache warm) for the count + high-water.
+    withOffsets.write.mode("append").partitionBy(Envelope.Partition)
       .parquet(s"$basePath/_staging/$epoch")
-
-    // new high-water per partition
-    val newHw = staged.groupBy(Envelope.Partition).agg(max(Envelope.Offset).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    staged.unpersist()
+    val stagedFiles =
+      if (Files.exists(Paths.get(basePath, "_staging", epoch.toString)))
+        stagedRelPaths(epoch)
+      else Seq.empty // empty batch: nothing staged
+    val stagedStats =
+      if (stagedFiles.isEmpty) Map.empty[Int, (Long, Long)]
+      else spark.read
+        .option("basePath", s"$basePath/_staging/$epoch")
+        .parquet(s"$basePath/_staging/$epoch")
+        .groupBy(Envelope.Partition)
+        .agg(count(lit(1)).as("n"), max(Envelope.Offset).as("m"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = stagedStats.values.map(_._1).sum
     val merged = (0 until numPartitions)
-      .map(p => p -> math.max(hw.getOrElse(p, -1L), newHw.getOrElse(p, -1L)))
+      .map(p => p -> math.max(hw.getOrElse(p, -1L),
+        stagedStats.get(p).map(_._2).getOrElse(-1L)))
     val hwLines = merged.map { case (p, o) => s"$p,$o" }
     // once a file snapshot is active (post-coalesce), every manifest must
     // carry it forward: previous live files + the files this append stages
     val fileLines = manifestFiles() match {
-      case Some(prev) => fileSnapshotLines(prev ++ stagedRelPaths(epoch))
+      case Some(prev) => fileSnapshotLines(prev ++ stagedFiles)
       case None => Seq.empty
     }
     StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), n)
