@@ -410,7 +410,12 @@ object SparkEntry {
       .orderBy(Envelope.Partition, Envelope.Offset)
 
   /** §2.3/2.6 examine message: the 5th from earliest and 3rd from latest
-    * per partition, unioned with a direction tag. */
+    * per partition, unioned with a direction tag. Deliberately TWO
+    * pruned scans, not one combined pass: each side keeps its
+    * WindowGroupLimit (top-n bounded map-side, shuffle ≈ n rows per
+    * partition), which a single scan with an OR over two ranks cannot —
+    * Spark would shuffle the whole log. Gate-asserted in
+    * PlanQualitySpec. */
   private def qExamine(s: SparkSession, dir: String): DataFrame = {
     val e = env(s, dir)
     Dispatch.examineMessage(e, "earliest", 5)
@@ -599,7 +604,9 @@ object SparkEntry {
         countDistinct(Envelope.Key).cast("bigint").as("n_keys"),
         min("slot").cast("bigint").as("min_slot"),
         max("slot").cast("bigint").as("max_slot"))
-      .orderBy("consumer_id")
+      // NULLS FIRST explicitly on both sides: Spark defaults nulls first,
+      // DuckDB nulls last — the gap group must sort identically
+      .orderBy(col("consumer_id").asc_nulls_first)
 
   /** §2.10 Key_Shared membership change, fully oracle-checked: the
     * DuckDB side rebuilds BOTH consistent-hash rings in SQL (ring point
@@ -1180,7 +1187,7 @@ object SparkEntry {
         |SELECT consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
         |  MIN(slot) AS min_slot, MAX(slot) AS max_slot
-        |FROM assigned GROUP BY consumer_id ORDER BY consumer_id""".stripMargin),
+        |FROM assigned GROUP BY consumer_id ORDER BY consumer_id NULLS FIRST""".stripMargin),
     // The rings are materialized as temp tables (separate statements):
     // the mm3_8 macro expands to a large expression tree, and three
     // evaluation regions in one pipeline exhaust DuckDB's per-thread

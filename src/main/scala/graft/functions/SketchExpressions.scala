@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
  * banding/explode stages' generated methods are already near the JIT
  * method-size limit; growing them de-optimizes the whole stage), while
  * the small inline dot/cosine loops improved ann_lsh. Each kernel body
- * is still one JIT-compiled loop per row either way.
+ * is still one JIT-compiled loop per row either way. The kernel bodies
+ * stay factored out of nullSafeEval on purpose: that seam is what made
+ * the codegen A/B a two-line diff, and keeps the door open for re-testing
+ * on future Spark/JIT versions.
  *
  * All randomness is derived deterministically with no stored model:
  * splitmix64 (public-domain mixer, Steele/Lea/Flood OOPSLA 2014) for the

@@ -189,14 +189,11 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       if (Files.exists(Paths.get(basePath, "_staging", epoch.toString)))
         stagedRelPaths(epoch)
       else Seq.empty // empty batch: nothing staged
-    val stagedStats =
-      if (stagedFiles.isEmpty) Map.empty[Int, (Long, Long)]
-      else spark.read
-        .option("basePath", s"$basePath/_staging/$epoch")
-        .parquet(s"$basePath/_staging/$epoch")
-        .groupBy(Envelope.Partition)
-        .agg(count(lit(1)).as("n"), max(Envelope.Offset).as("m"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // count + per-partition max offset from the parquet FOOTERS of the
+    // just-written files — metadata-only, no second scan of the batch
+    // (row counts and column min/max live in the block metadata). The
+    // partition id comes from the hive path segment.
+    val stagedStats = footerStats(epoch, stagedFiles)
     val n = stagedStats.values.map(_._1).sum
     val merged = (0 until numPartitions)
       .map(p => p -> math.max(hw.getOrElse(p, -1L),
@@ -209,6 +206,46 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       case None => Seq.empty
     }
     StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), n)
+  }
+
+  /** Per-partition (rowCount, max offset) for `epoch`'s staged files,
+    * read from parquet block metadata only — O(files) footer reads on
+    * the driver, never a scan of the data pages. */
+  private def footerStats(epoch: Long,
+                          relPaths: Seq[String]): Map[Int, (Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
+    relPaths.flatMap { rel =>
+      val partition = rel.split('/').collectFirst {
+        case seg if seg.startsWith(s"${Envelope.Partition}=") =>
+          seg.substring(Envelope.Partition.length + 1).toInt
+      }.getOrElse(sys.error(s"staged file outside a partition dir: $rel"))
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(stagingDir.resolve(rel).toString), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
+        val maxOffset = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == Envelope.Offset)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else Some(st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            }
+        }
+        if (rows == 0) None
+        else {
+          require(maxOffset.nonEmpty,
+            s"no offset statistics in staged file $rel — cannot advance high-water")
+          Some(partition -> (rows, maxOffset.max))
+        }
+      } finally reader.close()
+    }.groupBy(_._1).map { case (p, vs) =>
+      p -> (vs.map(_._2._1).sum, vs.map(_._2._2).max)
+    }
   }
 
   /** Remove any leftover staging tree for `epoch`. An un-published epoch

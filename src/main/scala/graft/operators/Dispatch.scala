@@ -187,6 +187,16 @@ object Dispatch {
    * KeySharedPolicy.ranges): route by [start, end] slot ranges.
    */
   def keySharedSticky(log: DataFrame, ranges: Seq[(Int, Int, String)]): DataFrame = {
+    // the reference's HashRangeExclusiveStickyKeyConsumerSelector REJECTS
+    // overlapping ranges (Range.intersect check on join) — enforce the
+    // same here rather than silently resolving overlaps by list order
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hiA, ca), (loB, _, cb)) =>
+        require(hiA < loB,
+          s"sticky ranges overlap: [$ca ..$hiA] and [$cb $loB..] — the " +
+            "reference rejects intersecting ranges")
+      case _ => ()
+    }
     val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) % Murmur3Pulsar.HashRangeSize
     val assigned = ranges.foldLeft(lit(null).cast("string")) {
       case (acc, (lo, hi, consumer)) =>
