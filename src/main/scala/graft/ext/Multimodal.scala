@@ -88,6 +88,8 @@ object Multimodal {
         if (i + 9 >= b.length) return None
         return Some(Row("image", "jpeg", be16(b, i + 7), be16(b, i + 5),
           b(i + 9) & 0xff, 0L, b.length.toLong))
+      } else if (m == 0xff) {
+        i += 1 // 0xFF fill/padding byte between segments — not a marker
       } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
         i += 2 // standalone markers carry no length
       } else {

@@ -27,17 +27,31 @@ object DelayedBuckets {
 
   def bucketOf(c: org.apache.spark.sql.Column) = date_format(c, BucketFmt)
 
+  // Sidecar carrying the index schema (underscore-prefixed → invisible to
+  // Spark's file listing). A topic with zero pending delayed rows writes an
+  // index dir with no parquet part files; without a recorded schema the
+  // trigger-path read would throw "Unable to infer schema" — a legitimate,
+  // common state that must read as empty, not crash.
+  private val SchemaSidecar = "_index_schema.json"
+
   /** Write the delayed subset of `log` into the bucketed index dir.
     * Rows are repartitioned BY the bucket first: without it every task
     * opens a writer for every bucket it sees (tasks × buckets tiny
     * files); with it each bucket is one task's single file. */
-  def buildIndex(log: DataFrame, indexPath: String): Unit =
+  def buildIndex(log: DataFrame, indexPath: String): Unit = {
     log.filter(col(Envelope.DeliverAt).isNotNull)
       .withColumn("due_bucket", bucketOf(col(Envelope.DeliverAt)))
       .repartition(col("due_bucket"))
       .write.mode("overwrite")
       .partitionBy("due_bucket")
       .parquet(indexPath)
+    val schema = log.schema.add("due_bucket", org.apache.spark.sql.types.StringType)
+    val conf = log.sparkSession.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(indexPath, SchemaSidecar)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
 
   /**
    * Due rows at trigger time `t`: the bucket predicate prunes partitions
@@ -52,8 +66,30 @@ object DelayedBuckets {
     // would mislabel the horizon and silently never dispatch)
     val bucket = spark.range(1)
       .select(bucketOf(lit(t)).as("b")).head().getString(0)
-    spark.read.parquet(indexPath)
+    val reader = readSchema(spark, indexPath) match {
+      case Some(s) => spark.read.schema(s) // empty index reads as empty DF
+      case None    => spark.read           // pre-sidecar index: infer
+    }
+    reader.parquet(indexPath)
       .filter(col("due_bucket") <= bucket)          // partition-pruned
       .filter(col(Envelope.DeliverAt) <= lit(t))    // row-level residual
+  }
+
+  private def readSchema(spark: SparkSession,
+                         indexPath: String): Option[org.apache.spark.sql.types.StructType] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(indexPath, SchemaSidecar)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
   }
 }

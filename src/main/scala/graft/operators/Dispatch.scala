@@ -117,9 +117,10 @@ object Dispatch {
   }
 
   /** Each consumer's `pointsPerConsumer` ring points at
-    * murmur3(name + "-" + i) % 65536, sorted — the structure whose
-    * ceiling lookup gives consistent hashing its minimal-movement
-    * property under membership change. */
+    * murmur3(name + "-" + i) % 65536, sorted by (point, owner) — ties on
+    * colliding ring points break on consumer name so assignment is
+    * independent of the order the consumer list was given in (the
+    * keyshared_rebalance oracle orders the same way in SQL). */
   private def ringPoints(consumers: Seq[String],
                          pointsPerConsumer: Int): Seq[(Int, String)] =
     consumers.flatMap { c =>
@@ -127,7 +128,7 @@ object Dispatch {
         Murmur3Pulsar.hashBytes(s"$c-$i".getBytes("UTF-8")) %
           Murmur3Pulsar.HashRangeSize -> c
       }
-    }.sortBy(_._1)
+    }.sorted
 
   /** Ceiling lookup over the ring as one FLAT CaseWhen (a nested
     * when-chain of 100×C branches overflows the column converter's

@@ -33,6 +33,17 @@ class DelayedLateDataSpec extends SparkSpec {
     assert(readBuckets < allBuckets)
   }
 
+  test("empty delayed index (zero delayed rows) reads as empty, not a crash") {
+    val env = graft.model.Envelope.fromEvents(spark, sf001)
+    val idx = Files.createTempDirectory("graft-delayed-empty").toString + "/idx"
+    // a topic whose backlog has no pending delayed messages — common state
+    DelayedBuckets.buildIndex(env.filter(lit(false)), idx)
+    val due = DelayedBuckets.dueAt(spark, idx,
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    assert(due.count() == 0)
+    assert(due.columns.contains("due_bucket"))
+  }
+
   test("late-data split routes pre-watermark rows to the late sink") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]

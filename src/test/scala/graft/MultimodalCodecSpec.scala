@@ -45,6 +45,16 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(m.getInt(4) == 3)
   }
 
+  test("JPEG 0xFF fill bytes between segments are skipped, not misread as markers") {
+    // spec-valid padding: any number of 0xFF fill bytes may precede a marker
+    val pad = Array.fill(5)(0xff.toByte)
+    val base = MediaGen.jpeg(640, 480)
+    val padded = base.take(2) ++ pad ++ base.drop(2)
+    val m = decode(padded)
+    assert(m.getString(1) == "jpeg")
+    assert(m.getInt(2) == 640 && m.getInt(3) == 480)
+  }
+
   test("builders roundtrip through the parsers for many sizes") {
     val rnd = new scala.util.Random(42)
     for (_ <- 0 until 30) {

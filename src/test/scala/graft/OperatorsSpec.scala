@@ -139,6 +139,18 @@ class OperatorsSpec extends SparkSpec {
       "keys not owned by the leaving consumer must stay put")
   }
 
+  test("ring assignment is independent of the consumer-list input order (tie-break on owner)") {
+    val env = Envelope.fromEvents(spark, sf001)
+    val fwd = Dispatch.keySharedConsistentHash(env, Seq("c1", "c2", "c3"))
+      .select(col(Envelope.Key), col("consumer_id")).distinct()
+    val rev = Dispatch.keySharedConsistentHash(env, Seq("c3", "c1", "c2"))
+      .select(col(Envelope.Key), col("consumer_id").as("rev_id")).distinct()
+    val diff = fwd.join(rev, Seq(Envelope.Key))
+      .filter(col("consumer_id") =!= col("rev_id"))
+    assert(diff.count() == 0,
+      "a shuffled consumer list must produce the identical assignment")
+  }
+
   test("rebalance: adding a consumer moves keys ONLY to the joiner; draining holds in-flight rows") {
     val env = Envelope.fromEvents(spark, sf001)
     val reb = Dispatch.keySharedRebalance(env,

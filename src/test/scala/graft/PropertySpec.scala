@@ -98,7 +98,10 @@ class PropertySpec extends SparkSpec {
         sa = sh(a._2); sb = sh(b._2)
         u = (sa ++ sb).size if u > 0
         j = (sa & sb).size.toDouble / u if j >= 0.8
-      } yield (a._1, b._1, math.rint(j * 1e6) / 1e6)).toSet
+        // round like Spark's round(): BigDecimal HALF_UP — math.rint is
+        // half-even and would flake on a 6th-decimal tie under a new seed
+        jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      } yield (a._1, b._1, jr)).toSet
       assert(truth.nonEmpty, s"seed $seed planted no dups")
 
       val df = docs.toDF("doc_id", "text")
