@@ -530,15 +530,22 @@ object SparkEntry {
         expr("percentile(metric_value, 0.75)").as("p75"))
       .orderBy("event_type")
 
-  /** §2.4 mergeable HLL sketches: per-type sketch, global estimate via
-    * sketch merge (custom TypedImperativeAggregate — rows-only oracle;
-    * exactness is covered by q_count_distinct + HllSpec). */
+  /** §2.4 mergeable HLL sketches: per-type sketch + exact distinct in one
+    * aggregation. The estimate itself is not SQL-reproducible, so the
+    * oracle-checked surface is the self-checking error-bound claim: the
+    * query emits `within_bound` = |est − exact| / exact ≤ 5% (HLL p=12 ⇒
+    * SE ≈ 1.6%, so 5% is ≥3σ) computed from the sketch IN the query, and
+    * the oracle asserts the exact counts plus `TRUE` — a broken sketch or
+    * estimator flips the column and breaks the hash match. Tighter bounds
+    * and merge algebra are covered by HllSpec. */
   private def qHllCardinality(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hll
     env(s, dir).groupBy("event_type")
       .agg(Hll.hll_sketch(col(Envelope.Key)).as("sk"),
         countDistinct(Envelope.Key).cast("bigint").as("exact"))
-      .select(col("event_type"), Hll.hll_estimate(col("sk")).as("est"), col("exact"))
+      .select(col("event_type"), col("exact"),
+        (abs(Hll.hll_estimate(col("sk")).cast("double") - col("exact")) <=
+          col("exact") * lit(0.05)).as("within_bound"))
       .orderBy("event_type")
   }
 
@@ -1286,6 +1293,12 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_users,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM envelope GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // the estimate itself is engine-side-only; the oracle checks the exact
+    // counts AND the in-query error-bound certificate (TRUE expected)
+    "hll_cardinality" -> envSql(
+      """SELECT event_type, CAST(COUNT(DISTINCT key) AS BIGINT) AS exact,
+        |  TRUE AS within_bound
+        |FROM envelope GROUP BY event_type ORDER BY event_type""".stripMargin),
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
@@ -1443,10 +1456,10 @@ object SparkEntry {
         |  CAST(CASE WHEN k < 3 THEN 0 ELSE (wav_data * 1000) // (8000 * wav_ch * 2) END AS BIGINT) AS duration_ms,
         |  CASE WHEN k < 3 THEN CAST(floor(w * least(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / greatest(w, h))) AS INT) END AS target_width
         |FROM m ORDER BY doc_id""".stripMargin
-    // Every registered query now has an oracle except hll_cardinality
-    // (approximate by construction; bounded by HllSpec instead). The
-    // similarity tier is checked by reproducing LSH bucketing in SQL
-    // (murmur3 hyperplanes) or by brute-forcing the exact-verified truth
-    // set; multimodal by inverting the fixture formulas.
+    // Every registered query has an oracle. The similarity tier is
+    // checked by reproducing LSH bucketing in SQL (murmur3 hyperplanes)
+    // or by brute-forcing the exact-verified truth set; multimodal by
+    // inverting the fixture formulas; hll_cardinality by a self-checking
+    // error-bound certificate beside exact counts.
   )
 }
