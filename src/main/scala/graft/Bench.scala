@@ -19,10 +19,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: session/codegen/file-index initialization out of the timings
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    // Warm-up: one-time session costs out of the timings — parquet file
+    // index, whole-stage codegen, the envelope decode path (nanos
+    // timestamps), and Spark ML class-loading (a 4-point KMeans fit; the
+    // first ML fit of a JVM otherwise pays ~3 s of initialization that
+    // would be misattributed to whichever query runs first).
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.format("noop").mode("overwrite").save()
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.sql.functions.{array, col, lit}
+      new org.apache.spark.ml.clustering.KMeans().setK(2).setMaxIter(1)
+        .setFeaturesCol("fv")
+        .fit(spark.range(4).select(array_to_vector(
+          array(col("id").cast("double"), lit(0.0))).as("fv")))
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

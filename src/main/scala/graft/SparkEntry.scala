@@ -821,9 +821,11 @@ object SparkEntry {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val vecs = tbl(s, dir, "embeddings")
     val queries = vecs.filter(col("vec_id") < 20)
-    // iters=1: with every cell probed, centroid quality cannot affect
-    // the result — don't pay for Lloyd refinement the query can't see
-    VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 8, iters = 1)
+    // iters=1 + random init: with every cell probed, centroid quality
+    // cannot affect the result — don't pay for Lloyd refinement or the
+    // multi-job k-means|| seeding the query can't see
+    VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 8, iters = 1,
+      initMode = "random")
       .select(col("query_id"), col("rank").cast("bigint").as("rank"),
         col("corpus_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("query_id", "rank")

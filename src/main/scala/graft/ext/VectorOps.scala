@@ -106,12 +106,16 @@ object VectorOps {
    */
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+             initMode: String = "k-means||",
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    // initMode "random" skips the multi-job k-means|| seeding — the right
+    // trade when nprobe = nlist (centroid quality cannot change results)
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(iters)
+      .setInitMode(initMode)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(c.select("fv"))
     val cells = model.transform(c).drop("fv")

@@ -103,8 +103,9 @@ object Dispatch {
    * joining consumer's points and their predecessors — the minimal-
    * movement property the reference buys with this structure.
    *
-   * The ring is computed driver-side (tiny) and compiled into a codegen'd
-   * CASE chain over ring intervals — no UDF, no broadcast lookup.
+   * The ring is computed driver-side (tiny) and compiled into an O(1)
+   * per-row array lookup over the materialized 65536-slot owner table —
+   * no UDF, no broadcast, no per-row ring walk.
    */
   def keySharedConsistentHash(log: DataFrame, consumers: Seq[String],
                               pointsPerConsumer: Int = 100): DataFrame = {
@@ -130,19 +131,26 @@ object Dispatch {
       }
     }.sorted
 
-  /** Ceiling lookup over the ring as one FLAT CaseWhen (a nested
-    * when-chain of 100×C branches overflows the column converter's
-    * recursion): slot <= point_k -> owner_k in ring order; past the last
-    * point wraps to the first point's owner. Codegen'd, no UDF. */
+  /** Ceiling lookup over the ring, materialized driver-side into the full
+    * 65536-entry slot→owner table and compiled to one `element_at` on an
+    * array literal: O(1) per row (the earlier flat-CaseWhen form walked
+    * up to 100×C branches per row — measurably slower at 1M rows and at
+    * risk of falling out of codegen on large consumer sets). Wrap-around
+    * past the last point goes to the first point's owner
+    * (NavigableMap.ceilingEntry semantics); point collisions resolve to
+    * the lexicographically-smallest owner because `ring` arrives sorted
+    * by (point, owner). */
   private def ringAssign(ring: Seq[(Int, String)], slot: Column): Column = {
-    import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, LessThanOrEqual, Literal}
-    val slotE = ColumnBridge.expression(slot)
-    val branches = ring.map { case (point, owner) =>
-      (LessThanOrEqual(slotE, Literal(point)): org.apache.spark.sql.catalyst.expressions.Expression,
-        Literal.create(owner): org.apache.spark.sql.catalyst.expressions.Expression)
+    val arr = ring.toArray
+    val owners = new Array[String](Murmur3Pulsar.HashRangeSize)
+    var ri = 0
+    var s = 0
+    while (s < owners.length) {
+      while (ri < arr.length && arr(ri)._1 < s) ri += 1
+      owners(s) = if (ri < arr.length) arr(ri)._2 else arr(0)._2
+      s += 1
     }
-    ColumnBridge.column(CaseWhen(branches, Some(Literal.create(ring.head._2))))
+    element_at(typedLit(owners.toSeq), slot.cast("int") + lit(1))
   }
 
   /**
