@@ -855,6 +855,46 @@ object SparkEntry {
       .select(col("doc_id"), col("top_bigram_ratio"))
       .orderBy("doc_id")
 
+  /** Deterministic corpus mixing: per-language mixture weights applied as
+    * an exact stratified sample (md5-rank within stratum, `ceil(w·n)`
+    * kept). Fractions are binary-exact (k/2³) so the ceil boundary is
+    * bit-identical cross-engine. The rank itself is in the output — the
+    * oracle re-derives the full ordering, not just membership. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.stratifiedSample(
+        tbl(s, dir, "documents").select("doc_id", "lang"), "lang",
+        fractions = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25,
+          "fr" -> 0.125, "zh" -> 0.375),
+        defaultFraction = 0.125, salt = "mix1|")
+      .select(col("doc_id"), col("lang"), col("rk").cast("bigint").as("rk"))
+      .orderBy("doc_id")
+
+  /** Deterministic hash-fraction sample (the 100 TB path: pure filter, no
+    * shuffle): keep docs whose md5 draw sorts below fraction 0.25 of the
+    * 32-bit space. Reproducible by any engine with md5. */
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.hashFractionSample(
+        tbl(s, dir, "documents").select("doc_id", "lang", "source"),
+        fraction = 0.25, salt = "s|")
+      .orderBy("doc_id")
+
+  /** Token-budget shard packing per language: docs in id order packed
+    * into ≈1000-token shards via the distributed prefix sum (range
+    * buckets of 64 ids — the multi-bucket path is what sf data
+    * exercises). Output: per-shard doc and token counts. */
+  private def qShardPack(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    ext.Sampling.packShards(d, "lang", "n_tokens", budget = 1000L,
+        bucketWidth = 64L)
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tokens").cast("bigint").as("shard_tokens"))
+      .withColumn("shard_id", col("shard_id").cast("bigint"))
+      .orderBy("lang", "shard_id")
+  }
+
   /**
    * Composite training-data pipeline, end-to-end oracle-checked:
    * quality filter → exact dedup (md5) → near-dup removal (5-gram
@@ -946,7 +986,10 @@ object SparkEntry {
     "cosine_near_dup" -> (qCosineNearDup _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
-    "repetition_ratio" -> (qRepetition _)
+    "repetition_ratio" -> (qRepetition _),
+    "sample_stratified" -> (qSampleStratified _),
+    "sample_hash" -> (qSampleHash _),
+    "shard_pack" -> (qShardPack _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1372,6 +1415,37 @@ object SparkEntry {
         |    FROM documents) t
         |  GROUP BY doc_id, bg) g
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('mix1|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r
+        |WHERE rk <= CEIL(n * (CASE lang
+        |  WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.25
+        |  WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.375 ELSE 0.125 END))
+        |ORDER BY doc_id""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+    "shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT lang, CAST(prior // 1000 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH quality AS (
         |  SELECT doc_id, text, lang FROM documents

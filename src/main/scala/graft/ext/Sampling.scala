@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling, corpus-mixing, and shard-packing operators for
+ * large-scale training-data pipelines (the BASELINE.json extension tier
+ * beside [[TextOps]] / [[MinHash]] / [[VectorOps]]).
+ *
+ * Everything here is reproducible run-to-run and engine-to-engine: the
+ * per-row "random" draw is `md5(salt || id)` — not a seeded RNG (whose
+ * stream depends on partitioning) and not xxhash64 (whose value another
+ * engine can't recompute) — so a sample taken by this engine can be
+ * re-derived, audited, or extended by any SQL system with an md5
+ * function. Three operator families:
+ *
+ *  - '''hash-fraction sample''' — keep rows whose draw falls below a
+ *    threshold. Pure per-row filter: no shuffle, no window, pushes down
+ *    to the scan; the 100 TB path. Rate is approximate (binomial around
+ *    the fraction).
+ *  - '''stratified rank sample / quota sample''' — exact per-stratum
+ *    counts (`ceil(frac · n)` or a fixed quota k) via an md5 rank window
+ *    within each stratum. One shuffle keyed on the stratum; strata
+ *    parallelize, a single giant stratum serializes into one sort — use
+ *    the hash-fraction form at that scale when exactness isn't needed.
+ *    A fractions map per stratum is corpus mixing: weighting sources /
+ *    languages into a training blend.
+ *  - '''token-budget shard packing''' — assign documents, in a
+ *    deterministic order, to consecutive shards of ≈ `budget` tokens
+ *    (shard boundaries cut the cumulative token stream at budget
+ *    multiples). Implemented as a distributed prefix sum over id-range
+ *    buckets: local cumsum per (stratum, bucket), tiny per-bucket totals
+ *    rolled into running offsets, broadcast back — no single-reducer
+ *    global sort at any stratum size.
+ */
+object Sampling {
+
+  /** The reproducible uniform draw: lowercase-hex md5 of salt||id —
+    * any engine computes the identical 32-char string. */
+  private def draw(idCol: String, salt: String) =
+    md5(concat(lit(salt), col(idCol).cast("string")).cast("binary"))
+
+  /** Deterministic hash-fraction sample: keeps rows where the first 8 hex
+    * chars of the draw sort below `fraction` of the 32-bit space. A plain
+    * codegen'd filter — the form that survives 100 TB (no shuffle; prunes
+    * at the scan when the id is a partition/stats column). */
+  def hashFractionSample(df: DataFrame, fraction: Double,
+                         idCol: String = "doc_id",
+                         salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    val threshold = f"${math.min((fraction * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
+    df.filter(substring(draw(idCol, salt), 1, 8) < lit(threshold))
+  }
+
+  /** md5 rank (1-based) and stratum size within each stratum — the shared
+    * machinery of the exact samplers. Adds `rk` and `n_stratum`. */
+  def withHashRank(df: DataFrame, strataCol: String,
+                   idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    val byDraw = Window.partitionBy(strataCol)
+      .orderBy(draw(idCol, salt), col(idCol))
+    val whole = Window.partitionBy(strataCol)
+    df.withColumn("rk", row_number().over(byDraw))
+      .withColumn("n_stratum", count(lit(1)).over(whole))
+  }
+
+  /** Exact stratified sample / corpus mixer: per-stratum fraction map
+    * (missing strata fall back to `defaultFraction`), keeping exactly
+    * `ceil(frac · n)` rows per stratum. Fractions should be binary-exact
+    * (k/2^m) when cross-engine bit-parity of the ceil boundary matters. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       idCol: String = "doc_id",
+                       salt: String = ""): DataFrame = {
+    val frac = coalesce(
+      element_at(typedLit(fractions), col(strataCol)), lit(defaultFraction))
+    withHashRank(df, strataCol, idCol, salt)
+      .filter(col("rk") <= ceil(col("n_stratum") * frac))
+      .drop("n_stratum")
+  }
+
+  /** Quota sample: exactly min(k, n) rows per stratum — fixed-size
+    * per-source caps (dedup-style budget enforcement). */
+  def quotaSample(df: DataFrame, strataCol: String, k: Int,
+                  idCol: String = "doc_id", salt: String = ""): DataFrame =
+    withHashRank(df, strataCol, idCol, salt)
+      .filter(col("rk") <= k).drop("n_stratum")
+
+  /**
+   * Token-budget shard packing: within each stratum, documents ordered by
+   * `idCol` are assigned `shard_id = floor(exclusive-cumsum(tokens) /
+   * budget)` — shard boundaries cut the cumulative token stream at budget
+   * multiples, so every shard except a stratum's last carries ≥ budget −
+   * max(tokens) and < budget + max(tokens) tokens, deterministically.
+   *
+   * Scale shape: the naive formulation is one window sort per stratum —
+   * a single reducer per language at 100 TB. This implementation is the
+   * classic distributed prefix sum instead: ids are range-bucketed
+   * (`bucketWidth` ids per bucket, order-preserving), cumsum runs locally
+   * per (stratum, bucket), per-bucket totals (strata × buckets rows —
+   * tiny) get running offsets in a second window over buckets only, and
+   * a broadcast join adds the offsets back. No stage sorts more than one
+   * bucket's rows.
+   */
+  def packShards(df: DataFrame, strataCol: String, tokensCol: String,
+                 budget: Long, idCol: String = "doc_id",
+                 bucketWidth: Long = 1000000L): DataFrame = {
+    require(budget > 0 && bucketWidth > 0)
+    val withBk = df.withColumn("_bk", floor(col(idCol) / lit(bucketWidth)))
+    val wLocal = Window.partitionBy(col(strataCol), col("_bk")).orderBy(idCol)
+    val local = withBk.withColumn("_local_cum",
+      sum(col(tokensCol)).over(wLocal))
+    val wOff = Window.partitionBy(strataCol).orderBy("_bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBk.groupBy(col(strataCol), col("_bk"))
+      .agg(sum(col(tokensCol)).as("_bk_sum"))
+      .withColumn("_offset", coalesce(sum("_bk_sum").over(wOff), lit(0L)))
+      .drop("_bk_sum")
+    local.join(broadcast(offsets), Seq(strataCol, "_bk"))
+      .withColumn("shard_id",
+        ((col("_local_cum") + col("_offset") - col(tokensCol)) / lit(budget))
+          .cast("long"))
+      .drop("_bk", "_local_cum", "_offset")
+  }
+
+  /** Reference implementation of [[packShards]] as one window per stratum
+    * — the spec asserts the distributed form equals it exactly. */
+  private[graft] def packShardsNaive(df: DataFrame, strataCol: String,
+                                     tokensCol: String, budget: Long,
+                                     idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard_id",
+      (coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(budget))
+        .cast("long"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ext.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+
+  test("packShards distributed prefix sum == naive single-window, across bucket widths") {
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val naive = Sampling.packShardsNaive(d, "lang", "n_tokens", 1000L)
+      .select("doc_id", "shard_id")
+    for (width <- Seq(1L, 7L, 64L, 1000000L)) {
+      val dist = Sampling.packShards(d, "lang", "n_tokens", 1000L,
+        bucketWidth = width).select("doc_id", "shard_id")
+      assert(dist.except(naive).isEmpty && naive.except(dist).isEmpty,
+        s"bucketWidth=$width diverges from the naive cumsum")
+    }
+  }
+
+  test("packShards: every non-final shard lands within max(tokens) of the budget") {
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val maxTok = d.agg(max("n_tokens")).head().getLong(0)
+    val shards = Sampling.packShards(d, "lang", "n_tokens", 1000L,
+        bucketWidth = 64L)
+      .groupBy("lang", "shard_id").agg(sum("n_tokens").as("t"))
+    val lastShard = shards.groupBy("lang").agg(max("shard_id").as("last"))
+    val nonFinal = shards.join(lastShard, Seq("lang"))
+      .filter(col("shard_id") < col("last"))
+    assert(nonFinal.filter(col("t") < 1000L - maxTok || col("t") >= 1000L + maxTok)
+      .count() == 0)
+  }
+
+  test("stratifiedSample keeps exactly ceil(frac * n) rows per stratum, deterministically") {
+    val d = docs.select("doc_id", "lang")
+    val fr = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125,
+      "zh" -> 0.375)
+    val expected = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.ceil(r.getLong(1) * fr(r.getString(0))).toLong)
+      .toMap
+    val got = Sampling.stratifiedSample(d, "lang", fr, salt = "mix1|")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // run-to-run determinism: identical membership, not just counts
+    val a = Sampling.stratifiedSample(d, "lang", fr, salt = "mix1|")
+      .select("doc_id")
+    val b = Sampling.stratifiedSample(d, "lang", fr, salt = "mix1|")
+      .select("doc_id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // a different salt draws a genuinely different sample
+    val c = Sampling.stratifiedSample(d, "lang", fr, salt = "other|")
+      .select("doc_id")
+    assert(c.except(a).count() > 0)
+  }
+
+  test("quotaSample caps every stratum at min(k, n)") {
+    val d = docs.select("doc_id", "lang")
+    val counts = Sampling.quotaSample(d, "lang", 50)
+      .groupBy("lang").count().collect()
+    val full = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { r =>
+      assert(r.getLong(1) == math.min(50L, full(r.getString(0))))
+    }
+  }
+
+  test("hashFractionSample: nested thresholds give nested samples; no shuffle in the plan") {
+    val d = docs.select("doc_id", "lang")
+    val small = Sampling.hashFractionSample(d, 0.1, salt = "s|")
+    val big = Sampling.hashFractionSample(d, 0.25, salt = "s|")
+    assert(small.except(big).isEmpty, "sample(0.1) must be a subset of sample(0.25)")
+    val n = big.count().toDouble / d.count()
+    assert(n > 0.1 && n < 0.45, s"rate $n wildly off 0.25")
+    // the 100 TB property: a pure filter — no exchange anywhere
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+}
