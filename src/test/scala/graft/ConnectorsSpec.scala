@@ -191,4 +191,41 @@ class ConnectorsSpec extends SparkSpec {
     assert(batchSizes.forall(_ <= 1), s"microbatches not bounded: $batchSizes")
     assert(batchSizes.size >= 3)
   }
+
+  test("jdbc source: incremental polls resume from the log, replay-safe, no re-reads") {
+    val dir = Files.createTempDirectory("graft-jdbc-src").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE src_t (id BIGINT PRIMARY KEY, name VARCHAR(64))")
+    def insert(rows: (Long, String)*): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      val ps = c.prepareStatement("INSERT INTO src_t VALUES (?, ?)")
+      rows.foreach { case (i, n) =>
+        ps.setLong(1, i); ps.setString(2, n); ps.executeUpdate() }
+      c.close()
+    }
+    conn.close()
+    insert(1L -> "a", 2L -> "b", 3L -> "c")
+
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("jdbc-src"), 2)
+    assert(Connectors.jdbcSourceToTopic(topic, url, "src_t", "id", "id") == 3)
+    assert(topic.read().count() == 3)
+
+    // poll with no new rows: nothing read, nothing appended
+    assert(Connectors.jdbcSourceToTopic(topic, url, "src_t", "id", "id") == 0)
+    assert(topic.read().count() == 3)
+
+    // new rows -> only the delta is read; earlier rows never re-append
+    insert(4L -> "d", 5L -> "e")
+    assert(Connectors.jdbcSourceToTopic(topic, url, "src_t", "id", "id") == 2)
+    val log = topic.read()
+    assert(log.count() == 5)
+    assert(log.select(graft.model.Envelope.SequenceId).distinct().count() == 5)
+    // payload integrity: the json value round-trips the source row
+    val names = log
+      .select(get_json_object(col(graft.model.Envelope.Value), "$.NAME"))
+      .as[String].collect().toSet
+    assert(names == Set("a", "b", "c", "d", "e"))
+  }
 }
