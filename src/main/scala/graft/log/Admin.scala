@@ -104,6 +104,24 @@ object Admin {
   }
 
   /**
+   * Partition-count expansion (reference `pulsar-admin topics
+   * update-partitions`; PersistentTopics.updatePartitionedTopic — the
+   * count may only grow). Existing rows keep their partition, offsets,
+   * and order; rows appended through the returned handle key-hash route
+   * over the new count, with new partitions starting at offset 0 (their
+   * high-water defaults in at −1 until their first manifest line).
+   * Per-key order across the expansion boundary is NOT preserved — a
+   * key's new slot differs from its old one — exactly the reference's
+   * documented caveat for updating partitions on keyed topics.
+   */
+  def updatePartitions(log: TopicLog, newCount: Int): TopicLog = {
+    require(newCount > log.numPartitions,
+      s"partition count may only grow (reference rejects shrink): " +
+        s"${log.numPartitions} -> $newCount")
+    new TopicLog(log.spark, log.root, log.name, newCount)
+  }
+
+  /**
    * Offload files whose rows are all at/below `beforeOffset` to the cold
    * tier directory `<topic>/_cold/`, preserving the partition subpath.
    * Returns files moved. [[readTiered]] unions hot + cold.

@@ -114,6 +114,41 @@ class AdminChunkTxnSpec extends SparkSpec {
     assert(evict == 2)
   }
 
+  test("updatePartitions: old rows keep partition/order, new appends route over the new count") {
+    val tl2 = freshLog(parts = 2)
+    tl2.append(batch(0 until 60))
+    val before = tl2.read()
+      .select(Envelope.Partition, Envelope.Offset, Envelope.SequenceId)
+      .collect().toSet
+    assert(before.map(_.getInt(0)).forall(p => p >= 0 && p < 2))
+
+    // shrink is rejected like the reference's updatePartitionedTopic
+    intercept[IllegalArgumentException](Admin.updatePartitions(tl2, 2))
+
+    val tl4 = Admin.updatePartitions(tl2, 4)
+    tl4.append(batch(60 until 120))
+    val after = tl4.read()
+    // every pre-expansion row is intact: same partition, offset, payload
+    val stillThere = after.filter(col(Envelope.SequenceId) < 60)
+      .select(Envelope.Partition, Envelope.Offset, Envelope.SequenceId)
+      .collect().toSet
+    assert(stillThere == before)
+    // post-expansion rows spread over the widened ring (some beyond p1)
+    val newParts = after.filter(col(Envelope.SequenceId) >= 60)
+      .select(Envelope.Partition).distinct().collect().map(_.getInt(0)).toSet
+    assert(newParts.exists(_ >= 2), s"expansion unused: $newParts")
+    // new routing = murmur3(key) % 4 exactly
+    val misrouted = after.filter(col(Envelope.SequenceId) >= 60)
+      .filter(col(Envelope.Partition) =!=
+        pmod(graft.functions.Murmur3Pulsar.pulsar_hash(col(Envelope.Key)), lit(4)))
+    assert(misrouted.count() == 0)
+    // offsets stay dense and FIFO per partition across the boundary
+    val gaps = after.groupBy(Envelope.Partition)
+      .agg(count(lit(1)).as("n"), (max(Envelope.Offset) + 1).as("m"))
+      .filter(col("n") =!= col("m"))
+    assert(gaps.count() == 0, "offset gaps after expansion")
+  }
+
   test("txn commit makes all topics visible; abort leaves nothing") {
     val root = Files.createTempDirectory("graft-txn").toString
     val l1 = new TopicLog(spark, root, TopicName.parse("t1"))
