@@ -895,6 +895,41 @@ object SparkEntry {
       .orderBy("lang", "shard_id")
   }
 
+  /** PII scrub with injected fixtures: deterministic email/IP/phone
+    * strings are appended to every document, then redacted by the
+    * regexp chain; the oracle replays the same injection AND the same
+    * patterns through DuckDB regexp_replace — a hash match proves exact
+    * cross-engine regex parity, and the per-kind booleans prove every
+    * token class was actually hit. */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = tbl(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact admin"), col("doc_id").cast("string"),
+        lit("@corp.example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 call +1 555-"),
+        lpad(col("doc_id").cast("string"), 4, "0")).as("text"))
+    TextOps.withPiiRedacted(withPii)
+      .select(col("doc_id"), md5(col("text_redacted")).as("red_hash"),
+        (instr(col("text_redacted"), "<EMAIL>") > 0).as("has_email"),
+        (instr(col("text_redacted"), "<IP>") > 0).as("has_ip"),
+        (instr(col("text_redacted"), "<PHONE>") > 0).as("has_phone"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set decontamination: docs sharing any distinct 5-gram with the
+    * held-out eval slice (doc_id % 50 == 0) are reported with shared-
+    * shingle and eval-doc counts. Inverted hash join, eval side
+    * broadcast — the corpus never shuffles. */
+  private def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val evals = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    TextOps.contaminationReport(corpus, evals, n = 5, minShared = 1L)
+      .select(col("doc_id"), col("n_shared").cast("bigint").as("n_shared"),
+        col("n_eval_docs").cast("bigint").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   /**
    * Composite training-data pipeline, end-to-end oracle-checked:
    * quality filter → exact dedup (md5) → near-dup removal (5-gram
@@ -989,7 +1024,9 @@ object SparkEntry {
     "repetition_ratio" -> (qRepetition _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_hash" -> (qSampleHash _),
-    "shard_pack" -> (qShardPack _)
+    "shard_pack" -> (qShardPack _),
+    "pii_redact" -> (qPiiRedact _),
+    "decontam" -> (qDecontam _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1432,6 +1469,37 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH withpii AS (
+        |  SELECT doc_id, text || ' contact admin' || CAST(doc_id AS VARCHAR)
+        |    || '@corp.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7 call +1 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}[- ]\d{3}[- ]?\d{4}', '<PHONE>', 'g') AS r
+        |  FROM withpii)
+        |SELECT doc_id, md5(r) AS red_hash,
+        |  POSITION('<EMAIL>' IN r) > 0 AS has_email,
+        |  POSITION('<IP>' IN r) > 0 AS has_ip,
+        |  POSITION('<PHONE>' IN r) > 0 AS has_phone
+        |FROM red ORDER BY doc_id""".stripMargin,
+    "decontam" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM documents) t),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |co AS (SELECT * FROM sh WHERE doc_id % 50 != 0)
+        |SELECT co.doc_id,
+        |  CAST(COUNT(DISTINCT co.shingle) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+        |FROM co JOIN ev ON co.shingle = ev.shingle
+        |GROUP BY co.doc_id ORDER BY co.doc_id""".stripMargin,
     "shard_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

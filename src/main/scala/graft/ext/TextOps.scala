@@ -203,6 +203,63 @@ object TextOps {
   def shingles(text: Column, n: Int): Column =
     array_distinct(shinglesAll(text, n))
 
+  /** PII redaction patterns, (regex → replacement), applied in order
+    * (emails first — they contain the dots/digits the later patterns
+    * match). Drawn from the RE2 ∩ Java regex common subset so the exact
+    * redaction is reproducible by any engine (the oracle replays the
+    * same patterns through DuckDB's regexp_replace). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{1,3}[- ]\\d{3}[- ]?\\d{4}" -> "<PHONE>")
+
+  /** Redact emails / IPv4 addresses / phone numbers to typed tokens —
+    * the standard pre-training scrub pass. A chain of codegen'd
+    * regexp_replace calls: narrow, per-row, no shuffle. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (p, r)) =>
+      regexp_replace(acc, p, r)
+    }
+
+  def withPiiRedacted(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("text_redacted", redactPii(col(textCol)))
+
+  /**
+   * Eval-set decontamination report: corpus documents sharing at least
+   * `minShared` distinct n-gram shingles with any held-out eval document
+   * (benchmark test sets must not leak into training data). Returns
+   * (doc_id, n_shared, n_eval_docs) per contaminated document.
+   *
+   * Scale design: both sides key on 8-byte xxhash64 shingles (no shingle
+   * strings move); eval sets are KBs-to-MBs against a TB corpus, so the
+   * eval postings are broadcast — the corpus is never shuffled, making
+   * this a map-side join + one aggregation keyed on doc id.
+   */
+  def contaminationReport(corpus: DataFrame, evals: DataFrame, n: Int = 5,
+                          minShared: Long = 1L, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    def postings(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(graft.functions.Sketch.shingle_hashes(col(textCol), n,
+          distinct = true)).as("shingle_h"))
+    postings(corpus, "doc_id")
+      .join(broadcast(postings(evals, "eval_id")), Seq("shingle_h"))
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle_h").as("n_shared"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Drop contaminated documents from the corpus (anti-join against the
+    * [[contaminationReport]] flags). */
+  def decontaminate(corpus: DataFrame, evals: DataFrame, n: Int = 5,
+                    minShared: Long = 1L, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, evals, n, minShared, idCol, textCol)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /**
    * N-gram Jaccard near-duplicate pairs via inverted-index candidates +
    * exact verify: explode distinct shingles → self-join on shingle (the

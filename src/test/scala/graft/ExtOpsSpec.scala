@@ -128,6 +128,35 @@ class ExtOpsSpec extends SparkSpec {
     part.unpersist()
   }
 
+  test("redactPii: emails, IPs, phones become typed tokens; clean text unchanged") {
+    val rows = Seq(
+      "mail me at jo.doe+x@sub.example.org today",
+      "server 192.168.1.254 then 10.0.0.1 twice",
+      "call +44 555-1234 or +1 555 0000",
+      "nothing sensitive here 1.2 3.4").toDF("text")
+    val out = TextOps.withPiiRedacted(rows).select("text_redacted")
+      .as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "server <IP> then <IP> twice")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "nothing sensitive here 1.2 3.4")
+  }
+
+  test("decontaminate drops exactly the reported docs; eval side joins broadcast") {
+    val evals = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val report = TextOps.contaminationReport(corpus, evals, n = 5)
+    val flagged = report.select("doc_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty, "fixture should plant at least one overlap")
+    val kept = TextOps.decontaminate(corpus, evals, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val all = corpus.select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- flagged)
+    // the corpus must not shuffle: eval postings broadcast into the join
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("lang-id + quality columns are well-formed") {
     val lid = TextOps.withLangId(docs)
     assert(lid.filter(col("fnword_ratio") < 0 || col("fnword_ratio") > 1).count() == 0)
