@@ -60,6 +60,21 @@ object Stress {
       col("ts").as(Envelope.EventTime),
       col("event_id").as(Envelope.Offset))
 
+    def extras(docs: DataFrame): Unit = {
+      time("sample_stratified")(graft.ext.Sampling.stratifiedSample(
+        docs.select("doc_id", "lang"), "lang",
+        Map("en" -> 0.5), defaultFraction = 0.25, salt = "mix1|").count())
+      time("shard_pack")(graft.ext.Sampling.packShards(
+        docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "lang", "n_tokens", budget = 1000L, bucketWidth = 64L).count())
+      time("pii_redact")(TextOps.withPiiRedacted(docs)
+        .select("text_redacted").count())
+      time("decontam")(TextOps.contaminationReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 5).count())
+    }
+
     println(s"== 1x (events=${env1.count()}, docs=${docs1.count()}) ==")
     time("compaction")(Compaction.publishOrder(env1.withColumnRenamed("metric_value", "mv")).count())
     time("dedup_seq")(Dedup.dedupBatch(env1).count())
@@ -67,6 +82,7 @@ object Stress {
     time("jaccard_pairs")(TextOps.jaccardPairs(docs1, n = 5, threshold = 0.5,
       maxDf = 250).count())
     time("simhash_pairs")(MinHash.simhashPairs(docs1, 3).count())
+    extras(docs1)
 
     println(s"== ${k}x (events=${envK.count()}, docs=${docsK.count()}) ==")
     val envKE = envelope(envK)
@@ -76,6 +92,7 @@ object Stress {
     time("jaccard_pairs")(TextOps.jaccardPairs(docsK, n = 5, threshold = 0.5,
       maxDf = 250).count())
     time("simhash_pairs")(MinHash.simhashPairs(docsK, 3).count())
+    extras(docsK)
     spark.stop()
   }
 }
