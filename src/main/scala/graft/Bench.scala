@@ -24,16 +24,21 @@ object Bench {
     // timestamps), and Spark ML class-loading (a 4-point KMeans fit; the
     // first ML fit of a JVM otherwise pays ~3 s of initialization that
     // would be misattributed to whichever query runs first).
+    // each step in its own try: one missing fixture must not silently
+    // skip the remaining warm-ups (which would misattribute their
+    // one-time cost to the first query that needs them)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .write.format("noop").mode("overwrite").save()
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
       import org.apache.spark.ml.functions.array_to_vector
       import org.apache.spark.sql.functions.{array, col, lit}
       new org.apache.spark.ml.clustering.KMeans().setK(2).setMaxIter(1)
         .setFeaturesCol("fv")
         .fit(spark.range(4).select(array_to_vector(
-          array(col("id").cast("double"), lit(0.0))).as("fv")))
+          array(col("id").cast("double"), lit(0.0))).as("fv"))): Unit
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

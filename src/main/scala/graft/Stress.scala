@@ -60,6 +60,9 @@ object Stress {
       col("ts").as(Envelope.EventTime),
       col("event_id").as(Envelope.Offset))
 
+    // NB: aggregates below reference the computed columns — a bare
+    // .count() would let column pruning dead-code the operator under
+    // test (regex chain, prefix-sum windows) and time only the scan
     def extras(docs: DataFrame): Unit = {
       time("sample_stratified")(graft.ext.Sampling.stratifiedSample(
         docs.select("doc_id", "lang"), "lang",
@@ -67,9 +70,11 @@ object Stress {
       time("shard_pack")(graft.ext.Sampling.packShards(
         docs.select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        "lang", "n_tokens", budget = 1000L, bucketWidth = 64L).count())
+        "lang", "n_tokens", budget = 1000L, bucketWidth = 64L)
+        .agg(count(lit(1)), max("shard_id")).head().getLong(0))
       time("pii_redact")(TextOps.withPiiRedacted(docs)
-        .select("text_redacted").count())
+        .agg(count(lit(1)), sum(length(col("text_redacted"))))
+        .head().getLong(0))
       time("decontam")(TextOps.contaminationReport(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 5).count())

@@ -50,8 +50,14 @@ object Sampling {
                          idCol: String = "doc_id",
                          salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
-    val threshold = f"${math.min((fraction * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
-    df.filter(substring(draw(idCol, salt), 1, 8) < lit(threshold))
+    // fraction 1.0 must be the identity — a clamped threshold of
+    // "ffffffff" with a strict < would drop the ~2^-32 of rows whose
+    // draw starts with ffffffff (real rows at corpus scale)
+    if (fraction >= 1.0) df
+    else {
+      val threshold = f"${(fraction * (1L << 32)).toLong}%08x"
+      df.filter(substring(draw(idCol, salt), 1, 8) < lit(threshold))
+    }
   }
 
   /** md5 rank (1-based) and stratum size within each stratum — the shared
@@ -118,11 +124,17 @@ object Sampling {
       .agg(sum(col(tokensCol)).as("_bk_sum"))
       .withColumn("_offset", coalesce(sum("_bk_sum").over(wOff), lit(0L)))
       .drop("_bk_sum")
-    local.join(broadcast(offsets), Seq(strataCol, "_bk"))
+      .withColumnRenamed(strataCol, "_off_stratum")
+      .withColumnRenamed("_bk", "_off_bk")
+    // null-safe (<=>) join keys: a NULL stratum is one group to the
+    // window/groupBy sides, and must stay one group here too — a plain
+    // equi-join would silently drop every NULL-stratum row
+    local.join(broadcast(offsets),
+        col(strataCol) <=> col("_off_stratum") && col("_bk") <=> col("_off_bk"))
       .withColumn("shard_id",
         ((col("_local_cum") + col("_offset") - col(tokensCol)) / lit(budget))
           .cast("long"))
-      .drop("_bk", "_local_cum", "_offset")
+      .drop("_bk", "_off_stratum", "_off_bk", "_local_cum", "_offset")
   }
 
   /** Reference implementation of [[packShards]] as one window per stratum

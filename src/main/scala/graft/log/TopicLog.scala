@@ -98,6 +98,15 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
 
   /** Per-partition high-water offsets from the latest commit manifest
     * (`p,offset` lines; `F,` file-snapshot lines are skipped). */
+  /** Partition ids every manifest writer must carry high-water lines
+    * for: this handle's count UNION whatever the latest manifest already
+    * tracks. After a partition-count expansion (Admin.updatePartitions),
+    * a write through a stale smaller-count handle would otherwise
+    * truncate the manifest to its own range — silently hiding committed
+    * rows on the expanded partitions and restarting their offsets. */
+  private def hwPartitionIds(hw: Map[Int, Long]): Seq[Int] =
+    (hw.keySet ++ (0 until numPartitions)).toSeq.sorted
+
   def highWater(): Map[Int, Long] =
     latestManifestLines().filterNot(_.startsWith("F,")).map { line =>
       val Array(p, o) = line.split(","); p.toInt -> o.toLong
@@ -195,7 +204,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     // partition id comes from the hive path segment.
     val stagedStats = footerStats(epoch, stagedFiles)
     val n = stagedStats.values.map(_._1).sum
-    val merged = (0 until numPartitions)
+    val merged = hwPartitionIds(hw)
       .map(p => p -> math.max(hw.getOrElse(p, -1L),
         stagedStats.get(p).map(_._2).getOrElse(-1L)))
     val hwLines = merged.map { case (p, o) => s"$p,$o" }
@@ -287,7 +296,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     clearStaging(epoch) // a crashed prior attempt may have left files here
     df.write.mode("append").partitionBy(Envelope.Partition)
       .parquet(s"$basePath/_staging/$epoch")
-    val hwLines = (0 until numPartitions).map(p => s"$p,${hw.getOrElse(p, -1L)}")
+    val hwLines = hwPartitionIds(hw).map(p => s"$p,${hw.getOrElse(p, -1L)}")
     val fileLines = fileSnapshotLines(stagedRelPaths(epoch))
     publishManifest(StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), 0))
   }
@@ -302,7 +311,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       val drop = relPaths.toSet
       val hw = highWater()
       val epoch = committedEpochs().last + 1
-      val hwLines = (0 until numPartitions).map(p => s"$p,${hw.getOrElse(p, -1L)}")
+      val hwLines = hwPartitionIds(hw).map(p => s"$p,${hw.getOrElse(p, -1L)}")
       val fileLines = fileSnapshotLines(live.filterNot(drop))
       publishManifest(StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), 0))
     case None => ()

@@ -48,9 +48,15 @@ object DelayedBuckets {
     val schema = log.schema.add("due_bucket", org.apache.spark.sql.types.StringType)
     val conf = log.sparkSession.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(indexPath, SchemaSidecar)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath, SchemaSidecar + ".tmp")
     val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
+    // write-then-rename (the manifest-commit pattern): a crash mid-write
+    // must never leave a truncated sidecar that breaks every later dueAt
+    val out = fs.create(tmp, true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not publish $p")
   }
 
   /**

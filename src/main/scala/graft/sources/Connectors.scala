@@ -170,7 +170,9 @@ object Connectors {
    * Caveat (same as any incrementing-mode poller): rows must commit to
    * the source table in increasing `incrementingCol` order; a
    * lower-valued row committed after a poll has passed it is missed.
-   * Returns the number of source rows in the polled slice.
+   * Rows committed above the probed MAX during the poll wait for the
+   * next poll (the slice is capped both sides). Returns the number of
+   * rows actually appended to the topic.
    */
   def jdbcSourceToTopic(topic: TopicLog, url: String, table: String,
                         incrementingCol: String, keyCol: String,
@@ -197,6 +199,9 @@ object Connectors {
       } finally c.close()
     }
     if (n == 0) return 0L
+    // upper cap at the probed hi: rows committed AFTER the probe belong
+    // to the next poll — without it the appended set and the returned
+    // count could drift under sustained concurrent inserts
     val slice = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -205,7 +210,7 @@ object Connectors {
       .option("upperBound", hi + 1)
       .option("numPartitions", math.min(numPartitions.toLong, n).toInt)
       .load()
-      .filter(col(incrementingCol) > since)
+      .filter(col(incrementingCol) > since && col(incrementingCol) <= hi)
     val envelope = slice.select(
       col(keyCol).cast("string").as(Envelope.Key),
       to_json(struct(slice.columns.map(col): _*)).as(Envelope.Value),
@@ -213,8 +218,7 @@ object Connectors {
       col(incrementingCol).cast("long").as(Envelope.SequenceId),
       current_timestamp().as(Envelope.PublishTime),
       current_timestamp().as(Envelope.EventTime))
-    topic.append(envelope)
-    n
+    topic.append(envelope) // rows actually staged+committed, not the probe count
   }
 
   /** Write modes of the JDBC sink (reference

@@ -147,6 +147,21 @@ class AdminChunkTxnSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), (max(Envelope.Offset) + 1).as("m"))
       .filter(col("n") =!= col("m"))
     assert(gaps.count() == 0, "offset gaps after expansion")
+
+    // a write through the STALE 2-partition handle must not truncate the
+    // manifest's high-water to its own range: rows committed on p2/p3
+    // stay visible and their offsets never restart
+    val p23Before = after.filter(col(Envelope.Partition) >= 2).count()
+    assert(p23Before > 0)
+    tl2.append(batch(120 until 150))
+    val viaStale = tl2.read()
+    assert(viaStale.filter(col(Envelope.Partition) >= 2).count() == p23Before,
+      "stale-handle append hid expanded-partition rows")
+    tl4.append(batch(150 until 180))
+    val dupIds = tl4.read()
+      .groupBy(Envelope.Partition, Envelope.Offset)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    assert(dupIds.count() == 0, "offset reuse after stale-handle append")
   }
 
   test("txn commit makes all topics visible; abort leaves nothing") {

@@ -20,6 +20,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packShards keeps NULL-stratum rows (null-safe offsets join) and matches naive") {
+    val d = docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(null: String))
+        .otherwise(col("lang")).as("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val dist = Sampling.packShards(d, "lang", "n_tokens", 1000L,
+      bucketWidth = 64L).select("doc_id", "shard_id")
+    val naive = Sampling.packShardsNaive(d, "lang", "n_tokens", 1000L)
+      .select("doc_id", "shard_id")
+    assert(dist.count() == d.count(), "NULL-stratum rows were dropped")
+    assert(dist.except(naive).isEmpty && naive.except(dist).isEmpty)
+  }
+
   test("packShards: every non-final shard lands within max(tokens) of the budget") {
     val d = docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -75,6 +88,8 @@ class SamplingSpec extends SparkSpec {
     assert(small.except(big).isEmpty, "sample(0.1) must be a subset of sample(0.25)")
     val n = big.count().toDouble / d.count()
     assert(n > 0.1 && n < 0.45, s"rate $n wildly off 0.25")
+    // fraction 1.0 is the identity, not a 1-2^-32 filter
+    assert(Sampling.hashFractionSample(d, 1.0, salt = "s|").count() == d.count())
     // the 100 TB property: a pure filter — no exchange anywhere
     val plan = big.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(400))
