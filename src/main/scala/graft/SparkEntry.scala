@@ -708,6 +708,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** §2.10 Shared-subscription priority dispatch, oracle-checked: the
+    * permit-cycle schedule (reference example order C1,C2,C3,C1,C4,C5,C4
+    * for C1(p0,2) C2(p0,1) C3(p0,1) C4(p1,2) C5(p1,1)) is RECOMPUTED in
+    * SQL from the (priority, permits) table — one row per permit ranked
+    * by (priority, round, position) — and applied to the same
+    * per-partition arrival ranks; per-consumer counts and offset spans
+    * must agree exactly. */
+  private def qSharedPriority(s: SparkSession, dir: String): DataFrame =
+    Dispatch.sharedPriorityDispatch(env(s, dir),
+        Seq(("c1", 0, 2), ("c2", 0, 1), ("c3", 0, 1), ("c4", 1, 2), ("c5", 1, 1)))
+      .groupBy("consumer_id")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min(Envelope.Offset).as("min_offset"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy("consumer_id")
+
   /** §2.10 Key_Shared hash parity, oracle-checked: the DuckDB side
     * reimplements murmur3_32 in pure SQL (overflow-safe 32-bit arithmetic
     * macros), so the slot of every key — and thus the whole ring
@@ -998,6 +1014,7 @@ object SparkEntry {
     "keyshared_rebalance" -> (qKeySharedRebalance _),
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
+    "shared_priority" -> (qSharedPriority _),
     "chunk_reassembly" -> (qChunkReassembly _),
     "crypto_roundtrip" -> (qCryptoRoundtrip _),
     "backlog_quota" -> (qBacklogQuota _),
@@ -1319,6 +1336,24 @@ object SparkEntry {
     // the mm3_8 macro expands to a large expression tree, and three
     // evaluation regions in one pipeline exhaust DuckDB's per-thread
     // allocations at high thread counts.
+    // schedule RECOMPUTED from the (priority, permits) table — one row
+    // per permit ranked by (priority, round, list position); the engine's
+    // driver-side cycle must agree slot-for-slot or counts/spans diverge
+    "shared_priority" -> envSql(
+      """, sched AS (
+        |  SELECT name, ROW_NUMBER() OVER (ORDER BY priority, r, pos) - 1 AS slot
+        |  FROM (
+        |    SELECT name, priority, pos, unnest(range(permits)) AS r
+        |    FROM (VALUES ('c1',0,2,0),('c2',0,1,1),('c3',0,1,2),('c4',1,2,3),('c5',1,1,4))
+        |      AS c(name, priority, permits, pos)) t),
+        |rnk AS (
+        |  SELECT "offset", partition,
+        |    ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") - 1 AS rn
+        |  FROM envelope)
+        |SELECT s.name AS consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN("offset") AS min_offset, MAX("offset") AS max_offset
+        |FROM rnk JOIN sched s ON s.slot = rnk.rn % (SELECT COUNT(*) FROM sched)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "keyshared_rebalance" -> (mm3Macros +
       """CREATE OR REPLACE TEMP TABLE graft_ring_old AS
         |  SELECT mm3_8(c || '-' || CAST(i AS VARCHAR)) % 65536 AS point, c AS owner

@@ -192,6 +192,55 @@ object Dispatch {
   }
 
   /**
+   * Shared-subscription priority-level dispatch (reference
+   * ConsumerBuilder.priorityLevel, ConsumerBuilder.java:530-549;
+   * AbstractDispatcherMultipleConsumers.java:79-108): the broker
+   * dispatches to max-priority consumers while they have permits,
+   * round-robin within a level, then falls to the next level. For
+   * consumers C1(p0,2) C2(p0,1) C3(p0,1) C4(p1,2) C5(p1,1) the
+   * documented dispatch order is C1,C2,C3,C1,C4,C5,C4 — one slot per
+   * permit ordered by (priority, round-robin round, list position).
+   *
+   * Batch model: that permit cycle IS the steady-state schedule (each
+   * ack returns its permit, so the cycle repeats): message `rn` (per-
+   * partition arrival rank) goes to `cycle[rn % cycle.length]`. The
+   * schedule is computed driver-side (tiny) and applied as an O(1)
+   * array-literal lookup — same shape as the Key_Shared ring.
+   *
+   * `consumers` = (name, priorityLevel, permits); lower level wins.
+   */
+  def sharedPriorityDispatch(log: DataFrame,
+                             consumers: Seq[(String, Int, Int)]): DataFrame = {
+    require(consumers.nonEmpty && consumers.forall(_._3 > 0))
+    val cycle: Seq[String] = consumers.zipWithIndex
+      .flatMap { case ((name, prio, permits), pos) =>
+        (0 until permits).map(round => (prio, round, pos, name))
+      }
+      .sortBy { case (prio, round, pos, _) => (prio, round, pos) }
+      .map(_._4)
+    val w = Window.partitionBy(Envelope.Partition).orderBy(Envelope.Offset)
+    log.withColumn("_rn", row_number().over(w) - 1)
+      .withColumn("consumer_id",
+        element_at(typedLit(cycle), (col("_rn") % cycle.length).cast("int") + 1))
+      .drop("_rn")
+  }
+
+  /** Failover active-consumer selection for partitioned topics
+    * (ConsumerBuilder.java:551-569): partitions are spread evenly over
+    * the HIGHEST-priority consumers only (lower level = higher
+    * priority), lexicographic name order within the tier; lower-priority
+    * consumers are pure standbys. */
+  def failoverActiveConsumer(log: DataFrame,
+                             consumers: Seq[(String, Int)]): DataFrame = {
+    require(consumers.nonEmpty)
+    val top = consumers.map(_._2).min
+    val tier = consumers.filter(_._2 == top).map(_._1).sorted
+    log.withColumn("consumer_id",
+      element_at(typedLit(tier),
+        pmod(col(Envelope.Partition), lit(tier.length)).cast("int") + 1))
+  }
+
+  /**
    * STICKY explicit hash ranges (HashRangeExclusiveStickyKeyConsumerSelector;
    * KeySharedPolicy.ranges): route by [start, end] slot ranges.
    */

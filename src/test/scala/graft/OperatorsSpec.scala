@@ -139,6 +139,30 @@ class OperatorsSpec extends SparkSpec {
       "keys not owned by the leaving consumer must stay put")
   }
 
+  test("shared priority dispatch reproduces the reference permit-cycle order") {
+    import spark.implicits._
+    // the documented example (ConsumerBuilder.java:543-548): dispatch
+    // order C1,C2,C3,C1,C4,C5,C4 for these (priority, permits)
+    val log = (0L until 14L).map(o => (0, o, s"k$o"))
+      .toDF(Envelope.Partition, Envelope.Offset, Envelope.Key)
+    val got = Dispatch.sharedPriorityDispatch(log,
+        Seq(("c1", 0, 2), ("c2", 0, 1), ("c3", 0, 1), ("c4", 1, 2), ("c5", 1, 1)))
+      .orderBy(Envelope.Offset)
+      .select("consumer_id").as[String].collect().toSeq
+    val cycle = Seq("c1", "c2", "c3", "c1", "c4", "c5", "c4")
+    assert(got == cycle ++ cycle)
+  }
+
+  test("failover active consumer: only the top-priority tier serves, spread by name order") {
+    val env = Envelope.fromEvents(spark, sf001)
+    val routed = Dispatch.failoverActiveConsumer(env,
+      Seq(("standby", 5), ("b", 0), ("a", 0)))
+    // tier = {a, b} sorted; 4 partitions -> a,b,a,b; standby gets nothing
+    val m = routed.select(Envelope.Partition, "consumer_id").distinct()
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m == Map(0 -> "a", 1 -> "b", 2 -> "a", 3 -> "b"))
+  }
+
   test("ring assignment is independent of the consumer-list input order (tie-break on owner)") {
     val env = Envelope.fromEvents(spark, sf001)
     val fwd = Dispatch.keySharedConsistentHash(env, Seq("c1", "c2", "c3"))
