@@ -101,6 +101,11 @@ object Sampling {
    * multiples, so every shard except a stratum's last carries ≥ budget −
    * max(tokens) and < budget + max(tokens) tokens, deterministically.
    *
+   * `idCol` must be unique within each stratum: it is the total order
+   * the cumulative token stream is defined over, and duplicate ordering
+   * keys make shard assignment of the duplicates unspecified in any
+   * engine (window tie order).
+   *
    * Scale shape: the naive formulation is one window sort per stratum —
    * a single reducer per language at 100 TB. This implementation is the
    * classic distributed prefix sum instead: ids are range-bucketed

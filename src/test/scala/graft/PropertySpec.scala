@@ -131,4 +131,49 @@ class PropertySpec extends SparkSpec {
       assert(got == naive, s"seed $seed")
     }
   }
+
+  test("shard packing: distributed prefix sum == naive, random corpora/budgets/widths (5 seeds)") {
+    for (seed <- 40L to 44L) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 300).map { i =>
+        val stratum = rnd.nextInt(4) match {
+          case 0 => null; case n => s"s$n"
+        }
+        // sparse, non-contiguous but UNIQUE ids (packShards orders by id;
+        // duplicate ordering keys have unspecified tie order in ANY
+        // engine); token counts include zeros
+        (i.toLong * 5 + rnd.nextInt(5), stratum, rnd.nextInt(40).toLong)
+      }
+      val df = rows.toDF("doc_id", "lang", "n_tokens")
+      val budget = 50L + rnd.nextInt(300)
+      val width = 1L + rnd.nextInt(200)
+      val dist = graft.ext.Sampling.packShards(df, "lang", "n_tokens",
+          budget, bucketWidth = width)
+        .select("doc_id", "shard_id").as[(Long, Long)].collect().toSet
+      val naive = graft.ext.Sampling.packShardsNaive(df, "lang", "n_tokens",
+          budget)
+        .select("doc_id", "shard_id").as[(Long, Long)].collect().toSet
+      assert(dist == naive, s"seed $seed budget $budget width $width")
+    }
+  }
+
+  test("stratified sample: exact ceil(frac*n) per stratum for random fraction maps (5 seeds)") {
+    for (seed <- 50L to 54L) {
+      val rnd = new scala.util.Random(seed)
+      val strata = Seq("a", "b", "c", "d")
+      val rows = (0 until 400).map(i => (i.toLong, strata(rnd.nextInt(4))))
+      val df = rows.toDF("doc_id", "lang")
+      // binary-exact fractions k/16
+      val fr = strata.map(s => s -> rnd.nextInt(17).toDouble / 16).toMap
+      val expected = rows.groupBy(_._2).map { case (s, g) =>
+        s -> math.ceil(g.size * fr(s)).toLong
+      }
+      val got = graft.ext.Sampling.stratifiedSample(df, "lang", fr,
+          salt = s"seed$seed|")
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+      expected.foreach { case (s, n) =>
+        assert(got.getOrElse(s, 0L) == n, s"seed $seed stratum $s")
+      }
+    }
+  }
 }
