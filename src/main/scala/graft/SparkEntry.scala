@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.Envelope
-import graft.operators.{Compaction, Dedup, Dispatch, Windows}
+import graft.operators.{Compaction, Dedup, Dispatch, Produce, Windows}
 import graft.ext.{MinHash, TextOps, VectorOps}
 import graft.functions.Murmur3Pulsar
 
@@ -724,6 +724,19 @@ object SparkEntry {
         max(Envelope.Offset).as("max_offset"))
       .orderBy("consumer_id")
 
+  /** §2.2 producer batch assembly (batchingMaxMessages=100): per
+    * partition, offset-ordered rows pack into batches; output is
+    * per-batch stats + the top batch_index, which must always be
+    * n−1 — the coordinates the batch-index ack machinery addresses. */
+  private def qProducerBatches(s: SparkSession, dir: String): DataFrame =
+    Produce.assignBatches(env(s, dir), maxMessages = 100)
+      .groupBy(col(Envelope.Partition), col("batch_seq"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min(Envelope.Offset).as("min_offset"),
+        max(Envelope.Offset).as("max_offset"),
+        max(Envelope.BatchIndex).cast("int").as("top_batch_index"))
+      .orderBy(Envelope.Partition, "batch_seq")
+
   /** §2.10 Key_Shared hash parity, oracle-checked: the DuckDB side
     * reimplements murmur3_32 in pure SQL (overflow-safe 32-bit arithmetic
     * macros), so the slot of every key — and thus the whole ring
@@ -1015,6 +1028,7 @@ object SparkEntry {
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "shared_priority" -> (qSharedPriority _),
+    "producer_batches" -> (qProducerBatches _),
     "chunk_reassembly" -> (qChunkReassembly _),
     "crypto_roundtrip" -> (qCryptoRoundtrip _),
     "backlog_quota" -> (qBacklogQuota _),
@@ -1336,6 +1350,16 @@ object SparkEntry {
     // the mm3_8 macro expands to a large expression tree, and three
     // evaluation regions in one pipeline exhaust DuckDB's per-thread
     // allocations at high thread counts.
+    "producer_batches" -> envSql(
+      """, rnk AS (
+        |  SELECT partition, "offset",
+        |    ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") - 1 AS rn
+        |  FROM envelope)
+        |SELECT partition, CAST(rn // 100 AS BIGINT) AS batch_seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN("offset") AS min_offset, MAX("offset") AS max_offset,
+        |  CAST(MAX(rn % 100) AS INT) AS top_batch_index
+        |FROM rnk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // schedule RECOMPUTED from the (priority, permits) table — one row
     // per permit ranked by (priority, round, list position); the engine's
     // driver-side cycle must agree slot-for-slot or counts/spans diverge

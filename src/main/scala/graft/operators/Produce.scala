@@ -75,4 +75,23 @@ object Produce {
   def withInterceptors(df: DataFrame,
                        interceptors: Seq[DataFrame => DataFrame]): DataFrame =
     interceptors.foldLeft(df)((d, f) => f(d))
+
+  /**
+   * Producer batch assembly (reference ProducerBuilder.batchingMaxMessages,
+   * ProducerBuilder.java:445-457; BatchMessageContainerImpl packs up to N
+   * messages per entry and MessageId gains the batch_index coordinate,
+   * PulsarApi.proto:58 MessageIdData): per partition, messages in offset
+   * order pack into batches of `maxMessages`; each row gets
+   * (batch_seq, batch_index) with batch_index ∈ [0, maxMessages). The
+   * batch-index ack machinery (Subscription/AckState) addresses exactly
+   * these coordinates. Count-based analog of the size/delay triggers the
+   * reference also supports (those are wall-clock, not data-derivable).
+   */
+  def assignBatches(log: DataFrame, maxMessages: Int): DataFrame = {
+    require(maxMessages > 0)
+    val w = Window.partitionBy(Envelope.Partition).orderBy(Envelope.Offset)
+    val rn = row_number().over(w) - 1
+    log.withColumn("batch_seq", floor(rn / maxMessages).cast("long"))
+      .withColumn(Envelope.BatchIndex, (rn % maxMessages).cast("int"))
+  }
 }
