@@ -38,14 +38,22 @@ object Compaction {
    * (AbstractTwoPhaseCompactor scans twice; we sort once).
    */
   def compact(log: DataFrame, keyCol: String, orderBy: Seq[Column],
-              valueCol: String): DataFrame = {
+              valueCol: String, retainNullKey: Boolean = false): DataFrame = {
     val ord = struct(orderBy: _*)
-    val latest = log
+    // null-key messages are not compactable: the reference DROPS them by
+    // default (ServiceConfiguration.java:3173 topicCompactionRetainNullKey
+    // = false) or passes them through UNCOMPACTED when retaining
+    // (AbstractTwoPhaseCompactor.java:253) — never last-one-per-null-group,
+    // which is what a bare groupBy would do
+    val keyed = log.filter(col(keyCol).isNotNull)
+    val latest = keyed
       .groupBy(col(keyCol))
       .agg(max_by(struct(log.columns.map(col): _*), ord).as("_latest"))
       .select(col(keyCol) +: log.columns.filterNot(_ == keyCol)
         .map(c => col(s"_latest.$c").as(c)): _*)
-    latest.filter(col(valueCol).isNotNull) // tombstone removal
+    val compacted = latest.filter(col(valueCol).isNotNull) // tombstone removal
+    if (retainNullKey) compacted.unionByName(log.filter(col(keyCol).isNull))
+    else compacted
   }
 
   /** Publish-order compaction (PublishingOrderCompactor): latest by offset. */

@@ -41,6 +41,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set("k2"))
   }
 
+  test("compaction null-key rows: dropped by default, passed through UNCOMPACTED when retained") {
+    val log = mkLog(Seq(
+      ("k1", "v1", 0L, 10L, "p0", 0L),
+      (null, "n1", 1L, 11L, "p0", 1L),
+      (null, "n2", 2L, 12L, "p0", 2L),
+      ("k1", "v2", 3L, 13L, "p0", 3L)))
+    // default = reference topicCompactionRetainNullKey=false: dropped
+    val dropped = Compaction.publishOrder(log)
+      .select(Envelope.Key, Envelope.Value).as[(String, String)].collect().toSet
+    assert(dropped == Set(("k1", "v2")))
+    // retained: BOTH null-key rows survive as-is (never last-per-null-group)
+    val kept = Compaction.compact(log, Envelope.Key, Seq(col(Envelope.Offset)),
+        Envelope.Value, retainNullKey = true)
+      .select(Envelope.Value).as[String].collect().toSet
+    assert(kept == Set("v2", "n1", "n2"))
+  }
+
   test("event-time compaction keeps max event_time, offset tie-break") {
     val log = mkLog(Seq(
       ("k1", "old", 0L, 100L, "p0", 0L),
