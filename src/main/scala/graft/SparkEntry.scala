@@ -724,6 +724,21 @@ object SparkEntry {
         max(Envelope.Offset).as("max_offset"))
       .orderBy("consumer_id")
 
+  /** §2.10 AUTO_SPLIT fixed-hash-range assignment, oracle-checked: the
+    * oracle's slot boundaries (16384/32768/49152) are hand-derived from
+    * the reference algorithm — join order c1..c4 splits biggest-range-
+    * in-half with the joiner taking the lower half, giving layout
+    * c3, c2, c4, c1 — NOT an even split by index. The engine must
+    * reproduce that exact ownership from its own simulation. */
+  private def qKeySharedAutoSplit(s: SparkSession, dir: String): DataFrame =
+    Dispatch.keySharedAutoSplit(env(s, dir), Seq("c1", "c2", "c3", "c4"))
+      .groupBy("consumer_id")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"),
+        min("slot").cast("bigint").as("min_slot"),
+        max("slot").cast("bigint").as("max_slot"))
+      .orderBy("consumer_id")
+
   /** §2.2 producer batch assembly (batchingMaxMessages=100): per
     * partition, offset-ordered rows pack into batches; output is
     * per-batch stats + the top batch_index, which must always be
@@ -1029,6 +1044,7 @@ object SparkEntry {
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "shared_priority" -> (qSharedPriority _),
     "producer_batches" -> (qProducerBatches _),
+    "keyshared_autosplit" -> (qKeySharedAutoSplit _),
     "chunk_reassembly" -> (qChunkReassembly _),
     "crypto_roundtrip" -> (qCryptoRoundtrip _),
     "backlog_quota" -> (qBacklogQuota _),
@@ -1346,6 +1362,30 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
         |  MIN(slot) AS min_slot, MAX(slot) AS max_slot
         |FROM assigned GROUP BY consumer_id ORDER BY consumer_id NULLS FIRST""".stripMargin),
+    // Boundaries hand-derived from the reference's split-biggest-in-half
+    // algorithm for join order c1..c4 (HashRangeAutoSplitStickyKey
+    // ConsumerSelector.java): c3 [0,16384], c2 (16384,32768],
+    // c4 (32768,49152], c1 (49152,65535] — independent of the engine's
+    // driver-side simulation, which must land on the same layout.
+    "keyshared_autosplit" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), envelope AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
+        |), slots AS (
+        |  SELECT key, mm3_8(key) % 65536 AS slot FROM envelope
+        |), assigned AS (
+        |  SELECT key, slot,
+        |    CASE WHEN slot <= 16384 THEN 'c3'
+        |         WHEN slot <= 32768 THEN 'c2'
+        |         WHEN slot <= 49152 THEN 'c4'
+        |         ELSE 'c1'
+        |    END AS consumer_id
+        |  FROM slots)
+        |SELECT consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+        |  MIN(slot) AS min_slot, MAX(slot) AS max_slot
+        |FROM assigned GROUP BY consumer_id ORDER BY consumer_id""".stripMargin),
     // The rings are materialized as temp tables (separate statements):
     // the mm3_8 macro expands to a large expression tree, and three
     // evaluation regions in one pipeline exhaust DuckDB's per-thread

@@ -94,6 +94,50 @@ object Dispatch {
   }
 
   /**
+   * AUTO_SPLIT fixed-hash-range selector, faithful to the reference
+   * algorithm (HashRangeAutoSplitStickyKeyConsumerSelector.java:94-195):
+   * consumers join ONE AT A TIME; the first owns the whole range, each
+   * later joiner splits the current biggest range in half (ties resolve
+   * to the smallest upper bound — findBiggestRange iterates ascending
+   * with a strict >), the joiner taking the LOWER half; a slot routes to
+   * ceilingEntry(slot) over the range upper bounds. Note this is NOT an
+   * even split by consumer index even when the count is a power of two:
+   * for c1..c4 the final layout is c3 [0,16384], c2 (16384,32768],
+   * c4 (32768,49152], c1 (49152,65535] — the join ORDER decides
+   * ownership. [[keySharedAssign]] keeps the simple even-split model;
+   * this one reproduces the reference's actual assignment.
+   */
+  def keySharedAutoSplit(log: DataFrame, consumers: Seq[String],
+                         rangeSize: Int = Murmur3Pulsar.HashRangeSize): DataFrame = {
+    require(consumers.nonEmpty)
+    require(rangeSize >= 2 && (rangeSize & (rangeSize - 1)) == 0,
+      "range size must be a power of two (reference is2Power check)")
+    val rangeMap = scala.collection.mutable.TreeMap[Int, String]()
+    consumers.foreach { c =>
+      if (rangeMap.isEmpty) rangeMap.put(rangeSize, c): Unit
+      else {
+        var slots = 0
+        var busiest = rangeSize
+        var lower = 0
+        rangeMap.foreach { case (upper, _) => // ascending; strict > keeps first
+          if (upper - lower > slots) { slots = upper - lower; busiest = upper }
+          lower = upper
+        }
+        val lowerKey = rangeMap.keysIterator.takeWhile(_ < busiest)
+          .foldLeft(0)((_, k) => k)
+        require(busiest - lowerKey > 1,
+          s"no more range can be assigned (consumers=${rangeMap.size})")
+        val split = busiest - ((busiest - lowerKey) >> 1)
+        rangeMap.put(split, c): Unit
+      }
+    }
+    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) % rangeSize
+    log.withColumn("slot", slot)
+      .withColumn("consumer_id",
+        ringAssign(rangeMap.toSeq, col("slot"))) // ceiling lookup, top key ≥ every slot
+  }
+
+  /**
    * AUTO_SPLIT consistent-hash-ring selector (reference
    * ConsistentHashingStickyKeyConsumerSelector.java:40,104): each consumer
    * owns `pointsPerConsumer` ring points at murmur3(name + "-" + i) %

@@ -156,6 +156,31 @@ class OperatorsSpec extends SparkSpec {
       "keys not owned by the leaving consumer must stay put")
   }
 
+  test("AUTO_SPLIT hash-range: split-biggest-in-half layout, joiner takes the lower half") {
+    val env = Envelope.fromEvents(spark, sf001)
+    // hand-traced reference layout for join order c1..c4:
+    // c3 [0,16384], c2 (16384,32768], c4 (32768,49152], c1 (49152,65535]
+    val got4 = Dispatch.keySharedAutoSplit(env, Seq("c1", "c2", "c3", "c4"))
+      .groupBy("consumer_id")
+      .agg(min("slot").as("lo"), max("slot").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got4("c3")._2 <= 16384 && got4("c2")._1 > 16384 &&
+      got4("c2")._2 <= 32768 && got4("c4")._1 > 32768 &&
+      got4("c4")._2 <= 49152 && got4("c1")._1 > 49152, got4.toString)
+    // n=3: c3 [0,16384], c2 (16384,32768], c1 (32768,65535]
+    val got3 = Dispatch.keySharedAutoSplit(env, Seq("c1", "c2", "c3"))
+      .groupBy("consumer_id")
+      .agg(min("slot").as("lo"), max("slot").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got3("c3")._2 <= 16384 && got3("c2")._1 > 16384 &&
+      got3("c2")._2 <= 32768 && got3("c1")._1 > 32768, got3.toString)
+    // total assignment: every row routed, per-key sticky
+    val a = Dispatch.keySharedAutoSplit(env, Seq("c1", "c2", "c3"))
+    assert(a.filter(col("consumer_id").isNull).count() == 0)
+    assert(a.groupBy(Envelope.Key).agg(countDistinct("consumer_id").as("n"))
+      .filter(col("n") > 1).count() == 0)
+  }
+
   test("shared priority dispatch reproduces the reference permit-cycle order") {
     import spark.implicits._
     // the documented example (ConsumerBuilder.java:543-548): dispatch
