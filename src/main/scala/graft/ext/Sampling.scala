@@ -55,7 +55,13 @@ object Sampling {
     // draw starts with ffffffff (real rows at corpus scale)
     if (fraction >= 1.0) df
     else {
-      val threshold = f"${(fraction * (1L << 32)).toLong}%08x"
+      // clamp: for fraction just below 1.0 (e.g. nextDown(1.0)) the double
+      // product rounds UP to 2^32 and %08x would emit the 9-char
+      // "100000000", which sorts lexicographically below "2..." — keeping
+      // ~6% of rows instead of ~100%. Clamped, the worst case drops only
+      // the ~2^-32 of draws starting "ffffffff".
+      val t = math.min((fraction * (1L << 32)).toLong, 0xffffffffL)
+      val threshold = f"$t%08x"
       df.filter(substring(draw(idCol, salt), 1, 8) < lit(threshold))
     }
   }

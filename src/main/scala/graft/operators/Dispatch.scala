@@ -134,7 +134,7 @@ object Dispatch {
     val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) % rangeSize
     log.withColumn("slot", slot)
       .withColumn("consumer_id",
-        ringAssign(rangeMap.toSeq, col("slot"))) // ceiling lookup, top key ≥ every slot
+        ringAssign(rangeMap.toSeq, col("slot"), rangeSize)) // ceiling lookup, top key ≥ every slot
   }
 
   /**
@@ -183,10 +183,18 @@ object Dispatch {
     * past the last point goes to the first point's owner
     * (NavigableMap.ceilingEntry semantics); point collisions resolve to
     * the lexicographically-smallest owner because `ring` arrives sorted
-    * by (point, owner). */
-  private def ringAssign(ring: Seq[(Int, String)], slot: Column): Column = {
+    * by (point, owner). `domain` is the slot space the table must cover —
+    * [[keySharedAutoSplit]] accepts any power-of-two `rangeSize`, and a
+    * table sized to the 65536 default would silently `element_at` → NULL
+    * for every slot ≥ 65536. Capped at 2^20: the owner table is a plan
+    * literal, and a multi-million-entry array literal is a driver/codegen
+    * hazard, not a real ring size (the reference default is 65536). */
+  private def ringAssign(ring: Seq[(Int, String)], slot: Column,
+                         domain: Int = Murmur3Pulsar.HashRangeSize): Column = {
+    require(domain > 0 && domain <= (1 << 20),
+      s"ring domain $domain exceeds the 2^20 owner-table literal bound")
     val arr = ring.toArray
-    val owners = new Array[String](Murmur3Pulsar.HashRangeSize)
+    val owners = new Array[String](domain)
     var ri = 0
     var s = 0
     while (s < owners.length) {

@@ -33,6 +33,23 @@ import org.apache.spark.sql.types.StructType
  */
 object Connectors {
 
+  /** Identifier allowlist for SQL interpolated into JDBC statements
+    * (table names, column names). Config-sourced names are an injection
+    * surface — the reference guards the same spot with
+    * `JdbcUtils.quoteIdentifier` (pulsar-io/jdbc). Quoting would make
+    * identifiers case-sensitive on targets like Derby that upper-case
+    * unquoted DDL, so the portable guard here is a strict allowlist:
+    * dot-separated parts of `[A-Za-z_][A-Za-z0-9_]*`. Identifiers that
+    * genuinely need quoting (spaces, reserved words as-is, mixed case on
+    * a case-sensitive target) are rejected loudly rather than broken
+    * silently. */
+  private[graft] def checkIdentifier(id: String): String = {
+    val part = "[A-Za-z_][A-Za-z0-9_]*"
+    require(id != null && id.matches(s"$part(\\.$part)*"),
+      s"illegal SQL identifier '$id' (allowed: dot-separated $part)")
+    id
+  }
+
   /**
    * File source (reference pulsar-io/file): tail a directory as a stream
    * and produce every record into `topic`. `discover/prepare/readNext`
@@ -177,6 +194,7 @@ object Connectors {
   def jdbcSourceToTopic(topic: TopicLog, url: String, table: String,
                         incrementingCol: String, keyCol: String,
                         numPartitions: Int = 4): Long = {
+    checkIdentifier(table); checkIdentifier(incrementingCol): Unit
     val spark = topic.spark
     val producer = s"io-jdbc-source-$table"
     val existing = topic.read()
@@ -253,6 +271,9 @@ object Connectors {
                       valueCols: Seq[(String, String)],
                       mode: JdbcMode, checkpoint: String,
                       batchSize: Int = 500): StreamingQuery = {
+    // validate eagerly at wiring time — not first microbatch
+    checkIdentifier(table): Unit
+    (keyCols ++ valueCols).foreach(c => checkIdentifier(c._2))
     val spark = topic.spark
     // (topicColumn -> tableColumn) mapping: envelope names like key/value
     // are reserved words in most SQL dialects
@@ -294,7 +315,8 @@ object Connectors {
                                  url: String, table: String,
                                  keyCols: Seq[String], valueCols: Seq[String],
                                  mode: JdbcMode, batchSize: Int): Unit = {
-    val cols = keyCols ++ valueCols
+    checkIdentifier(table): Unit
+    val cols = (keyCols ++ valueCols).map(checkIdentifier)
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)

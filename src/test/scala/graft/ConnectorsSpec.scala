@@ -228,4 +228,35 @@ class ConnectorsSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(names == Set("a", "b", "c", "d", "e"))
   }
+
+  test("jdbc identifiers: injection-shaped table/column names are rejected, not interpolated") {
+    val dir = Files.createTempDirectory("graft-jdbc-id").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("jdbc-id"), 2)
+    // source side: table and incrementingCol reach a raw bounds-probe SQL
+    for (bad <- Seq("src_t; DROP TABLE x", "src_t WHERE 1=1 --", "a b",
+        "src\"t", "1tab", "", "sch..t")) {
+      intercept[IllegalArgumentException] {
+        Connectors.jdbcSourceToTopic(topic, url, bad, "id", "id")
+      }
+      intercept[IllegalArgumentException] {
+        Connectors.jdbcSourceToTopic(topic, url, "src_t", bad, "id")
+      }
+    }
+    // sink side: table and mapped db column names reach prepared-stmt SQL;
+    // rejected at wiring time, before any microbatch runs
+    intercept[IllegalArgumentException] {
+      Connectors.topicToJdbcSink(topic, url, "t; DELETE FROM t",
+        keyCols = Seq(("key", "k")), valueCols = Seq(("value", "v")),
+        mode = Connectors.JdbcMode.Insert, checkpoint = s"$dir/ckpt")
+    }
+    intercept[IllegalArgumentException] {
+      Connectors.topicToJdbcSink(topic, url, "sink_t",
+        keyCols = Seq(("key", "k = ?; --")), valueCols = Seq(("value", "v")),
+        mode = Connectors.JdbcMode.Insert, checkpoint = s"$dir/ckpt")
+    }
+    // legitimate qualified names still pass the allowlist
+    assert(Connectors.checkIdentifier("APP.src_t") == "APP.src_t")
+    assert(Connectors.checkIdentifier("_t0") == "_t0")
+  }
 }

@@ -181,6 +181,25 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("n") > 1).count() == 0)
   }
 
+  test("AUTO_SPLIT with rangeSize > 65536 assigns every slot (owner table sized to the range)") {
+    val env = Envelope.fromEvents(spark, sf001)
+    val a = Dispatch.keySharedAutoSplit(env, Seq("c1", "c2", "c3"),
+      rangeSize = 1 << 17)
+    // a 65536-sized owner table would element_at -> silent NULL for every
+    // slot >= 65536 (about half the rows at 2^17)
+    assert(a.filter(col("consumer_id").isNull).count() == 0)
+    assert(a.filter(col("slot") >= 65536).count() > 0,
+      "fixture never exercised the extended slot range")
+    // per-key sticky still holds over the wider ring
+    assert(a.groupBy(Envelope.Key).agg(countDistinct("consumer_id").as("n"))
+      .filter(col("n") > 1).count() == 0)
+    // the literal-table bound stays a loud error, not an OOM
+    intercept[IllegalArgumentException] {
+      Dispatch.keySharedAutoSplit(env, Seq("c1"), rangeSize = 1 << 21)
+        .count()
+    }: Unit
+  }
+
   test("shared priority dispatch reproduces the reference permit-cycle order") {
     import spark.implicits._
     // the documented example (ConsumerBuilder.java:543-548): dispatch

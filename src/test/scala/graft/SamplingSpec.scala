@@ -94,4 +94,19 @@ class SamplingSpec extends SparkSpec {
     val plan = big.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(400))
   }
+
+  test("hashFractionSample: fractions at and just below 1.0 keep ~all rows (threshold clamp)") {
+    val d = docs.select("doc_id", "lang")
+    val total = d.count()
+    // unclamped, nextDown(1.0) formats a 9-char "100000000" threshold that
+    // sorts below "2..." and keeps ~6% of rows — the clamp must keep ~100%
+    for (f <- Seq(Math.nextDown(1.0), 0.9999999999, 1.0 - math.pow(2, -32))) {
+      val kept = Sampling.hashFractionSample(d, f, salt = "clamp|").count()
+      assert(kept >= total - 1 && kept <= total,
+        s"fraction=$f kept $kept of $total rows")
+    }
+    // monotonicity survives the clamp: every fraction's sample nests in 1.0's
+    val sub = Sampling.hashFractionSample(d, Math.nextDown(1.0), salt = "clamp|")
+    assert(sub.except(d).isEmpty)
+  }
 }
