@@ -6,11 +6,24 @@ import org.apache.spark.sql.SparkSession
  * Driver-run benchmark: every SparkEntry query materialized fully via the
  * noop sink (`.count()` would let Catalyst prune aggregates/sorts and
  * under-report), one JSON line to stdout.
+ *
+ * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and reports
+ * the per-query MEDIAN: identical code measured 0.12×–3.36× across two
+ * single-shot rounds (GC, codegen-cache, page-cache noise), so a
+ * single-shot bench cannot attribute regressions. Reps interleave by
+ * round (q1..qN, q1..qN, ...) rather than back-to-back so one rep's
+ * cache residue doesn't define the next measurement of the same query.
  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,18 +53,24 @@ object Bench {
         .fit(spark.range(4).select(array_to_vector(
           array(col("id").cast("double"), lit(0.0))).as("fv"))): Unit
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to reps).flatMap { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> median(samples.collect { case (`name`, t) => t })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -107,17 +107,33 @@ object VectorOps {
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
              initMode: String = "k-means||",
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             fitSampleCap: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitSampleCap > 0)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    // The quantizer fits on a deterministic hash-fraction sample capped at
+    // ~fitSampleCap vectors, never the full corpus: at 100 TB a full-corpus
+    // fit is `iters` complete passes just to place `nlist` centroids, while
+    // ~100k vectors already pin them. The sizing count is ONE cheap
+    // aggregate pass; the sample itself is a pushed-down filter (no
+    // shuffle). Centroid placement cannot change results when
+    // nprobe = nlist (the spec asserts equality), and for nprobe < nlist
+    // it only shifts the recall/scan trade — determinism is what matters,
+    // and md5-hash sampling is engine-reproducible.
+    val nCorpus = c.count()
+    val fitSet =
+      if (nCorpus <= fitSampleCap) c
+      else Sampling.hashFractionSample(c, fitSampleCap.toDouble / nCorpus,
+        idCol = "corpus_id", salt = "ivf-fit|")
     // initMode "random" skips the multi-job k-means|| seeding — the right
     // trade when nprobe = nlist (centroid quality cannot change results)
     val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(iters)
       .setInitMode(initMode)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(c.select("fv"))
+      .fit(fitSet.select("fv"))
     val cells = model.transform(c).drop("fv")
     // centroids are tiny (nlist × dim) — broadcast as a literal table
     val centroids = corpus.sparkSession.createDataFrame(

@@ -128,6 +128,23 @@ class ExtOpsSpec extends SparkSpec {
     part.unpersist()
   }
 
+  test("annIvf quantizer fits on a bounded sample without changing full-probe results") {
+    val queries = vecs.filter(col("vec_id") < 5)
+    // force the sampled-fit path (corpus >> cap): at nprobe = nlist the
+    // centroid placement cannot change results, so the sampled fit must be
+    // bit-equal to brute force — the 100 TB contract (never `iters` full
+    // corpus passes to place nlist centroids)
+    assert(vecs.count() > 40, "fixture too small to exercise the sampled fit")
+    val sampled = VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 8,
+        fitSampleCap = 40L)
+      .select("query_id", "rank", "corpus_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = VectorOps.annBruteForce(vecs, queries, 5)
+      .select("query_id", "rank", "corpus_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(sampled == brute, "sampled-quantizer full probe must equal brute force")
+  }
+
   test("redactPii: emails, IPs, phones become typed tokens; clean text unchanged") {
     val rows = Seq(
       "mail me at jo.doe+x@sub.example.org today",
