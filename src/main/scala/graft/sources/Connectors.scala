@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.StructType
  * | Reference connector (pulsar-io/) | Spark equivalent |
  * |---|---|
  * | file                       | `FileSource` below (readStream text/json/csv) |
- * | kafka / kafka-connect      | `spark.readStream.format("kafka")` |
+ * | kafka / kafka-connect      | [[KafkaConnector]] (config/offset/header plumbing; network = `spark.readStream.format("kafka")`) |
  * | jdbc (insert/upsert/delete)| `topicToJdbcSink` below (batched upsert/delete in foreachBatch); `jdbcSourceToTopic` below (incremental poll source) |
  * | elastic-search, solr       | es-hadoop / solr-spark sinks in foreachBatch |
  * | aws-s3 / hdfs3 / alluxio   | any hadoop-fs path (file formats built in) |
@@ -27,9 +27,10 @@ import org.apache.spark.sql.types.StructType
  * | data-generator             | `spark.range` + expression columns |
  * | http / netty / flume       | socket source / custom v2 source |
  *
- * Only `file` is implemented concretely (no external daemons in this
- * environment); the source→appender and topic→sink plumbing below is
- * connector-agnostic.
+ * `file`, `jdbc` (source + sink) and the kafka option/offset plumbing are
+ * implemented concretely (no external daemons in this environment — the
+ * kafka NETWORK layer stays Spark's own source); the source→appender and
+ * topic→sink plumbing below is connector-agnostic.
  */
 object Connectors {
 

@@ -1,0 +1,225 @@
+package graft.sources
+
+import graft.log.TopicLog
+import graft.model.Envelope
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Kafka → topic source, mapped Spark-first (reference
+ * pulsar-io/kafka/src/main/java/org/apache/pulsar/io/kafka/
+ * KafkaAbstractSource.java:56 and KafkaSourceConfig.java:45-149).
+ *
+ * Split exactly like the JDBC connector: the part that holds the bugs —
+ * config validation, consumer-option assembly, per-partition offset
+ * resume, auto.offset.reset semantics, header copy — is implemented and
+ * tested here against an in-sandbox fake broker (a DataFrame with the
+ * Kafka record shape). The network layer is Spark's own Kafka source:
+ * in a real deployment `spark.readStream.format("kafka")` with
+ * [[KafkaSourceConfig.sparkReadOptions]] replaces the fake, and each
+ * microbatch flows through [[KafkaConnector.pollToTopic]] unchanged.
+ *
+ * Offset model: the reference consumer either auto-commits to Kafka or
+ * commitSync()s after the produce futures complete
+ * (KafkaAbstractSource.java:186-192) — either way the consumer group's
+ * committed offset is the resume point, and a crash between produce and
+ * commit replays records (at-least-once). Here the resume point is the
+ * TOPIC LOG ITSELF: the Kafka offset is the envelope sequence id and the
+ * producer name encodes the Kafka partition, so `resumeOffsets` recovers
+ * the exact committed position from the log and a replayed poll appends
+ * nothing twice (§2.8 dedup by construction). No side-channel offset
+ * store can drift from the data — strictly stronger than the reference's
+ * at-least-once window.
+ */
+object KafkaConnector {
+
+  /** Kafka record-batch columns, byte-compatible with what
+    * `spark.readStream.format("kafka")` exposes — the fake broker in the
+    * spec and the real source produce the same shape. */
+  val RecordColumns: Seq[String] =
+    Seq("topic", "partition", "offset", "key", "value", "timestamp", "headers")
+
+  /** Reference header keys (KafkaAbstractSource.java:57-59). */
+  val HeaderKafkaTopic = "__kafka_topic"
+  val HeaderKafkaPartition = "__kafka_partition"
+  val HeaderKafkaOffset = "__kafka_offset"
+
+  /** One producer identity per Kafka partition: offsets are monotone per
+    * partition, so (producer, sequence) = (partition producer, offset) is
+    * the dedup key that makes replays idempotent. */
+  def producerName(cfg: KafkaSourceConfig, partition: Int): String =
+    s"io-kafka-source-${cfg.topic}-${cfg.groupId}-p$partition"
+
+  private def producerPrefix(cfg: KafkaSourceConfig): String =
+    s"io-kafka-source-${cfg.topic}-${cfg.groupId}-p"
+
+  /**
+   * Committed resume offset per Kafka partition, recovered from the topic
+   * log (the analogue of the consumer group's committed offsets). A
+   * partition absent from the map has never been consumed — the
+   * auto.offset.reset policy decides where it starts.
+   */
+  def resumeOffsets(topic: TopicLog, cfg: KafkaSourceConfig): Map[Int, Long] = {
+    val log = topic.read()
+    if (log.isEmpty) Map.empty
+    else {
+      val prefix = producerPrefix(cfg)
+      log.filter(col(Envelope.ProducerName).startsWith(prefix))
+        .groupBy(Envelope.ProducerName)
+        .agg(max(Envelope.SequenceId).as("hi"))
+        .collect() // bounded: one row per Kafka partition
+        .map(r => r.getString(0).stripPrefix(prefix).toInt -> r.getLong(1))
+        .toMap
+    }
+  }
+
+  /**
+   * One poll: append every record of `records` that sits strictly above
+   * the resume point of its partition. `records` carries the Kafka batch
+   * shape ([[RecordColumns]]) — in production a microbatch from Spark's
+   * Kafka source, in tests the fake broker's current backlog (so a poll
+   * with an already-seen backlog is exactly a replay).
+   *
+   * Partitions never seen before follow `autoOffsetReset`
+   * (KafkaSourceConfig.java:137, default "earliest"): `earliest` takes the
+   * partition from its first available record; `latest` skips the existing
+   * backlog — it marks the partition's current high offset as consumed
+   * (appending nothing), so only records arriving AFTER this poll flow.
+   * That is the reference consumer's semantics for a group with no
+   * committed offset.
+   *
+   * Header copy (KafkaAbstractSource.java:207-219, copyHeadersEnabled
+   * default false): when enabled, envelope `properties` carries
+   * __kafka_topic/__kafka_partition/__kafka_offset plus each record
+   * header base64-encoded.
+   *
+   * Returns the number of rows appended.
+   */
+  def pollToTopic(topic: TopicLog, cfg: KafkaSourceConfig,
+                  records: DataFrame): Long = {
+    val resume = resumeOffsets(topic, cfg)
+    // earliest: an unseen partition replays from its first record (resume
+    // below any offset — the Long.MinValue fold default); latest: an
+    // unseen partition resumes AT its current top — nothing from the
+    // backlog, only records arriving after this poll
+    val startAt: Map[Int, Long] =
+      if (cfg.autoOffsetReset == "latest") {
+        val tops = records.groupBy("partition")
+          .agg(max("offset").as("top")).collect() // bounded: per partition
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        tops.map { case (p, top) => p -> resume.getOrElse(p, top) }
+      } else resume
+    val resumeExpr = startAt.foldLeft(lit(Long.MinValue)) {
+      case (acc, (p, off)) => when(col("partition") === p, off).otherwise(acc)
+    }
+    val slice = records
+      .filter(col("topic") === cfg.topic && col("offset") > resumeExpr)
+    val props =
+      if (cfg.copyHeadersEnabled)
+        map_concat(
+          map(
+            lit(HeaderKafkaTopic), col("topic"),
+            lit(HeaderKafkaPartition), col("partition").cast("string"),
+            lit(HeaderKafkaOffset), col("offset").cast("string")),
+          coalesce(map_from_entries(transform(col("headers"),
+            h => struct(h.getField("key"), base64(h.getField("value"))))),
+            map().cast("map<string,string>")))
+      else map().cast("map<string,string>")
+    val envelope = slice.select(
+      col("key").cast("string").as(Envelope.Key),
+      col("value").cast("string").as(Envelope.Value),
+      concat(lit(producerPrefix(cfg)), col("partition").cast("string"))
+        .as(Envelope.ProducerName),
+      col("offset").as(Envelope.SequenceId),
+      current_timestamp().as(Envelope.PublishTime),
+      col("timestamp").as(Envelope.EventTime),
+      props.as(Envelope.Properties))
+    if (slice.isEmpty) 0L else topic.append(envelope)
+  }
+}
+
+/**
+ * Kafka source configuration, field-for-field against the reference
+ * (KafkaSourceConfig.java:45-149) minus the TLS/SASL secrets (which pass
+ * straight through to the consumer in both systems — `consumerConfig`
+ * here). Defaults match the reference's field initializers.
+ */
+final case class KafkaSourceConfig(
+    topic: String,
+    bootstrapServers: String,
+    groupId: String,
+    fetchMinBytes: Long = 1L,
+    autoCommitEnabled: Boolean = true,
+    autoCommitIntervalMs: Long = 5000L,
+    sessionTimeoutMs: Long = 30000L,
+    heartbeatIntervalMs: Long = 3000L,
+    autoOffsetReset: String = "earliest",
+    copyHeadersEnabled: Boolean = false,
+    consumerConfig: Map[String, String] = Map.empty) {
+
+  // the reference validates in open() (KafkaAbstractSource.java:72-91);
+  // a case class validates at construction — same checks, same messages
+  require(topic != null && topic.nonEmpty, "Kafka topic is not set")
+  require(bootstrapServers != null && bootstrapServers.nonEmpty,
+    "Kafka bootstrapServers is not set")
+  require(groupId != null && groupId.nonEmpty,
+    "Kafka consumer group id is not set")
+  require(fetchMinBytes > 0, s"Invalid Kafka Consumer fetchMinBytes : $fetchMinBytes")
+  require(!autoCommitEnabled || autoCommitIntervalMs > 0,
+    s"Invalid Kafka Consumer autoCommitIntervalMs : $autoCommitIntervalMs")
+  require(sessionTimeoutMs > 0,
+    s"Invalid Kafka Consumer sessionTimeoutMs : $sessionTimeoutMs")
+  require(heartbeatIntervalMs > 0,
+    s"Invalid Kafka Consumer heartbeatIntervalMs : $heartbeatIntervalMs")
+  require(autoOffsetReset == "earliest" || autoOffsetReset == "latest",
+    s"Invalid auto.offset.reset : $autoOffsetReset")
+
+  /**
+   * The option map for `spark.readStream.format("kafka")` — the
+   * production network layer. Explicit config wins over passthrough
+   * `consumerConfig`, mirroring the reference's property assembly order
+   * (KafkaAbstractSource.java:93-134: props.putAll(passthrough) first,
+   * then the typed fields overwrite). Offset commits are Spark
+   * checkpoints, so enable.auto.commit/auto.commit.interval.ms and the
+   * group's committed position stay out of the option map by design —
+   * [[KafkaConnector.resumeOffsets]] is the committed position.
+   */
+  def sparkReadOptions: Map[String, String] =
+    consumerConfig.map { case (k, v) => s"kafka.$k" -> v } ++ Map(
+      "subscribe" -> topic,
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "kafka.group.id" -> groupId,
+      "kafka.fetch.min.bytes" -> fetchMinBytes.toString,
+      "kafka.session.timeout.ms" -> sessionTimeoutMs.toString,
+      "kafka.heartbeat.interval.ms" -> heartbeatIntervalMs.toString,
+      "startingOffsets" -> autoOffsetReset)
+}
+
+object KafkaSourceConfig {
+  /** Untyped-map loader, the reference's `KafkaSourceConfig.load(Map)`
+    * (KafkaSourceConfig.java:156): unknown keys pass through to the
+    * consumer config rather than erroring, typed keys coerce. */
+  def load(config: Map[String, Any]): KafkaSourceConfig = {
+    def str(k: String): Option[String] = config.get(k).map(_.toString)
+    def lng(k: String, d: Long): Long = str(k).map(_.toLong).getOrElse(d)
+    def bool(k: String, d: Boolean): Boolean =
+      str(k).map(_.toBoolean).getOrElse(d)
+    val typedKeys = Set("topic", "bootstrapServers", "groupId",
+      "fetchMinBytes", "autoCommitEnabled", "autoCommitIntervalMs",
+      "sessionTimeoutMs", "heartbeatIntervalMs", "autoOffsetReset",
+      "copyHeadersEnabled")
+    KafkaSourceConfig(
+      topic = str("topic").orNull,
+      bootstrapServers = str("bootstrapServers").orNull,
+      groupId = str("groupId").orNull,
+      fetchMinBytes = lng("fetchMinBytes", 1L),
+      autoCommitEnabled = bool("autoCommitEnabled", d = true),
+      autoCommitIntervalMs = lng("autoCommitIntervalMs", 5000L),
+      sessionTimeoutMs = lng("sessionTimeoutMs", 30000L),
+      heartbeatIntervalMs = lng("heartbeatIntervalMs", 3000L),
+      autoOffsetReset = str("autoOffsetReset").getOrElse("earliest"),
+      copyHeadersEnabled = bool("copyHeadersEnabled", d = false),
+      consumerConfig = config.view.filterKeys(!typedKeys.contains(_))
+        .map { case (k, v) => k -> v.toString }.toMap)
+  }
+}

@@ -259,4 +259,114 @@ class ConnectorsSpec extends SparkSpec {
     assert(Connectors.checkIdentifier("APP.src_t") == "APP.src_t")
     assert(Connectors.checkIdentifier("_t0") == "_t0")
   }
+
+  // ---- kafka connector (option/offset plumbing; fake broker) ----
+
+  /** A Kafka record batch in the exact shape Spark's kafka source
+    * exposes — the in-sandbox stand-in for the broker. */
+  private def kafkaBatch(rows: (Int, Long, String, String)*) =
+    rows.toDF("partition", "offset", "key", "value")
+      .select(lit("clicks").as("topic"), col("partition"), col("offset"),
+        col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("timestamp"),
+        array(struct(lit("h1").as("key"),
+          lit("v1").cast("binary").as("value"))).as("headers"))
+
+  test("kafka source: polls resume from the log per partition; replays append nothing") {
+    import graft.sources.{KafkaConnector, KafkaSourceConfig}
+    val dir = Files.createTempDirectory("graft-kafka").toString
+    val cfg = KafkaSourceConfig("clicks", "broker:9092", "g1")
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("kafka-in"), 2)
+
+    val b1 = kafkaBatch((0, 0L, "a", "v0"), (0, 1L, "b", "v1"), (1, 0L, "c", "v2"))
+    assert(KafkaConnector.pollToTopic(topic, cfg, b1) == 3)
+    assert(topic.read().count() == 3)
+    // exact replay of the same backlog (crash between poll and "commit"):
+    // the log IS the committed offset, so nothing re-appends
+    assert(KafkaConnector.pollToTopic(topic, cfg, b1) == 0)
+    assert(topic.read().count() == 3)
+    // per-partition resume: partition 0 advanced past 1, partition 1 past 0
+    assert(KafkaConnector.resumeOffsets(topic, cfg) == Map(0 -> 1L, 1 -> 0L))
+    // a rebalance hands partition 1 to another task: the delta poll sees
+    // old + new records, only the new ones land — per partition
+    val b2 = kafkaBatch((0, 0L, "a", "v0"), (0, 2L, "d", "v3"),
+      (1, 0L, "c", "v2"), (1, 1L, "e", "v4"), (2, 0L, "f", "v5"))
+    assert(KafkaConnector.pollToTopic(topic, cfg, b2) == 3)
+    assert(KafkaConnector.resumeOffsets(topic, cfg) ==
+      Map(0 -> 2L, 1 -> 1L, 2 -> 0L))
+    // payloads string-decoded (KafkaStringSource counterpart)
+    val vals = topic.read().select(graft.model.Envelope.Value)
+      .as[String].collect().toSet
+    assert(vals == Set("v0", "v1", "v2", "v3", "v4", "v5"))
+    // a different group id is a different committed position (fresh resume)
+    val cfg2 = cfg.copy(groupId = "g2")
+    assert(KafkaConnector.resumeOffsets(topic, cfg2).isEmpty)
+    assert(KafkaConnector.pollToTopic(topic, cfg2, b1) == 3)
+  }
+
+  test("kafka source: auto.offset.reset latest skips the backlog of unseen partitions") {
+    import graft.sources.{KafkaConnector, KafkaSourceConfig}
+    val dir = Files.createTempDirectory("graft-kafka-l").toString
+    val cfg = KafkaSourceConfig("clicks", "broker:9092", "g1",
+      autoOffsetReset = "latest")
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("kafka-l"), 2)
+    val backlog = kafkaBatch((0, 0L, "a", "v0"), (0, 5L, "b", "v1"))
+    // no committed position: latest marks the current top consumed
+    assert(KafkaConnector.pollToTopic(topic, cfg, backlog) == 0)
+    // ...but once a position EXISTS, later records flow normally
+    val more = kafkaBatch((0, 5L, "b", "v1"), (0, 6L, "c", "v2"))
+    assert(KafkaConnector.pollToTopic(topic, cfg, more) == 0,
+      "latest with no committed position keeps skipping until new records arrive")
+    val cfgE = cfg.copy(groupId = "gE", autoOffsetReset = "earliest")
+    assert(KafkaConnector.pollToTopic(topic, cfgE, more) == 2)
+    assert(KafkaConnector.pollToTopic(topic, cfgE,
+      kafkaBatch((0, 7L, "d", "v3"))) == 1)
+  }
+
+  test("kafka source: header copy and config load/validation mirror the reference") {
+    import graft.sources.{KafkaConnector, KafkaSourceConfig}
+    val dir = Files.createTempDirectory("graft-kafka-h").toString
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("kafka-h"), 2)
+    val cfg = KafkaSourceConfig("clicks", "broker:9092", "g1",
+      copyHeadersEnabled = true)
+    KafkaConnector.pollToTopic(topic, cfg, kafkaBatch((0, 0L, "a", "v0"))): Unit
+    val props = topic.read()
+      .select(graft.model.Envelope.Properties)
+      .as[Map[String, String]].head()
+    assert(props(KafkaConnector.HeaderKafkaTopic) == "clicks")
+    assert(props(KafkaConnector.HeaderKafkaPartition) == "0")
+    assert(props(KafkaConnector.HeaderKafkaOffset) == "0")
+    assert(props("h1") == java.util.Base64.getEncoder
+      .encodeToString("v1".getBytes)) // headers arrive base64, reference-style
+    // untyped load: typed keys coerce, unknown keys pass through to the
+    // consumer config, spark options assemble with the kafka. prefix
+    val loaded = KafkaSourceConfig.load(Map(
+      "topic" -> "t", "bootstrapServers" -> "b:9092", "groupId" -> "g",
+      "fetchMinBytes" -> "64", "autoOffsetReset" -> "latest",
+      "security.protocol" -> "SASL_SSL"))
+    assert(loaded.fetchMinBytes == 64L)
+    val opts = loaded.sparkReadOptions
+    assert(opts("subscribe") == "t")
+    assert(opts("kafka.bootstrap.servers") == "b:9092")
+    assert(opts("startingOffsets") == "latest")
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.fetch.min.bytes") == "64")
+    // validation: the reference's open()-time checks, same trigger values
+    intercept[IllegalArgumentException] {
+      KafkaSourceConfig("", "b:9092", "g")
+    }
+    intercept[IllegalArgumentException] {
+      KafkaSourceConfig("t", "b:9092", "g", fetchMinBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      KafkaSourceConfig("t", "b:9092", "g", autoCommitIntervalMs = -1)
+    }
+    intercept[IllegalArgumentException] {
+      KafkaSourceConfig("t", "b:9092", "g", heartbeatIntervalMs = 0)
+    }
+    intercept[IllegalArgumentException] {
+      KafkaSourceConfig("t", "b:9092", "g", autoOffsetReset = "none")
+    }: Unit
+  }
 }
