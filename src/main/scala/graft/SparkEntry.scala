@@ -724,6 +724,21 @@ object SparkEntry {
         max(Envelope.Offset).as("max_offset"))
       .orderBy("consumer_id")
 
+  /** §2.10 Failover dispatch, oracle-checked: only the HIGHEST-priority
+    * tier serves (lower level = higher priority), partitions spread over
+    * the tier in lexicographic name order (ConsumerBuilder.java:551-569).
+    * The oracle recomputes the tier + spread from the same (name,
+    * priority) table in SQL; the standby must appear in NEITHER result. */
+  private def qFailover(s: SparkSession, dir: String): DataFrame =
+    Dispatch.failoverActiveConsumer(env(s, dir),
+        Seq(("standby", 5), ("b", 0), ("a", 0)))
+      .groupBy("consumer_id")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(Envelope.Partition).cast("bigint").as("n_partitions"),
+        min(Envelope.Offset).as("min_offset"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy("consumer_id")
+
   /** §2.10 AUTO_SPLIT fixed-hash-range assignment, oracle-checked: the
     * oracle's slot boundaries (16384/32768/49152) are hand-derived from
     * the reference algorithm — join order c1..c4 splits biggest-range-
@@ -1043,6 +1058,7 @@ object SparkEntry {
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "shared_priority" -> (qSharedPriority _),
+    "failover_assign" -> (qFailover _),
     "producer_batches" -> (qProducerBatches _),
     "keyshared_autosplit" -> (qKeySharedAutoSplit _),
     "chunk_reassembly" -> (qChunkReassembly _),
@@ -1417,6 +1433,21 @@ object SparkEntry {
         |SELECT s.name AS consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN("offset") AS min_offset, MAX("offset") AS max_offset
         |FROM rnk JOIN sched s ON s.slot = rnk.rn % (SELECT COUNT(*) FROM sched)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // active tier RECOMPUTED from the (name, priority) table: min
+    // priority wins, lexicographic spread over partitions — the standby
+    // consumer must appear in neither result
+    "failover_assign" -> envSql(
+      """, cons AS (
+        |  SELECT * FROM (VALUES ('standby',5),('b',0),('a',0)) AS c(name, priority)),
+        |tier AS (
+        |  SELECT name, ROW_NUMBER() OVER (ORDER BY name) - 1 AS idx,
+        |    COUNT(*) OVER () AS n_tier
+        |  FROM cons WHERE priority = (SELECT MIN(priority) FROM cons))
+        |SELECT t.name AS consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT e.partition) AS BIGINT) AS n_partitions,
+        |  MIN(e."offset") AS min_offset, MAX(e."offset") AS max_offset
+        |FROM envelope e JOIN tier t ON t.idx = e.partition % t.n_tier
         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "keyshared_rebalance" -> (mm3Macros +
       """CREATE OR REPLACE TEMP TABLE graft_ring_old AS
