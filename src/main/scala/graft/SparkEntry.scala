@@ -1716,19 +1716,28 @@ object SparkEntry {
     // synthesized spec-valid PNG/JPEG/GIF/WAV bytes on every row.
     "multimodal_pipeline" ->
       """WITH m AS (
-        |  SELECT doc_id, doc_id % 4 AS k,
+        |  SELECT doc_id, doc_id % 6 AS k,
         |    CAST(64 + (doc_id % 512) AS INT) AS w,
         |    CAST(64 + ((doc_id * 7) % 512) AS INT) AS h,
         |    CAST(1 + (doc_id % 2) AS INT) AS wav_ch,
-        |    8000 + (doc_id % 100) * 16 AS wav_data
+        |    8000 + (doc_id % 100) * 16 AS wav_data,
+        |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |      CAST(1 + (doc_id % 14) AS INT)) AS kbps,
+        |    2000 + (doc_id % 50) * 100 AS mp3_bytes,
+        |    30000 + (doc_id % 100) * 500 AS mp4_dur
         |  FROM documents)
         |SELECT doc_id,
-        |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
-        |  CASE WHEN k < 3 THEN w END AS width,
-        |  CASE WHEN k < 3 THEN h END AS height,
-        |  CASE WHEN k < 3 THEN CAST(3 AS INT) ELSE wav_ch END AS n_channels,
-        |  CAST(CASE WHEN k < 3 THEN 0 ELSE (wav_data * 1000) // (8000 * wav_ch * 2) END AS BIGINT) AS duration_ms,
-        |  CASE WHEN k < 3 THEN CAST(floor(w * least(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / greatest(w, h))) AS INT) END AS target_width
+        |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |         WHEN 3 THEN 'wav' WHEN 4 THEN 'mp3' ELSE 'mp4' END AS format,
+        |  CASE WHEN k < 3 OR k = 5 THEN w END AS width,
+        |  CASE WHEN k < 3 OR k = 5 THEN h END AS height,
+        |  CASE WHEN k < 3 OR k = 5 THEN CAST(3 AS INT) WHEN k = 3 THEN wav_ch
+        |       ELSE CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) END AS n_channels,
+        |  CAST(CASE WHEN k < 3 THEN 0
+        |            WHEN k = 3 THEN (wav_data * 1000) // (8000 * wav_ch * 2)
+        |            WHEN k = 4 THEN (mp3_bytes * 8) // kbps
+        |            ELSE mp4_dur END AS BIGINT) AS duration_ms,
+        |  CASE WHEN k < 3 OR k = 5 THEN CAST(floor(w * least(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / greatest(w, h))) AS INT) END AS target_width
         |FROM m ORDER BY doc_id""".stripMargin
     // Every registered query has an oracle. The similarity tier is
     // checked by reproducing LSH bucketing in SQL (murmur3 hyperplanes)

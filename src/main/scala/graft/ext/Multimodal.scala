@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
  * batch transforms.
  *
  * Container-header decoding is REAL: PNG (IHDR), JPEG (SOFn marker
- * walk), GIF and RIFF/WAV headers are parsed from the bytes per the
- * public format specs — pure JVM, no codec libraries. What remains a
+ * walk), GIF, RIFF/WAV, MP3 (MPEG audio frame header, ID3v2-aware) and
+ * MP4 (ISO BMFF moov/mvhd + tkhd box walk) headers are parsed from the
+ * bytes per the public format specs — pure JVM, no codec libraries. What remains a
  * deterministic STUB (clearly marked) is pixel/sample decoding and the
  * feature-extraction forward pass, which need real media libraries not
  * present in this environment. Everything Spark-side is real and
@@ -54,6 +55,9 @@ object Multimodal {
   private def le32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def be32L(b: Array[Byte], i: Int): Long = be32(b, i) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32L(b, i) << 32) | be32L(b, i + 4)
 
   private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
@@ -66,6 +70,11 @@ object Multimodal {
   private def isWav(b: Array[Byte]): Boolean =
     b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+  private def isMp3(b: Array[Byte]): Boolean =
+    (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
   /** PNG IHDR: width/height BE32 at offsets 16/20; channel count from the
     * color type at 25 (0 gray, 2 rgb, 3 palette, 4 gray+a, 6 rgba). */
@@ -128,13 +137,97 @@ object Multimodal {
       dataSize * 1000L / byteRate, b.length.toLong))
   }
 
+  /** MPEG audio (ISO 11172-3 / 13818-3 frame header, Layer III = "MP3"):
+    * optional ID3v2 tag (syncsafe 28-bit size) skipped first, then the
+    * 4-byte frame header — version and bitrate/samplerate indices select
+    * from the public tables; channel mode 3 (single_channel) is mono.
+    * Duration is the CBR estimate audio_bytes·8/kbps ms (the estimate
+    * every tag-less player uses; VBR needs a Xing header — out of scope). */
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  private def parseMp3(b: Array[Byte]): Option[Row] = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + tagSize
+    }
+    if (off + 4 > b.length) return None
+    if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return None
+    val version = (b(off + 1) >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layer = (b(off + 1) >> 1) & 0x3   // 1=Layer III
+    if (version == 1 || layer != 1) return None
+    val brIdx = (b(off + 2) >> 4) & 0xf
+    val srIdx = (b(off + 2) >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/bad
+    val kbps =
+      if (version == 3) Mp3BitrateV1L3(brIdx) else Mp3BitrateV2L3(brIdx)
+    val channels = if (((b(off + 3) >> 6) & 0x3) == 3) 1 else 2
+    val audioBytes = (b.length - off).toLong
+    Some(Row("audio", "mp3", null, null, channels,
+      audioBytes * 8 / kbps, b.length.toLong))
+  }
+
+  /** MP4 / ISO BMFF (ISO 14496-12): walk the box tree to `moov/mvhd`
+    * (duration = duration/timescale, version 0 and 1 layouts) and the
+    * first `moov/trak/tkhd` with non-zero dimensions (16.16 fixed-point
+    * width/height at payload offset 76 (v0) / 88 (v1)). */
+  private def parseMp4(b: Array[Byte]): Option[Row] = {
+    var durationMs = -1L
+    var w = 0; var h = 0
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size = be32L(b, pos)
+        val payload = pos + 8
+        if (size < 8 || pos + size > end) return // malformed/truncated
+        val tpe = new String(b, pos + 4, 4, "US-ASCII")
+        tpe match {
+          case "moov" | "trak" | "mdia" if depth < 4 =>
+            walk(payload, (pos + size).toInt, depth + 1)
+          case "mvhd" if payload < end =>
+            val v = b(payload) & 0xff
+            if (v == 0 && payload + 20 <= end) {
+              val timescale = be32L(b, payload + 12)
+              if (timescale > 0)
+                durationMs = be32L(b, payload + 16) * 1000L / timescale
+            } else if (v == 1 && payload + 32 <= end) {
+              val timescale = be32L(b, payload + 20)
+              if (timescale > 0)
+                durationMs = be64(b, payload + 24) * 1000L / timescale
+            }
+          case "tkhd" if w == 0 && payload < end =>
+            val v = b(payload) & 0xff
+            val at = payload + (if (v == 1) 88 else 76)
+            if (at + 8 <= end) {
+              val tw = be32(b, at) >>> 16
+              val th = be32(b, at + 4) >>> 16
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          case _ =>
+        }
+        pos += size.toInt
+      }
+    }
+    walk(0, b.length, 0)
+    if (durationMs < 0) None
+    else Some(Row("video", "mp4",
+      if (w > 0) w else null, if (h > 0) h else null, 3,
+      durationMs, b.length.toLong))
+  }
+
   /** Sniff + parse a real container header; unknown formats fall back to
     * the deterministic stub. */
   private[ext] def decodeMeta(bytes: Array[Byte], mediaType: String): Row =
     if (isPng(bytes)) parsePng(bytes)
     else if (isGif(bytes)) parseGif(bytes)
     else if (isWav(bytes)) parseWav(bytes).getOrElse(stubDecode(bytes, mediaType))
+    else if (isMp4(bytes)) parseMp4(bytes).getOrElse(stubDecode(bytes, mediaType))
     else if (isJpeg(bytes)) parseJpeg(bytes).getOrElse(stubDecode(bytes, mediaType))
+    else if (isMp3(bytes)) parseMp3(bytes).getOrElse(stubDecode(bytes, mediaType))
     else stubDecode(bytes, mediaType)
 
   // ======================================================================
@@ -290,17 +383,56 @@ object Multimodal {
         "data".getBytes("US-ASCII") ++ le32b(dataLen) ++ new Array[Byte](dataLen)
     }
 
+    /** Minimal MPEG-1 Layer III stream: ID3v2.3 tag (32-byte syncsafe
+      * payload) + one CBR frame header (44.1 kHz, `kbps` from the V1L3
+      * table, stereo or single_channel mode) + zero audio fill. The
+      * audio region (header + fill) is exactly `audioBytes` long, so the
+      * parser's CBR duration estimate is audioBytes·8/kbps ms. */
+    def mp3(kbps: Int, stereo: Boolean, audioBytes: Int): Array[Byte] = {
+      val brIdx = Mp3BitrateV1L3.indexOf(kbps)
+      require(brIdx > 0, s"$kbps not a valid MPEG1 Layer III bitrate")
+      require(audioBytes >= 4)
+      val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+        Array[Byte](0, 0, 0, 32) ++ new Array[Byte](32)
+      val hdr = Array[Byte](0xff.toByte, 0xfb.toByte, // MPEG1, Layer III
+        (brIdx << 4).toByte, // bitrate idx; samplerate idx 0 = 44100
+        (if (stereo) 0x00 else 0xc0).toByte) // mode 0 stereo / 3 mono
+      id3 ++ hdr ++ new Array[Byte](audioBytes - 4)
+    }
+
+    /** Minimal ISO BMFF MP4: ftyp + moov{mvhd(v0, timescale 1000,
+      * duration = durationMs) + trak{tkhd(v0, 16.16 width/height)}}. */
+    def mp4(w: Int, h: Int, durationMs: Long): Array[Byte] = {
+      def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+        be32b(payload.length + 8) ++ tpe.getBytes("US-ASCII") ++ payload
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32b(0x200) ++ "isom".getBytes("US-ASCII"))
+      // mvhd v0 payload (100 B): ver/flags, ctime, mtime, timescale@12,
+      // duration@16, then rate/volume/reserved/matrix/predefined/next-track
+      val mvhd = box("mvhd", new Array[Byte](12) ++ be32b(1000) ++
+        be32b(durationMs.toInt) ++ new Array[Byte](80))
+      // tkhd v0 payload (84 B): 24 B through duration, 16 B layer/volume
+      // region, 36 B matrix, then 16.16 fixed-point width/height @76
+      val tkhd = box("tkhd", new Array[Byte](12) ++ be32b(1) ++
+        new Array[Byte](4) ++ be32b(durationMs.toInt) ++
+        new Array[Byte](52) ++ be32b(w << 16) ++ be32b(h << 16))
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    }
+
     /** The fixture formulas keyed by id — mirrored verbatim by the DuckDB
       * oracle of `multimodal_pipeline`, which is what lets a hash-match
       * prove the parsers invert the builders on every row. */
     def forId(id: Long): Array[Byte] = {
       val w = 64 + (id % 512).toInt
       val h = 64 + ((id * 7) % 512).toInt
-      (id % 4) match {
+      (id % 6) match {
         case 0 => png(w, h)
         case 1 => jpeg(w, h)
         case 2 => gif(w, h)
-        case _ => wav(8000, 1 + (id % 2).toInt, 8000 + (id % 100).toInt * 16)
+        case 3 => wav(8000, 1 + (id % 2).toInt, 8000 + (id % 100).toInt * 16)
+        case 4 => mp3(Mp3BitrateV1L3(1 + (id % 14).toInt),
+          stereo = id % 2 == 0, audioBytes = 2000 + (id % 50).toInt * 100)
+        case _ => mp4(w, h, 30000L + (id % 100) * 500L)
       }
     }
   }

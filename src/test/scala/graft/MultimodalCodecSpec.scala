@@ -90,6 +90,57 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(stored == crc.getValue)
   }
 
+  test("golden MP3: hand-assembled frame header, with and without ID3v2 tag") {
+    // 0xFF 0xFB = MPEG1 Layer III no-CRC; 0x90 = bitrate idx 9 (128 kbps),
+    // samplerate idx 0 (44100); 0x00 = stereo. Bytes straight from the
+    // ISO 11172-3 header layout, not from our builder.
+    val frame = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte)
+    val bare = frame ++ new Array[Byte](16000 - 4) // 16000 B @128kbps = 1000ms
+    val m = decode(bare)
+    assert(m.getString(0) == "audio" && m.getString(1) == "mp3")
+    assert(m.isNullAt(2) && m.isNullAt(3))
+    assert(m.getInt(4) == 2)
+    assert(m.getLong(5) == 1000L)
+    // ID3v2 tag with syncsafe size 0x0100 = 128: audio region excludes it
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0) ++
+      Array[Byte](0, 0, 1, 0) ++ new Array[Byte](128)
+    val tagged = id3 ++ frame.take(3) ++ Array(0xc0.toByte) ++ // mono mode
+      new Array[Byte](8000 - 4)
+    val t = decode(tagged)
+    assert(t.getString(1) == "mp3")
+    assert(t.getInt(4) == 1, "channel mode 3 = single_channel = mono")
+    assert(t.getLong(5) == 8000L * 8 / 128)
+    // reserved version bits / Layer I are not "MP3" — stub, not garbage
+    assert(decode(Array(0xff, 0xeb, 0x90, 0x00).map(_.toByte) ++
+      new Array[Byte](100)).getString(1) == "stub")
+  }
+
+  test("golden MP4: version-1 mvhd/tkhd boxes (64-bit times) parse correctly") {
+    // hand-assembled ISO BMFF with v1 boxes — MediaGen only builds v0, so
+    // this golden covers the other layout
+    def be32b(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64b(v: Long) = be32b((v >> 32).toInt) ++ be32b(v.toInt)
+    def box(t: String, p: Array[Byte]) =
+      be32b(p.length + 8) ++ t.getBytes("US-ASCII") ++ p
+    val ftyp = box("ftyp", "isom".getBytes ++ be32b(0) ++ "isom".getBytes)
+    val mvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32b(90000) ++ be64b(270000L) ++ new Array[Byte](80)) // 3000 ms
+    val tkhd = box("tkhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](32) ++
+      new Array[Byte](52) ++ be32b(1920 << 16) ++ be32b(1080 << 16))
+    val m = decode(ftyp ++ box("moov", mvhd ++ box("trak", tkhd)))
+    assert(m.getString(0) == "video" && m.getString(1) == "mp4")
+    assert(m.getInt(2) == 1920 && m.getInt(3) == 1080)
+    assert(m.getLong(5) == 3000L)
+    // MP4 builder roundtrips through the parser
+    val b = decode(MediaGen.mp4(640, 360, 12345L))
+    assert((b.getString(1), b.getInt(2), b.getInt(3), b.getLong(5)) ==
+      ("mp4", 640, 360, 12345L))
+    // a box whose size overruns the buffer falls back to the stub
+    val overrun = ftyp ++ be32b(1 << 20) ++ "moov".getBytes("US-ASCII")
+    assert(decode(overrun).getString(1) == "stub")
+  }
+
   test("unknown bytes fall back to the deterministic stub") {
     val m = decode("definitely not an image".getBytes("UTF-8"))
     assert(m.getString(1) == "stub")
@@ -120,16 +171,25 @@ class MultimodalCodecSpec extends SparkSpec {
         $"media_meta.height", $"media_meta.n_channels", $"media_meta.duration_ms")
       .as[(Long, String, Option[Int], Option[Int], Int, Long)]
       .collect().sortBy(_._1)
+    val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
     for ((id, fmt, w, h, ch, dur) <- decoded) {
       val ew = 64 + (id % 512).toInt; val eh = 64 + ((id * 7) % 512).toInt
-      (id % 4) match {
+      (id % 6) match {
         case 0 => assert((fmt, w, h, ch, dur) == ("png", Some(ew), Some(eh), 3, 0L))
         case 1 => assert((fmt, w, h, ch, dur) == ("jpeg", Some(ew), Some(eh), 3, 0L))
         case 2 => assert((fmt, w, h, ch, dur) == ("gif", Some(ew), Some(eh), 3, 0L))
-        case _ =>
+        case 3 =>
           val c = 1 + (id % 2).toInt
           val expectedDur = (8000 + (id % 100) * 16) * 1000L / (8000L * c * 2)
           assert((fmt, w, h, ch, dur) == ("wav", None, None, c, expectedDur))
+        case 4 =>
+          val kbps = v1l3(1 + (id % 14).toInt)
+          val expectedDur = (2000L + (id % 50) * 100) * 8 / kbps
+          val c = if (id % 2 == 0) 2 else 1
+          assert((fmt, w, h, ch, dur) == ("mp3", None, None, c, expectedDur))
+        case _ =>
+          assert((fmt, w, h, ch, dur) ==
+            ("mp4", Some(ew), Some(eh), 3, 30000L + (id % 100) * 500L))
       }
     }
   }
