@@ -39,6 +39,108 @@ class ReplicatorJoinSpec extends SparkSpec {
     assert(remote.filter(col(Envelope.ReplicatedFrom) === "east").count() == 2)
   }
 
+  private def envRows(producer: String, seqs: Range, keyPrefix: String) =
+    seqs.map(i => (s"$keyPrefix$i", s"v$i", producer, i.toLong, 1700000000L + i))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, "t")
+      .withColumn(Envelope.PublishTime, timestamp_seconds(col("t"))).drop("t")
+
+  test("replicated subscription: cursor travels to the replica at an equivalent position") {
+    import graft.streaming.ReplicatedCursors
+    val dir = Files.createTempDirectory("graft-repl-cur").toString
+    val primary = new TopicLog(spark, s"$dir/east", TopicName.parse("rs-topic"), 2)
+    val replica = new TopicLog(spark, s"$dir/west", TopicName.parse("rs-topic"), 2)
+    primary.append(envRows("p", 0 until 20, "k"))
+
+    // replication lagging: first half only -> snapshot must NOT complete
+    val all = primary.read()
+      .select(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, Envelope.PublishTime)
+      .withColumn(Envelope.ReplicatedFrom, lit("east"))
+    replica.append(all.filter(col(Envelope.SequenceId) < 10))
+    assert(ReplicatedCursors.snapshot(primary.read(), replica.read()).isEmpty,
+      "a consistent cut must not form while replication is draining")
+
+    // drained: snapshot gives the per-partition consistent cut
+    replica.append(all.filter(col(Envelope.SequenceId) >= 10))
+    val snap = ReplicatedCursors.snapshot(primary.read(), replica.read())
+    assert(snap.nonEmpty)
+    assert(snap.get._1 == primary.highWater() && snap.get._2 == replica.highWater())
+
+    // local subscription consumed through the 3rd row of each partition;
+    // then the primary cluster dies — resume on the replica
+    val localCursor = primary.read()
+      .groupBy(Envelope.Partition)
+      .agg(expr(s"sort_array(collect_list(${Envelope.Offset}))[2]").as("md"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val acked = primary.read().filter(localCursor.map { case (p, o) =>
+        (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
+      }.reduce(_ || _))
+      .select(Envelope.ProducerName, Envelope.SequenceId)
+      .as[(String, Long)].collect().toSet
+    val travelled = ReplicatedCursors.translateCursor(
+      primary.read(), replica.read(), localCursor)
+    val resumed = ReplicatedCursors.applyCursor(replica.read(), travelled)
+      .select(Envelope.ProducerName, Envelope.SequenceId)
+      .as[(String, Long)].collect().toSeq
+    val unacked = primary.read()
+      .select(Envelope.ProducerName, Envelope.SequenceId)
+      .as[(String, Long)].collect().toSet -- acked
+    // same per-partition order on both clusters -> EXACT handover:
+    // every unacked row re-readable, no acked row re-delivered
+    assert(resumed.size == resumed.toSet.size)
+    assert(resumed.toSet == unacked,
+      s"resume must hand over exactly the unacked rows; got ${resumed.toSet}")
+  }
+
+  test("replicated subscription: an unacked foreign row bounds cumulative ack (at-least-once)") {
+    import graft.streaming.ReplicatedCursors
+    val dir = Files.createTempDirectory("graft-repl-gap").toString
+    val primary = new TopicLog(spark, s"$dir/east", TopicName.parse("rs-gap"), 2)
+    val replica = new TopicLog(spark, s"$dir/west", TopicName.parse("rs-gap"), 2)
+    primary.append(envRows("p", 0 until 12, "k"))
+    val all = primary.read()
+      .select(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, Envelope.PublishTime)
+      .withColumn(Envelope.ReplicatedFrom, lit("east"))
+    // the replica topic ALSO carries a west-local row (active-active),
+    // interleaved mid-stream in k0's partition: same key -> same routing,
+    // publish_time between the replicated rows
+    val foreign = Seq(("k0", "west-local", "w", 0L))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName, Envelope.SequenceId)
+      .withColumn(Envelope.PublishTime,
+        expr("timestamp_millis(1700000005500)")) // between seq 5 and 6
+    replica.append(all.unionByName(foreign, allowMissingColumns = true))
+
+    // local cursor: EVERYTHING on the primary is consumed
+    val localCursor = primary.highWater()
+    val travelled = ReplicatedCursors.translateCursor(
+      primary.read(), replica.read(), localCursor)
+    val resumed = ReplicatedCursors.applyCursor(replica.read(), travelled)
+      .select(Envelope.ProducerName, Envelope.SequenceId)
+      .as[(String, Long)].collect().toSet
+    // the foreign row is NOT acked by the travelling subscription, so
+    // cumulative ack stops below it: the row itself plus the acked
+    // replicated rows ABOVE the gap re-deliver (at-least-once), and
+    // nothing unacked is skipped
+    assert(resumed.contains(("w", 0L)), "the unacked foreign row must re-deliver")
+    val foreignPartition = replica.read()
+      .filter(col(Envelope.ProducerName) === "w")
+      .select(Envelope.Partition).as[Int].head()
+    val aboveGap = replica.read()
+      .filter(col(Envelope.Partition) === foreignPartition &&
+        col(Envelope.PublishTime) > expr("timestamp_millis(1700000005500)"))
+      .select(Envelope.ProducerName, Envelope.SequenceId)
+      .as[(String, Long)].collect().toSet
+    assert(resumed == aboveGap + (("w", 0L)),
+      "re-delivery is exactly the gap row and what sits above it")
+    // the OTHER partition has no gap: its cursor travels to the top
+    val otherTop = replica.read()
+      .filter(col(Envelope.Partition) =!= foreignPartition)
+      .agg(max(Envelope.Offset)).head().getLong(0)
+    assert(travelled(if (foreignPartition == 0) 1 else 0) == otherTop)
+  }
+
   test("stream-stream inner join with watermarks (inherited §2.16 surface)") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long)]  // (user, t)
