@@ -21,16 +21,17 @@ import org.apache.spark.sql.types.StructType
  * | file                       | `FileSource` below (readStream text/json/csv) |
  * | kafka / kafka-connect      | [[KafkaConnector]] (config/offset/header plumbing; network = `spark.readStream.format("kafka")`) |
  * | jdbc (insert/upsert/delete)| `topicToJdbcSink` below (batched upsert/delete in foreachBatch); `jdbcSourceToTopic` below (incremental poll source) |
- * | elastic-search, solr       | es-hadoop / solr-spark sinks in foreachBatch |
+ * | elastic-search, solr       | [[ElasticSink]] (bulk/action/id plumbing; HTTP = pluggable transport) |
  * | aws-s3 / hdfs3 / alluxio   | any hadoop-fs path (file formats built in) |
  * | debezium/canal CDC         | CDC topic as a schema'd stream; apply with last-write-wins compaction |
  * | data-generator             | `spark.range` + expression columns |
  * | http / netty / flume       | socket source / custom v2 source |
  *
- * `file`, `jdbc` (source + sink) and the kafka option/offset plumbing are
- * implemented concretely (no external daemons in this environment — the
- * kafka NETWORK layer stays Spark's own source); the source→appender and
- * topic→sink plumbing below is connector-agnostic.
+ * `file`, `jdbc` (source + sink), the kafka option/offset plumbing and
+ * the elasticsearch bulk-sink plumbing are implemented concretely (no
+ * external daemons in this environment — kafka's NETWORK layer stays
+ * Spark's own source, elasticsearch's is a pluggable transport); the
+ * source→appender and topic→sink plumbing below is connector-agnostic.
  */
 object Connectors {
 

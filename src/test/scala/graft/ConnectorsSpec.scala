@@ -1,7 +1,7 @@
 package graft
 
 import graft.log.TopicLog
-import graft.model.{SchemaRegistry, TopicName}
+import graft.model.{Envelope, SchemaRegistry, TopicName}
 import graft.sources.Connectors
 import graft.streaming.{BatchReceivePolicy, Subscription, SubscriptionType}
 import org.apache.spark.sql.functions._
@@ -258,6 +258,73 @@ class ConnectorsSpec extends SparkSpec {
     // legitimate qualified names still pass the allowlist
     assert(Connectors.checkIdentifier("APP.src_t") == "APP.src_t")
     assert(Connectors.checkIdentifier("_t0") == "_t0")
+  }
+
+  // ---- elasticsearch sink (bulk/action plumbing; fake transport) ----
+
+  test("elasticsearch sink: bulk actions, null-value delete, malformed routing, per-key order") {
+    import graft.sources.ElasticSink
+    import graft.sources.ElasticSink.{MalformedDocAction, NullValueAction}
+    val dir = Files.createTempDirectory("graft-es").toString
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("es-in"), 2)
+    topic.append(Seq(
+        ("k1", """{"a":1}""", 0L),
+        ("k2", """{"a":2}""", 1L),
+        ("k2", """{"a":3}""", 2L),   // same key, later offset: applies after
+        ("k1", null, 3L),            // tombstone -> delete action
+        ("k3", "not json {", 4L))    // malformed -> ignored in this run
+      .toDF(Envelope.Key, Envelope.Value, Envelope.SequenceId)
+      .withColumn(Envelope.ProducerName, lit("p"))
+      .withColumn(Envelope.PublishTime,
+        timestamp_seconds(lit(1700000000L) + col(Envelope.SequenceId))))
+    val capDir = s"$dir/captured"
+    Files.createDirectories(java.nio.file.Paths.get(capDir))
+    // the pluggable wire: each bulk POST lands in its own file
+    val transport: String => Int = { body =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"$capDir/${System.nanoTime()}-${java.util.UUID.randomUUID()}.ndjson"), body)
+      200
+    }
+    val q = ElasticSink.topicToElasticSink(topic, "docs-v1", transport,
+      nullAction = NullValueAction.Delete,
+      malformedAction = MalformedDocAction.Ignore,
+      checkpoint = s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val payloads = java.nio.file.Files.list(java.nio.file.Paths.get(capDir))
+      .toArray.map(p => java.nio.file.Files.readString(
+        p.asInstanceOf[java.nio.file.Path])).toSeq
+    val lines = payloads.flatMap(_.split("\n"))
+    // action census: 3 index (k1, k2 twice) + 1 delete; malformed skipped
+    assert(lines.count(_.startsWith("""{"index"""")) == 3)
+    assert(lines.count(_.startsWith("""{"delete"""")) == 1)
+    assert(!lines.exists(_.contains("k3")), "malformed doc must not ship")
+    assert(lines.contains("""{"delete":{"_index":"docs-v1","_id":"k1"}}"""))
+    // per-key apply order: k1's index precedes its delete in the same
+    // payload (same key -> same partition, offset-sorted), and k2's
+    // updates apply in offset order — replays converge last-write-wins
+    val k1Payload = payloads.find(_.contains(""""_id":"k1"""")).get.split("\n")
+    assert(k1Payload.indexWhere(l => l.startsWith("""{"index"""") && l.contains("k1")) <
+      k1Payload.indexWhere(_.startsWith("""{"delete"""")))
+    val k2Payload = payloads.find(_.contains(""""_id":"k2"""")).get.split("\n")
+    assert(k2Payload.indexOf("""{"a":2}""") < k2Payload.indexOf("""{"a":3}"""))
+    // malformed + Fail: the batch errors instead of silently shipping
+    val qf = ElasticSink.topicToElasticSink(topic, "docs-v1", transport,
+      nullAction = NullValueAction.Delete,
+      malformedAction = MalformedDocAction.Fail,
+      checkpoint = s"$dir/ckpt-fail")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qf.processAllAvailable()
+      qf.awaitTermination(60000)
+    }: Unit
+    // _id JSON escaping and index-name validation
+    assert(ElasticSink.bulkLines("i", "k\"x\\", """{"v":1}""",
+      NullValueAction.Ignore, MalformedDocAction.Fail).head
+      == """{"index":{"_index":"i","_id":"k\"x\\"}}""")
+    for (bad <- Seq("Upper", "has space", "a/b", "-lead", "", "x#y")) {
+      intercept[IllegalArgumentException] {
+        ElasticSink.checkIndexName(bad)
+      }: Unit
+    }
   }
 
   // ---- kafka connector (option/offset plumbing; fake broker) ----
