@@ -724,6 +724,30 @@ object SparkEntry {
         max(Envelope.Offset).as("max_offset"))
       .orderBy("consumer_id")
 
+  /** CDC apply (reference pulsar-io/debezium), oracle-checked end to end:
+    * the query BUILDS real Debezium-shaped change envelopes from the
+    * fixture (op = d for tombstones, c/u by offset parity; after = the
+    * original payload, JSON-escaped by to_json), then materializes table
+    * state with [[Connectors.cdcApply]] — per key the highest offset
+    * wins, deletes remove the key, `after` round-trips the escape. The
+    * oracle recomputes the surviving state from the base columns alone
+    * (never parsing JSON), so a hash match proves the escape/parse
+    * round-trip AND the apply semantics. */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    val cdc = e
+      .withColumn("_op",
+        when(col(Envelope.Value).isNull, lit("d"))
+          .otherwise(when(col(Envelope.Offset) % 3 === 0, lit("c"))
+            .otherwise(lit("u"))))
+      .withColumn(Envelope.Value,
+        to_json(struct(col("_op").as("op"), col(Envelope.Value).as("after"))))
+    graft.sources.Connectors.cdcApply(cdc)
+      .select(col(Envelope.Key).as("key"), col("op"),
+        col("as_of_offset"), col("after"))
+      .orderBy("key")
+  }
+
   /** §2.10 Failover dispatch, oracle-checked: only the HIGHEST-priority
     * tier serves (lower level = higher priority), partitions spread over
     * the tier in lexicographic name order (ConsumerBuilder.java:551-569).
@@ -1059,6 +1083,7 @@ object SparkEntry {
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "shared_priority" -> (qSharedPriority _),
     "failover_assign" -> (qFailover _),
+    "cdc_apply" -> (qCdcApply _),
     "producer_batches" -> (qProducerBatches _),
     "keyshared_autosplit" -> (qKeySharedAutoSplit _),
     "chunk_reassembly" -> (qChunkReassembly _),
@@ -1434,6 +1459,20 @@ object SparkEntry {
         |  MIN("offset") AS min_offset, MAX("offset") AS max_offset
         |FROM rnk JOIN sched s ON s.slot = rnk.rn % (SELECT COUNT(*) FROM sched)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // surviving CDC state recomputed from the BASE columns (no JSON on
+    // the oracle side): latest offset per key wins, tombstones (null
+    // value -> op 'd') drop the key, after = the original payload —
+    // a hash match proves the Spark side's JSON escape/parse round-trip
+    "cdc_apply" -> envSql(
+      """, latest AS (
+        |  SELECT key, "offset", value,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY "offset" DESC) AS rn
+        |  FROM envelope)
+        |SELECT key,
+        |  CASE WHEN "offset" % 3 = 0 THEN 'c' ELSE 'u' END AS op,
+        |  "offset" AS as_of_offset, value AS after
+        |FROM latest WHERE rn = 1 AND value IS NOT NULL
+        |ORDER BY key""".stripMargin),
     // active tier RECOMPUTED from the (name, priority) table: min
     // priority wins, lexicographic spread over partitions — the standby
     // consumer must appear in neither result

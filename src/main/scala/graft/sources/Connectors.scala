@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.StructType
  * | jdbc (insert/upsert/delete)| `topicToJdbcSink` below (batched upsert/delete in foreachBatch); `jdbcSourceToTopic` below (incremental poll source) |
  * | elastic-search, solr       | [[ElasticSink]] (bulk/action/id plumbing; HTTP = pluggable transport) |
  * | aws-s3 / hdfs3 / alluxio   | any hadoop-fs path (file formats built in) |
- * | debezium/canal CDC         | CDC topic as a schema'd stream; apply with last-write-wins compaction |
+ * | debezium/canal CDC         | `cdcApply` below (Debezium op/after envelope → materialized table state) |
  * | data-generator             | `spark.range` + expression columns |
  * | http / netty / flume       | socket source / custom v2 source |
  *
@@ -240,6 +240,30 @@ object Connectors {
       current_timestamp().as(Envelope.EventTime))
     topic.append(envelope) // rows actually staged+committed, not the probe count
   }
+
+  /**
+   * Debezium CDC apply (reference pulsar-io/debezium: the relational
+   * sources ship as Debezium connectors whose records carry a change
+   * envelope `{op: c|r|u|d, before, after, source…}`): materialize the
+   * CDC topic into current table state. For every key the event with
+   * the highest offset wins (the topic is per-key FIFO, so the offset
+   * order IS the commit order); a final `op = d` removes the key, any
+   * other op surfaces the `after` image. `before` and `source` metadata
+   * are CDC bookkeeping — not part of the state.
+   *
+   * This is the batch/foreachBatch form; the streaming form is the same
+   * expression under [[graft.streaming.StreamOps.tableView]]'s update
+   * semantics. Scale shape: one hash aggregation keyed on the row key
+   * (max_by), no window sort, no driver loops.
+   */
+  def cdcApply(log: DataFrame, keyCol: String = Envelope.Key): DataFrame =
+    log.groupBy(col(keyCol))
+      .agg(max_by(col(Envelope.Value), col(Envelope.Offset)).as("_cdc"),
+        max(Envelope.Offset).as("as_of_offset"))
+      .withColumn("op", get_json_object(col("_cdc"), "$.op"))
+      .filter(col("op").isNotNull && col("op") =!= "d")
+      .withColumn("after", get_json_object(col("_cdc"), "$.after"))
+      .drop("_cdc")
 
   /** Write modes of the JDBC sink (reference
     * pulsar-io/jdbc/core/.../JdbcAbstractSink.java:52 INSERT/UPSERT/DELETE

@@ -260,6 +260,26 @@ class ConnectorsSpec extends SparkSpec {
     assert(Connectors.checkIdentifier("_t0") == "_t0")
   }
 
+  test("cdcApply materializes Debezium envelopes: latest op wins, deletes drop keys") {
+    // hand-written change envelopes with before-images and source
+    // metadata — only op/after may influence the state
+    val cdc = Seq(
+      ("r1", 0L, """{"op":"c","after":{"id":1,"v":"a"},"source":{"lsn":10}}"""),
+      ("r2", 1L, """{"op":"c","after":{"id":2,"v":"b"},"source":{"lsn":11}}"""),
+      ("r1", 2L, """{"op":"u","before":{"id":1,"v":"a"},"after":{"id":1,"v":"a2"}}"""),
+      ("r2", 3L, """{"op":"d","before":{"id":2,"v":"b"}}"""),
+      ("r3", 4L, """{"op":"r","after":{"id":3,"v":"snap"}}"""),
+      ("r4", 5L, """not a change envelope"""))
+      .toDF(Envelope.Key, Envelope.Offset, Envelope.Value)
+    val state = graft.sources.Connectors.cdcApply(cdc)
+      .select(col(Envelope.Key), col("op"), col("after"))
+      .as[(String, String, String)].collect().toSet
+    assert(state == Set(
+      ("r1", "u", """{"id":1,"v":"a2"}"""), // latest image, not the first
+      ("r3", "r", """{"id":3,"v":"snap"}"""))) // snapshot-read op surfaces
+    // r2 deleted, r4 unparseable (op null) -> neither materializes
+  }
+
   // ---- elasticsearch sink (bulk/action plumbing; fake transport) ----
 
   test("elasticsearch sink: bulk actions, null-value delete, malformed routing, per-key order") {
