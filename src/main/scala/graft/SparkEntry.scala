@@ -724,6 +724,22 @@ object SparkEntry {
         max(Envelope.Offset).as("max_offset"))
       .orderBy("consumer_id")
 
+  /** Video/audio frame sampling, oracle-checked: one row per sampled
+    * frame index (every 700 ms of decoded duration; images contribute
+    * their single frame at 0). The oracle inverts the fixture duration
+    * formulas and counts arithmetic frames — dur//step + 1 — so the
+    * hash match pins the explode(sequence(...)) fencepost behavior. */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select("doc_id")
+    val media = ext.Multimodal.synthesizeMedia(docs, "doc_id")
+    val meta = ext.Multimodal.withDecodedMeta(media, "payload")
+    ext.Multimodal.sampleFrames(meta, everyMs = 700L)
+      .groupBy(col("doc_id"), col("media_meta.format").as("format"))
+      .agg(count(lit(1)).cast("bigint").as("n_frames"),
+        max("frame_ms").as("last_frame_ms"))
+      .orderBy("doc_id")
+  }
+
   /** CDC apply (reference pulsar-io/debezium), oracle-checked end to end:
     * the query BUILDS real Debezium-shaped change envelopes from the
     * fixture (op = d for tombstones, c/u by offset parity; after = the
@@ -1084,6 +1100,7 @@ object SparkEntry {
     "shared_priority" -> (qSharedPriority _),
     "failover_assign" -> (qFailover _),
     "cdc_apply" -> (qCdcApply _),
+    "frame_sample" -> (qFrameSample _),
     "producer_batches" -> (qProducerBatches _),
     "keyshared_autosplit" -> (qKeySharedAutoSplit _),
     "chunk_reassembly" -> (qChunkReassembly _),
@@ -1459,6 +1476,31 @@ object SparkEntry {
         |  MIN("offset") AS min_offset, MAX("offset") AS max_offset
         |FROM rnk JOIN sched s ON s.slot = rnk.rn % (SELECT COUNT(*) FROM sched)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // frame census from the inverted fixture-duration formulas:
+    // dur//step + 1 frames pins explode(sequence(0, dur, step)) fenceposts
+    "frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 6 AS k,
+        |    CAST(1 + (doc_id % 2) AS INT) AS wav_ch,
+        |    8000 + (doc_id % 100) * 16 AS wav_data,
+        |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |      CAST(1 + (doc_id % 14) AS INT)) AS kbps,
+        |    2000 + (doc_id % 50) * 100 AS mp3_bytes,
+        |    30000 + (doc_id % 100) * 500 AS mp4_dur
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |           WHEN 3 THEN 'wav' WHEN 4 THEN 'mp3' ELSE 'mp4' END AS format,
+        |    CASE WHEN k < 3 THEN 0
+        |         WHEN k = 3 THEN (wav_data * 1000) // (8000 * wav_ch * 2)
+        |         WHEN k = 4 THEN (mp3_bytes * 8) // kbps
+        |         ELSE mp4_dur END AS dur
+        |  FROM m)
+        |SELECT doc_id, format,
+        |  CAST(dur // 700 + 1 AS BIGINT) AS n_frames,
+        |  CAST((dur // 700) * 700 AS BIGINT) AS last_frame_ms
+        |FROM d ORDER BY doc_id""".stripMargin,
     // surviving CDC state recomputed from the BASE columns (no JSON on
     // the oracle side): latest offset per key wins, tombstones (null
     // value -> op 'd') drop the key, after = the original payload —
