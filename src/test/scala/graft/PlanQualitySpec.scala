@@ -76,6 +76,23 @@ class PlanQualitySpec extends SparkSpec {
       "horizon predicate must prune due buckets at planning time")
   }
 
+  test("cdc_apply: one partial max_by aggregation, no window sort, no join") {
+    val p = plan("cdc_apply")
+    assert(p.contains("partial_max_by"), "map-side combine missing")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "CDC apply must stay a single hash aggregation")
+  }
+
+  test("hash-fraction sampling stays a pure pushed filter (no exchange)") {
+    val p = plan("sample_hash")
+    // the sample itself adds no shuffle; the query's own aggregate may —
+    // so assert the filter sits UNDER the first exchange: scan node
+    // carries the md5-substring filter
+    val scanSide = p.substring(p.lastIndexOf("Scan parquet"))
+    assert(!scanSide.contains("Exchange"), p.take(800))
+  }
+
   /**
    * No shuffle in the similarity tier may be keyed on an array column:
    * candidate dedup must distinct on (ids, precomputed scalar sim), never
