@@ -136,6 +136,75 @@ object KafkaConnector {
       props.as(Envelope.Properties))
     if (slice.isEmpty) 0L else topic.append(envelope)
   }
+
+  /**
+   * Topic → Kafka record projection (reference KafkaAbstractSink.java:
+   * extractKeyValue + send): the exact DataFrame shape Spark's kafka
+   * writer consumes — `key`/`value` binary — applied in per-key offset
+   * order (the jdbc/es sink treatment) so downstream compacted topics
+   * converge last-write-wins under replay. Production completes with
+   * `.write.format("kafka").options(cfg.sparkWriteOptions)`; the
+   * projection is the testable part.
+   */
+  def topicToKafkaFrame(log: DataFrame): DataFrame =
+    log.select(col(Envelope.Key), col(Envelope.Value),
+        col(Envelope.Offset).as("_apply_order"))
+      .repartition(col(Envelope.Key))
+      .sortWithinPartitions(col("_apply_order"))
+      .select(col(Envelope.Key).cast("binary").as("key"),
+        col(Envelope.Value).cast("binary").as("value"))
+}
+
+/**
+ * Kafka sink configuration (reference pulsar-io/kafka/.../
+ * KafkaAbstractSink.java:79-126 open() and KafkaSinkConfig.java:45-121),
+ * the producer-side twin of [[KafkaSourceConfig]]: validation mirrors the
+ * reference's open()-time checks, defaults mirror the field initializers,
+ * TLS/SASL secrets pass through `producerConfig` untyped.
+ */
+final case class KafkaSinkConfig(
+    topic: String,
+    bootstrapServers: String,
+    acks: String = "all",
+    batchSize: Long = 16384L,
+    maxRequestSize: Long = 1048576L,
+    producerConfig: Map[String, String] = Map.empty) {
+
+  require(topic != null && topic.nonEmpty, "Kafka topic is not set")
+  require(bootstrapServers != null && bootstrapServers.nonEmpty,
+    "Kafka bootstrapServers is not set")
+  require(acks != null && acks.nonEmpty, "Kafka acks is not set")
+  require(batchSize > 0, s"Invalid Kafka Producer batchSize : $batchSize")
+  require(maxRequestSize > 0,
+    s"Invalid Kafka Producer maxRequestSize : $maxRequestSize")
+
+  /** Option map for `df.write.format("kafka")` — explicit config wins
+    * over `kafka.`-prefixed passthrough, the reference's property order. */
+  def sparkWriteOptions: Map[String, String] =
+    producerConfig.map { case (k, v) => s"kafka.$k" -> v } ++ Map(
+      "topic" -> topic,
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "kafka.acks" -> acks,
+      "kafka.batch.size" -> batchSize.toString,
+      "kafka.max.request.size" -> maxRequestSize.toString)
+}
+
+object KafkaSinkConfig {
+  /** Untyped-map loader (reference KafkaSinkConfig.load): unknown keys
+    * pass through to the producer config, typed keys coerce. */
+  def load(config: Map[String, Any]): KafkaSinkConfig = {
+    def str(k: String): Option[String] = config.get(k).map(_.toString)
+    val typedKeys = Set("topic", "bootstrapServers", "acks", "batchSize",
+      "maxRequestSize")
+    KafkaSinkConfig(
+      topic = str("topic").orNull,
+      bootstrapServers = str("bootstrapServers").orNull,
+      acks = str("acks").getOrElse("all"),
+      batchSize = str("batchSize").map(_.toLong).getOrElse(16384L),
+      maxRequestSize = str("maxRequestSize").map(_.toLong).getOrElse(1048576L),
+      producerConfig = config.view.filterKeys(!typedKeys.contains(_))
+        .map { case (k, v) => k -> v.toString }.toMap)
+  }
 }
 
 /**

@@ -411,6 +411,35 @@ class ConnectorsSpec extends SparkSpec {
       kafkaBatch((0, 7L, "d", "v3"))) == 1)
   }
 
+  test("kafka sink: config validation, writer options, record projection") {
+    import graft.sources.{KafkaConnector, KafkaSinkConfig}
+    val cfg = KafkaSinkConfig.load(Map(
+      "topic" -> "out", "bootstrapServers" -> "b:9092", "acks" -> "1",
+      "batchSize" -> "1024", "compression.type" -> "zstd"))
+    val opts = cfg.sparkWriteOptions
+    assert(opts("topic") == "out")
+    assert(opts("kafka.acks") == "1")
+    assert(opts("kafka.batch.size") == "1024")
+    assert(opts("kafka.compression.type") == "zstd") // passthrough
+    intercept[IllegalArgumentException] {
+      KafkaSinkConfig("t", "b:9092", batchSize = 0)
+    }
+    intercept[IllegalArgumentException] {
+      KafkaSinkConfig("t", "b:9092", maxRequestSize = -1)
+    }
+    intercept[IllegalArgumentException] { KafkaSinkConfig("", "b:9092") }: Unit
+    // projection: spark kafka-writer shape, per-key offset order
+    val log = Seq(("k1", "v-old", 0L), ("k1", "v-new", 5L), ("k2", "x", 1L))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.Offset)
+    val frame = KafkaConnector.topicToKafkaFrame(log)
+    assert(frame.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("key", "binary"), ("value", "binary")))
+    val k1Vals = frame.collect()
+      .filter(r => new String(r.getAs[Array[Byte]](0)) == "k1")
+      .map(r => new String(r.getAs[Array[Byte]](1))).toSeq
+    assert(k1Vals == Seq("v-old", "v-new"), "per-key offset order must hold")
+  }
+
   test("kafka source: header copy and config load/validation mirror the reference") {
     import graft.sources.{KafkaConnector, KafkaSourceConfig}
     val dir = Files.createTempDirectory("graft-kafka-h").toString
