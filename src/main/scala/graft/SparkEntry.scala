@@ -968,6 +968,18 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("rk").cast("bigint").as("rk"))
       .orderBy("doc_id")
 
+  /** Temperature-weighted corpus mix (mT5-style α=0.5), oracle-checked
+    * bit-for-bit: quota_s = floor(2000 · sqrt(n_s) / Σ sqrt(n_k)) capped
+    * at n_s — sqrt is IEEE-correctly-rounded (pow is not) and the weight
+    * total accumulates in stratum order on both engines, so the floor
+    * boundary is reproducible. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.temperatureMix(
+        tbl(s, dir, "documents").select("doc_id", "lang"), "lang",
+        targetRows = 2000L, salt = "temp|")
+      .select(col("doc_id"), col("lang"), col("rk").cast("bigint").as("rk"))
+      .orderBy("doc_id")
+
   /** Deterministic hash-fraction sample (the 100 TB path: pure filter, no
     * shuffle): keep docs whose md5 draw sorts below fraction 0.25 of the
     * 32-bit space. Reproducible by any engine with md5. */
@@ -1128,6 +1140,7 @@ object SparkEntry {
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
     "sample_stratified" -> (qSampleStratified _),
+    "sample_temperature" -> (qTemperatureMix _),
     "sample_hash" -> (qSampleHash _),
     "shard_pack" -> (qShardPack _),
     "pii_redact" -> (qPiiRedact _),
@@ -1675,6 +1688,24 @@ object SparkEntry {
         |WHERE rk <= CEIL(n * (CASE lang
         |  WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.25
         |  WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.375 ELSE 0.125 END))
+        |ORDER BY doc_id""".stripMargin,
+    // α=0.5 temperature quotas recomputed with the SAME float recipe:
+    // correctly-rounded sqrt, weight total summed in stratum order (a
+    // full-frame ordered window, not an unordered aggregate) -> the
+    // floor() boundary matches Spark bit-for-bit
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_s, sqrt(CAST(n_s AS DOUBLE)) AS w FROM c),
+        |t AS (SELECT lang, n_s, w, SUM(w) OVER (ORDER BY lang
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tw FROM w),
+        |q AS (SELECT lang, LEAST(n_s, CAST(FLOOR(2000 * w / tw) AS BIGINT)) AS quota FROM t),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('temp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r JOIN q USING (lang) WHERE rk <= quota
         |ORDER BY doc_id""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, lang, source FROM documents

@@ -101,6 +101,48 @@ object Sampling {
       .filter(col("rk") <= k).drop("n_stratum")
 
   /**
+   * Temperature-weighted corpus mixing (the mT5/multilingual α-sampling
+   * rule): stratum `s` receives `floor(targetRows · n_s^α / Σ_k n_k^α)`
+   * rows (capped at `n_s`), drawn deterministically by md5 rank — α < 1
+   * up-weights low-resource strata relative to proportional sampling.
+   *
+   * Cross-engine determinism: with the default `alpha = 0.5` the weight
+   * is `sqrt(n)` — IEEE-754 requires sqrt (unlike pow) to be correctly
+   * rounded, so any engine computes the identical double. The weight
+   * total is a window sum over strata in STRATUM ORDER (one tiny row per
+   * stratum), never a reduction in shuffle order, so the FP accumulation
+   * order — and therefore the floor() boundary — is reproducible
+   * run-to-run and engine-to-engine. Non-0.5 alphas use pow(), which is
+   * not correctly rounded; quotas may differ by ±1 at exact boundaries
+   * across engines (documented, not oracle-gated).
+   *
+   * Scale shape: the per-stratum count/weight/quota table is tiny and
+   * broadcasts back; the rank is the same one window per stratum as
+   * [[stratifiedSample]].
+   */
+  def temperatureMix(df: DataFrame, strataCol: String, targetRows: Long,
+                     alpha: Double = 0.5, idCol: String = "doc_id",
+                     salt: String = ""): DataFrame = {
+    require(targetRows >= 0 && alpha > 0)
+    val weight =
+      if (alpha == 0.5) sqrt(col("_n_s").cast("double"))
+      else pow(col("_n_s").cast("double"), alpha)
+    // single-partition window: one row per stratum, deterministic order
+    val wTot = Window.orderBy(strataCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quota = df.groupBy(strataCol).agg(count(lit(1)).as("_n_s"))
+      .withColumn("_w", weight)
+      .withColumn("_tw", sum("_w").over(wTot))
+      .withColumn("_quota", least(col("_n_s"),
+        floor(lit(targetRows.toDouble) * col("_w") / col("_tw")).cast("long")))
+      .select(col(strataCol).as("_q_stratum"), col("_quota"))
+    withHashRank(df, strataCol, idCol, salt)
+      .join(broadcast(quota), col(strataCol) <=> col("_q_stratum"))
+      .filter(col("rk") <= col("_quota"))
+      .drop("_q_stratum", "_quota", "n_stratum")
+  }
+
+  /**
    * Token-budget shard packing: within each stratum, documents ordered by
    * `idCol` are assigned `shard_id = floor(exclusive-cumsum(tokens) /
    * budget)` — shard boundaries cut the cumulative token stream at budget

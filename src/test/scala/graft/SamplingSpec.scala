@@ -95,6 +95,36 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("temperatureMix: exact sqrt-weighted quotas, low-resource strata up-weighted") {
+    val d = docs.select("doc_id", "lang")
+    val counts = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = 200L // well under the sf0.001 doc count so no stratum caps
+    // expected quotas from the documented recipe, total in lang order
+    val weights = counts.toSeq.sortBy(_._1).map { case (l, n) => l -> math.sqrt(n.toDouble) }
+    val tw = weights.map(_._2).sum
+    val expected = weights.map { case (l, w) =>
+      l -> math.min(counts(l), math.floor(target.toDouble * w / tw).toLong) }.toMap
+    val got = Sampling.temperatureMix(d, "lang", target, salt = "temp|")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.sum <= target)
+    // α=0.5 up-weights the smallest stratum vs proportional sampling
+    val (minLang, minN) = counts.minBy(_._2)
+    val (maxLang, maxN) = counts.maxBy(_._2)
+    if (minN < maxN) {
+      val keptMin = got(minLang).toDouble / minN
+      val keptMax = got(maxLang).toDouble / maxN
+      assert(keptMin > keptMax,
+        s"temperature must favor low-resource strata: $keptMin !> $keptMax")
+    }
+    // deterministic membership run-to-run
+    val a = Sampling.temperatureMix(d, "lang", target, salt = "temp|").select("doc_id")
+    val b = Sampling.temperatureMix(d, "lang", target, salt = "temp|").select("doc_id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("hashFractionSample: fractions at and just below 1.0 keep ~all rows (threshold clamp)") {
     val d = docs.select("doc_id", "lang")
     val total = d.count()
