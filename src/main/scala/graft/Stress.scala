@@ -50,6 +50,10 @@ object Stress {
     val docsK = scaled(spark.read.parquet(s"$sfDir/documents.parquet"),
       Seq("doc_id"), k).cache()
     docsK.count()
+    val vecs1 = spark.read.parquet(s"$sfDir/embeddings.parquet").cache(); vecs1.count()
+    val vecsK = scaled(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      Seq("vec_id"), k).cache()
+    vecsK.count()
 
     def envelope(ev: DataFrame): DataFrame = ev.select(
       col("user_id").cast("string").as(Envelope.Key),
@@ -80,6 +84,19 @@ object Stress {
         docs.filter(col("doc_id") % 50 === 0), n = 5).count())
     }
 
+    // ANN tier: a FIXED 100-query probe set against the scaled corpus —
+    // top-k cost should grow with bucket density (~linearly in corpus),
+    // never with |corpus|·|queries|. Aggregates reference sim/rank so
+    // pruning can't dead-code the kernels.
+    def annTier(vecs: DataFrame): Unit = {
+      val queries = vecs.filter(col("vec_id") < 100)
+      time("ann_lsh")(graft.ext.VectorOps.annLsh(vecs, queries, 5, dim = 64)
+        .agg(count(lit(1)), sum("sim"), max("rank")).head().getLong(0))
+      time("ann_ivf")(graft.ext.VectorOps.annIvf(vecs, queries, 5,
+          nlist = 16, nprobe = 4, iters = 1, initMode = "random")
+        .agg(count(lit(1)), sum("sim"), max("rank")).head().getLong(0))
+    }
+
     println(s"== 1x (events=${env1.count()}, docs=${docs1.count()}) ==")
     time("compaction")(Compaction.publishOrder(env1.withColumnRenamed("metric_value", "mv")).count())
     time("dedup_seq")(Dedup.dedupBatch(env1).count())
@@ -88,6 +105,7 @@ object Stress {
       maxDf = 250).count())
     time("simhash_pairs")(MinHash.simhashPairs(docs1, 3).count())
     extras(docs1)
+    annTier(vecs1)
 
     println(s"== ${k}x (events=${envK.count()}, docs=${docsK.count()}) ==")
     val envKE = envelope(envK)
@@ -98,6 +116,7 @@ object Stress {
       maxDf = 250).count())
     time("simhash_pairs")(MinHash.simhashPairs(docsK, 3).count())
     extras(docsK)
+    annTier(vecsK)
     spark.stop()
   }
 }
