@@ -71,9 +71,18 @@ object ElasticSink {
     sb.toString
   }
 
-  private def isValidJson(s: String): Boolean =
-    try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(s); true }
-    catch { case _: Exception => false }
+  // ObjectMapper is thread-safe for reads; one shared instance per JVM
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse-or-None; the parsed tree also yields the COMPACT form the
+    * bulk body needs — a pretty-printed (multi-line) value is valid JSON
+    * but raw newlines would break NDJSON framing, so documents always
+    * ship re-serialized one-per-line (the reference serializes through
+    * ObjectMapper the same way). */
+  private def parseJson(s: String): Option[String] =
+    try Some(mapper.readTree(s).toString)
+    catch { case _: Exception => None }
 
   /**
    * Assemble bulk NDJSON action lines for one row — `Nil` when the action
@@ -90,14 +99,16 @@ object ElasticSink {
         else Seq(s"""{"delete":{"_index":"$index","_id":"${jsonEscape(key)}"}}""")
       case NullValueAction.Fail =>
         throw new IllegalArgumentException("Unexpected null message value")
-    } else if (!isValidJson(value)) malformedAction match {
-      case MalformedDocAction.Ignore => Nil
-      case MalformedDocAction.Fail =>
-        throw new IllegalArgumentException(s"Malformed document for id=$key")
-    } else {
-      val idPart =
-        if (key == null) "" else s""","_id":"${jsonEscape(key)}""""
-      Seq(s"""{"index":{"_index":"$index"$idPart}}""", value)
+    } else parseJson(value) match {
+      case None => malformedAction match {
+        case MalformedDocAction.Ignore => Nil
+        case MalformedDocAction.Fail =>
+          throw new IllegalArgumentException(s"Malformed document for id=$key")
+      }
+      case Some(compact) =>
+        val idPart =
+          if (key == null) "" else s""","_id":"${jsonEscape(key)}""""
+        Seq(s"""{"index":{"_index":"$index"$idPart}}""", compact)
     }
 
   /**

@@ -115,16 +115,23 @@ object KafkaConnector {
     val slice = records
       .filter(col("topic") === cfg.topic && col("offset") > resumeExpr)
     val props =
-      if (cfg.copyHeadersEnabled)
-        map_concat(
+      if (cfg.copyHeadersEnabled) {
+        val headerMap = coalesce(map_from_entries(transform(col("headers"),
+          h => struct(h.getField("key"), base64(h.getField("value"))))),
+          map().cast("map<string,string>"))
+        // a record header named __kafka_* must WIN over the synthetic
+        // metadata — the reference's properties.put(header.key) runs
+        // after the __kafka_* puts and overwrites (KafkaAbstractSource
+        // .java:207-219). map_concat errors on duplicate keys, so drop
+        // colliding synthetic entries first.
+        val meta = map_filter(
           map(
             lit(HeaderKafkaTopic), col("topic"),
             lit(HeaderKafkaPartition), col("partition").cast("string"),
             lit(HeaderKafkaOffset), col("offset").cast("string")),
-          coalesce(map_from_entries(transform(col("headers"),
-            h => struct(h.getField("key"), base64(h.getField("value"))))),
-            map().cast("map<string,string>")))
-      else map().cast("map<string,string>")
+          (k, _) => !map_contains_key(headerMap, k))
+        map_concat(meta, headerMap)
+      } else map().cast("map<string,string>")
     val envelope = slice.select(
       col("key").cast("string").as(Envelope.Key),
       col("value").cast("string").as(Envelope.Value),

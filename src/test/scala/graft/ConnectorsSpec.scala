@@ -340,6 +340,12 @@ class ConnectorsSpec extends SparkSpec {
     assert(ElasticSink.bulkLines("i", "k\"x\\", """{"v":1}""",
       NullValueAction.Ignore, MalformedDocAction.Fail).head
       == """{"index":{"_index":"i","_id":"k\"x\\"}}""")
+    // pretty-printed (multi-line) valid JSON re-serializes compactly —
+    // raw newlines in a doc would break the NDJSON bulk framing
+    val pretty = "{\n  \"v\": 1,\n  \"w\": [1,\n 2]\n}"
+    val shipped = ElasticSink.bulkLines("i", "k", pretty,
+      NullValueAction.Ignore, MalformedDocAction.Fail)(1)
+    assert(!shipped.contains("\n") && shipped == """{"v":1,"w":[1,2]}""")
     for (bad <- Seq("Upper", "has space", "a/b", "-lead", "", "x#y")) {
       intercept[IllegalArgumentException] {
         ElasticSink.checkIndexName(bad)
@@ -455,6 +461,23 @@ class ConnectorsSpec extends SparkSpec {
     assert(props(KafkaConnector.HeaderKafkaOffset) == "0")
     assert(props("h1") == java.util.Base64.getEncoder
       .encodeToString("v1".getBytes)) // headers arrive base64, reference-style
+    // a header that collides with a __kafka_* key overwrites it, exactly
+    // the reference's properties.put order — and must not crash map_concat
+    val collide = Seq((0, 7L, "a", "v"))
+      .toDF("partition", "offset", "key", "value")
+      .select(lit("clicks").as("topic"), col("partition"), col("offset"),
+        col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("timestamp"),
+        array(struct(lit(KafkaConnector.HeaderKafkaOffset).as("key"),
+          lit("smuggled").cast("binary").as("value"))).as("headers"))
+    KafkaConnector.pollToTopic(topic, cfg, collide): Unit
+    val p2 = topic.read()
+      .filter(col(graft.model.Envelope.SequenceId) === 7L)
+      .select(graft.model.Envelope.Properties)
+      .as[Map[String, String]].head()
+    assert(p2(KafkaConnector.HeaderKafkaOffset) == java.util.Base64.getEncoder
+      .encodeToString("smuggled".getBytes))
     // untyped load: typed keys coerce, unknown keys pass through to the
     // consumer config, spark options assemble with the kafka. prefix
     val loaded = KafkaSourceConfig.load(Map(
