@@ -49,12 +49,14 @@ object ElasticSink {
 
   /** ES index-name rules: lowercase, none of the characters
     * backslash slash star question quote angle-brackets pipe space
-    * comma hash, and no leading dash/underscore/plus — validated at
-    * wiring time like the JDBC identifiers. */
+    * comma hash colon, not `.` or `..`, and no leading
+    * dash/underscore/plus — validated at wiring time like the JDBC
+    * identifiers (a bad name otherwise 400s on the first microbatch). */
   private[graft] def checkIndexName(index: String): String = {
     require(index != null && index.nonEmpty && index.length <= 255 &&
       index == index.toLowerCase &&
-      !index.exists("\\/*?\"<>| ,#".contains(_)) &&
+      index != "." && index != ".." &&
+      !index.exists("\\/*?\"<>| ,#:".contains(_)) &&
       !"-_+".contains(index.head),
       s"illegal elasticsearch index name '$index'")
     index
@@ -112,15 +114,18 @@ object ElasticSink {
     }
 
   /**
-   * Stream the topic into Elasticsearch through `transport`. A non-2xx
-   * status fails the microbatch (retried by the streaming engine — the
-   * reference's retry/backoff lives in its client for the same reason).
+   * Stream the topic into Elasticsearch through `transport: body =>
+   * (status, responseBody)`. A non-2xx status OR a 2xx whose response
+   * carries `"errors": true` fails the microbatch (retried by the
+   * streaming engine) — ES `_bulk` answers 200 even when individual
+   * actions are rejected, so judging by status alone silently drops
+   * rows; the reference checks per-item responses the same way.
    */
   def topicToElasticSink(topic: TopicLog, index: String,
-                         transport: String => Int,
+                         transport: String => (Int, String),
                          nullAction: NullValueAction = NullValueAction.Ignore,
                          malformedAction: MalformedDocAction = MalformedDocAction.Fail,
-                         checkpoint: String = "",
+                         checkpoint: String,
                          batchSize: Int = 500): StreamingQuery = {
     checkIndexName(index): Unit
     val spark = topic.spark
@@ -153,15 +158,20 @@ object ElasticSink {
 
   /** Executor-side partition writer: `batchSize` actions per POST. */
   private def flushPartition(rows: Iterator[Row], index: String,
-                             transport: String => Int,
+                             transport: String => (Int, String),
                              nullAction: NullValueAction,
                              malformedAction: MalformedDocAction,
                              batchSize: Int): Unit = {
     val buf = new scala.collection.mutable.ArrayBuffer[String]
     var actions = 0
     def flush(): Unit = if (actions > 0) {
-      val status = transport(buf.mkString("", "\n", "\n"))
+      val (status, body) = transport(buf.mkString("", "\n", "\n"))
       require(status / 100 == 2, s"bulk request failed with status $status")
+      val itemErrors =
+        try mapper.readTree(body).path("errors").asBoolean(false)
+        catch { case _: Exception => false } // non-JSON body: trust status
+      require(!itemErrors, s"bulk response reported per-item errors: " +
+        body.take(500))
       buf.clear(); actions = 0
     }
     rows.foreach { r =>

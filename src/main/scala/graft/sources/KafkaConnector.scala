@@ -53,6 +53,18 @@ object KafkaConnector {
   private def producerPrefix(cfg: KafkaSourceConfig): String =
     s"io-kafka-source-${cfg.topic}-${cfg.groupId}-p"
 
+  /** Marker property stamped on the synthetic row a `latest` reset
+    * appends to pin the skip position (Pulsar's own pattern: positions
+    * travel as in-stream marker messages, never a side channel).
+    * Consumers filter markers with [[dataRows]]. */
+  val ResetMarkerProp = "__kafka_reset_marker"
+
+  /** The topic minus reset markers — what a consumer should read. */
+  def dataRows(log: DataFrame): DataFrame =
+    if (!log.columns.contains(Envelope.Properties)) log
+    else log.filter(coalesce(
+      element_at(col(Envelope.Properties), ResetMarkerProp).isNull, lit(true)))
+
   /**
    * Committed resume offset per Kafka partition, recovered from the topic
    * log (the analogue of the consumer group's committed offsets). A
@@ -64,7 +76,11 @@ object KafkaConnector {
     if (log.isEmpty) Map.empty
     else {
       val prefix = producerPrefix(cfg)
-      log.filter(col(Envelope.ProducerName).startsWith(prefix))
+      // strict match: prefix + digits. A bare startsWith would let group
+      // "g1"'s prefix swallow group "g1-p1"'s producers (crash or, for
+      // numeric tails, silent cross-group offset merging).
+      val strict = "^" + java.util.regex.Pattern.quote(prefix) + "[0-9]+$"
+      log.filter(col(Envelope.ProducerName).rlike(strict))
         .groupBy(Envelope.ProducerName)
         .agg(max(Envelope.SequenceId).as("hi"))
         .collect() // bounded: one row per Kafka partition
@@ -83,8 +99,10 @@ object KafkaConnector {
    * Partitions never seen before follow `autoOffsetReset`
    * (KafkaSourceConfig.java:137, default "earliest"): `earliest` takes the
    * partition from its first available record; `latest` skips the existing
-   * backlog — it marks the partition's current high offset as consumed
-   * (appending nothing), so only records arriving AFTER this poll flow.
+   * backlog by PERSISTING the partition's current top as the committed
+   * position — an in-stream reset-marker row (Pulsar's own pattern for
+   * position metadata; [[dataRows]] filters it) — so the reset anchors
+   * exactly once and records arriving after this poll flow normally.
    * That is the reference consumer's semantics for a group with no
    * committed offset.
    *
@@ -98,26 +116,54 @@ object KafkaConnector {
   def pollToTopic(topic: TopicLog, cfg: KafkaSourceConfig,
                   records: DataFrame): Long = {
     val resume = resumeOffsets(topic, cfg)
+    // the topic filter applies BEFORE any offset bookkeeping: a batch
+    // carrying several topics must not let a foreign topic's offsets on
+    // the same partition number anchor this topic's skip position
+    val topicRecords = records.filter(col("topic") === cfg.topic)
     // earliest: an unseen partition replays from its first record (resume
     // below any offset — the Long.MinValue fold default); latest: an
-    // unseen partition resumes AT its current top — nothing from the
-    // backlog, only records arriving after this poll
+    // unseen partition resumes AT its current top, and that position is
+    // PERSISTED as a reset-marker row so the next poll resumes there
+    // instead of re-anchoring to whatever the new top happens to be
+    // (which would skip every record forever)
     val startAt: Map[Int, Long] =
       if (cfg.autoOffsetReset == "latest") {
-        val tops = records.groupBy("partition")
+        val tops = topicRecords.groupBy("partition")
           .agg(max("offset").as("top")).collect() // bounded: per partition
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val unseen = tops.filter { case (p, _) => !resume.contains(p) }
+        if (unseen.nonEmpty) {
+          val spark = topic.spark
+          import spark.implicits._
+          val markers = unseen.toSeq.toDF("p", "top").select(
+            concat(lit("__kafka-reset-"), col("p").cast("string"))
+              .as(Envelope.Key),
+            lit(null).cast("string").as(Envelope.Value),
+            concat(lit(producerPrefix(cfg)), col("p").cast("string"))
+              .as(Envelope.ProducerName),
+            col("top").as(Envelope.SequenceId),
+            current_timestamp().as(Envelope.PublishTime),
+            current_timestamp().as(Envelope.EventTime),
+            map(lit(ResetMarkerProp), lit("true")).as(Envelope.Properties))
+          topic.append(markers): Unit // markers are not data rows
+        }
         tops.map { case (p, top) => p -> resume.getOrElse(p, top) }
       } else resume
     val resumeExpr = startAt.foldLeft(lit(Long.MinValue)) {
       case (acc, (p, off)) => when(col("partition") === p, off).otherwise(acc)
     }
-    val slice = records
-      .filter(col("topic") === cfg.topic && col("offset") > resumeExpr)
+    val slice = topicRecords.filter(col("offset") > resumeExpr)
     val props =
       if (cfg.copyHeadersEnabled) {
-        val headerMap = coalesce(map_from_entries(transform(col("headers"),
-          h => struct(h.getField("key"), base64(h.getField("value"))))),
+        // Kafka headers are a LIST and legally repeat keys; the reference
+        // folds them through properties.put (last write wins). A plain
+        // map_from_entries would throw 'Duplicate map key' under the
+        // default dedup policy — fold with put semantics instead.
+        val headerMap = coalesce(
+          aggregate(col("headers"), map().cast("map<string,string>"),
+            (acc, h) => map_concat(
+              map_filter(acc, (k, _) => k =!= h.getField("key")),
+              map(h.getField("key"), base64(h.getField("value"))))),
           map().cast("map<string,string>"))
         // a record header named __kafka_* must WIN over the synthetic
         // metadata — the reference's properties.put(header.key) runs

@@ -300,10 +300,10 @@ class ConnectorsSpec extends SparkSpec {
     val capDir = s"$dir/captured"
     Files.createDirectories(java.nio.file.Paths.get(capDir))
     // the pluggable wire: each bulk POST lands in its own file
-    val transport: String => Int = { body =>
+    val transport: String => (Int, String) = { body =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
         s"$capDir/${System.nanoTime()}-${java.util.UUID.randomUUID()}.ndjson"), body)
-      200
+      (200, """{"took":1,"errors":false,"items":[]}""")
     }
     val q = ElasticSink.topicToElasticSink(topic, "docs-v1", transport,
       nullAction = NullValueAction.Delete,
@@ -346,11 +346,23 @@ class ConnectorsSpec extends SparkSpec {
     val shipped = ElasticSink.bulkLines("i", "k", pretty,
       NullValueAction.Ignore, MalformedDocAction.Fail)(1)
     assert(!shipped.contains("\n") && shipped == """{"v":1,"w":[1,2]}""")
-    for (bad <- Seq("Upper", "has space", "a/b", "-lead", "", "x#y")) {
+    for (bad <- Seq("Upper", "has space", "a/b", "-lead", "", "x#y",
+        "logs:2026", ".", "..")) {
       intercept[IllegalArgumentException] {
         ElasticSink.checkIndexName(bad)
       }: Unit
     }
+    // ES _bulk answers 200 with "errors": true when individual actions
+    // fail — that must fail the batch, not silently drop rows
+    val qe = ElasticSink.topicToElasticSink(topic, "docs-v1",
+      _ => (200, """{"took":1,"errors":true,"items":[{"index":{"status":409}}]}"""),
+      nullAction = NullValueAction.Delete,
+      malformedAction = MalformedDocAction.Ignore,
+      checkpoint = s"$dir/ckpt-itemerr")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qe.processAllAvailable()
+      qe.awaitTermination(60000)
+    }: Unit
   }
 
   // ---- kafka connector (option/offset plumbing; fake broker) ----
@@ -398,23 +410,56 @@ class ConnectorsSpec extends SparkSpec {
     assert(KafkaConnector.pollToTopic(topic, cfg2, b1) == 3)
   }
 
-  test("kafka source: auto.offset.reset latest skips the backlog of unseen partitions") {
+  test("kafka source: auto.offset.reset latest pins the reset once; later records flow") {
     import graft.sources.{KafkaConnector, KafkaSourceConfig}
     val dir = Files.createTempDirectory("graft-kafka-l").toString
     val cfg = KafkaSourceConfig("clicks", "broker:9092", "g1",
       autoOffsetReset = "latest")
     val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("kafka-l"), 2)
     val backlog = kafkaBatch((0, 0L, "a", "v0"), (0, 5L, "b", "v1"))
-    // no committed position: latest marks the current top consumed
+    // no committed position: latest marks the current top consumed,
+    // persisting it as an in-stream reset marker
     assert(KafkaConnector.pollToTopic(topic, cfg, backlog) == 0)
-    // ...but once a position EXISTS, later records flow normally
+    assert(KafkaConnector.resumeOffsets(topic, cfg) == Map(0 -> 5L),
+      "the reset position must persist, not re-anchor every poll")
+    // a record arriving AFTER the reset flows on the very next poll —
+    // the re-anchoring bug skipped everything forever
     val more = kafkaBatch((0, 5L, "b", "v1"), (0, 6L, "c", "v2"))
-    assert(KafkaConnector.pollToTopic(topic, cfg, more) == 0,
-      "latest with no committed position keeps skipping until new records arrive")
+    assert(KafkaConnector.pollToTopic(topic, cfg, more) == 1)
+    // consumers read data rows only; the marker is filtered
+    val data = KafkaConnector.dataRows(topic.read())
+    assert(data.count() == 1)
+    assert(topic.read().count() == 2) // marker + data row
+    // a foreign topic's offsets on the same partition number must not
+    // anchor this topic's reset
+    val cfg2 = cfg.copy(groupId = "g2")
+    val mixed = kafkaBatch((1, 50L, "x", "other")).withColumn("topic",
+      lit("other-topic")).unionByName(kafkaBatch((1, 2L, "y", "mine")))
+    assert(KafkaConnector.pollToTopic(topic, cfg2, mixed) == 0) // backlog skipped
+    assert(KafkaConnector.resumeOffsets(topic, cfg2) == Map(1 -> 2L),
+      "reset must anchor to clicks' own top, not the foreign topic's 50")
+    // an earliest group on the same log is unaffected by g1's markers
     val cfgE = cfg.copy(groupId = "gE", autoOffsetReset = "earliest")
     assert(KafkaConnector.pollToTopic(topic, cfgE, more) == 2)
     assert(KafkaConnector.pollToTopic(topic, cfgE,
       kafkaBatch((0, 7L, "d", "v3"))) == 1)
+  }
+
+  test("kafka source: group ids that extend another group's name never cross-talk") {
+    import graft.sources.{KafkaConnector, KafkaSourceConfig}
+    val dir = Files.createTempDirectory("graft-kafka-x").toString
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("kafka-x"), 2)
+    val g1 = KafkaSourceConfig("clicks", "broker:9092", "g1")
+    val g1p1 = KafkaSourceConfig("clicks", "broker:9092", "g1-p1")
+    // g1-p1's producer names start with g1's prefix; a bare startsWith
+    // resume would crash on "1-p0".toInt or merge offsets across groups
+    assert(KafkaConnector.pollToTopic(topic, g1p1,
+      kafkaBatch((0, 9L, "a", "v0"))) == 1)
+    assert(KafkaConnector.resumeOffsets(topic, g1).isEmpty,
+      "g1 must not see g1-p1's committed offsets")
+    assert(KafkaConnector.resumeOffsets(topic, g1p1) == Map(0 -> 9L))
+    assert(KafkaConnector.pollToTopic(topic, g1,
+      kafkaBatch((0, 1L, "b", "v1"))) == 1, "g1 still consumes from scratch")
   }
 
   test("kafka sink: config validation, writer options, record projection") {
@@ -478,6 +523,25 @@ class ConnectorsSpec extends SparkSpec {
       .as[Map[String, String]].head()
     assert(p2(KafkaConnector.HeaderKafkaOffset) == java.util.Base64.getEncoder
       .encodeToString("smuggled".getBytes))
+    // Kafka headers legally REPEAT keys (they're a list): last write wins,
+    // mirroring the reference's properties.put fold — must not crash
+    val dup = Seq((0, 8L, "a", "v"))
+      .toDF("partition", "offset", "key", "value")
+      .select(lit("clicks").as("topic"), col("partition"), col("offset"),
+        col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("timestamp"),
+        array(
+          struct(lit("trace").as("key"), lit("first").cast("binary").as("value")),
+          struct(lit("trace").as("key"), lit("last").cast("binary").as("value")))
+          .as("headers"))
+    KafkaConnector.pollToTopic(topic, cfg, dup): Unit
+    val p3 = topic.read()
+      .filter(col(graft.model.Envelope.SequenceId) === 8L)
+      .select(graft.model.Envelope.Properties)
+      .as[Map[String, String]].head()
+    assert(p3("trace") == java.util.Base64.getEncoder
+      .encodeToString("last".getBytes))
     // untyped load: typed keys coerce, unknown keys pass through to the
     // consumer config, spark options assemble with the kafka. prefix
     val loaded = KafkaSourceConfig.load(Map(
