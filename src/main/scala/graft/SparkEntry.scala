@@ -1,8 +1,8 @@
 package graft
 
 import graft.model.Envelope
-import graft.operators.{Compaction, Dedup, Dispatch, Produce, Windows}
-import graft.ext.{MinHash, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, Compaction, Dedup, Dispatch, Produce, Windows}
+import graft.ext.{Graph, MinHash, TextOps, VectorOps}
 import graft.functions.Murmur3Pulsar
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -889,6 +889,35 @@ object SparkEntry {
         threshold = 0.9)
       .orderBy("id_a", "id_b")
 
+  /** Transitive near-dup groups: MinHash-LSH verified pairs (≥ 0.8, the
+    * minhash_lsh truth set) fed through large-star/small-star connected
+    * components — doc A~B, B~C collapse into one group even when A~C was
+    * never an LSH candidate. Oracle walks the same pair graph with a
+    * recursive CTE. */
+  private def qDupGroups(s: SparkSession, dir: String): DataFrame =
+    Graph.dupGroups(
+        MinHash.lshVerifiedPairs(tbl(s, dir, "documents"), threshold = 0.8))
+      .orderBy("doc_id")
+
+  /** As-of join: each error event picks the latest click at-or-before it
+    * by the same user (ties: larger event_id). Union + one window pass —
+    * no join explosion; oracle is a DuckDB lateral top-1 probe. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = tbl(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOfJoin.asof(errors, clicks, Seq("user_id"), "ts", "ts", "event_id", Seq("value"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("matched.event_id").as("click_event"),
+        unix_micros(col("matched.ts")).as("click_ts_us"),
+        col("matched.value").as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Brute-force exact top-5 cosine neighbors for 20 query vectors. */
   private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
     val vecs = tbl(s, dir, "embeddings")
@@ -1132,6 +1161,8 @@ object SparkEntry {
     "fingerprint_dups" -> (qFingerprint _),
     "minhash_lsh" -> (qMinHashLsh _),
     "simhash_pairs" -> (qSimHash _),
+    "dup_groups" -> (qDupGroups _),
+    "asof_join" -> (qAsofJoin _),
     "ann_bruteforce" -> (qAnnBrute _),
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf" -> (qAnnIvf _),
@@ -1794,6 +1825,47 @@ object SparkEntry {
     "ann_ivf" -> annBruteSql,
     "minhash_lsh" -> jaccardBruteSql("0.8"),
     "simhash_pairs" -> jaccardBruteSql("0.9"),
+    // Same ≥0.8 exact-Jaccard pair graph as minhash_lsh, closed
+    // transitively with a recursive CTE — the truth set for the
+    // large-star/small-star connected-components path.
+    "dup_groups" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(node, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node),
+        |comps AS (SELECT node, MIN(comp) AS group_id FROM walk GROUP BY node)
+        |SELECT node AS doc_id, group_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+        |FROM comps ORDER BY doc_id""".stripMargin,
+    // Lateral top-1 probe — the declarative spec the union+window
+    // implementation must reproduce, including the equal-ts inclusive
+    // match and the larger-event_id tie-break.
+    "asof_join" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events),
+        |errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+        |clicks AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  c.event_id AS click_event, epoch_us(c.ts) AS click_ts_us,
+        |  c.value AS click_value
+        |FROM errors e LEFT JOIN LATERAL (
+        |  SELECT event_id, ts, value FROM clicks c
+        |  WHERE c.user_id = e.user_id AND c.ts <= e.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        |) c ON true
+        |ORDER BY e.event_id""".stripMargin,
     "ann_lsh" -> (mm3Macros +
       s"""WITH $signLshCte,
         |cands AS (

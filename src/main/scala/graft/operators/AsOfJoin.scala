@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-time as-of join: each left row is matched with the most recent
+ * right row at-or-before its timestamp on the same key — the reference's
+ * "latest value as of time T" read pattern (TableView snapshot semantics
+ * combined with seek-by-timestamp,
+ * reference pulsar-client-api/.../api/TableView.java:30,
+ * pulsar-client-api/.../api/Consumer.java seek(long timestamp)) expressed
+ * as a relational operator over whole tables at once.
+ *
+ * Scale design (100 TB): implemented as UNION + ONE WINDOW PASS, not a
+ * join. Both sides shuffle once on the key and sort once by
+ * (ts, side, seq); a running last_value(..., ignoreNulls) carries the
+ * latest right payload forward into each left row. There is no join
+ * explosion and no per-row probe — total cost is the single Exchange +
+ * Sort any time-ordered merge needs, and it is skew-tolerant: a hot key
+ * costs one sorted partition scan, never a quadratic blowup.
+ *
+ * Determinism at ties: right rows order BEFORE left rows at equal ts
+ * (the match is inclusive), and among right rows with equal ts the
+ * largest `rightSeq` wins — the same "latest sequence id at a timestamp"
+ * rule the reference's cursor seek applies.
+ */
+object AsOfJoin {
+
+  /**
+   * Backward (most-recent-at-or-before) as-of join.
+   *
+   * @param left      probe side; all its columns survive
+   * @param right     reference side
+   * @param keys      equi-key column names present on both sides
+   * @param leftTs    left event-time column name
+   * @param rightTs   right event-time column name
+   * @param rightSeq  right tie-break column (larger wins at equal ts)
+   * @param payload   right columns to expose on matches
+   * @param tolerance max allowed (leftTs - rightTs) age; older matches
+   *                  are treated as no-match. None = unbounded lookback.
+   * @return left rows plus a `matched` struct of
+   *         (rightTs, rightSeq, payload...) — NULL when no match
+   *         (left-outer semantics)
+   */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightSeq: String,
+           payload: Seq[String], tolerance: Option[Column] = None): DataFrame = {
+    val payloadCols = (Seq(rightTs, rightSeq) ++ payload).distinct
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        col(rightSeq).cast("long").as("__seq"),
+        struct(payloadCols.map(col): _*).as("__payload")): _*)
+    val l = left.select(
+      left.columns.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        lit(0L).as("__seq"),
+        lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val inTolerance = tolerance match {
+      case Some(tol) => col("__match").isNotNull &&
+        col("__ts").cast("double") - col("__match").getField(rightTs).cast("double") <= tol.cast("double")
+      case None => col("__match").isNotNull
+    }
+    carried
+      .withColumn("matched", when(inTolerance, col("__match")))
+      .drop("__ts", "__side", "__seq", "__payload", "__match")
+  }
+}

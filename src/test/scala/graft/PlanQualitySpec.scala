@@ -93,6 +93,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!scanSide.contains("Exchange"), p.take(800))
   }
 
+  test("asof_join: union + one window pass, no join operator at all") {
+    val p = plan("asof_join")
+    assert(!p.contains("Join"), "as-of must not plan a join:\n" + p.take(800))
+    assert(p.contains("Window"), "as-of carries matches with a window function")
+    // one hash exchange for the window key; the final ORDER BY adds a
+    // range exchange — nothing else
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+  }
+
   /**
    * No shuffle in the similarity tier may be keyed on an array column:
    * candidate dedup must distinct on (ids, precomputed scalar sim), never
