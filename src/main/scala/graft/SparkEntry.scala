@@ -549,6 +549,35 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** §2.4 frequency sketch (Count-Min) heavy hitters: ONE map-side-
+    * combined pass builds a mergeable d×w sketch of the whole log (no
+    * per-key shuffle for the sketch — at 100 TB the sketch is the only
+    * thing that crosses the wire, ~80 KB), then the true top-10 keys are
+    * probed against it. Like hll_cardinality, the estimate is not
+    * SQL-reproducible, so the oracle-checked surface is the CMS
+    * guarantee evaluated IN the query: `lower_ok` = est ≥ exact (CMS
+    * never undercounts — deterministic), `upper_ok` = est ≤ exact +
+    * ceil(e/w · N) (the Cormode-Muthukrishnan ε·N bound). A broken
+    * update/merge/estimate path flips a bool and breaks the hash. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Cms
+    val e = env(s, dir)
+    val sk = e.agg(Cms.cms_sketch(col(Envelope.Key)).as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = e.groupBy(Envelope.Key)
+      .agg(count(lit(1)).cast("bigint").as("exact_n"))
+      .orderBy(col("exact_n").desc, col(Envelope.Key))
+      .limit(10)
+    val est = Cms.cms_estimate(col("sk"), col(Envelope.Key))
+    top.crossJoin(broadcast(sk))
+      .select(col(Envelope.Key), col("exact_n"),
+        (est >= col("exact_n")).as("lower_ok"),
+        (est <= col("exact_n") +
+          ceil(col("n_total") * lit(math.E / Cms.DefaultWidth)).cast("long"))
+          .as("upper_ok"))
+      .orderBy(col("exact_n").desc, col(Envelope.Key))
+  }
+
   /** §2.7 keyed counters per user. */
   private def qCounters(s: SparkSession, dir: String): DataFrame =
     Windows.counters(env(s, dir), Envelope.Key)
@@ -1132,6 +1161,7 @@ object SparkEntry {
     "session_windows" -> (qSessionWindows _),
     "q_median" -> (qMedian _),
     "hll_cardinality" -> (qHllCardinality _),
+    "heavy_hitters" -> (qHeavyHitters _),
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),
@@ -1636,6 +1666,13 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(DISTINCT key) AS BIGINT) AS exact,
         |  TRUE AS within_bound
         |FROM envelope GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // same certificate pattern: exact top-10 + the CMS bound booleans
+    "heavy_hitters" -> envSql(
+      """SELECT key, exact_n, TRUE AS lower_ok, TRUE AS upper_ok FROM (
+        |  SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM envelope GROUP BY key
+        |  ORDER BY exact_n DESC, key LIMIT 10) t
+        |ORDER BY exact_n DESC, key""".stripMargin),
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
