@@ -578,6 +578,29 @@ object SparkEntry {
       .orderBy(col("exact_n").desc, col(Envelope.Key))
   }
 
+  /** §2.4 mergeable quantile sketch (KMV bottom-k row sample): per-type
+    * sketches built in one pass, median probed from the sample. The
+    * certificate is the TRUE rank of the estimated median, computed
+    * exactly against the log: |rank − 0.5| ≤ 5% (k=1024 ⇒ σ ≈ 1.6%,
+    * so 5% is ≥3σ — the [[qHllCardinality]] margin pattern). */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val e = env(s, dir)
+    val withEst = e.groupBy("event_type")
+      .agg(Kmv.kmv_sketch(col("metric_value"), col(Envelope.Offset)).as("sk"),
+        count(lit(1)).cast("bigint").as("n"))
+      .select(col("event_type"), col("n"),
+        Kmv.kmv_quantile(col("sk"), lit(0.5)).as("est_p50"))
+    val ranks = e.join(broadcast(withEst), "event_type")
+      .groupBy("event_type")
+      .agg((sum(when(col("metric_value") <= col("est_p50"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("true_rank"))
+    withEst.join(ranks, "event_type")
+      .select(col("event_type"), col("n"),
+        (abs(col("true_rank") - 0.5) <= 0.05).as("rank_ok"))
+      .orderBy("event_type")
+  }
+
   /** §2.7 keyed counters per user. */
   private def qCounters(s: SparkSession, dir: String): DataFrame =
     Windows.counters(env(s, dir), Envelope.Key)
@@ -1162,6 +1185,7 @@ object SparkEntry {
     "q_median" -> (qMedian _),
     "hll_cardinality" -> (qHllCardinality _),
     "heavy_hitters" -> (qHeavyHitters _),
+    "quantile_sketch" -> (qQuantileSketch _),
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),
@@ -1665,6 +1689,10 @@ object SparkEntry {
     "hll_cardinality" -> envSql(
       """SELECT event_type, CAST(COUNT(DISTINCT key) AS BIGINT) AS exact,
         |  TRUE AS within_bound
+        |FROM envelope GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // same certificate pattern: exact counts + the KMV rank-error bool
+    "quantile_sketch" -> envSql(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS rank_ok
         |FROM envelope GROUP BY event_type ORDER BY event_type""".stripMargin),
     // same certificate pattern: exact top-10 + the CMS bound booleans
     "heavy_hitters" -> envSql(
