@@ -1,8 +1,8 @@
 package graft
 
 import graft.model.Envelope
-import graft.operators.{Compaction, Dedup}
-import graft.ext.{MinHash, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, Compaction, Dedup}
+import graft.ext.{Graph, MinHash, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,28 @@ object Stress {
         docs.filter(col("doc_id") % 50 === 0), n = 5).count())
     }
 
+    // Graph tier: transitive dup grouping. The scaled corpus clones every
+    // doc K times, so clone cliques dominate (edges ~ K^2 per original
+    // dup) — CC cost must track the EDGE count (which the cloning blows
+    // up by design), with round count staying O(log^2) flat.
+    def graphTier(docs: DataFrame): Unit =
+      time("dup_groups")(Graph.dupGroups(
+          MinHash.lshCandidates(docs).filter(col("est_jaccard") >= 0.8)
+            .select("id_a", "id_b"))
+        .agg(count(lit(1)), max("group_size")).head().getLong(0))
+
+    // As-of tier: one window pass over the union — must scale with rows,
+    // not with |errors| x |clicks| (a lateral/join formulation would).
+    def asofTier(ev: DataFrame): Unit = {
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      time("asof_join")(AsOfJoin.asof(errors, clicks, Seq("user_id"),
+          "ts", "ts", "event_id", Seq("value"))
+        .agg(count(lit(1)), sum(col("matched.value"))).head().getLong(0))
+    }
+
     // ANN tier: a FIXED 100-query probe set against the scaled corpus —
     // top-k cost should grow with bucket density (~linearly in corpus),
     // never with |corpus|·|queries|. Aggregates reference sim/rank so
@@ -105,6 +127,9 @@ object Stress {
       maxDf = 250).count())
     time("simhash_pairs")(MinHash.simhashPairs(docs1, 3).count())
     extras(docs1)
+    graphTier(docs1)
+    asofTier(spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
     annTier(vecs1)
 
     println(s"== ${k}x (events=${envK.count()}, docs=${docsK.count()}) ==")
@@ -116,6 +141,8 @@ object Stress {
       maxDf = 250).count())
     time("simhash_pairs")(MinHash.simhashPairs(docsK, 3).count())
     extras(docsK)
+    graphTier(docsK)
+    asofTier(envK)
     annTier(vecsK)
     spark.stop()
   }
