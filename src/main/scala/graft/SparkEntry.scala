@@ -1122,6 +1122,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination: MUST equal [[qDecontam]] row for
+    * row (the bloom only prunes; the exact join restores soundness), so
+    * it shares decontam's oracle — a false negative anywhere in the
+    * bloom path breaks the hash match. */
+  private def qDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val evals = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    TextOps.contaminationReportBloom(corpus, evals, n = 5, minShared = 1L)
+      .select(col("doc_id"), col("n_shared").cast("bigint").as("n_shared"),
+        col("n_eval_docs").cast("bigint").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   /**
    * Composite training-data pipeline, end-to-end oracle-checked:
    * quality filter → exact dedup (md5) → near-dup removal (5-gram
@@ -1229,7 +1243,8 @@ object SparkEntry {
     "sample_hash" -> (qSampleHash _),
     "shard_pack" -> (qShardPack _),
     "pii_redact" -> (qPiiRedact _),
-    "decontam" -> (qDecontam _)
+    "decontam" -> (qDecontam _),
+    "decontam_bloom" -> (qDecontamBloom _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1825,6 +1840,21 @@ object SparkEntry {
         |  POSITION('<PHONE>' IN r) > 0 AS has_phone
         |FROM red ORDER BY doc_id""".stripMargin,
     "decontam" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM documents) t),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |co AS (SELECT * FROM sh WHERE doc_id % 50 != 0)
+        |SELECT co.doc_id,
+        |  CAST(COUNT(DISTINCT co.shingle) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+        |FROM co JOIN ev ON co.shingle = ev.shingle
+        |GROUP BY co.doc_id ORDER BY co.doc_id""".stripMargin,
+    // the bloom pre-filter is result-neutral by construction — same truth
+    "decontam_bloom" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id,

@@ -250,6 +250,39 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * Bloom-prefiltered decontamination: IDENTICAL results to
+   * [[contaminationReport]] by construction, cheaper at scale. A bloom
+   * of the eval shingle hashes (16 KiB default vs megabytes of postings)
+   * broadcasts to every task; corpus postings probe it MAP-SIDE and only
+   * the survivors enter the exact postings join. The bloom has no false
+   * negatives, so no true candidate is lost; its false positives are
+   * removed by the exact join — soundness is unconditional, the filter
+   * only prunes work. At 100 TB this turns the broadcast-join input from
+   * every corpus shingle into ~(true hits + fp·corpus) rows.
+   */
+  def contaminationReportBloom(corpus: DataFrame, evals: DataFrame, n: Int = 5,
+                               minShared: Long = 1L, idCol: String = "doc_id",
+                               textCol: String = "text",
+                               bloomBits: Int = graft.functions.Bloom.DefaultBits): DataFrame = {
+    import graft.functions.Bloom
+    def postings(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(graft.functions.Sketch.shingle_hashes(col(textCol), n,
+          distinct = true)).as("shingle_h"))
+    val evalPostings = postings(evals, "eval_id")
+    val bloomDf = evalPostings.agg(Bloom.bloom_sketch(col("shingle_h"), bloomBits).as("bf"))
+    postings(corpus, "doc_id")
+      .join(broadcast(bloomDf))
+      .filter(Bloom.bloom_contains(col("bf"), col("shingle_h")))
+      .select("doc_id", "shingle_h")
+      .join(broadcast(evalPostings), Seq("shingle_h"))
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle_h").as("n_shared"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Drop contaminated documents from the corpus (anti-join against the
     * [[contaminationReport]] flags). */
   def decontaminate(corpus: DataFrame, evals: DataFrame, n: Int = 5,

@@ -102,6 +102,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
   }
 
+  test("decontam_bloom: bloom broadcast to the corpus map-side, probe under the first exchange") {
+    val p = plan("decontam_bloom")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "bloom must broadcast:\n" + p.take(600))
+    // the bloom_contains probe must run BEFORE any corpus shuffle: the
+    // plan below the first hash exchange (bottom-up) carries the filter
+    val probeIdx = p.indexOf("bloom_contains")
+    assert(probeIdx >= 0, "bloom_contains missing from the plan")
+    val lastExchange = p.lastIndexOf("Exchange hashpartitioning")
+    assert(lastExchange < probeIdx,
+      "bloom probe sits above a corpus shuffle — pre-filter lost its point")
+  }
+
   /**
    * No shuffle in the similarity tier may be keyed on an array column:
    * candidate dedup must distinct on (ids, precomputed scalar sim), never
