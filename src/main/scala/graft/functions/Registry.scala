@@ -15,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
  *    for injection at session build (the idiomatic deployment).
  */
 object Registry {
+  private[functions] def all: Seq[(String, Seq[Expression] => Expression)] = fns
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "pulsar_hash" -> (es => PulsarHashExpr(es.head)),
     "dot_product" -> (es => DotProductExpr(es(0), es(1))),
@@ -31,7 +33,24 @@ object Registry {
       if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue()
       else Hll.DefaultP).toAggregateExpression()),
     "hll_merge" -> (es => HllMergeAgg(es.head).toAggregateExpression()),
-    "hll_estimate" -> (es => HllEstimateExpr(es.head))
+    "hll_estimate" -> (es => HllEstimateExpr(es.head)),
+    "cms_sketch" -> (es => CmsSketchAgg(es.head,
+      if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else Cms.DefaultDepth,
+      if (es.length > 2) es(2).eval().asInstanceOf[Number].intValue() else Cms.DefaultWidth)
+      .toAggregateExpression()),
+    "cms_merge" -> (es => CmsMergeAgg(es.head).toAggregateExpression()),
+    "cms_estimate" -> (es => CmsEstimateExpr(es(0), es(1))),
+    "kmv_sketch" -> (es => KmvSketchAgg(es(0), es(1),
+      if (es.length > 2) es(2).eval().asInstanceOf[Number].intValue() else Kmv.DefaultK)
+      .toAggregateExpression()),
+    "kmv_merge" -> (es => KmvMergeAgg(es.head).toAggregateExpression()),
+    "kmv_quantile" -> (es => KmvQuantileExpr(es(0), es(1))),
+    "bloom_sketch" -> (es => BloomSketchAgg(es.head,
+      if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue() else Bloom.DefaultBits,
+      if (es.length > 2) es(2).eval().asInstanceOf[Number].intValue() else Bloom.DefaultK)
+      .toAggregateExpression()),
+    "bloom_merge" -> (es => BloomMergeAgg(es.head).toAggregateExpression()),
+    "bloom_contains" -> (es => BloomContainsExpr(es(0), es(1)))
   )
 
   def registerAll(spark: SparkSession): Unit =
@@ -41,17 +60,14 @@ object Registry {
     }
 }
 
-/** Session-extension injection point (SparkSessionExtensions). */
+/** Session-extension injection point (SparkSessionExtensions): the same
+  * catalog [[Registry.registerAll]] installs, injected at session build
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    Seq[(String, Seq[Expression] => Expression)](
-      "pulsar_hash" -> (es => PulsarHashExpr(es.head)),
-      "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
-      "dot_product" -> (es => DotProductExpr(es(0), es(1))),
-      "simhash_sig" -> (es => SimHashSigExpr(es.head))
-    ).foreach { case (name, builder) =>
+    Registry.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }

@@ -201,5 +201,16 @@ class AdminChunkTxnSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
       .as[Double].head()
     assert(math.abs(c - 1.0) < 1e-12)
+    // the sketch trio is SQL-reachable end to end: build, merge, probe
+    val cmsEst = spark.sql(
+      """SELECT cms_estimate(cms_merge(sk), 'k3') AS e FROM (
+        |  SELECT id % 4 AS g, cms_sketch(concat('k', CAST(id % 10 AS STRING))) AS sk
+        |  FROM range(1000) GROUP BY id % 4)""".stripMargin).as[Long].head()
+    assert(cmsEst >= 100L) // true count of k3 is 100; CMS never undercounts
+    val kmvMed = spark.sql(
+      """SELECT kmv_quantile(kmv_merge(sk), 0.5D) AS m FROM (
+        |  SELECT id % 4 AS g, kmv_sketch(CAST(id AS DOUBLE), id, 64) AS sk
+        |  FROM range(1000) GROUP BY id % 4)""".stripMargin).as[Double].head()
+    assert(kmvMed > 100.0 && kmvMed < 900.0) // sampled median of 0..999
   }
 }
