@@ -22,16 +22,22 @@ import org.apache.spark.sql.types.StructType
  * | kafka / kafka-connect      | [[KafkaConnector]] (config/offset/header plumbing; network = `spark.readStream.format("kafka")`) |
  * | jdbc (insert/upsert/delete)| `topicToJdbcSink` below (batched upsert/delete in foreachBatch); `jdbcSourceToTopic` below (incremental poll source) |
  * | elastic-search, solr       | [[ElasticSink]] (bulk/action/id plumbing; HTTP = pluggable transport) |
+ * | redis                      | [[RedisSink]] (RESP2 pipeline framing, SET/DEL/EX) |
+ * | influxdb                   | [[InfluxSink]] (line protocol built as one codegen'd expression) |
+ * | mongo                      | [[MongoSink]] (bulk insert/delete command documents, _id from key) |
+ * | cassandra                  | [[CassandraSink]] (bound-marker CQL, single-partition atomic batches) |
+ * | kinesis                    | [[KinesisSink]] (PutRecords limits + partial-failure subset retry) |
  * | aws-s3 / hdfs3 / alluxio   | any hadoop-fs path (file formats built in) |
  * | debezium/canal CDC         | `cdcApply` below (Debezium op/after envelope → materialized table state) |
  * | data-generator             | `spark.range` + expression columns |
  * | http / netty / flume       | socket source / custom v2 source |
  *
- * `file`, `jdbc` (source + sink), the kafka option/offset plumbing and
- * the elasticsearch bulk-sink plumbing are implemented concretely (no
- * external daemons in this environment — kafka's NETWORK layer stays
- * Spark's own source, elasticsearch's is a pluggable transport); the
- * source→appender and topic→sink plumbing below is connector-agnostic.
+ * `file`, `jdbc` (source + sink), the kafka option/offset plumbing, and
+ * the elasticsearch / redis / influxdb / mongo / cassandra / kinesis
+ * sink plumbing are implemented concretely (no external daemons in this
+ * environment — each network layer is a pluggable transport the specs
+ * drive with protocol-faithful fakes); the source→appender and
+ * topic→sink plumbing below is connector-agnostic.
  */
 object Connectors {
 

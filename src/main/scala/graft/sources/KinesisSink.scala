@@ -1,0 +1,152 @@
+package graft.sources
+
+import graft.log.TopicLog
+import graft.model.Envelope
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/**
+ * Topic → Kinesis sink (reference pulsar-io/kinesis/.../KinesisSink.java:
+ * producer path — partition key from the record key, payload bytes as
+ * the data blob). The substance here is the PutRecords API contract
+ * (public AWS Kinesis API reference), which is where the bugs live:
+ *
+ *  - request shaping: `{"StreamName", "Records":[{"Data": base64,
+ *    "PartitionKey"}]}`;
+ *  - HARD LIMITS enforced client-side: ≤500 records per request,
+ *    ≤1 MiB per record (data + partition key), ≤5 MiB per request —
+ *    requests flush early when the next record would breach a limit,
+ *    oversized single records fail loudly;
+ *  - PARTIAL-FAILURE retry: PutRecords is not atomic — the response
+ *    carries `FailedRecordCount` and per-record `ErrorCode`; ONLY the
+ *    failed subset is retried (in order), up to `maxAttempts`, then the
+ *    microbatch fails (streaming engine replays it).
+ *
+ * Scale shape: identical to the other sinks — HW-filtered foreachBatch,
+ * repartition by key + offset order (Kinesis orders per partition key
+ * within a shard, exactly matching the per-key envelope order), batched
+ * requests, executors post in parallel, transport pluggable.
+ */
+object KinesisSink {
+  val MaxRecordsPerRequest = 500
+  val MaxRecordBytes: Int = 1 << 20      // 1 MiB: data + partition key
+  val MaxRequestBytes: Int = 5 << 20     // 5 MiB per request
+
+  /** Stream-name rules (AWS: [a-zA-Z0-9_.-]{1,128}). */
+  private[graft] def checkStreamName(name: String): String = {
+    require(name != null && name.nonEmpty && name.length <= 128 &&
+      name.matches("[a-zA-Z0-9_.-]+"), s"illegal kinesis stream name '$name'")
+    name
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** One record entry; size = base64 data bytes + key bytes (the
+    * accounting the service applies). */
+  private[graft] final case class Entry(dataB64: String, partitionKey: String) {
+    def sizeBytes: Int = dataB64.length + partitionKey.getBytes(UTF_8).length
+    def json: String =
+      s"""{"Data":"$dataB64","PartitionKey":"${jsonEscape(partitionKey)}"}"""
+  }
+
+  private[graft] def entry(key: String, value: String): Entry =
+    Entry(Base64.getEncoder.encodeToString(
+      (if (value == null) "" else value).getBytes(UTF_8)),
+      if (key == null) "0" else key) // reference: keyless records get a fixed key
+
+  private[graft] def request(stream: String, entries: Seq[Entry]): String =
+    s"""{"StreamName":"${jsonEscape(stream)}","Records":[${
+      entries.map(_.json).mkString(",")}]}"""
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Indices that failed in a PutRecords response (ErrorCode present). */
+  private[graft] def failedIndices(response: String): Seq[Int] = {
+    val tree = mapper.readTree(response)
+    if (tree.path("FailedRecordCount").asInt(0) == 0) Nil
+    else {
+      val recs = tree.path("Records")
+      (0 until recs.size()).filter(i => recs.get(i).has("ErrorCode"))
+    }
+  }
+
+  /**
+   * Stream the topic into Kinesis through `transport: requestJson =>
+   * responseJson`. Limits are enforced before the wire; partial
+   * failures retry only the failed subset.
+   */
+  def topicToKinesisSink(topic: TopicLog, stream: String,
+                         transport: String => String,
+                         checkpoint: String,
+                         maxAttempts: Int = 3): StreamingQuery = {
+    checkStreamName(stream): Unit
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val spark = topic.spark
+    spark.readStream
+      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
+      .parquet(topic.name.path(topic.root))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hw = topic.highWater()
+        val committed =
+          if (hw.isEmpty) batch.limit(0)
+          else batch.filter(hw.map { case (p, o) =>
+            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
+          }.reduce(_ || _))
+        committed
+          .select(col(Envelope.Key), col(Envelope.Value),
+            col(Envelope.Offset).as("_apply_order"))
+          .repartition(col(Envelope.Key))
+          .sortWithinPartitions(col("_apply_order"))
+          .select(Envelope.Key, Envelope.Value)
+          .rdd.foreachPartition { rows =>
+            flushPartition(rows, stream, transport, maxAttempts)
+          }
+      }
+      .start()
+  }
+
+  private def flushPartition(rows: Iterator[Row], stream: String,
+                             transport: String => String,
+                             maxAttempts: Int): Unit = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Entry]
+    var bufBytes = 0
+    def send(): Unit = if (buf.nonEmpty) {
+      var pending = buf.toSeq
+      var attempt = 0
+      while (pending.nonEmpty) {
+        attempt += 1
+        require(attempt <= maxAttempts,
+          s"kinesis PutRecords still failing ${pending.size} records after $maxAttempts attempts")
+        val failed = failedIndices(transport(request(stream, pending)))
+        pending = failed.map(pending) // retry ONLY the failed subset, in order
+      }
+      buf.clear(); bufBytes = 0
+    }
+    rows.foreach { r =>
+      val e = entry(r.getString(0), r.getString(1))
+      require(e.sizeBytes <= MaxRecordBytes,
+        s"record for key=${e.partitionKey} exceeds 1 MiB (${e.sizeBytes} bytes)")
+      if (buf.length + 1 > MaxRecordsPerRequest || bufBytes + e.sizeBytes > MaxRequestBytes)
+        send()
+      buf += e; bufBytes += e.sizeBytes
+    }
+    send()
+  }
+}

@@ -102,6 +102,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
   }
 
+  test("sketch tier: partial (map-side) sketch aggregation, sketch side broadcast") {
+    for (q <- Seq("heavy_hitters", "quantile_sketch")) {
+      val p = plan(q)
+      // TypedImperativeAggregates must run partial+final (the 100 TB
+      // contract: executors fold locally, only sketch bytes shuffle)
+      assert(p.contains("ObjectHashAggregate"), s"$q: ${p.take(400)}")
+      assert(p.contains("partial_"), s"$q: sketch aggregation lost its partial phase")
+      // the one-row sketch/estimate side broadcasts, never shuffles the log side twice
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: sketch side must broadcast")
+    }
+  }
+
   test("decontam_bloom: bloom broadcast to the corpus map-side, probe under the first exchange") {
     val p = plan("decontam_bloom")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
