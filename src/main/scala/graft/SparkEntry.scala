@@ -1122,6 +1122,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C4-style global span dedup: every 5-word span kept only at its
+    * first corpus occurrence (smallest doc_id, span_idx), documents
+    * reassembled from survivors. clean_text ships as md5 so the result
+    * stays narrow; the oracle rebuilds the identical string in SQL. */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupSpans(tbl(s, dir, "documents"), spanWords = 5)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
   /** Bloom-prefiltered decontamination: MUST equal [[qDecontam]] row for
     * row (the bloom only prunes; the exact join restores soundness), so
     * it shares decontam's oracle — a false negative anywhere in the
@@ -1244,7 +1254,8 @@ object SparkEntry {
     "shard_pack" -> (qShardPack _),
     "pii_redact" -> (qPiiRedact _),
     "decontam" -> (qDecontam _),
-    "decontam_bloom" -> (qDecontamBloom _)
+    "decontam_bloom" -> (qDecontamBloom _),
+    "line_dedup" -> (qLineDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1853,6 +1864,23 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
         |FROM co JOIN ev ON co.shingle = ev.shingle
         |GROUP BY co.doc_id ORDER BY co.doc_id""".stripMargin,
+    // C4-style span dedup: first corpus occurrence survives, docs
+    // reassembled — the oracle rebuilds the exact clean string
+    "line_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS span_idx,
+        |    array_to_string(w[(i*5+1):(i*5+5)], ' ') AS span
+        |  FROM words, UNNEST(range(0, CAST(ceil(len(w)/5.0) AS BIGINT))) AS t(i)),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS total
+        |  FROM spans)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(ANY_VALUE(total) - COUNT(*) AS BIGINT) AS n_dropped,
+        |  md5(string_agg(span, ' ' ORDER BY span_idx)) AS clean_hash
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the bloom pre-filter is result-neutral by construction — same truth
     "decontam_bloom" ->
       """WITH sh AS (

@@ -283,6 +283,49 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * C4-style global span deduplication (Raffel et al. 2020 §2.2 dedupe
+   * "three-sentence spans"; RefinedWeb applies the same shape): split
+   * every document into consecutive `spanWords`-word spans, keep only
+   * the FIRST occurrence of each span corpus-wide (first = smallest
+   * (doc_id, span_idx) — deterministic), and reassemble each document
+   * from its surviving spans in order. Returns
+   * (doc_id, n_kept, n_dropped, clean_text).
+   *
+   * Scale design: one window ranking partitioned by the span content
+   * (the shuffle key), one aggregation back to doc_id. Span strings are
+   * bounded (spanWords words), so the exchange carries short strings —
+   * at extreme scale swap the partition key for xxhash64(span) and
+   * accept the collision rate like C4 does; the string form here keeps
+   * the operator exactly SQL-reproducible for the oracle.
+   */
+  def dedupSpans(docs: DataFrame, spanWords: Int = 5, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be positive, got $spanWords")
+    val words = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val spans = words
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("w")) + lit(spanWords - 1)) / lit(spanWords)).cast("int") - 1),
+        i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " "))))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span")
+    val bySpan = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val kept = spans
+      .withColumn("rn", row_number().over(bySpan))
+      .withColumn("total", count(lit(1)).over(byDoc))
+      .filter(col("rn") === 1)
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_kept"),
+        (first(col("total")) - count(lit(1))).cast("bigint").as("n_dropped"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"))
+  }
+
   /** Drop contaminated documents from the corpus (anti-join against the
     * [[contaminationReport]] flags). */
   def decontaminate(corpus: DataFrame, evals: DataFrame, n: Int = 5,

@@ -28,25 +28,39 @@ import org.apache.spark.sql.functions._
  */
 object AsOfJoin {
 
+  sealed trait Direction
+  object Direction {
+    /** Most recent right row at-or-before leftTs (the default). */
+    case object Backward extends Direction
+    /** Earliest right row at-or-after leftTs. */
+    case object Forward extends Direction
+  }
+
   /**
-   * Backward (most-recent-at-or-before) as-of join.
+   * As-of join, backward (most-recent-at-or-before) by default or
+   * forward (earliest-at-or-after).
    *
    * @param left      probe side; all its columns survive
    * @param right     reference side
    * @param keys      equi-key column names present on both sides
    * @param leftTs    left event-time column name
    * @param rightTs   right event-time column name
-   * @param rightSeq  right tie-break column (larger wins at equal ts)
+   * @param rightSeq  right tie-break column: at equal ts the LARGER seq
+   *                  wins backward (latest writer), the SMALLER wins
+   *                  forward (first writer) — both deterministic
    * @param payload   right columns to expose on matches
-   * @param tolerance max allowed (leftTs - rightTs) age; older matches
-   *                  are treated as no-match. None = unbounded lookback.
+   * @param tolerance max allowed age |leftTs - rightTs| (in the ts
+   *                  column's native unit — seconds for timestamps);
+   *                  staler matches become no-match. None = unbounded.
+   * @param direction [[Direction.Backward]] or [[Direction.Forward]]
    * @return left rows plus a `matched` struct of
    *         (rightTs, rightSeq, payload...) — NULL when no match
    *         (left-outer semantics)
    */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, rightSeq: String,
-           payload: Seq[String], tolerance: Option[Column] = None): DataFrame = {
+           payload: Seq[String], tolerance: Option[Column] = None,
+           direction: Direction = Direction.Backward): DataFrame = {
     val payloadCols = (Seq(rightTs, rightSeq) ++ payload).distinct
     val r = right.select(
       keys.map(col) ++ Seq(
@@ -60,15 +74,29 @@ object AsOfJoin {
         lit(1).as("__side"),
         lit(0L).as("__seq"),
         lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__seq").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // One sorted pass either way: backward scans time ascending and the
+    // running last_value is the latest right at-or-before; forward scans
+    // time DESCENDING so the running last_value is the earliest right
+    // at-or-after. Right rows order before left rows at equal ts (the
+    // match is inclusive); the seq sort makes the winner at equal right
+    // ts the last one scanned.
+    val w = (direction match {
+      case Direction.Backward => Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__ts").asc, col("__side").asc, col("__seq").asc)
+      case Direction.Forward => Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__ts").desc, col("__side").asc, col("__seq").desc)
+    }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val age = direction match {
+      case Direction.Backward =>
+        col("__ts").cast("double") - col("__match").getField(rightTs).cast("double")
+      case Direction.Forward =>
+        col("__match").getField(rightTs).cast("double") - col("__ts").cast("double")
+    }
     val inTolerance = tolerance match {
-      case Some(tol) => col("__match").isNotNull &&
-        col("__ts").cast("double") - col("__match").getField(rightTs).cast("double") <= tol.cast("double")
+      case Some(tol) => col("__match").isNotNull && age <= tol.cast("double")
       case None => col("__match").isNotNull
     }
     carried

@@ -132,6 +132,57 @@ class GraphAsofSpec extends SparkSpec {
     }
   }
 
+  private def naiveAsofForward(left: Seq[(Long, Long, Long)],
+                               right: Seq[(Long, Long, Long, Double)]): Map[Long, Option[(Long, Double)]] =
+    left.map { case (eid, u, ts) =>
+      val m = right.filter(r => r._2 == u && r._3 >= ts)
+        .sortBy(r => (r._3, r._1)).headOption
+      eid -> m.map(r => (r._1, r._4))
+    }.toMap
+
+  test("asof forward: earliest at-or-after, smaller seq wins ties") {
+    val left = Seq((100L, 1L, 50L), (101L, 1L, 90L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, 1L, 50L, 1.0),  // equal ts, smaller seq -> wins forward
+      (6L, 1L, 50L, 2.0),
+      (7L, 1L, 80L, 3.0)   // before eid 101's ts -> no match for it
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("value"), direction = AsOfJoin.Direction.Forward)
+      .select(col("event_id"), col("matched.event_id").as("m"), col("matched.value").as("v"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(100L) === ((Some(5L), Some(1.0))))
+    assert(got(101L) === ((None, None)))
+  }
+
+  test("asof forward matches naive scan on random data, tolerance bounds the wait") {
+    val rnd = new Random(11)
+    val left = Seq.tabulate(100)(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+    val right = Seq.tabulate(120)(i =>
+      (1000L + i, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, rnd.nextInt(100).toDouble))
+    val got = AsOfJoin.asof(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "ts", "event_id", Seq("value"),
+        direction = AsOfJoin.Direction.Forward)
+      .select(col("event_id"), col("matched.event_id").as("m"), col("matched.value").as("v"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = naiveAsofForward(left, right)
+    left.foreach { case (eid, _, _) =>
+      assert(got(eid) === ((want(eid).map(_._1), want(eid).map(_._2))), s"event $eid")
+    }
+    // forward tolerance: a match 60 units ahead dies under tol=59
+    val l1 = Seq((1L, 1L, 40L)).toDF("event_id", "user_id", "ts")
+    val r1 = Seq((10L, 1L, 100L, 5.0)).toDF("event_id", "user_id", "ts", "value")
+    def run(tol: Long) = AsOfJoin.asof(l1, r1, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("value"), tolerance = Some(lit(tol)), direction = AsOfJoin.Direction.Forward)
+      .select(col("matched.event_id")).as[Option[Long]].head()
+    assert(run(60L) === Some(10L))
+    assert(run(59L) === None)
+  }
+
   test("asof tolerance turns stale matches into no-match") {
     val left = Seq((1L, 1L, 100L)).toDF("event_id", "user_id", "ts")
     val right = Seq((10L, 1L, 40L, 5.0)).toDF("event_id", "user_id", "ts", "value")
