@@ -1035,6 +1035,19 @@ object SparkEntry {
       .select(col("doc_id"), col("top_bigram_ratio"))
       .orderBy("doc_id")
 
+  /** Gopher A1.1 quality verdict, zero-shuffle per-row signals; the
+    * oracle recomputes every fraction through unnest/group-by SQL — a
+    * structurally different plan arriving at bit-identical doubles
+    * (every signal is a ratio of exact integers). */
+  private def qGopherQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.withGopherSignals(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("alpha_word_frac"), col("symbol_ratio"), col("stop_hits"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("top2gram_char_frac"), col("top3gram_char_frac"),
+        col("top4gram_char_frac"), col("gopher_ok"))
+      .orderBy("doc_id")
+
   /** Deterministic corpus mixing: per-language mixture weights applied as
     * an exact stratified sample (md5-rank within stratum, `ceil(w·n)`
     * kept). Fractions are binary-exact (k/2³) so the ceil boundary is
@@ -1248,6 +1261,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
+    "gopher_quality" -> (qGopherQuality _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_temperature" -> (qTemperatureMix _),
     "sample_hash" -> (qSampleHash _),
@@ -1798,6 +1812,50 @@ object SparkEntry {
         |    FROM documents) t
         |  GROUP BY doc_id, bg) g
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher A1.1 signals: the oracle recomputes every per-row array scan
+    // through list-HOF SQL; each fraction is a ratio of exact integers so
+    // the doubles are bit-identical across engines
+    "gopher_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |         string_split(text, chr(10)) AS lines,
+        |         length(text) AS n_chars
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_word_frac,
+        |    ((n_chars - length(replace(text, '#', ''))) + (n_chars - length(replace(text, '...', ''))) / 3) / len(w) AS symbol_ratio,
+        |    CAST(len(list_intersect(list_distinct(w), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_line_frac,
+        |    CASE WHEN list_aggregate(list_transform(lines, x -> length(x)), 'sum') > 0 THEN
+        |      CAST(list_aggregate(list_transform(list_distinct(lines),
+        |        d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d)), 'sum') AS DOUBLE)
+        |      / list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+        |    ELSE 0.0 END AS dup_line_char_frac,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(lines) AS bullet_line_frac,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) / len(lines) AS ellipsis_line_frac,
+        |    CASE WHEN len(w) >= 2 THEN CAST(list_max(list_transform(
+        |      list_distinct(list_transform(range(0, len(w) - 1), i -> array_to_string(w[(i+1):(i+2)], ' '))),
+        |      d -> len(list_filter(list_transform(range(0, len(w) - 1), i -> array_to_string(w[(i+1):(i+2)], ' ')), x -> x = d)) * length(d))) AS DOUBLE) / n_chars ELSE 0.0 END AS top2gram_char_frac,
+        |    CASE WHEN len(w) >= 3 THEN CAST(list_max(list_transform(
+        |      list_distinct(list_transform(range(0, len(w) - 2), i -> array_to_string(w[(i+1):(i+3)], ' '))),
+        |      d -> len(list_filter(list_transform(range(0, len(w) - 2), i -> array_to_string(w[(i+1):(i+3)], ' ')), x -> x = d)) * length(d))) AS DOUBLE) / n_chars ELSE 0.0 END AS top3gram_char_frac,
+        |    CASE WHEN len(w) >= 4 THEN CAST(list_max(list_transform(
+        |      list_distinct(list_transform(range(0, len(w) - 3), i -> array_to_string(w[(i+1):(i+4)], ' '))),
+        |      d -> len(list_filter(list_transform(range(0, len(w) - 3), i -> array_to_string(w[(i+1):(i+4)], ' ')), x -> x = d)) * length(d))) AS DOUBLE) / n_chars ELSE 0.0 END AS top4gram_char_frac
+        |  FROM base)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_word_frac, symbol_ratio, stop_hits,
+        |  dup_line_frac, dup_line_char_frac,
+        |  top2gram_char_frac, top3gram_char_frac, top4gram_char_frac,
+        |  (n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        |   AND alpha_word_frac >= 0.8 AND stop_hits >= 2
+        |   AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+        |   AND top2gram_char_frac <= 0.2 AND top3gram_char_frac <= 0.18
+        |   AND top4gram_char_frac <= 0.16) AS gopher_ok
+        |FROM sig ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -188,6 +188,119 @@ object TextOps {
     docs.join(ratio, Seq(idCol), "left")
   }
 
+  /** Run-length scan over a SORTED array: the char coverage
+    * (occurrences × element length) of the most repeated element.
+    * Equivalent to `MAX(count(g) * length(g))` over the group-by an
+    * engine with a shuffle would run — but computed per row in one pass,
+    * so the signal costs zero exchanges at any corpus size. */
+  private def topRunCharCoverage(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run * length(x)).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Run-length scan over a SORTED array: total chars taken by repeat
+    * occurrences (every occurrence after the first of each value) —
+    * `SUM((count-1) * length)` without the shuffle. */
+  private def dupRunChars(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("dup")),
+      (acc, x) => struct(x.as("prev"),
+        when(acc.getField("prev") === x, acc.getField("dup") + length(x))
+          .otherwise(acc.getField("dup")).as("dup")),
+      acc => acc.getField("dup"))
+
+  /** Gopher stopword list (Rae et al. 2021 appendix A1.1: a document must
+    * contain at least two of these to pass). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-rule quality signals (Rae et al. 2021, "Scaling Language
+   * Models: ... Gopher", appendix A1.1 — the standard pre-training
+   * repetition/format filters; reference counterpart: the quality gates a
+   * user would otherwise run outside the engine):
+   *
+   *  - `dup_line_frac` / `dup_line_char_frac` — repeated-line share by
+   *    count and by characters
+   *  - `top{2,3,4}gram_char_frac` — char coverage of the most frequent
+   *    word n-gram (count × n-gram length / doc chars)
+   *  - `bullet_line_frac` / `ellipsis_line_frac` — lines starting with a
+   *    bullet / ending with an ellipsis
+   *  - `alpha_word_frac` — words containing at least one alphabetic char
+   *  - `symbol_ratio` — '#' chars + '...' occurrences per word
+   *  - `stop_hits` — distinct [[GopherStopWords]] present
+   *  - `gopher_ok` — the A1.1 conjunction (50..100k words, mean word
+   *    length 3..10, symbol ratio ≤ 0.1, bullets ≤ 90%, ellipses ≤ 30%,
+   *    alpha words ≥ 80%, ≥ 2 stopwords, dup lines ≤ 30% / ≤ 20% by
+   *    chars, top-2/3/4-gram ≤ 0.20/0.18/0.16)
+   *
+   * Scale design: every signal is a narrow per-row expression (array
+   * HOFs + run-length scans over sorted arrays) — the whole verdict runs
+   * with ZERO shuffles at any corpus size, unlike the group-by
+   * formulation an engine without array types would need.
+   */
+  def withGopherSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val txt = col(textCol)
+    val toks = tokens(txt)
+    val nTok = size(toks)
+    val nChar = length(txt)
+    val lines = split(txt, "\n")
+    val nLines = size(lines)
+    val lineChars = aggregate(lines, lit(0L), (a, x) => a + length(x))
+    def topNgramFrac(n: Int): Column = {
+      val sorted = array_sort(shinglesAll(txt, n))
+      when(size(sorted) > 0,
+        topRunCharCoverage(sorted).cast("double") / nChar).otherwise(0.0)
+    }
+    val ellipsisHits = (nChar - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3
+    val hashHits = nChar - length(regexp_replace(txt, "#", ""))
+    val out = docs
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_word_len",
+        (nChar - (nTok - 1)).cast("double") / nTok)
+      .withColumn("alpha_word_frac",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok)
+      .withColumn("symbol_ratio",
+        (hashHits + ellipsisHits).cast("double") / nTok)
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(toks),
+          array(GopherStopWords.map(lit): _*))).cast("long"))
+      .withColumn("n_lines", nLines.cast("long"))
+      .withColumn("dup_line_frac",
+        (nLines - size(array_distinct(lines))).cast("double") / nLines)
+      .withColumn("dup_line_char_frac",
+        when(lineChars > 0,
+          dupRunChars(array_sort(lines)).cast("double") / lineChars)
+          .otherwise(0.0))
+      .withColumn("bullet_line_frac",
+        size(filter(lines, l => l.rlike("^[-*•]"))).cast("double") / nLines)
+      .withColumn("ellipsis_line_frac",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+      .withColumn("top2gram_char_frac", topNgramFrac(2))
+      .withColumn("top3gram_char_frac", topNgramFrac(3))
+      .withColumn("top4gram_char_frac", topNgramFrac(4))
+    out.withColumn("gopher_ok",
+      col("n_tokens").between(50L, 100000L) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("stop_hits") >= 2L &&
+        col("dup_line_frac") <= 0.3 &&
+        col("dup_line_char_frac") <= 0.2 &&
+        col("top2gram_char_frac") <= 0.2 &&
+        col("top3gram_char_frac") <= 0.18 &&
+        col("top4gram_char_frac") <= 0.16)
+  }
+
   /** All (non-distinct) word n-gram shingles per document; empty array
     * for documents shorter than n tokens (sequence(0, size-n) would
     * otherwise count DOWN and slice would throw on start 0). */
