@@ -27,14 +27,15 @@ import org.apache.spark.sql.types.StructType
  * | mongo                      | [[MongoSink]] (bulk insert/delete command documents, _id from key) |
  * | cassandra                  | [[CassandraSink]] (bound-marker CQL, single-partition atomic batches) |
  * | kinesis                    | [[KinesisSink]] (PutRecords limits + partial-failure subset retry) |
+ * | dynamodb                   | [[DynamoSink]] (BatchWriteItem limits, unique-key batches, unprocessed-subset retry) |
  * | aws-s3 / hdfs3 / alluxio   | any hadoop-fs path (file formats built in) |
  * | debezium/canal CDC         | `cdcApply` below (Debezium op/after envelope → materialized table state) |
  * | data-generator             | `spark.range` + expression columns |
  * | http / netty / flume       | socket source / custom v2 source |
  *
  * `file`, `jdbc` (source + sink), the kafka option/offset plumbing, and
- * the elasticsearch / redis / influxdb / mongo / cassandra / kinesis
- * sink plumbing are implemented concretely (no external daemons in this
+ * the elasticsearch / redis / influxdb / mongo / cassandra / kinesis /
+ * dynamodb sink plumbing are implemented concretely (no external daemons in this
  * environment — each network layer is a pluggable transport the specs
  * drive with protocol-faithful fakes); the source→appender and
  * topic→sink plumbing below is connector-agnostic.
