@@ -578,6 +578,37 @@ object SparkEntry {
       .orderBy(col("exact_n").desc, col(Envelope.Key))
   }
 
+  /** §2.4 SpaceSaving top-k (the deterministic-guarantee heavy-hitter
+    * sketch): one map-side-combined pass tracks m=64 counters over the
+    * whole log; the certificate evaluates the Metwally guarantees IN the
+    * query — tracked top-10 keys must satisfy `est−err ≤ exact ≤ est`
+    * and `err ≤ floor(N/m)`; an untracked top-10 key must satisfy
+    * `exact ≤ floor(N/m)` (anything heavier is guaranteed tracked).
+    * Always-true booleans for a correct sketch regardless of Spark's
+    * nondeterministic partition-merge order, so the hash is stable. */
+  private def qSpaceSavingTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpaceSaving
+    val m = 64
+    val e = env(s, dir)
+    val sk = e.agg(SpaceSaving.ss_sketch(col(Envelope.Key), m).as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = e.groupBy(Envelope.Key)
+      .agg(count(lit(1)).cast("bigint").as("exact_n"))
+      .orderBy(col("exact_n").desc, col(Envelope.Key))
+      .limit(10)
+    val probe = SpaceSaving.ss_probe(col("sk"), col(Envelope.Key))
+    val cap = floor(col("n_total").cast("double") / m).cast("long")
+    top.crossJoin(broadcast(sk))
+      .select(col(Envelope.Key), col("exact_n"),
+        when(probe.getField("tracked"),
+          probe.getField("est") >= col("exact_n") &&
+            probe.getField("est") - probe.getField("err") <= col("exact_n") &&
+            probe.getField("err") <= cap)
+          .otherwise(col("exact_n") <= cap)
+          .as("guarantee_ok"))
+      .orderBy(col("exact_n").desc, col(Envelope.Key))
+  }
+
   /** §2.4 mergeable quantile sketch (KMV bottom-k row sample): per-type
     * sketches built in one pass, median probed from the sample. The
     * certificate is the TRUE rank of the estimated median, computed
@@ -1222,6 +1253,7 @@ object SparkEntry {
     "q_median" -> (qMedian _),
     "hll_cardinality" -> (qHllCardinality _),
     "heavy_hitters" -> (qHeavyHitters _),
+    "spacesaving_topk" -> (qSpaceSavingTopk _),
     "quantile_sketch" -> (qQuantileSketch _),
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
@@ -1737,6 +1769,14 @@ object SparkEntry {
     // same certificate pattern: exact top-10 + the CMS bound booleans
     "heavy_hitters" -> envSql(
       """SELECT key, exact_n, TRUE AS lower_ok, TRUE AS upper_ok FROM (
+        |  SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM envelope GROUP BY key
+        |  ORDER BY exact_n DESC, key LIMIT 10) t
+        |ORDER BY exact_n DESC, key""".stripMargin),
+    // SpaceSaving certificate: the Metwally bounds are always-true for a
+    // correct sketch, so the oracle is the exact top-10 + TRUE
+    "spacesaving_topk" -> envSql(
+      """SELECT key, exact_n, TRUE AS guarantee_ok FROM (
         |  SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_n
         |  FROM envelope GROUP BY key
         |  ORDER BY exact_n DESC, key LIMIT 10) t

@@ -50,7 +50,14 @@ object Registry {
       if (es.length > 2) es(2).eval().asInstanceOf[Number].intValue() else Bloom.DefaultK)
       .toAggregateExpression()),
     "bloom_merge" -> (es => BloomMergeAgg(es.head).toAggregateExpression()),
-    "bloom_contains" -> (es => BloomContainsExpr(es(0), es(1)))
+    "bloom_contains" -> (es => BloomContainsExpr(es(0), es(1))),
+    "ss_sketch" -> (es => SsSketchAgg(es.head,
+      if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue()
+      else SpaceSaving.DefaultCapacity).toAggregateExpression()),
+    "ss_merge" -> (es => SsMergeAgg(es.head).toAggregateExpression()),
+    "ss_probe" -> (es => SsProbeExpr(es(0), es(1))),
+    "ss_topk" -> (es => SsTopkExpr(es(0),
+      es(1).eval().asInstanceOf[Number].intValue()))
   )
 
   def registerAll(spark: SparkSession): Unit =
