@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.StructType
  * | cassandra                  | [[CassandraSink]] (bound-marker CQL, single-partition atomic batches) |
  * | kinesis                    | [[KinesisSink]] (PutRecords limits + partial-failure subset retry) |
  * | dynamodb                   | [[DynamoSink]] (BatchWriteItem limits, unique-key batches, unprocessed-subset retry) |
+ * | rabbitmq                   | [[RabbitSink]] (AMQP 0-9-1 frame encoding, frame-max body split, publisher confirms) |
  * | aws-s3 / hdfs3 / alluxio   | any hadoop-fs path (file formats built in) |
  * | debezium/canal CDC         | `cdcApply` below (Debezium op/after envelope → materialized table state) |
  * | data-generator             | `spark.range` + expression columns |
@@ -35,7 +36,7 @@ import org.apache.spark.sql.types.StructType
  *
  * `file`, `jdbc` (source + sink), the kafka option/offset plumbing, and
  * the elasticsearch / redis / influxdb / mongo / cassandra / kinesis /
- * dynamodb sink plumbing are implemented concretely (no external daemons in this
+ * dynamodb / rabbitmq sink plumbing are implemented concretely (no external daemons in this
  * environment — each network layer is a pluggable transport the specs
  * drive with protocol-faithful fakes); the source→appender and
  * topic→sink plumbing below is connector-agnostic.
