@@ -82,6 +82,14 @@ object Stress {
       time("decontam")(TextOps.contaminationReport(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 5).count())
+      // span dedup: cloning makes every clone's spans duplicates of the
+      // original's — the span-key shuffle sees K-deep groups by design
+      time("span_dedup")(TextOps.dedupSpans(docs)
+        .agg(count(lit(1)), sum("n_kept")).head().getLong(0))
+      // gopher signals are zero-shuffle per-row scans: must stay ~linear
+      time("gopher_quality")(TextOps.withGopherSignals(docs)
+        .agg(count(lit(1)), sum(when(col("gopher_ok"), 1L).otherwise(0L)))
+        .head().getLong(0))
     }
 
     // Graph tier: transitive dup grouping. The scaled corpus clones every

@@ -57,6 +57,8 @@ object Registry {
     "ss_merge" -> (es => SsMergeAgg(es.head).toAggregateExpression()),
     "ss_probe" -> (es => SsProbeExpr(es(0), es(1))),
     "ss_topk" -> (es => SsTopkExpr(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "ngram_coverage" -> (es => NgramCoverageExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue()))
   )
 

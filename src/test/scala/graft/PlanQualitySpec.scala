@@ -102,8 +102,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
   }
 
+  test("gopher_quality: zero shuffles — every signal is a per-row expression") {
+    val p = plan("gopher_quality")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
+      "gopher signals must not shuffle:\n" + p.take(800))
+    assert(!p.contains("Generate"), "gopher signals must not explode rows")
+    assert(!p.contains("Join"))
+  }
+
+  test("line_dedup: exactly the two semantic shuffles (span rank, doc reassembly)") {
+    val p = plan("line_dedup")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p.take(800))
+    assert(!p.contains("Join"), "span dedup is windows + aggregation, not a join")
+    assert(p.contains("partial_count"), "doc reassembly lost map-side combine")
+  }
+
   test("sketch tier: partial (map-side) sketch aggregation, sketch side broadcast") {
-    for (q <- Seq("heavy_hitters", "quantile_sketch")) {
+    for (q <- Seq("heavy_hitters", "quantile_sketch", "spacesaving_topk")) {
       val p = plan(q)
       // TypedImperativeAggregates must run partial+final (the 100 TB
       // contract: executors fold locally, only sketch bytes shuffle)
