@@ -914,6 +914,16 @@ object SparkEntry {
         col("avg_token_len"))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenizer counts beside whitespace counts — the
+    * token-budget signal; DuckDB replays the identical RE2-safe pattern
+    * so counts match exactly. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.withBpeTokenCount(TextOps.withTokenStats(tbl(s, dir, "documents")))
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        col("n_tokens").cast("bigint").as("n_ws_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_tokens")).as("bpe_per_word"))
+      .orderBy("doc_id")
+
   /** Language-ID heuristic distribution. */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     TextOps.withLangId(tbl(s, dir, "documents"))
@@ -1176,6 +1186,15 @@ object SparkEntry {
         md5(col("clean_text")).as("clean_hash"))
       .orderBy("doc_id")
 
+  /** Lee-style overlapping-window exact-substring dedup at k=10: every
+    * token covered by a repeated 10-token window (at any alignment)
+    * drops; first occurrence survives. clean_text ships as md5. */
+  private def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupSubstrings(tbl(s, dir, "documents"), k = 10)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
   /** Bloom-prefiltered decontamination: MUST equal [[qDecontam]] row for
     * row (the bloom only prunes; the exact join restores soundness), so
     * it shares decontam's oracle — a false negative anywhere in the
@@ -1277,6 +1296,7 @@ object SparkEntry {
     "multimodal_pipeline" -> (qMultimodal _),
     // llm-pipeline extensions
     "text_tokens" -> (qTextTokens _),
+    "bpe_tokens" -> (qBpeTokens _),
     "lang_id" -> (qLangId _),
     "quality_score" -> (qQuality _),
     "dedup_exact" -> (qDedupExact _),
@@ -1301,7 +1321,8 @@ object SparkEntry {
     "pii_redact" -> (qPiiRedact _),
     "decontam" -> (qDecontam _),
     "decontam_bloom" -> (qDecontamBloom _),
-    "line_dedup" -> (qLineDedup _)
+    "line_dedup" -> (qLineDedup _),
+    "substring_dedup" -> (qSubstringDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1786,6 +1807,15 @@ object SparkEntry {
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical RE2-safe BPE pre-tokenizer pattern replayed in DuckDB;
+    // leftmost-first non-overlapping matching matches Java exactly
+    "bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS bpe_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM (
         |  SELECT CASE WHEN CAST(len(list_filter(string_split(text, ' '),
@@ -1979,6 +2009,31 @@ object SparkEntry {
         |  md5(string_agg(span, ' ' ORDER BY span_idx)) AS clean_hash
         |FROM ranked WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // overlapping-window substring dedup: the oracle marks covered token
+    // positions with a correlated range EXISTS over the dup-window starts
+    // (the Spark side replaces that range join with one ordered window
+    // pass); windows keyed by string here, by 64-bit hash there
+    "substring_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+10)], ' ') AS win
+        |  FROM words, UNNEST(range(0, GREATEST(len(w) - 9, 0))) AS t(i)),
+        |dups AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |    FROM wins) r WHERE rn > 1),
+        |toks AS (
+        |  SELECT doc_id, j AS tpos, w[j+1] AS tok, len(w) AS n_total
+        |  FROM words, UNNEST(range(0, len(w))) AS t(j)),
+        |kept AS (
+        |  SELECT t.* FROM toks t WHERE NOT EXISTS (
+        |    SELECT 1 FROM dups d WHERE d.doc_id = t.doc_id
+        |      AND d.pos <= t.tpos AND t.tpos < d.pos + 10))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(ANY_VALUE(n_total) - COUNT(*) AS BIGINT) AS n_dropped,
+        |  md5(string_agg(tok, ' ' ORDER BY tpos)) AS clean_hash
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the bloom pre-filter is result-neutral by construction — same truth
     "decontam_bloom" ->
       """WITH sh AS (

@@ -25,6 +25,28 @@ object TextOps {
       .withColumn("avg_token_len",
         (col("n_chars_m") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
 
+  /**
+   * BPE-style pre-tokenizer pattern (the GPT-2/RoBERTa family: English
+   * contractions, optional-leading-space letter runs / digit runs /
+   * punctuation runs, whitespace runs — Radford et al. 2019, public
+   * gpt-2 encoder.py), constrained to the Java ∩ RE2 regex subset (the
+   * original's `\s+(?!\S)` lookahead is not RE2-expressible, so trailing
+   * whitespace folds into `\s+`; token counts differ only on runs of
+   * trailing whitespace). Non-overlapping leftmost-first matching is
+   * identical in both engines, so the count is oracle-reproducible.
+   */
+  val BpePattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Pre-tokenizer token count — the cheap proxy for "how many BPE
+    * tokens will this document cost" that corpus budgeting uses (real
+    * BPE merges only split WITHIN these pre-tokens, so this lower-bounds
+    * and tracks the true count). Codegen'd regexp_count: narrow,
+    * per-row, no shuffle. */
+  def withBpeTokenCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("n_bpe_tokens",
+      regexp_count(col(textCol), lit(BpePattern)).cast("long"))
+
   /** Small function-word list used by the language-ID heuristic. */
   val EnglishFunctionWords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
@@ -423,6 +445,67 @@ object TextOps {
         array_join(transform(array_sort(
           collect_list(struct(col("span_idx"), col("span")))),
           s => s.getField("span")), " ").as("clean_text"))
+  }
+
+  /**
+   * Exact-substring deduplication with OVERLAPPING windows (Lee et al.
+   * 2021, "Deduplicating Training Data Makes Language Models Better" —
+   * their suffix-array criterion restated over k-token windows): a
+   * k-token window whose content already occurred at an earlier
+   * (doc_id, pos) anywhere in the corpus marks ALL k of its token
+   * positions as duplicated; documents are reassembled from the
+   * uncovered tokens (first occurrence survives). Unlike [[dedupSpans]]
+   * (disjoint spans), overlapping windows catch duplicated passages at
+   * ANY alignment. Documents shorter than k tokens pass through whole.
+   * Returns (doc_id, n_kept, n_dropped, clean_text); fully-covered
+   * documents drop out.
+   *
+   * Scale design — three linear shuffles, no joins:
+   *  1. windows shuffle on the 64-bit content hash (the native
+   *     [[graft.functions.Sketch.shingle_hashes]] kernel; the exchange
+   *     carries (hash, doc, pos) only — the string-window equivalence is
+   *     the same 2⁻⁶⁴-collision argument `repetition_ratio` makes) to
+   *     rank first occurrences;
+   *  2. duplicate window STARTS union token positions, shuffled on
+   *     doc_id: one ordered window pass computes the running
+   *     max(start + k) so "is this token covered" needs no range join;
+   *  3. the same doc_id partitioning reassembles survivors in order.
+   */
+  def dedupSubstrings(docs: DataFrame, k: Int = 50, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window must be >= 2 tokens, got $k")
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"),
+      graft.functions.Sketch.shingle_hashes(col(textCol), k, distinct = false)
+        .as("whs"))
+    val dupStarts = base
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "h")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"), lit(0).as("side"),
+        lit(null).cast("string").as("tok"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("side", lit(1))
+      .select("doc_id", "pos", "side", "tok")
+    val byDocOrdered = Window.partitionBy("doc_id")
+      .orderBy(col("pos"), col("side")) // dup start sorts before the token it covers
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byDoc = Window.partitionBy("doc_id")
+    val kept = dupStarts.unionByName(toks)
+      .withColumn("cov_end",
+        max(when(col("side") === 0, col("pos") + k)).over(byDocOrdered))
+      .withColumn("n_total",
+        count(when(col("side") === 1, 1)).over(byDoc))
+      .filter(col("side") === 1 &&
+        (col("cov_end").isNull || col("cov_end") <= col("pos")))
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_kept"),
+        (first(col("n_total")) - count(lit(1))).cast("bigint").as("n_dropped"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
   }
 
   /** Drop contaminated documents from the corpus (anti-join against the

@@ -11,6 +11,21 @@ class ExtOpsSpec extends SparkSpec {
   private lazy val docs = spark.read.parquet(s"$sf001/documents.parquet")
   private lazy val vecs = spark.read.parquet(s"$sf001/embeddings.parquet")
 
+  test("BPE pre-tokenizer count: contractions, digit runs, punct runs") {
+    import graft.ext.TextOps
+    // "I" "'ll" " pay" " 20" " dollars" "!!" " can" "'t" " x" "9" "y" = 11
+    val n = TextOps.withBpeTokenCount(
+        Seq((0L, "I'll pay 20 dollars!! can't x9y")).toDF("doc_id", "text"))
+      .select("n_bpe_tokens").as[Long].head()
+    assert(n === 11L)
+    // a double space can't join the following letter run (only ONE
+    // optional leading space), so it tokenizes as its own \s+ run:
+    // "a", "  ", "b"
+    val m = TextOps.withBpeTokenCount(Seq((0L, "a  b")).toDF("doc_id", "text"))
+      .select("n_bpe_tokens").as[Long].head()
+    assert(m === 3L)
+  }
+
   test("shingles: n-grams count = tokens - n + 1 (distinct-capped)") {
     val row = Seq(("a b c d e f")).toDF("text")
       .select(TextOps.shingles(col("text"), 3).as("sh"))

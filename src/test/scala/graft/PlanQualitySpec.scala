@@ -117,6 +117,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count"), "doc reassembly lost map-side combine")
   }
 
+  test("substring_dedup: two semantic shuffles, coverage via window not range join") {
+    val p = plan("substring_dedup")
+    // window-hash rank + doc_id (reused by both window passes AND the
+    // reassembly aggregation) — a range-join formulation would add a
+    // third exchange and a Join node
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2, p.take(800))
+    assert(!p.contains("Join"), "covered-token test must be a window pass, not a join")
+    assert(p.contains("partial_count"), "reassembly lost map-side combine")
+  }
+
   test("sketch tier: partial (map-side) sketch aggregation, sketch side broadcast") {
     for (q <- Seq("heavy_hitters", "quantile_sketch", "spacesaving_topk")) {
       val p = plan(q)
