@@ -90,6 +90,11 @@ object Stress {
       time("gopher_quality")(TextOps.withGopherSignals(docs)
         .agg(count(lit(1)), sum(when(col("gopher_ok"), 1L).otherwise(0L)))
         .head().getLong(0))
+      // overlapping-window dedup: cloning turns every clone's windows
+      // into dups — the coverage pass sees the worst case (all tokens
+      // of K-1 of every K clones covered)
+      time("substring_dedup")(TextOps.dedupSubstrings(docs, k = 10)
+        .agg(count(lit(1)), sum("n_kept")).head().getLong(0))
     }
 
     // Graph tier: transitive dup grouping. The scaled corpus clones every

@@ -34,6 +34,9 @@ object AsOfJoin {
     case object Backward extends Direction
     /** Earliest right row at-or-after leftTs. */
     case object Forward extends Direction
+    /** Smaller |leftTs − rightTs| of the two; backward wins exact ties
+      * (pandas merge_asof direction="nearest" parity). */
+    case object Nearest extends Direction
   }
 
   /**
@@ -52,7 +55,8 @@ object AsOfJoin {
    * @param tolerance max allowed age |leftTs - rightTs| (in the ts
    *                  column's native unit — seconds for timestamps);
    *                  staler matches become no-match. None = unbounded.
-   * @param direction [[Direction.Backward]] or [[Direction.Forward]]
+   * @param direction [[Direction.Backward]], [[Direction.Forward]] or
+   *                  [[Direction.Nearest]]
    * @return left rows plus a `matched` struct of
    *         (rightTs, rightSeq, payload...) — NULL when no match
    *         (left-outer semantics)
@@ -74,33 +78,56 @@ object AsOfJoin {
         lit(1).as("__side"),
         lit(0L).as("__seq"),
         lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
-    // One sorted pass either way: backward scans time ascending and the
-    // running last_value is the latest right at-or-before; forward scans
-    // time DESCENDING so the running last_value is the earliest right
-    // at-or-after. Right rows order before left rows at equal ts (the
-    // match is inclusive); the seq sort makes the winner at equal right
-    // ts the last one scanned.
-    val w = (direction match {
-      case Direction.Backward => Window.partitionBy(keys.map(col): _*)
-        .orderBy(col("__ts").asc, col("__side").asc, col("__seq").asc)
-      case Direction.Forward => Window.partitionBy(keys.map(col): _*)
-        .orderBy(col("__ts").desc, col("__side").asc, col("__seq").desc)
-    }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    val age = direction match {
-      case Direction.Backward =>
-        col("__ts").cast("double") - col("__match").getField(rightTs).cast("double")
+    // One sorted pass per direction: backward scans time ascending and
+    // the running last_value is the latest right at-or-before; forward
+    // scans time DESCENDING so the running last_value is the earliest
+    // right at-or-after. Right rows order before left rows at equal ts
+    // (the match is inclusive); the seq sort makes the winner at equal
+    // right ts the last one scanned. Nearest evaluates BOTH passes over
+    // the same union — same key partitioning, so Catalyst plans one
+    // Exchange with two Sort+Window pairs, still no join.
+    def pass(dir: Direction): Window.type => Column = _ => {
+      val w = (dir match {
+        case Direction.Backward => Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__ts").asc, col("__side").asc, col("__seq").asc)
+        case _ => Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__ts").desc, col("__side").asc, col("__seq").desc)
+      }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("__payload"), ignoreNulls = true).over(w)
+    }
+    def age(dir: Direction, m: Column): Column = dir match {
       case Direction.Forward =>
-        col("__match").getField(rightTs).cast("double") - col("__ts").cast("double")
+        m.getField(rightTs).cast("double") - col("__ts").cast("double")
+      case _ =>
+        col("__ts").cast("double") - m.getField(rightTs).cast("double")
     }
-    val inTolerance = tolerance match {
-      case Some(tol) => col("__match").isNotNull && age <= tol.cast("double")
-      case None => col("__match").isNotNull
+    def valid(dir: Direction, m: Column): Column = tolerance match {
+      case Some(tol) => m.isNotNull && age(dir, m) <= tol.cast("double")
+      case None => m.isNotNull
     }
-    carried
-      .withColumn("matched", when(inTolerance, col("__match")))
-      .drop("__ts", "__side", "__seq", "__payload", "__match")
+    val union = l.unionByName(r, allowMissingColumns = true)
+    val carried = direction match {
+      case Direction.Nearest =>
+        val withBoth = union
+          .withColumn("__mb", pass(Direction.Backward)(Window))
+          .withColumn("__mf", pass(Direction.Forward)(Window))
+          .filter(col("__side") === 1)
+        val mb = col("__mb"); val mf = col("__mf")
+        val pickBackward = valid(Direction.Backward, mb) &&
+          (!valid(Direction.Forward, mf) ||
+            age(Direction.Backward, mb) <= age(Direction.Forward, mf))
+        withBoth
+          .withColumn("matched",
+            when(pickBackward, mb).when(valid(Direction.Forward, mf), mf))
+          .drop("__mb", "__mf")
+      case dir =>
+        union
+          .withColumn("__match", pass(dir)(Window))
+          .filter(col("__side") === 1)
+          .withColumn("matched",
+            when(valid(dir, col("__match")), col("__match")))
+          .drop("__match")
+    }
+    carried.drop("__ts", "__side", "__seq", "__payload")
   }
 }

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.StructType
  * | aws-s3 / hdfs3 / alluxio   | any hadoop-fs path (file formats built in) |
  * | debezium/canal CDC         | `cdcApply` below (Debezium op/after envelope → materialized table state) |
  * | data-generator             | `spark.range` + expression columns |
- * | http / netty / flume       | socket source / custom v2 source |
+ * | http / netty / flume       | [[HttpSink]] (NDJSON webhook batches, status classes, Retry-After backoff, idempotency keys); source side = socket source |
  *
  * `file`, `jdbc` (source + sink), the kafka option/offset plumbing, and
  * the elasticsearch / redis / influxdb / mongo / cassandra / kinesis /

@@ -183,6 +183,78 @@ class GraphAsofSpec extends SparkSpec {
     assert(run(59L) === None)
   }
 
+  test("asof nearest: smaller |dt| wins, backward wins exact ties, tolerance per side") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 10L), (3L, 1L, 300L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, 90L, 1.0),   // 10 behind eid1
+      (11L, 1L, 105L, 2.0),  // 5 ahead of eid1 -> nearest
+      (12L, 1L, 20L, 3.0)    // only candidate ahead of eid2
+    ).toDF("event_id", "user_id", "ts", "value")
+    def run(tol: Option[Long]) = AsOfJoin.asof(left, right, Seq("user_id"),
+        "ts", "ts", "event_id", Seq("value"),
+        tolerance = tol.map(lit(_)), direction = AsOfJoin.Direction.Nearest)
+      .select(col("event_id"), col("matched.event_id").as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    val got = run(None)
+    assert(got(1L) === Some(11L)) // forward 5 beats backward 10
+    assert(got(2L) === Some(12L)) // nothing behind -> forward
+    assert(got(3L) === Some(11L)) // nothing ahead -> backward (195 behind)
+    // tolerance 100 kills eid3's backward match, keeps the others
+    val bounded = run(Some(100L))
+    assert(bounded(1L) === Some(11L))
+    assert(bounded(2L) === Some(12L))
+    assert(bounded(3L) === None)
+    // exact tie: equidistant candidates -> backward wins
+    val l2 = Seq((9L, 1L, 50L)).toDF("event_id", "user_id", "ts")
+    val r2 = Seq((20L, 1L, 40L, 1.0), (21L, 1L, 60L, 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val tie = AsOfJoin.asof(l2, r2, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("value"), direction = AsOfJoin.Direction.Nearest)
+      .select(col("matched.event_id")).as[Option[Long]].head()
+    assert(tie === Some(20L))
+  }
+
+  test("asof nearest matches naive scan on random data") {
+    val rnd = new Random(23)
+    val left = Seq.tabulate(100)(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+    val right = Seq.tabulate(120)(i =>
+      (1000L + i, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, rnd.nextInt(100).toDouble))
+    val got = AsOfJoin.asof(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "ts", "event_id", Seq("value"),
+        direction = AsOfJoin.Direction.Nearest)
+      .select(col("event_id"), col("matched.event_id").as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    left.foreach { case (eid, u, ts) =>
+      // naive nearest: min |dt|; backward wins ties; backward tie-break
+      // largest seq, forward tie-break smallest seq
+      val back = right.filter(r => r._2 == u && r._3 <= ts)
+        .sortBy(r => (-r._3, -r._1)).headOption
+      val fwd = right.filter(r => r._2 == u && r._3 >= ts)
+        .sortBy(r => (r._3, r._1)).headOption
+      val want = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (ts - b._3 <= f._3 - ts) Some(b._1) else Some(f._1)
+        case (Some(b), None) => Some(b._1)
+        case (None, Some(f)) => Some(f._1)
+        case _ => None
+      }
+      assert(got(eid) === want, s"event $eid")
+    }
+  }
+
+  test("asof nearest plans one exchange, two window passes, no join") {
+    val left = Seq((1L, 1L, 100L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, 90L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val p = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("value"), direction = AsOfJoin.Direction.Nearest)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(600))
+    assert("Window".r.findAllIn(p).size >= 2)
+  }
+
   test("asof tolerance turns stale matches into no-match") {
     val left = Seq((1L, 1L, 100L)).toDF("event_id", "user_id", "ts")
     val right = Seq((10L, 1L, 40L, 5.0)).toDF("event_id", "user_id", "ts", "value")
