@@ -578,6 +578,30 @@ object SparkEntry {
       .orderBy(col("exact_n").desc, col(Envelope.Key))
   }
 
+  /** Schema-registry AVRO SerDe (§1.2): every envelope row encodes to
+    * real Avro single-record binary and decodes back IN the query —
+    * nullable union exercised by the tombstone values. The oracle is the
+    * identity projection: any wire-format or union-branch defect
+    * surfaces as a value/hash mismatch. */
+  private def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AvroSerde
+    val schemaJson =
+      """{"type":"record","name":"env","fields":[
+        |{"name":"offset","type":"long"},
+        |{"name":"key","type":"string"},
+        |{"name":"value","type":["null","string"],"default":null},
+        |{"name":"event_type","type":"string"}]}""".stripMargin
+    val enc = AvroSerde.avro_encode(
+      struct(col(Envelope.Offset).cast("long").as("offset"),
+        col(Envelope.Key).as("key"), col(Envelope.Value).as("value"),
+        col("event_type")), schemaJson)
+    env(s, dir)
+      .select(AvroSerde.avro_decode(enc, schemaJson).as("d"))
+      .select(col("d.offset").as("offset"), col("d.key").as("key"),
+        col("d.value").as("value"), col("d.event_type").as("event_type"))
+      .orderBy("offset")
+  }
+
   /** §2.4 SpaceSaving top-k (the deterministic-guarantee heavy-hitter
     * sketch): one map-side-combined pass tracks m=64 counters over the
     * whole log; the certificate evaluates the Metwally guarantees IN the
@@ -1273,6 +1297,7 @@ object SparkEntry {
     "hll_cardinality" -> (qHllCardinality _),
     "heavy_hitters" -> (qHeavyHitters _),
     "spacesaving_topk" -> (qSpaceSavingTopk _),
+    "avro_roundtrip" -> (qAvroRoundtrip _),
     "quantile_sketch" -> (qQuantileSketch _),
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
@@ -1794,6 +1819,11 @@ object SparkEntry {
         |  FROM envelope GROUP BY key
         |  ORDER BY exact_n DESC, key LIMIT 10) t
         |ORDER BY exact_n DESC, key""".stripMargin),
+    // avro round-trip: identity projection — a wire-format defect would
+    // corrupt values and break the hash
+    "avro_roundtrip" -> envSql(
+      """SELECT "offset", key, value, event_type
+        |FROM envelope ORDER BY "offset"""".stripMargin),
     // SpaceSaving certificate: the Metwally bounds are always-true for a
     // correct sketch, so the oracle is the exact top-10 + TRUE
     "spacesaving_topk" -> envSql(

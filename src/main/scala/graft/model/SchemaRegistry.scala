@@ -134,7 +134,8 @@ object SchemaRegistry {
    *  - INLINE: both key and value travel in the payload → one struct;
    *  - SEPARATED: key bytes live in the envelope `key` field, value in
    *    the payload → key decoded from the envelope column.
-   * JSON codecs here; the shape generalizes to avro/protobuf decoders.
+   * JSON codecs here; binary AVRO payloads go through
+   * [[decodeAvro]] / [[graft.functions.AvroSerde]] the same way.
    */
   def decodeKeyValue(df: DataFrame, keySchema: StructType, valueSchema: StructType,
                      separated: Boolean,
@@ -147,6 +148,14 @@ object SchemaRegistry {
       df.withColumn("kv",
         from_json(col(payloadCol), StructType(Seq(
           StructField("key", keySchema), StructField("value", valueSchema)))))
+
+  /** AVRO schema decode (reference SchemaType.AVRO — single-record
+    * binary payloads): a BINARY payload column decoded against the
+    * topic's Avro writer schema via [[graft.functions.AvroSerde]]. */
+  def decodeAvro(df: DataFrame, avroSchemaJson: String,
+                 payloadCol: String = Envelope.Value): DataFrame =
+    df.withColumn("decoded",
+      graft.functions.AvroSerde.avro_decode(col(payloadCol), avroSchemaJson))
 
   /** Widest struct across versions: union of fields, all nullable; on a
     * per-field type conflict keep the type that can READ the other (long
