@@ -602,6 +602,23 @@ object SparkEntry {
       .orderBy("offset")
   }
 
+  /** Schema-registry PROTOBUF_NATIVE SerDe (§1.2): same identity-oracle
+    * pattern as [[qAvroRoundtrip]] over the hand-rolled wire-format
+    * codec — tombstones exercise proto3 field omission/presence. */
+  private def qProtoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ProtoSerde
+    val spec = "1:int64:offset,2:string:key,3:string:value,4:string:event_type"
+    val enc = ProtoSerde.proto_encode(
+      struct(col(Envelope.Offset).cast("long").as("offset"),
+        col(Envelope.Key).as("key"), col(Envelope.Value).as("value"),
+        col("event_type")), spec)
+    env(s, dir)
+      .select(ProtoSerde.proto_decode(enc, spec).as("d"))
+      .select(col("d.offset").as("offset"), col("d.key").as("key"),
+        col("d.value").as("value"), col("d.event_type").as("event_type"))
+      .orderBy("offset")
+  }
+
   /** §2.4 SpaceSaving top-k (the deterministic-guarantee heavy-hitter
     * sketch): one map-side-combined pass tracks m=64 counters over the
     * whole log; the certificate evaluates the Metwally guarantees IN the
@@ -1298,6 +1315,7 @@ object SparkEntry {
     "heavy_hitters" -> (qHeavyHitters _),
     "spacesaving_topk" -> (qSpaceSavingTopk _),
     "avro_roundtrip" -> (qAvroRoundtrip _),
+    "proto_roundtrip" -> (qProtoRoundtrip _),
     "quantile_sketch" -> (qQuantileSketch _),
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
@@ -1822,6 +1840,10 @@ object SparkEntry {
     // avro round-trip: identity projection — a wire-format defect would
     // corrupt values and break the hash
     "avro_roundtrip" -> envSql(
+      """SELECT "offset", key, value, event_type
+        |FROM envelope ORDER BY "offset"""".stripMargin),
+    // same identity oracle: the protobuf wire round-trip must be lossless
+    "proto_roundtrip" -> envSql(
       """SELECT "offset", key, value, event_type
         |FROM envelope ORDER BY "offset"""".stripMargin),
     // SpaceSaving certificate: the Metwally bounds are always-true for a
