@@ -1033,6 +1033,19 @@ object SparkEntry {
         MinHash.lshVerifiedPairs(tbl(s, dir, "documents"), threshold = 0.8))
       .orderBy("doc_id")
 
+  /** Leakage-safe 80/10/10 split: one draw per near-dup GROUP, so no
+    * duplicate cluster straddles train/test. The oracle recomputes the
+    * groups with the dup_groups recursive CTE and replays the md5
+    * threshold arithmetic. */
+  private def qLeakageSplit(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.leakageSafeSplit(
+        tbl(s, dir, "documents").select("doc_id"),
+        MinHash.lshVerifiedPairs(tbl(s, dir, "documents"), threshold = 0.8),
+        weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "split|")
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy("doc_id")
+
   /** As-of join: each error event picks the latest click at-or-before it
     * by the same user (ties: larger event_id). Union + one window pass —
     * no join explosion; oracle is a DuckDB lateral top-1 probe. */
@@ -1348,6 +1361,7 @@ object SparkEntry {
     "minhash_lsh" -> (qMinHashLsh _),
     "simhash_pairs" -> (qSimHash _),
     "dup_groups" -> (qDupGroups _),
+    "leakage_split" -> (qLeakageSplit _),
     "asof_join" -> (qAsofJoin _),
     "ann_bruteforce" -> (qAnnBrute _),
     "ann_lsh" -> (qAnnLsh _),
@@ -2177,6 +2191,35 @@ object SparkEntry {
         |SELECT node AS doc_id, group_id,
         |  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
         |FROM comps ORDER BY doc_id""".stripMargin,
+    // leakage-safe split: the same recursive-CTE components as
+    // dup_groups, singletons their own group, then the md5 interval
+    // thresholds floor(0.8·2^32)=cccccccc / floor(0.9·2^32)=e6666666
+    "leakage_split" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(node, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node),
+        |comps AS (SELECT node, MIN(comp) AS group_id FROM walk GROUP BY node),
+        |grp AS (
+        |  SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN comps c ON c.node = d.doc_id)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN substr(md5('split|' || CAST(group_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5('split|' || CAST(group_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM grp ORDER BY doc_id""".stripMargin,
     // Lateral top-1 probe — the declarative spec the union+window
     // implementation must reproduce, including the equal-ts inclusive
     // match and the larger-event_id tie-break.

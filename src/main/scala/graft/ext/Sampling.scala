@@ -190,6 +190,47 @@ object Sampling {
       .drop("_bk", "_off_stratum", "_off_bk", "_local_cum", "_offset")
   }
 
+  /**
+   * Leakage-safe train/val/test split: the draw is one md5 per NEAR-DUP
+   * GROUP (the [[Graph.dupGroups]] transitive closure of verified
+   * pairs; docs with no pair are their own group), so every member of a
+   * duplicate cluster lands in the SAME split — near-duplicates can
+   * never straddle train/test and leak evaluation data (the failure
+   * mode Lee et al. 2021 measure). Weights must sum to 1; boundaries
+   * are the [[hashFractionSample]] thresholds (first 8 hex chars of the
+   * draw vs `floor(cum · 2³²)` clamped), so the split is deterministic,
+   * bit-reproducible cross-engine, and re-running with more data keeps
+   * existing groups in their splits.
+   *
+   * Scale: one CC pass over the pair graph (O(log²) rounds) + one
+   * equi-join of docs to group ids + a per-row codegen'd when-chain.
+   */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       weights: Seq[(String, Double)],
+                       salt: String = "", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "weights must be non-negative")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
+    val groups = Graph.dupGroups(pairs)
+      .select(col("doc_id").as(idCol), col("group_id"))
+    val withGroup = docs.join(groups, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
+    val groupDraw = substring(
+      md5(concat(lit(salt), col("group_id").cast("string")).cast("binary")), 1, 8)
+    val cums = weights.init.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cums.map(c =>
+      f"${math.min((c * (1L << 32)).toLong, 0xffffffffL)}%08x")
+    val splitCol = weights.init.zip(thresholds) match {
+      case Seq() => lit(weights.head._1)
+      case (n0, t0) +: rest =>
+        rest.foldLeft(when(groupDraw < lit(t0), n0._1)) {
+          case (acc, (n, t)) => acc.when(groupDraw < lit(t), n._1)
+        }.otherwise(weights.last._1)
+    }
+    withGroup.withColumn("split", splitCol)
+  }
+
   /** Reference implementation of [[packShards]] as one window per stratum
     * — the spec asserts the distributed form equals it exactly. */
   private[graft] def packShardsNaive(df: DataFrame, strataCol: String,

@@ -124,7 +124,10 @@ case class AvroEncodeExpr(child: Expression, schemaJson: String)
 case class AvroDecodeExpr(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val schema = AvroSerde.parse(schemaJson)
-  override def dataType: DataType = AvroSerde.structTypeFor(AvroSerde.parse(schemaJson))
+  // dataType is called throughout analysis/planning — parse once
+  @transient private lazy val cachedType: StructType =
+    AvroSerde.structTypeFor(AvroSerde.parse(schemaJson))
+  override def dataType: DataType = cachedType
   @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[Array[Byte]]

@@ -147,8 +147,10 @@ case class ProtoDecodeExpr(child: Expression, spec: String)
     extends UnaryExpression with CodegenFallback {
   import ProtoSerde._
   @transient private lazy val fields = parseSpec(spec)
-  override def dataType: DataType = StructType(
+  // dataType is called throughout analysis/planning — parse once
+  @transient private lazy val cachedType: StructType = StructType(
     parseSpec(spec).map(f => StructField(f.name, f.catalystType, nullable = true)))
+  override def dataType: DataType = cachedType
   @transient private lazy val byNum: Map[Int, (Field, Int)] =
     fields.zipWithIndex.map { case (f, i) => f.num -> ((f, i)) }.toMap
   override def nullSafeEval(v: Any): Any = {

@@ -7,6 +7,43 @@ class SamplingSpec extends SparkSpec {
 
   private def docs = spark.read.parquet(s"$sf001/documents.parquet")
 
+  test("leakageSafeSplit: dup-group members share one split; singletons split solo") {
+    import spark.implicits._
+    // groups: {1,2,3} (chain), {10,11}; singletons 20, 21, 22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val d = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L).toDF("doc_id")
+    val out = Sampling.leakageSafeSplit(d, pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s|")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size === 8)
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size === 1, "group split apart")
+    assert(out(10L)._2 === out(11L)._2)
+    assert(out(20L)._1 === 20L) // singleton is its own group
+    // weights gate: must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(d, pairs, Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("leakageSafeSplit: proportions track weights on many singleton groups") {
+    import spark.implicits._
+    val d = spark.range(0, 5000).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val counts = Sampling.leakageSafeSplit(d, empty,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "p|")
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 4000L) < 200, counts.toString)
+    assert(math.abs(counts("val") - 500L) < 100, counts.toString)
+    assert(math.abs(counts("test") - 500L) < 100, counts.toString)
+    // determinism: identical salt -> identical assignment
+    val again = Sampling.leakageSafeSplit(d, empty,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "p|")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again === counts)
+  }
+
   test("packShards distributed prefix sum == naive single-window, across bucket widths") {
     val d = docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
