@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.StructType
  * | file                       | `FileSource` below (readStream text/json/csv) |
  * | kafka / kafka-connect      | [[KafkaConnector]] (config/offset/header plumbing; network = `spark.readStream.format("kafka")`) |
  * | jdbc (insert/upsert/delete)| `topicToJdbcSink` below (batched upsert/delete in foreachBatch); `jdbcSourceToTopic` below (incremental poll source) |
- * | elastic-search, solr       | [[ElasticSink]] (bulk/action/id plumbing; HTTP = pluggable transport) |
+ * | elastic-search             | [[ElasticSink]] (bulk/action/id plumbing; HTTP = pluggable transport) |
+ * | solr                       | [[SolrSink]] (repeated-key JSON update stream, commitWithin, status retry) |
  * | redis                      | [[RedisSink]] (RESP2 pipeline framing, SET/DEL/EX) |
  * | influxdb                   | [[InfluxSink]] (line protocol built as one codegen'd expression) |
  * | mongo                      | [[MongoSink]] (bulk insert/delete command documents, _id from key) |
@@ -36,7 +37,8 @@ import org.apache.spark.sql.types.StructType
  *
  * `file`, `jdbc` (source + sink), the kafka option/offset plumbing, and
  * the elasticsearch / redis / influxdb / mongo / cassandra / kinesis /
- * dynamodb / rabbitmq sink plumbing are implemented concretely (no external daemons in this
+ * dynamodb / rabbitmq / http / solr sink plumbing are implemented
+ * concretely (no external daemons in this
  * environment — each network layer is a pluggable transport the specs
  * drive with protocol-faithful fakes); the source→appender and
  * topic→sink plumbing below is connector-agnostic.

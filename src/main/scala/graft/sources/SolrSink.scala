@@ -1,0 +1,135 @@
+package graft.sources
+
+import graft.log.TopicLog
+import graft.model.Envelope
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/**
+ * Topic → Solr sink (reference pulsar-io/solr/.../SolrAbstractSink.java:
+ * document-per-record indexing with an id field). The bug-bearing part
+ * is Solr's JSON update command stream (public Solr ref guide,
+ * "Uploading Data with Index Handlers"):
+ *
+ *  - one request body is a JSON OBJECT WITH REPEATED KEYS —
+ *    `{"add":{…},"add":{…},"delete":{"id":…}}` — which standard JSON
+ *    builders reject; order between adds and deletes is significant and
+ *    preserved, so the stream is assembled by hand;
+ *  - each `add` carries `"commitWithin"` (ms) and its `"doc"` map; a
+ *    tombstone (null value) becomes `delete` by id;
+ *  - the response's `responseHeader.status` is 0 on success; 503 is
+ *    retried (bounded), anything else non-zero fails the microbatch
+ *    loudly (a malformed update replayed forever would loop).
+ *
+ * Scale shape: identical to the other sinks — HW-filtered foreachBatch,
+ * repartition by key + offset order (last-write-wins per id under
+ * replay; add/delete are idempotent by id), `batchSize` commands per
+ * POST, transport pluggable.
+ */
+object SolrSink {
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** One command in the update stream: `"add":{…}` or `"delete":{…}`.
+    * Keyless records are skipped (Solr requires the unique id). */
+  private[graft] def command(key: String, value: String,
+                             commitWithinMs: Long): Option[String] =
+    Option(key).map { k =>
+      if (value == null)
+        s""""delete":{"id":"${jsonEscape(k)}"}"""
+      else
+        s""""add":{"commitWithin":$commitWithinMs,"doc":{"id":"${jsonEscape(k)}","value_s":"${jsonEscape(value)}"}}"""
+    }
+
+  /** The repeated-key JSON object Solr's update handler expects. */
+  private[graft] def requestBody(commands: Seq[String]): String =
+    commands.mkString("{", ",", "}")
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[graft] def responseStatus(response: String): Int =
+    mapper.readTree(response).path("responseHeader").path("status").asInt(-1)
+
+  /**
+   * Stream the topic into Solr through `transport: requestBody =>
+   * responseBody` (the POST to `/update`).
+   */
+  def topicToSolrSink(topic: TopicLog,
+                      transport: String => String,
+                      checkpoint: String,
+                      commitWithinMs: Long = 1000L,
+                      batchSize: Int = 100,
+                      maxAttempts: Int = 3): StreamingQuery = {
+    require(batchSize >= 1 && maxAttempts >= 1 && commitWithinMs >= 0,
+      "batchSize/maxAttempts/commitWithinMs out of range")
+    val spark = topic.spark
+    spark.readStream
+      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
+      .parquet(topic.name.path(topic.root))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hw = topic.highWater()
+        val committed =
+          if (hw.isEmpty) batch.limit(0)
+          else batch.filter(hw.map { case (p, o) =>
+            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
+          }.reduce(_ || _))
+        committed
+          .select(col(Envelope.Key), col(Envelope.Value),
+            col(Envelope.Offset).as("_apply_order"))
+          .repartition(col(Envelope.Key))
+          .sortWithinPartitions(col("_apply_order"))
+          .select(Envelope.Key, Envelope.Value)
+          .rdd.foreachPartition { rows =>
+            flushPartition(rows, transport, commitWithinMs, batchSize, maxAttempts)
+          }
+      }
+      .start()
+  }
+
+  private def flushPartition(rows: Iterator[Row], transport: String => String,
+                             commitWithinMs: Long, batchSize: Int,
+                             maxAttempts: Int): Unit = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String]
+    def send(): Unit = if (buf.nonEmpty) {
+      val body = requestBody(buf.toSeq)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        responseStatus(transport(body)) match {
+          case 0 => done = true
+          case 503 =>
+            require(attempt < maxAttempts,
+              s"solr update still 503 after $maxAttempts attempts")
+          case other =>
+            throw new IllegalStateException(
+              s"solr update rejected permanently: status $other")
+        }
+      }
+      buf.clear()
+    }
+    rows.foreach { r =>
+      command(r.getString(0), r.getString(1), commitWithinMs).foreach { c =>
+        buf += c
+        if (buf.length >= batchSize) send()
+      }
+    }
+    send()
+  }
+}
