@@ -69,6 +69,16 @@ class GopherQualitySpec extends SparkSpec {
     assert(s("gopher_ok") === false) // < 50 words
   }
 
+  test("ngram_coverage reachable from SQL and equals the column API") {
+    graft.functions.Registry.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT ngram_coverage('ab cd ab cd x', 2) AS c").as[Long].head()
+    assert(viaSql === 10L) // "ab cd" twice x 5 chars
+    val viaCol = Seq("ab cd ab cd x").toDF("t")
+      .select(graft.functions.Sketch.ngram_coverage(col("t"), 2)).as[Long].head()
+    assert(viaCol === viaSql)
+  }
+
   test("registered gopher_quality query is plannable and full-coverage") {
     val out = SparkEntry.queries("gopher_quality")(spark, "/root/testdata/sf0.001")
     assert(out.count() === 500L)
