@@ -1249,6 +1249,16 @@ object SparkEntry {
         md5(col("clean_text")).as("clean_hash"))
       .orderBy("doc_id")
 
+  /** Pretraining chunking: 32-token windows, 8-token overlap. The
+    * oracle replays the stride arithmetic and rebuilds each chunk
+    * string; chunk_text ships as md5 to stay narrow. */
+  private def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocuments(tbl(s, dir, "documents"), chunkTokens = 32,
+        overlapTokens = 8)
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Bloom-prefiltered decontamination: MUST equal [[qDecontam]] row for
     * row (the bloom only prunes; the exact join restores soundness), so
     * it shares decontam's oracle — a false negative anywhere in the
@@ -1379,7 +1389,8 @@ object SparkEntry {
     "decontam" -> (qDecontam _),
     "decontam_bloom" -> (qDecontamBloom _),
     "line_dedup" -> (qLineDedup _),
-    "substring_dedup" -> (qSubstringDedup _)
+    "substring_dedup" -> (qSubstringDedup _),
+    "doc_chunks" -> (qDocChunks _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2100,6 +2111,19 @@ object SparkEntry {
         |  CAST(ANY_VALUE(n_total) - COUNT(*) AS BIGINT) AS n_dropped,
         |  md5(string_agg(tok, ' ' ORDER BY tpos)) AS clean_hash
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // chunking: stride arithmetic replayed, chunk strings rebuilt; chunk
+    // i covers tokens [i*24, i*24 + 32) (stride = 32 - 8)
+    "doc_chunks" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |counted AS (
+        |  SELECT doc_id, w, CASE WHEN len(w) <= 32 THEN 1
+        |    ELSE 1 + CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) END AS n_chunks
+        |  FROM words)
+        |SELECT doc_id, i AS chunk_idx,
+        |  CAST(len(w[(i*24+1):(i*24+32)]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(w[(i*24+1):(i*24+32)], ' ')) AS chunk_hash
+        |FROM counted, UNNEST(range(0, n_chunks)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // the bloom pre-filter is result-neutral by construction — same truth
     "decontam_bloom" ->
       """WITH sh AS (

@@ -508,6 +508,42 @@ object TextOps {
           s => s.getField("tok")), " ").as("clean_text"))
   }
 
+  /**
+   * Fixed-size token chunking with overlap — the pretraining
+   * sequence-prep step (every LM data pipeline windows documents into
+   * model-context-sized pieces; overlap keeps boundary context, the
+   * RoBERTa/GPT FULL-SENTENCES packing precursor). Chunk i covers token
+   * positions `[i·stride, i·stride + chunkTokens)` with
+   * `stride = chunkTokens − overlapTokens`; the last chunk is the
+   * remainder (never empty, never duplicated: a doc shorter than one
+   * chunk yields exactly itself). Returns one row per chunk:
+   * (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+   *
+   * Scale: pure per-row explode — no shuffle; the expansion factor is
+   * bounded by 1/(1 − overlap/chunk).
+   */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // chunks = 1 for n <= chunk, else 1 + ceil((n - chunk) / stride)
+    val nChunks = when(n <= chunkTokens, lit(1)).otherwise(
+      lit(1) + floor(((n - chunkTokens) + (stride - 1)).cast("double") / stride)
+        .cast("int"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("n_chunk_tokens",
+        size(tokens(col("chunk_text"))).cast("long"))
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+  }
+
   /** Drop contaminated documents from the corpus (anti-join against the
     * [[contaminationReport]] flags). */
   def decontaminate(corpus: DataFrame, evals: DataFrame, n: Int = 5,
