@@ -1249,6 +1249,22 @@ object SparkEntry {
         md5(col("clean_text")).as("clean_hash"))
       .orderBy("doc_id")
 
+  /** Int8 scalar quantization over the embeddings table: the oracle
+    * replays scale/code arithmetic per element and the query carries
+    * the reconstruction-bound certificate (max per-dim error ≤ scale/2,
+    * true by construction for a correct quantizer). */
+  private def qVecQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q = ext.VectorOps.withQuantizedI8(tbl(s, dir, "embeddings"))
+    q.select(col("vec_id"),
+        size(col("q.codes")).cast("bigint").as("n_dims"),
+        aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        (aggregate(zip_with(col("embedding"), col("q.codes"),
+            (x, c) => abs(x.cast("double") - c.cast("double") * col("q.scale"))),
+          lit(0.0), (a, e) => greatest(a, e)) <=
+          col("q.scale") * 0.5000001).as("err_ok"))
+      .orderBy("vec_id")
+  }
+
   /** Pretraining chunking: 32-token windows, 8-token overlap. The
     * oracle replays the stride arithmetic and rebuilds each chunk
     * string; chunk_text ships as md5 to stay narrow. */
@@ -1390,7 +1406,8 @@ object SparkEntry {
     "decontam_bloom" -> (qDecontamBloom _),
     "line_dedup" -> (qLineDedup _),
     "substring_dedup" -> (qSubstringDedup _),
-    "doc_chunks" -> (qDocChunks _)
+    "doc_chunks" -> (qDocChunks _),
+    "vec_quantize" -> (qVecQuantize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2111,6 +2128,27 @@ object SparkEntry {
         |  CAST(ANY_VALUE(n_total) - COUNT(*) AS BIGINT) AS n_dropped,
         |  md5(string_agg(tok, ' ' ORDER BY tpos)) AS clean_hash
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // int8 quantization: scale/code arithmetic replayed element-wise;
+    // round-half-away spelled as sign·floor(|x|/scale + 0.5) so both
+    // engines compute identical doubles
+    "vec_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) / scale + 0.5) AS BIGINT))
+        |    END AS codes
+        |  FROM q)
+        |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+        |  (list_max(list_transform(range(1, len(embedding) + 1),
+        |     i -> abs(CAST(embedding[i] AS DOUBLE) - codes[i] * scale)))
+        |   <= scale * 0.5000001) AS err_ok
+        |FROM c ORDER BY vec_id""".stripMargin,
     // chunking: stride arithmetic replayed, chunk strings rebuilt; chunk
     // i covers tokens [i*24, i*24 + 32) (stride = 32 - 8)
     "doc_chunks" ->

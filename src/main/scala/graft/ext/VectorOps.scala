@@ -31,6 +31,57 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = graft.functions.Sketch.cosine_sim(a, b)
 
   /**
+   * Symmetric per-vector int8 scalar quantization — the standard 4×
+   * memory cut on the ANN corpus side (FAISS SQ8 / every production
+   * vector store): `scale = max|x| / 127`, `code = sign(x) ·
+   * floor(|x|/scale + 0.5)` (round-half-away-from-zero, spelled out so
+   * any engine reproduces it bit-for-bit), codes in [−127, 127] by
+   * construction with reconstruction error ≤ scale/2 per dimension.
+   * Zero vectors quantize to (scale 0, all-zero codes). Returns
+   * struct(scale double, codes array<tinyint>).
+   */
+  def quantizeI8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = mx / lit(127.0)
+    val codes = transform(vec, x =>
+      (signum(x.cast("double")) * floor(abs(x.cast("double")) / scale + 0.5))
+        .cast("tinyint"))
+    when(mx === 0.0, struct(lit(0.0).as("scale"),
+        transform(vec, _ => lit(0).cast("tinyint")).as("codes")))
+      .otherwise(struct(scale.as("scale"), codes.as("codes")))
+  }
+
+  /** [[quantizeI8]] with the scale STAGED as its own projection, so the
+    * per-element lambda references an attribute instead of re-deriving
+    * the row max d times (Catalyst does not collapse the two Projects —
+    * the alias is expensive and multiply-referenced). Adds `q`. */
+  def withQuantizedI8(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("_q_scale",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
+      .withColumn("q",
+        when(col("_q_scale") === 0.0,
+          struct(lit(0.0).as("scale"),
+            transform(col(vecCol), _ => lit(0).cast("tinyint")).as("codes")))
+          .otherwise(struct(col("_q_scale").as("scale"),
+            transform(col(vecCol), x =>
+              (signum(x.cast("double")) *
+                floor(abs(x.cast("double")) / col("_q_scale") + 0.5))
+                .cast("tinyint")).as("codes"))))
+      .drop("_q_scale")
+
+  /** Reconstruct approximate doubles from a quantized vector. */
+  def dequantizeI8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast("double") * q.getField("scale"))
+
+  /** Dot product in the quantized domain: scaleA·scaleB·Σ codeA·codeB —
+    * the integer kernel ANN scan engines run; one narrow pass. */
+  def quantizedDot(a: Column, b: Column): Column =
+    a.getField("scale") * b.getField("scale") *
+      dot(transform(a.getField("codes"), _.cast("int")),
+        transform(b.getField("codes"), _.cast("int")))
+
+  /**
    * Brute-force exact top-k cosine neighbors for each query vector.
    * Queries broadcast; corpus streams through one narrow pass; per-query
    * top-k via window rank over (query, similarity).
