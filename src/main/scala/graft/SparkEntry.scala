@@ -1065,6 +1065,26 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Forward as-of (earliest click at-or-after each error; smaller
+    * event_id tie-break) — the same single-window-pass operator in the
+    * opposite scan direction, against a mirrored lateral-probe oracle. */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = tbl(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOfJoin.asof(errors, clicks, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("value"), direction = AsOfJoin.Direction.Forward)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("matched.event_id").as("click_event"),
+        unix_micros(col("matched.ts")).as("click_ts_us"),
+        col("matched.value").as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Brute-force exact top-5 cosine neighbors for 20 query vectors. */
   private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
     val vecs = tbl(s, dir, "embeddings")
@@ -1389,6 +1409,7 @@ object SparkEntry {
     "dup_groups" -> (qDupGroups _),
     "leakage_split" -> (qLeakageSplit _),
     "asof_join" -> (qAsofJoin _),
+    "asof_forward" -> (qAsofForward _),
     "ann_bruteforce" -> (qAnnBrute _),
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf" -> (qAnnIvf _),
@@ -2297,6 +2318,21 @@ object SparkEntry {
         |  SELECT event_id, ts, value FROM clicks c
         |  WHERE c.user_id = e.user_id AND c.ts <= e.ts
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        |) c ON true
+        |ORDER BY e.event_id""".stripMargin,
+    // mirrored probe: earliest at-or-after, SMALLER event_id tie-break
+    "asof_forward" ->
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events),
+        |errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+        |clicks AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  c.event_id AS click_event, epoch_us(c.ts) AS click_ts_us,
+        |  c.value AS click_value
+        |FROM errors e LEFT JOIN LATERAL (
+        |  SELECT event_id, ts, value FROM clicks c
+        |  WHERE c.user_id = e.user_id AND c.ts >= e.ts
+        |  ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
         |) c ON true
         |ORDER BY e.event_id""".stripMargin,
     "ann_lsh" -> (mm3Macros +
