@@ -87,9 +87,14 @@ object Bloom {
     * broadcast-bloom pre-filter must not copy the whole filter per row;
     * this is k word reads. */
   def containsBytes(bytes: Array[Byte], v: Any): Boolean = {
+    // a zero-row bloom_merge yields the canonical empty sketch (k=0
+    // header, or legacy zero-length bytes): nothing was ever added, so
+    // every probe is definitely absent — never an out-of-bounds read.
+    if (bytes.length < 16) return false
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val k = bb.getLong(0).toInt
     val nWords = bb.getLong(8).toInt
+    if (k == 0 || nWords == 0) return false
     val mask = nWords * 64 - 1
     val a = h1(v); val b = h2(v)
     var i = 0
@@ -166,7 +171,11 @@ case class BloomMergeAgg(child: Expression,
   }
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     if (a.isEmpty) b else if (b.isEmpty) a else Bloom.merge(a, b)
-  override def eval(buf: Array[Long]): Any = Bloom.serialize(buf)
+  // zero input rows → canonical empty bloom (k=0 header) rather than a
+  // zero-length BINARY, so a downstream bloom_contains probe reads a
+  // well-formed header and answers "definitely absent".
+  override def eval(buf: Array[Long]): Any =
+    Bloom.serialize(if (buf.isEmpty) Array(0L, 0L) else buf)
   override def serialize(buf: Array[Long]): Array[Byte] = Bloom.serialize(buf)
   override def deserialize(bytes: Array[Byte]): Array[Long] = Bloom.deserialize(bytes)
   override def withNewMutableAggBufferOffset(o: Int) = copy(mutableAggBufferOffset = o)

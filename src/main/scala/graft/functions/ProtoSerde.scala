@@ -183,11 +183,13 @@ case class ProtoDecodeExpr(child: Expression, spec: String)
               out(i) = java.lang.Float.intBitsToFloat(bits); o1 + 4
             case "string" =>
               val (len, o2) = readVarint(b, o1)
-              require(o2 + len <= b.length, "truncated string")
+              // a malformed 10-byte negative varint would move the
+              // offset BACKWARDS through o2 + len — hang/corrupt decode
+              require(len >= 0 && o2 + len <= b.length, "truncated string")
               out(i) = UTF8String.fromBytes(b, o2, len.toInt); o2 + len.toInt
             case "bytes" =>
               val (len, o2) = readVarint(b, o1)
-              require(o2 + len <= b.length, "truncated bytes")
+              require(len >= 0 && o2 + len <= b.length, "truncated bytes")
               out(i) = java.util.Arrays.copyOfRange(b, o2, o2 + len.toInt); o2 + len.toInt
           }
         case None => // unknown field: skip by wire type (forward compat)
@@ -196,7 +198,7 @@ case class ProtoDecodeExpr(child: Expression, spec: String)
             case 1 => o1 + 8
             case 2 =>
               val (len, o2) = readVarint(b, o1)
-              require(o2 + len <= b.length, "truncated unknown field")
+              require(len >= 0 && o2 + len <= b.length, "truncated unknown field")
               o2 + len.toInt
             case 5 => o1 + 4
             case other =>

@@ -22,8 +22,10 @@ import java.util.Base64
  *    requests flush early when the next record would breach a limit,
  *    oversized single records fail loudly;
  *  - PARTIAL-FAILURE retry: PutRecords is not atomic — the response
- *    carries `FailedRecordCount` and per-record `ErrorCode`; ONLY the
- *    failed subset is retried (in order), up to `maxAttempts`, then the
+ *    carries `FailedRecordCount` and per-record `ErrorCode`; the retry
+ *    resends, per partition key, everything from that key's first
+ *    failed index onward (duplicating any later accepted record of the
+ *    key rather than reordering it), up to `maxAttempts`, then the
  *    microbatch fails (streaming engine replays it).
  *
  * Scale shape: identical to the other sinks — HW-filtered foreachBatch,
@@ -54,18 +56,23 @@ object KinesisSink {
     sb.toString
   }
 
-  /** One record entry; size = base64 data bytes + key bytes (the
-    * accounting the service applies). */
-  private[graft] final case class Entry(dataB64: String, partitionKey: String) {
-    def sizeBytes: Int = dataB64.length + partitionKey.getBytes(UTF_8).length
+  /** One record entry; size = RAW data bytes (before base64) + key
+    * UTF-8 bytes — the accounting the service applies to the 1 MiB /
+    * 5 MiB limits (PutRecords API reference: "up to 1 MiB, including
+    * the partition key", measured on the decoded blob). */
+  private[graft] final case class Entry(dataB64: String, partitionKey: String,
+                                        rawDataBytes: Int) {
+    def sizeBytes: Int = rawDataBytes + partitionKey.getBytes(UTF_8).length
     def json: String =
       s"""{"Data":"$dataB64","PartitionKey":"${jsonEscape(partitionKey)}"}"""
   }
 
-  private[graft] def entry(key: String, value: String): Entry =
-    Entry(Base64.getEncoder.encodeToString(
-      (if (value == null) "" else value).getBytes(UTF_8)),
-      if (key == null) "0" else key) // reference: keyless records get a fixed key
+  private[graft] def entry(key: String, value: String): Entry = {
+    val raw = (if (value == null) "" else value).getBytes(UTF_8)
+    Entry(Base64.getEncoder.encodeToString(raw),
+      if (key == null) "0" else key, // reference: keyless records get a fixed key
+      raw.length)
+  }
 
   private[graft] def request(stream: String, entries: Seq[Entry]): String =
     s"""{"StreamName":"${jsonEscape(stream)}","Records":[${
@@ -122,6 +129,24 @@ object KinesisSink {
       .start()
   }
 
+  /** Records to resend after a partial failure. Retrying ONLY the
+    * failed subset would republish an earlier record of key K AFTER a
+    * later already-accepted record of K — inverting the per-key order
+    * this sink promises. Instead resend, per partition key, everything
+    * from that key's FIRST failed index onward: later accepted records
+    * of the key become duplicates (Kinesis is at-least-once anyway)
+    * but never get reordered. */
+  private[graft] def retrySubset(pending: Seq[Entry], failed: Seq[Int]): Seq[Entry] =
+    if (failed.isEmpty) Nil
+    else {
+      val firstFailedByKey: Map[String, Int] = failed
+        .groupBy(i => pending(i).partitionKey)
+        .map { case (k, is) => k -> is.min }
+      pending.zipWithIndex.collect {
+        case (e, i) if firstFailedByKey.get(e.partitionKey).exists(i >= _) => e
+      }
+    }
+
   private def flushPartition(rows: Iterator[Row], stream: String,
                              transport: String => String,
                              maxAttempts: Int): Unit = {
@@ -135,7 +160,7 @@ object KinesisSink {
         require(attempt <= maxAttempts,
           s"kinesis PutRecords still failing ${pending.size} records after $maxAttempts attempts")
         val failed = failedIndices(transport(request(stream, pending)))
-        pending = failed.map(pending) // retry ONLY the failed subset, in order
+        pending = retrySubset(pending, failed)
       }
       buf.clear(); bufBytes = 0
     }

@@ -46,6 +46,18 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("bloom_merge over zero rows yields a probe-safe empty sketch (ADVICE r5)") {
+    val df = (0 until 100).map(i => (i, s"key$i")).toDF("g", "k")
+    // the filter matches nothing, so bloom_merge aggregates zero rows
+    val empty = df.filter(col("g") < 0)
+      .agg(Bloom.bloom_merge(lit(Array.emptyByteArray)).as("m"))
+      .select("m").as[Array[Byte]].head()
+    assert(empty != null && empty.length === 16, "canonical k=0 header expected")
+    // probing the empty sketch answers 'definitely absent', never throws
+    assert(!Bloom.containsBytes(empty, "anything"))
+    assert(!Bloom.containsBytes(Array.emptyByteArray, "legacy-zero-length"))
+  }
+
   test("aggregate + merge paths through Catalyst; SQL-reachable") {
     val df = (0 until 2000).map(i => (i % 4, s"key$i")).toDF("g", "k")
     val global = df.agg(Bloom.bloom_sketch(col("k")).as("bf"))

@@ -66,6 +66,32 @@ class KinesisSinkSpec extends SparkSpec {
     assert(allKeys.size > 1200, "no retries captured — flaky transport never exercised")
   }
 
+  test("record size limits account raw data bytes, not base64 length (ADVICE r5)") {
+    // ~900 KiB raw base64-encodes to ~1.2 MB; the service accounts the
+    // RAW blob + partition key, so this record is legal and must pass.
+    val raw = "x" * (900 * 1024)
+    val e = KinesisSink.entry("k", raw)
+    assert(e.dataB64.length > KinesisSink.MaxRecordBytes, "base64 form exceeds 1 MiB")
+    assert(e.sizeBytes === 900 * 1024 + 1, "sizeBytes must be raw bytes + key bytes")
+    assert(e.sizeBytes <= KinesisSink.MaxRecordBytes)
+  }
+
+  test("partial-failure retry preserves per-key order (ADVICE r5)") {
+    def e(k: String, v: String) = KinesisSink.entry(k, v)
+    val pending = Seq(e("a", "a1"), e("b", "b1"), e("a", "a2"), e("c", "c1"))
+    // a1 (idx 0) failed while a2 (idx 2) succeeded: retrying only a1
+    // would land it AFTER a2. The retry must resend a1 AND a2 in order.
+    val retry = KinesisSink.retrySubset(pending, Seq(0))
+    assert(retry.map(x => (x.partitionKey, x.dataB64)) ===
+      Seq(("a", e("a", "a1").dataB64), ("a", e("a", "a2").dataB64)))
+    // untouched keys (b, c) are not resent
+    assert(!retry.exists(_.partitionKey == "b"))
+    // no failures -> nothing pending
+    assert(KinesisSink.retrySubset(pending, Nil) === Nil)
+    // failure on the LAST record of a key resends just that record
+    assert(KinesisSink.retrySubset(pending, Seq(3)).map(_.partitionKey) === Seq("c"))
+  }
+
   test("oversized single record fails loudly") {
     val big = "x" * (KinesisSink.MaxRecordBytes + 1)
     val dir = Files.createTempDirectory("kinesis-sink2").toString

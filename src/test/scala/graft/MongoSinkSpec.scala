@@ -28,6 +28,7 @@ class MongoSinkSpec extends SparkSpec {
   }
 
   test("collection name validation") {
+    intercept[IllegalArgumentException] { MongoSink.checkCollection("a\u0000b") }
     intercept[IllegalArgumentException] { MongoSink.checkCollection("a$b") }
     intercept[IllegalArgumentException] { MongoSink.checkCollection("system.views") }
     intercept[IllegalArgumentException] { MongoSink.checkCollection("") }

@@ -45,6 +45,31 @@ class ProtoSerdeSpec extends SparkSpec {
     assert(back === ((Some(5L), None)))
   }
 
+  test("malformed negative varint length fails loudly, no backwards seek (ADVICE r5)") {
+    // field 2 (string) with a 10-byte varint encoding length -1: a
+    // signed read yields len < 0 which passes `o2 + len <= b.length`
+    // and would move the offset BACKWARDS — must be rejected instead.
+    val negLen = (Seq(0x12) ++ Seq.fill(9)(0xff) ++ Seq(0x01) ++ Seq('x'.toInt))
+      .map(_.toByte).toArray
+    val e1 = intercept[Exception] {
+      Seq(negLen).toDF("bin")
+        .select(ProtoSerde.proto_decode(col("bin"), spec).as("r"))
+        .select("r.a").collect()
+    }
+    assert(e1.toString.contains("truncated") ||
+      Option(e1.getCause).exists(_.toString.contains("truncated")))
+    // same guard on the unknown-field skip path (field 9, wire type 2)
+    val negSkip = (Seq((9 << 3) | 2) ++ Seq.fill(9)(0xff) ++ Seq(0x01))
+      .map(_.toByte).toArray
+    val e2 = intercept[Exception] {
+      Seq(negSkip).toDF("bin")
+        .select(ProtoSerde.proto_decode(col("bin"), spec).as("r"))
+        .select("r.a").collect()
+    }
+    assert(e2.toString.contains("truncated") ||
+      Option(e2.getCause).exists(_.toString.contains("truncated")))
+  }
+
   test("round-trip across every supported type") {
     val all = "1:int64:l,2:int32:i,3:bool:o,4:double:d,5:float:f,6:string:s,7:bytes:y"
     val df = Seq((42L, -7, true, 2.0, -1.5f, "héllo", Array[Byte](9, 8)))
