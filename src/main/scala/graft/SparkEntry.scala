@@ -1126,6 +1126,22 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN probing a DISK-MATERIALIZED index: buildIvfIndex lays the
+    * corpus out hive-partitioned by cell + centroid sidecar, and the
+    * probe pushes its cell set as a static PartitionFilter (gated in
+    * PlanQualitySpec). Exact mode (nprobe = nlist) ≡ brute force, so the
+    * same oracle as ann_ivf proves the whole write→prune→probe path. */
+  private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val vecs = tbl(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 20)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    VectorOps.buildIvfIndex(vecs, idx, nlist = 8, iters = 1, initMode = "random")
+    VectorOps.annIvfIndexed(queries, idx, 5, nprobe = 8)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("corpus_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (rows-only oracle).
     * Threshold 0.4: the synthetic embeddings top out at cosine ≈ 0.49, so
     * 0.4 exercises candidate-generation + verify with non-empty output. */
@@ -1413,6 +1429,7 @@ object SparkEntry {
     "ann_bruteforce" -> (qAnnBrute _),
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf" -> (qAnnIvf _),
+    "ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "cosine_near_dup" -> (qCosineNearDup _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
@@ -2248,6 +2265,7 @@ object SparkEntry {
     // IVF in exact mode (nprobe = nlist) provably equals brute force —
     // same oracle; the machinery difference is all on the Spark side.
     "ann_ivf" -> annBruteSql,
+    "ann_ivf_indexed" -> annBruteSql,
     "minhash_lsh" -> jaccardBruteSql("0.8"),
     "simhash_pairs" -> jaccardBruteSql("0.9"),
     // Same ≥0.8 exact-Jaccard pair graph as minhash_lsh, closed

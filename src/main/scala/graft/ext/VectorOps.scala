@@ -160,20 +160,35 @@ object VectorOps {
              initMode: String = "k-means||",
              idCol: String = "vec_id", vecCol: String = "embedding",
              fitSampleCap: Long = 100000L): DataFrame = {
+    val (model, c) = fitIvf(corpus, nlist, iters, initMode, idCol, vecCol, fitSampleCap)
+    val cells = model.transform(c).drop("fv")
+    probeCells(queries, cells,
+      model.clusterCenters.map(_.toArray), k, nprobe, idCol, vecCol)
+  }
+
+  /** Shared IVF coarse-quantizer fit (used by [[annIvf]] and
+    * [[buildIvfIndex]] — one code path means the on-disk index and the
+    * inline operator place centroids IDENTICALLY, so their results are
+    * bit-equal).
+    *
+    * The quantizer fits on a deterministic hash-fraction sample capped at
+    * ~fitSampleCap vectors, never the full corpus: at 100 TB a full-corpus
+    * fit is `iters` complete passes just to place `nlist` centroids, while
+    * ~100k vectors already pin them. The sizing count is ONE cheap
+    * aggregate pass; the sample itself is a pushed-down filter (no
+    * shuffle). Centroid placement cannot change results when
+    * nprobe = nlist (the spec asserts equality), and for nprobe < nlist
+    * it only shifts the recall/scan trade — determinism is what matters,
+    * and md5-hash sampling is engine-reproducible. */
+  private def fitIvf(corpus: DataFrame, nlist: Int, iters: Int,
+                     initMode: String, idCol: String, vecCol: String,
+                     fitSampleCap: Long)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(fitSampleCap > 0)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
-    // The quantizer fits on a deterministic hash-fraction sample capped at
-    // ~fitSampleCap vectors, never the full corpus: at 100 TB a full-corpus
-    // fit is `iters` complete passes just to place `nlist` centroids, while
-    // ~100k vectors already pin them. The sizing count is ONE cheap
-    // aggregate pass; the sample itself is a pushed-down filter (no
-    // shuffle). Centroid placement cannot change results when
-    // nprobe = nlist (the spec asserts equality), and for nprobe < nlist
-    // it only shifts the recall/scan trade — determinism is what matters,
-    // and md5-hash sampling is engine-reproducible.
     val nCorpus = c.count()
     val fitSet =
       if (nCorpus <= fitSampleCap) c
@@ -185,10 +200,18 @@ object VectorOps {
       .setInitMode(initMode)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(fitSet.select("fv"))
-    val cells = model.transform(c).drop("fv")
+    (model, c)
+  }
+
+  /** Probe `nprobe` nearest cells per query and exact-verify candidates —
+    * the shared tail of [[annIvf]] and [[annIvfIndexed]]. `cells` must
+    * carry (cell, corpus_id, cv). */
+  private def probeCells(queries: DataFrame, cells: DataFrame,
+                         centroidArrays: Array[Array[Double]], k: Int,
+                         nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     // centroids are tiny (nlist × dim) — broadcast as a literal table
-    val centroids = corpus.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }.toSeq)
+    val centroids = queries.sparkSession.createDataFrame(
+      centroidArrays.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
       .toDF("cell", "centroid")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy("query_id")
@@ -200,6 +223,112 @@ object VectorOps {
       .select("query_id", "qv", "cell")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("corpus_id"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .select("query_id", "corpus_id", "sim").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
+  // Centroid sidecar carrying the coarse quantizer next to the data files
+  // (underscore prefix → invisible to Spark's file listing). Doubles are
+  // stored via java.lang.Double.toString, which round-trips exactly.
+  private val CentroidSidecar = "_ivf_centroids.tsv"
+
+  /**
+   * Materialize the IVF index ON DISK, hive-partitioned by `cell` — the
+   * 100 TB layout where a probe touches only its cells' files (same
+   * pattern as [[graft.operators.DelayedBuckets]]: partition pruning
+   * makes the probe O(probed cells), never O(corpus)). The fitted
+   * centroids ride along in a sidecar so probing never re-fits.
+   *
+   * Rows are repartitioned BY cell before the write: without it every
+   * task opens a writer per cell it sees (tasks × cells tiny files);
+   * with it each cell is one task's single file.
+   */
+  def buildIvfIndex(corpus: DataFrame, indexPath: String,
+                    nlist: Int = 16, iters: Int = 5,
+                    initMode: String = "k-means||",
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    fitSampleCap: Long = 100000L): Unit = {
+    val (model, c) = fitIvf(corpus, nlist, iters, initMode, idCol, vecCol, fitSampleCap)
+    model.transform(c).drop("fv")
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(indexPath)
+    val body = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      s"$i\t${v.toArray.map(java.lang.Double.toString).mkString(",")}"
+    }.mkString("\n")
+    val conf = corpus.sparkSession.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(indexPath, CentroidSidecar)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath, CentroidSidecar + ".tmp")
+    val fs = p.getFileSystem(conf)
+    // write-then-rename (manifest-commit pattern): a crash mid-write must
+    // never leave a truncated sidecar that poisons every later probe
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not publish $p")
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Array[Array[Double]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(indexPath, CentroidSidecar)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"no IVF centroid sidecar at $p — not an IVF index?")
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    text.split('\n').map { line =>
+      val Array(i, vs) = line.split('\t')
+      (i.toInt, vs.split(',').map(_.toDouble))
+    }.sortBy(_._1).map(_._2)
+  }
+
+  /**
+   * Probe a disk-materialized IVF index (built by [[buildIvfIndex]]).
+   * Each query's `nprobe` nearest cells come from the sidecar centroids;
+   * the probed cell set is then pushed as a STATIC `cell IN (…)`
+   * predicate so it reaches the file listing as a PartitionFilter — the
+   * scan reads only the probed cells' files (plan-gated in
+   * PlanQualitySpec). With the same fit parameters the result is
+   * bit-equal to [[annIvf]] (shared [[fitIvf]] + fixed seed).
+   */
+  def annIvfIndexed(queries: DataFrame, indexPath: String, k: Int,
+                    nprobe: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroidArrays = readCentroids(spark, indexPath)
+    val centroids = spark.createDataFrame(
+      centroidArrays.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "cell")
+    // BOUNDED driver-side collect: the distinct probed-cell set is capped
+    // by nlist (dozens), never by data size. Collecting it turns the cell
+    // predicate into a static partition filter — a join would only prune
+    // dynamically (DPP) and only under a broadcast plan; `isin` prunes at
+    // file-listing time unconditionally.
+    val probedCellSet = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    val cells = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probedCellSet.map(Int.box): _*))
     probed.join(cells, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("cv"), col("qv")))

@@ -143,6 +143,31 @@ class ExtOpsSpec extends SparkSpec {
     part.unpersist()
   }
 
+  test("annIvfIndexed: disk index probe is bit-equal to inline annIvf (full and partial)") {
+    val queries = vecs.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    VectorOps.buildIvfIndex(vecs, idx, nlist = 8, iters = 1, initMode = "random")
+    // full probe (exact mode) ≡ brute force through the on-disk layout
+    val fullIdx = VectorOps.annIvfIndexed(queries, idx, 5, nprobe = 8)
+      .select("query_id", "rank", "corpus_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = VectorOps.annBruteForce(vecs, queries, 5)
+      .select("query_id", "rank", "corpus_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fullIdx == brute, "indexed full probe must equal brute force")
+    // partial probe: shared fitIvf + fixed seed ⇒ same centroids, so the
+    // indexed path reproduces the inline operator's approximate answer
+    // EXACTLY (sims included)
+    val partIdx = VectorOps.annIvfIndexed(queries, idx, 5, nprobe = 2)
+      .select("query_id", "rank", "corpus_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val partInline = VectorOps.annIvf(vecs, queries, 5, nlist = 8, nprobe = 2,
+        iters = 1, initMode = "random")
+      .select("query_id", "rank", "corpus_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(partIdx == partInline, "indexed partial probe must equal inline annIvf")
+  }
+
   test("annIvf quantizer fits on a bounded sample without changing full-probe results") {
     val queries = vecs.filter(col("vec_id") < 5)
     // force the sampled-fit path (corpus >> cap): at nprobe = nlist the

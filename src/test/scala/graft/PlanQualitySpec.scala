@@ -76,6 +76,30 @@ class PlanQualitySpec extends SparkSpec {
       "horizon predicate must prune due buckets at planning time")
   }
 
+  test("annIvfIndexed probe prunes unprobed cells at file-listing time") {
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-gate").toString
+    graft.ext.VectorOps.buildIvfIndex(vecs, idx, nlist = 8, iters = 1,
+      initMode = "random")
+    val probe = graft.ext.VectorOps.annIvfIndexed(queries, idx, 5, nprobe = 2)
+    val p = probe.queryExecution.executedPlan.toString
+    // the probed cell set must reach the scan as a static PartitionFilter
+    // (NOT a post-scan Filter): this is what makes a probe touch only its
+    // cells' files at 100 TB
+    val pf = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("ivf-gate"))
+      .find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no index scan with PartitionFilters in plan: ${p.take(1500)}"))
+    assert(pf.contains("cell#") && pf.contains(" IN "), pf)
+    // and the pruning is real: with 5 queries × nprobe=2 over nlist=8,
+    // the scan must read fewer than all 8 cell directories
+    val probedCells = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf)
+      .map(_.group(1).split(",").length).getOrElse(8)
+    assert(probedCells < 8, s"expected a proper subset of cells, got $pf")
+  }
+
   test("cdc_apply: one partial max_by aggregation, no window sort, no join") {
     val p = plan("cdc_apply")
     assert(p.contains("partial_max_by"), "map-side combine missing")
