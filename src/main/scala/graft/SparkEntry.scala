@@ -578,11 +578,48 @@ object SparkEntry {
       .orderBy(col("exact_n").desc, col(Envelope.Key))
   }
 
+  /** The NESTED envelope both SerDe roundtrips encode: scalars + a
+    * nested struct + a properties map + a repeated ids list, all
+    * derived deterministically from envelope columns so the identity
+    * oracle can recompute every flattened output in pure SQL. */
+  private def serdeNestedInput(e: DataFrame): DataFrame =
+    e.select(col(Envelope.Offset).cast("long").as("offset"),
+      col(Envelope.Key).as("key"), col(Envelope.Value).as("value"),
+      col("event_type"),
+      struct(substring(col("event_type"), 1, 2).as("lang"),
+        coalesce(length(col(Envelope.Value)).cast("long"), lit(-1L)).as("n"))
+        .as("meta"),
+      map(lit("et"), col("event_type"), lit("k"), col(Envelope.Key)).as("props"),
+      array(col(Envelope.Offset).cast("long"),
+        col(Envelope.Offset).cast("long") + 1).as("ids"))
+
+  /** Post-decode flattening shared by both roundtrips: nested fields
+    * surface as scalar columns (map probed by key, array joined to csv)
+    * so the DuckDB hash compare stays on scalar ground. */
+  private def serdeFlatten(decoded: DataFrame): DataFrame =
+    decoded.select(col("d.offset").as("offset"), col("d.key").as("key"),
+      col("d.value").as("value"), col("d.event_type").as("event_type"),
+      col("d.meta.lang").as("meta_lang"), col("d.meta.n").as("meta_n"),
+      element_at(col("d.props"), "et").as("prop_et"),
+      element_at(col("d.props"), "k").as("prop_k"),
+      array_join(transform(col("d.ids"), _.cast("string")), ",").as("ids_csv"))
+      .orderBy("offset")
+
+  /** Identity oracle for the nested roundtrips: every flattened column
+    * recomputed from the envelope in pure SQL. */
+  private val serdeNestedOracle: String = envSql(
+    """SELECT "offset", key, value, event_type,
+      |  substr(event_type, 1, 2) AS meta_lang,
+      |  CAST(COALESCE(length(value), -1) AS BIGINT) AS meta_n,
+      |  event_type AS prop_et, key AS prop_k,
+      |  CAST("offset" AS VARCHAR) || ',' || CAST("offset" + 1 AS VARCHAR) AS ids_csv
+      |FROM envelope ORDER BY "offset"""".stripMargin)
+
   /** Schema-registry AVRO SerDe (§1.2): every envelope row encodes to
-    * real Avro single-record binary and decodes back IN the query —
-    * nullable union exercised by the tombstone values. The oracle is the
-    * identity projection: any wire-format or union-branch defect
-    * surfaces as a value/hash mismatch. */
+    * real Avro single-record binary — scalars, a [null,string] union, a
+    * NESTED RECORD, a MAP and an ARRAY — and decodes back IN the query.
+    * The oracle recomputes the flattened projection: any wire-format,
+    * union-branch or nesting defect surfaces as a value/hash mismatch. */
   private def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.AvroSerde
     val schemaJson =
@@ -590,33 +627,32 @@ object SparkEntry {
         |{"name":"offset","type":"long"},
         |{"name":"key","type":"string"},
         |{"name":"value","type":["null","string"],"default":null},
-        |{"name":"event_type","type":"string"}]}""".stripMargin
+        |{"name":"event_type","type":"string"},
+        |{"name":"meta","type":{"type":"record","name":"m","fields":[
+        |  {"name":"lang","type":"string"},{"name":"n","type":"long"}]}},
+        |{"name":"props","type":{"type":"map","values":"string"}},
+        |{"name":"ids","type":{"type":"array","items":"long"}}]}""".stripMargin
+    val in = serdeNestedInput(env(s, dir))
     val enc = AvroSerde.avro_encode(
-      struct(col(Envelope.Offset).cast("long").as("offset"),
-        col(Envelope.Key).as("key"), col(Envelope.Value).as("value"),
-        col("event_type")), schemaJson)
-    env(s, dir)
-      .select(AvroSerde.avro_decode(enc, schemaJson).as("d"))
-      .select(col("d.offset").as("offset"), col("d.key").as("key"),
-        col("d.value").as("value"), col("d.event_type").as("event_type"))
-      .orderBy("offset")
+      struct(in.columns.map(col).toIndexedSeq: _*), schemaJson)
+    serdeFlatten(in.select(AvroSerde.avro_decode(enc, schemaJson).as("d")))
   }
 
-  /** Schema-registry PROTOBUF_NATIVE SerDe (§1.2): same identity-oracle
-    * pattern as [[qAvroRoundtrip]] over the hand-rolled wire-format
-    * codec — tombstones exercise proto3 field omission/presence. */
+  /** Schema-registry PROTOBUF_NATIVE SerDe (§1.2): same nested
+    * identity-oracle pattern as [[qAvroRoundtrip]] over the hand-rolled
+    * wire-format codec — tombstones exercise proto3 field omission and
+    * presence; the nested struct / map / packed repeated field exercise
+    * length-delimited submessages, map-entry messages and packed
+    * encoding. */
   private def qProtoRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ProtoSerde
-    val spec = "1:int64:offset,2:string:key,3:string:value,4:string:event_type"
+    val spec = "1:int64:offset,2:string:key,3:string:value,4:string:event_type," +
+      "5:message{1:string:lang,2:int64:n}:meta," +
+      "6:map{string,string}:props,7:repeated int64:ids"
+    val in = serdeNestedInput(env(s, dir))
     val enc = ProtoSerde.proto_encode(
-      struct(col(Envelope.Offset).cast("long").as("offset"),
-        col(Envelope.Key).as("key"), col(Envelope.Value).as("value"),
-        col("event_type")), spec)
-    env(s, dir)
-      .select(ProtoSerde.proto_decode(enc, spec).as("d"))
-      .select(col("d.offset").as("offset"), col("d.key").as("key"),
-        col("d.value").as("value"), col("d.event_type").as("event_type"))
-      .orderBy("offset")
+      struct(in.columns.map(col).toIndexedSeq: _*), spec)
+    serdeFlatten(in.select(ProtoSerde.proto_decode(enc, spec).as("d")))
   }
 
   /** §2.4 SpaceSaving top-k (the deterministic-guarantee heavy-hitter
@@ -1917,15 +1953,12 @@ object SparkEntry {
         |  FROM envelope GROUP BY key
         |  ORDER BY exact_n DESC, key LIMIT 10) t
         |ORDER BY exact_n DESC, key""".stripMargin),
-    // avro round-trip: identity projection — a wire-format defect would
-    // corrupt values and break the hash
-    "avro_roundtrip" -> envSql(
-      """SELECT "offset", key, value, event_type
-        |FROM envelope ORDER BY "offset"""".stripMargin),
-    // same identity oracle: the protobuf wire round-trip must be lossless
-    "proto_roundtrip" -> envSql(
-      """SELECT "offset", key, value, event_type
-        |FROM envelope ORDER BY "offset"""".stripMargin),
+    // avro round-trip: nested identity projection — a wire-format,
+    // union-branch or record/map/array nesting defect breaks the hash
+    "avro_roundtrip" -> serdeNestedOracle,
+    // same nested identity oracle: the protobuf wire round-trip (incl.
+    // submessages, map entries, packed repeated) must be lossless
+    "proto_roundtrip" -> serdeNestedOracle,
     // SpaceSaving certificate: the Metwally bounds are always-true for a
     // correct sketch, so the oracle is the exact top-10 + TRUE
     "spacesaving_topk" -> envSql(

@@ -75,6 +75,73 @@ class AvroSerdeSpec extends SparkSpec {
     assert(out === ((1L, "hi")))
   }
 
+  test("nested record: golden bytes and round-trip, name-matched per level") {
+    val schema =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"meta","type":{"type":"record","name":"m","fields":[
+        |  {"name":"lang","type":"string"},
+        |  {"name":"n","type":"int"}]}}]}""".stripMargin
+    val df = Seq((5L, "en", 2)).toDF("a", "lang", "n")
+      // nested struct deliberately field-REVERSED vs the avro schema:
+      // encoding must match by name at every level
+      .select(col("a"), struct(col("n"), col("lang")).as("meta"))
+    val bytes = df.select(AvroSerde.avro_encode(
+      struct(col("a"), col("meta")), schema).as("bin")).as[Array[Byte]].head()
+    // long 5 -> zigzag 0x0A; then inline record: string "en" (len 2 ->
+    // 0x04, 'e','n'), int 2 -> zigzag 0x04 — avro nesting has no length
+    // prefix, the record is just its fields in schema order
+    assert(bytes.toSeq === Seq(0x0A, 0x04, 'e'.toInt, 'n'.toInt, 0x04).map(_.toByte))
+    val back = Seq(bytes).toDF("bin")
+      .select(AvroSerde.avro_decode(col("bin"), schema).as("r"))
+      .select("r.a", "r.meta.lang", "r.meta.n").as[(Long, String, Int)].head()
+    assert(back === ((5L, "en", 2)))
+  }
+
+  test("arrays: golden bytes (block count + items + terminator) and round-trip") {
+    val schema =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"xs","type":{"type":"array","items":"long"}}]}""".stripMargin
+    val bytes = Seq(Tuple1(Seq(1L, 2L, 300L))).toDF("xs")
+      .select(AvroSerde.avro_encode(struct(col("xs")), schema).as("bin"))
+      .as[Array[Byte]].head()
+    // block count 3 -> zigzag 0x06; items 1,2,300 -> 0x02, 0x04, 0xD8 0x04;
+    // then the 0x00 end-of-blocks marker
+    assert(bytes.toSeq === Seq(0x06, 0x02, 0x04, 0xD8, 0x04, 0x00).map(_.toByte))
+    val back = Seq(bytes).toDF("bin")
+      .select(AvroSerde.avro_decode(col("bin"), schema).as("r"))
+      .select("r.xs").as[Seq[Long]].head()
+    assert(back === Seq(1L, 2L, 300L))
+    // empty array: just the zero block count
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("xs")
+      .select(AvroSerde.avro_encode(struct(col("xs")), schema).as("bin"))
+      .as[Array[Byte]].head()
+    assert(empty.toSeq === Seq(0x00.toByte))
+  }
+
+  test("maps and nested composites round-trip; nullable array elements") {
+    val schema =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"props","type":{"type":"map","values":"string"}},
+        |{"name":"tags","type":{"type":"array","items":["null","string"]}},
+        |{"name":"metas","type":{"type":"array","items":
+        |  {"type":"record","name":"m","fields":[{"name":"k","type":"string"},
+        |    {"name":"c","type":"long"}]}}}]}""".stripMargin
+    val df = Seq(1).toDF("one").select(
+      map(lit("a"), lit("1"), lit("b"), lit("2")).as("props"),
+      array(lit("x"), lit(null).cast("string")).as("tags"),
+      array(struct(lit("k1").as("k"), lit(7L).as("c")),
+        struct(lit("k2").as("k"), lit(9L).as("c"))).as("metas"))
+    val back = df.select(AvroSerde.avro_encode(
+        struct(col("props"), col("tags"), col("metas")), schema).as("bin"))
+      .select(AvroSerde.avro_decode(col("bin"), schema).as("r"))
+      .select("r.props", "r.tags", "r.metas")
+      .as[(Map[String, String], Seq[Option[String]], Seq[(String, Long)])].head()
+    assert(back._1 === Map("a" -> "1", "b" -> "2"))
+    assert(back._2 === Seq(Some("x"), None))
+    assert(back._3 === Seq(("k1", 7L), ("k2", 9L)))
+  }
+
   test("null in a non-nullable field fails loudly") {
     val ex = intercept[Exception] {
       Seq(Tuple2[java.lang.Long, String](null, "x")).toDF("a", "b")

@@ -85,6 +85,104 @@ class ProtoSerdeSpec extends SparkSpec {
     assert(d2.toSeq === (Seq(0x21) ++ Seq(0, 0, 0, 0, 0, 0, 0, 0x40)).map(_.toByte))
   }
 
+  test("nested message: golden wire bytes and round-trip") {
+    val nested = "1:int64:a,2:message{1:string:lang,2:int32:n}:meta"
+    val df = Seq((5L, "en", 2)).toDF("a", "lang", "n")
+      .select(col("a"), struct(col("lang"), col("n")).as("meta"))
+    val bytes = df.select(ProtoSerde.proto_encode(
+      struct(col("a"), col("meta")), nested).as("bin")).as[Array[Byte]].head()
+    // field 1 varint 5; field 2 length-delimited submessage {lang:"en", n:2}
+    assert(bytes.toSeq === Seq(0x08, 0x05, 0x12, 0x06,
+      0x0A, 0x02, 'e'.toInt, 'n'.toInt, 0x10, 0x02).map(_.toByte))
+    val back = Seq(bytes).toDF("bin")
+      .select(ProtoSerde.proto_decode(col("bin"), nested).as("r"))
+      .select("r.a", "r.meta.lang", "r.meta.n").as[(Long, String, Int)].head()
+    assert(back === ((5L, "en", 2)))
+    // absent submessage decodes NULL (presence kept)
+    val noMeta = Seq(Array[Byte](0x08, 0x07)).toDF("bin")
+      .select(ProtoSerde.proto_decode(col("bin"), nested).as("r"))
+    assert(noMeta.select("r.a").as[Long].head() === 7L)
+    assert(noMeta.filter(col("r.meta").isNull).count() === 1L)
+  }
+
+  test("repeated numeric encodes packed; decoder accepts packed AND expanded") {
+    val rspec = "1:repeated int64:xs"
+    val bytes = Seq(Tuple1(Seq(1L, 2L, 300L))).toDF("xs")
+      .select(ProtoSerde.proto_encode(struct(col("xs")), rspec).as("bin"))
+      .as[Array[Byte]].head()
+    // ONE length-delimited block: payloads 01, 02, AC 02 (proto3 packed)
+    assert(bytes.toSeq === Seq(0x0A, 0x04, 0x01, 0x02, 0xAC, 0x02).map(_.toByte))
+    def dec(b: Array[Byte]) = Seq(b).toDF("bin")
+      .select(ProtoSerde.proto_decode(col("bin"), rspec).as("r"))
+      .select("r.xs").as[Seq[Long]].head()
+    assert(dec(bytes) === Seq(1L, 2L, 300L))
+    // expanded form (one tag per element) must decode identically
+    assert(dec(Array[Byte](0x08, 0x01, 0x08, 0x02, 0x08, 0xAC.toByte, 0x02)) ===
+      Seq(1L, 2L, 300L))
+    // empty repeated: omitted on encode, decodes EMPTY (never null)
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("xs")
+      .select(ProtoSerde.proto_encode(struct(col("xs")), rspec).as("bin"))
+      .as[Array[Byte]].head()
+    assert(empty.isEmpty)
+    assert(dec(Array.emptyByteArray) === Seq.empty[Long])
+  }
+
+  test("repeated strings and repeated messages: one tag per element") {
+    val sBytes = Seq(Tuple1(Seq("ab", "c"))).toDF("ss")
+      .select(ProtoSerde.proto_encode(struct(col("ss")), "1:repeated string:ss").as("bin"))
+      .as[Array[Byte]].head()
+    assert(sBytes.toSeq === Seq(0x0A, 0x02, 'a'.toInt, 'b'.toInt,
+      0x0A, 0x01, 'c'.toInt).map(_.toByte))
+    val mspec = "1:repeated message{1:int64:id,2:string:v}:es"
+    val back = Seq(Tuple1(Seq((1L, "x"), (2L, "y")))).toDF("es")
+      .select(transform(col("es"), e =>
+        struct(e.getField("_1").as("id"), e.getField("_2").as("v"))).as("es"))
+      .select(ProtoSerde.proto_encode(struct(col("es")), mspec).as("bin"))
+      .select(ProtoSerde.proto_decode(col("bin"), mspec).as("r"))
+      .select("r.es").as[Seq[(Long, String)]].head()
+    assert(back === Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("map fields: repeated key/value entry messages, proto3 entry defaults") {
+    val mspec = "1:map{string,int64}:m"
+    val bytes = Seq(Tuple1(Map("a" -> 1L, "bc" -> 2L))).toDF("m")
+      .select(ProtoSerde.proto_encode(struct(col("m")), mspec).as("bin"))
+      .as[Array[Byte]].head()
+    assert(bytes.toSeq === Seq(
+      0x0A, 0x05, 0x0A, 0x01, 'a'.toInt, 0x10, 0x01,
+      0x0A, 0x06, 0x0A, 0x02, 'b'.toInt, 'c'.toInt, 0x10, 0x02).map(_.toByte))
+    val back = Seq(bytes).toDF("bin")
+      .select(ProtoSerde.proto_decode(col("bin"), mspec).as("r"))
+      .select("r.m").as[Map[String, Long]].head()
+    assert(back === Map("a" -> 1L, "bc" -> 2L))
+    // entry with omitted value -> proto3 default (0), omitted key -> ""
+    val sparseEntry = Array[Byte](0x0A, 0x03, 0x0A, 0x01, 'a'.toByte)
+    val defaulted = Seq(sparseEntry).toDF("bin")
+      .select(ProtoSerde.proto_decode(col("bin"), mspec).as("r"))
+      .select("r.m").as[Map[String, Long]].head()
+    assert(defaulted === Map("a" -> 0L))
+    // absent map decodes EMPTY, never null
+    val none = Seq(Array.emptyByteArray).toDF("bin")
+      .select(ProtoSerde.proto_decode(col("bin"), mspec).as("r"))
+      .select("r.m").as[Map[String, Long]].head()
+    assert(none === Map.empty[String, Long])
+  }
+
+  test("composite spec validation: nested repeated, map keys, brace balance") {
+    intercept[IllegalArgumentException] {
+      ProtoSerde.parseSpec("1:repeated repeated int64:x")
+    }
+    intercept[IllegalArgumentException] {
+      ProtoSerde.parseSpec("1:map{double,int64}:x") // float keys illegal
+    }
+    intercept[IllegalArgumentException] {
+      ProtoSerde.parseSpec("1:message{1:int64:a:x") // unbalanced braces
+    }
+    intercept[IllegalArgumentException] {
+      ProtoSerde.parseSpec("1:map{string,repeated int64}:x") // map value must be scalar/message
+    }
+  }
+
   test("spec validation: bad types, duplicate numbers, wire-type clash") {
     intercept[IllegalArgumentException] { ProtoSerde.parseSpec("1:uint128:x") }
     intercept[IllegalArgumentException] { ProtoSerde.parseSpec("1:int64:x,1:bool:y") }
