@@ -32,16 +32,28 @@ object SparkEntry {
   private def envSql(body: String): String =
     s"WITH ${Envelope.duckdbCte}\n$body"
 
-  /** Pure-SQL murmur3_32 (x86, seed 0) over ≤7-byte ASCII keys, in
+  /** Pure-SQL murmur3_32 (x86, seed 0) over ≤15-byte ASCII keys, in
     * overflow-safe 32-bit arithmetic (16-bit-split multiplies): the DuckDB
     * twin of [[graft.functions.Murmur3Pulsar.pulsar_hash]]. Shared by every
-    * oracle that must reproduce the engine's key routing. Lengths 0–3 are
-    * tail-only, 4 is one body round, 5–7 body + tail; ≥8 bytes would need
-    * a second body round whose macro expansion explodes combinatorially
-    * (each nested macro duplicates its argument), so those yield NULL —
-    * a mis-scoped key fails LOUDLY in the oracle (hash mismatch) instead
-    * of silently diverging. Test keys (user ids, consumer-point names)
-    * are ≤7 bytes up to sf 1.0. */
+    * oracle that must reproduce the engine's key routing.
+    *
+    * Two macro families, SAME math:
+    *  - PLAIN macros (rotl32/mmix/fmixx…) expand textually, duplicating
+    *    every argument — combinatorial growth, but required inside
+    *    list_transform lambdas where DuckDB forbids subqueries. mm3_i4
+    *    (the sign-LSH hyperplane derivation) stays on these, one body
+    *    round, small tree.
+    *  - STAGED macros (_s suffix) bind each intermediate ONCE via a
+    *    scalar subquery alias, so expansion is linear — this is what
+    *    makes body rounds 2 and 3 (8–15 byte keys) bindable at all; the
+    *    plain-nested form of round 3 never finishes binding. mm3_8 runs
+    *    entirely on these.
+    *
+    * Lengths 0–3 tail-only, 4 one round, 5–7 round+tail, 8 two rounds,
+    * 9–11 two rounds+tail, 12 three rounds, 13–15 three rounds+tail;
+    * ≥16 yields NULL — a mis-scoped key fails LOUDLY in the oracle
+    * (hash mismatch) instead of silently diverging. The hash_wide query
+    * replays widths 1–15 against the engine per round. */
   private val mm3Macros: String =
     """CREATE OR REPLACE MACRO mul32(a, bl, bh) AS (((a * bl) + (((a * bh) & 65535) << 16)) & 4294967295);
       |CREATE OR REPLACE MACRO rotl32(x, r) AS (((x << r) | (x >> (32 - r))) & 4294967295);
@@ -49,15 +61,29 @@ object SparkEntry {
       |CREATE OR REPLACE MACRO fmix1(h0) AS (mul32(xor(h0, h0 >> 16), 51819, 34283));
       |CREATE OR REPLACE MACRO fmix2(h1) AS (mul32(xor(h1, h1 >> 13), 44597, 49842));
       |CREATE OR REPLACE MACRO fmixx(h0) AS (xor(fmix2(fmix1(h0)), fmix2(fmix1(h0)) >> 16));
+      |CREATE OR REPLACE MACRO rotl32_s(x, r) AS ((SELECT ((xx << r) | (xx >> (32 - r))) & 4294967295 FROM (SELECT x AS xx) t));
+      |CREATE OR REPLACE MACRO mmix_s(k) AS ((SELECT mul32(rotl32_s(mul32(kk, 11601, 52382), 15), 13715, 7047) FROM (SELECT k AS kk) t));
+      |CREATE OR REPLACE MACRO fmixx_s(h0) AS ((SELECT xor(f2, f2 >> 16) FROM (SELECT fmix2(fmix1(h0)) AS f2) t));
       |CREATE OR REPLACE MACRO strbytes(s, i) AS (CASE WHEN length(s) >= i THEN CAST(ord(substr(s, i, 1)) AS BIGINT) ELSE CAST(0 AS BIGINT) END);
       |CREATE OR REPLACE MACRO chunk1(s) AS (strbytes(s,1) + (strbytes(s,2) << 8) + (strbytes(s,3) << 16) + (strbytes(s,4) << 24));
+      |CREATE OR REPLACE MACRO chunk2(s) AS (strbytes(s,5) + (strbytes(s,6) << 8) + (strbytes(s,7) << 16) + (strbytes(s,8) << 24));
+      |CREATE OR REPLACE MACRO chunk3(s) AS (strbytes(s,9) + (strbytes(s,10) << 8) + (strbytes(s,11) << 16) + (strbytes(s,12) << 24));
       |CREATE OR REPLACE MACRO tail1(s) AS (strbytes(s,1) + (strbytes(s,2) << 8) + (strbytes(s,3) << 16));
       |CREATE OR REPLACE MACRO tail2(s) AS (strbytes(s,5) + (strbytes(s,6) << 8) + (strbytes(s,7) << 16));
-      |CREATE OR REPLACE MACRO h1body(s) AS (((rotl32(mmix(chunk1(s)), 13) * 5) + 3864292196) & 4294967295);
+      |CREATE OR REPLACE MACRO tail3(s) AS (strbytes(s,9) + (strbytes(s,10) << 8) + (strbytes(s,11) << 16));
+      |CREATE OR REPLACE MACRO tail4(s) AS (strbytes(s,13) + (strbytes(s,14) << 8) + (strbytes(s,15) << 16));
+      |CREATE OR REPLACE MACRO h1round_s(h, k) AS ((SELECT ((rotl32_s(xor(hh, mmix_s(k)), 13) * 5) + 3864292196) & 4294967295 FROM (SELECT h AS hh) t));
+      |CREATE OR REPLACE MACRO h1body(s) AS (h1round_s(CAST(0 AS BIGINT), chunk1(s)));
+      |CREATE OR REPLACE MACRO h1b2(s) AS (h1round_s(h1body(s), chunk2(s)));
+      |CREATE OR REPLACE MACRO h1b3(s) AS (h1round_s(h1b2(s), chunk3(s)));
       |CREATE OR REPLACE MACRO mm3_8(s) AS ((
-      |  CASE WHEN length(s) <= 3 THEN fmixx(xor(xor(CAST(0 AS BIGINT), mmix(tail1(s))), length(s)))
-      |       WHEN length(s) = 4 THEN fmixx(xor(h1body(s), 4))
-      |       WHEN length(s) <= 7 THEN fmixx(xor(xor(h1body(s), mmix(tail2(s))), length(s)))
+      |  CASE WHEN length(s) <= 3 THEN fmixx_s(xor(xor(CAST(0 AS BIGINT), mmix_s(tail1(s))), length(s)))
+      |       WHEN length(s) = 4 THEN fmixx_s(xor(h1body(s), 4))
+      |       WHEN length(s) <= 7 THEN fmixx_s(xor(xor(h1body(s), mmix_s(tail2(s))), length(s)))
+      |       WHEN length(s) = 8 THEN fmixx_s(xor(h1b2(s), 8))
+      |       WHEN length(s) <= 11 THEN fmixx_s(xor(xor(h1b2(s), mmix_s(tail3(s))), length(s)))
+      |       WHEN length(s) = 12 THEN fmixx_s(xor(h1b3(s), 12))
+      |       WHEN length(s) <= 15 THEN fmixx_s(xor(xor(h1b3(s), mmix_s(tail4(s))), length(s)))
       |       ELSE NULL
       |  END) & 2147483647);
       |CREATE OR REPLACE MACRO h1body_i(k) AS (((rotl32(mmix(CAST(k AS BIGINT)), 13) * 5) + 3864292196) & 4294967295);
@@ -980,6 +1006,25 @@ object SparkEntry {
         max("slot").cast("bigint").as("max_slot"))
       .orderBy("consumer_id")
 
+  /** §2.10 hash parity across EVERY supported key width: each distinct
+    * (key, event_type) pair spawns prefixes of length 1–15 of a padded
+    * compound key, hashing all seven murmur3 length regimes (tail-only,
+    * 1/2/3 body rounds, each ± tail) through the Catalyst kernel; the
+    * oracle recomputes them with the staged mm3_8 macros. This is what
+    * future-proofs every key-routed oracle past 7-byte keys (sf>1 key
+    * widths). */
+  private def qHashWide(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(col("key"), lit("#"), col("event_type"),
+      lit("~abcdefghijklmnop"))
+    env(s, dir).select(col(Envelope.Key).as("key"), col("event_type")).distinct()
+      .select(col("key"), col("event_type"),
+        explode(sequence(lit(1), lit(15))).as("n"))
+      .select(col("key"), col("event_type"), col("n").cast("bigint").as("n"),
+        base.substr(lit(1), col("n")).as("wk"))
+      .withColumn("h", Murmur3Pulsar.pulsar_hash(col("wk")).cast("bigint"))
+      .orderBy("key", "event_type", "n")
+  }
+
   // =====================================================================
   // LLM-pipeline extension operators (BASELINE.json north star)
   // =====================================================================
@@ -1434,6 +1479,7 @@ object SparkEntry {
     "keyshared_rebalance" -> (qKeySharedRebalance _),
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
+    "hash_wide" -> (qHashWide _),
     "shared_priority" -> (qSharedPriority _),
     "failover_assign" -> (qFailover _),
     "cdc_apply" -> (qCdcApply _),
@@ -1736,6 +1782,19 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
         |  MIN(slot) AS min_slot, MAX(slot) AS max_slot
         |FROM slots GROUP BY consumer_id ORDER BY consumer_id""".stripMargin),
+    // every murmur3 length regime (0-3 tail-only, 4/8/12 pure rounds,
+    // 5-7/9-11/13-15 rounds+tail) hashed by BOTH engines, bit-for-bit
+    "hash_wide" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), uniq AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS key, event_type FROM ev
+        |), wide AS (
+        |  SELECT key, event_type, CAST(n AS BIGINT) AS n,
+        |    substr(key || '#' || event_type || '~abcdefghijklmnop', 1, CAST(n AS INT)) AS wk
+        |  FROM uniq CROSS JOIN range(1, 16) t(n))
+        |SELECT key, event_type, n, wk, CAST(mm3_8(wk) AS BIGINT) AS h
+        |FROM wide ORDER BY key, event_type, n""".stripMargin),
     "keyshared_assign" -> (mm3Macros +
       """WITH ev AS (
         |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
