@@ -402,6 +402,27 @@ object SparkEntry {
     Compaction.tableView(env(s, dir), "event_type", "metric_value")
       .orderBy("event_type")
 
+  /** §2.1 TableView on the STREAMING path: the envelope runs through
+    * readStream → groupBy/max_by → complete-mode memory sink, with
+    * `processAllAvailable()` as the TableView.refresh barrier
+    * (TableViewImpl.refreshAsync:138); the converged table must equal
+    * the batch `tableview` result row-for-row, so the whole streaming
+    * machinery (source schema pin, state store, complete-mode sink)
+    * sits under the same DuckDB oracle as the batch twin. */
+  private def qTableViewStream(s: SparkSession, dir: String): DataFrame = {
+    val viewName = "graft_tv_stream_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val ckpt = java.nio.file.Files.createTempDirectory("tv-stream-ckpt").toString
+    val q = graft.streaming.StreamOps.tableViewQuery(
+      Envelope.fromEventsStream(s, dir), viewName, ckpt,
+      keyCol = "event_type", valueCol = "metric_value")
+    try q.processAllAvailable() finally q.stop()
+    s.table(viewName)
+      .filter(col("metric_value").isNotNull)
+      .select(col("event_type"), col("metric_value"))
+      .orderBy("event_type")
+  }
+
   /** §2.8 producer-sequence dedup (effectively-once produce). */
   private def qDedupSeq(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupBatch(env(s, dir))
@@ -950,6 +971,30 @@ object SparkEntry {
       .orderBy("key")
   }
 
+  /** Canal binlog CDC apply with position-watermark resume: the envelope
+    * becomes a position-stamped change stream (file = offset div 300,
+    * pos within file — bijective with offset, so binlog order IS commit
+    * order), a fixed resume watermark (mysql-bin.000001, 600) drops the
+    * already-acked prefix, and last-writer-wins per pk materializes the
+    * table. The oracle replays the identical file/pos arithmetic,
+    * watermark filter and DELETE handling in SQL. */
+  private def qCanalApply(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    val changes = e.select(
+      col(Envelope.Key).as("pk"),
+      concat(lit("mysql-bin."),
+        lpad((col(Envelope.Offset) / 300).cast("int").cast("string"), 6, "0"))
+        .as("binlog_file"),
+      ((col(Envelope.Offset) % 300) * 4 + 4).cast("bigint").as("binlog_pos"),
+      when(col(Envelope.Value).isNull, lit("DELETE"))
+        .otherwise(when(col(Envelope.Offset) % 3 === 0, lit("INSERT"))
+          .otherwise(lit("UPDATE"))).as("change_type"),
+      col(Envelope.Value).as("data"))
+    graft.sources.Connectors.canalApply(changes,
+        resumeFile = "mysql-bin.000001", resumePos = 600L)
+      .orderBy("pk")
+  }
+
   /** §2.10 Failover dispatch, oracle-checked: only the HIGHEST-priority
     * tier serves (lower level = higher priority), partitions spread over
     * the tier in lexicographic name order (ConsumerBuilder.java:551-569).
@@ -1451,6 +1496,7 @@ object SparkEntry {
     "compaction_publish" -> (qCompactionPublish _),
     "compaction_eventtime" -> (qCompactionEventTime _),
     "tableview" -> (qTableView _),
+    "tableview_stream" -> (qTableViewStream _),
     "dedup_seq" -> (qDedupSeq _),
     "dedup_stats" -> (qDedupStats _),
     "delayed_due" -> (qDelayedDue _),
@@ -1483,6 +1529,7 @@ object SparkEntry {
     "shared_priority" -> (qSharedPriority _),
     "failover_assign" -> (qFailover _),
     "cdc_apply" -> (qCdcApply _),
+    "canal_apply" -> (qCanalApply _),
     "frame_sample" -> (qFrameSample _),
     "producer_batches" -> (qProducerBatches _),
     "keyshared_autosplit" -> (qKeySharedAutoSplit _),
@@ -1636,6 +1683,14 @@ object SparkEntry {
         |  FROM envelope) t
         |WHERE rn = 1 AND value IS NOT NULL ORDER BY key""".stripMargin),
     "tableview" -> envSql(
+      """SELECT event_type, metric_value FROM (
+        |  SELECT event_type, metric_value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY "offset" DESC) AS rn
+        |  FROM envelope) t
+        |WHERE rn = 1 AND metric_value IS NOT NULL ORDER BY event_type""".stripMargin),
+    // the STREAMING TableView must converge to the same end state as the
+    // batch view — identical oracle
+    "tableview_stream" -> envSql(
       """SELECT event_type, metric_value FROM (
         |  SELECT event_type, metric_value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY "offset" DESC) AS rn
@@ -1924,6 +1979,30 @@ object SparkEntry {
         |  "offset" AS as_of_offset, value AS after
         |FROM latest WHERE rn = 1 AND value IS NOT NULL
         |ORDER BY key""".stripMargin),
+    // canal FlatMessage apply: identical file/pos arithmetic, the resume
+    // watermark drops the acked prefix, last write per pk wins, DELETE
+    // removes — replayed entirely in SQL
+    "canal_apply" -> envSql(
+      """, ch AS (
+        |  SELECT key AS pk,
+        |    'mysql-bin.' || lpad(CAST("offset" // 300 AS VARCHAR), 6, '0') AS binlog_file,
+        |    CAST(("offset" % 300) * 4 + 4 AS BIGINT) AS binlog_pos,
+        |    CASE WHEN value IS NULL THEN 'DELETE'
+        |         WHEN "offset" % 3 = 0 THEN 'INSERT' ELSE 'UPDATE' END AS change_type,
+        |    value AS data
+        |  FROM envelope),
+        |applied AS (
+        |  SELECT * FROM ch
+        |  WHERE binlog_file > 'mysql-bin.000001'
+        |     OR (binlog_file = 'mysql-bin.000001' AND binlog_pos > 600)),
+        |last AS (
+        |  SELECT pk, change_type, data, binlog_file, binlog_pos,
+        |    ROW_NUMBER() OVER (PARTITION BY pk
+        |      ORDER BY binlog_file DESC, binlog_pos DESC) AS rn
+        |  FROM applied)
+        |SELECT pk, change_type, data, binlog_file, binlog_pos
+        |FROM last WHERE rn = 1 AND change_type <> 'DELETE'
+        |ORDER BY pk""".stripMargin),
     // active tier RECOMPUTED from the (name, priority) table: min
     // priority wins, lexicographic spread over partitions — the standby
     // consumer must appear in neither result

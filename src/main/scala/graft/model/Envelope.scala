@@ -78,8 +78,27 @@ object Envelope {
     // timestamp type, so read it as a long and truncate to microseconds —
     // the DuckDB oracle CTE applies the identical epoch_ns // 1000.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    project(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** [[fromEvents]] as a STREAMING source: the same envelope projection
+    * over `readStream` (schema pinned from a batch peek), so streaming
+    * operators can run against the identical deterministic fixture and
+    * be oracle-compared to their batch twins. */
+  def fromEventsStream(spark: SparkSession, sfDir: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // events.parquet is a single FILE; the streaming file source wants a
+    // directory, so stream the sf dir filtered down to just that file
+    project(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir))
+  }
+
+  private def project(raw: DataFrame): DataFrame = {
+    val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     ev.select(
       lit("persistent://public/default/events").as(Topic),
       (col("user_id") % 4).cast(IntegerType).as(Partition),

@@ -275,6 +275,46 @@ object Connectors {
       .withColumn("after", get_json_object(col("_cdc"), "$.after"))
       .drop("_cdc")
 
+  /**
+   * Canal binlog CDC apply with POSITION-WATERMARK RESUME — the one
+   * connector semantic distinct from the Debezium envelope (reference
+   * pulsar-io/canal/.../CanalAbstractSource.java:113-131: getWithoutAck
+   * batches carry a monotonic id surfaced as CanalRecord.getRecordSequence;
+   * ack moves the stored binlog position, so a restarted source resumes
+   * strictly AFTER the last acked position — never re-applying, never
+   * skipping). Change rows carry the public canal FlatMessage fields
+   * (MessageUtils.java:100-160): binlog file + position, change type
+   * INSERT/UPDATE/DELETE, pk, row data.
+   *
+   * This operator applies exactly the rows whose (binlog_file,
+   * binlog_pos) exceed the resume watermark — lexicographic file order
+   * then numeric position, MySQL's own binlog ordering — last-writer-
+   * wins per pk in binlog order; a final DELETE removes the key. Output
+   * carries each key's applied (file, pos) so `SELECT max(...)` over it
+   * IS the next ack watermark.
+   *
+   * Scale shape: the watermark is a pushed-down filter (binlog file is
+   * a natural partition column for an archived change log — the filter
+   * prunes whole files); then ONE hash aggregation keyed on pk, no
+   * window sort, no driver loops — same shape as [[cdcApply]].
+   */
+  def canalApply(changes: DataFrame,
+                 resumeFile: String = "", resumePos: Long = -1L,
+                 fileCol: String = "binlog_file", posCol: String = "binlog_pos",
+                 pkCol: String = "pk", typeCol: String = "change_type",
+                 dataCol: String = "data"): DataFrame =
+    changes.filter(
+        (col(fileCol) > resumeFile) ||
+        (col(fileCol) === resumeFile && col(posCol) > resumePos))
+      .groupBy(col(pkCol))
+      .agg(max_by(
+        struct(col(typeCol).as("t"), col(dataCol).as("d"),
+          col(fileCol).as("f"), col(posCol).as("p")),
+        struct(col(fileCol), col(posCol))).as("_last"))
+      .filter(col("_last.t") =!= "DELETE")
+      .select(col(pkCol), col("_last.t").as(typeCol), col("_last.d").as(dataCol),
+        col("_last.f").as(fileCol), col("_last.p").as(posCol))
+
   /** Write modes of the JDBC sink (reference
     * pulsar-io/jdbc/core/.../JdbcAbstractSink.java:52 INSERT/UPSERT/DELETE
     * mutation routing). */

@@ -280,6 +280,56 @@ class ConnectorsSpec extends SparkSpec {
     // r2 deleted, r4 unparseable (op null) -> neither materializes
   }
 
+  test("canalApply: position-stamped replay resumes after the ack watermark, no re-apply, no skips") {
+    def row(pk: String, file: String, pos: Long, t: String, d: String) =
+      (pk, file, pos, t, d)
+    // epoch 1: binlog file 000000 fully acked at (000000, 400)
+    val epoch1 = Seq(
+      row("u1", "mysql-bin.000000", 100L, "INSERT", """{"v":1}"""),
+      row("u2", "mysql-bin.000000", 200L, "INSERT", """{"v":2}"""),
+      row("u1", "mysql-bin.000000", 300L, "UPDATE", """{"v":10}"""),
+      row("u3", "mysql-bin.000000", 400L, "INSERT", """{"v":3}"""))
+    // epoch 2 (after restart): new file + a tail of file 000000 that was
+    // NOT yet acked (pos 500) — must still apply
+    val epoch2 = Seq(
+      row("u2", "mysql-bin.000000", 500L, "DELETE", null),
+      row("u1", "mysql-bin.000001", 50L, "UPDATE", """{"v":11}"""),
+      row("u4", "mysql-bin.000001", 60L, "INSERT", """{"v":4}"""))
+    val full = (epoch1 ++ epoch2)
+      .toDF("pk", "binlog_file", "binlog_pos", "change_type", "data")
+
+    // cold start (no watermark): the whole log materializes
+    val cold = graft.sources.Connectors.canalApply(full)
+      .select("pk", "data").as[(String, String)].collect().toSet
+    assert(cold == Set(("u1", """{"v":11}"""), ("u3", """{"v":3}"""),
+      ("u4", """{"v":4}"""))) // u2 deleted
+
+    // restart from the acked position: exactly the unacked suffix applies
+    val resumed = graft.sources.Connectors.canalApply(full,
+        resumeFile = "mysql-bin.000000", resumePos = 400L)
+      .select("pk", "change_type", "data", "binlog_file", "binlog_pos")
+      .as[(String, String, String, String, Long)].collect().toSet
+    assert(resumed == Set(
+      ("u1", "UPDATE", """{"v":11}""", "mysql-bin.000001", 50L),
+      ("u4", "INSERT", """{"v":4}""", "mysql-bin.000001", 60L)))
+    // u2's DELETE at (000000, 500) > watermark: applied (key absent);
+    // nothing at or before (000000, 400) re-applied — u3 untouched
+    assert(!resumed.exists(_._1 == "u2") && !resumed.exists(_._1 == "u3"))
+
+    // resumed delta == applying only the unacked suffix (restart parity)
+    val suffixOnly = graft.sources.Connectors.canalApply(
+        epoch2.toDF("pk", "binlog_file", "binlog_pos", "change_type", "data"))
+      .select("pk", "change_type", "data", "binlog_file", "binlog_pos")
+      .as[(String, String, String, String, Long)].collect().toSet
+    assert(resumed == suffixOnly)
+
+    // the output's max (file, pos) IS the next ack watermark
+    val wm = graft.sources.Connectors.canalApply(full)
+      .agg(max(struct(col("binlog_file"), col("binlog_pos"))).as("w"))
+      .select("w.binlog_file", "w.binlog_pos").as[(String, Long)].head()
+    assert(wm == (("mysql-bin.000001", 60L)))
+  }
+
   // ---- elasticsearch sink (bulk/action plumbing; fake transport) ----
 
   test("elasticsearch sink: bulk actions, null-value delete, malformed routing, per-key order") {
