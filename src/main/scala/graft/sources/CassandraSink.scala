@@ -1,10 +1,8 @@
 package graft.sources
 
 import graft.log.TopicLog
-import graft.model.Envelope
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /**
  * Topic → Cassandra sink (reference pulsar-io/cassandra/.../
@@ -60,35 +58,14 @@ object CassandraSink {
                            keyCol: String, valueCol: String,
                            transport: (String, Seq[String]) => Unit,
                            checkpoint: String): StreamingQuery = {
-    // validate at wiring time, not first microbatch
-    insertCql(keyspace, table, keyCol, valueCol): Unit
-    val spark = topic.spark
-    spark.readStream
-      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
-      .parquet(topic.name.path(topic.root))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val hw = topic.highWater()
-        val committed =
-          if (hw.isEmpty) batch.limit(0)
-          else batch.filter(hw.map { case (p, o) =>
-            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
-          }.reduce(_ || _))
-        val ins = insertCql(keyspace, table, keyCol, valueCol)
-        val del = deleteCql(keyspace, table, keyCol)
-        committed
-          .select(col(Envelope.Key), col(Envelope.Value),
-            col(Envelope.Offset).as("_apply_order"))
-          .repartition(col(Envelope.Key))
-          .sortWithinPartitions(col(Envelope.Key), col("_apply_order"))
-          .select(Envelope.Key, Envelope.Value)
-          .rdd.foreachPartition { rows =>
-            flushPartition(rows, ins, del, transport)
-          }
-      }
-      .start()
+    // identifier validation happens here, at wiring time — not first batch
+    val ins = insertCql(keyspace, table, keyCol, valueCol)
+    val del = deleteCql(keyspace, table, keyCol)
+    // groupKeyRuns: a key's rows must be CONSECUTIVE so its microbatch
+    // updates fold into one atomic single-partition UNLOGGED BATCH
+    SinkHarness.startKeyed(topic, checkpoint, groupKeyRuns = true) { rows =>
+      flushPartition(rows, ins, del, transport)
+    }
   }
 
   /** Executor-side writer: runs of one key → one atomic batch. */

@@ -1,10 +1,8 @@
 package graft.sources
 
 import graft.log.TopicLog
-import graft.model.Envelope
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /**
  * Topic → Elasticsearch sink (reference pulsar-io/elastic-search/.../
@@ -128,32 +126,10 @@ object ElasticSink {
                          checkpoint: String,
                          batchSize: Int = 500): StreamingQuery = {
     checkIndexName(index): Unit
-    val spark = topic.spark
-    spark.readStream
-      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
-      .parquet(topic.name.path(topic.root))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hw = topic.highWater()
-        val committed =
-          if (hw.isEmpty) batch.limit(0)
-          else batch.filter(hw.map { case (p, o) =>
-            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
-          }.reduce(_ || _))
-        committed
-          .select(col(Envelope.Key), col(Envelope.Value),
-            col(Envelope.Offset).as("_apply_order"))
-          .repartition(col(Envelope.Key))
-          .sortWithinPartitions(col("_apply_order"))
-          .select(Envelope.Key, Envelope.Value)
-          .rdd.foreachPartition { rows =>
-            flushPartition(rows, index, transport, nullAction,
-              malformedAction, batchSize)
-          }
-      }
-      .start()
+    SinkHarness.startKeyed(topic, checkpoint) { rows =>
+      flushPartition(rows, index, transport, nullAction,
+        malformedAction, batchSize)
+    }
   }
 
   /** Executor-side partition writer: `batchSize` actions per POST. */

@@ -1,10 +1,8 @@
 package graft.sources
 
 import graft.log.TopicLog
-import graft.model.Envelope
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -83,32 +81,10 @@ object HttpSink {
                       sleeper: Long => Unit = Thread.sleep): StreamingQuery = {
     require(batchRecords >= 1 && batchBytes >= 1 && maxAttempts >= 1,
       "batchRecords/batchBytes/maxAttempts must be >= 1")
-    val spark = topic.spark
-    spark.readStream
-      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
-      .parquet(topic.name.path(topic.root))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val hw = topic.highWater()
-        val committed =
-          if (hw.isEmpty) batch.limit(0)
-          else batch.filter(hw.map { case (p, o) =>
-            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
-          }.reduce(_ || _))
-        committed
-          .select(col(Envelope.Key), col(Envelope.Value),
-            col(Envelope.Offset).as("_apply_order"))
-          .repartition(col(Envelope.Key))
-          .sortWithinPartitions(col("_apply_order"))
-          .select(Envelope.Key, Envelope.Value)
-          .rdd.foreachPartition { rows =>
-            flushPartition(rows, transport, batchRecords, batchBytes,
-              maxAttempts, backoffBaseMillis, sleeper)
-          }
-      }
-      .start()
+    SinkHarness.startKeyed(topic, checkpoint) { rows =>
+      flushPartition(rows, transport, batchRecords, batchBytes,
+        maxAttempts, backoffBaseMillis, sleeper)
+    }
   }
 
   private def flushPartition(rows: Iterator[Row],

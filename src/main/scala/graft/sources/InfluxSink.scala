@@ -4,7 +4,7 @@ import graft.log.TopicLog
 import graft.model.Envelope
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{BooleanType, ByteType, IntegerType, LongType, ShortType, StringType}
 
 /**
@@ -100,20 +100,9 @@ object InfluxSink {
                         batchSize: Int = 1000): StreamingQuery = {
     require(fieldSpecs.nonEmpty, "fieldSpecs must name at least one field")
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    val spark = topic.spark
-    spark.readStream
-      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
-      .parquet(topic.name.path(topic.root))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hw = topic.highWater()
-        val committed =
-          if (hw.isEmpty) batch.limit(0)
-          else batch.filter(hw.map { case (p, o) =>
-            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
-          }.reduce(_ || _))
+    // points are timestamped and idempotent in influx (same line replays
+    // to the same point), so no keyed layout — just the committed rows
+    SinkHarness.start(topic, checkpoint) { committed =>
         val typed = committed.select(
           Seq(col(Envelope.Partition), col(Envelope.Key),
             (unix_micros(col(Envelope.PublishTime)) * 1000L).as("_ts_ns")) ++
@@ -137,7 +126,6 @@ object InfluxSink {
           rows.foreach { r => buf += r.getString(0); if (buf.length >= batchSize) flush() }
           flush()
         }
-      }
-      .start()
+    }
   }
 }

@@ -1,10 +1,8 @@
 package graft.sources
 
 import graft.log.TopicLog
-import graft.model.Envelope
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /**
  * Topic → MongoDB sink (reference pulsar-io/mongo/.../MongoSink.java:63
@@ -93,31 +91,9 @@ object MongoSink {
                        batchSize: Int = 500): StreamingQuery = {
     checkCollection(collection): Unit
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    val spark = topic.spark
-    spark.readStream
-      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
-      .parquet(topic.name.path(topic.root))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val hw = topic.highWater()
-        val committed =
-          if (hw.isEmpty) batch.limit(0)
-          else batch.filter(hw.map { case (p, o) =>
-            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
-          }.reduce(_ || _))
-        committed
-          .select(col(Envelope.Key), col(Envelope.Value),
-            col(Envelope.Offset).as("_apply_order"))
-          .repartition(col(Envelope.Key))
-          .sortWithinPartitions(col("_apply_order"))
-          .select(Envelope.Key, Envelope.Value)
-          .rdd.foreachPartition { rows =>
-            flushPartition(rows, collection, transport, batchSize)
-          }
-      }
-      .start()
+    SinkHarness.startKeyed(topic, checkpoint) { rows =>
+      flushPartition(rows, collection, transport, batchSize)
+    }
   }
 
   /** Executor-side writer: consecutive same-kind ops batch into one

@@ -1,10 +1,8 @@
 package graft.sources
 
 import graft.log.TopicLog
-import graft.model.Envelope
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
@@ -152,32 +150,10 @@ object RabbitSink {
                         maxAttempts: Int = 3): StreamingQuery = {
     require(batchSize >= 1 && maxAttempts >= 1, "batchSize/maxAttempts must be >= 1")
     shortStr(exchange): Unit // validate early
-    val spark = topic.spark
-    spark.readStream
-      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
-      .parquet(topic.name.path(topic.root))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val hw = topic.highWater()
-        val committed =
-          if (hw.isEmpty) batch.limit(0)
-          else batch.filter(hw.map { case (p, o) =>
-            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
-          }.reduce(_ || _))
-        committed
-          .select(col(Envelope.Key), col(Envelope.Value),
-            col(Envelope.Offset).as("_apply_order"))
-          .repartition(col(Envelope.Key))
-          .sortWithinPartitions(col("_apply_order"))
-          .select(Envelope.Key, Envelope.Value)
-          .rdd.foreachPartition { rows =>
-            flushPartition(rows, exchange, transport, frameMax, persistent,
-              batchSize, maxAttempts)
-          }
-      }
-      .start()
+    SinkHarness.startKeyed(topic, checkpoint) { rows =>
+      flushPartition(rows, exchange, transport, frameMax, persistent,
+        batchSize, maxAttempts)
+    }
   }
 
   private def flushPartition(rows: Iterator[Row], exchange: String,

@@ -1,10 +1,8 @@
 package graft.sources
 
 import graft.log.TopicLog
-import graft.model.Envelope
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -73,31 +71,9 @@ object RedisSink {
                        batchSize: Int = 200): StreamingQuery = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     ttlSeconds.foreach(t => require(t > 0, s"ttlSeconds must be positive, got $t"))
-    val spark = topic.spark
-    spark.readStream
-      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
-      .parquet(topic.name.path(topic.root))
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val hw = topic.highWater()
-        val committed =
-          if (hw.isEmpty) batch.limit(0)
-          else batch.filter(hw.map { case (p, o) =>
-            (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
-          }.reduce(_ || _))
-        committed
-          .select(col(Envelope.Key), col(Envelope.Value),
-            col(Envelope.Offset).as("_apply_order"))
-          .repartition(col(Envelope.Key))
-          .sortWithinPartitions(col("_apply_order"))
-          .select(Envelope.Key, Envelope.Value)
-          .rdd.foreachPartition { rows =>
-            flushPartition(rows, transport, ttlSeconds, batchSize)
-          }
-      }
-      .start()
+    SinkHarness.startKeyed(topic, checkpoint) { rows =>
+      flushPartition(rows, transport, ttlSeconds, batchSize)
+    }
   }
 
   /** Executor-side partition writer: `batchSize` commands per pipeline. */
