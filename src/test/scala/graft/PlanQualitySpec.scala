@@ -108,6 +108,20 @@ class PlanQualitySpec extends SparkSpec {
       "CDC apply must stay a single hash aggregation")
   }
 
+  test("canal_apply: watermark filter below one partial max_by aggregation, no window, no join") {
+    val p = plan("canal_apply")
+    assert(p.contains("partial_max_by"), "map-side combine missing")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "canal apply must stay a single hash aggregation")
+    // the resume watermark must be applied BEFORE the exchange (it is a
+    // row filter on the scan side, not a post-aggregation filter)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val filterIdx = p.indexOf("mysql-bin.000001")
+    assert(filterIdx > exchangeIdx && exchangeIdx >= 0,
+      "watermark filter must sit under the exchange (plan prints top-down)")
+  }
+
   test("hash-fraction sampling stays a pure pushed filter (no exchange)") {
     val p = plan("sample_hash")
     // the sample itself adds no shuffle; the query's own aggregate may —
