@@ -157,6 +157,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nested proto + avro roundtrips are identity over random nested values (5 seeds)") {
+    import graft.functions.{AvroSerde, ProtoSerde}
+    val pspec = "1:int64:a,2:string:s," +
+      "3:message{1:string:lang,2:int64:n}:meta," +
+      "4:map{string,string}:props,5:repeated int64:ids"
+    val aschema =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"s","type":"string"},
+        |{"name":"meta","type":{"type":"record","name":"m","fields":[
+        |  {"name":"lang","type":"string"},{"name":"n","type":"long"}]}},
+        |{"name":"props","type":{"type":"map","values":"string"}},
+        |{"name":"ids","type":{"type":"array","items":"long"}}]}""".stripMargin
+    for (seed <- 70L to 74L) {
+      val rnd = new scala.util.Random(seed)
+      def str() = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val rows = (0 until 200).map { i =>
+        (rnd.nextLong(), str(), str(), rnd.nextLong(),
+          (0 until rnd.nextInt(4)).map(j => s"k$j" -> str()).toMap,
+          Seq.fill(rnd.nextInt(5))(rnd.nextLong()))
+      }
+      val df = rows.toDF("a", "s", "lang", "n", "props", "ids")
+        .select(col("a"), col("s"),
+          struct(col("lang"), col("n")).as("meta"), col("props"), col("ids"))
+      def flat(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("a"), col("s"), col("meta.lang"), col("meta.n"),
+          map_entries(col("props")).cast("array<struct<k:string,v:string>>").as("pe"),
+          col("ids"))
+        .withColumn("pe", array_sort(col("pe")))
+        .as[(Long, String, String, Long, Seq[(String, String)], Seq[Long])]
+        .collect().toSeq.sortBy(_._1)
+      val expected = flat(df)
+      val viaProto = flat(df.select(ProtoSerde.proto_decode(
+        ProtoSerde.proto_encode(struct(df.columns.map(col).toIndexedSeq: _*), pspec),
+        pspec).as("r")).select("r.*"))
+      assert(viaProto == expected, s"proto roundtrip diverged, seed $seed")
+      val viaAvro = flat(df.select(AvroSerde.avro_decode(
+        AvroSerde.avro_encode(struct(df.columns.map(col).toIndexedSeq: _*), aschema),
+        aschema).as("r")).select("r.*"))
+      assert(viaAvro == expected, s"avro roundtrip diverged, seed $seed")
+    }
+  }
+
   test("stratified sample: exact ceil(frac*n) per stratum for random fraction maps (5 seeds)") {
     for (seed <- 50L to 54L) {
       val rnd = new scala.util.Random(seed)
