@@ -531,6 +531,29 @@ object SparkEntry {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** §2.5 tumbling windows on the STREAMING path: the same windowed
+    * aggregation as [[qWindowTumbling]] run as an actual streaming
+    * query (complete-mode memory sink, processAllAvailable barrier) —
+    * stateful streaming window aggregation must converge to the batch
+    * result row-for-row under the same oracle. */
+  private def qWindowTumblingStream(s: SparkSession, dir: String): DataFrame = {
+    val viewName = "graft_wt_stream_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val ckpt = java.nio.file.Files.createTempDirectory("wt-stream-ckpt").toString
+    val agg = Windows.tumbling(Envelope.fromEventsStream(s, dir),
+      Envelope.EventTime, "1 hour",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).cast("bigint").as("n"),
+        sum(dec(col("metric_value"))).cast("double").as("sum_value")))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(viewName).option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(viewName)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   /** §2.5 sliding 1h/30m window per event_type. */
   private def qWindowSliding(s: SparkSession, dir: String): DataFrame =
     Windows.sliding(env(s, dir), Envelope.EventTime, "1 hour", "30 minutes",
@@ -1508,6 +1531,7 @@ object SparkEntry {
     "dlq_route" -> (qDlqRoute _),
     "replication_filter" -> (qReplication _),
     "window_tumbling" -> (qWindowTumbling _),
+    "window_tumbling_stream" -> (qWindowTumblingStream _),
     "window_sliding" -> (qWindowSliding _),
     "window_count" -> (qWindowCount _),
     "window_count_sliding" -> (qWindowCountSliding _),
@@ -1760,6 +1784,13 @@ object SparkEntry {
         |  AND (replicated_from IS NULL OR replicated_from <> 'cluster-0')
         |GROUP BY replicated_from ORDER BY replicated_from""".stripMargin),
     "window_tumbling" -> envSql(
+      """SELECT strftime(date_trunc('hour', event_time), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(metric_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM envelope GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // stateful STREAMING window aggregation must converge to the batch
+    // tumbling result — identical oracle
+    "window_tumbling_stream" -> envSql(
       """SELECT strftime(date_trunc('hour', event_time), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(metric_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
