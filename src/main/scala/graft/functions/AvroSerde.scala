@@ -190,10 +190,12 @@ case class AvroDecodeExpr(child: Expression, schemaJson: String)
     val out = new Array[Any](fields.size())
     var i = 0
     while (i < fields.size()) {
-      out(i) = fromAvro(rec.get(fields.get(i).name()))
+      // by POSITION: generic records store values in schema order, and
+      // the by-name get re-resolves the field index per call
+      out(i) = fromAvro(rec.get(i))
       i += 1
     }
-    InternalRow.fromSeq(out.toIndexedSeq)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
   private def fromAvro(v: AnyRef): Any = v match {

@@ -323,21 +323,34 @@ case class ProtoEncodeExpr(child: Expression, spec: String)
 case class ProtoDecodeExpr(child: Expression, spec: String)
     extends UnaryExpression with CodegenFallback {
   import ProtoSerde._
-  @transient private lazy val fields = parseSpec(spec)
   // dataType is called throughout analysis/planning — parse once
   @transient private lazy val cachedType: StructType =
     PMessage(parseSpec(spec)).catalystType.asInstanceOf[StructType]
   override def dataType: DataType = cachedType
 
+  /** Per-message-node decode tables resolved ONCE (field-number map +
+    * child nodes for nested messages) — building them per row was the
+    * decode path's dominant allocation. */
+  private final class Resolved(val fs: IndexedSeq[PField]) {
+    val byNum: Map[Int, (PField, Int)] =
+      fs.zipWithIndex.map { case (f, i) => f.num -> ((f, i)) }.toMap
+    val children: Map[Int, Resolved] = fs.collect {
+      case PField(n, m: PMessage, _) => n -> new Resolved(m.fields.toIndexedSeq)
+      case PField(n, PRepeated(m: PMessage), _) => n -> new Resolved(m.fields.toIndexedSeq)
+      case PField(n, PMap(_, m: PMessage), _) => n -> new Resolved(m.fields.toIndexedSeq)
+    }.toMap
+  }
+  @transient private lazy val root = new Resolved(parseSpec(spec).toIndexedSeq)
+
   override def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[Array[Byte]]
-    decodeMessage(b, 0, b.length, fields)
+    decodeMessage(b, 0, b.length, root)
   }
 
   private def decodeMessage(b: Array[Byte], from: Int, until: Int,
-                            fs: Seq[PField]): InternalRow = {
-    val byNum: Map[Int, (PField, Int)] =
-      fs.zipWithIndex.map { case (f, i) => f.num -> ((f, i)) }.toMap
+                            r: Resolved): InternalRow = {
+    val fs = r.fs
+    val byNum = r.byNum
     val out = new Array[Any](fs.size)
     val acc: Array[ArrayBuffer[Any]] = fs.map {
       case PField(_, _: PRepeated, _) => ArrayBuffer.empty[Any]
@@ -354,11 +367,11 @@ case class ProtoDecodeExpr(child: Expression, spec: String)
           case s: PScalar =>
             require(wt == s.wireType, s"field $num: wire type $wt, expected ${s.wireType}")
             val (x, o2) = readScalarPayload(b, o1, s); out(i) = x; o2
-          case m: PMessage =>
+          case _: PMessage =>
             require(wt == 2, s"field $num: wire type $wt, expected 2 (message)")
             val (len, o2) = readVarint(b, o1)
             require(len >= 0 && o2 + len <= b.length, "truncated message")
-            out(i) = decodeMessage(b, o2, o2 + len.toInt, m.fields); o2 + len.toInt
+            out(i) = decodeMessage(b, o2, o2 + len.toInt, r.children(num)); o2 + len.toInt
           case PRepeated(elem) => elem match {
             case s: PScalar if s.wireType != 2 =>
               if (wt == 2) { // packed block: parse payloads back-to-back
@@ -376,17 +389,18 @@ case class ProtoDecodeExpr(child: Expression, spec: String)
             case s: PScalar =>
               require(wt == 2, s"field $num: wire type $wt, expected 2")
               val (x, o2) = readScalarPayload(b, o1, s); acc(i) += x; o2
-            case m: PMessage =>
+            case _: PMessage =>
               require(wt == 2, s"field $num: wire type $wt, expected 2")
               val (len, o2) = readVarint(b, o1)
               require(len >= 0 && o2 + len <= b.length, "truncated repeated message")
-              acc(i) += decodeMessage(b, o2, o2 + len.toInt, m.fields); o2 + len.toInt
+              acc(i) += decodeMessage(b, o2, o2 + len.toInt, r.children(num)); o2 + len.toInt
           }
           case pm: PMap =>
             require(wt == 2, s"field $num: wire type $wt, expected 2 (map entry)")
             val (len, o2) = readVarint(b, o1)
             require(len >= 0 && o2 + len <= b.length, "truncated map entry")
-            acc(i) += decodeMapEntry(b, o2, o2 + len.toInt, pm); o2 + len.toInt
+            acc(i) += decodeMapEntry(b, o2, o2 + len.toInt, pm,
+              r.children.get(num)); o2 + len.toInt
         }
         case None => // unknown field: skip by wire type (forward compat)
           off = wt match {
@@ -413,13 +427,13 @@ case class ProtoDecodeExpr(child: Expression, spec: String)
           new GenericArrayData(pairs.map(_._2).toArray))
       case _ =>
     }
-    InternalRow.fromSeq(out.toIndexedSeq)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
   /** Map entry = message{1:key,2:value}; omitted key/value decode to the
     * proto3 default, matching every protobuf runtime. */
   private def decodeMapEntry(b: Array[Byte], from: Int, until: Int,
-                             pm: PMap): (Any, Any) = {
+                             pm: PMap, child: Option[Resolved]): (Any, Any) = {
     var key: Any = proto3Default(pm.key)
     var value: Any = proto3Default(pm.value)
     var off = from
@@ -432,10 +446,10 @@ case class ProtoDecodeExpr(child: Expression, spec: String)
         case 2 => pm.value match {
           case s: PScalar =>
             val (x, o2) = readScalarPayload(b, o1, s); value = x; o2
-          case m: PMessage =>
+          case _: PMessage =>
             val (len, o2) = readVarint(b, o1)
             require(len >= 0 && o2 + len <= b.length, "truncated map value")
-            value = decodeMessage(b, o2, o2 + len.toInt, m.fields); o2 + len.toInt
+            value = decodeMessage(b, o2, o2 + len.toInt, child.get); o2 + len.toInt
           case other =>
             throw new IllegalArgumentException(s"illegal map value type $other")
         }
