@@ -59,7 +59,12 @@ object Registry {
     "ss_topk" -> (es => SsTopkExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue())),
     "ngram_coverage" -> (es => NgramCoverageExpr(es(0),
-      es(1).eval().asInstanceOf[Number].intValue()))
+      es(1).eval().asInstanceOf[Number].intValue())),
+    // schema-registry SerDes: second arg is the (foldable) spec/schema
+    "proto_encode" -> (es => ProtoEncodeExpr(es(0), es(1).eval().toString)),
+    "proto_decode" -> (es => ProtoDecodeExpr(es(0), es(1).eval().toString)),
+    "avro_encode" -> (es => AvroEncodeExpr(es(0), es(1).eval().toString)),
+    "avro_decode" -> (es => AvroDecodeExpr(es(0), es(1).eval().toString))
   )
 
   def registerAll(spark: SparkSession): Unit =

@@ -198,6 +198,27 @@ class ProtoSerdeSpec extends SparkSpec {
       Option(ex.getCause).exists(_.toString.contains("wire type")))
   }
 
+  test("serde functions reachable from SQL: proto + avro roundtrip in pure SQL") {
+    graft.functions.Registry.registerAll(spark)
+    val got = spark.sql(
+      """SELECT r.a, r.meta.lang, r.props['k'], r.ids
+        |FROM (SELECT proto_decode(
+        |  proto_encode(named_struct(
+        |    'a', 7L, 'meta', named_struct('lang', 'en'),
+        |    'props', map('k', 'v'), 'ids', array(1L, 2L)),
+        |    '1:int64:a,2:message{1:string:lang}:meta,3:map{string,string}:props,4:repeated int64:ids'),
+        |  '1:int64:a,2:message{1:string:lang}:meta,3:map{string,string}:props,4:repeated int64:ids') AS r)
+        |""".stripMargin).as[(Long, String, String, Seq[Long])].head()
+    assert(got === ((7L, "en", "v", Seq(1L, 2L))))
+    val avro = spark.sql(
+      """SELECT r.a, r.s FROM (SELECT avro_decode(avro_encode(
+        |  named_struct('a', 5L, 's', 'x'),
+        |  '{"type":"record","name":"t","fields":[{"name":"a","type":"long"},{"name":"s","type":"string"}]}'),
+        |  '{"type":"record","name":"t","fields":[{"name":"a","type":"long"},{"name":"s","type":"string"}]}') AS r)
+        |""".stripMargin).as[(Long, String)].head()
+    assert(avro === ((5L, "x")))
+  }
+
   test("registered proto_roundtrip query decodes every envelope row") {
     val out = SparkEntry.queries("proto_roundtrip")(spark, "/root/testdata/sf0.001")
     assert(out.count() === 1000L)
