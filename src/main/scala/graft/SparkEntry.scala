@@ -402,6 +402,29 @@ object SparkEntry {
     Compaction.tableView(env(s, dir), "event_type", "metric_value")
       .orderBy("event_type")
 
+  /** Run a complete-mode streaming aggregation to convergence
+    * (`processAllAvailable` barrier), capture its result as a LOCAL
+    * DataFrame, and clean up — the memory-sink table is dropped and the
+    * checkpoint dir deleted so repeated invocations (the bench runs
+    * every query several times per session) don't accumulate
+    * driver-memory tables and disk checkpoints. The collect is bounded:
+    * it is the AGGREGATED result (keys × windows), never the log. */
+  private def runStreamToLocal(s: SparkSession, agg: DataFrame): DataFrame = {
+    val viewName = "graft_stream_" + java.lang.Long.toHexString(System.nanoTime())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(viewName).option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val t = s.table(viewName)
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    s.catalog.dropTempView(viewName): Unit
+    java.nio.file.Files.walk(ckpt)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    out
+  }
+
   /** §2.1 TableView on the STREAMING path: the envelope runs through
     * readStream → groupBy/max_by → complete-mode memory sink, with
     * `processAllAvailable()` as the TableView.refresh barrier
@@ -409,19 +432,13 @@ object SparkEntry {
     * the batch `tableview` result row-for-row, so the whole streaming
     * machinery (source schema pin, state store, complete-mode sink)
     * sits under the same DuckDB oracle as the batch twin. */
-  private def qTableViewStream(s: SparkSession, dir: String): DataFrame = {
-    val viewName = "graft_tv_stream_" +
-      java.lang.Long.toHexString(System.nanoTime())
-    val ckpt = java.nio.file.Files.createTempDirectory("tv-stream-ckpt").toString
-    val q = graft.streaming.StreamOps.tableViewQuery(
-      Envelope.fromEventsStream(s, dir), viewName, ckpt,
-      keyCol = "event_type", valueCol = "metric_value")
-    try q.processAllAvailable() finally q.stop()
-    s.table(viewName)
+  private def qTableViewStream(s: SparkSession, dir: String): DataFrame =
+    runStreamToLocal(s, graft.streaming.StreamOps.tableView(
+        Envelope.fromEventsStream(s, dir),
+        keyCol = "event_type", valueCol = "metric_value"))
       .filter(col("metric_value").isNotNull)
       .select(col("event_type"), col("metric_value"))
       .orderBy("event_type")
-  }
 
   /** §2.8 producer-sequence dedup (effectively-once produce). */
   private def qDedupSeq(s: SparkSession, dir: String): DataFrame =
@@ -536,23 +553,15 @@ object SparkEntry {
     * query (complete-mode memory sink, processAllAvailable barrier) —
     * stateful streaming window aggregation must converge to the batch
     * result row-for-row under the same oracle. */
-  private def qWindowTumblingStream(s: SparkSession, dir: String): DataFrame = {
-    val viewName = "graft_wt_stream_" +
-      java.lang.Long.toHexString(System.nanoTime())
-    val ckpt = java.nio.file.Files.createTempDirectory("wt-stream-ckpt").toString
-    val agg = Windows.tumbling(Envelope.fromEventsStream(s, dir),
-      Envelope.EventTime, "1 hour",
-      Seq(col("event_type")),
-      Seq(count(lit(1)).cast("bigint").as("n"),
-        sum(dec(col("metric_value"))).cast("double").as("sum_value")))
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(viewName).option("checkpointLocation", ckpt).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(viewName)
+  private def qWindowTumblingStream(s: SparkSession, dir: String): DataFrame =
+    runStreamToLocal(s, Windows.tumbling(Envelope.fromEventsStream(s, dir),
+        Envelope.EventTime, "1 hour",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).cast("bigint").as("n"),
+          sum(dec(col("metric_value"))).cast("double").as("sum_value"))))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
-  }
 
   /** §2.5 sliding 1h/30m window per event_type. */
   private def qWindowSliding(s: SparkSession, dir: String): DataFrame =

@@ -203,24 +203,29 @@ object VectorOps {
     (model, c)
   }
 
-  /** Probe `nprobe` nearest cells per query and exact-verify candidates —
-    * the shared tail of [[annIvf]] and [[annIvfIndexed]]. `cells` must
-    * carry (cell, corpus_id, cv). */
-  private def probeCells(queries: DataFrame, cells: DataFrame,
-                         centroidArrays: Array[Array[Double]], k: Int,
-                         nprobe: Int, idCol: String, vecCol: String): DataFrame = {
-    // centroids are tiny (nlist × dim) — broadcast as a literal table
+  /** Each query's `nprobe` nearest cells: (query_id, qv, cell). The
+    * centroids are tiny (nlist × dim) — broadcast as a literal table. */
+  private def probeAssignments(queries: DataFrame,
+                               centroidArrays: Array[Array[Double]],
+                               nprobe: Int, idCol: String,
+                               vecCol: String): DataFrame = {
     val centroids = queries.sparkSession.createDataFrame(
       centroidArrays.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
       .toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("cdist").desc, col("cell"))
-    val probed = q.crossJoin(broadcast(centroids))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
       .withColumn("cdist", cosine(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nprobe)
       .select("query_id", "qv", "cell")
+  }
+
+  /** Exact-verify tail shared by [[annIvf]] and [[annIvfIndexed]]:
+    * candidates from the probed cells, exact cosine, per-query top-k.
+    * `cells` must carry (cell, corpus_id, cv). */
+  private def verifyProbe(probed: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("corpus_id"))
     probed.join(cells, Seq("cell"))
@@ -231,6 +236,13 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "sim", "rank")
   }
+
+  private def probeCells(queries: DataFrame, cells: DataFrame,
+                         centroidArrays: Array[Array[Double]], k: Int,
+                         nprobe: Int, idCol: String, vecCol: String): DataFrame =
+    verifyProbe(
+      probeAssignments(queries, centroidArrays, nprobe, idCol, vecCol),
+      cells, k)
 
   // Centroid sidecar carrying the coarse quantizer next to the data files
   // (underscore prefix → invisible to Spark's file listing). Doubles are
@@ -307,35 +319,20 @@ object VectorOps {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val centroidArrays = readCentroids(spark, indexPath)
-    val centroids = spark.createDataFrame(
-      centroidArrays.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
-      .toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("cdist").desc, col("cell"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("qv"), col("centroid")))
-      .withColumn("crank", row_number().over(probeW))
-      .filter(col("crank") <= nprobe)
-      .select("query_id", "qv", "cell")
+    val probed = probeAssignments(queries, centroidArrays, nprobe, idCol, vecCol)
     // BOUNDED driver-side collect: the distinct probed-cell set is capped
     // by nlist (dozens), never by data size. Collecting it turns the cell
     // predicate into a static partition filter — a join would only prune
     // dynamically (DPP) and only under a broadcast plan; `isin` prunes at
-    // file-listing time unconditionally.
+    // file-listing time unconditionally. The probe plan therefore runs
+    // twice (once for this collect, once in the returned plan) — it is a
+    // broadcast of nlist rows plus one window over the QUERY set, never
+    // a corpus scan, so re-running it is cheaper than caching it.
     val probedCellSet = probed.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("corpus_id"))
     val cells = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probedCellSet.map(Int.box): _*))
-    probed.join(cells, Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
-      .select("query_id", "corpus_id", "sim").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "sim", "rank")
+    verifyProbe(probed, cells, k)
   }
 
   /**

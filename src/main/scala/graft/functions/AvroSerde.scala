@@ -46,8 +46,12 @@ object AvroSerde {
   private[functions] def parse(json: String): AvroSchema =
     new AvroSchema.Parser().parse(json)
 
-  /** The Catalyst type for an Avro type (recursive). */
-  private[functions] def catalystType(s: AvroSchema): (DataType, Boolean) =
+  /** The Catalyst type for an Avro type (recursive). `seen` carries the
+    * enclosing record names: Avro legally allows RECURSIVE record
+    * schemas, which have no finite Catalyst type — reject them with a
+    * clean error instead of a StackOverflowError during analysis. */
+  private[functions] def catalystType(s: AvroSchema,
+                                      seen: Set[String] = Set.empty): (DataType, Boolean) =
     s.getType match {
       case AvroSchema.Type.BOOLEAN => (BooleanType, false)
       case AvroSchema.Type.INT => (IntegerType, false)
@@ -56,28 +60,32 @@ object AvroSerde {
       case AvroSchema.Type.DOUBLE => (DoubleType, false)
       case AvroSchema.Type.STRING => (StringType, false)
       case AvroSchema.Type.BYTES => (BinaryType, false)
-      case AvroSchema.Type.RECORD => (structTypeFor(s), false)
+      case AvroSchema.Type.RECORD => (structTypeFor(s, seen), false)
       case AvroSchema.Type.ARRAY =>
-        val (et, en) = catalystType(s.getElementType)
+        val (et, en) = catalystType(s.getElementType, seen)
         (ArrayType(et, containsNull = en), false)
       case AvroSchema.Type.MAP => // avro map keys are always strings
-        val (vt, vn) = catalystType(s.getValueType)
+        val (vt, vn) = catalystType(s.getValueType, seen)
         (MapType(StringType, vt, valueContainsNull = vn), false)
       case AvroSchema.Type.UNION =>
         val branches = s.getTypes
         require(branches.size() == 2 &&
           branches.get(0).getType == AvroSchema.Type.NULL,
           s"only [null, T] unions supported, got $s")
-        (catalystType(branches.get(1))._1, true)
+        (catalystType(branches.get(1), seen)._1, true)
       case t => throw new IllegalArgumentException(
         s"unsupported avro type for record serde: $t")
     }
 
-  private[functions] def structTypeFor(s: AvroSchema): StructType = {
+  private[functions] def structTypeFor(s: AvroSchema,
+                                       seen: Set[String] = Set.empty): StructType = {
     require(s.getType == AvroSchema.Type.RECORD, s"need a record schema, got $s")
+    require(!seen(s.getFullName),
+      s"recursive avro schemas are not supported: ${s.getFullName}")
+    val seen2 = seen + s.getFullName
     StructType(s.getFields.toArray.map { f0 =>
       val f = f0.asInstanceOf[AvroSchema.Field]
-      val (dt, nullable) = catalystType(f.schema())
+      val (dt, nullable) = catalystType(f.schema(), seen2)
       StructField(f.name(), dt, nullable)
     })
   }
@@ -101,18 +109,37 @@ case class AvroEncodeExpr(child: Expression, schemaJson: String)
     out.toByteArray
   }
 
+  /** Per-(record schema, struct type) encode slots — resolved once per
+    * distinct record node, not per row (expression instances are
+    * per-task, so the identity cache is single-threaded). */
+  @transient private lazy val slotCache =
+    new java.util.IdentityHashMap[AvroSchema, Array[(AvroSchema.Field, Int, DataType)]]()
+
+  private def slotsFor(rs: AvroSchema, st: StructType): Array[(AvroSchema.Field, Int, DataType)] = {
+    val cached = slotCache.get(rs)
+    if (cached != null) cached
+    else {
+      val built = rs.getFields.toArray.map { f0 =>
+        val f = f0.asInstanceOf[AvroSchema.Field]
+        val i = st.fieldIndex(f.name())
+        (f, i, st.fields(i).dataType)
+      }
+      slotCache.put(rs, built): Unit
+      built
+    }
+  }
+
   private def toRecord(row: InternalRow, rs: AvroSchema, st: StructType): GenericRecord = {
     val rec = new GenericData.Record(rs)
-    rs.getFields.forEach { f =>
-      val i = st.fieldIndex(f.name())
+    slotsFor(rs, st).foreach { case (f, i, dt) =>
       val fs = f.schema()
       val value: AnyRef =
         if (row.isNullAt(i)) {
           require(fs.getType == AvroSchema.Type.UNION,
             s"null in non-nullable avro field ${f.name()}")
           null
-        } else toAvro(row, i, fs, st.fields(i).dataType)
-      rec.put(f.name(), value)
+        } else toAvro(row, i, fs, dt)
+      rec.put(f.pos(), value)
     }
     rec
   }

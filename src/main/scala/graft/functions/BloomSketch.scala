@@ -106,7 +106,16 @@ object Bloom {
     true
   }
 
+  /** True for the canonical empty sketch (k=0 header from a zero-row
+    * bloom_merge) or a legacy zero-length buffer. */
+  def isEmptySketch(bf: Array[Long]): Boolean =
+    bf.length < 2 || bf(0) == 0L || bf(1) == 0L
+
   def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    // the empty sketch is the merge IDENTITY: a group with only-null
+    // inputs rolls up into real sketches without a geometry mismatch
+    if (isEmptySketch(x)) return y
+    if (isEmptySketch(y)) return x
     require(x(0) == y(0) && x(1) == y(1),
       s"bloom geometry mismatch: k=${x(0)},words=${x(1)} vs k=${y(0)},words=${y(1)}")
     val out = x.clone()
@@ -164,10 +173,7 @@ case class BloomMergeAgg(child: Expression,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buf
-    else {
-      val bf = Bloom.deserialize(v.asInstanceOf[Array[Byte]])
-      if (buf.isEmpty) bf else Bloom.merge(buf, bf)
-    }
+    else Bloom.merge(buf, Bloom.deserialize(v.asInstanceOf[Array[Byte]]))
   }
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     if (a.isEmpty) b else if (b.isEmpty) a else Bloom.merge(a, b)

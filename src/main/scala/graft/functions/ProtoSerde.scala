@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, SpecializedGetters, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, SpecializedGetters, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -37,8 +37,17 @@ import scala.collection.mutable.ArrayBuffer
  *    decoder accepts BOTH packed and expanded numeric encodings, as the
  *    protobuf spec requires of every parser;
  *  - `map{<ktype>,<vtype>}` → Catalyst map, encoded per spec as a
- *    repeated `message{1:k:key,2:v:value}` entry per pair; a map entry
- *    with an omitted key/value decodes to the proto3 default.
+ *    repeated `message{1:k:key,2:v:value}` entry per pair. An omitted
+ *    entry key/value decodes to the proto3 default — for message
+ *    values that is the DEFAULT INSTANCE (empty message), exactly what
+ *    the protobuf runtime produces, never null (the Catalyst MapType
+ *    advertises valueContainsNull=false and decode honors it). A
+ *    duplicate map key is LAST-WINS, matching every protobuf runtime.
+ *
+ * All length-delimited reads are bounded by the ENCLOSING message/block
+ * boundary, not just the buffer end — an element that straddles its
+ * container's end is malformed input and fails loudly instead of
+ * silently re-parsing bytes that belong to the next field.
  *
  * proto3 semantics: a NULL struct field is simply omitted from the
  * encoding; on decode, missing scalar/message fields surface as NULL
@@ -167,11 +176,12 @@ object ProtoSerde {
     out.write(v.toInt & 0x7F)
   }
 
-  /** Returns (value, next offset). */
-  private[functions] def readVarint(b: Array[Byte], off: Int): (Long, Int) = {
+  /** Returns (value, next offset); reads never pass `limit` (the
+    * enclosing message/block boundary). */
+  private[functions] def readVarint(b: Array[Byte], off: Int, limit: Int): (Long, Int) = {
     var v = 0L; var shift = 0; var i = off
     while ({
-      require(i < b.length && shift < 64, "truncated varint")
+      require(i < limit && shift < 64, "truncated varint")
       val x = b(i); i += 1
       v |= (x & 0x7FL) << shift
       shift += 7
@@ -202,43 +212,56 @@ object ProtoSerde {
       writeVarint(out, b.length.toLong); out.write(b)
   }
 
-  /** Returns (decoded value, next offset). The length guard rejects a
-    * malformed 10-byte negative varint that would otherwise move the
-    * offset BACKWARDS through `o2 + len` — hang/corrupt decode. */
-  private[functions] def readScalarPayload(b: Array[Byte], off: Int,
+  /** Returns (decoded value, next offset), bounded by `limit`. The
+    * length guard rejects a malformed 10-byte negative varint that
+    * would otherwise move the offset BACKWARDS through `o2 + len`. */
+  private[functions] def readScalarPayload(b: Array[Byte], off: Int, limit: Int,
                                            s: PScalar): (Any, Int) = s.t match {
-    case "int64" => readVarint(b, off)
-    case "int32" => val (x, o) = readVarint(b, off); (x.toInt, o)
-    case "bool" => val (x, o) = readVarint(b, off); (x != 0L, o)
+    case "int64" => readVarint(b, off, limit)
+    case "int32" => val (x, o) = readVarint(b, off, limit); (x.toInt, o)
+    case "bool" => val (x, o) = readVarint(b, off, limit); (x != 0L, o)
     case "double" =>
-      require(off + 8 <= b.length, "truncated fixed64")
+      require(off + 8 <= limit, "truncated fixed64")
       var bits = 0L
       (0 until 8).foreach(k => bits |= (b(off + k) & 0xFFL) << (8 * k))
       (java.lang.Double.longBitsToDouble(bits), off + 8)
     case "float" =>
-      require(off + 4 <= b.length, "truncated fixed32")
+      require(off + 4 <= limit, "truncated fixed32")
       var bits = 0
       (0 until 4).foreach(k => bits |= (b(off + k) & 0xFF) << (8 * k))
       (java.lang.Float.intBitsToFloat(bits), off + 4)
     case "string" =>
-      val (len, o2) = readVarint(b, off)
-      require(len >= 0 && o2 + len <= b.length, "truncated string")
+      val (len, o2) = readVarint(b, off, limit)
+      require(len >= 0 && o2 + len <= limit, "truncated string")
       (UTF8String.fromBytes(b, o2, len.toInt), o2 + len.toInt)
     case "bytes" =>
-      val (len, o2) = readVarint(b, off)
-      require(len >= 0 && o2 + len <= b.length, "truncated bytes")
+      val (len, o2) = readVarint(b, off, limit)
+      require(len >= 0 && o2 + len <= limit, "truncated bytes")
       (java.util.Arrays.copyOfRange(b, o2, o2 + len.toInt), o2 + len.toInt)
   }
 
-  private[functions] def proto3Default(t: PType): Any = t match {
-    case PScalar("int64") => 0L
-    case PScalar("int32") => 0
-    case PScalar("bool") => false
-    case PScalar("double") => 0.0
-    case PScalar("float") => 0f
-    case PScalar("string") => UTF8String.EMPTY_UTF8
-    case PScalar("bytes") => Array.emptyByteArray
-    case _ => null // absent submessage stays NULL
+  /** Skip an unknown field's payload by wire type, bounded by `limit`. */
+  private[functions] def skipField(b: Array[Byte], off: Int, limit: Int,
+                                   wt: Int): Int = wt match {
+    case 0 => readVarint(b, off, limit)._2
+    case 1 => require(off + 8 <= limit, "truncated fixed64 skip"); off + 8
+    case 2 =>
+      val (len, o2) = readVarint(b, off, limit)
+      require(len >= 0 && o2 + len <= limit, "truncated unknown field")
+      o2 + len.toInt
+    case 5 => require(off + 4 <= limit, "truncated fixed32 skip"); off + 4
+    case other =>
+      throw new IllegalArgumentException(s"unsupported wire type $other")
+  }
+
+  private[functions] def proto3Default(t: PScalar): Any = t.t match {
+    case "int64" => 0L
+    case "int32" => 0
+    case "bool" => false
+    case "double" => 0.0
+    case "float" => 0f
+    case "string" => UTF8String.EMPTY_UTF8
+    case "bytes" => Array.emptyByteArray
   }
 }
 
@@ -248,33 +271,55 @@ case class ProtoEncodeExpr(child: Expression, spec: String)
     extends UnaryExpression with CodegenFallback {
   import ProtoSerde._
   override def dataType: DataType = BinaryType
-  @transient private lazy val fields = parseSpec(spec)
+
+  /** Per-message-node encode tables resolved ONCE: spec fields resolve
+    * input ordinals BY NAME per level (the input struct's field order
+    * never has to match the spec), so the hot path never re-resolves
+    * names per row. */
+  private final class EncNode(fs: Seq[PField], st: StructType) {
+    val slots: Array[(PField, Int, DataType)] = fs.map { f =>
+      val i = st.fieldIndex(f.name)
+      (f, i, st.fields(i).dataType)
+    }.toArray
+    val children: Map[Int, EncNode] = fs.flatMap { f =>
+      val dt = st.fields(st.fieldIndex(f.name)).dataType
+      f.tpe match {
+        case m: PMessage =>
+          Some(f.num -> new EncNode(m.fields, dt.asInstanceOf[StructType]))
+        case PRepeated(m: PMessage) =>
+          Some(f.num -> new EncNode(m.fields,
+            dt.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]))
+        case PMap(_, m: PMessage) =>
+          Some(f.num -> new EncNode(m.fields,
+            dt.asInstanceOf[MapType].valueType.asInstanceOf[StructType]))
+        case _ => None
+      }
+    }.toMap
+  }
+  @transient private lazy val encRoot =
+    new EncNode(parseSpec(spec), child.dataType.asInstanceOf[StructType])
 
   override def nullSafeEval(v: Any): Any = {
     val out = new ByteArrayOutputStream()
-    encodeMessage(v.asInstanceOf[InternalRow], fields,
-      child.dataType.asInstanceOf[StructType], out)
+    encodeMessage(v.asInstanceOf[InternalRow], encRoot, out)
     out.toByteArray
   }
 
-  /** Spec fields resolve input ordinals BY NAME per message level, so
-    * the input struct's field order never has to match the spec. */
-  private def encodeMessage(row: InternalRow, fs: Seq[PField],
-                            st: StructType, out: ByteArrayOutputStream): Unit =
-    fs.foreach { f =>
-      val i = st.fieldIndex(f.name)
-      if (!row.isNullAt(i)) encodeField(out, f.num, f.tpe, row, i, st.fields(i).dataType)
+  private def encodeMessage(row: InternalRow, node: EncNode,
+                            out: ByteArrayOutputStream): Unit =
+    node.slots.foreach { case (f, i, dt) =>
+      if (!row.isNullAt(i)) encodeField(out, f.num, f.tpe, row, i, dt, node)
     }
 
   private def encodeField(out: ByteArrayOutputStream, num: Int, t: PType,
-                          g: SpecializedGetters, i: Int, dt: DataType): Unit = t match {
+                          g: SpecializedGetters, i: Int, dt: DataType,
+                          node: EncNode): Unit = t match {
     case s: PScalar =>
       writeVarint(out, (num.toLong << 3) | s.wireType)
       writeScalarPayload(out, s, g, i)
     case m: PMessage =>
       val bo = new ByteArrayOutputStream()
-      encodeMessage(g.getStruct(i, m.fields.size), m.fields,
-        dt.asInstanceOf[StructType], bo)
+      encodeMessage(g.getStruct(i, m.fields.size), node.children(num), bo)
       writeVarint(out, (num.toLong << 3) | 2)
       writeVarint(out, bo.size.toLong); bo.writeTo(out)
     case PRepeated(elem) =>
@@ -296,7 +341,7 @@ case class ProtoEncodeExpr(child: Expression, spec: String)
         case _ => // strings/bytes/messages: one tag per element
           (0 until arr.numElements()).foreach { j =>
             require(!arr.isNullAt(j), "null element in repeated field")
-            encodeField(out, num, elem, arr, j, elemDt)
+            encodeField(out, num, elem, arr, j, elemDt, node)
           }
       }
     case PMap(k, v) =>
@@ -306,8 +351,10 @@ case class ProtoEncodeExpr(child: Expression, spec: String)
       val keys = m.keyArray(); val vals = m.valueArray()
       (0 until m.numElements()).foreach { j =>
         val bo = new ByteArrayOutputStream()
-        encodeField(bo, 1, k, keys, j, mt.keyType)
-        if (!vals.isNullAt(j)) encodeField(bo, 2, v, vals, j, mt.valueType)
+        encodeField(bo, 1, k, keys, j, mt.keyType, node)
+        // a null value encodes as an omitted entry value = the proto3
+        // default instance on decode (never a null inside the map)
+        if (!vals.isNullAt(j)) encodeField(bo, 2, v, vals, j, mt.valueType, node)
         writeVarint(out, (num.toLong << 3) | 2)
         writeVarint(out, bo.size.toLong); bo.writeTo(out)
       }
@@ -359,112 +406,114 @@ case class ProtoDecodeExpr(child: Expression, spec: String)
     }.toArray
     var off = from
     while (off < until) {
-      val (tag, o1) = readVarint(b, off)
+      val (tag, o1) = readVarint(b, off, until)
       val num = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
       byNum.get(num) match {
         case Some((f, i)) => off = f.tpe match {
           case s: PScalar =>
             require(wt == s.wireType, s"field $num: wire type $wt, expected ${s.wireType}")
-            val (x, o2) = readScalarPayload(b, o1, s); out(i) = x; o2
+            val (x, o2) = readScalarPayload(b, o1, until, s); out(i) = x; o2
           case _: PMessage =>
             require(wt == 2, s"field $num: wire type $wt, expected 2 (message)")
-            val (len, o2) = readVarint(b, o1)
-            require(len >= 0 && o2 + len <= b.length, "truncated message")
+            val (len, o2) = readVarint(b, o1, until)
+            require(len >= 0 && o2 + len <= until, "truncated message")
             out(i) = decodeMessage(b, o2, o2 + len.toInt, r.children(num)); o2 + len.toInt
           case PRepeated(elem) => elem match {
             case s: PScalar if s.wireType != 2 =>
               if (wt == 2) { // packed block: parse payloads back-to-back
-                val (len, o2) = readVarint(b, o1)
-                require(len >= 0 && o2 + len <= b.length, "truncated packed field")
+                val (len, o2) = readVarint(b, o1, until)
+                require(len >= 0 && o2 + len <= until, "truncated packed field")
+                val blockEnd = o2 + len.toInt
                 var p = o2
-                while (p < o2 + len) {
-                  val (x, np) = readScalarPayload(b, p, s); acc(i) += x; p = np
+                while (p < blockEnd) {
+                  // bounded by the BLOCK: an element straddling the
+                  // block end is malformed, not a read into the next field
+                  val (x, np) = readScalarPayload(b, p, blockEnd, s); acc(i) += x; p = np
                 }
-                o2 + len.toInt
+                blockEnd
               } else { // expanded occurrence — parsers must accept both
                 require(wt == s.wireType, s"field $num: wire type $wt")
-                val (x, o2) = readScalarPayload(b, o1, s); acc(i) += x; o2
+                val (x, o2) = readScalarPayload(b, o1, until, s); acc(i) += x; o2
               }
             case s: PScalar =>
               require(wt == 2, s"field $num: wire type $wt, expected 2")
-              val (x, o2) = readScalarPayload(b, o1, s); acc(i) += x; o2
+              val (x, o2) = readScalarPayload(b, o1, until, s); acc(i) += x; o2
             case _: PMessage =>
               require(wt == 2, s"field $num: wire type $wt, expected 2")
-              val (len, o2) = readVarint(b, o1)
-              require(len >= 0 && o2 + len <= b.length, "truncated repeated message")
+              val (len, o2) = readVarint(b, o1, until)
+              require(len >= 0 && o2 + len <= until, "truncated repeated message")
               acc(i) += decodeMessage(b, o2, o2 + len.toInt, r.children(num)); o2 + len.toInt
           }
           case pm: PMap =>
             require(wt == 2, s"field $num: wire type $wt, expected 2 (map entry)")
-            val (len, o2) = readVarint(b, o1)
-            require(len >= 0 && o2 + len <= b.length, "truncated map entry")
+            val (len, o2) = readVarint(b, o1, until)
+            require(len >= 0 && o2 + len <= until, "truncated map entry")
             acc(i) += decodeMapEntry(b, o2, o2 + len.toInt, pm,
               r.children.get(num)); o2 + len.toInt
         }
         case None => // unknown field: skip by wire type (forward compat)
-          off = wt match {
-            case 0 => readVarint(b, o1)._2
-            case 1 => o1 + 8
-            case 2 =>
-              val (len, o2) = readVarint(b, o1)
-              require(len >= 0 && o2 + len <= b.length, "truncated unknown field")
-              o2 + len.toInt
-            case 5 => o1 + 4
-            case other =>
-              throw new IllegalArgumentException(s"unsupported wire type $other")
-          }
+          off = skipField(b, o1, until, wt)
       }
     }
-    // finalize collections: absent repeated/map == empty, per proto3
+    // finalize collections: absent repeated/map == empty, per proto3;
+    // duplicate map keys are LAST-WINS like every protobuf runtime
     fs.zipWithIndex.foreach {
       case (PField(_, _: PRepeated, _), i) =>
         out(i) = new GenericArrayData(acc(i).toArray)
       case (PField(_, _: PMap, _), i) =>
-        val pairs = acc(i).asInstanceOf[ArrayBuffer[Any]].map(_.asInstanceOf[(Any, Any)])
-        out(i) = new ArrayBasedMapData(
-          new GenericArrayData(pairs.map(_._1).toArray),
-          new GenericArrayData(pairs.map(_._2).toArray))
+        val dedup = new java.util.LinkedHashMap[Any, Any]()
+        acc(i).foreach { p =>
+          val (k, v2) = p.asInstanceOf[(Any, Any)]
+          dedup.remove(k): Unit // re-insert so a dup key takes the LAST position
+          dedup.put(k, v2): Unit
+        }
+        val ks = new Array[Any](dedup.size()); val vs = new Array[Any](dedup.size())
+        var j = 0
+        dedup.forEach { (k, v2) => ks(j) = k; vs(j) = v2; j += 1 }
+        out(i) = new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
       case _ =>
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    new GenericInternalRow(out)
   }
 
   /** Map entry = message{1:key,2:value}; omitted key/value decode to the
-    * proto3 default, matching every protobuf runtime. */
+    * proto3 default — for message values the DEFAULT INSTANCE (empty
+    * message), matching the protobuf runtime and never putting a null
+    * inside a valueContainsNull=false map. */
   private def decodeMapEntry(b: Array[Byte], from: Int, until: Int,
                              pm: PMap, child: Option[Resolved]): (Any, Any) = {
     var key: Any = proto3Default(pm.key)
-    var value: Any = proto3Default(pm.value)
+    var value: Any = pm.value match {
+      case s: PScalar => proto3Default(s)
+      case _: PMessage => decodeMessage(b, 0, 0, child.get) // default instance
+      case other => throw new IllegalArgumentException(s"illegal map value type $other")
+    }
     var off = from
     while (off < until) {
-      val (tag, o1) = readVarint(b, off)
+      val (tag, o1) = readVarint(b, off, until)
       val num = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
       off = num match {
         case 1 =>
-          val (x, o2) = readScalarPayload(b, o1, pm.key); key = x; o2
+          require(wt == pm.key.wireType,
+            s"map key: wire type $wt, expected ${pm.key.wireType}")
+          val (x, o2) = readScalarPayload(b, o1, until, pm.key); key = x; o2
         case 2 => pm.value match {
           case s: PScalar =>
-            val (x, o2) = readScalarPayload(b, o1, s); value = x; o2
+            require(wt == s.wireType,
+              s"map value: wire type $wt, expected ${s.wireType}")
+            val (x, o2) = readScalarPayload(b, o1, until, s); value = x; o2
           case _: PMessage =>
-            val (len, o2) = readVarint(b, o1)
-            require(len >= 0 && o2 + len <= b.length, "truncated map value")
+            require(wt == 2, s"map value: wire type $wt, expected 2 (message)")
+            val (len, o2) = readVarint(b, o1, until)
+            require(len >= 0 && o2 + len <= until, "truncated map value")
             value = decodeMessage(b, o2, o2 + len.toInt, child.get); o2 + len.toInt
           case other =>
             throw new IllegalArgumentException(s"illegal map value type $other")
         }
-        case _ => // unknown entry field: skip (wire type from tag)
-          (tag & 7).toInt match {
-            case 0 => readVarint(b, o1)._2
-            case 1 => o1 + 8
-            case 2 =>
-              val (len, o2) = readVarint(b, o1)
-              require(len >= 0 && o2 + len <= b.length, "truncated unknown entry field")
-              o2 + len.toInt
-            case 5 => o1 + 4
-            case other =>
-              throw new IllegalArgumentException(s"unsupported wire type $other")
-          }
+        case _ => // unknown entry field: skip by wire type
+          skipField(b, o1, until, wt)
       }
     }
     (key, value)

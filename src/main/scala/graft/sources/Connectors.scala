@@ -289,9 +289,12 @@ object Connectors {
    * This operator applies exactly the rows whose (binlog_file,
    * binlog_pos) exceed the resume watermark — lexicographic file order
    * then numeric position, MySQL's own binlog ordering — last-writer-
-   * wins per pk in binlog order; a final DELETE removes the key. Output
-   * carries each key's applied (file, pos) so `SELECT max(...)` over it
-   * IS the next ack watermark.
+   * wins per pk in binlog order; a final DELETE removes the key. The
+   * output carries each surviving key's applied (file, pos); the next
+   * ACK watermark must come from [[canalAckWatermark]] over the SAME
+   * change stream — max over this operator's output is stale whenever
+   * the newest applied change is a DELETE (its row is dropped here),
+   * and acking a stale position re-delivers an already-applied suffix.
    *
    * Scale shape: the watermark is a pushed-down filter (binlog file is
    * a natural partition column for an archived change log — the filter
@@ -314,6 +317,23 @@ object Connectors {
       .filter(col("_last.t") =!= "DELETE")
       .select(col(pkCol), col("_last.t").as(typeCol), col("_last.d").as(dataCol),
         col("_last.f").as(fileCol), col("_last.p").as(posCol))
+
+  /** The position to ACK after applying `changes` past the current
+    * watermark: the max (file, pos) over the APPLIED rows — including
+    * DELETEs, which [[canalApply]]'s materialized output drops. Returns
+    * None when nothing was applied (ack nothing; keep the old
+    * watermark). One bounded 2-column aggregate. */
+  def canalAckWatermark(changes: DataFrame,
+                        resumeFile: String = "", resumePos: Long = -1L,
+                        fileCol: String = "binlog_file",
+                        posCol: String = "binlog_pos"): Option[(String, Long)] =
+    changes.filter(
+        (col(fileCol) > resumeFile) ||
+        (col(fileCol) === resumeFile && col(posCol) > resumePos))
+      .agg(max(struct(col(fileCol), col(posCol))).as("w"))
+      .select(s"w.$fileCol", s"w.$posCol")
+      .collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some((r.getString(0), r.getLong(1))))
 
   /** Write modes of the JDBC sink (reference
     * pulsar-io/jdbc/core/.../JdbcAbstractSink.java:52 INSERT/UPSERT/DELETE

@@ -142,6 +142,20 @@ class AvroSerdeSpec extends SparkSpec {
     assert(back._3 === Seq(("k1", 7L), ("k2", 9L)))
   }
 
+  test("recursive avro schemas are rejected cleanly, not with a stack overflow") {
+    val recursive =
+      """{"type":"record","name":"node","fields":[
+        |{"name":"v","type":"long"},
+        |{"name":"next","type":["null","node"]}]}""".stripMargin
+    val e = intercept[Exception] {
+      Seq(Tuple1(1L)).toDF("v")
+        .select(AvroSerde.avro_decode(lit(Array.emptyByteArray), recursive))
+        .collect()
+    }
+    assert(e.toString.contains("recursive") ||
+      Option(e.getCause).exists(_.toString.contains("recursive")))
+  }
+
   test("null in a non-nullable field fails loudly") {
     val ex = intercept[Exception] {
       Seq(Tuple2[java.lang.Long, String](null, "x")).toDF("a", "b")

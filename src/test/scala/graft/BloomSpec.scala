@@ -56,6 +56,18 @@ class BloomSpec extends SparkSpec {
     // probing the empty sketch answers 'definitely absent', never throws
     assert(!Bloom.containsBytes(empty, "anything"))
     assert(!Bloom.containsBytes(Array.emptyByteArray, "legacy-zero-length"))
+    // the empty sketch is the merge IDENTITY: a two-level rollup where
+    // one group aggregated zero rows must not geometry-mismatch
+    val real = Bloom.empty(1 << 10, 4)
+    Bloom.add(real, "x")
+    assert(Bloom.merge(Bloom.deserialize(empty), real).toSeq === real.toSeq)
+    assert(Bloom.merge(real, Bloom.deserialize(empty)).toSeq === real.toSeq)
+    val twoLevel = df.groupBy((col("g") % 2 === 0).as("even"))
+      .agg(Bloom.bloom_merge(
+        when(col("g") < 0, lit(Array.emptyByteArray))).as("bf"))
+      .agg(Bloom.bloom_merge(col("bf")).as("m"))
+      .select("m").as[Array[Byte]].head()
+    assert(twoLevel.length === 16) // all-empty rollup stays canonical-empty
   }
 
   test("aggregate + merge paths through Catalyst; SQL-reachable") {

@@ -323,11 +323,18 @@ class ConnectorsSpec extends SparkSpec {
       .as[(String, String, String, String, Long)].collect().toSet
     assert(resumed == suffixOnly)
 
-    // the output's max (file, pos) IS the next ack watermark
-    val wm = graft.sources.Connectors.canalApply(full)
-      .agg(max(struct(col("binlog_file"), col("binlog_pos"))).as("w"))
-      .select("w.binlog_file", "w.binlog_pos").as[(String, Long)].head()
-    assert(wm == (("mysql-bin.000001", 60L)))
+    // the ack watermark comes from the CHANGE STREAM, not the output:
+    // append a trailing DELETE — the materialized output drops that row,
+    // but the watermark must still advance past it or the restart
+    // re-delivers an already-applied suffix
+    val withTailDelete = (epoch1 ++ epoch2 :+
+      row("u4", "mysql-bin.000001", 70L, "DELETE", null))
+      .toDF("pk", "binlog_file", "binlog_pos", "change_type", "data")
+    assert(graft.sources.Connectors.canalAckWatermark(withTailDelete) ===
+      Some(("mysql-bin.000001", 70L)))
+    // and from a resume point, only applied rows count
+    assert(graft.sources.Connectors.canalAckWatermark(withTailDelete,
+      resumeFile = "mysql-bin.000001", resumePos = 70L) === None)
   }
 
   // ---- elasticsearch sink (bulk/action plumbing; fake transport) ----

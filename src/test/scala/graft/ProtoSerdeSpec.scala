@@ -168,6 +168,59 @@ class ProtoSerdeSpec extends SparkSpec {
     assert(none === Map.empty[String, Long])
   }
 
+  test("map with message values: null-free decode, default instance, last-wins dup keys") {
+    val mspec = "1:map{string,message{1:int64:n}}:m"
+    // entry with only a key: the message value decodes to the DEFAULT
+    // INSTANCE (empty message), never a null inside the map
+    val keyOnly = Array[Byte](0x0A, 0x03, 0x0A, 0x01, 'a'.toByte)
+    val r1 = Seq(keyOnly).toDF("bin")
+      .select(ProtoSerde.proto_decode(col("bin"), mspec).as("r"))
+      .select(map_values(col("r.m")).as("vs"))
+    assert(r1.selectExpr("size(vs)").as[Int].head() === 1)
+    assert(r1.selectExpr("vs[0].n").as[Option[Long]].head() === None) // empty message, present
+    // duplicate map key: LAST wins, single entry survives
+    def entry(k: Char, n: Int) =
+      Seq(0x0A, 0x07, 0x0A, 0x01, k.toInt, 0x12, 0x02, 0x08, n).map(_.toByte)
+    val dup = (entry('a', 1) ++ entry('a', 9)).toArray
+    val r2 = Seq(dup).toDF("bin")
+      .select(ProtoSerde.proto_decode(col("bin"), mspec).as("r"))
+    assert(r2.selectExpr("size(r.m)").as[Int].head() === 1)
+    assert(r2.selectExpr("r.m['a'].n").as[Long].head() === 9L)
+  }
+
+  test("length-delimited reads honor their CONTAINER boundary, not the buffer end") {
+    // packed int64 block of declared len 1 whose varint continues past
+    // the block end (0x80 needs another byte): must fail loudly, not
+    // read into the next field's bytes
+    val straddle = Array[Byte](0x0A, 0x01, 0x80.toByte, 0x01)
+    val e1 = intercept[Exception] {
+      Seq(straddle).toDF("bin")
+        .select(ProtoSerde.proto_decode(col("bin"), "1:repeated int64:xs").as("r"))
+        .select("r.xs").collect()
+    }
+    assert(e1.toString.contains("truncated") ||
+      Option(e1.getCause).exists(_.toString.contains("truncated")))
+    // submessage whose inner string extends past the submessage end
+    val nested = "1:message{1:string:s}:m"
+    val inner = Array[Byte](0x0A, 0x03, 0x0A, 0x05, 'a', 'b', 'c')
+    val e2 = intercept[Exception] {
+      Seq(inner).toDF("bin")
+        .select(ProtoSerde.proto_decode(col("bin"), nested).as("r"))
+        .select("r.m.s").collect()
+    }
+    assert(e2.toString.contains("truncated") ||
+      Option(e2.getCause).exists(_.toString.contains("truncated")))
+    // map entry whose key tag carries the wrong wire type fails loudly
+    val badWt = Array[Byte](0x0A, 0x02, 0x0D, 0x00) // key tag wt=5 vs string
+    val e3 = intercept[Exception] {
+      Seq(badWt).toDF("bin")
+        .select(ProtoSerde.proto_decode(col("bin"), "1:map{string,int64}:m").as("r"))
+        .select("r.m").collect()
+    }
+    assert(e3.toString.contains("wire type") ||
+      Option(e3.getCause).exists(_.toString.contains("wire type")))
+  }
+
   test("composite spec validation: nested repeated, map keys, brace balance") {
     intercept[IllegalArgumentException] {
       ProtoSerde.parseSpec("1:repeated repeated int64:x")
