@@ -1116,6 +1116,12 @@ object SparkEntry {
   /** BPE-style pre-tokenizer counts beside whitespace counts — the
     * token-budget signal; DuckDB replays the identical RE2-safe pattern
     * so counts match exactly. */
+  /** BM25 top-10 lexical retrieval over the documents table; the oracle
+    * replays the identical tokenization and Okapi formula in SQL and
+    * ranks by the same rounded score. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopK(tbl(s, dir, "documents"), "fast hash join order", 10)
+
   private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
     TextOps.withBpeTokenCount(TextOps.withTokenStats(tbl(s, dir, "documents")))
       .select(col("doc_id"), col("n_bpe_tokens"),
@@ -1577,6 +1583,7 @@ object SparkEntry {
     // llm-pipeline extensions
     "text_tokens" -> (qTextTokens _),
     "bpe_tokens" -> (qBpeTokens _),
+    "bm25_topk" -> (qBm25 _),
     "lang_id" -> (qLangId _),
     "quality_score" -> (qQuality _),
     "dedup_exact" -> (qDedupExact _),
@@ -2150,6 +2157,31 @@ object SparkEntry {
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the Okapi BM25 formula replayed term-for-term: same tokenizer,
+    // same idf/tf saturation, ranked by the same rounded score
+    "bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) x WHERE t <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |q(term) AS (VALUES ('fast'), ('hash'), ('join'), ('order')),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks JOIN q ON tok = q.term GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+        |        tf.tf * (1.2 + 1) /
+        |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM tf
+        |  JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(score, 6) AS score_r FROM scored
+        |ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin,
     // identical RE2-safe BPE pre-tokenizer pattern replayed in DuckDB;
     // leftmost-first non-overlapping matching matches Java exactly
     "bpe_tokens" ->

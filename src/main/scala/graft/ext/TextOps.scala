@@ -613,4 +613,54 @@ object TextOps {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
+
+  /**
+   * BM25 top-k document retrieval (Robertson–Spärck Jones; the
+   * Okapi BM25 formula with k1/b defaults every search engine ships) —
+   * the lexical-relevance miner an LLM-data pipeline uses to pull
+   * topic-relevant documents out of a crawl:
+   *
+   *   score(d, q) = Σ_t∈q  idf(t) · tf(t,d)·(k1+1) /
+   *                        (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+   *   idf(t)     = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+   *
+   * Tokenization is lower + split on `[^a-z0-9]+` — deterministic and
+   * replayed verbatim by the DuckDB oracle.
+   *
+   * Scale shape: one narrow tokenize/explode scan; doc lengths and the
+   * (N, avgdl) corpus stats are aggregates a production deployment
+   * precomputes as table stats; per-term df is computed over the QUERY
+   * terms only (a pushed `isin` filter — never a full-corpus term
+   * index) and broadcast; scoring is one hash aggregation per doc.
+   * No all-pairs, no driver loops, no full-vocabulary state.
+   */
+  def bm25TopK(docs: DataFrame, query: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query has no indexable terms")
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val tf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy("tok")
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+    tf.join(broadcast(dft), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum("contrib"), 6).as("score_r"))
+      .orderBy(col("score_r").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -185,6 +185,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(sampled == brute, "sampled-quantizer full probe must equal brute force")
   }
 
+  test("bm25TopK: rarer terms weigh more; scores rank correctly; k bounds output") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta common common"),
+      (2L, "alpha common common common common common"),
+      (3L, "rare common common common common common"),
+      (4L, "common common common common common common")).toDF("doc_id", "text")
+    // 'rare' appears in 1 doc, 'alpha' in 2: doc 3 must outrank the
+    // alpha docs for the query containing both
+    val r = graft.ext.TextOps.bm25TopK(docs, "rare alpha", 3)
+      .as[(Long, Double)].collect()
+    assert(r.length === 3)
+    assert(r.head._1 === 3L, s"rare-term doc must rank first: ${r.toSeq}")
+    assert(r.map(_._2).sliding(2).forall(p => p.head >= p.last), "scores descend")
+    assert(!r.map(_._1).contains(4L), "doc with no query terms never scores")
+    // tf saturation: doc 1 repeats beta 3x but beta isn't in the query;
+    // alpha tf=1 in both docs 1 and 2 — shorter doc... both length 6,
+    // so their alpha contributions tie and doc_id breaks the tie
+    val q2 = graft.ext.TextOps.bm25TopK(docs, "alpha", 2)
+      .as[(Long, Double)].collect()
+    assert(q2.map(_._1).toSeq === Seq(1L, 2L))
+    assert(q2(0)._2 === q2(1)._2, "equal tf and dl => equal score")
+  }
+
   test("redactPii: emails, IPs, phones become typed tokens; clean text unchanged") {
     val rows = Seq(
       "mail me at jo.doe+x@sub.example.org today",
