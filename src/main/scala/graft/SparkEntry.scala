@@ -1306,6 +1306,30 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization recall certificate: PQ codebooks fit on the
+    * corpus (seeded, capped sample), every vector encoded to m=8 codes,
+    * ADC top-10 for 20 queries compared against exact brute force IN
+    * the query. The fixture embeddings are uniform-random — the hostile
+    * case for PQ, with no cluster structure to exploit — so absolute
+    * recall is modest (measured 0.18–0.33 across sf0.001–0.1) while
+    * CHANCE recall is 10/N (0.5% at sf0.01): the certificate asserts
+    * recall ≥ 0.1, a 3× margin below measurements and ≥20× above
+    * chance, plus the exact expected candidate count. */
+  private def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val vecs = tbl(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 20)
+    val cb = VectorOps.pqTrain(vecs, dim = 64, m = 8, ksub = 16, iters = 5)
+    val coded = VectorOps.withPqCodes(vecs, cb)
+    val adc = VectorOps.annPq(coded, queries, 10, cb)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    VectorOps.annBruteForce(vecs, queries, 10)
+      .join(adc, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).cast("bigint").as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("n_exact"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.1).as("recall_ok"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (rows-only oracle).
     * Threshold 0.4: the synthetic embeddings top out at cosine ≈ 0.49, so
     * 0.4 exercises candidate-generation + verify with non-empty output. */
@@ -1599,6 +1623,7 @@ object SparkEntry {
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf" -> (qAnnIvf _),
     "ann_ivf_indexed" -> (qAnnIvfIndexed _),
+    "pq_recall" -> (qPqRecall _),
     "cosine_near_dup" -> (qCosineNearDup _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
@@ -2509,6 +2534,11 @@ object SparkEntry {
     // same oracle; the machinery difference is all on the Spark side.
     "ann_ivf" -> annBruteSql,
     "ann_ivf_indexed" -> annBruteSql,
+    // PQ certificate: candidate count is exact (20 queries × top-10) and
+    // the recall bound is always-true for a working quantizer (3× margin
+    // below measurement, ≥20× above chance on the uniform fixture)
+    "pq_recall" ->
+      "SELECT CAST(200 AS BIGINT) AS n_exact, TRUE AS recall_ok",
     "minhash_lsh" -> jaccardBruteSql("0.8"),
     "simhash_pairs" -> jaccardBruteSql("0.9"),
     // Same ≥0.8 exact-Jaccard pair graph as minhash_lsh, closed

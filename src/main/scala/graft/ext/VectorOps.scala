@@ -335,6 +335,127 @@ object VectorOps {
     verifyProbe(probed, cells, k)
   }
 
+  // =====================================================================
+  // Product quantization (Jégou, Douze, Schmid 2011: "Product
+  // Quantization for Nearest Neighbor Search") — the fourth member of
+  // the vector tier beside brute force / sign-LSH / IVF and the int8
+  // scalar quantizer: the vector splits into m subvectors, each encoded
+  // as its nearest centroid in a per-subspace codebook of ksub entries,
+  // so a D-dim float vector compresses to m bytes and approximate dot
+  // products become m table lookups (ADC — asymmetric distance
+  // computation: the QUERY stays exact, only the corpus is quantized).
+  // =====================================================================
+
+  /**
+   * Fit the per-subspace codebooks: m independent k-means fits (fixed
+   * seeds, capped deterministic sample — the same 100 TB stance as
+   * [[annIvf]]'s coarse quantizer: ~100k vectors pin ksub centroids,
+   * never `iters` full-corpus passes). Returns codebooks(j)(c) =
+   * centroid c of subspace j, a driver-side array of m·ksub·(dim/m)
+   * doubles (a few KB) that broadcasts as a literal into the encode and
+   * scoring expressions.
+   */
+  def pqTrain(corpus: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+              iters: Int = 5, idCol: String = "vec_id",
+              vecCol: String = "embedding",
+              fitSampleCap: Long = 100000L): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val nCorpus = c.count()
+    val fitSet =
+      (if (nCorpus <= fitSampleCap) c
+       else Sampling.hashFractionSample(c, fitSampleCap.toDouble / nCorpus,
+         idCol = "id", salt = "pq-fit|")).cache()
+    try {
+      (0 until m).map { j =>
+        val sub = fitSet.select(array_to_vector(
+          slice(col("v"), j * dsub + 1, dsub)).as("fv"))
+        new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(iters)
+          .setFeaturesCol("fv").setPredictionCol("c")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }.toArray
+    } finally { fitSet.unpersist(): Unit }
+  }
+
+  /** Codebooks as a flat literal `array<array<double>>` column indexed
+    * by j·ksub + c (1-based for element_at). */
+  private def codebookLit(codebooks: Array[Array[Array[Double]]]): Column =
+    array(codebooks.flatten.map(cent =>
+      array(cent.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*)
+
+  /** Squared L2 distance between two double-array columns. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /**
+   * Encode each vector as its m nearest-centroid codes:
+   * `pq_codes` = array<int> of length m. Pure codegen'd expression over
+   * the literal codebooks — one narrow pass, no join, no shuffle.
+   */
+  def withPqCodes(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+                  vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val codes = array((0 until m).map { j =>
+      val sub = slice(v, j * dsub + 1, dsub)
+      val dists = array((0 until ksub).map(c =>
+        sqDist(sub, array(codebooks(j)(c).map(lit(_)).toIndexedSeq: _*))): _*)
+      // first index attaining the min — deterministic tie-break, and both
+      // operands are the SAME computed double, so equality is exact
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    df.withColumn("pq_codes", codes)
+  }
+
+  /** Reconstruct the approximate vector from its codes (tests / debug). */
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val ksub = codebooks(0).length
+    val cb = codebookLit(codebooks)
+    flatten(zip_with(codes,
+      sequence(lit(0), lit(codebooks.length - 1)),
+      (code, j) => element_at(cb, (j * ksub + code + 1).cast("int"))))
+  }
+
+  /**
+   * ADC approximate top-k: the exact query vector scores against the
+   * QUANTIZED corpus — approx_dot(q, d) = Σ_j dot(q_j, centroid(j,
+   * codes_j)). Queries broadcast; the corpus side reads only the m-byte
+   * codes (the 100 TB point of PQ: the scan is m codes per vector, not
+   * D floats); per-query top-k via window rank.
+   */
+  def annPq(corpusCodes: DataFrame, queries: DataFrame, k: Int,
+            codebooks: Array[Array[Array[Double]]],
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val cb = codebookLit(codebooks)
+    val c = corpusCodes.select(col(idCol).as("corpus_id"), col("pq_codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val approx = aggregate(
+      zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)), (code, j) =>
+        aggregate(
+          zip_with(element_at(cb, (j * ksub + code + 1).cast("int")),
+            slice(col("qv"), j * dsub + 1, lit(dsub)), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dot").desc, col("corpus_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("approx_dot", approx)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "approx_dot", "rank")
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs above `threshold`, via the same
    * LSH bucketing (exact verify on candidates).

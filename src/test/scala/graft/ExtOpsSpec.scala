@@ -185,6 +185,63 @@ class ExtOpsSpec extends SparkSpec {
     assert(sampled == brute, "sampled-quantizer full probe must equal brute force")
   }
 
+  test("PQ: lossless when codebooks hold every distinct subvector; encode/decode consistent") {
+    // 8-dim vectors, m=4 subspaces of 2 dims, each subvector drawn from
+    // exactly 3 distinct values -> ksub=3 codebooks can be EXACT, making
+    // ADC provably equal to the true dot product (machinery check)
+    val subvals = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.5, 0.5))
+    val rnd = new scala.util.Random(4)
+    val rows = (0L until 60L).map { i =>
+      (i, (0 until 4).flatMap(_ => subvals(rnd.nextInt(3))).map(_.toFloat).toArray)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val cb = graft.ext.VectorOps.pqTrain(vecs, dim = 8, m = 4, ksub = 3,
+      iters = 10, fitSampleCap = 1000L)
+    val coded = graft.ext.VectorOps.withPqCodes(vecs, cb)
+    // decode must reproduce the original vector exactly (codebooks are
+    // exact: k-means with k = #distinct points converges onto them)
+    val maxErr = coded.select(max(abs(
+        element_at(graft.ext.VectorOps.pqDecode(col("pq_codes"), cb), 1) -
+          element_at(col("embedding").cast("array<double>"), 1))))
+      .as[Double].head()
+    assert(maxErr < 1e-9, s"exact codebooks must reconstruct exactly, err=$maxErr")
+    // ADC top-k == exact-dot top-k
+    val queries = vecs.filter(col("vec_id") < 5)
+    val adc = graft.ext.VectorOps.annPq(coded, queries, 5, cb)
+      .select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    val exact = {
+      val c = vecs.select(col("vec_id").as("corpus_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("d").desc, col("corpus_id"))
+      c.crossJoin(broadcast(q)).filter(col("corpus_id") =!= col("query_id"))
+        .withColumn("d", graft.ext.VectorOps.dot(col("cv"), col("qv")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    }
+    assert(adc == exact, "exact codebooks => ADC ranking equals true-dot ranking")
+  }
+
+  test("PQ on the embeddings fixture: codes in range, recall@10 well above chance") {
+    val queries = vecs.filter(col("vec_id") < 10)
+    val cb = graft.ext.VectorOps.pqTrain(vecs, dim = 64, m = 8, ksub = 16, iters = 5)
+    val coded = graft.ext.VectorOps.withPqCodes(vecs, cb)
+    val inRange = coded.select(forall(col("pq_codes"),
+      c => c >= 0 && c < 16)).as[Boolean].collect()
+    assert(inRange.forall(identity), "every code within [0, ksub)")
+    val adc = graft.ext.VectorOps.annPq(coded, queries, 10, cb)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exact = graft.ext.VectorOps.annBruteForce(vecs, queries, 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (adc intersect exact).size.toDouble / exact.size
+    // chance recall at corpus ~200 is 10/200 = 5%; PQ with 8x16 codebooks
+    // lands far above it — the threshold leaves wide margin but proves
+    // the quantizer carries real signal
+    assert(recall >= 0.3, s"PQ recall@10 = $recall")
+  }
+
   test("bm25TopK: rarer terms weigh more; scores rank correctly; k bounds output") {
     val docs = Seq(
       (1L, "alpha beta beta beta common common"),
