@@ -1116,6 +1116,18 @@ object SparkEntry {
   /** BPE-style pre-tokenizer counts beside whitespace counts — the
     * token-budget signal; DuckDB replays the identical RE2-safe pattern
     * so counts match exactly. */
+  /** Unicode cleaning: every document gets a deterministic dirty suffix
+    * (decomposed e+COMBINING ACUTE, a precomposed é, a BEL control) and
+    * runs through NFC + control-strip; the md5 of each cleaned document
+    * must match DuckDB's nfc_normalize + regexp_replace byte-for-byte —
+    * any divergence in composition or the strip class breaks the hash. */
+  private def qTextNormalize(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(TextOps.normalizeText(concat(col("text"),
+          lit(" cafe\u0301 \u00e9\u0007tail")))).as("norm_md5"))
+      .orderBy("doc_id")
+
   /** BM25 top-10 lexical retrieval over the documents table; the oracle
     * replays the identical tokenization and Okapi formula in SQL and
     * ranks by the same rounded score. */
@@ -1608,6 +1620,7 @@ object SparkEntry {
     "text_tokens" -> (qTextTokens _),
     "bpe_tokens" -> (qBpeTokens _),
     "bm25_topk" -> (qBm25 _),
+    "text_normalize" -> (qTextNormalize _),
     "lang_id" -> (qLangId _),
     "quality_score" -> (qQuality _),
     "dedup_exact" -> (qDedupExact _),
@@ -2181,6 +2194,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // NFC + control-strip replayed byte-for-byte (chr(769) = combining
+    // acute, chr(233) = precomposed é, chr(7) = BEL to strip)
+    "text_normalize" ->
+      """SELECT doc_id, md5(regexp_replace(
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(233) || chr(7) || 'tail'),
+        |  '[\x00-\x08\x0b-\x1f\x7f]', '', 'g')) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the Okapi BM25 formula replayed term-for-term: same tokenizer,
     // same idf/tf saturation, ranked by the same rounded score

@@ -17,6 +17,18 @@ object TextOps {
   /** Whitespace tokenization; deterministic and oracle-reproducible. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode-clean text: NFC canonical composition (native kernel —
+    * decomposed e+COMBINING ACUTE folds to é so dedup hashes and
+    * tokenizers see ONE spelling) followed by control-character
+    * stripping (C0 controls minus tab/newline, plus DEL — the
+    * characters crawls carry that no tokenizer wants; the ASCII-only
+    * class keeps the regex identical under Java regex and RE2). The
+    * standard first stage of a cleaning pipeline; narrow codegen'd
+    * chain around the NFC kernel. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(graft.functions.Sketch.nfc_normalize(text),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+
   /** Token count per document. */
   def withTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -53,6 +53,8 @@ object Sketch {
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n, distinct))
   def ngram_coverage(text: Column, n: Int): Column =
     ColumnBridge.column(NgramCoverageExpr(ColumnBridge.expression(text), n))
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
 
   private[functions] def toDoubleAt(arr: ArrayData, et: DataType, i: Int): Double =
     et match {
@@ -368,4 +370,26 @@ case class NgramCoverageExpr(child: Expression, n: Int)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "ngram_coverage"
+}
+
+/** Unicode NFC normalization (canonical composition) — the first step
+  * of every text-cleaning pipeline: decomposed sequences (e +
+  * COMBINING ACUTE) fold into their precomposed forms so dedup hashes,
+  * shingles and tokenizers see one spelling. Wraps the JDK normalizer
+  * (java.text.Normalizer, the ICU-aligned implementation the JVM
+  * ships); DuckDB's nfc_normalize is the oracle twin. Narrow per-row
+  * string transform. */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    // fast path: ASCII (and already-composed) strings are returned as-is
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
 }

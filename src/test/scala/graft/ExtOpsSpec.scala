@@ -242,6 +242,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall@10 = $recall")
   }
 
+  test("normalizeText: NFC composition + control-strip; idempotent; SQL-reachable") {
+    // decomposed cafe+COMBINING ACUTE, precomposed \u00e9, BEL + DEL to strip
+    val dirty = "cafe\u0301 \u00e9\u0007bad ok\ttab\nline\u007f"
+    val out = Seq(Tuple1(dirty)).toDF("t")
+      .select(graft.ext.TextOps.normalizeText(col("t")).as("c"))
+      .as[String].head()
+    assert(out === "caf\u00e9 \u00e9bad ok\ttab\nline", s"got ${out.toSeq}")
+    // idempotent: cleaning clean text is identity
+    val again = Seq(Tuple1(out)).toDF("t")
+      .select(graft.ext.TextOps.normalizeText(col("t")).as("c")).as[String].head()
+    assert(again === out)
+    // both spellings of \u00e9 hash identically after cleaning
+    val pair = Seq(("e\u0301clair", "\u00e9clair")).toDF("a", "b")
+      .select((md5(graft.ext.TextOps.normalizeText(col("a"))) ===
+        md5(graft.ext.TextOps.normalizeText(col("b")))).as("eq"))
+      .as[Boolean].head()
+    assert(pair, "decomposed and precomposed must normalize to equal bytes")
+    graft.functions.Registry.registerAll(spark)
+    assert(spark.sql("SELECT nfc_normalize('e\\u0301')").as[String].head()
+      === "\u00e9")
+  }
+
   test("bm25TopK: rarer terms weigh more; scores rank correctly; k bounds output") {
     val docs = Seq(
       (1L, "alpha beta beta beta common common"),
