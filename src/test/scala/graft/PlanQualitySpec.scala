@@ -108,6 +108,16 @@ class PlanQualitySpec extends SparkSpec {
       "CDC apply must stay a single hash aggregation")
   }
 
+  test("bm25_topk: stats/df sides broadcast, partial aggregation, no cartesian") {
+    val p = plan("bm25_topk")
+    assert(p.contains("partial_count"), "map-side combine missing on tf/dl aggs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/stats sides must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the only product is the broadcast scalar stats join")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("canal_apply: watermark filter below one partial max_by aggregation, no window, no join") {
     val p = plan("canal_apply")
     assert(p.contains("partial_max_by"), "map-side combine missing")
