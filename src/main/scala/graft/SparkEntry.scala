@@ -927,6 +927,31 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** Rotating-file-sink roundtrip on the oracle surface (hdfs3/alluxio
+    * connector path): append through the produce path, stream the
+    * committed log through the rotating text sink (tmp-write → fsync →
+    * atomic rename, offset-ranged names), read the files back with the
+    * codegen'd inverse mapping and recount — output (and oracle) is
+    * exactly topic_log_roundtrip's, so a record lost, duplicated or
+    * mis-bounded by the file layer breaks the hash match. */
+  private def qFileSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    def cfg(r: String) = graft.sources.FileRotatingSink.Config(
+      s"$r/out", "events", rotationRecords = 512)
+    val root = Fixtures.dir(s, dir, "q-filesink") { r =>
+      val tl = new graft.log.TopicLog(s, s"$r/log",
+        graft.model.TopicName.parse("persistent://public/default/events"), 4)
+      tl.append(env(s, dir).drop(Envelope.Topic, Envelope.Partition)): Unit
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$r/out")): Unit
+      graft.sources.FileRotatingSink
+        .topicToFileSink(tl, cfg(r), s"$r/ckpt").awaitTermination()
+    }
+    graft.sources.FileRotatingSink.readBack(s, cfg(root))
+      .groupBy("partition")
+      .agg(count(lit(1)).cast("bigint").as("n"), max("offset").as("max_offset"))
+      .orderBy("partition")
+  }
+
   /** Multimodal pipeline with REAL header decoding: spec-valid PNG/JPEG/
     * GIF/WAV fixture bytes are synthesized per doc_id, then parsed back
     * by the container-header codecs and fed through the resize planner.
@@ -1615,6 +1640,7 @@ object SparkEntry {
     "q_count_distinct" -> (qCountDistinct _),
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
     "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
+    "file_sink_roundtrip" -> (qFileSinkRoundtrip _),
     "multimodal_pipeline" -> (qMultimodal _),
     // llm-pipeline extensions
     "text_tokens" -> (qTextTokens _),
@@ -2137,6 +2163,9 @@ object SparkEntry {
     // coalesce+vacuum must be content-neutral: same oracle as the plain
     // produce round trip — a lost or duplicated row breaks the match
     "coalesce_roundtrip" -> topicLogRoundtripSql,
+    // the rotating file sink (hdfs3/alluxio path) must also be
+    // content-neutral: write → read-back → identical counts
+    "file_sink_roundtrip" -> topicLogRoundtripSql,
     "chunk_reassembly" -> envSql(
       """SELECT CAST("offset" AS VARCHAR) AS chunk_uuid, value AS payload
         |FROM envelope WHERE value IS NOT NULL AND "offset" < 100
