@@ -1641,6 +1641,10 @@ object SparkEntry {
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
     "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
     "file_sink_roundtrip" -> (qFileSinkRoundtrip _),
+    // data-generator connector: md5-deterministic Person stream; the
+    // oracle SQL is generated from the same vocab constants
+    "datagen_persons" -> ((s: SparkSession, _: String) =>
+      graft.sources.DataGeneratorSource.persons(s, 1000, "dg").orderBy("person_id")),
     "multimodal_pipeline" -> (qMultimodal _),
     // llm-pipeline extensions
     "text_tokens" -> (qTextTokens _),
@@ -2166,6 +2170,7 @@ object SparkEntry {
     // the rotating file sink (hdfs3/alluxio path) must also be
     // content-neutral: write → read-back → identical counts
     "file_sink_roundtrip" -> topicLogRoundtripSql,
+    "datagen_persons" -> graft.sources.DataGeneratorSource.oracleSql(1000, "dg"),
     "chunk_reassembly" -> envSql(
       """SELECT CAST("offset" AS VARCHAR) AS chunk_uuid, value AS payload
         |FROM envelope WHERE value IS NOT NULL AND "offset" < 100
