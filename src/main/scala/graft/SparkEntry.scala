@@ -1153,6 +1153,30 @@ object SparkEntry {
           lit(" cafe\u0301 \u00e9\u0007tail")))).as("norm_md5"))
       .orderBy("doc_id")
 
+  /** URL-level dedup (the CCNet/C4 key): every document gets a noisy
+    * fixture URL from one of four templates — mixed case + default port
+    * + dot-segments + tracking params + fragment vs. already-clean, and
+    * an escaped-~ pair differing only in hex case vs. fragment — and
+    * runs through the RFC 3986 canonicalizer kernel. Templates 0/1 and
+    * 2/3 canonicalize to the SAME url per id group, so the group sizes
+    * prove dedup; the oracle states each template's canonical closed
+    * form directly, so a hash match proves the kernel recovers it on
+    * every noise class. */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 4").cast("string")
+    val t = col("doc_id") % 4
+    val noisy = when(t === 0, concat(lit("HTTP://Example.COM:80/a/./x/../p"), g,
+        lit("/?utm_source=x&b=2&a=1#frag")))
+      .when(t === 1, concat(lit("http://example.com/a/p"), g, lit("/?b=2&a=1")))
+      .when(t === 2, concat(lit("HTTPS://example.com:443/%7eq/p"), g))
+      .otherwise(concat(lit("https://example.com/%7Eq/p"), g, lit("#sec")))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.Sketch.url_canonicalize(noisy).as("url_canon"))
+      .withColumn("group_n",
+        count(lit(1)).over(Window.partitionBy("url_canon")).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 top-10 lexical retrieval over the documents table; the oracle
     * replays the identical tokenization and Okapi formula in SQL and
     * ranks by the same rounded score. */
@@ -1651,6 +1675,7 @@ object SparkEntry {
     "bpe_tokens" -> (qBpeTokens _),
     "bm25_topk" -> (qBm25 _),
     "text_normalize" -> (qTextNormalize _),
+    "url_dedup" -> (qUrlDedup _),
     "lang_id" -> (qLangId _),
     "quality_score" -> (qQuality _),
     "dedup_exact" -> (qDedupExact _),
@@ -2236,6 +2261,17 @@ object SparkEntry {
         |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(233) || chr(7) || 'tail'),
         |  '[\x00-\x08\x0b-\x1f\x7f]', '', 'g')) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // each noise template's canonical form stated as a closed form —
+    // the kernel must recover it exactly on every row
+    "url_dedup" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g,
+        |  doc_id % 4 AS t FROM documents),
+        |c AS (SELECT doc_id, CASE WHEN t IN (0, 1)
+        |    THEN 'http://example.com/a/p' || g || '/?a=1&b=2'
+        |    ELSE 'https://example.com/~q/p' || g END AS url_canon FROM d)
+        |SELECT doc_id, url_canon,
+        |  CAST(COUNT(*) OVER (PARTITION BY url_canon) AS BIGINT) AS group_n
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the Okapi BM25 formula replayed term-for-term: same tokenizer,
     // same idf/tf saturation, ranked by the same rounded score
     "bm25_topk" ->

@@ -61,6 +61,7 @@ object Registry {
     "ngram_coverage" -> (es => NgramCoverageExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue())),
     "nfc_normalize" -> (es => NfcNormalizeExpr(es.head)),
+    "url_canonicalize" -> (es => UrlCanonicalizeExpr(es.head)),
     // schema-registry SerDes: second arg is the (foldable) spec/schema
     "proto_encode" -> (es => ProtoEncodeExpr(es(0), es(1).eval().toString)),
     "proto_decode" -> (es => ProtoDecodeExpr(es(0), es(1).eval().toString)),

@@ -55,6 +55,8 @@ object Sketch {
     ColumnBridge.column(NgramCoverageExpr(ColumnBridge.expression(text), n))
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+  def url_canonicalize(url: Column): Column =
+    ColumnBridge.column(UrlCanonicalizeExpr(ColumnBridge.expression(url)))
 
   private[functions] def toDoubleAt(arr: ArrayData, et: DataType, i: Int): Double =
     et match {
@@ -379,6 +381,126 @@ case class NgramCoverageExpr(child: Expression, n: Int)
   * (java.text.Normalizer, the ICU-aligned implementation the JVM
   * ships); DuckDB's nfc_normalize is the oracle twin. Narrow per-row
   * string transform. */
+/**
+ * RFC 3986 §6 URL canonicalization for web-corpus dedup (the CCNet/C4
+ * url-level dedup key): lowercase scheme+host, drop default ports,
+ * remove dot-segments (§5.2.4), decode percent-escapes of unreserved
+ * chars and uppercase the rest (§6.2.2), drop the fragment, strip
+ * tracking params (utm_*, fbclid, gclid, msclkid) and byte-sort the
+ * remaining query pairs. Non-URL input passes through unchanged so a
+ * dirty corpus column never fails the pipeline.
+ */
+case class UrlCanonicalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+  override def dataType: DataType = StringType
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** §6.2.2: decode unreserved escapes, uppercase surviving hex. */
+  private def normEscapes(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        val v = (Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16)
+        if (isUnreserved(v.toChar)) sb.append(v.toChar)
+        else sb.append('%').append(s.substring(i + 1, i + 3).toUpperCase)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** §5.2.4 remove_dot_segments, the RFC's buffer algorithm verbatim. */
+  private def removeDotSegments(path: String): String = {
+    def trimLastSegment(out: StringBuilder): Unit = {
+      val idx = out.lastIndexOf("/")
+      out.setLength(math.max(idx, 0))
+    }
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); trimLastSegment(out) }
+      else if (in == "/..") { in = "/"; trimLastSegment(out) }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', start)
+        if (next < 0) { out.append(in); in = "" }
+        else { out.append(in.substring(0, next)); in = in.substring(next) }
+      }
+    }
+    out.toString
+  }
+
+  private def isTracking(key: String): Boolean =
+    key.startsWith("utm_") || key == "fbclid" || key == "gclid" || key == "msclkid"
+
+  private[graft] def canonicalize(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd <= 0) return url
+    val scheme = url.substring(0, schemeEnd).toLowerCase
+    if (scheme != "http" && scheme != "https") return url
+    val rest = url.substring(schemeEnd + 3)
+    val authEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+    val (authority, tail) =
+      if (authEnd < 0) (rest, "") else (rest.substring(0, authEnd), rest.substring(authEnd))
+    if (authority.isEmpty) return url
+    // authority: [userinfo@]host[:port], host lowercased, default port dropped
+    val (userinfo, hostPort) = authority.lastIndexOf('@') match {
+      case -1 => ("", authority)
+      case at => (authority.substring(0, at + 1), authority.substring(at + 1))
+    }
+    val (host, port) = hostPort.lastIndexOf(':') match {
+      case -1 => (hostPort, "")
+      case c if hostPort.substring(c + 1).forall(_.isDigit) =>
+        (hostPort.substring(0, c), hostPort.substring(c + 1))
+      case _ => (hostPort, "")
+    }
+    val defaultPort = (scheme == "http" && port == "80") ||
+      (scheme == "https" && port == "443")
+    val canonAuth = userinfo + host.toLowerCase +
+      (if (port.isEmpty || defaultPort) "" else s":$port")
+    // split tail into path / query, drop fragment
+    val noFrag = tail.indexOf('#') match {
+      case -1 => tail
+      case h => tail.substring(0, h)
+    }
+    val (rawPath, rawQuery) = noFrag.indexOf('?') match {
+      case -1 => (noFrag, null)
+      case q => (noFrag.substring(0, q), noFrag.substring(q + 1))
+    }
+    val path = removeDotSegments(
+      normEscapes(if (rawPath.isEmpty) "/" else rawPath))
+    val query =
+      if (rawQuery == null) null
+      else {
+        val kept = rawQuery.split("&", -1).filter(_.nonEmpty)
+          .map(normEscapes)
+          .filterNot(p => isTracking(p.split("=", 2)(0)))
+          .sorted
+        if (kept.isEmpty) null else kept.mkString("&")
+      }
+    s"$scheme://$canonAuth$path${if (query == null) "" else s"?$query"}"
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(canonicalize(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "url_canonicalize"
+}
+
 case class NfcNormalizeExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   import org.apache.spark.unsafe.types.UTF8String
