@@ -346,11 +346,85 @@ object VectorOps {
   // computation: the QUERY stays exact, only the corpus is quantized).
   // =====================================================================
 
+  /** Seeded k-means++ init + Lloyd iterations over an in-memory point
+    * set. The ++ D² weighting gives duplicates of a chosen point zero
+    * mass, so while distinct values remain every init pick is distinct —
+    * with k ≥ #distinct values the fit converges EXACTLY onto them
+    * (the exact-codebook property ExtOpsSpec certifies). An emptied
+    * cluster keeps its previous centroid. */
+  private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
+                                 iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs at least one point")
+    val d = points(0).length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rnd = new java.util.Random(seed)
+    val n = points.length
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val v = sq(points(i), centers(c - 1))
+        if (v < d2(i)) d2(i) = v
+        total += d2(i); i += 1
+      }
+      if (total == 0) centers(c) = points(rnd.nextInt(n)).clone()
+      else {
+        var r = rnd.nextDouble() * total
+        var pick = 0
+        while (pick < n - 1 && r >= d2(pick)) { r -= d2(pick); pick += 1 }
+        centers(c) = points(pick).clone()
+      }
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    val sums = Array.ofDim[Double](k, d)
+    val counts = new Array[Long](k)
+    (0 until iters).foreach { _ =>
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var cc = 0
+        while (cc < k) {
+          val v = sq(points(i), centers(cc))
+          if (v < bestD) { bestD = v; best = cc }
+          cc += 1
+        }
+        assign(i) = best
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) > 0) {
+          var j = 0
+          while (j < d) { centers(cc)(j) = sums(cc)(j) / counts(cc); j += 1 }
+        }
+        cc += 1
+      }
+    }
+    centers
+  }
+
   /**
    * Fit the per-subspace codebooks: m independent k-means fits (fixed
    * seeds, capped deterministic sample — the same 100 TB stance as
-   * [[annIvf]]'s coarse quantizer: ~100k vectors pin ksub centroids,
-   * never `iters` full-corpus passes). Returns codebooks(j)(c) =
+   * [[annIvf]]'s coarse quantizer: a bounded sample pins ksub
+   * centroids, never `iters` full-corpus passes). The sample collects
+   * to the driver (cap × dim doubles ≈ 10 MB at the default) and all m
+   * fits run locally — ksub=16 centroids don't justify m distributed
+   * k-means jobs' scheduling overhead; the corpus-sized work (encode,
+   * scoring) stays in codegen'd expressions. Returns codebooks(j)(c) =
    * centroid c of subspace j, a driver-side array of m·ksub·(dim/m)
    * doubles (a few KB) that broadcasts as a literal into the encode and
    * scoring expressions.
@@ -358,26 +432,34 @@ object VectorOps {
   def pqTrain(corpus: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
               iters: Int = 5, idCol: String = "vec_id",
               vecCol: String = "embedding",
-              fitSampleCap: Long = 100000L): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              fitSampleCap: Long = 20000L): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val nCorpus = c.count()
     val fitSet =
-      (if (nCorpus <= fitSampleCap) c
-       else Sampling.hashFractionSample(c, fitSampleCap.toDouble / nCorpus,
-         idCol = "id", salt = "pq-fit|")).cache()
-    try {
-      (0 until m).map { j =>
-        val sub = fitSet.select(array_to_vector(
-          slice(col("v"), j * dsub + 1, dsub)).as("fv"))
-        new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(iters)
-          .setFeaturesCol("fv").setPredictionCol("c")
-          .fit(sub).clusterCenters.map(_.toArray)
-      }.toArray
-    } finally { fitSet.unpersist(): Unit }
+      if (nCorpus <= fitSampleCap) c
+      else Sampling.hashFractionSample(c, fitSampleCap.toDouble / nCorpus,
+        idCol = "id", salt = "pq-fit|")
+    // bounded collect: ≤ fitSampleCap rows of dim doubles (the fit set)
+    val sample = fitSet.select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    (0 until m).map { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // a few seeded restarts stand in for kmeans‖'s stronger init;
+      // local points make them nearly free
+      (0 until 5).map { r =>
+        val cb = localKMeans(sub, ksub, iters, seed = 42L + j * 31L + r)
+        val sse = sub.iterator.map { p =>
+          cb.iterator.map { ctr =>
+            var s = 0.0; var i = 0
+            while (i < dsub) { val t = p(i) - ctr(i); s += t * t; i += 1 }
+            s
+          }.min
+        }.sum
+        (sse, cb)
+      }.minBy(_._1)._2
+    }.toArray
   }
 
   /** Codebooks as a flat literal `array<array<double>>` column indexed
