@@ -228,4 +228,26 @@ class PlanQualitySpec extends SparkSpec {
       assert(badExchange.isEmpty, s"$q: shuffle hash-keyed on array column:\n${badExchange.mkString("\n")}")
     }
   }
+
+  test("datagen_persons: pure derivation — no exchange except the output sort") {
+    val p = plan("datagen_persons")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0, p.take(800))
+    // every field is a codegen'd expression over range(n)
+    assert(p.contains("Range (0"), p.take(300))
+  }
+
+  test("url_dedup: kernel is per-row; only the group-count window shuffles") {
+    val p = plan("url_dedup")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, p.take(800))
+    assert(!p.contains("Join"), "url dedup must not join")
+    // only the two needed columns leave the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(800))
+  }
+
+  test("file_sink_roundtrip: read-back explodes per file, one count aggregation") {
+    val p = plan("file_sink_roundtrip")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "count must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
+  }
 }
