@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.UrlCanonicalizeExpr
+import graft.sources.AerospikeSink.Ripemd160
+import graft.sources.KafkaConnectAdaptor.{canonicalJson, parseFlatJson}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Randomized properties for the round-6 kernels: the invariants a
+  * fuzzer would lean on, over seeded generators. */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def canon(u: String): String = UrlCanonicalizeExpr(null).canonicalize(u)
+
+  private def randomUrl(rnd: scala.util.Random): String = {
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val scheme = pick(Seq("http", "HTTP", "https", "HtTpS"))
+    val host = pick(Seq("Example.com", "a.b.example.NET", "h-1.io"))
+    val port = pick(Seq("", ":80", ":443", ":8080"))
+    val segs = (0 until rnd.nextInt(5)).map(_ =>
+      pick(Seq("a", "b%2Fc", ".", "..", "p%7Eq", "x", "%41")))
+    val path = if (segs.isEmpty) "" else segs.mkString("/", "/", if (rnd.nextBoolean()) "/" else "")
+    val params = (0 until rnd.nextInt(4)).map(_ =>
+      pick(Seq("a=1", "b=%7e", "utm_source=x", "z=", "fbclid=9", "k=v%2Fw")))
+    val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+    val frag = if (rnd.nextBoolean()) "#sec%20tion" else ""
+    s"$scheme://$host$port$path$query$frag"
+  }
+
+  test("url canonicalization is idempotent over random noisy URLs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val u = randomUrl(rnd)
+      val once = canon(u)
+      assert(canon(once) === once, s"not idempotent for $u -> $once")
+    }
+  }
+
+  test("canonical URLs carry no fragments, no tracking params, sorted queries") {
+    val rnd = new scala.util.Random(11)
+    (0 until 500).foreach { _ =>
+      val c = canon(randomUrl(rnd))
+      assert(!c.contains("#"), c)
+      assert(!c.contains("utm_") && !c.contains("fbclid"), c)
+      val qi = c.indexOf('?')
+      if (qi >= 0) {
+        val parts = c.substring(qi + 1).split("&").toSeq
+        assert(parts === parts.sorted, c)
+        assert(parts.forall(_.nonEmpty), c)
+      }
+      // scheme and host are lowercase up to the path
+      val pathStart = c.indexOf('/', c.indexOf("://") + 3)
+      val prefix = if (pathStart < 0) c else c.substring(0, pathStart)
+      assert(prefix === prefix.toLowerCase, c)
+    }
+  }
+
+  test("canonical flat JSON round-trips arbitrary string maps") {
+    val rnd = new scala.util.Random(13)
+    def randomStr(): String = {
+      val chars = Seq('a', 'b', '"', '\\', '\n', '\t', 'é', ':', ',', '{', '}')
+      (0 until rnd.nextInt(12)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    (0 until 300).foreach { _ =>
+      val m = (0 until rnd.nextInt(6)).map(i =>
+        s"k$i${randomStr()}" -> (if (rnd.nextInt(8) == 0) null else randomStr())).toMap
+      val j = canonicalJson(m)
+      assert(parseFlatJson(j) === m, s"roundtrip failed for $j")
+      // canonical: ordering-independent encoding
+      assert(canonicalJson(m.toSeq.reverse.toMap) === j)
+    }
+  }
+
+  test("ripemd160 is stable across padding boundaries and input-sensitive") {
+    val lengths = Seq(0, 1, 54, 55, 56, 57, 63, 64, 65, 119, 120, 128, 1000)
+    val digests = lengths.map { n =>
+      val d = Ripemd160.digest(Array.fill(n)('x'.toByte))
+      assert(d.length === 20)
+      d.toSeq
+    }
+    assert(digests.distinct.size === lengths.size, "length collisions")
+    // single-bit sensitivity
+    val a = Ripemd160.digest("The quick brown fox".getBytes(UTF_8))
+    val b = Ripemd160.digest("The quick brown foy".getBytes(UTF_8))
+    assert(a.toSeq !== b.toSeq)
+    assert(Ripemd160.digest("The quick brown fox".getBytes(UTF_8)).toSeq === a.toSeq)
+  }
+}
