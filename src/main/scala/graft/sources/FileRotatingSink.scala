@@ -197,7 +197,10 @@ object FileRotatingSink {
   def readBack(spark: SparkSession, cfg: Config): DataFrame = {
     val ext = java.util.regex.Pattern.quote(cfg.fileExtension)
     val nameRe = s"-p(\\d+)-o(\\d+)-(\\d+)$ext$$"
-    val sep = cfg.separator.toString
+    // split() takes a REGEX: quote the separator so '.', '|' etc. split
+    // literally, then escape for the SQL string literal
+    val sepRe = java.util.regex.Pattern.quote(cfg.separator.toString)
+      .replace("\\", "\\\\").replace("'", "\\'")
     spark.read.format("binaryFile")
       .load(s"${cfg.directory}/${cfg.filenamePrefix}-*${cfg.fileExtension}")
       .select(
@@ -207,8 +210,8 @@ object FileRotatingSink {
         decode(col("content"), "UTF-8").as("text"))
       // every record ends with the separator → drop the trailing empty slot
       .select(col("partition"), col("first"), col("last"),
-        expr(s"slice(split(text, '${if (sep == "'") "\\'" else sep}'), 1, " +
-          "greatest(size(split(text, '" + (if (sep == "'") "\\'" else sep) + "')) - 1, 0))")
+        expr(s"slice(split(text, '$sepRe'), 1, " +
+          s"greatest(size(split(text, '$sepRe')) - 1, 0))")
           .as("slots"))
       .select(col("partition"), col("first"), col("last"),
         posexplode(col("slots")).as(Seq("pos", "value")))

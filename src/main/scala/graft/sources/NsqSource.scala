@@ -43,11 +43,12 @@ object NsqSource {
   val FrameError = 1
   val FrameMessage = 2
 
-  /** Topic/channel grammar from the spec: 1–64 chars of
-    * `[.a-zA-Z0-9_-]`, optional `#ephemeral` suffix. */
+  /** Topic/channel grammar from the spec: 1–64 chars TOTAL (the
+    * `#ephemeral` suffix counts toward the cap, as in nsqd's
+    * validator) over `[.a-zA-Z0-9_-]`. */
   private[graft] def checkName(name: String, what: String): String = {
-    require(name != null &&
-      name.matches("[.a-zA-Z0-9_-]{1,64}(#ephemeral)?"),
+    require(name != null && name.length >= 1 && name.length <= 64 &&
+      name.matches("[.a-zA-Z0-9_-]+(#ephemeral)?"),
       s"illegal NSQ $what '$name'")
     name
   }

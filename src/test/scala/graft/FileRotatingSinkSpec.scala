@@ -68,6 +68,18 @@ class FileRotatingSinkSpec extends SparkSpec {
     assert(Files.list(Paths.get(dir, "tmp")).iterator().asScala.isEmpty)
   }
 
+  test("regex-special separators split literally on read-back") {
+    val dir = Files.createTempDirectory("frs-sep").toString
+    val cfg = Config(dir, "t", separator = '|', rotationRecords = 10)
+    val w = new PartitionWriter(cfg, 0)
+    w.write("a.b".getBytes(UTF_8), 0L)
+    w.write("c".getBytes(UTF_8), 1L)
+    w.close(): Unit
+    val back = FileRotatingSink.readBack(spark, cfg)
+      .orderBy("offset").collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(back.toSeq === Seq((0L, "a.b"), (1L, "c")))
+  }
+
   test("config validation") {
     intercept[IllegalArgumentException](Config("/x", ""))
     intercept[IllegalArgumentException](Config("/x", "t", rotationRecords = 0))

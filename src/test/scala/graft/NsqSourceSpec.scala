@@ -126,5 +126,9 @@ class NsqSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException](NsqSource.checkName("x" * 65, "topic"))
     assert(NsqSource.checkName("events.prod-1_a", "topic") == "events.prod-1_a")
     assert(NsqSource.checkName("work#ephemeral", "channel") == "work#ephemeral")
+    // the suffix counts toward the 64-char cap, as in nsqd's validator
+    assert(NsqSource.checkName("x" * 54 + "#ephemeral", "topic").length == 64)
+    intercept[IllegalArgumentException](
+      NsqSource.checkName("x" * 55 + "#ephemeral", "topic"))
   }
 }
