@@ -601,6 +601,22 @@ object SparkEntry {
         sum("n").cast("bigint").as("n_events"))
       .orderBy(col(Envelope.Key))
 
+  /** §2.5 session windows on the STREAMING path: the stateful
+    * session_window aggregation runs through readStream →
+    * complete-mode memory sink and must converge to the same
+    * per-session rows the batch islands oracle derives — gating the
+    * streaming session-state machinery (merge-on-gap, state store)
+    * under the DuckDB oracle. */
+  private def qSessionWindowsStream(s: SparkSession, dir: String): DataFrame =
+    runStreamToLocal(s,
+      Windows.session(Envelope.fromEventsStream(s, dir), Envelope.EventTime,
+        "30 minutes", keys = Seq(col(Envelope.Key)),
+        aggs = Seq(count(lit(1)).cast("bigint").as("n"))))
+      .select(col(Envelope.Key),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n"))
+      .orderBy(Envelope.Key, "session_start")
+
   /** §2.4 exact percentiles (median/p25/p75) per event type. */
   private def qMedian(s: SparkSession, dir: String): DataFrame =
     env(s, dir).groupBy("event_type")
@@ -1636,6 +1652,7 @@ object SparkEntry {
     "window_count" -> (qWindowCount _),
     "window_count_sliding" -> (qWindowCountSliding _),
     "session_windows" -> (qSessionWindows _),
+    "session_windows_stream" -> (qSessionWindowsStream _),
     "q_median" -> (qMedian _),
     "hll_cardinality" -> (qHllCardinality _),
     "heavy_hitters" -> (qHeavyHitters _),
@@ -1950,6 +1967,23 @@ object SparkEntry {
         |    FROM envelope WINDOW w AS (PARTITION BY key ORDER BY event_time, "offset")
         |  ) m) t
         |GROUP BY key ORDER BY key""".stripMargin),
+    // the same islands derivation, emitted per session: the streaming
+    // session_window state machine must land exactly these rows
+    "session_windows_stream" -> envSql(
+      """SELECT key,
+        |  strftime(MIN(event_time), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT key, event_time, SUM(new_s) OVER (PARTITION BY key
+        |    ORDER BY event_time, "offset" ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT key, event_time, "offset",
+        |      CASE WHEN LAG(event_time) OVER w IS NULL
+        |           OR event_time - LAG(event_time) OVER w >= INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_s
+        |    FROM envelope WINDOW w AS (PARTITION BY key ORDER BY event_time, "offset")
+        |  ) m) t
+        |GROUP BY key, sid ORDER BY key, session_start""".stripMargin),
     "q_median" -> envSql(
       """SELECT event_type,
         |  quantile_cont(metric_value, 0.5) AS median_value,
