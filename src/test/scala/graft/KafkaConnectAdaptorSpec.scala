@@ -95,7 +95,8 @@ break","z":null}""".replace("\n", "\\u000a"))
     KafkaConnectAdaptor.run(task, data, offsets): Unit
     // two batches → two offset appends for partition a; intermediate
     // offset 2 visible in the raw log, only 3 in the compacted view
-    val raw = offsets.read().select(Envelope.Value).collect().map(_.getString(0)).toSeq
+    val raw = offsets.read().orderBy(Envelope.Partition, Envelope.Offset)
+      .select(Envelope.Value).collect().map(_.getString(0)).toSeq
     assert(raw === Seq("""{"o":"2"}""", """{"o":"3"}"""))
     assert(new OffsetStore(offsets).restore()
       === Map(Map("file" -> "a") -> Map("o" -> "3")))
