@@ -426,16 +426,13 @@ object Multimodal {
 
   /** Synthesize a deterministic media payload per row of `idCol` (the
     * fixture source for the decode pipeline when no real media corpus is
-    * attached). */
-  def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+ MediaGen.forId(r.getLong(idIdx))))
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+    * attached) — a scalar expression, like the decode, so the fixture
+    * pipeline is columnar end to end. */
+  def synthesizeMedia(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload",
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        MediaGenExpr(org.apache.spark.sql.graft.ColumnBridge.expression(
+          col(idCol)))))
 }
 
 /**
@@ -485,4 +482,17 @@ case class MediaFeaturesExpr(child: org.apache.spark.sql.catalyst.expressions.Ex
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
   override def prettyName: String = "media_features"
+}
+
+/** Deterministic media-fixture synthesis as a scalar expression:
+  * id → spec-valid container bytes via [[Multimodal.MediaGen.forId]]. */
+case class MediaGenExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    Multimodal.MediaGen.forId(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "media_gen"
 }

@@ -244,6 +244,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(800))
   }
 
+  test("multimodal_pipeline: decode is a scalar expression, no RDD scan barrier") {
+    val p = plan("multimodal_pipeline")
+    assert(!p.contains("ExistingRDD"),
+      "media decode must stay a Catalyst expression, not an RDD round trip")
+    assert(p.contains("media_meta"), p.take(400))
+  }
+
   test("file_sink_roundtrip: read-back explodes per file, one count aggregation") {
     val p = plan("file_sink_roundtrip")
     assert(p.contains("partial_count") || p.contains("partial_"),
