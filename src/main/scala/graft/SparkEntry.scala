@@ -1415,6 +1415,13 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup cluster-then-prune semantic dedup; the oracle replays the
+    * sign-LSH quantizer, the decimal-exact centroids and the
+    * farthest-from-centroid keep rule in pure SQL. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    VectorOps.semanticDedup(tbl(s, dir, "embeddings"), 0.3, dim = 64)
+      .orderBy("vec_id")
+
   /** Corpus-DF boilerplate removal: tokens present in > 60% of documents
     * are corpus chrome; each document is reassembled without them. The
     * md5 of every cleaned document is oracle-compared. The 60% cap is
@@ -1710,6 +1717,7 @@ object SparkEntry {
     "ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "pq_recall" -> (qPqRecall _),
     "cosine_near_dup" -> (qCosineNearDup _),
+    "semantic_dedup" -> (qSemanticDedup _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
@@ -2779,6 +2787,35 @@ object SparkEntry {
         |             JOIN embeddings eb ON eb.vec_id = pairs.id_b)
         |SELECT id_a, id_b, round(sim, 6) AS sim_r FROM scored
         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+    // SemDeDup: same hyperplane derivation as ann_lsh/cosine_near_dup;
+    // cluster = low 6 signature bits; centroid components are decimal-
+    // exact sums (cosine is scale-invariant so the mean's division is
+    // skipped); keep rule = lowest round(cos-to-centroid, 6), id ties.
+    "semantic_dedup" -> (mm3Macros +
+      s"""WITH $signLshCte,
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cl AS (
+        |  SELECT s.vec_id, CAST(sig & 63 AS BIGINT) AS cluster, v
+        |  FROM sigs s JOIN e ON e.vec_id = s.vec_id),
+        |ex AS (
+        |  SELECT vec_id, cluster, i AS pos, v[i + 1] AS x
+        |  FROM cl CROSS JOIN range(0, 64) t(i)),
+        |cent AS (
+        |  SELECT cluster, pos, CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS c
+        |  FROM ex GROUP BY cluster, pos),
+        |carr AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM cent GROUP BY cluster),
+        |scored AS (
+        |  SELECT vec_id, cl.cluster, v,
+        |    round(list_cosine_similarity(v, cv), 6) AS simc_r
+        |  FROM cl JOIN carr ON carr.cluster = cl.cluster),
+        |removed AS (
+        |  SELECT DISTINCT a.vec_id FROM scored a JOIN scored b
+        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        |   AND list_cosine_similarity(a.v, b.v) >= 0.3
+        |   AND (b.simc_r < a.simc_r OR (b.simc_r = a.simc_r AND b.vec_id < a.vec_id)))
+        |SELECT s.vec_id, s.cluster, s.simc_r, (r.vec_id IS NULL) AS kept
+        |FROM scored s LEFT JOIN removed r ON r.vec_id = s.vec_id
+        |ORDER BY s.vec_id""".stripMargin),
     // Mirrors Multimodal.MediaGen.forId exactly: a hash match proves the
     // header parsers recover the true dims/channels/duration from the
     // synthesized spec-valid PNG/JPEG/GIF/WAV bytes on every row.

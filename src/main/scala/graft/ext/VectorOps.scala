@@ -566,4 +566,77 @@ object VectorOps {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication by clustering the embedding space and pruning
+   * near-duplicates WITHIN each cluster only — the approximation that
+   * turns the quadratic all-pairs scan into a sum of per-cluster
+   * quadratics. The paper clusters with k-means; here the coarse
+   * quantizer is the deterministic sign-LSH signature's low
+   * `clusterBits` bits, so the whole pipeline is reproducible
+   * cross-engine with no stored model (the DuckDB oracle replays the
+   * hyperplanes, the centroids and the keep rule exactly).
+   *
+   * Keep rule (paper §2.2): inside a τ-neighborhood the example kept is
+   * the one with the LOWEST cosine similarity to its cluster centroid —
+   * "farthest from the centroid" retains the most diverse member — with
+   * ties broken by lower id. A row is removed iff some same-cluster row
+   * within `threshold` cosine outranks it under that order. The
+   * centroid is the elementwise sum of member embeddings (cosine is
+   * scale-invariant, so the mean's division is skipped and the sum
+   * stays EXACT as a decimal — no cross-engine float-accumulation
+   * drift); components are rounded to 9 decimals at the decimal cast,
+   * which is the operator's definition of the centroid, not a fudge.
+   *
+   * Scale: cluster id is the shuffle key everywhere. The centroid table
+   * is 2^clusterBits × dim scalars (tiny → broadcast); the pairwise
+   * stage joins on cluster so its cost is Σ|cluster|², the same bound
+   * the paper engineers for (their k=50k clusters at 100 TB ≡ raising
+   * `clusterBits`); similarity is computed and thresholded before the
+   * distinct, so the dedup exchange carries only ids.
+   *
+   * Returns (vec_id, cluster, simc_r = round(cos-to-centroid, 6), kept).
+   */
+  def semanticDedup(vecs: DataFrame, threshold: Double, dim: Int,
+                    clusterBits: Int = 6,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(clusterBits >= 1 && clusterBits <= 32, s"clusterBits $clusterBits not in [1,32]")
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signLshSignature(col(vecCol), dim, 32)
+        .bitwiseAND((1L << clusterBits) - 1).as("cluster"))
+
+    // Exact per-cluster centroid direction: explode to (cluster, pos, x),
+    // sum each component as a decimal (order-independent), reassemble the
+    // array sorted by position. 2^clusterBits rows → broadcast.
+    val exploded = base.select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+    val centroids = exploded
+      .groupBy("cluster", "pos")
+      .agg(sum(col("x").cast("double").cast("decimal(28,9)")).cast("double").as("c"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster"), transform(col("pc"), p => p.getField("c")).as("cv"))
+
+    val scored = base.join(broadcast(centroids), Seq("cluster"))
+      .withColumn("simc_r", round(cosine(transform(col("v"), _.cast("double")),
+        col("cv")), 6))
+      .select("id", "cluster", "v", "simc_r")
+
+    // A row is removed iff a same-cluster row within the threshold
+    // outranks it under (simc_r asc, id asc) — the EXISTS is a
+    // distinct-on-id semi side computed pre-join-back, so the final
+    // exchange carries only ids.
+    val a = scored.toDF("id_a", "cluster", "va", "simc_a")
+    val b = scored.toDF("id_b", "cluster", "vb", "simc_b")
+    val removed = a.join(b, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .filter(col("simc_b") < col("simc_a") ||
+        (col("simc_b") === col("simc_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("rid")).distinct()
+
+    scored.join(removed, col("id") === col("rid"), "left_outer")
+      .select(col("id").as(idCol), col("cluster"), col("simc_r"),
+        col("rid").isNull.as("kept"))
+  }
 }

@@ -323,4 +323,48 @@ class ExtOpsSpec extends SparkSpec {
     assert(q.filter(col("stopword_ratio") < 0 || col("punct_ratio") < 0).count() == 0)
     assert(q.filter(col("n_tokens") <= 0).count() == 0)
   }
+
+  test("semanticDedup: keep rule replayed row-for-row; min-centroid-sim member always kept") {
+    val tau = 0.3
+    val out = VectorOps.semanticDedup(vecs, tau, dim = 64)
+      .select(col("vec_id"), col("cluster"), col("simc_r"), col("kept"))
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length == vecs.count())
+    val removedN = out.count(!_._4)
+    assert(removedN > 0, "fixture should contain within-cluster near-dups")
+
+    // independent recompute of the rule from raw vectors + the operator's
+    // own cluster/simc outputs: removed ⇔ a same-cluster partner within
+    // tau outranks it under (simc_r asc, id asc)
+    val raw = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / math.sqrt(na * nb)
+    }
+    val byCluster = out.groupBy(_._2)
+    for ((_, members) <- byCluster; m <- members) {
+      val dominated = members.exists { o =>
+        o._1 != m._1 && cos(raw(m._1), raw(o._1)) >= tau &&
+          (o._3 < m._3 || (o._3 == m._3 && o._1 < m._1))
+      }
+      assert(!m._4 == dominated,
+        s"vec ${m._1}: kept=${m._4} but dominated=$dominated")
+      // the cluster's minimum under (simc, id) can never be dominated
+    }
+    for ((_, members) <- byCluster) {
+      val top = members.minBy(m => (m._3, m._1))
+      assert(top._4, s"cluster min ${top._1} must be kept")
+    }
+
+    // a threshold above the max pairwise sim removes nothing
+    val none = VectorOps.semanticDedup(vecs, 0.99, dim = 64)
+      .filter(!col("kept")).count()
+    assert(none == 0L)
+  }
 }

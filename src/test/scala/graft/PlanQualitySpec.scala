@@ -213,7 +213,8 @@ class PlanQualitySpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
-    for (q <- Seq("minhash_lsh", "simhash_pairs", "ann_lsh", "cosine_near_dup")) {
+    for (q <- Seq("minhash_lsh", "simhash_pairs", "ann_lsh", "cosine_near_dup",
+                  "semantic_dedup")) {
       val qe = SparkEntry.queries(q)(spark, sf001).queryExecution
       val badAgg = qe.optimizedPlan.collect {
         case a: Aggregate if a.groupingExpressions.exists(_.dataType.isInstanceOf[ArrayType]) => a
@@ -256,5 +257,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_"),
       "count must combine map-side")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
+  }
+
+  test("semantic_dedup: centroids broadcast, pair stage joins on cluster, no cartesian") {
+    val p = plan("semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "pair stage must key on cluster")
+    // tiny 2^clusterBits x dim centroid table broadcast to the corpus side
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // removal set distincts on the id alone — never on vectors (also
+    // covered by the array-key ban above); the EXISTS side stays a
+    // broadcastable id list
+    assert(countOccurrences(p, "CartesianProduct") == 0)
   }
 }
