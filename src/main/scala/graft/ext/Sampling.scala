@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -241,5 +241,76 @@ object Sampling {
     df.withColumn("shard_id",
       (coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(budget))
         .cast("long"))
+  }
+
+  /**
+   * DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+   * arXiv:2302.03169): select raw documents that look like a target
+   * distribution by importance weighting in a hashed n-gram feature
+   * space, then sampling without replacement via the Gumbel top-k trick.
+   *
+   * Features are word unigrams + bigrams with multiplicity, hashed to
+   * `buckets` cells by the first 3 hex chars of md5 (a string key, so no
+   * engine-specific integer hashing anywhere). Bucket unigram models
+   * with +1 (Laplace) smoothing: p = target cells, q = the full raw
+   * corpus; a document's log-importance weight is Σ_cells
+   * count · (ln p − ln q), each cell weight rounded to 9 decimals and
+   * the per-document sum taken in exact decimals so the result is
+   * independent of partitioning AND of engine (the oracle replays it in
+   * SQL). The selection key adds per-document Gumbel noise
+   * g = −ln(−ln(u)) with u from the md5 draw — i.i.d. uniform, so
+   * top-k(lw + g) IS a weighted sample without replacement from the
+   * softmax of the weights (Gumbel-max), the paper's resampling step.
+   *
+   * Scale: the exploded n-gram stream partially aggregates to
+   * (doc, cell) counts (map-side combine on a bounded key space), the
+   * cell-weight table is ≤ `buckets` rows (broadcast), and the only
+   * per-document state is one decimal sum. Top-k is TakeOrdered — no
+   * global single-partition window; the rank is assigned over the k
+   * selected rows only.
+   *
+   * Returns (rank, doc_id, lw_r, key_r) for the k selected documents.
+   */
+  def dsirResample(docs: DataFrame, isTarget: Column, k: Int,
+                   buckets: Int = 4096, textCol: String = "text",
+                   idCol: String = "doc_id", salt: String = "dsir|"): DataFrame = {
+    require(k > 0 && buckets > 0)
+    val feats = TextOps.ensureParallelism(docs)
+      .select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(concat(TextOps.shinglesAll(col(textCol), 1),
+          TextOps.shinglesAll(col(textCol), 2))).as("ngram"))
+      .select(col("id"), col("tgt"), substring(md5(col("ngram")), 1, 3).as("b"))
+    // (doc, cell) counts feed BOTH the cell models and the per-doc
+    // weight sums; truncate the lineage so the n-gram explode + md5 +
+    // count runs once, not once per consumer (at 100 TB this
+    // intermediate is the thing you'd materialize — it's the paper's
+    // precomputed hashed-feature table)
+    val perDoc = feats.groupBy("id", "tgt", "b")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val cells = perDoc.groupBy("b")
+      .agg(sum(when(col("tgt"), col("c")).otherwise(0L)).as("tgt_b"),
+        sum(col("c")).as("all_b"))
+    val totals = cells.agg(sum("tgt_b").as("tgt_tot"), sum("all_b").as("all_tot"))
+    val weights = cells.crossJoin(broadcast(totals))
+      .withColumn("lnw", round(
+        log((col("tgt_b") + 1).cast("double") / (col("tgt_tot") + buckets).cast("double")) -
+        log((col("all_b") + 1).cast("double") / (col("all_tot") + buckets).cast("double")), 9))
+      .select("b", "lnw")
+    val lw = perDoc.join(broadcast(weights), Seq("b"))
+      .groupBy("id")
+      .agg(sum(col("c").cast("decimal(10,0)") * col("lnw").cast("decimal(12,9)"))
+        .cast("double").as("lw"))
+    val keyed = lw
+      .withColumn("gum", round(-log(-log(
+        (conv(substring(draw("id", salt), 1, 8), 16, 10).cast("double") + 0.5) /
+          lit(4294967296.0))), 9))
+      .withColumn("lw_r", round(col("lw"), 6))
+      .withColumn("key_r", round(col("lw") + col("gum"), 6))
+    val top = keyed.orderBy(col("key_r").desc, col("id")).limit(k)
+    // rank window runs over the k selected rows only
+    val w = Window.orderBy(col("key_r").desc, col("id"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("rank"), col("id").as(idCol), col("lw_r"), col("key_r"))
   }
 }

@@ -17,6 +17,16 @@ object TextOps {
   /** Whitespace tokenization; deterministic and oracle-reproducible. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Round-robin repartition a small scan up to the session's default
+    * parallelism — only when the source has FEWER splits (a sub-128MB
+    * fixture file reads as one partition, serializing any expensive
+    * per-row stage stacked on the scan). On real multi-split inputs
+    * (the 100 TB case) this is the identity: no shuffle is added. */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Unicode-clean text: NFC canonical composition (native kernel —
     * decomposed e+COMBINING ACUTE folds to é so dedup hashes and
     * tokenizers see ONE spelling) followed by control-character

@@ -176,4 +176,28 @@ class SamplingSpec extends SparkSpec {
     val sub = Sampling.hashFractionSample(d, Math.nextDown(1.0), salt = "clamp|")
     assert(sub.except(d).isEmpty)
   }
+
+  test("dsirResample: enriches the target slice, exact-k, deterministic, ranks contiguous") {
+    import spark.implicits._
+    val d = docs
+    val k = 50
+    val out = Sampling.dsirResample(d, col("lang") === "en", k).cache()
+    try {
+      val rows = out.select("rank", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+      assert(rows.length == k)
+      assert(rows.map(_._1).toSeq == (1L to k.toLong), "ranks must be 1..k")
+      assert(rows.map(_._2).distinct.length == k, "sampling is without replacement")
+
+      // the point of DSIR: the selected set should look like the target
+      // distribution — its en-fraction must beat the corpus base rate
+      val baseEn = d.filter(col("lang") === "en").count().toDouble / d.count()
+      val selEn = d.join(out, "doc_id").filter(col("lang") === "en").count().toDouble / k
+      assert(selEn > baseEn,
+        s"selected en-fraction $selEn must exceed base rate $baseEn")
+
+      // bit-deterministic run-to-run (no RNG anywhere)
+      val again = Sampling.dsirResample(d, col("lang") === "en", k)
+      assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    } finally out.unpersist()
+  }
 }
