@@ -1422,6 +1422,25 @@ object SparkEntry {
     VectorOps.semanticDedup(tbl(s, dir, "embeddings"), 0.3, dim = 64)
       .orderBy("vec_id")
 
+  /** CCNet-style perplexity triage: per-language char-trigram LMs
+    * trained on the src0-src3 reference slice; every document scored by
+    * mean log10 trigram probability and bucketed into head/middle/tail
+    * terciles within its language. The oracle retrains and rescores the
+    * identical model in SQL. */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    ext.LmScore.ccnetBuckets(tbl(s, dir, "documents"),
+        col("source").isin("src0", "src1", "src2", "src3"))
+      .orderBy("doc_id")
+
+  /** DSIR importance resampling: pick the 100 raw documents that look
+    * most like the English-language target slice under hashed-ngram
+    * importance weights, sampled via Gumbel top-k. The oracle replays
+    * the bucket models, decimal weight sums, the Gumbel draws and the
+    * final ranking in pure SQL. */
+  private def qDsirSample(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.dsirResample(tbl(s, dir, "documents"), col("lang") === "en", 100)
+      .orderBy(col("rank"))
+
   /** Corpus-DF boilerplate removal: tokens present in > 60% of documents
     * are corpus chrome; each document is reassembled without them. The
     * md5 of every cleaned document is oracle-compared. The 60% cap is
@@ -1725,6 +1744,8 @@ object SparkEntry {
     "sample_stratified" -> (qSampleStratified _),
     "sample_temperature" -> (qTemperatureMix _),
     "sample_hash" -> (qSampleHash _),
+    "dsir_sample" -> (qDsirSample _),
+    "ccnet_buckets" -> (qCcnetBuckets _),
     "shard_pack" -> (qShardPack _),
     "pii_redact" -> (qPiiRedact _),
     "decontam" -> (qDecontam _),
@@ -2493,6 +2514,78 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // CCNet: per-language char-trigram Laplace LM retrained in SQL;
+    // per-position log10 rounded to 9, decimal doc sums, per-language
+    // NTILE terciles — identical definition in both engines
+    "ccnet_buckets" ->
+      """WITH tris AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS tri
+        |  FROM documents WHERE length(text) >= 3),
+        |m3 AS (
+        |  SELECT lang, tri, COUNT(*) AS c3 FROM tris
+        |  WHERE source IN ('src0','src1','src2','src3') GROUP BY lang, tri),
+        |m2 AS (SELECT lang, substr(tri, 1, 2) AS bi, SUM(c3) AS c2 FROM m3 GROUP BY lang, bi),
+        |vt AS (
+        |  SELECT lang, COUNT(DISTINCT ch) AS v FROM (
+        |    SELECT lang, unnest(list_transform(range(1, length(text) + 1), i -> substr(text, i, 1))) AS ch
+        |    FROM documents WHERE source IN ('src0','src1','src2','src3')) t
+        |  GROUP BY lang),
+        |pd AS (SELECT doc_id, lang, tri, COUNT(*) AS c FROM tris GROUP BY doc_id, lang, tri),
+        |sc AS (
+        |  SELECT pd.doc_id, pd.lang,
+        |    CAST(SUM(CAST(c AS DECIMAL(10,0)) *
+        |      CAST(round(log10(CAST(COALESCE(c3, 0) + 1 AS DOUBLE) /
+        |        CAST(COALESCE(c2, 0) + COALESCE(v, 1) AS DOUBLE)), 9) AS DECIMAL(12,9))) AS DOUBLE) AS lp_sum,
+        |    CAST(SUM(c) AS BIGINT) AS n_tri
+        |  FROM pd
+        |  LEFT JOIN m3 ON m3.lang = pd.lang AND m3.tri = pd.tri
+        |  LEFT JOIN m2 ON m2.lang = pd.lang AND m2.bi = substr(pd.tri, 1, 2)
+        |  LEFT JOIN vt ON vt.lang = pd.lang
+        |  GROUP BY pd.doc_id, pd.lang),
+        |b AS (SELECT doc_id, lang, n_tri, round(lp_sum / n_tri, 6) AS lp_mean_r FROM sc)
+        |SELECT doc_id, lang, n_tri, lp_mean_r,
+        |  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY lp_mean_r DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // DSIR: hashed-ngram (uni+bigram, multiplicity) bucket models with
+    // +1 smoothing, per-doc decimal weight sums, md5-derived Gumbel
+    // noise, top-100 by the noised key — replayed term-for-term.
+    "dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS w
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, tgt, unnest(w) AS ngram FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, tgt,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS ngram
+        |  FROM toks),
+        |db AS (
+        |  SELECT doc_id, tgt, substr(md5(ngram), 1, 3) AS b, COUNT(*) AS c
+        |  FROM ng GROUP BY doc_id, tgt, b),
+        |bt AS (
+        |  SELECT b, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_b, SUM(c) AS all_b
+        |  FROM db GROUP BY b),
+        |tot AS (SELECT SUM(tgt_b) AS tgt_tot, SUM(all_b) AS all_tot FROM bt),
+        |wt AS (
+        |  SELECT b,
+        |    round(ln(CAST(tgt_b + 1 AS DOUBLE) / CAST(tgt_tot + 4096 AS DOUBLE))
+        |        - ln(CAST(all_b + 1 AS DOUBLE) / CAST(all_tot + 4096 AS DOUBLE)), 9) AS lnw
+        |  FROM bt CROSS JOIN tot),
+        |lw AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(c AS DECIMAL(10,0)) * CAST(lnw AS DECIMAL(12,9))) AS DOUBLE) AS lw
+        |  FROM db JOIN wt USING (b) GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT doc_id, round(lw, 6) AS lw_r,
+        |    round(lw + round(-ln(-ln(
+        |      (CAST(('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |        / 4294967296.0)), 9), 6) AS key_r
+        |  FROM lw)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_r DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, lw_r, key_r
+        |FROM keyed ORDER BY key_r DESC, doc_id LIMIT 100""".stripMargin,
     "pii_redact" ->
       """WITH withpii AS (
         |  SELECT doc_id, text || ' contact admin' || CAST(doc_id AS VARCHAR)

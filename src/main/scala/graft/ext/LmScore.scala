@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * CCNet-style language-model quality bucketing (Wenzek et al. 2020,
+ * arXiv:1911.00359): score every document by the perplexity of a small
+ * language model trained on a high-quality reference slice, then split
+ * each language into head / middle / tail perplexity terciles — the
+ * standard pre-training corpus triage (CCNet trains per-language KenLM
+ * models on Wikipedia; the head tercile is what most LLM pipelines keep).
+ *
+ * The model here is a per-language character-trigram LM with +1
+ * (Laplace) smoothing — no external model artifact, so training,
+ * scoring and bucketing are all replayable in the DuckDB oracle:
+ *
+ *   P(c₃ | c₁c₂) = (count₃(c₁c₂c₃) + 1) / (count₂(c₁c₂) + V)
+ *
+ * with counts from the reference slice and V = |distinct chars| of the
+ * reference slice per language. A document's score is the mean log10
+ * trigram probability over its `length-2` positions (its negated value
+ * is log10-perplexity, so ORDER BY score DESC ≡ perplexity ascending).
+ * Each position's log10 is rounded to 9 decimals and the per-document
+ * sum runs in exact decimals — partitioning- and engine-independent.
+ *
+ * Scale: the trigram/bigram/vocab model tables are bounded by
+ * charset³ per language (broadcast); per-document state is one decimal
+ * sum keyed on doc_id; the tercile window is keyed on LANGUAGE (the
+ * paper's own granularity), so languages parallelize and no global sort
+ * exists. Documents shorter than 3 chars have no trigram positions and
+ * are dropped (nothing to score).
+ *
+ * Returns (doc_id, lang, n_tri, lp_mean_r, bucket) with bucket ∈
+ * head | middle | tail per language.
+ */
+object LmScore {
+
+  /** All overlapping char trigrams of `text` (empty below 3 chars) —
+    * the linear-pass native kernel; the declarative transform+substr
+    * form it equals is O(len²) per row (see CharNgramsExpr). */
+  private def charTrigrams(text: Column): Column =
+    graft.functions.Sketch.char_ngrams(text, 3)
+
+  private def chars(text: Column): Column =
+    graft.functions.Sketch.char_ngrams(text, 1)
+
+  def ccnetBuckets(docs: DataFrame, isRef: Column,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   langCol: String = "lang"): DataFrame = {
+    val d = TextOps.ensureParallelism(docs)
+    val refDocs = d.filter(isRef)
+    val refTris = refDocs.select(col(langCol).as("lang"),
+      explode(charTrigrams(col(textCol))).as("tri"))
+    val m3 = refTris.groupBy("lang", "tri").agg(count(lit(1)).as("c3"))
+    val m2 = m3.groupBy(col("lang"), substring(col("tri"), 1, 2).as("bi"))
+      .agg(sum("c3").as("c2"))
+    val vt = refDocs.select(col(langCol).as("lang"),
+        explode(chars(col(textCol))).as("ch"))
+      .groupBy("lang").agg(countDistinct("ch").as("v"))
+
+    val perDoc = d.select(col(idCol).as("id"), col(langCol).as("lang"),
+        explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy("id", "lang", "tri").agg(count(lit(1)).as("c"))
+
+    // a language absent from the reference slice degrades to the
+    // uniform Laplace floor (c3=c2=0, V=1): every position scores 0
+    val lp = round(log10(
+      (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("c2"), lit(0L)) + coalesce(col("v"), lit(1L))).cast("double")), 9)
+    val scored = perDoc
+      .join(broadcast(m3), Seq("lang", "tri"), "left_outer")
+      .withColumn("bi", substring(col("tri"), 1, 2))
+      .join(broadcast(m2), Seq("lang", "bi"), "left_outer")
+      .join(broadcast(vt), Seq("lang"), "left_outer")
+      .groupBy("id", "lang")
+      .agg(sum(col("c").cast("decimal(10,0)") * lp.cast("decimal(12,9)")).as("lp_sum"),
+        sum("c").cast("bigint").as("n_tri"))
+      .withColumn("lp_mean_r", round(col("lp_sum").cast("double") / col("n_tri"), 6))
+
+    val w = Window.partitionBy("lang").orderBy(col("lp_mean_r").desc, col("id"))
+    scored.withColumn("bucket",
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+      .select(col("id").as(idCol), col("lang"), col("n_tri"),
+        col("lp_mean_r"), col("bucket"))
+  }
+}

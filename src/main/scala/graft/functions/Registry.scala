@@ -26,6 +26,8 @@ object Registry {
     "minhash_sig" -> (es => MinHashSigExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue())),
     "simhash_sig" -> (es => SimHashSigExpr(es.head)),
+    "char_ngrams" -> (es => CharNgramsExpr(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
     "shingle_hashes" -> (es => ShingleHashExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Boolean])),

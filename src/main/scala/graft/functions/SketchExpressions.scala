@@ -53,6 +53,8 @@ object Sketch {
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n, distinct))
   def ngram_coverage(text: Column, n: Int): Column =
     ColumnBridge.column(NgramCoverageExpr(ColumnBridge.expression(text), n))
+  def char_ngrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramsExpr(ColumnBridge.expression(text), n))
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
   def url_canonicalize(url: Column): Column =
@@ -314,6 +316,51 @@ case class SimHashSigExpr(child: Expression) extends UnaryExpression
   override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "simhash_sig"
+}
+
+/**
+ * All overlapping character n-grams of `text`, one linear pass over the
+ * UTF-8 bytes. Codepoint-aligned, so the output equals
+ * `transform(sequence(1, length - n + 1), i -> substr(text, i, n))` in
+ * any codepoint-indexed engine (the DuckDB oracle replays exactly that)
+ * — but that declarative form is O(len²) per row, because every
+ * `substr(text, i, n)` call re-walks the string from the start to find
+ * codepoint i's byte offset, which dominates LM scoring on multi-KB
+ * documents. This kernel records each codepoint's byte offset once and
+ * emits zero-copy slices of the row's byte array. Empty below n
+ * codepoints.
+ */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram size >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  def kernel(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val starts = new Array[Int](nb + 1)
+    var cnt = 0
+    var off = 0
+    while (off < nb) {
+      starts(cnt) = off
+      cnt += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    starts(cnt) = nb
+    val m = cnt - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + n) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "char_ngrams"
 }
 
 /**

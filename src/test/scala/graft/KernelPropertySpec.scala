@@ -57,6 +57,32 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("char_ngrams kernel equals per-position substring on random unicode text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val alphabet = "ab Zé漢字🙂ß́"
+    val rnd = new scala.util.Random(11)
+    def substrForm(s: String, n: Int): Seq[String] = {
+      // the declarative twin: substr(text, i, n) by codepoints
+      val cps = s.codePoints().toArray
+      if (cps.length < n) Seq.empty
+      else (0 to cps.length - n).map(i => new String(cps, i, n))
+    }
+    for (_ <- 0 until 300) {
+      val len = rnd.nextInt(40)
+      val s = (0 until len).map { _ =>
+        val cp = alphabet.codePointAt(alphabet.offsetByCodePoints(0, rnd.nextInt(9)))
+        new String(Character.toChars(cp))
+      }.mkString
+      for (n <- Seq(1, 3)) {
+        val got = graft.functions.CharNgramsExpr(null, n)
+          .kernel(UTF8String.fromString(s))
+        val gotSeq = (0 until got.numElements())
+          .map(i => got.getUTF8String(i).toString)
+        assert(gotSeq == substrForm(s, n), s"mismatch for <$s> n=$n")
+      }
+    }
+  }
+
   test("canonical flat JSON round-trips arbitrary string maps") {
     val rnd = new scala.util.Random(13)
     def randomStr(): String = {

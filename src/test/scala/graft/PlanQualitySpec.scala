@@ -259,6 +259,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
   }
 
+  test("ccnet_buckets: model tables broadcast, tercile window keyed on language") {
+    val p = plan("ccnet_buckets")
+    // trigram/bigram/vocab model sides are bounded (charset^3 per
+    // language) and must broadcast to the per-doc scoring stream
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 3, p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+    // decimal score sum combines map-side
+    assert(p.contains("partial_sum"), p.take(800))
+    // the NTILE window partitions by language — never one global sort
+    assert(p.contains("windowspecdefinition(lang"),
+      "tercile window must be keyed on lang:\n" + p.take(1200))
+  }
+
+  test("dsir_sample: top-k is TakeOrdered, weights broadcast, one materialized feature table") {
+    val p = plan("dsir_sample")
+    // selection must be a distributed top-k, never a single-partition
+    // window over the whole corpus (the rank window runs post-limit on
+    // k rows only)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // the <=4096-row cell-weight table broadcasts to the per-doc side
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the decimal weight sum combines map-side; the (doc, cell) count
+    // table itself is checkpointed (computed once for both consumers),
+    // so it surfaces as a materialized scan, not a repeated explode
+    assert(p.contains("partial_sum"), p.take(800))
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2,
+      "both consumers must read the one materialized feature table:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("semantic_dedup: centroids broadcast, pair stage joins on cluster, no cartesian") {
     val p = plan("semantic_dedup")
     assert(!p.contains("CartesianProduct"), "pair stage must key on cluster")
