@@ -1419,7 +1419,7 @@ object SparkEntry {
     * sign-LSH quantizer, the decimal-exact centroids and the
     * farthest-from-centroid keep rule in pure SQL. */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
-    VectorOps.semanticDedup(tbl(s, dir, "embeddings"), 0.3, dim = 64)
+    VectorOps.semanticDedup(tbl(s, dir, "embeddings"), 0.3)
       .orderBy("vec_id")
 
   /** CCNet-style perplexity triage: per-language char-trigram LMs

@@ -8,6 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional tail: only dump these queries (dev loop; driver passes 2 args)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — a typo here would " +
+        "silently dump nothing and leave a stale prior result in place")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

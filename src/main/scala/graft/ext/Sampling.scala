@@ -274,12 +274,19 @@ object Sampling {
   def dsirResample(docs: DataFrame, isTarget: Column, k: Int,
                    buckets: Int = 4096, textCol: String = "text",
                    idCol: String = "doc_id", salt: String = "dsir|"): DataFrame = {
-    require(k > 0 && buckets > 0)
+    require(k > 0)
+    // the cell id is an md5 hex prefix, so the cell count must be a
+    // power of 16 (one cell per prefix value) — and it sizes BOTH the
+    // hash and the +buckets smoothing denominator
+    val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
+    require(hexDigits >= 1 && hexDigits <= 8 && math.pow(16.0, hexDigits).toLong == buckets,
+      s"buckets must be a power of 16 in [16, 16^8], got $buckets")
     val feats = TextOps.ensureParallelism(docs)
       .select(col(idCol).as("id"), isTarget.as("tgt"),
         explode(concat(TextOps.shinglesAll(col(textCol), 1),
           TextOps.shinglesAll(col(textCol), 2))).as("ngram"))
-      .select(col("id"), col("tgt"), substring(md5(col("ngram")), 1, 3).as("b"))
+      .select(col("id"), col("tgt"),
+        substring(md5(col("ngram")), 1, hexDigits).as("b"))
     // (doc, cell) counts feed BOTH the cell models and the per-doc
     // weight sums; truncate the lineage so the n-gram explode + md5 +
     // count runs once, not once per consumer (at 100 TB this

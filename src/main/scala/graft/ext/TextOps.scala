@@ -18,13 +18,20 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Round-robin repartition a small scan up to the session's default
-    * parallelism — only when the source has FEWER splits (a sub-128MB
-    * fixture file reads as one partition, serializing any expensive
-    * per-row stage stacked on the scan). On real multi-split inputs
-    * (the 100 TB case) this is the identity: no shuffle is added. */
+    * parallelism — only when the source is too small to split that many
+    * ways (a sub-128MB fixture file reads as ONE partition, serializing
+    * any expensive per-row stage stacked on the scan). The decision
+    * reads optimizer STATS (file bytes vs maxPartitionBytes × target),
+    * never `.rdd` — which under AQE would materialize upstream query
+    * stages just to count partitions. On real multi-split inputs (the
+    * 100 TB case) this is the identity: no shuffle is added. */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+    val spark = df.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(maxSplit) * want) df else df.repartition(want)
   }
 
   /** Unicode-clean text: NFC canonical composition (native kernel —

@@ -598,12 +598,12 @@ object VectorOps {
    *
    * Returns (vec_id, cluster, simc_r = round(cos-to-centroid, 6), kept).
    */
-  def semanticDedup(vecs: DataFrame, threshold: Double, dim: Int,
+  def semanticDedup(vecs: DataFrame, threshold: Double,
                     clusterBits: Int = 6,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(clusterBits >= 1 && clusterBits <= 32, s"clusterBits $clusterBits not in [1,32]")
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signLshSignature(col(vecCol), dim, 32)
+      graft.functions.Sketch.sign_lsh(col(vecCol), 32)
         .bitwiseAND((1L << clusterBits) - 1).as("cluster"))
 
     // Exact per-cluster centroid direction: explode to (cluster, pos, x),

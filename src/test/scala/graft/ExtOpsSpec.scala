@@ -326,7 +326,7 @@ class ExtOpsSpec extends SparkSpec {
 
   test("semanticDedup: keep rule replayed row-for-row; min-centroid-sim member always kept") {
     val tau = 0.3
-    val out = VectorOps.semanticDedup(vecs, tau, dim = 64)
+    val out = VectorOps.semanticDedup(vecs, tau)
       .select(col("vec_id"), col("cluster"), col("simc_r"), col("kept"))
       .as[(Long, Long, Double, Boolean)].collect()
     assert(out.length == vecs.count())
@@ -363,7 +363,7 @@ class ExtOpsSpec extends SparkSpec {
     }
 
     // a threshold above the max pairwise sim removes nothing
-    val none = VectorOps.semanticDedup(vecs, 0.99, dim = 64)
+    val none = VectorOps.semanticDedup(vecs, 0.99)
       .filter(!col("kept")).count()
     assert(none == 0L)
   }

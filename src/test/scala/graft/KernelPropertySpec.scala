@@ -70,7 +70,8 @@ class KernelPropertySpec extends AnyFunSuite {
     for (_ <- 0 until 300) {
       val len = rnd.nextInt(40)
       val s = (0 until len).map { _ =>
-        val cp = alphabet.codePointAt(alphabet.offsetByCodePoints(0, rnd.nextInt(9)))
+        val cp = alphabet.codePointAt(
+          alphabet.offsetByCodePoints(0, rnd.nextInt(alphabet.codePointCount(0, alphabet.length))))
         new String(Character.toChars(cp))
       }.mkString
       for (n <- Seq(1, 3)) {

@@ -290,13 +290,23 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("semantic_dedup: centroids broadcast, pair stage joins on cluster, no cartesian") {
-    val p = plan("semantic_dedup")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.LongType
+    val qe = SparkEntry.queries("semantic_dedup")(spark, sf001).queryExecution
+    val p = qe.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "pair stage must key on cluster")
     // tiny 2^clusterBits x dim centroid table broadcast to the corpus side
     assert(p.contains("BroadcastHashJoin"), p.take(800))
-    // removal set distincts on the id alone — never on vectors (also
-    // covered by the array-key ban above); the EXISTS side stays a
-    // broadcastable id list
-    assert(countOccurrences(p, "CartesianProduct") == 0)
+    // the removal set distincts on the id ALONE — the dedup exchange
+    // carries 8-byte keys, never vectors (array keys are also banned by
+    // the similarity-tier gate above)
+    val idOnlyDistinct = qe.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.length == 1 &&
+        a.groupingExpressions.length == 1 &&
+        a.groupingExpressions.head.dataType == LongType => a
+    }
+    assert(idOnlyDistinct.nonEmpty,
+      "removal set must be a distinct over the single id column:\n" +
+        qe.optimizedPlan.toString.take(1200))
   }
 }
