@@ -95,6 +95,16 @@ object Stress {
       // of K-1 of every K clones covered)
       time("substring_dedup")(TextOps.dedupSubstrings(docs, k = 10)
         .agg(count(lit(1)), sum("n_kept")).head().getLong(0))
+      // DSIR: the n-gram explode + cell counts must stay linear; the
+      // cell-model side is a fixed 4096-row broadcast at every K
+      time("dsir_sample")(graft.ext.Sampling.dsirResample(
+          docs, col("lang") === "en", 100)
+        .agg(count(lit(1)), sum("key_r")).head().getLong(0))
+      // CCNet: model build (ref slice) + scoring are both stateless
+      // scans; the per-language tercile window must parallelize by lang
+      time("ccnet_buckets")(graft.ext.LmScore.ccnetBuckets(docs,
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .agg(count(lit(1)), sum("lp_mean_r")).head().getLong(0))
     }
 
     // Graph tier: transitive dup grouping. The scaled corpus clones every
@@ -130,6 +140,13 @@ object Stress {
       time("ann_ivf")(graft.ext.VectorOps.annIvf(vecs, queries, 5,
           nlist = 16, nprobe = 4, iters = 1, initMode = "random")
         .agg(count(lit(1)), sum("sim"), max("rank")).head().getLong(0))
+      // SemDeDup: cloning puts K identical copies in every cluster, so
+      // the pair stage sees its worst case (K^2-dense tau-neighborhoods)
+      // — cost must track Sum |cluster|^2, with centroid/removal
+      // exchanges staying scalar
+      time("semantic_dedup")(graft.ext.VectorOps.semanticDedup(vecs, 0.3)
+        .agg(count(lit(1)), sum("simc_r"),
+          sum(when(col("kept"), 1L).otherwise(0L))).head().getLong(0))
     }
 
     println(s"== 1x (events=${env1.count()}, docs=${docs1.count()}) ==")
