@@ -1422,6 +1422,16 @@ object SparkEntry {
     VectorOps.semanticDedup(tbl(s, dir, "embeddings"), 0.3)
       .orderBy("vec_id")
 
+  /** Character-unigram entropy quality signal (RedPajama-V2
+    * `rps_doc_unigram_entropy`): a zero-shuffle native kernel per row;
+    * the oracle recomputes it the distributed-normal way (explode →
+    * histogram → decimal aggregate) and must agree bit-for-bit. */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Sketch.char_entropy(col("text")).as("entropy_r"))
+      .orderBy("doc_id")
+
   /** CCNet-style perplexity triage: per-language char-trigram LMs
     * trained on the src0-src3 reference slice; every document scored by
     * mean log10 trigram probability and bucketed into head/middle/tail
@@ -1746,6 +1756,7 @@ object SparkEntry {
     "sample_hash" -> (qSampleHash _),
     "dsir_sample" -> (qDsirSample _),
     "ccnet_buckets" -> (qCcnetBuckets _),
+    "char_entropy" -> (qCharEntropy _),
     "shard_pack" -> (qShardPack _),
     "pii_redact" -> (qPiiRedact _),
     "decontam" -> (qDecontam _),
@@ -2514,6 +2525,21 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // Entropy: the kernel's H = round(ln n - (Σ c·round(ln c, 9))/n, 6)
+    // recomputed as explode → histogram → exact decimal aggregate
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1), i -> substr(text, i, 1))) AS ch
+        |  FROM documents),
+        |hc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        |e AS (
+        |  SELECT doc_id, SUM(c) AS n,
+        |    CAST(SUM(CAST(c AS DECIMAL(10,0)) *
+        |      CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9))) AS DOUBLE) AS s
+        |  FROM hc GROUP BY doc_id)
+        |SELECT doc_id, round(ln(CAST(n AS DOUBLE)) - s / n, 6) AS entropy_r
+        |FROM e ORDER BY doc_id""".stripMargin,
     // CCNet: per-language char-trigram Laplace LM retrained in SQL;
     // per-position log10 rounded to 9, decimal doc sums, per-language
     // NTILE terciles — identical definition in both engines

@@ -28,6 +28,7 @@ object Registry {
     "simhash_sig" -> (es => SimHashSigExpr(es.head)),
     "char_ngrams" -> (es => CharNgramsExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue())),
+    "char_entropy" -> (es => CharEntropyExpr(es.head)),
     "shingle_hashes" -> (es => ShingleHashExpr(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Boolean])),

@@ -55,6 +55,8 @@ object Sketch {
     ColumnBridge.column(NgramCoverageExpr(ColumnBridge.expression(text), n))
   def char_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramsExpr(ColumnBridge.expression(text), n))
+  def char_entropy(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
   def url_canonicalize(url: Column): Column =
@@ -361,6 +363,66 @@ case class CharNgramsExpr(child: Expression, n: Int)
     kernel(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "char_ngrams"
+}
+
+/**
+ * Character-unigram Shannon entropy in NATS (RedPajama-V2's
+ * `rps_doc_unigram_entropy` signal — low entropy flags repetitive /
+ * degenerate text, very high entropy flags binary junk), in one linear
+ * pass per row with ZERO shuffle — the distributed-normal form
+ * (explode chars → per-doc histogram → aggregate) is what the DuckDB
+ * oracle replays, and this kernel must equal it bit-for-bit.
+ *
+ * Exact formula (chosen for cross-engine reproducibility):
+ *   H = round(ln(n) − (Σ_chars c · round(ln(c), 9)) / n, 6)
+ * The Σ accumulates EXACT decimals of 9-decimal-rounded terms —
+ * commutative and order-free, so the histogram's iteration order (and
+ * the oracle's shuffle order) cannot change the value. ln in nats
+ * because both engines expose a natural log; the 9-decimal rounding
+ * absorbs last-ulp library differences the same way the BM25 and DSIR
+ * oracles do. Empty input scores 0.0.
+ */
+case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private val Half = java.math.RoundingMode.HALF_UP
+  def kernel(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = s.getBytes
+    val nb = bytes.length
+    if (nb == 0) return 0.0
+    val counts = new java.util.HashMap[Long, Long]()
+    var off = 0
+    var n = 0L
+    while (off < nb) {
+      val w = UTF8String.numBytesForFirstByte(bytes(off))
+      // pack the codepoint's UTF-8 bytes into one long key (<= 4 bytes)
+      var key = 0L
+      var j = 0
+      while (j < w && off + j < nb) { key = (key << 8) | (bytes(off + j) & 0xffL); j += 1 }
+      counts.merge(key, 1L, (a, b) => a + b)
+      n += 1
+      off += w
+    }
+    // Σ c · round(ln c, 9) exactly, replaying the engines' two-step
+    // (round-to-9 double, then decimal cast) so the sum matches the
+    // oracle's DECIMAL arithmetic bit-for-bit
+    var sum = java.math.BigDecimal.ZERO
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      val r9d = java.math.BigDecimal.valueOf(math.log(c.toDouble)).setScale(9, Half).doubleValue()
+      val term = java.math.BigDecimal.valueOf(r9d).setScale(9, Half)
+        .multiply(java.math.BigDecimal.valueOf(c))
+      sum = sum.add(term)
+    }
+    val h = math.log(n.toDouble) - sum.doubleValue() / n
+    java.math.BigDecimal.valueOf(h).setScale(6, Half).doubleValue()
+  }
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "char_entropy"
 }
 
 /**

@@ -84,6 +84,48 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("char_entropy kernel: closed forms and histogram-replay parity on random unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ent(s: String): Double =
+      graft.functions.CharEntropyExpr(null).kernel(UTF8String.fromString(s))
+    val Half = java.math.RoundingMode.HALF_UP
+    // closed forms: uniform text scores 0; two equiprobable chars score ln 2
+    assert(ent("") == 0.0)
+    assert(ent("aaaa") == 0.0)
+    val ln2r = java.math.BigDecimal.valueOf(math.log(2.0)).setScale(6, Half).doubleValue()
+    assert(ent("ab") == ln2r)
+    assert(ent("abab") == ln2r)
+    // repetitive text below diverse text
+    assert(ent("spam spam spam spam") < ent("the quick brown fox jumps"))
+
+    // replay the formula from a plain codepoint histogram (the oracle's
+    // explode → histogram → decimal-aggregate shape) over random unicode
+    val alphabet = "ab Zé漢字🙂ß́"
+    val rnd = new scala.util.Random(23)
+    def replay(s: String): Double = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) return 0.0
+      val n = cps.length
+      var sum = java.math.BigDecimal.ZERO
+      for ((_, c) <- cps.groupBy(identity).view.mapValues(_.length)) {
+        val r9 = java.math.BigDecimal.valueOf(math.log(c.toDouble)).setScale(9, Half).doubleValue()
+        sum = sum.add(java.math.BigDecimal.valueOf(r9).setScale(9, Half)
+          .multiply(java.math.BigDecimal.valueOf(c.toLong)))
+      }
+      java.math.BigDecimal.valueOf(math.log(n.toDouble) - sum.doubleValue() / n)
+        .setScale(6, Half).doubleValue()
+    }
+    for (_ <- 0 until 300) {
+      val len = rnd.nextInt(60)
+      val s = (0 until len).map { _ =>
+        val cp = alphabet.codePointAt(
+          alphabet.offsetByCodePoints(0, rnd.nextInt(alphabet.codePointCount(0, alphabet.length))))
+        new String(Character.toChars(cp))
+      }.mkString
+      assert(ent(s) == replay(s), s"mismatch for <$s>")
+    }
+  }
+
   test("canonical flat JSON round-trips arbitrary string maps") {
     val rnd = new scala.util.Random(13)
     def randomStr(): String = {

@@ -259,6 +259,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
   }
 
+  test("char_entropy: zero shuffles — the signal is a per-row kernel") {
+    val p = plan("char_entropy")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0, p.take(800))
+    assert(!p.contains("Join"), "entropy must not join")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
+  }
+
   test("ccnet_buckets: model tables broadcast, tercile window keyed on language") {
     val p = plan("ccnet_buckets")
     // trigram/bigram/vocab model sides are bounded (charset^3 per
