@@ -366,5 +366,11 @@ class ExtOpsSpec extends SparkSpec {
     val none = VectorOps.semanticDedup(vecs, 0.99)
       .filter(!col("kept")).count()
     assert(none == 0L)
+
+    // partitioning-invariant: decimal centroid sums make the keep set
+    // independent of how the input was split
+    val a = VectorOps.semanticDedup(vecs, tau)
+    val b = VectorOps.semanticDedup(vecs.repartition(7), tau)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 }

@@ -43,6 +43,13 @@ class LmScoreSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBuckets: scores and buckets are partitioning-invariant") {
+    val ref = col("source").isin("src0", "src1", "src2", "src3")
+    val a = LmScore.ccnetBuckets(docs, ref)
+    val b = LmScore.ccnetBuckets(docs.repartition(7), ref)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("ccnetBuckets: a language missing from the reference degrades to the Laplace floor") {
     val d = Seq(
       (1L, "aaa bbb ccc", "en", "ref"),

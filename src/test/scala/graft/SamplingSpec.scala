@@ -198,6 +198,11 @@ class SamplingSpec extends SparkSpec {
       // bit-deterministic run-to-run (no RNG anywhere)
       val again = Sampling.dsirResample(d, col("lang") === "en", k)
       assert(out.except(again).isEmpty && again.except(out).isEmpty)
+
+      // partitioning-invariant: the decimal weight sums and the Gumbel
+      // keys cannot depend on how the input was split
+      val reparted = Sampling.dsirResample(d.repartition(7), col("lang") === "en", k)
+      assert(out.except(reparted).isEmpty && reparted.except(out).isEmpty)
     } finally out.unpersist()
   }
 }
