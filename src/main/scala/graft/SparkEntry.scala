@@ -440,6 +440,29 @@ object SparkEntry {
       .select(col("event_type"), col("metric_value"))
       .orderBy("event_type")
 
+  /** The ext cleaning tier on the STREAMING path: documents stream
+    * through the stateless quality filters, exact dedup runs as keyed
+    * streaming state (dropDuplicates on (lang, content hash) — winner
+    * ambiguity can't leak because every field the aggregate reads is
+    * identical across duplicates), and the per-language corpus stats
+    * aggregate in complete mode. The converged table sits under the
+    * same DuckDB oracle shape as the batch cleaning queries. */
+  private def qQualityFilterStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val filtered = TextOps.withQualityScore(stream)
+      .filter(col("n_tokens") >= 10 && col("mean_word_len").between(2.0, 12.0))
+      .select(col("lang"), md5(col("text")).as("content_hash"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("toks"))
+      .dropDuplicates("lang", "content_hash")
+    val agg = filtered.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("toks").cast("bigint").as("total_tokens"))
+    runStreamToLocal(s, agg).orderBy("lang")
+  }
+
   /** §2.8 producer-sequence dedup (effectively-once produce). */
   private def qDedupSeq(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupBatch(env(s, dir))
@@ -1672,6 +1695,7 @@ object SparkEntry {
     "compaction_eventtime" -> (qCompactionEventTime _),
     "tableview" -> (qTableView _),
     "tableview_stream" -> (qTableViewStream _),
+    "quality_filter_stream" -> (qQualityFilterStream _),
     "dedup_seq" -> (qDedupSeq _),
     "dedup_stats" -> (qDedupStats _),
     "delayed_due" -> (qDelayedDue _),
@@ -2525,6 +2549,23 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
         |ORDER BY doc_id""".stripMargin,
+    // Streaming cleaning pipeline: quality filter → keyed dedup state →
+    // complete-mode stats; the oracle is the batch-equivalent SQL (the
+    // quality formulas match withQualityScore term-for-term)
+    "quality_filter_stream" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, lang,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS mwl
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE n_tokens >= 10 AND mwl BETWEEN 2.0 AND 12.0),
+        |d AS (
+        |  SELECT lang, md5(text) AS h, MIN(n_tokens) AS toks
+        |  FROM f GROUP BY lang, md5(text))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     // Entropy: the kernel's H = round(ln n - (Σ c·round(ln c, 9))/n, 6)
     // recomputed as explode → histogram → exact decimal aggregate
     "char_entropy" ->

@@ -138,4 +138,23 @@ class StreamingSpec extends SparkSpec {
       assert(seqs.toSeq == Seq(0L, 1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming quality-filter pipeline equals its batch twin") {
+    import graft.ext.TextOps
+    val streamed = SparkEntry.queries("quality_filter_stream")(spark, sf001)
+      .select("lang", "n_docs", "total_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val batch = TextOps.withQualityScore(docs)
+      .filter(col("n_tokens") >= 10 && col("mean_word_len").between(2.0, 12.0))
+      .select(col("lang"), md5(col("text")).as("h"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("toks"))
+      .dropDuplicates("lang", "h")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("toks").cast("bigint").as("total_tokens"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
