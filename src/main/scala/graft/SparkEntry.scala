@@ -2568,6 +2568,10 @@ object SparkEntry {
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     // Entropy: the kernel's H = round(ln n - (Σ c·round(ln c, 9))/n, 6)
     // recomputed as explode → histogram → exact decimal aggregate
+    // the final `+ 0.0` folds IEEE -0.0 (uniform text rounds to a tiny
+    // negative before round(,6)) to the kernel's +0.0; the LEFT JOIN
+    // keeps empty-text (score 0.0) and NULL-text (score NULL) rows the
+    // unnest would otherwise drop
     "char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id,
@@ -2579,8 +2583,12 @@ object SparkEntry {
         |    CAST(SUM(CAST(c AS DECIMAL(10,0)) *
         |      CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9))) AS DOUBLE) AS s
         |  FROM hc GROUP BY doc_id)
-        |SELECT doc_id, round(ln(CAST(n AS DOUBLE)) - s / n, 6) AS entropy_r
-        |FROM e ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       WHEN length(d.text) = 0 THEN 0.0
+        |       ELSE round(ln(CAST(n AS DOUBLE)) - s / n, 6) + 0.0 END AS entropy_r
+        |FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // CCNet: per-language char-trigram Laplace LM retrained in SQL;
     // per-position log10 rounded to 9, decimal doc sums, per-language
     // NTILE terciles — identical definition in both engines

@@ -278,9 +278,10 @@ object Sampling {
     // the cell id is an md5 hex prefix, so the cell count must be a
     // power of 16 (one cell per prefix value) — and it sizes BOTH the
     // hash and the +buckets smoothing denominator
+    // 16^7 is the largest power of 16 an Int holds (16^8 > Int.MaxValue)
     val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
-    require(hexDigits >= 1 && hexDigits <= 8 && math.pow(16.0, hexDigits).toLong == buckets,
-      s"buckets must be a power of 16 in [16, 16^8], got $buckets")
+    require(hexDigits >= 1 && hexDigits <= 7 && math.pow(16.0, hexDigits).toLong == buckets,
+      s"buckets must be a power of 16 in [16, 16^7], got $buckets")
     val feats = TextOps.ensureParallelism(docs)
       .select(col(idCol).as("id"), isTarget.as("tgt"),
         explode(concat(TextOps.shinglesAll(col(textCol), 1),

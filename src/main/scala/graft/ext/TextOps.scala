@@ -30,7 +30,11 @@ object TextOps {
     val want = spark.sparkContext.defaultParallelism
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // sum LEAF stats, not the top-level plan's: leaves carry accurate
+    // file sizes, while a joined/enriched input's top-level sizeInBytes
+    // multiplies child estimates and would wrongly read as "huge"
+    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
     if (bytes >= BigInt(maxSplit) * want) df else df.repartition(want)
   }
 

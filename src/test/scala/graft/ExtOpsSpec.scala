@@ -324,6 +324,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(q.filter(col("n_tokens") <= 0).count() == 0)
   }
 
+  test("ensureParallelism widens a small JOINED input (leaf stats, not inflated plan stats)") {
+    // a join's top-level sizeInBytes multiplies child estimates; the
+    // helper must still see the small LEAF sizes and widen the scan
+    val joined = docs.join(docs.select(col("doc_id"), col("n_chars").as("nc")), "doc_id")
+    val widened = TextOps.ensureParallelism(joined)
+    val plan = widened.queryExecution.executedPlan.toString
+    assert(plan.contains("RoundRobinPartitioning"),
+      "small joined input must be repartitioned:\n" + plan.take(600))
+    assert(widened.count() == docs.count())
+  }
+
   test("semanticDedup: keep rule replayed row-for-row; min-centroid-sim member always kept") {
     val tau = 0.3
     val out = VectorOps.semanticDedup(vecs, tau)

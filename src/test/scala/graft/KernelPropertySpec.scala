@@ -92,6 +92,14 @@ class KernelPropertySpec extends AnyFunSuite {
     // closed forms: uniform text scores 0; two equiprobable chars score ln 2
     assert(ent("") == 0.0)
     assert(ent("aaaa") == 0.0)
+    // POSITIVE zero specifically: uniform text computes ln n − round9(ln n)
+    // ≈ −4e-10 before the 6-decimal round; the BigDecimal path must fold
+    // that to +0.0 (the oracle adds `+ 0.0` to match IEEE -0.0 from round)
+    for (s <- Seq("aa", "bbb", "zzzzzzz")) {
+      val h = ent(s)
+      assert(java.lang.Double.doubleToRawLongBits(h) == 0L,
+        s"entropy of uniform <$s> must be +0.0, got bits of $h")
+    }
     val ln2r = java.math.BigDecimal.valueOf(math.log(2.0)).setScale(6, Half).doubleValue()
     assert(ent("ab") == ln2r)
     assert(ent("abab") == ln2r)
