@@ -1314,9 +1314,7 @@ object SparkEntry {
     * by the same user (ties: larger event_id). Union + one window pass —
     * no join explosion; oracle is a DuckDB lateral top-1 probe. */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = tbl(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = model.Envelope.normalizeTs(tbl(s, dir, "events"))
     val errors = ev.filter(col("event_type") === "error")
       .select("event_id", "user_id", "ts")
     val clicks = ev.filter(col("event_type") === "click")
@@ -1333,9 +1331,7 @@ object SparkEntry {
     * event_id tie-break) — the same single-window-pass operator in the
     * opposite scan direction, against a mirrored lateral-probe oracle. */
   private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = tbl(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = model.Envelope.normalizeTs(tbl(s, dir, "events"))
     val errors = ev.filter(col("event_type") === "error")
       .select("event_id", "user_id", "ts")
     val clicks = ev.filter(col("event_type") === "click")

@@ -42,8 +42,8 @@ object Stress {
     }
 
     val env1 = Envelope.fromEvents(spark, sfDir).cache(); env1.count()
-    val envK = scaled(spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")), Seq("event_id", "user_id"), k)
+    val envK = scaled(Envelope.normalizeTs(
+        spark.read.parquet(s"$sfDir/events.parquet")), Seq("event_id", "user_id"), k)
       .cache()
     envK.count()
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet").cache(); docs1.count()
@@ -158,8 +158,7 @@ object Stress {
     time("simhash_pairs")(MinHash.simhashPairs(docs1, 3).count())
     extras(docs1)
     graphTier(docs1)
-    asofTier(spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    asofTier(Envelope.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet")))
     annTier(vecs1)
 
     println(s"== ${k}x (events=${envK.count()}, docs=${docsK.count()}) ==")

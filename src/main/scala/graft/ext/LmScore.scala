@@ -27,10 +27,20 @@ import org.apache.spark.sql.functions._
  *
  * Scale: the trigram/bigram/vocab model tables are bounded by
  * charset³ per language (broadcast); per-document state is one decimal
- * sum keyed on doc_id; the tercile window is keyed on LANGUAGE (the
- * paper's own granularity), so languages parallelize and no global sort
- * exists. Documents shorter than 3 chars have no trigram positions and
- * are dropped (nothing to score).
+ * sum keyed on doc_id. Tercile assignment replays NTILE(3) EXACTLY but
+ * without ever sorting a whole language on one reducer (at 100 TB one
+ * language is ~half the corpus): (1) aggregate per-(lang, score)
+ * counts — bounded by the rounded-to-6 score space, NOT by row count;
+ * (2) a window over that small distinct-score table yields cumulative
+ * ranks, from which the two boundary cutoffs per language (score value
+ * + how many of its id-ordered ties fall in the upper bucket) are
+ * derived and BROADCAST; (3) each row gets its bucket from a per-row
+ * comparison plus a tie-rank window keyed on (lang, score) — the
+ * largest single task is the largest tie class, not the largest
+ * language. Result is bit-identical to NTILE(3) OVER (PARTITION BY
+ * lang ORDER BY score DESC, id) — the DuckDB oracle keeps the literal
+ * NTILE form as the twin. Documents shorter than 3 chars have no
+ * trigram positions and are dropped (nothing to score).
  *
  * Returns (doc_id, lang, n_tri, lp_mean_r, bucket) with bucket ∈
  * head | middle | tail per language.
@@ -88,11 +98,58 @@ object LmScore {
         sum("c").cast("bigint").as("n_tri"))
       .withColumn("lp_mean_r", round(col("lp_sum").cast("double") / col("n_tri"), 6))
 
-    val w = Window.partitionBy("lang").orderBy(col("lp_mean_r").desc, col("id"))
-    scored.withColumn("bucket",
-        when(ntile(3).over(w) === 1, "head")
-          .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+    assignTerciles(scored)
       .select(col("id").as(idCol), col("lang"), col("n_tri"),
         col("lp_mean_r"), col("bucket"))
+  }
+
+  /**
+   * Exact NTILE(3) OVER (PARTITION BY lang ORDER BY lp_mean_r DESC, id)
+   * without a per-language global sort. A row's rank is
+   * `rows-strictly-above-its-score + its-id-rank-within-its-score-class`;
+   * the first term comes from a cumulative window over the per-(lang,
+   * score) histogram (bounded by the rounded score space), the second
+   * from a row_number keyed on (lang, score). NTILE boundaries k1/k2
+   * (first ⌈n/3⌉-ish tiles get the remainder, per the SQL spec) are
+   * located on the histogram and shipped as a one-row-per-language
+   * broadcast: (boundary score, ties of it kept below the boundary).
+   */
+  private[graft] def assignTerciles(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy("lang", "lp_mean_r").agg(count(lit(1)).as("cnt"))
+    // cumulative over DISTINCT scores per language — the only lang-keyed
+    // sort left, and it runs on the bounded histogram, never on rows
+    val wHist = Window.partitionBy("lang").orderBy(col("lp_mean_r").desc)
+    val cum = hist
+      .withColumn("upto", sum("cnt").over(wHist))
+      .withColumn("above", col("upto") - col("cnt"))
+    val nl = hist.groupBy("lang").agg(sum("cnt").as("n"))
+
+    // NTILE(3) tile sizes: base = n/3, first (n mod 3) tiles get +1
+    val base = floor(col("n") / 3)
+    val rem = col("n") % 3
+    val k1 = (base + when(rem >= 1, 1).otherwise(0)).as("k1")
+    val k2 = (base * 2 + when(rem >= 1, 1).otherwise(0)
+      + when(rem >= 2, 1).otherwise(0)).as("k2")
+    val j = cum.join(nl, "lang").select(col("lang"), col("lp_mean_r"),
+      col("above"), col("upto"), k1, k2)
+    val c1 = j.filter(col("above") < col("k1") && col("k1") <= col("upto"))
+      .select(col("lang"), col("lp_mean_r").as("s1"),
+        (col("k1") - col("above")).as("t1"))
+    val c2 = j.filter(col("above") < col("k2") && col("k2") <= col("upto"))
+      .select(col("lang"), col("lp_mean_r").as("s2"),
+        (col("k2") - col("above")).as("t2"))
+    val cuts = c1.join(c2, "lang") // one row per language
+
+    // tie-rank within one (lang, score) class — finer-keyed than lang,
+    // so a skewed language still spreads across reducers
+    val wTie = Window.partitionBy("lang", "lp_mean_r").orderBy("id")
+    scored.withColumn("tie", row_number().over(wTie))
+      .join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("lp_mean_r") > col("s1") ||
+          (col("lp_mean_r") === col("s1") && col("tie") <= col("t1")), "head")
+          .when(col("lp_mean_r") > col("s2") ||
+            (col("lp_mean_r") === col("s2") && col("tie") <= col("t2")), "middle")
+          .otherwise("tail"))
   }
 }

@@ -74,12 +74,28 @@ object Envelope {
    *  - replicated_from = 'cluster-' || event_id % 3 (geo-replication fixture)
    */
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    // timestamp type, so read it as a long and truncate to microseconds —
-    // the DuckDB oracle CTE applies the identical epoch_ns // 1000.
+    // historical fixtures stored ts as TIMESTAMP(NANOS); with the legacy
+    // conf Spark surfaces those as a nanos long (see normalizeTs)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     project(spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  /**
+   * Normalize the fixture `ts` column to a session-tz TIMESTAMP whatever
+   * the parquet physically stores: TIMESTAMP(NANOS) read as a nanos long
+   * (legacy conf above; truncated to micros — the DuckDB oracle applies
+   * the identical `epoch_ns(ts) // 1000`), TIMESTAMP_NTZ micros (current
+   * driver output; UTC session tz makes the cast the same instant), or
+   * an already-LTZ timestamp (identity).
+   */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType => df.withColumn(tsCol,
+        expr(s"timestamp_micros($tsCol div 1000)"))
+      case _: TimestampNTZType => df.withColumn(tsCol,
+        col(tsCol).cast(TimestampType))
+      case _ => df
+    }
 
   /** [[fromEvents]] as a STREAMING source: the same envelope projection
     * over `readStream` (schema pinned from a batch peek), so streaming
@@ -98,7 +114,7 @@ object Envelope {
   }
 
   private def project(raw: DataFrame): DataFrame = {
-    val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = normalizeTs(raw)
     ev.select(
       lit("persistent://public/default/events").as(Topic),
       (col("user_id") % 4).cast(IntegerType).as(Partition),

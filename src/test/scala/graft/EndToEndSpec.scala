@@ -25,8 +25,7 @@ class EndToEndSpec extends SparkSpec {
       TopicName.parse("persistent://public/default/events-hourly"), numPartitions = 1)
 
     // ---- produce (lifecycle §3.1): events -> envelope -> topic log
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = Envelope.normalizeTs(spark.read.parquet(s"$sf001/events.parquet"))
     val batch = ev.select(
       col("user_id").cast("string").as(Envelope.Key),
       col("event_type").as(Envelope.Value),

@@ -271,9 +271,10 @@ class GraphAsofSpec extends SparkSpec {
       .select(col("event_id"), col("click_event"), col("click_value"))
       .as[(Long, Option[Long], Option[Double])].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val ev = graft.model.Envelope.normalizeTs(
+        spark.read.parquet(s"$sf001/events.parquet"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_type"), col("value"))
       .as[(Long, Long, Long, String, Double)].collect()
     val want = naiveAsof(
       ev.filter(_._4 == "error").map(e => (e._1, e._2, e._3)).toSeq,

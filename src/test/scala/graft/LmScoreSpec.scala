@@ -50,6 +50,35 @@ class LmScoreSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("assignTerciles ≡ literal NTILE(3), including boundary-splitting ties and tiny languages") {
+    import org.apache.spark.sql.expressions.Window
+    // ties deliberately straddle tercile boundaries; langs of size
+    // 1, 2, 4 exercise the remainder-distribution rule
+    val rows = Seq(
+      // lang "a": 10 rows, scores with a 4-way tie at the k1 boundary
+      (1L, "a", -1.0), (2L, "a", -1.5), (3L, "a", -1.5), (4L, "a", -1.5),
+      (5L, "a", -1.5), (6L, "a", -2.0), (7L, "a", -2.0), (8L, "a", -3.0),
+      (9L, "a", -3.5), (10L, "a", -4.0),
+      // lang "b": all rows one tie class (degenerate)
+      (11L, "b", -2.0), (12L, "b", -2.0), (13L, "b", -2.0), (14L, "b", -2.0),
+      // tiny languages
+      (15L, "c", -1.0),
+      (16L, "d", -1.0), (17L, "d", -2.0)
+    )
+    val scored = rows.toDF("id", "lang", "lp_mean_r")
+      .withColumn("n_tri", lit(5L))
+    val w = Window.partitionBy("lang").orderBy(col("lp_mean_r").desc, col("id"))
+    val expected = scored.withColumn("bucket",
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+      .select("id", "lang", "lp_mean_r", "bucket")
+    val actual = LmScore.assignTerciles(scored)
+      .select("id", "lang", "lp_mean_r", "bucket")
+    assert(actual.except(expected).isEmpty && expected.except(actual).isEmpty,
+      s"mismatch:\nactual=${actual.orderBy("id").collect().mkString("\n")}\n" +
+        s"expected=${expected.orderBy("id").collect().mkString("\n")}")
+  }
+
   test("ccnetBuckets: a language missing from the reference degrades to the Laplace floor") {
     val d = Seq(
       (1L, "aaa bbb ccc", "en", "ref"),

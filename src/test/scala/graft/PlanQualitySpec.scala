@@ -266,7 +266,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
   }
 
-  test("ccnet_buckets: model tables broadcast, tercile window keyed on language") {
+  test("ccnet_buckets: model tables broadcast, no per-language row sort") {
     val p = plan("ccnet_buckets")
     // trigram/bigram/vocab model sides are bounded (charset^3 per
     // language) and must broadcast to the per-doc scoring stream
@@ -274,9 +274,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
     // decimal score sum combines map-side
     assert(p.contains("partial_sum"), p.take(800))
-    // the NTILE window partitions by language — never one global sort
-    assert(p.contains("windowspecdefinition(lang"),
-      "tercile window must be keyed on lang:\n" + p.take(1200))
+    // NTILE is replayed via broadcast cutoffs — the literal ntile (one
+    // reducer sorts a whole language) must never reappear
+    assert(!p.contains("ntile("), "literal ntile must not be in the plan:\n" + p.take(1200))
+    // every row-level window must be keyed finer than lang alone; the
+    // only lang-keyed window runs over the aggregated score histogram
+    // sparkPlan, not executedPlan: AQE hides the tree behind
+    // AdaptiveSparkPlanExec until execution
+    val exec = SparkEntry.queries("ccnet_buckets")(spark, sf001)
+      .queryExecution.sparkPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected tie-rank + histogram windows")
+    wins.foreach { w =>
+      if (w.partitionSpec.length < 2) {
+        val childAggs = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }
+        assert(childAggs.nonEmpty,
+          s"lang-only window must run over the aggregated histogram, not rows:\n$w")
+      }
+    }
   }
 
   test("dsir_sample: top-k is TakeOrdered, weights broadcast, one materialized feature table") {
