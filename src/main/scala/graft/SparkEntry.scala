@@ -891,6 +891,22 @@ object SparkEntry {
         Map(0 -> -1L, 1 -> -1L, 2 -> -1L, 3 -> -1L), n = 100)
       .orderBy(Envelope.Partition)
 
+  /** Topic stats (reference Topics.getStats): per-partition storage
+    * counters + per-subscription mark-delete/backlog over two
+    * deterministic ack fixtures — subA acks every offset not divisible
+    * by 3 (out-of-order, gaps), subB acks the even offsets. The oracle
+    * replays both cursors and the octet accounting in SQL. */
+  private def qTopicStats(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    def acks(pred: Column) = e.filter(pred)
+      .select(col(Envelope.Partition).as("partition"),
+        col(Envelope.Offset).as("offset"))
+    graft.log.Admin.topicStats(e, Map(
+        "subA" -> acks(col(Envelope.Offset) % 3 =!= 0),
+        "subB" -> acks(col(Envelope.Offset) % 2 === 0)))
+      .orderBy("subscription", "partition")
+  }
+
   /** §2.4 distinct aggregation: exact count-distinct users per type. */
   private def qCountDistinct(s: SparkSession, dir: String): DataFrame =
     env(s, dir).groupBy("event_type")
@@ -1734,6 +1750,7 @@ object SparkEntry {
     "crypto_roundtrip" -> (qCryptoRoundtrip _),
     "backlog_quota" -> (qBacklogQuota _),
     "admin_skip" -> (qAdminSkip _),
+    "topic_stats" -> (qTopicStats _),
     "q_count_distinct" -> (qCountDistinct _),
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
     "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
@@ -2308,6 +2325,49 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") AS rn
         |  FROM envelope) t WHERE rn <= 100
         |GROUP BY partition ORDER BY partition""".stripMargin),
+    // Topics.getStats replay: storage octets (value+key), per-sub
+    // backlog, and mark-delete derived the same sort-free way — highest
+    // acked offset below the first unacked one
+    "topic_stats" -> envSql(
+      """, offs AS (SELECT partition, "offset" FROM envelope),
+        |store AS (
+        |  SELECT partition, CAST(COUNT(*) AS BIGINT) AS msg_count,
+        |    CAST(SUM(COALESCE(octet_length(CAST(value AS BLOB)), 0) +
+        |      COALESCE(octet_length(CAST(key AS BLOB)), 0)) AS BIGINT) AS storage_bytes,
+        |    MAX("offset") AS head_offset,
+        |    CAST(COUNT(DISTINCT producer_name) AS BIGINT) AS producers
+        |  FROM envelope GROUP BY partition),
+        |subs AS (SELECT unnest(['subA', 'subB']) AS subscription),
+        |acks AS (
+        |  SELECT 'subA' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 3 <> 0
+        |  UNION ALL
+        |  SELECT 'subB' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 2 = 0),
+        |un AS (
+        |  SELECT p.subscription, p.partition, p."offset"
+        |  FROM (SELECT s.subscription, o.partition, o."offset"
+        |        FROM offs o CROSS JOIN subs s) p
+        |  LEFT JOIN acks a ON a.subscription = p.subscription
+        |    AND a.partition = p.partition AND a."offset" = p."offset"
+        |  WHERE a."offset" IS NULL),
+        |bl AS (
+        |  SELECT subscription, partition, CAST(COUNT(*) AS BIGINT) AS backlog,
+        |    MIN("offset") AS min_unacked
+        |  FROM un GROUP BY 1, 2),
+        |md AS (
+        |  SELECT a.subscription, a.partition, MAX(a."offset") AS mark_delete
+        |  FROM acks a LEFT JOIN bl ON bl.subscription = a.subscription
+        |    AND bl.partition = a.partition
+        |  WHERE bl.min_unacked IS NULL OR a."offset" < bl.min_unacked
+        |  GROUP BY 1, 2)
+        |SELECT s.subscription, st.partition, st.msg_count, st.storage_bytes,
+        |  round(CAST(st.storage_bytes AS DOUBLE) / st.msg_count, 6) AS avg_msg_size_r,
+        |  st.head_offset, st.producers,
+        |  COALESCE(md.mark_delete, -1) AS mark_delete,
+        |  COALESCE(bl.backlog, 0) AS backlog
+        |FROM store st CROSS JOIN subs s
+        |LEFT JOIN bl ON bl.subscription = s.subscription AND bl.partition = st.partition
+        |LEFT JOIN md ON md.subscription = s.subscription AND md.partition = st.partition
+        |ORDER BY s.subscription, st.partition""".stripMargin),
     "q_count_distinct" -> envSql(
       """SELECT event_type, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_users,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
@@ -2975,7 +3035,7 @@ object SparkEntry {
         |removed AS (
         |  SELECT DISTINCT a.vec_id FROM scored a JOIN scored b
         |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-        |   AND list_cosine_similarity(a.v, b.v) >= 0.3
+        |   AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
         |   AND (b.simc_r < a.simc_r OR (b.simc_r = a.simc_r AND b.vec_id < a.vec_id)))
         |SELECT s.vec_id, s.cluster, s.simc_r, (r.vec_id IS NULL) AS kept
         |FROM scored s LEFT JOIN removed r ON r.vec_id = s.vec_id

@@ -173,6 +173,76 @@ object Stress {
     graphTier(docsK)
     asofTier(envK)
     annTier(vecsK)
+    ccnetSkewTier(docsK)
+    semanticBitsTier(vecsK)
     spark.stop()
+  }
+
+  /** Wall time plus per-task duration spread (max vs p50) — the skew
+    * probe's signal: a stage that funnels one language onto one reducer
+    * shows max-task ≈ wall; a flat distribution shows max ≪ wall. */
+  private def timeTasks(spark: SparkSession, label: String)(f: => Long): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val durs = scala.collection.mutable.ArrayBuffer[Long]()
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        durs.synchronized { durs += te.taskInfo.duration }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    val n = f
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1000) // listener bus is async; let queued events drain
+    spark.sparkContext.removeSparkListener(l)
+    val d = durs.synchronized(durs.toVector).sorted
+    val p50 = if (d.isEmpty) 0L else d(d.size / 2)
+    val max = if (d.isEmpty) 0L else d.last
+    println(f"STRESS $label%-28s $wall%8.2fs  ($n rows, tasks=${d.size}, " +
+      f"p50=${p50}ms, max=${max}ms, max/wall=${max / 1e3 / wall}%.2f)")
+  }
+
+  /** CCNet tercile skew probe (VERDICT r6 #1): 90% of documents forced
+    * into one language. The broadcast-cutoff assignment must stay flat
+    * (no task sorts the dominant language); the literal NTILE window it
+    * replaced — re-applied over the same scored output as the baseline —
+    * funnels 90% of rows through one reducer. */
+  private def ccnetSkewTier(docs: DataFrame): Unit = {
+    val skewed = docs.withColumn("lang",
+      when(col("doc_id") % 10 < 9, lit("en")).otherwise(col("lang")))
+    val spark = docs.sparkSession
+    val scored = graft.ext.LmScore.ccnetBuckets(skewed,
+        col("source").isin("src0", "src1", "src2", "src3"))
+      .select("doc_id", "lang", "lp_mean_r", "bucket").cache()
+    timeTasks(spark, "ccnet_skew_cutoffs")(
+      scored.agg(count(lit(1)), sum(when(col("bucket") === "head", 1L).otherwise(0L)))
+        .head().getLong(0))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("lp_mean_r").desc, col("doc_id"))
+    timeTasks(spark, "ccnet_skew_ntile")(
+      scored.withColumn("b2",
+          when(ntile(3).over(w) === 1, "head")
+            .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+        .agg(count(lit(1)), sum(when(col("b2") === "head", 1L).otherwise(0L)))
+        .head().getLong(0))
+    scored.unpersist()
+  }
+
+  /** SemDeDup clusterBits scaling probe (VERDICT r6 #2): the Σ|cluster|²
+    * candidate-pair bound is the paper's k knob — raising clusterBits
+    * 6 → 12 must cut the pair count (and the pair-stage wall) the way
+    * the paper's k≈50k does at corpus scale. */
+  private def semanticBitsTier(vecs: DataFrame): Unit = {
+    val spark = vecs.sparkSession
+    for (bits <- Seq(6, 12)) {
+      val pairBound = vecs
+        .select(graft.functions.Sketch.sign_lsh(col("embedding"), 32)
+          .bitwiseAND((1L << bits) - 1).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n"))).head().getLong(0)
+      timeTasks(spark, s"semantic_bits$bits(pairs=$pairBound)")(
+        graft.ext.VectorOps.semanticDedup(vecs, 0.3, clusterBits = bits)
+          .agg(count(lit(1)), sum("simc_r"),
+            sum(when(col("kept"), 1L).otherwise(0L))).head().getLong(0))
+    }
   }
 }

@@ -630,7 +630,9 @@ object VectorOps {
     val b = scored.toDF("id_b", "cluster", "vb", "simc_b")
     val removed = a.join(b, Seq("cluster"))
       .filter(col("id_a") =!= col("id_b"))
-      .filter(cosine(col("va"), col("vb")) >= threshold)
+      // rounded to 6 like simc_r, so a last-ulp cross-engine difference
+      // exactly at the threshold can't flip a kept/removed verdict
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
       .filter(col("simc_b") < col("simc_a") ||
         (col("simc_b") === col("simc_a") && col("id_b") < col("id_a")))
       .select(col("id_a").as("rid")).distinct()

@@ -181,6 +181,118 @@ object Admin {
       log.read().repartition(filesPerPartition, col(Envelope.Partition)))
 
   /**
+   * Topic stats (reference `Topics.getStats`,
+   * pulsar-client-admin-api/.../Topics.java; DTO
+   * pulsar-common/.../policies/data/TopicStats.java): per-partition
+   * storage counters joined with per-subscription cursor state — the
+   * observability verbs an operator reads daily (msg counts, storage
+   * size, average message size, per-subscription backlog and
+   * mark-delete position).
+   *
+   * `subs` maps subscription name → its ack table (partition, offset),
+   * the same shape [[graft.streaming.AckState]] maintains. Returns one
+   * row per (subscription, partition):
+   * (subscription, partition, msg_count, storage_bytes, avg_msg_size_r,
+   * head_offset, producers, mark_delete, backlog), where storage_bytes
+   * counts value+key payload octets (the parquet-log analog of ledger
+   * storageSize), mark_delete is the highest offset with every log
+   * offset at/below it acked (−1 if the first message is unacked), and
+   * backlog counts unacked messages.
+   *
+   * Scale: storage stats are one partial-agg shuffle over the log;
+   * backlog is a linear anti-join per subscription; mark-delete avoids
+   * any per-partition sort — it is derived as "highest acked offset
+   * below the minimum unacked offset", two linear aggregates, so a
+   * billion-entry partition never funnels through one reducer.
+   */
+  def topicStats(log: DataFrame, subs: Map[String, DataFrame]): DataFrame = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val offsets = log.select(col(Envelope.Partition).as("partition"),
+      col(Envelope.Offset).as("offset"))
+    val store = log.groupBy(col(Envelope.Partition).as("partition")).agg(
+      count(lit(1)).cast("bigint").as("msg_count"),
+      sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
+        coalesce(octet_length(col(Envelope.Key)), lit(0)))
+        .cast("bigint").as("storage_bytes"),
+      max(Envelope.Offset).as("head_offset"),
+      countDistinct(Envelope.ProducerName).cast("bigint").as("producers"))
+    val ackU = subs.map { case (name, a) =>
+      a.select(col("partition"), col("offset")).distinct()
+        .withColumn("subscription", lit(name))
+    }.reduce(_.unionByName(_))
+    val subNames = subs.keys.toSeq.sorted.toDF("subscription")
+
+    val unacked = offsets.crossJoin(broadcast(subNames))
+      .join(ackU, Seq("subscription", "partition", "offset"), "left_anti")
+    val backlog = unacked.groupBy("subscription", "partition")
+      .agg(count(lit(1)).cast("bigint").as("backlog"),
+        min("offset").as("min_unacked"))
+    // mark-delete = highest acked offset below the first gap; every log
+    // offset below min_unacked is acked by construction, so no sort
+    val md = ackU
+      .join(backlog.select("subscription", "partition", "min_unacked"),
+        Seq("subscription", "partition"), "left_outer")
+      .filter(col("min_unacked").isNull || col("offset") < col("min_unacked"))
+      .groupBy("subscription", "partition")
+      .agg(max("offset").as("mark_delete"))
+
+    store.crossJoin(broadcast(subNames))
+      .join(backlog.drop("min_unacked"), Seq("subscription", "partition"), "left_outer")
+      .join(md, Seq("subscription", "partition"), "left_outer")
+      .select(col("subscription"), col("partition"), col("msg_count"),
+        col("storage_bytes"),
+        round(col("storage_bytes").cast("double") / col("msg_count"), 6)
+          .as("avg_msg_size_r"),
+        col("head_offset"), col("producers"),
+        coalesce(col("mark_delete"), lit(-1L)).as("mark_delete"),
+        coalesce(col("backlog"), lit(0L)).as("backlog"))
+  }
+
+  /**
+   * Internal per-partition storage topology (reference
+   * `Topics.getInternalStats`, DTO PersistentTopicInternalStats:
+   * ledger list with entry counts and sizes). For the parquet-backed
+   * log the "ledgers" are data files: one distributed job groups rows
+   * by (partition, file) — never a per-file driver loop.
+   */
+  def topicInternalStats(log: TopicLog): DataFrame = {
+    val files = dataFiles(log)
+    if (files.isEmpty)
+      return log.spark.createDataFrame(
+        log.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("partition",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_files",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("entries",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("storage_bytes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("head_offset",
+            org.apache.spark.sql.types.LongType))))
+    val sizeByFile = files.map(p => p.toString -> Files.size(p)).toMap
+    val sizeUdf = udf((f: String) => {
+      val path = try Paths.get(java.net.URI.create(f)).toString
+      catch { case _: Throwable => f.stripPrefix("file:") }
+      sizeByFile.getOrElse(path, 0L)
+    })
+    // files are read individually (outside the hive root), so the
+    // partition id comes from the `partition=<i>` path segment
+    log.spark.read.parquet(files.map(_.toString): _*)
+      .groupBy(regexp_extract(input_file_name(), "partition=(\\d+)", 1)
+          .cast("int").as("partition"),
+        input_file_name().as("f"))
+      .agg(count(lit(1)).as("entries"), max(Envelope.Offset).as("head"))
+      .groupBy("partition")
+      .agg(count(lit(1)).cast("bigint").as("n_files"),
+        sum("entries").cast("bigint").as("entries"),
+        sum(sizeUdf(col("f"))).cast("bigint").as("storage_bytes"),
+        max("head").as("head_offset"))
+  }
+
+  /**
    * Backlog quota check (BacklogQuotaManager.checkQuota): returns
    * per-partition backlog with quota verdict; `evictOldest` = the
    * consumer_backlog_eviction policy — computes the advanced cursor

@@ -114,6 +114,43 @@ class AdminChunkTxnSpec extends SparkSpec {
     assert(evict == 2)
   }
 
+  test("topicStats: per-subscription mark-delete and backlog semantics") {
+    // one partition, offsets 0..9; subA acked {1,2,4} (gap at 0 →
+    // mark_delete -1), subB acked {0,1,2,5} (dense prefix to 2), subC
+    // acked everything (mark_delete = head, backlog 0)
+    val log = (0L until 10L).map(o =>
+        (0, o, s"k$o", "x" * 10, "p0"))
+      .toDF(Envelope.Partition, Envelope.Offset, Envelope.Key,
+        Envelope.Value, Envelope.ProducerName)
+    def acks(os: Long*) = os.map(o => (0, o)).toDF("partition", "offset")
+    val out = Admin.topicStats(log, Map(
+        "subA" -> acks(1, 2, 4),
+        "subB" -> acks(0, 1, 2, 5),
+        "subC" -> acks(0L until 10L: _*)))
+      .select("subscription", "mark_delete", "backlog", "msg_count",
+        "storage_bytes", "head_offset", "producers")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("subA") == (("subA", -1L, 7L, 10L, 120L, 9L, 1L)))
+    assert(out("subB") == (("subB", 2L, 6L, 10L, 120L, 9L, 1L)))
+    assert(out("subC") == (("subC", 9L, 0L, 10L, 120L, 9L, 1L)))
+  }
+
+  test("topicInternalStats: per-partition file topology from the log") {
+    val log = freshLog(2)
+    log.append(batch(0 until 40))
+    log.append(batch(40 until 60))
+    val st = Admin.topicInternalStats(log)
+      .select("partition", "n_files", "entries", "storage_bytes", "head_offset")
+      .as[(Int, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(st.keySet == Set(0, 1))
+    assert(st.values.map(_._3).sum == 60L, "entries must cover both appends")
+    assert(st.values.forall(_._2 >= 2L), "two appends → ≥2 files per partition")
+    assert(st.values.forall(_._4 > 0L), "file sizes must be real")
+    // head offset per partition = entries - 1 (dense per-partition offsets)
+    assert(st.values.forall(v => v._5 == v._3 - 1))
+  }
+
   test("updatePartitions: old rows keep partition/order, new appends route over the new count") {
     val tl2 = freshLog(parts = 2)
     tl2.append(batch(0 until 60))
