@@ -58,7 +58,19 @@ object LmScore {
 
   def ccnetBuckets(docs: DataFrame, isRef: Column,
                    textCol: String = "text", idCol: String = "doc_id",
-                   langCol: String = "lang"): DataFrame = {
+                   langCol: String = "lang"): DataFrame =
+    assignTerciles(score(docs, isRef, textCol, idCol, langCol))
+      .select(col("id").as(idCol), col("lang"), col("n_tri"),
+        col("lp_mean_r"), col("bucket"))
+
+  /** Model build + per-document scoring (everything before tercile
+    * assignment): returns (id, lang, n_tri, lp_mean_r). Split out so
+    * the plan-shape gates can assert the broadcast/partial-agg
+    * properties of this stage independently of the materialization
+    * boundary in [[assignTerciles]]. */
+  private[graft] def score(docs: DataFrame, isRef: Column,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           langCol: String = "lang"): DataFrame = {
     val d = TextOps.ensureParallelism(docs)
     val refDocs = d.filter(isRef)
 
@@ -88,7 +100,7 @@ object LmScore {
     val lp = round(log10(
       (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
         (coalesce(col("c2"), lit(0L)) + coalesce(col("v"), lit(1L))).cast("double")), 9)
-    val scored = perDoc
+    perDoc
       .join(broadcast(m3), Seq("lang", "tri"), "left_outer")
       .withColumn("bi", substring(col("tri"), 1, 2))
       .join(broadcast(m2), Seq("lang", "bi"), "left_outer")
@@ -97,10 +109,7 @@ object LmScore {
       .agg(sum(col("c").cast("decimal(10,0)") * lp.cast("decimal(12,9)")).as("lp_sum"),
         sum("c").cast("bigint").as("n_tri"))
       .withColumn("lp_mean_r", round(col("lp_sum").cast("double") / col("n_tri"), 6))
-
-    assignTerciles(scored)
-      .select(col("id").as(idCol), col("lang"), col("n_tri"),
-        col("lp_mean_r"), col("bucket"))
+      .select("id", "lang", "n_tri", "lp_mean_r")
   }
 
   /**
@@ -113,32 +122,48 @@ object LmScore {
    * (first ⌈n/3⌉-ish tiles get the remainder, per the SQL spec) are
    * located on the histogram and shipped as a one-row-per-language
    * broadcast: (boundary score, ties of it kept below the boundary).
+   *
+   * EAGER SIDE EFFECT: the narrow scored table (4 scalar columns/doc) is
+   * localCheckpoint-materialized here, because the histogram chain and
+   * the tie-rank join would otherwise each recompute the full
+   * trigram-scoring lineage (measured 70 s vs 4 s at sf0.1 with the
+   * pre-merge five-consumer shape). The same trade as dsirResample:
+   * recomputing is expensive, the table is small. Measured cost of skew
+   * safety at sf0.1: score-only 2.0 s warm; +1.0 s materialization,
+   * +1.1 s assignment (fixed small-job overhead that amortizes away at
+   * scale, where the replaced per-language sort instead serializes the
+   * dominant language on one reducer).
    */
-  private[graft] def assignTerciles(scored: DataFrame): DataFrame = {
+  private[graft] def assignTerciles(scoredIn: DataFrame): DataFrame = {
+    val scored = scoredIn.localCheckpoint()
     val hist = scored.groupBy("lang", "lp_mean_r").agg(count(lit(1)).as("cnt"))
     // cumulative over DISTINCT scores per language — the only lang-keyed
     // sort left, and it runs on the bounded histogram, never on rows
     val wHist = Window.partitionBy("lang").orderBy(col("lp_mean_r").desc)
-    val cum = hist
+    // one pass over the histogram: cumulative rank, per-language total
+    // (max cumulative), NTILE boundaries, and both cutoffs as
+    // conditional aggregates — exactly one histogram row matches each
+    // boundary condition per language, so max picks it
+    val wLang = Window.partitionBy("lang")
+    val j = hist
       .withColumn("upto", sum("cnt").over(wHist))
       .withColumn("above", col("upto") - col("cnt"))
-    val nl = hist.groupBy("lang").agg(sum("cnt").as("n"))
-
-    // NTILE(3) tile sizes: base = n/3, first (n mod 3) tiles get +1
-    val base = floor(col("n") / 3)
-    val rem = col("n") % 3
-    val k1 = (base + when(rem >= 1, 1).otherwise(0)).as("k1")
-    val k2 = (base * 2 + when(rem >= 1, 1).otherwise(0)
-      + when(rem >= 2, 1).otherwise(0)).as("k2")
-    val j = cum.join(nl, "lang").select(col("lang"), col("lp_mean_r"),
-      col("above"), col("upto"), k1, k2)
-    val c1 = j.filter(col("above") < col("k1") && col("k1") <= col("upto"))
-      .select(col("lang"), col("lp_mean_r").as("s1"),
-        (col("k1") - col("above")).as("t1"))
-    val c2 = j.filter(col("above") < col("k2") && col("k2") <= col("upto"))
-      .select(col("lang"), col("lp_mean_r").as("s2"),
-        (col("k2") - col("above")).as("t2"))
-    val cuts = c1.join(c2, "lang") // one row per language
+      .withColumn("n", max("upto").over(wLang))
+      // NTILE(3) tile sizes: base = n/3, first (n mod 3) tiles get +1
+      .withColumn("k1", floor(col("n") / 3) +
+        when(col("n") % 3 >= 1, 1).otherwise(0))
+      .withColumn("k2", floor(col("n") / 3) * 2 +
+        when(col("n") % 3 >= 1, 1).otherwise(0) +
+        when(col("n") % 3 >= 2, 1).otherwise(0))
+    val cuts = j.groupBy("lang").agg(
+        max(when(col("above") < col("k1") && col("k1") <= col("upto"),
+          struct(col("lp_mean_r").as("s"),
+            (col("k1") - col("above")).as("t")))).as("b1"),
+        max(when(col("above") < col("k2") && col("k2") <= col("upto"),
+          struct(col("lp_mean_r").as("s"),
+            (col("k2") - col("above")).as("t")))).as("b2"))
+      .select(col("lang"), col("b1.s").as("s1"), col("b1.t").as("t1"),
+        col("b2.s").as("s2"), col("b2.t").as("t2")) // one row per language
 
     // tie-rank within one (lang, score) class — finer-keyed than lang,
     // so a skewed language still spreads across reducers

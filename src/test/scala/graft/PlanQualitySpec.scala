@@ -266,21 +266,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
   }
 
-  test("ccnet_buckets: model tables broadcast, no per-language row sort") {
-    val p = plan("ccnet_buckets")
+  test("ccnet_buckets scoring stage: model tables broadcast, partial decimal sums") {
+    // the scoring stage is materialized behind a checkpoint in the full
+    // query (five consumers would recompute it otherwise), so its plan
+    // shape is gated here directly
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val p = graft.ext.LmScore.score(docs,
+        org.apache.spark.sql.functions.col("source")
+          .isin("src0", "src1", "src2", "src3"))
+      .queryExecution.executedPlan.toString
     // trigram/bigram/vocab model sides are bounded (charset^3 per
     // language) and must broadcast to the per-doc scoring stream
     assert(countOccurrences(p, "BroadcastHashJoin") >= 3, p.take(1200))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
     // decimal score sum combines map-side
     assert(p.contains("partial_sum"), p.take(800))
+  }
+
+  test("ccnet_buckets assignment: broadcast cutoffs, no per-language row sort") {
+    val p = plan("ccnet_buckets")
     // NTILE is replayed via broadcast cutoffs — the literal ntile (one
     // reducer sorts a whole language) must never reappear
     assert(!p.contains("ntile("), "literal ntile must not be in the plan:\n" + p.take(1200))
+    // the one-row-per-language cutoff table broadcasts to the rows
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // both the histogram path and the tie-rank path must read the one
+    // materialized scored table, not recompute the scoring lineage
+    assert(countOccurrences(p, "Scan ExistingRDD") >= 2, p.take(1200))
     // every row-level window must be keyed finer than lang alone; the
     // only lang-keyed window runs over the aggregated score histogram
-    // sparkPlan, not executedPlan: AQE hides the tree behind
-    // AdaptiveSparkPlanExec until execution
+    // (sparkPlan, not executedPlan: AQE hides the tree behind
+    // AdaptiveSparkPlanExec until execution)
     val exec = SparkEntry.queries("ccnet_buckets")(spark, sf001)
       .queryExecution.sparkPlan
     val wins = exec.collect {
