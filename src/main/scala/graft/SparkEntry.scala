@@ -930,6 +930,27 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** Shadow-topic read view (reference ShadowReplicator.java): the
+    * shadow shares the source log's committed storage, relabels the
+    * topic name, and is read-only — so its per-partition truth is
+    * exactly topic_log_roundtrip's with the shadow topic name attached;
+    * any divergence means the shadow view dropped or duplicated rows. */
+  private def qShadowRead(s: SparkSession, dir: String): DataFrame = {
+    val root = Fixtures.dir(s, dir, "q-log") { r =>
+      val tl0 = new graft.log.TopicLog(s, r,
+        graft.model.TopicName.parse("persistent://public/default/events"), 4)
+      tl0.append(env(s, dir).drop(Envelope.Topic, Envelope.Partition))
+    }
+    val tl = new graft.log.TopicLog(s, root,
+      graft.model.TopicName.parse("persistent://public/default/events"), 4)
+    val shadow = new graft.log.ShadowTopic(tl,
+      graft.model.TopicName.parse("persistent://public/default/events-shadow"))
+    shadow.read().groupBy(col(Envelope.Topic).as("topic"), col(Envelope.Partition))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
   /** §2.10 STICKY explicit hash ranges, oracle-checked — including the
     * reference behavior for slots OUTSIDE every range (no consumer:
     * NULL routing), exercised via a deliberate gap at 21846..29999. */
@@ -1753,6 +1774,7 @@ object SparkEntry {
     "topic_stats" -> (qTopicStats _),
     "q_count_distinct" -> (qCountDistinct _),
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
+    "shadow_read" -> (qShadowRead _),
     "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
     "file_sink_roundtrip" -> (qFileSinkRoundtrip _),
     // data-generator connector: md5-deterministic Person stream; the
@@ -2300,6 +2322,19 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
         |FROM joined GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "topic_log_roundtrip" -> topicLogRoundtripSql,
+    // the shadow view is the same committed per-partition truth with the
+    // shadow topic name relabeled
+    "shadow_read" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), envelope AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key FROM ev
+        |), routed AS (
+        |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition FROM envelope)
+        |SELECT 'persistent://public/default/events-shadow' AS topic,
+        |  partition, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
+        |FROM routed GROUP BY partition ORDER BY partition""".stripMargin),
     // coalesce+vacuum must be content-neutral: same oracle as the plain
     // produce round trip — a lost or duplicated row breaks the match
     "coalesce_roundtrip" -> topicLogRoundtripSql,

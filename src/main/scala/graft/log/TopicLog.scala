@@ -34,6 +34,19 @@ object TopicLog {
     * [[TopicLog.manifestFiles]]). */
   private[log] val EmptySnapshotMarker = "-"
 
+  /** Reader-visible transaction isolation (reference
+    * pulsar-common TransactionIsolationLevel; SURVEY §2.12): the
+    * manifest commit is the transaction boundary, so READ_COMMITTED sees
+    * only manifest-referenced rows (the default everywhere) while
+    * READ_UNCOMMITTED additionally surfaces staged-but-uncommitted
+    * epochs — data written by an in-flight [[TopicLog.stageAppend]] /
+    * [[Txn]] whose manifest has not been published. */
+  sealed trait IsolationLevel
+  object IsolationLevel {
+    case object ReadCommitted extends IsolationLevel
+    case object ReadUncommitted extends IsolationLevel
+  }
+
   /** A staged (data-written, not yet reader-visible) append: the manifest
     * content is the commit token — publishing it is one atomic file move.
     * Used by [[graft.log.Txn]] for multi-topic atomicity. */
@@ -386,6 +399,33 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
         case None => spark.read.parquet(basePath).filter(cond)
       }
     }
+  }
+
+  /**
+   * [[read]] with an explicit isolation level. READ_COMMITTED is the
+   * plain manifest-gated read; READ_UNCOMMITTED unions in the staged
+   * files of epochs whose manifest is NOT yet committed (an in-flight
+   * transaction's writes — dirty reads, the reference's documented
+   * semantics for TransactionIsolationLevel.READ_UNCOMMITTED). Staged
+   * epochs whose manifest IS committed are excluded: they are already
+   * visible through the committed path the moment recovery moves them.
+   */
+  def read(isolation: TopicLog.IsolationLevel): DataFrame = isolation match {
+    case TopicLog.IsolationLevel.ReadCommitted => read()
+    case TopicLog.IsolationLevel.ReadUncommitted =>
+      val stagingRoot = Paths.get(basePath, "_staging")
+      val inFlight =
+        if (!Files.exists(stagingRoot)) Seq.empty[String]
+        else Files.list(stagingRoot).iterator().asScala.toSeq
+          .filter(d => !Files.exists(
+            manifestDir.resolve(s"${d.getFileName}.commit")))
+          .map(_.toString).sorted
+      inFlight.foldLeft(read()) { (acc, epochDir) =>
+        // basePath at the epoch dir keeps partition=<i> discovery working
+        acc.unionByName(
+          spark.read.option("basePath", epochDir).parquet(epochDir),
+          allowMissingColumns = true)
+      }
   }
 
   /**

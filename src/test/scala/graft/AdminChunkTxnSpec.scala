@@ -114,6 +114,52 @@ class AdminChunkTxnSpec extends SparkSpec {
     assert(evict == 2)
   }
 
+  test("READ_COMMITTED vs READ_UNCOMMITTED across the manifest boundary") {
+    import graft.log.TopicLog.IsolationLevel
+    val log = freshLog(2)
+    log.append(batch(0 until 20))
+    // stageAppend is the in-flight-transaction phase (Txn.commit runs it
+    // before the marker): data on disk, manifest unpublished
+    val staged = log.stageAppend(batch(20 until 30))
+    assert(log.read().count() == 20, "default read is READ_COMMITTED")
+    assert(log.read(IsolationLevel.ReadCommitted).count() == 20)
+    val dirty = log.read(IsolationLevel.ReadUncommitted)
+    assert(dirty.count() == 30, "dirty read must surface the staged epoch")
+    // the dirty rows sit above the committed high-water per partition
+    val hw = log.highWater()
+    val above = dirty.filter(hw.map { case (p, o) =>
+      (col(Envelope.Partition) === p) && (col(Envelope.Offset) > o)
+    }.reduce(_ || _)).count()
+    assert(above == 10)
+    log.publishManifest(staged)
+    assert(log.read().count() == 30)
+    assert(log.read(IsolationLevel.ReadUncommitted).count() == 30,
+      "a committed epoch must not double-count under READ_UNCOMMITTED")
+  }
+
+  test("shadow topic: read-only view tracking the source, independent cursors") {
+    import graft.log.ShadowTopic
+    import graft.streaming.{Subscription, SubscriptionType}
+    val log = freshLog(2)
+    log.append(batch(0 until 20))
+    val shadow = new ShadowTopic(log, TopicName.parse("t-shadow"))
+    assert(shadow.read().count() == 20)
+    assert(shadow.read().select(Envelope.Topic).distinct().as[String].head()
+      == "persistent://public/default/t-shadow",
+      "shadow rows must carry the shadow topic name")
+    intercept[UnsupportedOperationException] { shadow.append(batch(0 until 5)) }
+    log.append(batch(20 until 30))
+    assert(shadow.read().count() == 30, "shadow must track source appends")
+    intercept[IllegalArgumentException] {
+      new ShadowTopic(log, log.name) // self-shadow rejected
+    }
+    val ckpt = Files.createTempDirectory("graft-shadow-ckpt").toString
+    val srcSub = new Subscription(log, "s", SubscriptionType.Exclusive, ckpt)
+    val shSub = shadow.subscription("s", SubscriptionType.Exclusive, ckpt)
+    assert(srcSub.checkpointDir != shSub.checkpointDir,
+      "same-named subscriptions must cursor independently")
+  }
+
   test("topicStats: per-subscription mark-delete and backlog semantics") {
     // one partition, offsets 0..9; subA acked {1,2,4} (gap at 0 →
     // mark_delete -1), subB acked {0,1,2,5} (dense prefix to 2), subC
