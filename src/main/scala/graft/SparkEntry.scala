@@ -409,10 +409,11 @@ object SparkEntry {
     * every query several times per session) don't accumulate
     * driver-memory tables and disk checkpoints. The collect is bounded:
     * it is the AGGREGATED result (keys × windows), never the log. */
-  private def runStreamToLocal(s: SparkSession, agg: DataFrame): DataFrame = {
+  private def runStreamToLocal(s: SparkSession, agg: DataFrame,
+                               mode: String = "complete"): DataFrame = {
     val viewName = "graft_stream_" + java.lang.Long.toHexString(System.nanoTime())
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
-    val q = agg.writeStream.outputMode("complete").format("memory")
+    val q = agg.writeStream.outputMode(mode).format("memory")
       .queryName(viewName).option("checkpointLocation", ckpt.toString).start()
     try q.processAllAvailable() finally q.stop()
     val t = s.table(viewName)
@@ -462,6 +463,34 @@ object SparkEntry {
         sum("toks").cast("bigint").as("total_tokens"))
     runStreamToLocal(s, agg).orderBy("lang")
   }
+
+  /** §2.6/§2.11 delayed delivery on the STREAMING path: the dispatch
+    * gate (deliver_at due or absent) runs as a stateless filter over
+    * readStream, append-mode — the per-microbatch form of the broker's
+    * DelayedDeliveryTracker check at dispatch time. Must emit exactly
+    * the batch `delayed_due` dispatchable set under the same oracle.
+    * (The batch twin additionally proves the BUCKETED INDEX path with
+    * partition pruning; the index is a batch artifact, so the streaming
+    * gate is the filter itself.) */
+  private def qDelayedDueStream(s: SparkSession, dir: String): DataFrame =
+    runStreamToLocal(s, Envelope.fromEventsStream(s, dir)
+        .filter(col(Envelope.DeliverAt).isNull ||
+          col(Envelope.DeliverAt) <=
+            lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .select(col(Envelope.Offset), col(Envelope.Partition)),
+      mode = "append")
+      .orderBy(Envelope.Offset)
+
+  /** §2.10 DLQ routing on the STREAMING path: the redelivery-count
+    * routing decision (DLQ at >= maxRedeliverCount, else RETRY with
+    * backoff) applied per microbatch over readStream, aggregated in
+    * complete mode — converges to the batch `dlq_route` counts under
+    * the same oracle. */
+  private def qDlqRouteStream(s: SparkSession, dir: String): DataFrame =
+    runStreamToLocal(s,
+      Dispatch.dlqRoute(Envelope.fromEventsStream(s, dir), "sub1", 3)
+        .groupBy("route_topic").agg(count(lit(1)).cast("bigint").as("n")))
+      .orderBy("route_topic")
 
   /** §2.8 producer-sequence dedup (effectively-once produce). */
   private def qDedupSeq(s: SparkSession, dir: String): DataFrame =
@@ -1732,12 +1761,14 @@ object SparkEntry {
     "dedup_seq" -> (qDedupSeq _),
     "dedup_stats" -> (qDedupStats _),
     "delayed_due" -> (qDelayedDue _),
+    "delayed_due_stream" -> (qDelayedDueStream _),
     "ttl_expiry" -> (qTtl _),
     "seek_by_time" -> (qSeekByTime _),
     "last_message_ids" -> (qLastIds _),
     "peek_messages" -> (qPeek _),
     "examine_message" -> (qExamine _),
     "dlq_route" -> (qDlqRoute _),
+    "dlq_route_stream" -> (qDlqRouteStream _),
     "replication_filter" -> (qReplication _),
     "window_tumbling" -> (qWindowTumbling _),
     "window_tumbling_stream" -> (qWindowTumblingStream _),
@@ -1970,6 +2001,11 @@ object SparkEntry {
       """SELECT "offset", partition FROM envelope
         |WHERE deliver_at IS NULL OR deliver_at <= TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY "offset"""".stripMargin),
+    // the streaming dispatch gate must emit the identical dispatchable set
+    "delayed_due_stream" -> envSql(
+      """SELECT "offset", partition FROM envelope
+        |WHERE deliver_at IS NULL OR deliver_at <= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY "offset"""".stripMargin),
     "ttl_expiry" -> envSql(
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM envelope
         |WHERE publish_time >= (SELECT MAX(publish_time) FROM envelope) - INTERVAL 7 DAY
@@ -1999,6 +2035,12 @@ object SparkEntry {
         |    FROM envelope) t WHERE rn = 3) u
         |ORDER BY from_pos, partition""".stripMargin),
     "dlq_route" -> envSql(
+      """SELECT CASE WHEN redelivery_count >= 3
+        |  THEN topic || '-sub1-DLQ' ELSE topic || '-sub1-RETRY' END AS route_topic,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM envelope GROUP BY 1 ORDER BY route_topic""".stripMargin),
+    // streaming routing converges to the identical counts
+    "dlq_route_stream" -> envSql(
       """SELECT CASE WHEN redelivery_count >= 3
         |  THEN topic || '-sub1-DLQ' ELSE topic || '-sub1-RETRY' END AS route_topic,
         |  CAST(COUNT(*) AS BIGINT) AS n
