@@ -447,7 +447,13 @@ object SparkEntry {
     * ambiguity can't leak because every field the aggregate reads is
     * identical across duplicates), and the per-language corpus stats
     * aggregate in complete mode. The converged table sits under the
-    * same DuckDB oracle shape as the batch cleaning queries. */
+    * same DuckDB oracle shape as the batch cleaning queries.
+    *
+    * PRODUCTION CAVEAT: dropDuplicates without a watermark keeps its
+    * dedup state forever — fine for this bounded fixture harness, but
+    * an unbounded deployment must add event-time + `withWatermark` and
+    * use `dropDuplicatesWithinWatermark` so the state store can evict
+    * (the same retention decision every streaming dedup makes). */
   private def qQualityFilterStream(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(schema)

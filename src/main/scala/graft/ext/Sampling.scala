@@ -269,6 +269,15 @@ object Sampling {
    * global single-partition window; the rank is assigned over the k
    * selected rows only.
    *
+   * EAGER SIDE EFFECT: constructing the result runs a Spark job — the
+   * (doc, cell) feature table is localCheckpoint-materialized during
+   * DataFrame construction (it feeds both the cell models and the
+   * per-doc weight sums; recomputing the n-gram explode per consumer
+   * costs more than the narrow materialization, measured). Plan-only
+   * consumers (explain, dry planning) therefore pay the feature-build
+   * job, and the result is tied to executor liveness like any
+   * localCheckpoint.
+   *
    * Returns (rank, doc_id, lw_r, key_r) for the k selected documents.
    */
   def dsirResample(docs: DataFrame, isTarget: Column, k: Int,

@@ -35,7 +35,12 @@ object TextOps {
     // multiplies child estimates and would wrongly read as "huge"
     val bytes = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
-    if (bytes >= BigInt(maxSplit) * want) df else df.repartition(want)
+    // repartition only when the scan's own split count is genuinely
+    // starved (< half the slots): a mid-size input that already yields
+    // e.g. 24 splits on a 32-slot session must NOT pay a full
+    // round-robin shuffle of the raw text for a marginal gain
+    val estSplits = (bytes + maxSplit - 1) / maxSplit
+    if (estSplits >= want / 2) df else df.repartition(want)
   }
 
   /** Unicode-clean text: NFC canonical composition (native kernel —
