@@ -596,6 +596,16 @@ object VectorOps {
    * `clusterBits`); similarity is computed and thresholded before the
    * distinct, so the dedup exchange carries only ids.
    *
+   * SIZING `clusterBits` (measured, Stress semanticBitsTier at 10×
+   * sf0.1 = 200k vectors): bits=6 leaves Σ|cluster|² ≈ n²/64 and the
+   * heaviest cluster's pair task dominates the stage; bits=12 cuts the
+   * candidate pairs ~20× and flattens the task distribution. Choose
+   * bits ≈ log2(n / target_cluster_size); the paper's k≈50k at web
+   * scale corresponds to bits 16-17. Raising bits splits clusters
+   * (mask-nested refinement — see ExtOpsSpec), shrinking the pair bound
+   * monotonically; kept sets legitimately differ across settings
+   * because the keep rule is per-cluster and centroid-relative.
+   *
    * Returns (vec_id, cluster, simc_r = round(cos-to-centroid, 6), kept).
    */
   def semanticDedup(vecs: DataFrame, threshold: Double,

@@ -384,4 +384,53 @@ class ExtOpsSpec extends SparkSpec {
     val b = VectorOps.semanticDedup(vecs.repartition(7), tau)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("semanticDedup clusterBits is the paper's k knob: refinement, pair-bound shrink, dup removal at any setting") {
+    val tau = 0.3
+    // clone 10 vectors under fresh ids: exact duplicates share the full
+    // 32-bit sign-LSH signature, so each (orig, clone) pair co-clusters
+    // at EVERY clusterBits setting and can never both survive
+    val clones = vecs.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val in = vecs.unionByName(clones)
+    val out6 = VectorOps.semanticDedup(in, tau, clusterBits = 6)
+      .select(col("vec_id"), col("cluster"), col("kept"))
+      .as[(Long, Long, Boolean)].collect()
+    val out12 = VectorOps.semanticDedup(in, tau, clusterBits = 12)
+      .select(col("vec_id"), col("cluster"), col("kept"))
+      .as[(Long, Long, Boolean)].collect()
+
+    // 1. mask nesting: bits-12 clusters REFINE bits-6 clusters, so
+    //    raising the knob only ever splits clusters (the paper's k↑)
+    val c6 = out6.map(r => r._1 -> r._2).toMap
+    out12.foreach { case (id, c12, _) =>
+      assert((c12 & 63L) == c6(id), s"vec $id: cluster $c12 not nested in ${c6(id)}")
+    }
+    // 2. the Σ|cluster|² candidate-pair bound shrinks monotonically
+    def pairBound(rows: Array[(Long, Long, Boolean)]): Long =
+      rows.groupBy(_._2).values.map(g => g.size.toLong * g.size).sum
+    assert(pairBound(out12) < pairBound(out6),
+      s"finer clustering must shrink the pair space: ${pairBound(out12)} vs ${pairBound(out6)}")
+    // 3. exact duplicates are removed at BOTH settings (cosine 1 >= tau,
+    //    same cluster, tie broken by id)
+    for (out <- Seq(out6, out12); base <- 0L until 10L) {
+      val pairKept = out.filter(r => r._1 == base || r._1 == base + 100000L)
+        .count(_._3)
+      assert(pairKept <= 1, s"dup pair of vec $base must not both survive")
+    }
+    // 4. kept sets LEGITIMATELY diverge across bits settings (the
+    //    expected difference, not a defect): the keep rule is
+    //    per-cluster and the ranking is centroid-relative, so splitting
+    //    a cluster both removes cross-sibling dominators and re-ranks
+    //    members against new centroids. The invariant that does hold:
+    //    every cluster keeps at least its (simc, id)-minimum member
+    for ((_, members) <- out12.groupBy(_._2))
+      assert(members.exists(_._3), "every bits-12 cluster must keep a member")
+    for ((_, members) <- out6.groupBy(_._2))
+      assert(members.exists(_._3), "every bits-6 cluster must keep a member")
+    // 5. partition invariance holds at the high setting too
+    val hi = VectorOps.semanticDedup(in, tau, clusterBits = 12)
+    val hi2 = VectorOps.semanticDedup(in.repartition(5), tau, clusterBits = 12)
+    assert(hi.except(hi2).isEmpty && hi2.except(hi).isEmpty)
+  }
 }
