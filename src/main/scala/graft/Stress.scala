@@ -41,19 +41,32 @@ object Stress {
       println(f"STRESS $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($n rows)")
     }
 
-    val env1 = Envelope.fromEvents(spark, sfDir).cache(); env1.count()
-    val envK = scaled(Envelope.normalizeTs(
+    // SPARK_GRAFT_TIERS=ccnet_skew[,semantic_bits] runs ONLY those
+    // probes (used for the skew probe at SCALE=100, where the full
+    // suite would take too long and the pair tiers would explode)
+    val onlyTiers = sys.env.get("SPARK_GRAFT_TIERS")
+      .map(_.split(",").map(_.trim).toSet)
+    def tierOn(n: String): Boolean = onlyTiers.forall(_.contains(n))
+
+    lazy val env1 = { val d = Envelope.fromEvents(spark, sfDir).cache(); d.count(); d }
+    lazy val envK = {
+      val d = scaled(Envelope.normalizeTs(
         spark.read.parquet(s"$sfDir/events.parquet")), Seq("event_id", "user_id"), k)
-      .cache()
-    envK.count()
-    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet").cache(); docs1.count()
-    val docsK = scaled(spark.read.parquet(s"$sfDir/documents.parquet"),
-      Seq("doc_id"), k).cache()
-    docsK.count()
-    val vecs1 = spark.read.parquet(s"$sfDir/embeddings.parquet").cache(); vecs1.count()
-    val vecsK = scaled(spark.read.parquet(s"$sfDir/embeddings.parquet"),
-      Seq("vec_id"), k).cache()
-    vecsK.count()
+        .cache()
+      d.count(); d
+    }
+    lazy val docs1 = { val d = spark.read.parquet(s"$sfDir/documents.parquet").cache(); d.count(); d }
+    lazy val docsK = {
+      val d = scaled(spark.read.parquet(s"$sfDir/documents.parquet"),
+        Seq("doc_id"), k).cache()
+      d.count(); d
+    }
+    lazy val vecs1 = { val d = spark.read.parquet(s"$sfDir/embeddings.parquet").cache(); d.count(); d }
+    lazy val vecsK = {
+      val d = scaled(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        Seq("vec_id"), k).cache()
+      d.count(); d
+    }
 
     def envelope(ev: DataFrame): DataFrame = ev.select(
       col("user_id").cast("string").as(Envelope.Key),
@@ -149,6 +162,7 @@ object Stress {
           sum(when(col("kept"), 1L).otherwise(0L))).head().getLong(0))
     }
 
+    if (tierOn("standard")) {
     println(s"== 1x (events=${env1.count()}, docs=${docs1.count()}) ==")
     time("compaction")(Compaction.publishOrder(env1.withColumnRenamed("metric_value", "mv")).count())
     time("dedup_seq")(Dedup.dedupBatch(env1).count())
@@ -173,8 +187,9 @@ object Stress {
     graphTier(docsK)
     asofTier(envK)
     annTier(vecsK)
-    ccnetSkewTier(docsK)
-    semanticBitsTier(vecsK)
+    }
+    if (tierOn("ccnet_skew")) ccnetSkewTier(docsK)
+    if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
     spark.stop()
   }
 
