@@ -402,13 +402,16 @@ object SparkEntry {
     Compaction.tableView(env(s, dir), "event_type", "metric_value")
       .orderBy("event_type")
 
-  /** Run a complete-mode streaming aggregation to convergence
-    * (`processAllAvailable` barrier), capture its result as a LOCAL
-    * DataFrame, and clean up — the memory-sink table is dropped and the
-    * checkpoint dir deleted so repeated invocations (the bench runs
-    * every query several times per session) don't accumulate
-    * driver-memory tables and disk checkpoints. The collect is bounded:
-    * it is the AGGREGATED result (keys × windows), never the log. */
+  /** Run a streaming query to convergence (`processAllAvailable`
+    * barrier), capture its result as a LOCAL DataFrame, and clean up —
+    * the memory-sink table is dropped and the checkpoint dir deleted so
+    * repeated invocations (the bench runs every query several times per
+    * session) don't accumulate driver-memory tables and disk
+    * checkpoints. Collect size: in complete mode it is the AGGREGATED
+    * result (keys × windows), never the log; in APPEND mode (stateless
+    * twins like delayed_due_stream) it is every emitted row — callers
+    * own keeping that bounded (fine at oracle fixture scale; a
+    * production append stream goes to a real sink, not this harness). */
   private def runStreamToLocal(s: SparkSession, agg: DataFrame,
                                mode: String = "complete"): DataFrame = {
     val viewName = "graft_stream_" + java.lang.Long.toHexString(System.nanoTime())
@@ -951,14 +954,23 @@ object SparkEntry {
 
   /** §2.1 produce path end-to-end: route + append into a real topic log,
     * read back (murmur3 routing — rows-only oracle). */
-  private def qTopicLogRoundtrip(s: SparkSession, dir: String): DataFrame = {
+  /** The shared built-once topic-log fixture (`q-log`): the envelope
+    * appended through the real produce path. Every query that reads it
+    * MUST build it through here — the fixture cache keys on the NAME,
+    * so a second inline builder with a drifted recipe would silently
+    * win or lose depending on run order. */
+  private def qLogFixture(s: SparkSession, dir: String): graft.log.TopicLog = {
     val root = Fixtures.dir(s, dir, "q-log") { r =>
       val tl0 = new graft.log.TopicLog(s, r,
         graft.model.TopicName.parse("persistent://public/default/events"), 4)
       tl0.append(env(s, dir).drop(Envelope.Topic, Envelope.Partition))
     }
-    val tl = new graft.log.TopicLog(s, root,
+    new graft.log.TopicLog(s, root,
       graft.model.TopicName.parse("persistent://public/default/events"), 4)
+  }
+
+  private def qTopicLogRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tl = qLogFixture(s, dir)
     tl.read().groupBy(Envelope.Partition)
       .agg(count(lit(1)).cast("bigint").as("n"),
         max(Envelope.Offset).as("max_offset"))
@@ -971,14 +983,7 @@ object SparkEntry {
     * exactly topic_log_roundtrip's with the shadow topic name attached;
     * any divergence means the shadow view dropped or duplicated rows. */
   private def qShadowRead(s: SparkSession, dir: String): DataFrame = {
-    val root = Fixtures.dir(s, dir, "q-log") { r =>
-      val tl0 = new graft.log.TopicLog(s, r,
-        graft.model.TopicName.parse("persistent://public/default/events"), 4)
-      tl0.append(env(s, dir).drop(Envelope.Topic, Envelope.Partition))
-    }
-    val tl = new graft.log.TopicLog(s, root,
-      graft.model.TopicName.parse("persistent://public/default/events"), 4)
-    val shadow = new graft.log.ShadowTopic(tl,
+    val shadow = new graft.log.ShadowTopic(qLogFixture(s, dir),
       graft.model.TopicName.parse("persistent://public/default/events-shadow"))
     shadow.read().groupBy(col(Envelope.Topic).as("topic"), col(Envelope.Partition))
       .agg(count(lit(1)).cast("bigint").as("n"),

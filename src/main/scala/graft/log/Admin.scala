@@ -64,16 +64,21 @@ object Admin {
       .groupBy(input_file_name().as("f"))
       .agg(max(aggCol).as("m"))
       .collect()
-      .map { r =>
-        // input_file_name() is a URI (possibly percent-encoded); decode to
-        // a filesystem path so lookups against Path.toString can't
-        // silently miss (which would no-op retention/offload forever)
-        val raw = r.getString(0)
-        val path = try Paths.get(java.net.URI.create(raw)).toString
-        catch { case _: Throwable => raw.stripPrefix("file:") }
-        path -> r.get(1)
-      }.toMap
+      .map(r => decodeFileUri(r.getString(0)) -> r.get(1)).toMap
   }
+
+  /** input_file_name() is a URI (possibly percent-encoded); decode to a
+    * filesystem path so lookups against Path.toString can't silently
+    * miss (which would no-op retention/offload forever). The fallback
+    * strips the scheme AND collapses the `file:///` triple slash that a
+    * bare stripPrefix would leave behind. */
+  private def decodeFileUri(raw: String): String =
+    try Paths.get(java.net.URI.create(raw)).toString
+    catch {
+      case _: Throwable =>
+        val s = raw.stripPrefix("file:")
+        if (s.startsWith("//")) s.dropWhile(_ == '/').prepended('/') else s
+    }
 
   /**
    * Delete data files entirely older than `retentionMs` relative to
@@ -206,6 +211,9 @@ object Admin {
    * billion-entry partition never funnels through one reducer.
    */
   def topicStats(log: DataFrame, subs: Map[String, DataFrame]): DataFrame = {
+    require(subs.nonEmpty,
+      "topicStats needs at least one subscription (rows are per " +
+        "(subscription, partition)); use topicInternalStats for storage-only stats")
     val spark = log.sparkSession
     import spark.implicits._
     val offsets = log.select(col(Envelope.Partition).as("partition"),
@@ -274,9 +282,12 @@ object Admin {
             org.apache.spark.sql.types.LongType))))
     val sizeByFile = files.map(p => p.toString -> Files.size(p)).toMap
     val sizeUdf = udf((f: String) => {
-      val path = try Paths.get(java.net.URI.create(f)).toString
-      catch { case _: Throwable => f.stripPrefix("file:") }
-      sizeByFile.getOrElse(path, 0L)
+      val path = decodeFileUri(f)
+      // fail loudly: a silent 0 here would report wrong storage sizes
+      // to an operator, the worst failure mode for an observability verb
+      sizeByFile.getOrElse(path,
+        sys.error(s"internal stats: scanned file $path not in the " +
+          s"driver's size map (${sizeByFile.size} files)"))
     })
     // files are read individually (outside the hive root), so the
     // partition id comes from the `partition=<i>` path segment

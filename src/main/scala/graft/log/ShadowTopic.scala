@@ -57,5 +57,5 @@ final class ShadowTopic(val source: TopicLog, val name: TopicName) {
                    policy: BatchReceivePolicy = BatchReceivePolicy()): Subscription =
     new Subscription(source, subName, subType,
       s"$checkpointRoot/_shadow/${name.tenant}/${name.namespace}/${name.topic}",
-      numWorkers, policy)
+      numWorkers, policy, topicOverride = Some(name.fqn))
 }

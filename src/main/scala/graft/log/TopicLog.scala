@@ -413,13 +413,30 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
   def read(isolation: TopicLog.IsolationLevel): DataFrame = isolation match {
     case TopicLog.IsolationLevel.ReadCommitted => read()
     case TopicLog.IsolationLevel.ReadUncommitted =>
+      // heal the crash window first: a staged epoch whose manifest IS
+      // committed (crash between manifest move and file moves) belongs
+      // to the committed view — completing the moves here keeps the
+      // "sees everything committed plus in-flight" contract exact
+      TopicLog.recoverStaging(basePath)
       val stagingRoot = Paths.get(basePath, "_staging")
       val inFlight =
         if (!Files.exists(stagingRoot)) Seq.empty[String]
-        else Files.list(stagingRoot).iterator().asScala.toSeq
-          .filter(d => !Files.exists(
-            manifestDir.resolve(s"${d.getFileName}.commit")))
-          .map(_.toString).sorted
+        else {
+          val listing = Files.list(stagingRoot)
+          try listing.iterator().asScala.toSeq
+            .filter(d => !Files.exists(
+              manifestDir.resolve(s"${d.getFileName}.commit")))
+            // an epoch dir with no data files yet (crashed attempt
+            // leftover, or a write still in _temporary) has nothing to
+            // surface — and would fail schema inference if planned
+            .filter { d =>
+              val w = Files.walk(d)
+              try w.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+              finally w.close()
+            }
+            .map(_.toString).sorted
+          finally listing.close()
+        }
       inFlight.foldLeft(read()) { (acc, epochDir) =>
         // basePath at the epoch dir keeps partition=<i> discovery working
         acc.unionByName(

@@ -45,7 +45,10 @@ final class Subscription(
     val subType: SubscriptionType,
     val checkpointRoot: String,
     val numWorkers: Int = 4,
-    val policy: BatchReceivePolicy = BatchReceivePolicy()) {
+    val policy: BatchReceivePolicy = BatchReceivePolicy(),
+    // shadow-topic subscriptions consume the SOURCE log but must surface
+    // the shadow's topic name on every row (graft.log.ShadowTopic)
+    val topicOverride: Option[String] = None) {
 
   private def spark: SparkSession = log.spark
 
@@ -64,7 +67,12 @@ final class Subscription(
       r = r.option("maxFilesPerTrigger", n))
     policy.maxBytesPerTrigger.foreach(b =>
       r = r.option("maxBytesPerTrigger", b))
-    val df = r.parquet(log.name.path(log.root))
+    val raw = r.parquet(log.name.path(log.root))
+    val df = topicOverride match {
+      case Some(fqn) if raw.columns.contains(Envelope.Topic) =>
+        raw.withColumn(Envelope.Topic, lit(fqn))
+      case _ => raw
+    }
     subType match {
       case SubscriptionType.Exclusive | SubscriptionType.Failover => df
       case SubscriptionType.Shared => df.repartition(numWorkers)

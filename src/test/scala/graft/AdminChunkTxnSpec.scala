@@ -158,6 +158,19 @@ class AdminChunkTxnSpec extends SparkSpec {
     val shSub = shadow.subscription("s", SubscriptionType.Exclusive, ckpt)
     assert(srcSub.checkpointDir != shSub.checkpointDir,
       "same-named subscriptions must cursor independently")
+    // the shadow SUBSCRIPTION stream must also carry the shadow topic
+    // name (same relabeling as the batch read view)
+    val view = "shadow_sub_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = shSub.stream().writeStream.format("memory").queryName(view)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-shadow-q").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val topics = spark.table(view).select(Envelope.Topic)
+      .distinct().as[String].collect().toSet
+    spark.catalog.dropTempView(view)
+    assert(topics == Set("persistent://public/default/t-shadow"),
+      s"shadow subscription rows must carry the shadow topic: $topics")
   }
 
   test("topicStats: per-subscription mark-delete and backlog semantics") {
