@@ -945,6 +945,41 @@ object SparkEntry {
       .orderBy("subscription", "partition")
   }
 
+  /** Topic throughput counters per hour (the msgRate/msgThroughput
+    * surface of TopicStats as windowed counts). */
+  private def qTopicRates(s: SparkSession, dir: String): DataFrame =
+    graft.log.Admin.topicRates(env(s, dir), "1 hour")
+      .select(col("partition"),
+        date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("msgs"), col("bytes"))
+      .orderBy("partition", "hour")
+
+  /** Partitioned-topic stats rollup (Topics.getPartitionedStats,
+    * perPartition=false): counters summed across partitions per
+    * subscription, over the same ack fixtures as topic_stats. */
+  private def qTopicStatsPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    def acks(pred: Column) = e.filter(pred)
+      .select(col(Envelope.Partition).as("partition"),
+        col(Envelope.Offset).as("offset"))
+    graft.log.Admin.partitionedStats(graft.log.Admin.topicStats(e, Map(
+        "subA" -> acks(col(Envelope.Offset) % 3 =!= 0),
+        "subB" -> acks(col(Envelope.Offset) % 2 === 0))))
+      .orderBy("subscription")
+  }
+
+  /** Per-partition storage counters on the STREAMING path: the live
+    * stats a dashboard tails, as a complete-mode aggregation over
+    * readStream — converges to the batch per-partition truth. */
+  private def qTopicStatsStream(s: SparkSession, dir: String): DataFrame =
+    runStreamToLocal(s, Envelope.fromEventsStream(s, dir)
+        .groupBy(col(Envelope.Partition).as("partition"))
+        .agg(count(lit(1)).cast("bigint").as("msg_count"),
+          sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
+            coalesce(octet_length(col(Envelope.Key)), lit(0)))
+            .cast("bigint").as("storage_bytes")))
+      .orderBy("partition")
+
   /** §2.4 distinct aggregation: exact count-distinct users per type. */
   private def qCountDistinct(s: SparkSession, dir: String): DataFrame =
     env(s, dir).groupBy("event_type")
@@ -1814,6 +1849,9 @@ object SparkEntry {
     "backlog_quota" -> (qBacklogQuota _),
     "admin_skip" -> (qAdminSkip _),
     "topic_stats" -> (qTopicStats _),
+    "topic_rates" -> (qTopicRates _),
+    "topic_stats_partitioned" -> (qTopicStatsPartitioned _),
+    "topic_stats_stream" -> (qTopicStatsStream _),
     "q_count_distinct" -> (qCountDistinct _),
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
     "shadow_read" -> (qShadowRead _),
@@ -2456,6 +2494,52 @@ object SparkEntry {
         |LEFT JOIN bl ON bl.subscription = s.subscription AND bl.partition = st.partition
         |LEFT JOIN md ON md.subscription = s.subscription AND md.partition = st.partition
         |ORDER BY s.subscription, st.partition""".stripMargin),
+    // windowed throughput counters: hour buckets of publish_time
+    "topic_rates" -> envSql(
+      """SELECT partition,
+        |  strftime(date_trunc('hour', publish_time), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS msgs,
+        |  CAST(SUM(COALESCE(octet_length(CAST(value AS BLOB)), 0) +
+        |    COALESCE(octet_length(CAST(key AS BLOB)), 0)) AS BIGINT) AS bytes
+        |FROM envelope GROUP BY 1, 2 ORDER BY partition, hour""".stripMargin),
+    // getPartitionedStats rollup: counters summed across partitions,
+    // same ack fixtures as topic_stats
+    "topic_stats_partitioned" -> envSql(
+      """, offs AS (SELECT partition, "offset" FROM envelope),
+        |subs AS (SELECT unnest(['subA', 'subB']) AS subscription),
+        |acks AS (
+        |  SELECT 'subA' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 3 <> 0
+        |  UNION ALL
+        |  SELECT 'subB' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 2 = 0),
+        |un AS (
+        |  SELECT p.subscription, p.partition, p."offset"
+        |  FROM (SELECT s.subscription, o.partition, o."offset"
+        |        FROM offs o CROSS JOIN subs s) p
+        |  LEFT JOIN acks a ON a.subscription = p.subscription
+        |    AND a.partition = p.partition AND a."offset" = p."offset"
+        |  WHERE a."offset" IS NULL),
+        |bl AS (
+        |  SELECT subscription, partition, CAST(COUNT(*) AS BIGINT) AS backlog
+        |  FROM un GROUP BY 1, 2),
+        |store AS (
+        |  SELECT partition, CAST(COUNT(*) AS BIGINT) AS msg_count,
+        |    CAST(SUM(COALESCE(octet_length(CAST(value AS BLOB)), 0) +
+        |      COALESCE(octet_length(CAST(key AS BLOB)), 0)) AS BIGINT) AS storage_bytes
+        |  FROM envelope GROUP BY partition)
+        |SELECT s.subscription,
+        |  CAST(COUNT(*) AS BIGINT) AS partitions,
+        |  CAST(SUM(st.msg_count) AS BIGINT) AS msg_count,
+        |  CAST(SUM(st.storage_bytes) AS BIGINT) AS storage_bytes,
+        |  CAST(SUM(COALESCE(bl.backlog, 0)) AS BIGINT) AS backlog
+        |FROM store st CROSS JOIN subs s
+        |LEFT JOIN bl ON bl.subscription = s.subscription AND bl.partition = st.partition
+        |GROUP BY s.subscription ORDER BY s.subscription""".stripMargin),
+    // the live per-partition counters converge to the batch truth
+    "topic_stats_stream" -> envSql(
+      """SELECT partition, CAST(COUNT(*) AS BIGINT) AS msg_count,
+        |  CAST(SUM(COALESCE(octet_length(CAST(value AS BLOB)), 0) +
+        |    COALESCE(octet_length(CAST(key AS BLOB)), 0)) AS BIGINT) AS storage_bytes
+        |FROM envelope GROUP BY partition ORDER BY partition""".stripMargin),
     "q_count_distinct" -> envSql(
       """SELECT event_type, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_users,
         |  CAST(COUNT(*) AS BIGINT) AS n_events

@@ -258,6 +258,39 @@ object Admin {
   }
 
   /**
+   * Throughput counters over time (the rate surface of TopicStats:
+   * msgRateIn / msgThroughputIn are windowed derivatives of exactly
+   * these counts): messages and payload octets per partition per
+   * `bucket` of publish time. One partial-agg shuffle keyed
+   * (partition, window) — the shape a live dashboard reads at any
+   * scale. Divide by the bucket length for the rate.
+   */
+  def topicRates(log: DataFrame, bucket: String = "1 hour"): DataFrame =
+    log.groupBy(col(Envelope.Partition).as("partition"),
+        window(col(Envelope.PublishTime), bucket).as("w"))
+      .agg(count(lit(1)).cast("bigint").as("msgs"),
+        sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
+          coalesce(octet_length(col(Envelope.Key)), lit(0)))
+          .cast("bigint").as("bytes"))
+      .select(col("partition"), col("w.start").as("bucket_start"),
+        col("msgs"), col("bytes"))
+
+  /**
+   * Partitioned-topic rollup (reference `Topics.getPartitionedStats`
+   * with perPartition=false: the DTO sums counters across partitions
+   * while cursor positions stay per-partition): aggregates a
+   * [[topicStats]] result to one row per subscription. Mark-delete is
+   * NOT aggregated — a partitioned topic has one cursor per partition,
+   * so the rollup reports backlog totals plus the partition count.
+   */
+  def partitionedStats(stats: DataFrame): DataFrame =
+    stats.groupBy("subscription")
+      .agg(count(lit(1)).cast("bigint").as("partitions"),
+        sum("msg_count").cast("bigint").as("msg_count"),
+        sum("storage_bytes").cast("bigint").as("storage_bytes"),
+        sum("backlog").cast("bigint").as("backlog"))
+
+  /**
    * Internal per-partition storage topology (reference
    * `Topics.getInternalStats`, DTO PersistentTopicInternalStats:
    * ledger list with entry counts and sizes). For the parquet-backed

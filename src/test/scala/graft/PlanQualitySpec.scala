@@ -266,6 +266,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
   }
 
+  test("topic_stats: partial storage aggs, broadcast cursor sides, no row sort") {
+    val p = plan("topic_stats")
+    // storage counters combine map-side before the partition exchange
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p.take(800))
+    // backlog/mark-delete sides are (sub × partition)-sized → broadcast
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2, p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+    // mark-delete is derived sort-free: the only Sort is the output orderBy
+    assert(countOccurrences(p, "Sort ") <= 1,
+      "mark-delete must not introduce row sorts:\n" + p.take(1200))
+  }
+
   test("ccnet_buckets scoring stage: model tables broadcast, partial decimal sums") {
     // the scoring stage is materialized behind a checkpoint in the full
     // query (five consumers would recompute it otherwise), so its plan
