@@ -28,6 +28,44 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Shared oracle CTE block for the stats queries: envelope offsets,
+    * full per-partition storage counters, the subA/subB ack fixtures
+    * (the SQL twin of `statsAckSubs` — keep in sync), unacked rows,
+    * per-(sub, partition) backlog, and the sort-free mark-delete.
+    * DuckDB inlines CTEs lazily, so a query referencing only a subset
+    * pays only for that subset. */
+  private val statsOracleCte: String =
+    """, offs AS (SELECT partition, "offset" FROM envelope),
+      |store AS (
+      |  SELECT partition, CAST(COUNT(*) AS BIGINT) AS msg_count,
+      |    CAST(SUM(COALESCE(octet_length(CAST(value AS BLOB)), 0) +
+      |      COALESCE(octet_length(CAST(key AS BLOB)), 0)) AS BIGINT) AS storage_bytes,
+      |    MAX("offset") AS head_offset,
+      |    CAST(COUNT(DISTINCT producer_name) AS BIGINT) AS producers
+      |  FROM envelope GROUP BY partition),
+      |subs AS (SELECT unnest(['subA', 'subB']) AS subscription),
+      |acks AS (
+      |  SELECT 'subA' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'subB' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 2 = 0),
+      |un AS (
+      |  SELECT p.subscription, p.partition, p."offset"
+      |  FROM (SELECT s.subscription, o.partition, o."offset"
+      |        FROM offs o CROSS JOIN subs s) p
+      |  LEFT JOIN acks a ON a.subscription = p.subscription
+      |    AND a.partition = p.partition AND a."offset" = p."offset"
+      |  WHERE a."offset" IS NULL),
+      |bl AS (
+      |  SELECT subscription, partition, CAST(COUNT(*) AS BIGINT) AS backlog,
+      |    MIN("offset") AS min_unacked
+      |  FROM un GROUP BY 1, 2),
+      |md AS (
+      |  SELECT a.subscription, a.partition, MAX(a."offset") AS mark_delete
+      |  FROM acks a LEFT JOIN bl ON bl.subscription = a.subscription
+      |    AND bl.partition = a.partition
+      |  WHERE bl.min_unacked IS NULL OR a."offset" < bl.min_unacked
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** WITH prefix shared by all envelope oracles. */
   private def envSql(body: String): String =
     s"WITH ${Envelope.duckdbCte}\n$body"
@@ -934,14 +972,21 @@ object SparkEntry {
     * deterministic ack fixtures — subA acks every offset not divisible
     * by 3 (out-of-order, gaps), subB acks the even offsets. The oracle
     * replays both cursors and the octet accounting in SQL. */
-  private def qTopicStats(s: SparkSession, dir: String): DataFrame = {
-    val e = env(s, dir)
+  /** Deterministic ack fixtures shared by EVERY stats query (and
+    * mirrored in the shared `statsOracleCte` SQL — keep both in sync):
+    * subA acks every offset not divisible by 3 (out-of-order, gap at
+    * 0), subB acks the even offsets (dense prefix). */
+  private def statsAckSubs(e: DataFrame): Map[String, DataFrame] = {
     def acks(pred: Column) = e.filter(pred)
       .select(col(Envelope.Partition).as("partition"),
         col(Envelope.Offset).as("offset"))
-    graft.log.Admin.topicStats(e, Map(
-        "subA" -> acks(col(Envelope.Offset) % 3 =!= 0),
-        "subB" -> acks(col(Envelope.Offset) % 2 === 0)))
+    Map("subA" -> acks(col(Envelope.Offset) % 3 =!= 0),
+      "subB" -> acks(col(Envelope.Offset) % 2 === 0))
+  }
+
+  private def qTopicStats(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    graft.log.Admin.topicStats(e, statsAckSubs(e))
       .orderBy("subscription", "partition")
   }
 
@@ -959,12 +1004,8 @@ object SparkEntry {
     * subscription, over the same ack fixtures as topic_stats. */
   private def qTopicStatsPartitioned(s: SparkSession, dir: String): DataFrame = {
     val e = env(s, dir)
-    def acks(pred: Column) = e.filter(pred)
-      .select(col(Envelope.Partition).as("partition"),
-        col(Envelope.Offset).as("offset"))
-    graft.log.Admin.partitionedStats(graft.log.Admin.topicStats(e, Map(
-        "subA" -> acks(col(Envelope.Offset) % 3 =!= 0),
-        "subB" -> acks(col(Envelope.Offset) % 2 === 0))))
+    graft.log.Admin.partitionedStats(
+        graft.log.Admin.topicStats(e, statsAckSubs(e)))
       .orderBy("subscription")
   }
 
@@ -975,9 +1016,7 @@ object SparkEntry {
     runStreamToLocal(s, Envelope.fromEventsStream(s, dir)
         .groupBy(col(Envelope.Partition).as("partition"))
         .agg(count(lit(1)).cast("bigint").as("msg_count"),
-          sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
-            coalesce(octet_length(col(Envelope.Key)), lit(0)))
-            .cast("bigint").as("storage_bytes")))
+          sum(graft.log.Admin.payloadOctets).cast("bigint").as("storage_bytes")))
       .orderBy("partition")
 
   /** §2.4 distinct aggregation: exact count-distinct users per type. */
@@ -2454,37 +2493,8 @@ object SparkEntry {
     // Topics.getStats replay: storage octets (value+key), per-sub
     // backlog, and mark-delete derived the same sort-free way — highest
     // acked offset below the first unacked one
-    "topic_stats" -> envSql(
-      """, offs AS (SELECT partition, "offset" FROM envelope),
-        |store AS (
-        |  SELECT partition, CAST(COUNT(*) AS BIGINT) AS msg_count,
-        |    CAST(SUM(COALESCE(octet_length(CAST(value AS BLOB)), 0) +
-        |      COALESCE(octet_length(CAST(key AS BLOB)), 0)) AS BIGINT) AS storage_bytes,
-        |    MAX("offset") AS head_offset,
-        |    CAST(COUNT(DISTINCT producer_name) AS BIGINT) AS producers
-        |  FROM envelope GROUP BY partition),
-        |subs AS (SELECT unnest(['subA', 'subB']) AS subscription),
-        |acks AS (
-        |  SELECT 'subA' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 3 <> 0
-        |  UNION ALL
-        |  SELECT 'subB' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 2 = 0),
-        |un AS (
-        |  SELECT p.subscription, p.partition, p."offset"
-        |  FROM (SELECT s.subscription, o.partition, o."offset"
-        |        FROM offs o CROSS JOIN subs s) p
-        |  LEFT JOIN acks a ON a.subscription = p.subscription
-        |    AND a.partition = p.partition AND a."offset" = p."offset"
-        |  WHERE a."offset" IS NULL),
-        |bl AS (
-        |  SELECT subscription, partition, CAST(COUNT(*) AS BIGINT) AS backlog,
-        |    MIN("offset") AS min_unacked
-        |  FROM un GROUP BY 1, 2),
-        |md AS (
-        |  SELECT a.subscription, a.partition, MAX(a."offset") AS mark_delete
-        |  FROM acks a LEFT JOIN bl ON bl.subscription = a.subscription
-        |    AND bl.partition = a.partition
-        |  WHERE bl.min_unacked IS NULL OR a."offset" < bl.min_unacked
-        |  GROUP BY 1, 2)
+    "topic_stats" -> envSql(statsOracleCte +
+      """
         |SELECT s.subscription, st.partition, st.msg_count, st.storage_bytes,
         |  round(CAST(st.storage_bytes AS DOUBLE) / st.msg_count, 6) AS avg_msg_size_r,
         |  st.head_offset, st.producers,
@@ -2503,29 +2513,9 @@ object SparkEntry {
         |    COALESCE(octet_length(CAST(key AS BLOB)), 0)) AS BIGINT) AS bytes
         |FROM envelope GROUP BY 1, 2 ORDER BY partition, hour""".stripMargin),
     // getPartitionedStats rollup: counters summed across partitions,
-    // same ack fixtures as topic_stats
-    "topic_stats_partitioned" -> envSql(
-      """, offs AS (SELECT partition, "offset" FROM envelope),
-        |subs AS (SELECT unnest(['subA', 'subB']) AS subscription),
-        |acks AS (
-        |  SELECT 'subA' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 3 <> 0
-        |  UNION ALL
-        |  SELECT 'subB' AS subscription, partition, "offset" FROM envelope WHERE "offset" % 2 = 0),
-        |un AS (
-        |  SELECT p.subscription, p.partition, p."offset"
-        |  FROM (SELECT s.subscription, o.partition, o."offset"
-        |        FROM offs o CROSS JOIN subs s) p
-        |  LEFT JOIN acks a ON a.subscription = p.subscription
-        |    AND a.partition = p.partition AND a."offset" = p."offset"
-        |  WHERE a."offset" IS NULL),
-        |bl AS (
-        |  SELECT subscription, partition, CAST(COUNT(*) AS BIGINT) AS backlog
-        |  FROM un GROUP BY 1, 2),
-        |store AS (
-        |  SELECT partition, CAST(COUNT(*) AS BIGINT) AS msg_count,
-        |    CAST(SUM(COALESCE(octet_length(CAST(value AS BLOB)), 0) +
-        |      COALESCE(octet_length(CAST(key AS BLOB)), 0)) AS BIGINT) AS storage_bytes
-        |  FROM envelope GROUP BY partition)
+    // SAME shared CTE block as topic_stats (fixture parity by construction)
+    "topic_stats_partitioned" -> envSql(statsOracleCte +
+      """
         |SELECT s.subscription,
         |  CAST(COUNT(*) AS BIGINT) AS partitions,
         |  CAST(SUM(st.msg_count) AS BIGINT) AS msg_count,

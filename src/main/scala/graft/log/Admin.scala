@@ -210,6 +210,13 @@ object Admin {
    * below the minimum unacked offset", two linear aggregates, so a
    * billion-entry partition never funnels through one reducer.
    */
+  /** The storage-size definition every stats verb shares: payload
+    * octets of value + key (NULL-safe). Change it HERE only, or
+    * topicStats / topicRates / the streaming stats twin disagree. */
+  def payloadOctets: org.apache.spark.sql.Column =
+    coalesce(octet_length(col(Envelope.Value)), lit(0)) +
+      coalesce(octet_length(col(Envelope.Key)), lit(0))
+
   def topicStats(log: DataFrame, subs: Map[String, DataFrame]): DataFrame = {
     require(subs.nonEmpty,
       "topicStats needs at least one subscription (rows are per " +
@@ -220,9 +227,7 @@ object Admin {
       col(Envelope.Offset).as("offset"))
     val store = log.groupBy(col(Envelope.Partition).as("partition")).agg(
       count(lit(1)).cast("bigint").as("msg_count"),
-      sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
-        coalesce(octet_length(col(Envelope.Key)), lit(0)))
-        .cast("bigint").as("storage_bytes"),
+      sum(payloadOctets).cast("bigint").as("storage_bytes"),
       max(Envelope.Offset).as("head_offset"),
       countDistinct(Envelope.ProducerName).cast("bigint").as("producers"))
     val ackU = subs.map { case (name, a) =>
@@ -269,9 +274,7 @@ object Admin {
     log.groupBy(col(Envelope.Partition).as("partition"),
         window(col(Envelope.PublishTime), bucket).as("w"))
       .agg(count(lit(1)).cast("bigint").as("msgs"),
-        sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
-          coalesce(octet_length(col(Envelope.Key)), lit(0)))
-          .cast("bigint").as("bytes"))
+        sum(payloadOctets).cast("bigint").as("bytes"))
       .select(col("partition"), col("w.start").as("bucket_start"),
         col("msgs"), col("bytes"))
 

@@ -55,7 +55,12 @@ object TopicLog {
   }
 
   /** Move `_staging/<epoch>/` files into the readable partition dirs,
-    * preserving relative paths; idempotent (skips already-moved files). */
+    * preserving relative paths; idempotent (skips already-moved files)
+    * AND race-tolerant: two healers (publishManifest, Txn.recover, a
+    * READ_UNCOMMITTED reader) may complete the same epoch concurrently —
+    * whichever loses a per-file move race treats the competing move as
+    * its own success instead of crashing a commit that already
+    * happened. */
   private[log] def completeStagedMoves(basePath: String, epoch: Long): Unit = {
     val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
     if (!Files.exists(stagingDir)) return
@@ -64,7 +69,11 @@ object TopicLog {
       .foreach { p =>
         val target = Paths.get(basePath).resolve(stagingDir.relativize(p))
         Files.createDirectories(target.getParent)
-        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.NoSuchFileException => ()        // competing healer won
+          case _: java.nio.file.FileAlreadyExistsException => () // already at target
+        }
       }
     // clean the emptied staging tree
     Files.walk(stagingDir).iterator().asScala.toSeq.reverse
@@ -416,31 +425,48 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       // heal the crash window first: a staged epoch whose manifest IS
       // committed (crash between manifest move and file moves) belongs
       // to the committed view — completing the moves here keeps the
-      // "sees everything committed plus in-flight" contract exact
+      // "sees everything committed plus in-flight" contract exact.
+      // Safe against a concurrent publishManifest healing the same
+      // epoch: completeStagedMoves is race-tolerant per file.
       TopicLog.recoverStaging(basePath)
       val stagingRoot = Paths.get(basePath, "_staging")
-      val inFlight =
+      // the listing races live writers by design (dirty reads run
+      // concurrently with in-flight transactions): a dir or file that
+      // vanishes mid-walk means the epoch is being completed or
+      // cleaned — treat it as nothing to surface, never crash the read
+      val inFlight: Seq[String] =
         if (!Files.exists(stagingRoot)) Seq.empty[String]
-        else {
+        else try {
           val listing = Files.list(stagingRoot)
           try listing.iterator().asScala.toSeq
             .filter(d => !Files.exists(
               manifestDir.resolve(s"${d.getFileName}.commit")))
-            // an epoch dir with no data files yet (crashed attempt
-            // leftover, or a write still in _temporary) has nothing to
-            // surface — and would fail schema inference if planned
+            // only epochs with VISIBLE data files: a write still inside
+            // _temporary (or a crashed attempt's leftovers) has nothing
+            // Spark's listing would surface — underscore-prefixed
+            // segments are hidden to Spark, and planning a dir with
+            // only hidden files fails schema inference
             .filter { d =>
               val w = Files.walk(d)
-              try w.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-              finally w.close()
+              try w.iterator().asScala.exists { p =>
+                p.toString.endsWith(".parquet") &&
+                  !d.relativize(p).iterator().asScala.exists(
+                    _.getFileName.toString.startsWith("_"))
+              } finally w.close()
             }
             .map(_.toString).sorted
           finally listing.close()
+        } catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException =>
+            Seq.empty[String]
         }
       inFlight.foldLeft(read()) { (acc, epochDir) =>
-        // basePath at the epoch dir keeps partition=<i> discovery working
+        // basePath at the epoch dir keeps partition=<i> discovery
+        // working; ignoreMissingFiles because a competing
+        // publish/recovery can move a listed file before execution
         acc.unionByName(
-          spark.read.option("basePath", epochDir).parquet(epochDir),
+          spark.read.option("basePath", epochDir)
+            .option("ignoreMissingFiles", "true").parquet(epochDir),
           allowMissingColumns = true)
       }
   }

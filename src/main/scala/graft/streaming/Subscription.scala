@@ -68,11 +68,10 @@ final class Subscription(
     policy.maxBytesPerTrigger.foreach(b =>
       r = r.option("maxBytesPerTrigger", b))
     val raw = r.parquet(log.name.path(log.root))
-    val df = topicOverride match {
-      case Some(fqn) if raw.columns.contains(Envelope.Topic) =>
-        raw.withColumn(Envelope.Topic, lit(fqn))
-      case _ => raw
-    }
+    // withColumn both replaces and adds, so the relabel holds even for
+    // a log whose physical schema lacks the topic column
+    val df = topicOverride.fold(raw)(fqn =>
+      raw.withColumn(Envelope.Topic, lit(fqn)))
     subType match {
       case SubscriptionType.Exclusive | SubscriptionType.Failover => df
       case SubscriptionType.Shared => df.repartition(numWorkers)

@@ -135,6 +135,14 @@ class AdminChunkTxnSpec extends SparkSpec {
     assert(log.read().count() == 30)
     assert(log.read(IsolationLevel.ReadUncommitted).count() == 30,
       "a committed epoch must not double-count under READ_UNCOMMITTED")
+    // a staged epoch whose only parquet lives under _temporary (a write
+    // in flight / crashed mid-write) must not crash or surface rows
+    val base = java.nio.file.Paths.get(log.name.path(log.root),
+      "_staging", "99", "_temporary", "0")
+    Files.createDirectories(base)
+    Files.write(base.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    assert(log.read(IsolationLevel.ReadUncommitted).count() == 30,
+      "hidden-dir-only staged epochs must be invisible")
   }
 
   test("shadow topic: read-only view tracking the source, independent cursors") {
