@@ -64,8 +64,23 @@ object TopicLog {
   private[log] def completeStagedMoves(basePath: String, epoch: Long): Unit = {
     val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
     if (!Files.exists(stagingDir)) return
-    Files.walk(stagingDir).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSeq
+    // the walk races the competing healer's moves/deletes: an entry
+    // vanishing mid-walk aborts the iteration, so RETRY until one walk
+    // completes — returning a partial listing and then cleaning up
+    // would delete parquet the partial walk never moved
+    def walkOnce(): Option[Seq[java.nio.file.Path]] =
+      try Some(Files.walk(stagingDir).iterator().asScala.toSeq)
+      catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => None
+      }
+    var entries: Option[Seq[java.nio.file.Path]] = None
+    var attempts = 0
+    while (entries.isEmpty && attempts < 8 && Files.exists(stagingDir)) {
+      entries = walkOnce()
+      attempts += 1
+    }
+    entries.getOrElse(Seq.empty)
+      .filter(_.toString.endsWith(".parquet"))
       .foreach { p =>
         val target = Paths.get(basePath).resolve(stagingDir.relativize(p))
         Files.createDirectories(target.getParent)
@@ -75,9 +90,14 @@ object TopicLog {
           case _: java.nio.file.FileAlreadyExistsException => () // already at target
         }
       }
-    // clean the emptied staging tree
-    Files.walk(stagingDir).iterator().asScala.toSeq.reverse
-      .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => })
+    // clean the emptied staging tree — but NEVER delete a data file:
+    // if a parquet somehow lingers (competitor mid-move), a later
+    // recoverStaging pass finishes it; deleting directories that still
+    // hold files just no-ops (DirectoryNotEmptyException swallowed)
+    if (entries.isDefined)
+      walkOnce().getOrElse(Seq.empty).reverse
+        .filterNot(_.toString.endsWith(".parquet"))
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => })
   }
 
   /** Recovery: complete moves for every staged epoch whose manifest is
@@ -378,9 +398,23 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
         s"manifest epoch ${staged.epoch} already committed with different " +
           s"content — concurrent writers detected on ${name.fqn}")
     } else {
-      val tmp = manifestDir.resolve(s"${staged.epoch}.tmp")
+      // tmp name is per-attempt: two concurrent publishers of the SAME
+      // staged manifest (publishManifest + Txn.recover, or a retry) must
+      // not consume each other's tmp file mid-move
+      val tmp = manifestDir.resolve(
+        s"${staged.epoch}.tmp.${java.util.UUID.randomUUID}")
       Files.write(tmp, staged.manifestLines.getBytes)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a competing publisher landed first; verify below that it
+        // committed the same content
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp): Unit
+      }
+      val existing = new String(Files.readAllBytes(target))
+      require(existing == staged.manifestLines,
+        s"manifest epoch ${staged.epoch} raced a DIFFERENT commit — " +
+          s"concurrent writers detected on ${name.fqn}")
     }
     TopicLog.completeStagedMoves(basePath, staged.epoch)
   }

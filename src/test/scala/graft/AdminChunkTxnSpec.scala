@@ -145,6 +145,31 @@ class AdminChunkTxnSpec extends SparkSpec {
       "hidden-dir-only staged epochs must be invisible")
   }
 
+  test("two healers completing the same staged epoch race without losing rows") {
+    // publishManifest, Txn.recover and a READ_UNCOMMITTED reader may all
+    // call completeStagedMoves for one epoch concurrently; per-file move
+    // races must resolve silently with every row visible exactly once
+    val log = freshLog(2)
+    log.append(batch(0 until 10))
+    val staged = log.stageAppend(batch(10 until 40))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 2).foreach { _ =>
+      pool.execute(() => {
+        gate.await()
+        try log.publishManifest(staged)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"concurrent healers must not throw: ${errs.peek()}")
+    assert(log.read().count() == 40, "every committed row visible exactly once")
+  }
+
   test("shadow topic: read-only view tracking the source, independent cursors") {
     import graft.log.ShadowTopic
     import graft.streaming.{Subscription, SubscriptionType}
