@@ -200,6 +200,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("assignTerciles == literal NTILE(3) on random scored tables with heavy ties (5 seeds)") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 70L to 74L) {
+      val rnd = new scala.util.Random(seed)
+      val langs = Seq("en", "de", "fr", "xx")
+      // coarse score grid → many ties, including whole-language tie
+      // classes; language sizes deliberately include 1, 2, and 3 mod 3
+      val rows = (0 until 200 + rnd.nextInt(7)).map { i =>
+        (i.toLong, langs(rnd.nextInt(langs.size)),
+          -rnd.nextInt(6).toDouble / 2)
+      }
+      val scored = rows.toDF("id", "lang", "lp_mean_r")
+        .withColumn("n_tri", lit(1L))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("lp_mean_r").desc, col("id"))
+      val expected = scored.withColumn("bucket",
+          when(ntile(3).over(w) === 1, "head")
+            .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+        .select("id", "bucket").as[(Long, String)].collect().toMap
+      val got = graft.ext.LmScore.assignTerciles(scored)
+        .select("id", "bucket").as[(Long, String)].collect().toMap
+      assert(got == expected, s"seed $seed: " +
+        (expected.keySet ++ got.keySet).filter(k =>
+          expected.get(k) != got.get(k)).take(5).map(k =>
+          s"$k exp=${expected.get(k)} got=${got.get(k)}").mkString(", "))
+    }
+  }
+
+  test("topicStats mark-delete/backlog == naive cursor replay for random ack sets (5 seeds)") {
+    for (seed <- 80L to 84L) {
+      val rnd = new scala.util.Random(seed)
+      val offsets = (0L until 60L)
+      val log = offsets.map(o => (0, o, s"k$o", "x", "p0"))
+        .toDF(Envelope.Partition, Envelope.Offset, Envelope.Key,
+          Envelope.Value, Envelope.ProducerName)
+      val ackSet = offsets.filter(_ => rnd.nextBoolean()).toSet
+      val acks = ackSet.toSeq.map(o => (0, o)).toDF("partition", "offset")
+      val out = graft.log.Admin.topicStats(log, Map("s" -> acks))
+        .select("mark_delete", "backlog").as[(Long, Long)].head()
+      // naive replay: mark-delete = last offset of the dense acked
+      // prefix from 0; backlog = unacked count
+      val naiveMd = offsets.takeWhile(ackSet.contains).lastOption.getOrElse(-1L)
+      val naiveBacklog = offsets.count(!ackSet.contains(_)).toLong
+      assert(out == ((naiveMd, naiveBacklog)),
+        s"seed $seed: got $out want ($naiveMd, $naiveBacklog)")
+    }
+  }
+
   test("stratified sample: exact ceil(frac*n) per stratum for random fraction maps (5 seeds)") {
     for (seed <- 50L to 54L) {
       val rnd = new scala.util.Random(seed)
