@@ -361,7 +361,11 @@ class ExtOpsSpec extends SparkSpec {
     val byCluster = out.groupBy(_._2)
     for ((_, members) <- byCluster; m <- members) {
       val dominated = members.exists { o =>
-        o._1 != m._1 && cos(raw(m._1), raw(o._1)) >= tau &&
+        // round to 6 HALF_UP like Spark's round() (and the oracle) so
+        // the naive replay agrees bit-for-bit at the threshold boundary
+        o._1 != m._1 &&
+          BigDecimal(cos(raw(m._1), raw(o._1)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau &&
           (o._3 < m._3 || (o._3 == m._3 && o._1 < m._1))
       }
       assert(!m._4 == dominated,
