@@ -54,6 +54,36 @@ object TopicLog {
     def manifestPath: String = s"$epoch.commit"
   }
 
+  /**
+   * Atomically publish `content` at `target` iff absent — FIRST writer
+   * wins. Uses a hard link of a unique tmp file: link(2) fails
+   * atomically with FileAlreadyExistsException when the target exists,
+   * unlike rename(2), which silently REPLACES it (so a plain
+   * ATOMIC_MOVE can drop a competing commit without any error — the
+   * TOCTOU this helper exists to close). The tmp file is always
+   * removed on any non-crash path. Returns true iff this call created
+   * the target; either way the caller must verify the target's content
+   * against its own. Shared by [[TopicLog.publishManifest]] and
+   * [[Txn.recover]].
+   */
+  private[graft] def atomicCreate(target: java.nio.file.Path,
+                                  content: Array[Byte]): Boolean = {
+    val tmp = target.resolveSibling(
+      s"${target.getFileName}.tmp.${java.util.UUID.randomUUID}")
+    Files.write(tmp, content)
+    try {
+      try { Files.createLink(target, tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links: fall back to rename —
+          // last-wins instead of first-wins, but the caller's content
+          // verification still detects a different racing commit
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true
+      }
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
   /** Move `_staging/<epoch>/` files into the readable partition dirs,
     * preserving relative paths; idempotent (skips already-moved files)
     * AND race-tolerant: two healers (publishManifest, Txn.recover, a
@@ -69,8 +99,10 @@ object TopicLog {
     // completes — returning a partial listing and then cleaning up
     // would delete parquet the partial walk never moved
     def walkOnce(): Option[Seq[java.nio.file.Path]] =
-      try Some(Files.walk(stagingDir).iterator().asScala.toSeq)
-      catch {
+      try {
+        val s = Files.walk(stagingDir)
+        try Some(s.iterator().asScala.toSeq) finally s.close()
+      } catch {
         case _: java.io.IOException | _: java.io.UncheckedIOException => None
       }
     var entries: Option[Seq[java.nio.file.Path]] = None
@@ -78,7 +110,17 @@ object TopicLog {
     while (entries.isEmpty && attempts < 8 && Files.exists(stagingDir)) {
       entries = walkOnce()
       attempts += 1
+      // linear backoff so the retries outlive the competitor's burst of
+      // moves/deletes instead of all burning in one contention window
+      if (entries.isEmpty) Thread.sleep(5L * attempts)
     }
+    // giving up silently would return success from publishManifest with
+    // committed rows never moved into place — if the staging tree still
+    // exists and we could not list it, fail so the caller retries
+    if (entries.isEmpty && Files.exists(stagingDir))
+      throw new IllegalStateException(
+        s"staged epoch $epoch: could not complete moves after $attempts " +
+          s"contended walks of $stagingDir")
     entries.getOrElse(Seq.empty)
       .filter(_.toString.endsWith(".parquet"))
       .foreach { p =>
@@ -398,23 +440,22 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
         s"manifest epoch ${staged.epoch} already committed with different " +
           s"content — concurrent writers detected on ${name.fqn}")
     } else {
-      // tmp name is per-attempt: two concurrent publishers of the SAME
-      // staged manifest (publishManifest + Txn.recover, or a retry) must
-      // not consume each other's tmp file mid-move
-      val tmp = manifestDir.resolve(
-        s"${staged.epoch}.tmp.${java.util.UUID.randomUUID}")
-      Files.write(tmp, staged.manifestLines.getBytes)
-      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // a competing publisher landed first; verify below that it
-        // committed the same content
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp): Unit
-      }
+      // first-writer-wins atomic create (hard-link, not rename — see
+      // atomicCreate); whoever lost verifies the winner committed the
+      // SAME content, so an identical republish (retry, Txn.recover, a
+      // READ_UNCOMMITTED healer) succeeds and a different racing commit
+      // fails loudly instead of silently replacing
+      TopicLog.atomicCreate(target, staged.manifestLines.getBytes): Unit
       val existing = new String(Files.readAllBytes(target))
       require(existing == staged.manifestLines,
         s"manifest epoch ${staged.epoch} raced a DIFFERENT commit — " +
           s"concurrent writers detected on ${name.fqn}")
+      // sweep tmp leftovers of crashed earlier attempts at this epoch
+      val l = Files.list(manifestDir)
+      try l.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"${staged.epoch}.commit.tmp."))
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => })
+      finally l.close()
     }
     TopicLog.completeStagedMoves(basePath, staged.epoch)
   }

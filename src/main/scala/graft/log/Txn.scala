@@ -102,10 +102,13 @@ object Txn {
           val manifestFile = Paths.get(topicPath, "_manifest", s"$epoch.commit")
           if (!Files.exists(manifestFile)) {
             Files.createDirectories(manifestFile.getParent)
-            val tmp = manifestFile.resolveSibling(s"$epoch.recover.tmp")
-            Files.write(tmp, hwJoined.replace(";", "\n").getBytes)
-            Files.move(tmp, manifestFile, StandardCopyOption.ATOMIC_MOVE)
-            replayed += 1
+            // first-writer-wins: two processes recovering the same
+            // marker at startup must not consume each other's tmp file
+            // (TopicLog.atomicCreate — the rename race publishManifest
+            // also guards against)
+            if (TopicLog.atomicCreate(manifestFile,
+                hwJoined.replace(";", "\n").getBytes))
+              replayed += 1
           }
           // crash between manifest write and staged-file moves
           replayed += TopicLog.recoverStaging(topicPath)

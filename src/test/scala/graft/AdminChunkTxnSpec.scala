@@ -170,6 +170,37 @@ class AdminChunkTxnSpec extends SparkSpec {
     assert(log.read().count() == 40, "every committed row visible exactly once")
   }
 
+  test("atomicCreate: first writer wins, loser sees the winner's content, tmp never lingers") {
+    import graft.log.TopicLog
+    val dir = Files.createTempDirectory("graft-atomic")
+    val target = dir.resolve("0.commit")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    Seq("content-A", "content-B").foreach { c =>
+      pool.execute(() => {
+        gate.await()
+        if (TopicLog.atomicCreate(target, c.getBytes)) wins.incrementAndGet(): Unit
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    assert(wins.get() == 1, "exactly one writer must win")
+    val content = new String(Files.readAllBytes(target))
+    assert(content == "content-A" || content == "content-B")
+    // no tmp leftovers on the non-crash path
+    val leftovers = Files.list(dir).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(names.toSeq == Seq("0.commit"), s"tmp leftovers: $names")
+    // a conflicting re-publish through the manifest path still fails loudly
+    assert(!TopicLog.atomicCreate(target, "content-C".getBytes),
+      "existing target must never be replaced")
+    assert(new String(Files.readAllBytes(target)) == content)
+  }
+
   test("shadow topic: read-only view tracking the source, independent cursors") {
     import graft.log.ShadowTopic
     import graft.streaming.{Subscription, SubscriptionType}
