@@ -637,6 +637,19 @@ object SparkEntry {
       .agg(count(lit(1)).cast("bigint").as("n"))
       .orderBy(Envelope.ReplicatedFrom)
 
+  /** §2.13 replication on the STREAMING path — the production shape:
+    * the reference's replicator IS a continuous copy job
+    * (PersistentReplicator consumes the local topic and re-publishes),
+    * so the loop/cycle filter must hold per microbatch. Converges to
+    * the batch `replication_filter` counts under the same oracle. */
+  private def qReplicationStream(s: SparkSession, dir: String): DataFrame =
+    runStreamToLocal(s,
+      Dispatch.replicateTo(Envelope.fromEventsStream(s, dir),
+          "cluster-0", "cluster-1")
+        .groupBy(Envelope.ReplicatedFrom)
+        .agg(count(lit(1)).cast("bigint").as("n")))
+      .orderBy(Envelope.ReplicatedFrom)
+
   /** §2.5 tumbling 1h event-time window per event_type. */
   private def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
     Windows.tumbling(env(s, dir), Envelope.EventTime, "1 hour",
@@ -1855,6 +1868,7 @@ object SparkEntry {
     "dlq_route" -> (qDlqRoute _),
     "dlq_route_stream" -> (qDlqRouteStream _),
     "replication_filter" -> (qReplication _),
+    "replication_filter_stream" -> (qReplicationStream _),
     "window_tumbling" -> (qWindowTumbling _),
     "window_tumbling_stream" -> (qWindowTumblingStream _),
     "window_sliding" -> (qWindowSliding _),
@@ -2134,6 +2148,12 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM envelope GROUP BY 1 ORDER BY route_topic""".stripMargin),
     "replication_filter" -> envSql(
+      """SELECT replicated_from, CAST(COUNT(*) AS BIGINT) AS n FROM envelope
+        |WHERE (replicated_from IS NULL OR replicated_from <> 'cluster-1')
+        |  AND (replicated_from IS NULL OR replicated_from <> 'cluster-0')
+        |GROUP BY replicated_from ORDER BY replicated_from""".stripMargin),
+    // the continuous replicator's loop filter converges to the same counts
+    "replication_filter_stream" -> envSql(
       """SELECT replicated_from, CAST(COUNT(*) AS BIGINT) AS n FROM envelope
         |WHERE (replicated_from IS NULL OR replicated_from <> 'cluster-1')
         |  AND (replicated_from IS NULL OR replicated_from <> 'cluster-0')
