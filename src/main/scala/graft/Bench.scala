@@ -13,12 +13,32 @@ import org.apache.spark.sql.SparkSession
  * single-shot bench cannot attribute regressions. Reps interleave by
  * round (q1..qN, q1..qN, ...) rather than back-to-back so one rep's
  * cache residue doesn't define the next measurement of the same query.
+ *
+ * Environment attribution fields (VERDICT r7 #2 — round 7's bench drifted
+ * 1.5× on a loaded machine against regenerated fixtures and the JSON
+ * carried no evidence either way):
+ *   - `loadavg`: 1-min system load sampled at start, after each rep
+ *     round, and at end — machine contention becomes visible in the
+ *     artifact instead of needing a forensic rerun;
+ *   - `rep_walls`: every per-rep wall per query, not just the median —
+ *     a noisy rep (GC pause, competing process) shows as one outlier
+ *     instead of silently shifting the median;
+ *   - `fixtures`: per-table mtime + Spark schema of the input parquet —
+ *     a driver-side fixture regeneration (round 7's root confound) is
+ *     diffable across BENCH_r{N}.json artifacts.
  */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
+
+  private def loadavg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,11 +52,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
+    // fixture fingerprint BEFORE warm-up so an unreadable fixture is
+    // attributed to the fixture, not to the first query touching it
+    val fixtures = FixtureGuard.observe(spark, sfDir)
+    FixtureGuard.check(spark, sfDir) match {
+      case Seq() => ()
+      case drift =>
+        // warn, don't abort: the bench should still produce numbers on a
+        // drifted fixture — the JSON carries the evidence for the reader
+        drift.foreach(m => System.err.println(s"[bench][fixture-drift] $m"))
+    }
     // Warm-up: one-time session costs out of the timings — parquet file
-    // index, whole-stage codegen, the envelope decode path (nanos
-    // timestamps), and Spark ML class-loading (a 4-point KMeans fit; the
-    // first ML fit of a JVM otherwise pays ~3 s of initialization that
-    // would be misattributed to whichever query runs first).
+    // index, whole-stage codegen, the envelope decode path, and Spark ML
+    // class-loading (a 4-point KMeans fit; the first ML fit of a JVM
+    // otherwise pays ~3 s of initialization that would be misattributed
+    // to whichever query runs first).
     // each step in its own try: one missing fixture must not silently
     // skip the remaining warm-ups (which would misattribute their
     // one-time cost to the first query that needs them)
@@ -54,8 +85,9 @@ object Bench {
           array(col("id").cast("double"), lit(0.0))).as("fv"))): Unit
     } catch { case _: Throwable => }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val repLoads = new scala.collection.mutable.ArrayBuffer[Double]
     val samples = (1 to reps).flatMap { _ =>
-      ordered.map { case (name, fn) =>
+      val round = ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -63,14 +95,22 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      repLoads += loadavg()
+      round
     }
-    val results = ordered.map { case (name, _) =>
-      name -> median(samples.collect { case (`name`, t) => t })
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val byName = samples.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val results = ordered.map { case (name, _) => name -> median(byName(name)) }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val walls = ordered.map { case (name, _) =>
+      jstr(name) + ":" + byName(name).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fixturesJson = fixtures.toSeq.sortBy(_._1).map { case (t, (mtime, schema)) =>
+      jstr(t) + s""":{"mtime_ms":$mtime,"schema":${jstr(schema)}}"""
+    }.mkString("{", ",", "}")
+    val loads = s"""{"start":$loadStart,"per_rep":${repLoads.mkString("[", ",", "]")},"end":${loadavg()}}"""
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpus,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
     spark.stop()
   }
 }

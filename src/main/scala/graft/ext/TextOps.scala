@@ -40,7 +40,10 @@ object TextOps {
     // e.g. 24 splits on a 32-slot session must NOT pay a full
     // round-robin shuffle of the raw text for a marginal gain
     val estSplits = (bytes + maxSplit - 1) / maxSplit
-    if (estSplits >= want / 2) df else df.repartition(want)
+    // multiplication, not `want / 2` — integer division truncates, so at
+    // want=2..3 a single-split scan would never repartition (1 >= 1),
+    // leaving most slots idle under an expensive per-row stage
+    if (estSplits * 2 >= want) df else df.repartition(want)
   }
 
   /** Unicode-clean text: NFC canonical composition (native kernel —

@@ -75,11 +75,22 @@ object TopicLog {
       try { Files.createLink(target, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.nio.file.NoSuchFileException =>
+          // our tmp vanished before the link: a concurrent publisher's
+          // leftover sweep (publishManifest) deleted it — that sweep
+          // only runs AFTER the sweeper created the target, so the
+          // target existing means we simply lost the race; anything
+          // else is a genuine anomaly and must stay loud
+          if (Files.exists(target)) false else throw e
         case _: UnsupportedOperationException =>
-          // filesystem without hard links: fall back to rename —
-          // last-wins instead of first-wins, but the caller's content
-          // verification still detects a different racing commit
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true
+          // filesystem without hard links: fall back to rename. rename(2)
+          // REPLACES silently, so first-writer-wins degrades here: the
+          // re-read below catches a replacement that happened before this
+          // call's verification, but a LATER different-content move can
+          // still silently supersede a writer that already returned true
+          // — on such filesystems only same-content races are fully safe.
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          java.util.Arrays.equals(Files.readAllBytes(target), content)
       }
     } finally { Files.deleteIfExists(tmp); () }
   }
@@ -514,8 +525,22 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
         else try {
           val listing = Files.list(stagingRoot)
           try listing.iterator().asScala.toSeq
-            .filter(d => !Files.exists(
-              manifestDir.resolve(s"${d.getFileName}.commit")))
+            .filter { d =>
+              val committed = Files.exists(
+                manifestDir.resolve(s"${d.getFileName}.commit"))
+              // an epoch whose manifest committed BETWEEN recoverStaging()
+              // above and this listing is excluded from the in-flight
+              // union, but its staged files may not have moved yet — the
+              // committed read() planned below would then hit
+              // manifest-listed paths that don't exist. Heal it here so
+              // "committed plus in-flight" stays exact (race-tolerant:
+              // the publisher may be completing the same moves).
+              if (committed)
+                try TopicLog.completeStagedMoves(
+                  basePath, d.getFileName.toString.toLong)
+                catch { case _: IllegalStateException | _: NumberFormatException => () }
+              !committed
+            }
             // only epochs with VISIBLE data files: a write still inside
             // _temporary (or a crashed attempt's leftovers) has nothing
             // Spark's listing would surface — underscore-prefixed
