@@ -30,12 +30,29 @@ import scala.collection.JavaConverters._
 final class Txn private (val txnId: String, root: String) {
   private val staged =
     scala.collection.mutable.ListBuffer[(TopicLog, DataFrame)]()
+  private val stagedAcks =
+    scala.collection.mutable.ListBuffer[(AckLog, DataFrame)]()
   private var state: String = "OPEN"
 
   /** Stage a batch for `log`; nothing becomes visible until commit(). */
   def produce(log: TopicLog, batch: DataFrame): Txn = {
     require(state == "OPEN", s"txn $txnId is $state")
     staged += ((log, batch))
+    this
+  }
+
+  /** Stage acks (rows of (partition, offset)) for a subscription's
+    * [[AckLog]] — the reference's transactional acknowledgment
+    * (Transaction.java:30-93 via PendingAckHandleImpl): the ack and any
+    * produced output commit through the SAME marker, so an exactly-once
+    * consume-process-produce step either moves the cursor AND publishes
+    * its output, or does neither. Until commit the acks are pending:
+    * invisible to [[AckLog.read]], so the messages stay in the unacked
+    * set; an abort drops them — the message redelivers, the reference's
+    * pending-ack release semantics. */
+  def ack(ackLog: AckLog, acks: DataFrame): Txn = {
+    require(state == "OPEN", s"txn $txnId is $state")
+    stagedAcks += ((ackLog, acks))
     this
   }
 
@@ -56,23 +73,44 @@ final class Txn private (val txnId: String, root: String) {
     val prepared = perTopic.map { case (log, batch) =>
       (log, log.stageAppend(batch))
     }
-    // phase 2: single atomic commit point
+    // acks stage the same way (AckLog shares TopicLog's layout); acks to
+    // the SAME subscription union first for the same epoch-collision
+    // reason as same-topic produces
+    val preparedAcks = stagedAcks.toList.groupBy(_._1.basePath).values.map {
+      group =>
+        val ackLog = group.head._1
+        val combined = group.map(_._2).reduce(_.unionByName(_))
+        (ackLog, ackLog.stageAck(combined))
+    }.toList
+    // phase 2: single atomic commit point — ONE marker carries produce
+    // manifests AND ack manifests (consume-process-produce atomicity;
+    // an AckLog line's first field is its base path, which recover()
+    // replays through the identical layout)
     val tmp = markerDir.resolve(s"$txnId.tmp")
-    Files.write(tmp, prepared.map { case (log, s) =>
+    val produceLines = prepared.map { case (log, s) =>
       Seq(log.name.path(root), s.epoch.toString, s.count.toString,
         s.manifestLines.replace("\n", ";")).mkString("\t")
-    }.mkString("\n").getBytes)
+    }
+    val ackLines = preparedAcks.map { case (ackLog, s) =>
+      Seq(ackLog.basePath, s.epoch.toString, s.count.toString,
+        s.manifestLines.replace("\n", ";")).mkString("\t")
+    }
+    Files.write(tmp, (produceLines ++ ackLines).mkString("\n").getBytes)
     Files.move(tmp, markerDir.resolve(s"$txnId.committed"),
       StandardCopyOption.ATOMIC_MOVE)
     // phase 3: publish (idempotent; recover() replays on crash)
     prepared.foreach { case (log, s) => log.publishManifest(s) }
+    preparedAcks.foreach { case (ackLog, s) => ackLog.publish(s) }
     state = "COMMITTED"
   }
 
-  /** Abort: drop staged batches; no data was ever visible. */
+  /** Abort: drop staged batches AND pending acks; no data was ever
+    * visible, and the pending-acked messages stay unacked — they
+    * redeliver (the reference's pending-ack release on txn abort). */
   def abort(): Unit = {
     require(state == "OPEN", s"txn $txnId is $state")
     staged.clear()
+    stagedAcks.clear()
     state = "ABORTED"
   }
 

@@ -115,6 +115,43 @@ final class Subscription(
    */
   def seekFilter(fromOffset: Long): DataFrame =
     stream().filter(col(Envelope.Offset) >= fromOffset)
+
+  /**
+   * [[consume]] under a dispatch rate limit (reference
+   * DispatchRateLimiterAsyncTokenBucketImpl: per-subscription token
+   * bucket consulted at dispatch time): each microbatch's rows are
+   * ADMITTED against a [[TokenBucket]] before `process` runs — the
+   * consumer loop pauses until the batch's row count is fully granted,
+   * so long-run dispatch throughput ≤ `rateMsgsPerSec` and an idle
+   * subscription's first batch may burst up to `burst` messages
+   * instantly. `maxFilesPerTrigger` (the BatchReceivePolicy) still
+   * bounds batch SIZE; the bucket bounds batch TIMING — together they
+   * are the reference's dispatch throttle. The bucket runs on the
+   * driver: admission is a per-microbatch scalar decision (one count +
+   * one bucket update per trigger), never per-row work, so the
+   * throttle adds nothing to executor-side cost at any scale.
+   */
+  def consumeRateLimited(rateMsgsPerSec: Double, burst: Long,
+                         clock: () => Long = System.nanoTime)(
+                         process: (DataFrame, Long) => Unit): StreamingQuery = {
+    var bucket = TokenBucket.full(rateMsgsPerSec, burst, clock())
+    consume { (batch, epochId) =>
+      // count() is the admission meter — the batch recomputes for
+      // process(), the same two-pass shape consume()'s manifest gate
+      // already accepts for harness-scale batches
+      var remaining = batch.count()
+      while (remaining > 0) {
+        val (b, granted) = bucket.acquire(remaining, clock())
+        bucket = b
+        remaining -= granted
+        if (remaining > 0)
+          // sleep roughly until the next token accrues (bounded at 50ms
+          // so a clock step never oversleeps)
+          Thread.sleep(math.min(50L, math.max(1L, (1000 / rateMsgsPerSec).toLong)))
+      }
+      process(batch, epochId)
+    }
+  }
 }
 
 /**
