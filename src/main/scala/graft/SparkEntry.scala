@@ -3300,14 +3300,23 @@ object SparkEntry {
         |SELECT id_a, id_b, round(sim, 6) AS sim_r FROM scored
         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin),
     // SemDeDup: same hyperplane derivation as ann_lsh/cosine_near_dup;
-    // cluster = low 6 signature bits; centroid components are decimal-
-    // exact sums (cosine is scale-invariant so the mean's division is
-    // skipped); keep rule = lowest round(cos-to-centroid, 6), id ties.
+    // cluster = the signature's low AUTO-SIZED bits — the identical
+    // integer rule as VectorOps.autoClusterBits (clusters = ceil(n/64),
+    // bits = bit-length of clusters-1 clamped to [1,20]; length(bin(x))
+    // IS the bit length, no float log2 that could ceil differently
+    // across engines). Centroid components are decimal-exact sums
+    // (cosine is scale-invariant so the mean's division is skipped);
+    // keep rule = lowest round(cos-to-centroid, 6), id ties.
     "semantic_dedup" -> (mm3Macros +
       s"""WITH $signLshCte,
+        |mask AS (
+        |  SELECT (CAST(1 AS BIGINT) << LEAST(20, GREATEST(1,
+        |    length(bin(GREATEST(CAST(2 AS BIGINT),
+        |      CAST(ceil(COUNT(*) / 64.0) AS BIGINT)) - 1))))) - 1 AS m
+        |  FROM embeddings),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cl AS (
-        |  SELECT s.vec_id, CAST(sig & 63 AS BIGINT) AS cluster, v
+        |  SELECT s.vec_id, CAST(sig & (SELECT m FROM mask) AS BIGINT) AS cluster, v
         |  FROM sigs s JOIN e ON e.vec_id = s.vec_id),
         |ex AS (
         |  SELECT vec_id, cluster, i AS pos, v[i + 1] AS x

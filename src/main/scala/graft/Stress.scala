@@ -258,7 +258,7 @@ object Stress {
         .groupBy("cluster").agg(count(lit(1)).as("n"))
         .agg(sum(col("n") * col("n"))).head().getLong(0)
       timeTasks(spark, s"semantic_bits$bits(pairs=$pairBound)")(
-        graft.ext.VectorOps.semanticDedup(vecs, 0.3, clusterBits = bits)
+        graft.ext.VectorOps.semanticDedup(vecs, 0.3, clusterBits = Some(bits))
           .agg(count(lit(1)), sum("simc_r"),
             sum(when(col("kept"), 1L).otherwise(0L))).head().getLong(0))
     }

@@ -606,15 +606,25 @@ object VectorOps {
    * monotonically; kept sets legitimately differ across settings
    * because the keep rule is per-cluster and centroid-relative.
    *
+   * `clusterBits = None` (the default) applies that sizing rule
+   * automatically from one cheap count — [[autoClusterBits]]: bits =
+   * ceil(log2(n / 64)) clamped to [1, 20], i.e. ~64-vector clusters, a
+   * Σ|cluster|² pair bound LINEAR in n (≈64·n). At the measured tiers
+   * this reproduces the sweet spots exactly (2.5k vectors → 6,
+   * 200k → 12), so a 100 TB user no longer inherits a fixture's
+   * hand-picked bits. Pass `Some(bits)` to pin (the oracle fixture
+   * pins nothing — sf0.01's auto value IS 6, the oracle's setting).
+   *
    * Returns (vec_id, cluster, simc_r = round(cos-to-centroid, 6), kept).
    */
   def semanticDedup(vecs: DataFrame, threshold: Double,
-                    clusterBits: Int = 6,
+                    clusterBits: Option[Int] = None,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(clusterBits >= 1 && clusterBits <= 32, s"clusterBits $clusterBits not in [1,32]")
+    val bits = clusterBits.getOrElse(autoClusterBits(vecs.count()))
+    require(bits >= 1 && bits <= 32, s"clusterBits $bits not in [1,32]")
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       graft.functions.Sketch.sign_lsh(col(vecCol), 32)
-        .bitwiseAND((1L << clusterBits) - 1).as("cluster"))
+        .bitwiseAND((1L << bits) - 1).as("cluster"))
 
     // Exact per-cluster centroid direction: explode to (cluster, pos, x),
     // sum each component as a decimal (order-independent), reassemble the
@@ -650,5 +660,22 @@ object VectorOps {
     scored.join(removed, col("id") === col("rid"), "left_outer")
       .select(col("id").as(idCol), col("cluster"), col("simc_r"),
         col("rid").isNull.as("kept"))
+  }
+
+  /** The [[semanticDedup]] auto-sizing rule, exposed so specs can pin
+    * it: bits = ceil(log2(n / targetClusterSize)) clamped to [1, 20].
+    * target 64 keeps the per-cluster pair work ~64² and the total
+    * Σ|cluster|² bound ≈ targetClusterSize·n — linear in n, the
+    * property that holds the operator together at 100 TB. The 20-bit
+    * cap (1M clusters) matches the paper's largest useful k; below
+    * 2·target the data fits one comparison tier (bits=1). */
+  def autoClusterBits(n: Long, targetClusterSize: Long = 64L): Int = {
+    // integer ceil-log2 (bit length of clusters-1), NOT floating log2:
+    // the DuckDB oracle computes the identical mask via length(bin(c-1)),
+    // and float log at exact powers of two could ceil differently
+    // across engines
+    val clusters = math.max(2L, (n + targetClusterSize - 1) / targetClusterSize)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(clusters - 1)
+    math.min(20, math.max(1, bits))
   }
 }

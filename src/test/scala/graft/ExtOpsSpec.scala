@@ -397,10 +397,10 @@ class ExtOpsSpec extends SparkSpec {
     val clones = vecs.filter(col("vec_id") < 10)
       .withColumn("vec_id", col("vec_id") + 100000L)
     val in = vecs.unionByName(clones)
-    val out6 = VectorOps.semanticDedup(in, tau, clusterBits = 6)
+    val out6 = VectorOps.semanticDedup(in, tau, clusterBits = Some(6))
       .select(col("vec_id"), col("cluster"), col("kept"))
       .as[(Long, Long, Boolean)].collect()
-    val out12 = VectorOps.semanticDedup(in, tau, clusterBits = 12)
+    val out12 = VectorOps.semanticDedup(in, tau, clusterBits = Some(12))
       .select(col("vec_id"), col("cluster"), col("kept"))
       .as[(Long, Long, Boolean)].collect()
 
@@ -433,8 +433,28 @@ class ExtOpsSpec extends SparkSpec {
     for ((_, members) <- out6.groupBy(_._2))
       assert(members.exists(_._3), "every bits-6 cluster must keep a member")
     // 5. partition invariance holds at the high setting too
-    val hi = VectorOps.semanticDedup(in, tau, clusterBits = 12)
-    val hi2 = VectorOps.semanticDedup(in.repartition(5), tau, clusterBits = 12)
+    val hi = VectorOps.semanticDedup(in, tau, clusterBits = Some(12))
+    val hi2 = VectorOps.semanticDedup(in.repartition(5), tau, clusterBits = Some(12))
     assert(hi.except(hi2).isEmpty && hi2.except(hi).isEmpty)
+  }
+
+  test("semanticDedup auto-sizes clusterBits ≈ log2(n/64) when unset") {
+    // the rule itself, pinned at the measured tiers: sf0.01's 2.5k
+    // vectors → 6 (the oracle fixture's setting falls out of the rule,
+    // not a hand pick), the r7 Stress tier's 200k → 12 (the measured
+    // 20.4× pair-bound sweet spot), web scale hits the 1M-cluster cap
+    assert(VectorOps.autoClusterBits(2500) == 6)
+    assert(VectorOps.autoClusterBits(25000) == 9)
+    assert(VectorOps.autoClusterBits(200000) == 12)
+    assert(VectorOps.autoClusterBits(5000000000L) == 20, "paper-scale cap")
+    assert(VectorOps.autoClusterBits(0) == 1 && VectorOps.autoClusterBits(50) == 1,
+      "degenerate inputs stay at one comparison tier")
+    // default = None = the rule: identical output to pinning the rule's
+    // own value for this input size
+    val n = vecs.count()
+    val auto = VectorOps.semanticDedup(vecs, 0.3)
+    val pinned = VectorOps.semanticDedup(vecs, 0.3,
+      clusterBits = Some(VectorOps.autoClusterBits(n)))
+    assert(auto.except(pinned).isEmpty && pinned.except(auto).isEmpty)
   }
 }
