@@ -1105,6 +1105,45 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** Chunking × dedup composition (reference
+    * MessageChunkingDeduplicationTest; VERDICT r7 #7): documents are
+    * chunk-split (one sequence id per LOGICAL message), the arrival
+    * stream injects a mid-stream retransmit of chunk 1 (doc_id%7=0), a
+    * full same-sequence resend (doc_id%11=0), and a lost final chunk
+    * (doc_id%13=5, unless the resend refills it — kept disjoint so the
+    * truth set stays closed-form), then chunk-aware dedup + reassembly
+    * run. Correctness is BYTE IDENTITY: every surviving message must
+    * reassemble to exactly the original text (md5 + length), and lost
+    * messages must not surface — double-counted or dropped chunks break
+    * the hash. The oracle never replays the pipeline; original text IS
+    * the truth. */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Chunking, Dedup}
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+    val chunks = Chunking.split(docs, "text", 64, Seq("doc_id"))
+      .withColumn(Envelope.ProducerName, concat(lit("p"), col("doc_id") % 3))
+      .withColumn(Envelope.SequenceId, col("doc_id"))
+    val dupChunk = chunks.filter(col("doc_id") % 7 === 0 && col("chunk_id") === 1)
+    val resend = chunks.filter(col("doc_id") % 11 === 0)
+    val lostLast = col("doc_id") % 13 === 5 && col("doc_id") % 11 =!= 0 &&
+      col("chunk_id") === col("num_chunks") - 1 && col("num_chunks") > 1
+    val arrivals = chunks.withColumn("attempt", lit(0)).filter(!lostLast)
+      .unionByName(dupChunk.withColumn("attempt", lit(1)))
+      .unionByName(resend.withColumn("attempt", lit(2)))
+    // broker arrival order per producer: retransmits land mid-stream
+    // (right after the chunk they duplicate) — the harder dedup case
+    val w = Window.partitionBy(Envelope.ProducerName)
+      .orderBy(col(Envelope.SequenceId), col("chunk_id"), col("attempt"))
+    val withOffsets = arrivals
+      .withColumn(Envelope.Offset, row_number().over(w).cast("long"))
+    Chunking.reassemble(Dedup.dedupChunked(withOffsets))
+      .select(col("chunk_uuid").cast("bigint").as("doc_id"),
+        md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("bigint").as("payload_len"))
+      .orderBy("doc_id")
+  }
+
   /** §2.12 transactional acknowledgment (reference Transaction.java:30-93
     * via PendingAckHandleImpl): ONE txn acks a deterministic slice of the
     * input topic AND produces a derived batch to the output topic through
@@ -1980,6 +2019,7 @@ object SparkEntry {
     "q_count_distinct" -> (qCountDistinct _),
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
     "txn_ack" -> (qTxnAck _),
+    "chunk_dedup" -> (qChunkDedup _),
     "shadow_read" -> (qShadowRead _),
     "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
     "file_sink_roundtrip" -> (qFileSinkRoundtrip _),
@@ -2578,6 +2618,16 @@ object SparkEntry {
         |FROM md JOIN bl ON md.partition = bl.partition
         |JOIN outp o ON md.partition = o.partition
         |ORDER BY md.partition""".stripMargin),
+    // chunk-dedup truth: a correct dedup+reassembly is the IDENTITY on
+    // the original text; the excluded set is the closed-form lost-chunk
+    // condition (last chunk dropped and no resend to refill it)
+    "chunk_dedup" ->
+      """SELECT doc_id, md5(text) AS payload_md5,
+        |  CAST(length(text) AS BIGINT) AS payload_len
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND NOT (doc_id % 13 = 5 AND doc_id % 11 <> 0 AND length(text) > 64)
+        |ORDER BY doc_id""".stripMargin,
     // the shadow view is the same committed per-partition truth with the
     // shadow topic name relabeled
     "shadow_read" -> (mm3Macros +

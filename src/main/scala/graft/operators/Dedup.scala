@@ -62,6 +62,33 @@ object Dedup {
   }
 
   /**
+   * Chunk-aware dedup — the composition rule for chunking × dedup
+   * (reference MessageDeduplication.isDuplicate:330-358 chunk branch,
+   * exercised by MessageChunkingDeduplicationTest): every chunk of one
+   * logical message carries the SAME sequence id, so plain
+   * [[dedupBatch]] (strictly-increasing sequence) would drop every
+   * chunk after the first. The broker instead tracks a running
+   * (sequenceId, chunkId) high-water per producer: a chunk survives iff
+   * its pair is lexicographically ABOVE the high-water. That drops a
+   * retransmitted chunk (same seq, same chunk_id — arrives mid-stream
+   * or later), drops a whole resent logical message (same seq, chunk
+   * ids all ≤ the recorded max), and passes the next message (higher
+   * seq) — so reassembly downstream sees each chunk exactly once and
+   * never double-counts. Struct comparison is Spark's lexicographic
+   * field order, the same pair order the broker checks.
+   */
+  def dedupChunked(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(Envelope.ProducerName)
+      .orderBy(Envelope.Offset)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pair = struct(col(Envelope.SequenceId), col("chunk_id"))
+    batch
+      .withColumn("_prev_max", max(pair).over(w))
+      .filter(col("_prev_max").isNull || pair > col("_prev_max"))
+      .drop("_prev_max")
+  }
+
+  /**
    * Replicated-message dedup (MessageDeduplication.isDuplicateReplV2:345):
    * same rule keyed by (replicated_from, producer_name).
    */
