@@ -190,6 +190,7 @@ object Stress {
     }
     if (tierOn("ccnet_skew")) ccnetSkewTier(docsK)
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
+    if (tierOn("topic_stats")) topicStatsTier(envK)
     spark.stop()
   }
 
@@ -197,11 +198,17 @@ object Stress {
     * probe's signal: a stage that funnels one language onto one reducer
     * shows max-task ≈ wall; a flat distribution shows max ≪ wall. */
   private def timeTasks(spark: SparkSession, label: String)(f: => Long): Unit = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    val durs = scala.collection.mutable.ArrayBuffer[Long]()
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+    val durs = scala.collection.mutable.ArrayBuffer[(Int, Long)]() // (stage, ms)
+    val stageNames = scala.collection.mutable.Map[Int, String]()
     val l = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        durs.synchronized { durs += te.taskInfo.duration }
+        durs.synchronized { durs += ((te.stageId, te.taskInfo.duration)); () }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        stageNames.synchronized {
+          stageNames(sc.stageInfo.stageId) =
+            sc.stageInfo.name.takeWhile(_ != '\n').take(60); ()
+        }
     }
     spark.sparkContext.addSparkListener(l)
     val t0 = System.nanoTime()
@@ -209,11 +216,18 @@ object Stress {
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(1000) // listener bus is async; let queued events drain
     spark.sparkContext.removeSparkListener(l)
-    val d = durs.synchronized(durs.toVector).sorted
+    val all = durs.synchronized(durs.toVector)
+    val d = all.map(_._2).sorted
     val p50 = if (d.isEmpty) 0L else d(d.size / 2)
     val max = if (d.isEmpty) 0L else d.last
     println(f"STRESS $label%-28s $wall%8.2fs  ($n rows, tasks=${d.size}, " +
       f"p50=${p50}ms, max=${max}ms, max/wall=${max / 1e3 / wall}%.2f)")
+    // top tasks with their stage, so a fat task is attributable without
+    // a UI: "stage 12 (runJob at SparkHadoopWriter.scala:83) 21280ms"
+    all.sortBy(-_._2).take(3).foreach { case (sid, ms) =>
+      println(s"STRESS   top-task stage=$sid (${stageNames.synchronized(
+        stageNames.getOrElse(sid, "?"))}) ${ms}ms")
+    }
   }
 
   /** CCNet tercile skew probe (VERDICT r6 #1): 90% of documents forced
@@ -243,6 +257,51 @@ object Stress {
         .agg(count(lit(1)), sum(when(col("b2") === "head", 1L).otherwise(0L)))
         .head().getLong(0))
     in.unpersist()
+  }
+
+  /** Stats-tier scaling probe (VERDICT r7 #6): Admin.topicStats' backlog
+    * anti-join and the 4-subscription ackU union are the newest large
+    * join path. At real ack volumes the ack side is the SAME order as
+    * the log (each subscription acks 50–80% of every partition here), so
+    * the anti-join must run as a shuffle join — a broadcast flip of the
+    * ack side would collect gigabytes to the driver at 100 TB. The probe
+    * reports max/wall task spread (flat = no reducer funnels a
+    * partition) and counts broadcast LeftAnti/LeftOuter joins in the
+    * POST-AQE executed plan (must be 0; the only broadcasts in the stats
+    * plan are the bounded subscription-name list). */
+  private def topicStatsTier(ev: DataFrame): Unit = {
+    val spark = ev.sparkSession
+    val log = ev.select(
+        (col("user_id") % 8).cast("int").as(Envelope.Partition),
+        col("event_id").as(Envelope.Offset),
+        col("props").as(Envelope.Value),
+        col("user_id").cast("string").as(Envelope.Key),
+        concat(lit("p"), (col("user_id") % 50).cast("string"))
+          .as(Envelope.ProducerName))
+      .cache()
+    log.count()
+    val subs = (1 to 4).map { i =>
+      // per-subscription ack tables at log scale: sub i acks every
+      // offset not divisible by i+1 (50–80% acked, i.e. the ack side
+      // GROWS with the log — the broadcast-flip hazard under test)
+      s"sub$i" -> log.select(col(Envelope.Partition).as("partition"),
+          col(Envelope.Offset).as("offset"))
+        .filter(col("offset") % (i + 1) =!= 0)
+    }.toMap
+    val stats = graft.log.Admin.topicStats(log, subs)
+    // collect THIS DataFrame (32 result rows) so the inspected
+    // queryExecution is the one that ran — its post-AQE final plan
+    // carries the join strategies actually chosen at runtime
+    timeTasks(spark, "topic_stats_4subs")(stats.collect().length.toLong)
+    val plan = stats.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Join")).foreach(l =>
+      println("STRESS topic_stats_join  " + l.trim.take(160)))
+    val bcAnti = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    println(s"STRESS topic_stats_plan            broadcast ANTI joins: " +
+      s"$bcAnti (must be 0; the ack side shuffles — broadcast LeftOuter " +
+      s"of the 32-row backlog/md aggregates is correct and expected)")
+    log.unpersist(): Unit
   }
 
   /** SemDeDup clusterBits scaling probe (VERDICT r6 #2): the Σ|cluster|²

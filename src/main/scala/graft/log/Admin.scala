@@ -236,11 +236,26 @@ object Admin {
     }.reduce(_.unionByName(_))
     val subNames = subs.keys.toSeq.sorted.toDF("subscription")
 
+    // SHUFFLE_HASH, not sort-merge: the join rows are three numeric
+    // columns that compress to a few bytes each, so AQE's size-based
+    // partition coalescing hands a sort-merge join huge multi-million-row
+    // sort tasks (measured: three ~25 s tasks dominating the 100× probe);
+    // hashing the ack side per partition skips both sorts — same shuffle,
+    // no sort barrier. The ack side still SHUFFLES (never broadcasts):
+    // at real ack volumes it is the same order as the log itself.
     val unacked = offsets.crossJoin(broadcast(subNames))
-      .join(ackU, Seq("subscription", "partition", "offset"), "left_anti")
+      .join(ackU.hint("shuffle_hash"),
+        Seq("subscription", "partition", "offset"), "left_anti")
+    // persist the (subscription, partition)-grained aggregate: it is
+    // referenced twice (min_unacked feeds the mark-delete filter AND the
+    // final stats join), and without materialization the plan evaluates
+    // the full offsets×subs anti-join subtree once per reference —
+    // measured 2× the probe's dominant cost at 100× log size. The
+    // cached table is |subs|×|partitions| rows (bytes, not data-scale).
     val backlog = unacked.groupBy("subscription", "partition")
       .agg(count(lit(1)).cast("bigint").as("backlog"),
         min("offset").as("min_unacked"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mark-delete = highest acked offset below the first gap; every log
     // offset below min_unacked is acked by construction, so no sort
     val md = ackU
