@@ -1105,6 +1105,37 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** §2.10/§4 dispatch rate limiting on the STREAMING path (VERDICT r7
+    * #4 wiring): the committed topic log consumed through
+    * [[graft.streaming.Subscription.consumeRateLimited]] — every
+    * microbatch is admitted against the token bucket before dispatch —
+    * and re-aggregated to the per-partition produce-roundtrip truth.
+    * The throttle must be RESULT-NEUTRAL: a dropped or double-dispatched
+    * batch breaks the same oracle as topic_log_roundtrip. Rate/burst are
+    * set so the fixture takes a few admission waits (the loop really
+    * throttles) without inflating the bench. */
+  private def qDispatchRateStream(s: SparkSession, dir: String): DataFrame = {
+    val tl = qLogFixture(s, dir)
+    val sub = new graft.streaming.Subscription(tl, "rate-sub",
+      graft.streaming.SubscriptionType.Exclusive,
+      java.nio.file.Files.createTempDirectory("graft-rate-ckpt").toString,
+      policy = graft.streaming.BatchReceivePolicy(maxFilesPerTrigger = Some(8)))
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val q = sub.consumeRateLimited(rateMsgsPerSec = 100000.0, burst = 2000L) {
+      (batch, _) =>
+        batch.groupBy(col(Envelope.Partition))
+          .agg(count(lit(1)).as("n"), max(Envelope.Offset).as("mx"))
+          .collect().foreach(r => acc.add((r.getInt(0), r.getLong(1), r.getLong(2)))): Unit
+    }
+    try q.processAllAvailable() finally q.stop()
+    import scala.collection.JavaConverters._
+    import s.implicits._
+    acc.iterator().asScala.toSeq.toDF("partition", "pn", "pmx")
+      .groupBy("partition")
+      .agg(sum("pn").cast("bigint").as("n"), max("pmx").as("max_offset"))
+      .orderBy("partition")
+  }
+
   /** Chunking × dedup composition (reference
     * MessageChunkingDeduplicationTest; VERDICT r7 #7): documents are
     * chunk-split (one sequence id per LOGICAL message), the arrival
@@ -2020,6 +2051,7 @@ object SparkEntry {
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
     "txn_ack" -> (qTxnAck _),
     "chunk_dedup" -> (qChunkDedup _),
+    "dispatch_rate_stream" -> (qDispatchRateStream _),
     "shadow_read" -> (qShadowRead _),
     "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
     "file_sink_roundtrip" -> (qFileSinkRoundtrip _),
@@ -2644,6 +2676,9 @@ object SparkEntry {
     // coalesce+vacuum must be content-neutral: same oracle as the plain
     // produce round trip — a lost or duplicated row breaks the match
     "coalesce_roundtrip" -> topicLogRoundtripSql,
+    // the rate-limited dispatch loop must also be content-neutral: the
+    // token bucket delays batches, never drops or replays them
+    "dispatch_rate_stream" -> topicLogRoundtripSql,
     // the rotating file sink (hdfs3/alluxio path) must also be
     // content-neutral: write → read-back → identical counts
     "file_sink_roundtrip" -> topicLogRoundtripSql,

@@ -258,16 +258,22 @@ object Admin {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mark-delete = highest acked offset below the first gap; every log
     // offset below min_unacked is acked by construction, so no sort
+    // backlog/md sides are (subs × partitions) rows — bounded by
+    // CONFIGURATION (subscription count × partition count), not data —
+    // so they broadcast correctly at any scale; explicit because the
+    // persisted aggregate's pre-materialization stats are opaque to the
+    // planner and would otherwise fall back to a sort-merge join
     val md = ackU
-      .join(backlog.select("subscription", "partition", "min_unacked"),
+      .join(broadcast(backlog.select("subscription", "partition", "min_unacked")),
         Seq("subscription", "partition"), "left_outer")
       .filter(col("min_unacked").isNull || col("offset") < col("min_unacked"))
       .groupBy("subscription", "partition")
       .agg(max("offset").as("mark_delete"))
 
     store.crossJoin(broadcast(subNames))
-      .join(backlog.drop("min_unacked"), Seq("subscription", "partition"), "left_outer")
-      .join(md, Seq("subscription", "partition"), "left_outer")
+      .join(broadcast(backlog.drop("min_unacked")),
+        Seq("subscription", "partition"), "left_outer")
+      .join(broadcast(md), Seq("subscription", "partition"), "left_outer")
       .select(col("subscription"), col("partition"), col("msg_count"),
         col("storage_bytes"),
         round(col("storage_bytes").cast("double") / col("msg_count"), 6)

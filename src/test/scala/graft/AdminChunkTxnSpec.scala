@@ -170,6 +170,41 @@ class AdminChunkTxnSpec extends SparkSpec {
     assert(log.read().count() == 40, "every committed row visible exactly once")
   }
 
+  test("publishManifest hammer: six republishers per epoch, the tmp sweep never breaks an identical commit") {
+    // ADVICE r7 medium: the winner's leftover sweep could delete a
+    // concurrent publisher's tmp between its write and createLink,
+    // throwing NoSuchFileException out of an IDENTICAL republish.
+    // Six concurrent identical publishers × four epochs keeps several
+    // losers inside that window while a winner sweeps; the fix treats
+    // a swept tmp + existing target as a lost race, so every call must
+    // return silently and every row stay exactly-once visible.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val log = freshLog(2)
+    log.append(batch(0 until 5))
+    var expected = 5L
+    (1 to 4).foreach { r =>
+      val staged = log.stageAppend(batch(r * 30 until r * 30 + 30))
+      val pool = Executors.newFixedThreadPool(6)
+      val gate = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to 6).foreach { _ =>
+        pool.execute(() => {
+          gate.await()
+          try log.publishManifest(staged)
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      gate.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      assert(errs.isEmpty,
+        s"epoch round $r: identical republish threw: ${errs.peek()}")
+      expected += 30
+      assert(log.read().count() == expected,
+        s"epoch round $r: rows must be exactly-once visible")
+    }
+  }
+
   test("atomicCreate: first writer wins, loser sees the winner's content, tmp never lingers") {
     import graft.log.TopicLog
     val dir = Files.createTempDirectory("graft-atomic")

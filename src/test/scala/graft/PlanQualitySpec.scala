@@ -266,12 +266,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
   }
 
-  test("topic_stats: partial storage aggs, broadcast cursor sides, no row sort") {
+  test("topic_stats: partial storage aggs, broadcast cursor sides, hashed anti-join, no row sort") {
     val p = plan("topic_stats")
     // storage counters combine map-side before the partition exchange
     assert(p.contains("partial_count") && p.contains("partial_sum"), p.take(800))
     // backlog/mark-delete sides are (sub × partition)-sized → broadcast
     assert(countOccurrences(p, "BroadcastHashJoin") >= 2, p.take(1200))
+    // the data-scale backlog anti-join HASHES on the shuffled ack side:
+    // never broadcast (the ack side grows with the log) and never
+    // sort-merged (three narrow numeric columns compress so well that
+    // AQE coalescing hands SMJ multi-million-row sort tasks — measured
+    // in the 100× stats probe, SNAPSHOTS.md r8)
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"), p.take(1200))
+    assert(!p.matches("(?s).*BroadcastHashJoin[^\\n]*LeftAnti.*"),
+      "ack side must shuffle, not broadcast:\n" + p.take(1200))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
     // mark-delete is derived sort-free: the only Sort is the output orderBy
     assert(countOccurrences(p, "Sort ") <= 1,
