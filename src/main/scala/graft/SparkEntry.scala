@@ -160,6 +160,43 @@ object SparkEntry {
       |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
       |FROM routed GROUP BY partition ORDER BY partition""".stripMargin
 
+  /** Both txn legs rebuilt in SQL — the oracle for txn_ack AND
+    * ack_compaction (compaction must be answer-preserving): dense
+    * per-partition offsets via ROW_NUMBER (ack membership depends only
+    * on offset VALUES, so (publish_time, sequence_id) ties cannot
+    * diverge the set), cursor = largest dense acked prefix, backlog =
+    * anti-join, output = the sequence_id%5 slice re-routed by key
+    * hash. */
+  private lazy val txnAckSql: String = mm3Macros +
+    s"WITH ${Envelope.duckdbCte},\n" +
+    """routed AS (
+      |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY mm3_8(key) % 4
+      |      ORDER BY publish_time, sequence_id) - 1 AS BIGINT) AS "offset"
+      |  FROM envelope),
+      |acks AS (
+      |  SELECT partition, "offset" FROM routed
+      |  WHERE "offset" <= 10 OR "offset" % 3 = 0),
+      |md AS (
+      |  SELECT partition, MAX(CASE WHEN "offset" = rn - 1 THEN "offset" END) AS mark_delete
+      |  FROM (SELECT partition, "offset",
+      |          ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") AS rn
+      |        FROM acks) GROUP BY partition),
+      |bl AS (
+      |  SELECT r.partition, CAST(COUNT(*) AS BIGINT) AS backlog
+      |  FROM routed r LEFT JOIN acks a
+      |    ON r.partition = a.partition AND r."offset" = a."offset"
+      |  WHERE a."offset" IS NULL GROUP BY r.partition),
+      |outp AS (
+      |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition,
+      |    CAST(COUNT(*) AS BIGINT) AS out_n,
+      |    CAST(COUNT(*) - 1 AS BIGINT) AS out_max_offset
+      |  FROM envelope WHERE sequence_id % 5 = 0 GROUP BY 1)
+      |SELECT md.partition, md.mark_delete, bl.backlog, o.out_n, o.out_max_offset
+      |FROM md JOIN bl ON md.partition = bl.partition
+      |JOIN outp o ON md.partition = o.partition
+      |ORDER BY md.partition""".stripMargin
+
   /** Exact top-5 cosine neighbors for the 20 query vectors — the oracle
     * for ann_bruteforce and for ann_ivf's exact (all-cells-probed) mode. */
   private val annBruteSql: String =
@@ -1220,6 +1257,43 @@ object SparkEntry {
       .orderBy("partition")
   }
 
+  /** Ack-log compaction is ANSWER-PRESERVING (ManagedCursorImpl
+    * semantics: cursor = markDeletePosition + individual acks above it,
+    * history forgotten): the txn_ack fixture recipe replayed in its own
+    * root, then `AckLog.compact()` folds the dense acked prefix into
+    * the cursor floor and deletes its rows — and the floor-aware
+    * accessors must still produce EXACTLY the txn_ack truth (same
+    * oracle SQL). A compaction that loses an ack, resurrects one, or
+    * mis-seats the floor breaks the hash. */
+  private def qAckCompaction(s: SparkSession, dir: String): DataFrame = {
+    val inName = graft.model.TopicName.parse("persistent://public/default/txnc-events")
+    val outName = graft.model.TopicName.parse("persistent://public/default/txnc-out")
+    val root = Fixtures.dir(s, dir, "q-ack-compaction") { r =>
+      val in = new graft.log.TopicLog(s, r, inName, 4)
+      val out = new graft.log.TopicLog(s, r, outName, 4)
+      in.append(env(s, dir).drop(Envelope.Topic, Envelope.Partition))
+      val acks = new graft.log.AckLog(s, in.name.path(r), "sub-a")
+      val toAck = in.read()
+        .filter(col(Envelope.Offset) <= 10 || col(Envelope.Offset) % 3 === 0)
+        .select(col(Envelope.Partition).as("partition"),
+          col(Envelope.Offset).as("offset"))
+      val outBatch = env(s, dir).filter(col(Envelope.SequenceId) % 5 === 0)
+        .drop(Envelope.Topic, Envelope.Partition)
+      graft.log.Txn.begin(r).produce(out, outBatch).ack(acks, toAck).commit()
+      acks.compact(): Unit
+    }
+    val in = new graft.log.TopicLog(s, root, inName, 4)
+    val acks = new graft.log.AckLog(s, in.name.path(root), "sub-a")
+    val out = new graft.log.TopicLog(s, root, outName, 4)
+    val outAgg = out.read()
+      .groupBy(col(Envelope.Partition).as("partition"))
+      .agg(count(lit(1)).cast("bigint").as("out_n"),
+        max(Envelope.Offset).as("out_max_offset"))
+    acks.markDelete().join(acks.backlogAgainst(in.read()), Seq("partition"))
+      .join(outAgg, Seq("partition"))
+      .orderBy("partition")
+  }
+
   /** §2.10 STICKY explicit hash ranges, oracle-checked — including the
     * reference behavior for slots OUTSIDE every range (no consumer:
     * NULL routing), exercised via a deliberate gap at 21846..29999. */
@@ -2052,6 +2126,7 @@ object SparkEntry {
     "txn_ack" -> (qTxnAck _),
     "chunk_dedup" -> (qChunkDedup _),
     "dispatch_rate_stream" -> (qDispatchRateStream _),
+    "ack_compaction" -> (qAckCompaction _),
     "shadow_read" -> (qShadowRead _),
     "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
     "file_sink_roundtrip" -> (qFileSinkRoundtrip _),
@@ -2622,34 +2697,10 @@ object SparkEntry {
     // (publish_time, sequence_id) ties cannot diverge the set), cursor =
     // largest dense acked prefix, backlog = anti-join, output = the
     // sequence_id%5 slice re-routed by key hash
-    "txn_ack" -> (mm3Macros + s"WITH ${Envelope.duckdbCte},\n" +
-      """routed AS (
-        |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY mm3_8(key) % 4
-        |      ORDER BY publish_time, sequence_id) - 1 AS BIGINT) AS "offset"
-        |  FROM envelope),
-        |acks AS (
-        |  SELECT partition, "offset" FROM routed
-        |  WHERE "offset" <= 10 OR "offset" % 3 = 0),
-        |md AS (
-        |  SELECT partition, MAX(CASE WHEN "offset" = rn - 1 THEN "offset" END) AS mark_delete
-        |  FROM (SELECT partition, "offset",
-        |          ROW_NUMBER() OVER (PARTITION BY partition ORDER BY "offset") AS rn
-        |        FROM acks) GROUP BY partition),
-        |bl AS (
-        |  SELECT r.partition, CAST(COUNT(*) AS BIGINT) AS backlog
-        |  FROM routed r LEFT JOIN acks a
-        |    ON r.partition = a.partition AND r."offset" = a."offset"
-        |  WHERE a."offset" IS NULL GROUP BY r.partition),
-        |outp AS (
-        |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition,
-        |    CAST(COUNT(*) AS BIGINT) AS out_n,
-        |    CAST(COUNT(*) - 1 AS BIGINT) AS out_max_offset
-        |  FROM envelope WHERE sequence_id % 5 = 0 GROUP BY 1)
-        |SELECT md.partition, md.mark_delete, bl.backlog, o.out_n, o.out_max_offset
-        |FROM md JOIN bl ON md.partition = bl.partition
-        |JOIN outp o ON md.partition = o.partition
-        |ORDER BY md.partition""".stripMargin),
+    "txn_ack" -> txnAckSql,
+    // compaction must not change any answer: same truth, computed
+    // through the cursor floor + surviving individual acks
+    "ack_compaction" -> txnAckSql,
     // chunk-dedup truth: a correct dedup+reassembly is the IDENTITY on
     // the original text; the excluded set is the closed-form lost-chunk
     // condition (last chunk dropped and no resend to refill it)

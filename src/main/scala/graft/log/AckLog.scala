@@ -1,5 +1,6 @@
 package graft.log
 
+import graft.model.Envelope
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -154,4 +155,146 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
 
   /** Heal a crash between manifest commit and staged-file moves. */
   def recover(): Int = TopicLog.recoverStaging(basePath)
+
+  // -------------------------------------------------------------------
+  // Compaction: bounded cursor state (reference ManagedCursorImpl —
+  // the durable cursor is markDeletePosition + individualDeletedMessages
+  // ABOVE it, never every historical ack; persistentmarkDeletePosition
+  // advances and the prefix is forgotten). Without this the ack log
+  // grows with total consumption forever — unbounded at 100 TB.
+  // -------------------------------------------------------------------
+
+  private val cursorDir = Paths.get(basePath, "_cursor")
+
+  /** The compaction floor per partition (markDelete at the last
+    * compaction; −1 when never compacted): every offset ≤ floor is
+    * acked BY CONTRACT and its individual rows may no longer exist. */
+  def cursor(): Map[Int, Long] = {
+    val epochs =
+      if (!Files.exists(cursorDir)) Seq.empty[Long]
+      else Files.list(cursorDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit").toLong).toSeq.sorted
+    epochs.lastOption.map { e =>
+      Files.readAllLines(cursorDir.resolve(s"$e.commit")).asScala
+        .filter(_.nonEmpty).map { line =>
+          val Array(p, o) = line.split(","); p.toInt -> o.toLong
+        }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  private def floorsDf: DataFrame = {
+    val fl = cursor().toSeq
+    if (fl.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("partition",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("floor",
+            org.apache.spark.sql.types.LongType))))
+    else spark.createDataFrame(spark.sparkContext.parallelize(
+        fl.map { case (p, o) => org.apache.spark.sql.Row(p, o) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("floor",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Floor-aware mark-delete position: the highest offset with every
+    * offset at/below it acked, where offsets ≤ the compaction floor are
+    * acked by contract. Before any compaction (floor −1 everywhere)
+    * this is exactly AckState.markDeletePosition. Returns
+    * (partition, mark_delete); a partition whose only coverage is the
+    * floor itself reports the floor. */
+  def markDelete(): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("partition").orderBy("offset")
+    val above = read().distinct()
+      .join(broadcast(floorsDf), Seq("partition"), "left_outer")
+      .withColumn("floor", coalesce(col("floor"), lit(-1L)))
+      .filter(col("offset") > col("floor"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("offset") === col("floor") + col("rn"))
+      .groupBy("partition").agg(max("offset").as("md_above"))
+    floorsDf.join(above, Seq("partition"), "full_outer")
+      .select(col("partition"),
+        greatest(coalesce(col("floor"), lit(-1L)),
+          coalesce(col("md_above"), lit(-1L))).as("mark_delete"))
+      .filter(col("mark_delete") >= 0L)
+  }
+
+  /** Floor-aware unacked backlog per partition over `log` rows:
+    * offsets ≤ the floor are acked by contract, offsets above it are
+    * checked against the surviving individual acks. Equals
+    * AckState.backlog on a never-compacted log. */
+  def backlogAgainst(log: DataFrame): DataFrame =
+    log.select(col(Envelope.Partition).as("partition"),
+        col(Envelope.Offset).as("offset"))
+      .join(broadcast(floorsDf), Seq("partition"), "left_outer")
+      .filter(col("floor").isNull || col("offset") > col("floor"))
+      .drop("floor")
+      .join(read().distinct().hint("shuffle_hash"),
+        Seq("partition", "offset"), "left_anti")
+      .groupBy("partition").agg(count(lit(1)).as("backlog"))
+
+  /**
+   * Compact: advance the cursor floor to the current mark-delete and
+   * drop every individual ack at/below it; only acks ABOVE the new
+   * floor survive as rows. Crash-safe without a file snapshot because
+   * ack rows are idempotent facts — every consumer distincts — so the
+   * possible crash states are all benign: survivors published but old
+   * files not yet deleted = duplicate rows (harmless); cursor written
+   * but deletes incomplete = sub-floor rows linger (excluded by the
+   * floor filter). Single-writer per subscription, like [[ack]].
+   * Returns the number of individual ack rows dropped.
+   */
+  def compact(): Long = {
+    // bounded driver read: one row per partition (config-scale)
+    val md = markDelete().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (md.isEmpty) return 0L
+    val oldFiles: Seq[java.nio.file.Path] = {
+      val w = Files.walk(Paths.get(basePath))
+      try w.iterator().asScala.toSeq
+        .filter { p =>
+          p.toString.endsWith(".parquet") &&
+            !Paths.get(basePath).relativize(p).iterator().asScala
+              .exists(_.getFileName.toString.startsWith("_"))
+        }
+      finally w.close()
+    }
+    val mdDf = spark.createDataFrame(spark.sparkContext.parallelize(
+        md.toSeq.map { case (p, o) => org.apache.spark.sql.Row(p, o) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("md",
+          org.apache.spark.sql.types.LongType))))
+    val survivors = read().distinct()
+      .join(broadcast(mdDf), Seq("partition"), "left_outer")
+      .filter(col("md").isNull || col("offset") > col("md"))
+      .drop("md")
+    val before = read().count()
+    // survivors fully materialize into the staged epoch BEFORE any old
+    // file is touched; publish moves them into the readable layout.
+    // Take the surviving count from the STAGED append — recomputing the
+    // lazy plan after the deletes below would read vanished files.
+    val staged = stageAck(survivors)
+    publish(staged)
+    // cursor epoch: latest wins; first-writer-wins per epoch
+    Files.createDirectories(cursorDir)
+    val cEpoch = (if (!Files.exists(cursorDir)) Seq.empty[Long]
+      else Files.list(cursorDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit").toLong).toSeq).sorted.lastOption
+      .getOrElse(-1L) + 1L
+    val merged = (cursor() ++ md).toSeq.sorted // floors only advance
+      .map { case (p, o) => s"$p,$o" }.mkString("\n")
+    TopicLog.atomicCreate(cursorDir.resolve(s"$cEpoch.commit"),
+      merged.getBytes): Unit
+    oldFiles.foreach(p =>
+      try Files.deleteIfExists(p) catch { case _: Throwable => })
+    before - staged.count
+  }
 }
