@@ -133,21 +133,59 @@ final class Subscription(
    */
   def consumeRateLimited(rateMsgsPerSec: Double, burst: Long,
                          clock: () => Long = System.nanoTime)(
-                         process: (DataFrame, Long) => Unit): StreamingQuery = {
-    var bucket = TokenBucket.full(rateMsgsPerSec, burst, clock())
+                         process: (DataFrame, Long) => Unit): StreamingQuery =
+    consumeRateLimitedDual(Some((rateMsgsPerSec, burst)), None, clock)(process)
+
+  /**
+   * Dual-dimension dispatch throttle — the reference enforces msg-rate
+   * AND byte-rate token buckets SIMULTANEOUSLY
+   * (DispatchRateLimiter dispatchThrottlingRatePerTopicInMsg/InByte;
+   * DispatchRate.java): a batch dispatches only once BOTH buckets have
+   * granted its row count and its payload octets (value + key — the
+   * same storage-size definition as Admin.payloadOctets), so long-run
+   * throughput respects whichever limit binds. Each dimension is
+   * `Some((ratePerSec, burstCapacity))`; None = unlimited on that
+   * dimension. One metering aggregate per microbatch (count + octet
+   * sum in a single job), driver-side scalar admission as in
+   * [[consumeRateLimited]].
+   */
+  def consumeRateLimitedDual(msgs: Option[(Double, Long)],
+                             bytes: Option[(Double, Long)],
+                             clock: () => Long = System.nanoTime)(
+                             process: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(msgs.nonEmpty || bytes.nonEmpty,
+      "rate-limited consume needs at least one dimension")
+    var msgBucket = msgs.map { case (r, b) => TokenBucket.full(r, b, clock()) }
+    var byteBucket = bytes.map { case (r, b) => TokenBucket.full(r, b, clock()) }
+    val minSleepMs = {
+      val rates = msgs.map(_._1).toSeq ++ bytes.map(_._1).toSeq
+      math.min(50L, math.max(1L, (1000 / rates.max).toLong))
+    }
     consume { (batch, epochId) =>
-      // count() is the admission meter — the batch recomputes for
+      // ONE metering job for both dimensions — the batch recomputes for
       // process(), the same two-pass shape consume()'s manifest gate
       // already accepts for harness-scale batches
-      var remaining = batch.count()
-      while (remaining > 0) {
-        val (b, granted) = bucket.acquire(remaining, clock())
-        bucket = b
-        remaining -= granted
-        if (remaining > 0)
+      val meter = batch.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
+          coalesce(octet_length(col(Envelope.Key)), lit(0))), lit(0L)).as("octets"))
+        .head()
+      var needMsgs = if (msgBucket.isDefined) meter.getLong(0) else 0L
+      var needBytes = if (byteBucket.isDefined) meter.getLong(1) else 0L
+      while (needMsgs > 0 || needBytes > 0) {
+        val now = clock()
+        if (needMsgs > 0) msgBucket.foreach { b =>
+          val (b2, granted) = b.acquire(needMsgs, now)
+          msgBucket = Some(b2); needMsgs -= granted
+        }
+        if (needBytes > 0) byteBucket.foreach { b =>
+          val (b2, granted) = b.acquire(needBytes, now)
+          byteBucket = Some(b2); needBytes -= granted
+        }
+        if (needMsgs > 0 || needBytes > 0)
           // sleep roughly until the next token accrues (bounded at 50ms
           // so a clock step never oversleeps)
-          Thread.sleep(math.min(50L, math.max(1L, (1000 / rateMsgsPerSec).toLong)))
+          Thread.sleep(minSleepMs)
       }
       process(batch, epochId)
     }

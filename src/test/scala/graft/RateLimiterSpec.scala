@@ -82,6 +82,39 @@ class RateLimiterSpec extends SparkSpec {
     assert(b1.budget(100000000L) == 50L, "budget() previews the same grant")
   }
 
+  test("dual-dimension throttle: the BYTE bucket binds when messages are unlimited") {
+    val root = Files.createTempDirectory("graft-rate").toString
+    val log = new TopicLog(spark, root, TopicName.parse("rated-b"), 2)
+    val rows = (0 until 300).map(i =>
+        (s"u${i % 7}", s"v-$i", "p", i.toLong, i.toLong))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, "t")
+      .withColumn(Envelope.PublishTime, timestamp_seconds(col("t"))).drop("t")
+    log.append(rows)
+    // total payload octets (value + key), the admission meter's definition
+    val totalOctets = log.read().agg(
+      sum(octet_length(col(Envelope.Value)) + octet_length(col(Envelope.Key))))
+      .head().getLong(0)
+    val burst = 800L
+    val byteRate = 2000.0
+    val sub = new Subscription(log, "rated-b-sub", SubscriptionType.Exclusive,
+      Files.createTempDirectory("graft-rate-ckpt").toString,
+      policy = BatchReceivePolicy(maxFilesPerTrigger = Some(1)))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val t0 = System.nanoTime()
+    val q = sub.consumeRateLimitedDual(msgs = None,
+      bytes = Some((byteRate, burst))) { (batch, _) =>
+        seen.addAndGet(batch.count()): Unit
+    }
+    try q.processAllAvailable() finally q.stop()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(seen.get() == 300, s"dispatched ${seen.get()} of 300")
+    val minSec = (totalOctets - burst) / byteRate
+    assert(elapsedSec >= minSec,
+      f"$totalOctets octets at $byteRate%.0f B/s burst $burst finished in " +
+        f"$elapsedSec%.2f s < $minSec%.2f s — byte rate not enforced")
+  }
+
   test("wired consumer loop: rows exact-once AND wall time respects the rate") {
     val root = Files.createTempDirectory("graft-rate").toString
     val log = new TopicLog(spark, root, TopicName.parse("rated"), 2)
