@@ -468,32 +468,18 @@ object VectorOps {
     array(codebooks.flatten.map(cent =>
       array(cent.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*)
 
-  /** Squared L2 distance between two double-array columns. */
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
   /**
    * Encode each vector as its m nearest-centroid codes:
-   * `pq_codes` = array<int> of length m. Pure codegen'd expression over
-   * the literal codebooks — one narrow pass, no join, no shuffle.
+   * `pq_codes` = array<int> of length m. One native codegen'd kernel
+   * ([[graft.functions.Pq.pq_encode]]) — one narrow pass, no join, no
+   * shuffle, and the codebook rides along as a referenced `double[]`
+   * instead of a ~1k-node literal tree (the HOF formulation it replaces
+   * swung 2.5–52 s per run at sf0.1 on optimizer/JIT churn alone).
    */
   def withPqCodes(df: DataFrame, codebooks: Array[Array[Array[Double]]],
-                  vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val ksub = codebooks(0).length
-    val dsub = codebooks(0)(0).length
-    val v = col(vecCol).cast("array<double>")
-    val codes = array((0 until m).map { j =>
-      val sub = slice(v, j * dsub + 1, dsub)
-      val dists = array((0 until ksub).map(c =>
-        sqDist(sub, array(codebooks(j)(c).map(lit(_)).toIndexedSeq: _*))): _*)
-      // first index attaining the min — deterministic tie-break, and both
-      // operands are the SAME computed double, so equality is exact
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
-    df.withColumn("pq_codes", codes)
-  }
+                  vecCol: String = "embedding"): DataFrame =
+    df.withColumn("pq_codes",
+      graft.functions.Pq.pq_encode(col(vecCol).cast("array<double>"), codebooks))
 
   /** Reconstruct the approximate vector from its codes (tests / debug). */
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
@@ -514,25 +500,21 @@ object VectorOps {
   def annPq(corpusCodes: DataFrame, queries: DataFrame, k: Int,
             codebooks: Array[Array[Array[Double]]],
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
     val ksub = codebooks(0).length
-    val dsub = codebooks(0)(0).length
-    val cb = codebookLit(codebooks)
     val c = corpusCodes.select(col(idCol).as("corpus_id"), col("pq_codes"))
+    // the ADC factorization: each query computes its m·ksub lookup table
+    // ONCE (queries-sized work), so the corpus×queries pair stage below
+    // does m gathers per candidate — never arithmetic on the D floats
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val approx = aggregate(
-      zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)), (code, j) =>
-        aggregate(
-          zip_with(element_at(cb, (j * ksub + code + 1).cast("int")),
-            slice(col("qv"), j * dsub + 1, lit(dsub)), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)),
-      lit(0.0), (acc, x) => acc + x)
+      graft.functions.Pq.pq_adc_lut(
+        col(vecCol).cast("array<double>"), codebooks).as("lut"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dot").desc, col("corpus_id"))
     c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("approx_dot", approx)
+      .withColumn("approx_dot",
+        graft.functions.Pq.pq_adc_score(col("pq_codes"), col("lut"), ksub))
+      .drop("lut")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "approx_dot", "rank")
