@@ -170,6 +170,56 @@ object TopicLog {
     }
     healed
   }
+
+  /**
+   * Drop staged epochs abandoned by transactions that can no longer
+   * commit — the storage half of the reference's timeout abort
+   * (TransactionTimeoutTracker.java:37 fires, the metadata store moves
+   * the txn to ABORTING, and the transaction buffer discards its data;
+   * for acks, PendingAckHandleImpl releases the pending set so the
+   * messages redeliver). A staged epoch with no committed manifest is
+   * invisible garbage for READ_COMMITTED, but on an [[AckLog]] it is
+   * ALSO the pending-ack set that blocks redelivery — without this
+   * verb a producer that crashed mid-transaction pins its pending acks
+   * (and its disk) forever.
+   *
+   * Safety contract: `olderThanMs` must be ≥ the transaction timeout
+   * ([[Txn.begin]]'s `timeoutMs`). A txn commits no later than its
+   * deadline = openedAt + timeout, and staging happens after openedAt,
+   * so a staged tree whose NEWEST file is older than `timeoutMs` can
+   * belong to no transaction that is still allowed to commit. Epochs
+   * whose manifest IS committed are never touched (they belong to
+   * [[recoverStaging]]); the manifest re-check sits immediately before
+   * the delete to shrink the window against a racing legal commit.
+   * Returns the number of staged epochs dropped.
+   */
+  def vacuumStaged(basePath: String, olderThanMs: Long,
+                   nowMs: () => Long = () => System.currentTimeMillis()): Int = {
+    val stagingRoot = Paths.get(basePath, "_staging")
+    if (!Files.exists(stagingRoot)) return 0
+    val manifestDir = Paths.get(basePath, "_manifest")
+    var dropped = 0
+    Files.list(stagingRoot).iterator().asScala.toSeq.foreach { dir =>
+      val epoch = dir.getFileName.toString
+      val newestMs =
+        try {
+          val w = Files.walk(dir)
+          try w.iterator().asScala
+            .map(p => Files.getLastModifiedTime(p).toMillis)
+            .foldLeft(0L)(math.max)
+          finally w.close()
+        } catch { case _: java.io.IOException => Long.MaxValue }
+      val expired = nowMs() - newestMs > olderThanMs
+      if (expired && !Files.exists(manifestDir.resolve(s"$epoch.commit"))) {
+        val w = Files.walk(dir)
+        try w.iterator().asScala.toSeq.reverse.foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Throwable => })
+        finally w.close()
+        if (!Files.exists(dir)) dropped += 1
+      }
+    }
+    dropped
+  }
 }
 
 final class TopicLog(val spark: SparkSession, val root: String, val name: TopicName,

@@ -27,16 +27,35 @@ import scala.collection.JavaConverters._
  * same end-to-end contract the reference's txn-produce gives, with the
  * marker playing the transaction buffer's commit-marker role.
  */
-final class Txn private (val txnId: String, root: String) {
+final class Txn private (val txnId: String, root: String,
+                         deadlineMs: Long, clock: () => Long) {
   private val staged =
     scala.collection.mutable.ListBuffer[(TopicLog, DataFrame)]()
   private val stagedAcks =
     scala.collection.mutable.ListBuffer[(AckLog, DataFrame)]()
   private var state: String = "OPEN"
 
+  /** Timeout gate at every operation entry — the client-visible half of
+    * the reference's coordinator timeout (TransactionTimeoutTracker.java:37
+    * fires at the absolute deadline; the store aborts the txn; the
+    * client's next produce/ack/commit fails InvalidTxnStatus). Past the
+    * deadline the txn self-aborts (staged work dropped — it was never
+    * visible) and the operation throws. The check sits only at entry:
+    * once commit() writes the marker, the txn IS committed even if the
+    * deadline passes mid-publish — the marker is the single commit
+    * point, exactly as a coordinator-side END op that won the race. */
+  private def checkOpen(): Unit = {
+    if (state == "OPEN" && clock() > deadlineMs) {
+      staged.clear()
+      stagedAcks.clear()
+      state = "TIMED_OUT"
+    }
+    require(state == "OPEN", s"txn $txnId is $state")
+  }
+
   /** Stage a batch for `log`; nothing becomes visible until commit(). */
   def produce(log: TopicLog, batch: DataFrame): Txn = {
-    require(state == "OPEN", s"txn $txnId is $state")
+    checkOpen()
     staged += ((log, batch))
     this
   }
@@ -51,7 +70,7 @@ final class Txn private (val txnId: String, root: String) {
     * set; an abort drops them — the message redelivers, the reference's
     * pending-ack release semantics. */
   def ack(ackLog: AckLog, acks: DataFrame): Txn = {
-    require(state == "OPEN", s"txn $txnId is $state")
+    checkOpen()
     stagedAcks += ((ackLog, acks))
     this
   }
@@ -59,7 +78,7 @@ final class Txn private (val txnId: String, root: String) {
   /** Commit: stage all data, write the marker (the atomic commit point),
     * then publish every manifest. */
   def commit(): Unit = {
-    require(state == "OPEN", s"txn $txnId is $state")
+    checkOpen()
     val markerDir = Paths.get(root, "_txn")
     Files.createDirectories(markerDir)
     // phase 1: stage every batch (data invisible). Batches to the SAME
@@ -119,9 +138,21 @@ final class Txn private (val txnId: String, root: String) {
 
 object Txn {
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
-  /** Begin a transaction (TransactionBuilder.build analog). */
-  def begin(root: String): Txn =
-    new Txn(s"txn-${System.currentTimeMillis()}-${counter.incrementAndGet()}", root)
+
+  /** The reference client's default transaction TTL
+    * (TransactionBuilderImpl.java:38, `txnTimeout = 60000`). */
+  val DefaultTimeoutMs: Long = 60000L
+
+  /** Begin a transaction (TransactionBuilder.build analog;
+    * `timeoutMs` = withTransactionTimeout, TransactionBuilder.java:45).
+    * The deadline is absolute — openedAt + timeoutMs, the same shape the
+    * coordinator's timeout tracker stores — and every subsequent
+    * produce/ack/commit checks it. `clock` is injectable so specs replay
+    * timeout schedules deterministically. */
+  def begin(root: String, timeoutMs: Long = DefaultTimeoutMs,
+            clock: () => Long = () => System.currentTimeMillis()): Txn =
+    new Txn(s"txn-${System.currentTimeMillis()}-${counter.incrementAndGet()}",
+      root, clock() + timeoutMs, clock)
 
   /**
    * Recovery: replay the manifests of every committed marker (recovery

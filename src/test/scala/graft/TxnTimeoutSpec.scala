@@ -1,0 +1,129 @@
+package graft
+
+import graft.log.{AckLog, TopicLog, Txn}
+import graft.model.{Envelope, TopicName}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/**
+ * Transaction timeout + abandoned-staging vacuum — the reference's
+ * coordinator-side timeout abort surfaced client-side
+ * (pulsar-transaction/coordinator/.../TransactionTimeoutTracker.java:37
+ * fires at the absolute deadline and the store aborts the txn;
+ * TransactionBuilder.java:45 withTransactionTimeout;
+ * TransactionBuilderImpl.java:38 default 60 s) and storage-side
+ * (the transaction buffer discards aborted data; PendingAckHandleImpl
+ * releases pending acks so messages redeliver).
+ */
+class TxnTimeoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(ids: Range) =
+    ids.map(i => (s"u${i % 5}", s"payload-$i", s"prod-${i % 2}", i.toLong, i.toLong))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, "t")
+      .withColumn(Envelope.PublishTime, timestamp_seconds(col("t"))).drop("t")
+      .withColumn(Envelope.RedeliveryCnt, lit(0))
+
+  test("expired txn self-aborts: commit throws, nothing ever visible") {
+    val root = Files.createTempDirectory("graft-txnto").toString
+    val out = new TopicLog(spark, root, TopicName.parse("out"), 2)
+    var now = 1000L
+    val txn = Txn.begin(root, timeoutMs = 100L, clock = () => now)
+    txn.produce(out, batch(0 until 10))
+    now = 1101L // strictly past deadline (1000 + 100)
+    val e = intercept[IllegalArgumentException](txn.commit())
+    assert(e.getMessage.contains("TIMED_OUT"))
+    assert(txn.status == "TIMED_OUT")
+    assert(out.read().count() == 0, "timed-out txn must publish nothing")
+    assert(!Files.exists(Paths.get(root, "_txn")) ||
+      Files.list(Paths.get(root, "_txn")).count() == 0,
+      "no marker may exist for a timed-out txn")
+    // recovery replays nothing — there is nothing to replay
+    assert(Txn.recover(root) == 0)
+  }
+
+  test("produce and ack past the deadline throw; commit AT the deadline succeeds") {
+    val root = Files.createTempDirectory("graft-txnto").toString
+    val out = new TopicLog(spark, root, TopicName.parse("out"), 2)
+    val acks = new AckLog(spark, out.name.path(root), "sub-a")
+
+    var now = 0L
+    val expired = Txn.begin(root, timeoutMs = 50L, clock = () => now)
+    now = 51L
+    intercept[IllegalArgumentException](expired.produce(out, batch(0 until 5)))
+    assert(expired.status == "TIMED_OUT")
+    intercept[IllegalArgumentException](
+      expired.ack(acks, Seq((0, 0L)).toDF("partition", "offset")))
+
+    // deadline is inclusive: clock == openedAt + timeout still commits
+    // (expiry is strictly-after, mirroring the tracker firing AFTER the
+    // stored absolute timestamp)
+    now = 0L
+    val edge = Txn.begin(root, timeoutMs = 50L, clock = () => now)
+    edge.produce(out, batch(0 until 7))
+    now = 50L
+    edge.commit()
+    assert(edge.status == "COMMITTED")
+    assert(out.read().count() == 7)
+  }
+
+  test("vacuumStaged drops expired uncommitted epochs; keeps fresh and committed ones") {
+    val root = Files.createTempDirectory("graft-txnto").toString
+    val log = new TopicLog(spark, root, TopicName.parse("t"), 2)
+    val base = log.name.path(root)
+
+    // epoch 0: staged AND manifest committed — a crash between marker
+    // and file moves; recovery property, vacuum must not touch it.
+    // (Manifest written BEFORE staging the orphan: stageAppend numbers
+    // epochs from the committed manifests, so the orphan gets epoch 1.)
+    val committed = log.stageAppend(batch(100 until 108))
+    Files.createDirectories(Paths.get(base, "_manifest"))
+    Files.write(Paths.get(base, "_manifest", s"${committed.epoch}.commit"),
+      committed.manifestLines.getBytes)
+    // epoch 1: staged, never committed — the mid-commit crash orphan
+    val orphan = log.stageAppend(batch(0 until 8))
+    assert(orphan.epoch != committed.epoch)
+
+    // a fresh-clock vacuum with a 1h horizon drops nothing
+    assert(TopicLog.vacuumStaged(base, olderThanMs = 3600 * 1000L) == 0)
+    assert(Files.exists(Paths.get(base, "_staging", orphan.epoch.toString)))
+
+    // from one hour in the future, the orphan is expired garbage; the
+    // committed epoch is expired too but healing is recoverStaging's
+    // job, never vacuum's
+    val future = System.currentTimeMillis() + 3600 * 1000L
+    assert(TopicLog.vacuumStaged(base, olderThanMs = 60000L,
+      nowMs = () => future) == 1)
+    assert(!Files.exists(Paths.get(base, "_staging", orphan.epoch.toString)),
+      "expired uncommitted epoch must be gone")
+    assert(Files.exists(
+      Paths.get(base, "_staging", committed.epoch.toString)),
+      "committed epoch must survive vacuum")
+    assert(TopicLog.recoverStaging(base) == 1, "…and heal via recovery")
+    assert(spark.read.parquet(base).count() == 8, "healed rows readable")
+  }
+
+  test("timed-out txn's pending acks vacuum away: redelivery unblocks") {
+    val root = Files.createTempDirectory("graft-txnto").toString
+    val in = new TopicLog(spark, root, TopicName.parse("in"), 2)
+    in.append(batch(0 until 12)): Unit
+    val acks = new AckLog(spark, in.name.path(root), "sub-a")
+
+    // simulate the crash inside commit(): acks staged, marker never
+    // written. The pending set blocks redelivery of those offsets —
+    // and with no timeout vacuum it would block FOREVER.
+    val toAck = in.read().select(col(Envelope.Partition).as("partition"),
+      col(Envelope.Offset).as("offset"))
+    acks.stageAck(toAck): Unit
+    assert(acks.pendingAcks().count() == 12, "pending set visible pre-vacuum")
+    assert(acks.read().count() == 0, "nothing committed")
+
+    val future = System.currentTimeMillis() + 2 * Txn.DefaultTimeoutMs
+    assert(TopicLog.vacuumStaged(acks.basePath,
+      olderThanMs = Txn.DefaultTimeoutMs, nowMs = () => future) == 1)
+    assert(acks.pendingAcks().count() == 0,
+      "pending acks of the dead txn released — messages redeliver")
+    assert(acks.read().count() == 0, "still nothing committed")
+  }
+}
