@@ -19,12 +19,17 @@ package graft.streaming
  *    window [t1, t2] the total granted ≤ rate·(t2−t1) + capacity;
  *  - long-run throughput under sustained demand converges to `ratePerSec`.
  *
- * Divergence from the reference, on purpose: AsyncTokenBucket lets the
- * balance go NEGATIVE (it admits an oversized batch, then pays the debt
- * by pausing). In a microbatch engine the batch is already bounded by
- * `maxFilesPerTrigger`, so classic non-negative admission gives the same
- * long-run rate with a simpler invariant (tokens ∈ [0, capacity]) — the
- * pause happens BEFORE dispatch instead of after.
+ * Two admission disciplines, both offered:
+ *  - [[acquire]]: classic non-negative admission (tokens ∈ [0,
+ *    capacity]) — the pause happens BEFORE dispatch. Natural in a
+ *    microbatch engine where the batch is already size-bounded.
+ *  - [[consumeAndCheck]] + [[throttleNanos]]: the reference's EXACT
+ *    discipline (AsyncTokenBucket.consumeTokensAndCheckIfContainsTokens
+ *    / calculateThrottlingDuration): a dispatch batch is not
+ *    splittable, so the WHOLE batch consumes unconditionally — the
+ *    balance may go negative — and the debt is paid by pausing the
+ *    NEXT dispatch until the balance refills past the target. Same
+ *    long-run rate; overshoot bounded by one batch.
  */
 final case class TokenBucket(ratePerSec: Double, capacity: Long,
                              tokens: Double, lastNanos: Long) {
@@ -52,6 +57,29 @@ final case class TokenBucket(ratePerSec: Double, capacity: Long,
     * passes as its next `maxFilesPerTrigger` (after dividing by rows per
     * file): admission-by-planning rather than admission-by-blocking. */
   def budget(nowNanos: Long): Long = refill(nowNanos).tokens.toLong
+
+  /** Reference-exact dispatch discipline
+    * (AsyncTokenBucket.consumeTokensAndCheckIfContainsTokens:239): the
+    * whole `demand` consumes UNCONDITIONALLY — an entry batch is not
+    * splittable, so the balance may go negative (debt) — and the
+    * returned flag is whether tokens remain (> 0 AFTER the consume).
+    * `false` tells the dispatcher to throttle before its next read. */
+  def consumeAndCheck(demand: Long, nowNanos: Long): (TokenBucket, Boolean) = {
+    require(demand >= 0, s"demand must be >= 0, got $demand")
+    val b = refill(nowNanos)
+    val nb = b.copy(tokens = b.tokens - demand)
+    (nb, nb.tokens > 0)
+  }
+
+  /** Nanos to pause until the balance refills to `required` tokens
+    * (AsyncTokenBucket.calculateThrottlingDuration:264): 0 when already
+    * there; a NEGATIVE balance adds its absolute value to the need —
+    * the debt from the last oversized batch extends the pause. */
+  def throttleNanos(nowNanos: Long, required: Long = 1L): Long = {
+    val b = refill(nowNanos)
+    if (b.tokens >= required) 0L
+    else math.ceil((required - b.tokens) / ratePerSec * 1e9).toLong
+  }
 }
 
 object TokenBucket {

@@ -190,6 +190,55 @@ final class Subscription(
       process(batch, epochId)
     }
   }
+
+  /**
+   * [[consumeRateLimitedDual]] under the reference's EXACT dispatch
+   * discipline (AsyncTokenBucket usage flow, AsyncTokenBucket.java:34-47):
+   * the batch dispatches FIRST and its whole size consumes from each
+   * bucket unconditionally — the balance may go negative — then, if
+   * either bucket is out of tokens, the loop pauses for that bucket's
+   * calculateThrottlingDuration before the next trigger. Overshoot is
+   * bounded by one batch; long-run throughput still converges to the
+   * configured rate (the debt extends the following pause). Prefer
+   * [[consumeRateLimitedDual]] when batches are small relative to burst
+   * (identical long-run behavior, no overshoot); this twin exists for
+   * drop-in parity with brokers tuned around the reference's
+   * dispatch-then-throttle timing.
+   */
+  def consumeRateLimitedDebt(msgs: Option[(Double, Long)],
+                             bytes: Option[(Double, Long)],
+                             clock: () => Long = System.nanoTime)(
+                             process: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(msgs.nonEmpty || bytes.nonEmpty,
+      "rate-limited consume needs at least one dimension")
+    var msgBucket = msgs.map { case (r, b) => TokenBucket.full(r, b, clock()) }
+    var byteBucket = bytes.map { case (r, b) => TokenBucket.full(r, b, clock()) }
+    consume { (batch, epochId) =>
+      val meter = batch.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
+          coalesce(octet_length(col(Envelope.Key)), lit(0))), lit(0L)).as("octets"))
+        .head()
+      process(batch, epochId) // dispatch first — the debt pays afterwards
+      val now = clock()
+      var throttled = false
+      msgBucket = msgBucket.map { b =>
+        val (b2, ok) = b.consumeAndCheck(meter.getLong(0), now)
+        throttled ||= !ok; b2
+      }
+      byteBucket = byteBucket.map { b =>
+        val (b2, ok) = b.consumeAndCheck(meter.getLong(1), now)
+        throttled ||= !ok; b2
+      }
+      while (throttled) {
+        val n2 = clock()
+        val waitNanos = (msgBucket.map(_.throttleNanos(n2)).toSeq ++
+          byteBucket.map(_.throttleNanos(n2)).toSeq).max
+        if (waitNanos == 0L) throttled = false
+        else Thread.sleep(math.min(50L, math.max(1L, waitNanos / 1000000L)))
+      }
+    }
+  }
 }
 
 /**

@@ -146,4 +146,102 @@ class RateLimiterSpec extends SparkSpec {
     assert(elapsedSec >= 0.5,
       f"300 rows at 400/s with burst 100 finished in $elapsedSec%.2f s — rate not enforced")
   }
+
+  test("debt discipline: oversized batch drives the balance negative; the debt extends the pause") {
+    val bucket = TokenBucket.full(1000.0, 500L, 0L)
+    val (b1, ok1) = bucket.consumeAndCheck(800L, 0L)
+    assert(!ok1, "no tokens remain after an oversized consume")
+    assert(b1.tokens == -300.0, "whole batch consumed — 300 tokens of debt")
+    // calculateThrottlingDuration: need = 1 - (-300) = 301 tokens at
+    // 1000/s → 301 ms (negative balance ADDS to the need,
+    // AsyncTokenBucket.java:270-272)
+    assert(b1.throttleNanos(0L) == 301000000L)
+    // after the pause the balance is back to +1 and dispatch resumes
+    val (_, ok2) = b1.consumeAndCheck(0L, 301000000L)
+    assert(ok2, "tokens available exactly after the computed pause")
+    // a batch within balance leaves tokens and no pause
+    val (b2, ok3) = bucket.consumeAndCheck(499L, 0L)
+    assert(ok3 && b2.throttleNanos(0L) == 0L)
+  }
+
+  test("property: debt discipline bounded by rate·Δt + capacity + one batch over ANY window") {
+    val rnd = new scala.util.Random(7)
+    val rate = 1000.0
+    val cap = 500L
+    val maxBatch = 400L
+    var bucket = TokenBucket.full(rate, cap, 0L)
+    var now = 0L
+    val events = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var total = 0L
+    (1 to 4000).foreach { _ =>
+      now += rnd.nextInt(20000000)
+      // the dispatcher's loop: only dispatch when tokens remain
+      // (containsTokens), then the WHOLE batch consumes
+      if (bucket.throttleNanos(now) == 0L) {
+        val demand = 1L + rnd.nextInt(maxBatch.toInt).toLong
+        val (b, _) = bucket.consumeAndCheck(demand, now)
+        bucket = b
+        events += ((now, demand))
+        total += demand
+      }
+    }
+    val ts = events.map(_._1)
+    for (w <- Seq(50000000L, S, 5 * S, ts.last)) {
+      var i = 0
+      while (i < events.size) {
+        val t1 = events(i)._1
+        val granted = events.filter { case (t, _) => t >= t1 && t < t1 + w }
+          .map(_._2).sum
+        // one batch of overshoot on top of the admission bound — the
+        // price of unsplittable dispatch batches
+        val bound = rate * (w.toDouble / S) + cap + maxBatch
+        assert(granted <= bound + 1e-6,
+          s"window [$t1, ${t1 + w}): granted $granted > bound $bound")
+        i += 197
+      }
+    }
+    // sustained-demand convergence: same long-run rate as admission mode
+    val wallSec = now.toDouble / S
+    assert(total <= rate * wallSec + cap + maxBatch + 1)
+    assert(total >= rate * wallSec * 0.98,
+      s"debt discipline starved: $total over $wallSec s at rate $rate")
+  }
+
+  test("wired debt loop: dispatch-first, exact-once, wall time respects the rate") {
+    val root = Files.createTempDirectory("graft-rate").toString
+    val log = new TopicLog(spark, root, TopicName.parse("rated-d"), 2)
+    val rows = (0 until 300).map(i =>
+        (s"u${i % 7}", s"v-$i", "p", i.toLong, i.toLong))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, "t")
+      .withColumn(Envelope.PublishTime, timestamp_seconds(col("t"))).drop("t")
+    log.append(rows)
+
+    val sub = new Subscription(log, "rated-d-sub", SubscriptionType.Exclusive,
+      Files.createTempDirectory("graft-rate-ckpt").toString,
+      policy = BatchReceivePolicy(maxFilesPerTrigger = Some(1)))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val t0 = System.nanoTime()
+    // 300 rows at 400 msg/s, burst 100: the LAST batch dispatches before
+    // paying its debt, so the floor relaxes by one batch (≤ the largest
+    // per-trigger file) vs admission mode
+    val q = sub.consumeRateLimitedDebt(msgs = Some((400.0, 100L)),
+      bytes = None) { (batch, _) =>
+        batch.select(Envelope.Partition, Envelope.Offset).collect()
+          .foreach(r => seen.add((r.getInt(0), r.getLong(1)))): Unit
+    }
+    try q.processAllAvailable() finally q.stop()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+
+    import scala.collection.JavaConverters._
+    val got = seen.iterator().asScala.toSeq
+    assert(got.size == 300, s"dispatched ${got.size} of 300")
+    assert(got.distinct.size == 300, "no duplicate dispatch")
+    // per-partition epoch files bound a batch by ~half the log here; be
+    // conservative: all but burst + one max-size batch must be paced
+    val maxBatchRows = 150L
+    val minSec = (300L - 100L - maxBatchRows).toDouble / 400.0
+    assert(elapsedSec >= minSec,
+      f"300 rows at 400/s burst 100 (debt) finished in $elapsedSec%.2f s < $minSec%.2f s")
+  }
 }
