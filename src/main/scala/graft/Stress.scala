@@ -191,6 +191,7 @@ object Stress {
     if (tierOn("ccnet_skew")) ccnetSkewTier(docsK)
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
     if (tierOn("topic_stats")) topicStatsTier(envK)
+    if (tierOn("acklog")) ackLogTier(envK)
     spark.stop()
   }
 
@@ -301,6 +302,67 @@ object Stress {
     println(s"STRESS topic_stats_plan            broadcast ANTI joins: " +
       s"$bcAnti (must be 0; the ack side shuffles — broadcast LeftOuter " +
       s"of the 32-row backlog/md aggregates is correct and expected)")
+    log.unpersist(): Unit
+  }
+
+  /** AckLog compaction-tier scaling probe (round 8): markDelete's
+    * dense-prefix window, backlogAgainst's anti-join and compact()'s
+    * survivor rewrite are the newest ack-volume-sized paths. The ack
+    * table here is log-sized (60% dense prefix + every 3rd offset
+    * above — the shape a long-running subscription leaves), so the
+    * backlog anti-join must SHUFFLE the ack side (a broadcast flip
+    * would ship the whole cursor state to every task at 100 TB), the
+    * mark-delete window must stay per-partition-parallel (max/wall
+    * flat), and compact must drop the dense prefix (~60% of rows)
+    * while leaving markDelete unchanged — the answer-preserving
+    * contract, asserted here at scale, not just in the unit spec. */
+  private def ackLogTier(ev: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = ev.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft-stress-acklog")
+    val nParts = 8
+    // dense per-partition offsets (markDelete's prefix rule assumes the
+    // offsets a TopicLog assigns: 0,1,2,... per partition)
+    val log = ev.select((col("user_id") % nParts).cast("int")
+          .as(Envelope.Partition), col("event_id"))
+      .withColumn(Envelope.Offset,
+        row_number().over(Window.partitionBy(Envelope.Partition)
+          .orderBy("event_id")).cast("long") - 1)
+      .drop("event_id")
+      .withColumn(Envelope.Value, concat(lit("v"), col(Envelope.Offset)))
+      .withColumn(Envelope.Key, (col(Envelope.Offset) % 1000).cast("string"))
+      .withColumn(Envelope.ProducerName, lit("p"))
+      .cache()
+    val n = log.count()
+    val perPart = n / nParts
+    val acked = log.select(col(Envelope.Partition).as("partition"),
+        col(Envelope.Offset).as("offset"))
+      .filter(col("offset") < lit(perPart * 6 / 10) || col("offset") % 3 === 0)
+    val ackLog = new graft.log.AckLog(spark, root.toString, "stress-sub")
+    timeTasks(spark, "acklog_ack_write")(ackLog.ack(acked))
+    timeTasks(spark, "acklog_markdelete")(
+      ackLog.markDelete().agg(count(lit(1)), sum("mark_delete"))
+        .head().getLong(0))
+    val backlog = ackLog.backlogAgainst(log)
+    timeTasks(spark, "acklog_backlog")(
+      backlog.agg(count(lit(1)), sum("backlog")).head().getLong(0))
+    val plan = backlog.queryExecution.executedPlan.toString
+    val bcAnti = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    println(s"STRESS acklog_plan                 broadcast ANTI joins: " +
+      s"$bcAnti (must be 0 — the log-sized ack side shuffles)")
+    val mdBefore = ackLog.markDelete().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rowsBefore = ackLog.read().count()
+    timeTasks(spark, "acklog_compact")(ackLog.compact())
+    val mdAfter = ackLog.markDelete().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rowsAfter = ackLog.read().count()
+    println(s"STRESS acklog_compact_contract     markDelete preserved: " +
+      s"${mdBefore == mdAfter}; rows $rowsBefore -> $rowsAfter " +
+      f"(${100.0 * (rowsBefore - rowsAfter) / math.max(1, rowsBefore)}%.0f%% dropped)")
+    require(mdBefore == mdAfter,
+      "compact changed markDelete at scale — answer-preserving contract broken")
     log.unpersist(): Unit
   }
 
