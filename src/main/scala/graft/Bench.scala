@@ -56,7 +56,7 @@ object Bench {
     // fixture fingerprint BEFORE warm-up so an unreadable fixture is
     // attributed to the fixture, not to the first query touching it
     val fixtures = FixtureGuard.observe(spark, sfDir)
-    FixtureGuard.check(spark, sfDir) match {
+    FixtureGuard.check(fixtures) match {
       case Seq() => ()
       case drift =>
         // warn, don't abort: the bench should still produce numbers on a
@@ -110,7 +110,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val loads = s"""{"start":$loadStart,"per_rep":${repLoads.mkString("[", ",", "]")},"end":${loadavg()}}"""
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpus,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
+    // cpus comes from an env string ("32" but also "*" for local[*]) —
+    // emit a bare number only when it IS one, else a JSON string, so a
+    // non-numeric setting can't corrupt the artifact
+    val cpusJson =
+      if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else jstr(cpus)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
     spark.stop()
   }
 }

@@ -48,11 +48,16 @@ object FixtureGuard {
     * match the pinned contract. Tables absent from `expected` (a driver
     * ADDING a fixture) are reported too — new data is a signal, not an
     * error, but it should be seen. */
-  def check(spark: SparkSession, sfDir: String): Seq[String] = {
-    val obs = observe(spark, sfDir)
+  def check(spark: SparkSession, sfDir: String): Seq[String] =
+    check(observe(spark, sfDir))
+
+  /** [[check]] against an already-observed fingerprint — callers that
+    * also embed the observation ([[Bench]]) pass it here so the fixture
+    * footers are read once, not twice. */
+  def check(obs: Map[String, (Long, String)]): Seq[String] = {
     val wrong = expected.toSeq.sortBy(_._1).flatMap { case (table, want) =>
       obs.get(table) match {
-        case None => Some(s"$table: MISSING from $sfDir (expected $want)")
+        case None => Some(s"$table: MISSING from the fixture dir (expected $want)")
         case Some((_, got)) if got != want =>
           Some(s"$table: schema changed — expected $want, got $got")
         case _ => None

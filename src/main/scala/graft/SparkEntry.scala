@@ -1153,9 +1153,13 @@ object SparkEntry {
     * throttles) without inflating the bench. */
   private def qDispatchRateStream(s: SparkSession, dir: String): DataFrame = {
     val tl = qLogFixture(s, dir)
+    // per-invocation checkpoint (the cursor must restart from scratch
+    // each rep); registered with the shutdown sweep so bench reps don't
+    // accumulate orphaned cursor dirs on disk
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rate-ckpt")
+    streamOutRoots.add(ckpt)
     val sub = new graft.streaming.Subscription(tl, "rate-sub",
-      graft.streaming.SubscriptionType.Exclusive,
-      java.nio.file.Files.createTempDirectory("graft-rate-ckpt").toString,
+      graft.streaming.SubscriptionType.Exclusive, ckpt.toString,
       policy = graft.streaming.BatchReceivePolicy(maxFilesPerTrigger = Some(8)))
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
     val q = sub.consumeRateLimited(rateMsgsPerSec = 100000.0, burst = 2000L) {
@@ -1178,9 +1182,11 @@ object SparkEntry {
     * chunk-split (one sequence id per LOGICAL message), the arrival
     * stream injects a mid-stream retransmit of chunk 1 (doc_id%7=0), a
     * full same-sequence resend (doc_id%11=0), and a lost final chunk
-    * (doc_id%13=5, unless the resend refills it — kept disjoint so the
-    * truth set stays closed-form), then chunk-aware dedup + reassembly
-    * run. Correctness is BYTE IDENTITY: every surviving message must
+    * (doc_id%13=5 when no resend refills it). Two refill paths are part
+    * of the truth: the %11 resend always refills, and the %7 chunk-1
+    * retransmit refills exactly the 2-chunk documents (their final
+    * chunk IS chunk 1) — the oracle's closed form carries both. Then
+    * chunk-aware dedup + reassembly run. Correctness is BYTE IDENTITY: every surviving message must
     * reassemble to exactly the original text (md5 + length), and lost
     * messages must not surface — double-counted or dropped chunks break
     * the hash. The oracle never replays the pipeline; original text IS
@@ -2703,13 +2709,16 @@ object SparkEntry {
     "ack_compaction" -> txnAckSql,
     // chunk-dedup truth: a correct dedup+reassembly is the IDENTITY on
     // the original text; the excluded set is the closed-form lost-chunk
-    // condition (last chunk dropped and no resend to refill it)
+    // condition (last chunk dropped, no %11 resend to refill it, and
+    // not a 2-chunk %7 doc whose chunk-1 retransmit refills the loss —
+    // num_chunks = 2 ⟺ 64 < length ≤ 128 at the 64-char chunk size)
     "chunk_dedup" ->
       """SELECT doc_id, md5(text) AS payload_md5,
         |  CAST(length(text) AS BIGINT) AS payload_len
         |FROM documents
         |WHERE text IS NOT NULL
-        |  AND NOT (doc_id % 13 = 5 AND doc_id % 11 <> 0 AND length(text) > 64)
+        |  AND NOT (doc_id % 13 = 5 AND doc_id % 11 <> 0 AND length(text) > 64
+        |           AND NOT (doc_id % 7 = 0 AND length(text) <= 128))
         |ORDER BY doc_id""".stripMargin,
     // the shadow view is the same committed per-partition truth with the
     // shadow topic name relabeled

@@ -344,8 +344,12 @@ object Stress {
       ackLog.markDelete().agg(count(lit(1)), sum("mark_delete"))
         .head().getLong(0))
     val backlog = ackLog.backlogAgainst(log)
+    // collect THIS DataFrame (8 result rows) so the inspected plan is
+    // the post-AQE FINAL plan of the execution that actually ran — an
+    // unexecuted df reports the initial plan, which can't show a
+    // runtime broadcast flip (same rule as topicStatsTier)
     timeTasks(spark, "acklog_backlog")(
-      backlog.agg(count(lit(1)), sum("backlog")).head().getLong(0))
+      backlog.collect().map(_.getLong(1)).sum)
     val plan = backlog.queryExecution.executedPlan.toString
     val bcAnti = plan.linesIterator.count(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))

@@ -51,9 +51,9 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
 
   private def committedEpochs(): Seq[Long] =
     if (!Files.exists(manifestDir)) Seq.empty
-    else Files.list(manifestDir).iterator().asScala
+    else TopicLog.listDir(manifestDir)
       .map(_.getFileName.toString).filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit").toLong).toSeq.sorted
+      .map(_.stripSuffix(".commit").toLong).sorted
 
   /** Phase 1: write the ack rows under `_staging/<epoch>/` — invisible
     * until [[publish]] moves them. Manifest content = the staged file
@@ -137,7 +137,7 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     val stagingRoot = Paths.get(basePath, "_staging")
     val dirs =
       if (!Files.exists(stagingRoot)) Seq.empty[String]
-      else Files.list(stagingRoot).iterator().asScala.toSeq
+      else TopicLog.listDir(stagingRoot)
         .filter(d => !Files.exists(manifestDir.resolve(s"${d.getFileName}.commit")))
         .filter { d =>
           val w = Files.walk(d)
@@ -172,9 +172,9 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
   def cursor(): Map[Int, Long] = {
     val epochs =
       if (!Files.exists(cursorDir)) Seq.empty[Long]
-      else Files.list(cursorDir).iterator().asScala
+      else TopicLog.listDir(cursorDir)
         .map(_.getFileName.toString).filter(_.endsWith(".commit"))
-        .map(_.stripSuffix(".commit").toLong).toSeq.sorted
+        .map(_.stripSuffix(".commit").toLong).sorted
     epochs.lastOption.map { e =>
       Files.readAllLines(cursorDir.resolve(s"$e.commit")).asScala
         .filter(_.nonEmpty).map { line =>
@@ -285,9 +285,9 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     // cursor epoch: latest wins; first-writer-wins per epoch
     Files.createDirectories(cursorDir)
     val cEpoch = (if (!Files.exists(cursorDir)) Seq.empty[Long]
-      else Files.list(cursorDir).iterator().asScala
+      else TopicLog.listDir(cursorDir)
         .map(_.getFileName.toString).filter(_.endsWith(".commit"))
-        .map(_.stripSuffix(".commit").toLong).toSeq).sorted.lastOption
+        .map(_.stripSuffix(".commit").toLong)).sorted.lastOption
       .getOrElse(-1L) + 1L
     val merged = (cursor() ++ md).toSeq.sorted // floors only advance
       .map { case (p, o) => s"$p,$o" }.mkString("\n")

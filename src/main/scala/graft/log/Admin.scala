@@ -36,13 +36,12 @@ object Admin {
       case Some(live) => live.map(base.resolve(_)).filter(Files.exists(_))
       case None =>
         if (!Files.exists(base)) Seq.empty
-        else Files.walk(base).iterator().asScala
+        else TopicLog.walkAll(base)
           .filter(p => p.toString.endsWith(".parquet") &&
             // any underscore-prefixed subtree is metadata/derived (manifest,
             // cold tier, compacted snapshots, txn markers) — never touch it
             !base.relativize(p).iterator().asScala.exists(
               _.getFileName.toString.startsWith("_")))
-          .toSeq
     }
   }
 
@@ -217,6 +216,13 @@ object Admin {
     coalesce(octet_length(col(Envelope.Value)), lit(0)) +
       coalesce(octet_length(col(Envelope.Key)), lit(0))
 
+  /** The one live [[topicStats]] backlog cache per session (weak keys:
+    * a stopped session's entry vanishes with it). See the persist
+    * lifecycle note inside [[topicStats]]. */
+  private val lastStatsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
+
   def topicStats(log: DataFrame, subs: Map[String, DataFrame]): DataFrame = {
     require(subs.nonEmpty,
       "topicStats needs at least one subscription (rows are per " +
@@ -252,17 +258,26 @@ object Admin {
     // the full offsets×subs anti-join subtree once per reference —
     // measured 2× the probe's dominant cost at 100× log size. The
     // cached table is |subs|×|partitions| rows (bytes, not data-scale).
+    // Lifecycle: the session's PREVIOUS topicStats cache is released
+    // here, bounding the cache-manager footprint at one entry per
+    // session instead of one per call (persist entries are never
+    // GC-collected; a per-invocation leak would accumulate across bench
+    // reps / a stats-polling loop). Unpersisting the previous handle is
+    // always safe — a concurrent reader of it merely recomputes.
     val backlog = unacked.groupBy("subscription", "partition")
       .agg(count(lit(1)).cast("bigint").as("backlog"),
         min("offset").as("min_unacked"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastStatsCache.put(spark, backlog))
+      .filterNot(_ eq backlog)
+      .foreach(prev => try { prev.unpersist(false); () } catch { case _: Throwable => () })
     // mark-delete = highest acked offset below the first gap; every log
     // offset below min_unacked is acked by construction, so no sort
     // backlog/md sides are (subs × partitions) rows — bounded by
     // CONFIGURATION (subscription count × partition count), not data —
-    // so they broadcast correctly at any scale; explicit because the
-    // persisted aggregate's pre-materialization stats are opaque to the
-    // planner and would otherwise fall back to a sort-merge join
+    // so they broadcast correctly at any scale; kept explicit so a
+    // future refactor away from the local relation can't silently fall
+    // back to a sort-merge join
     val md = ackU
       .join(broadcast(backlog.select("subscription", "partition", "min_unacked")),
         Seq("subscription", "partition"), "left_outer")

@@ -54,6 +54,31 @@ object TopicLog {
     def manifestPath: String = s"$epoch.commit"
   }
 
+  /** `Files.list` with a guaranteed close — the returned stream holds an
+    * open directory descriptor that draining the iterator does NOT
+    * release; every bare `Files.list(...).iterator()` leaks one fd. */
+  private[log] def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** `Files.walk` with a guaranteed close (same fd contract as
+    * [[listDir]]). */
+  private[log] def walkAll(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Delete one staged epoch tree (files then dirs; best-effort per
+    * entry). Shared by [[vacuumStaged]] and [[Txn]]'s at-deadline
+    * cleanup. */
+  private[log] def dropStagedEpoch(basePath: String, epoch: Long): Unit = {
+    val dir = Paths.get(basePath, "_staging", epoch.toString)
+    if (!Files.exists(dir)) return
+    walkAll(dir).reverse.foreach(p =>
+      try Files.deleteIfExists(p) catch { case _: Throwable => })
+  }
+
   /**
    * Atomically publish `content` at `target` iff absent — FIRST writer
    * wins. Uses a hard link of a unique tmp file: link(2) fails
@@ -161,7 +186,7 @@ object TopicLog {
     val stagingRoot = Paths.get(topicPath, "_staging")
     if (!Files.exists(stagingRoot)) return 0
     var healed = 0
-    Files.list(stagingRoot).iterator().asScala.toSeq.foreach { dir =>
+    listDir(stagingRoot).foreach { dir =>
       val epoch = dir.getFileName.toString
       if (Files.exists(Paths.get(topicPath, "_manifest", s"$epoch.commit"))) {
         completeStagedMoves(topicPath, epoch.toLong)
@@ -183,39 +208,63 @@ object TopicLog {
    * verb a producer that crashed mid-transaction pins its pending acks
    * (and its disk) forever.
    *
-   * Safety contract: `olderThanMs` must be ≥ the transaction timeout
-   * ([[Txn.begin]]'s `timeoutMs`). A txn commits no later than its
-   * deadline = openedAt + timeout, and staging happens after openedAt,
-   * so a staged tree whose NEWEST file is older than `timeoutMs` can
-   * belong to no transaction that is still allowed to commit. Epochs
-   * whose manifest IS committed are never touched (they belong to
-   * [[recoverStaging]]); the manifest re-check sits immediately before
-   * the delete to shrink the window against a racing legal commit.
+   * Safety contract, three guards:
+   *  - `olderThanMs` must be ≥ the transaction timeout ([[Txn.begin]]'s
+   *    `timeoutMs`). A txn writes its commit marker no later than its
+   *    deadline = openedAt + timeout ([[Txn.commit]] re-checks the
+   *    clock immediately before the marker write), and staging happens
+   *    after openedAt, so a staged tree whose NEWEST file is older than
+   *    `timeoutMs` either belongs to a txn whose marker already exists
+   *    or to no committable txn at all.
+   *  - Epochs whose manifest IS committed are never touched (they
+   *    belong to [[recoverStaging]]); the manifest re-check sits
+   *    immediately before the delete to shrink the window against a
+   *    racing legal commit.
+   *  - `txnRoot` (the [[Txn.begin]] root) protects epochs referenced by
+   *    a `_txn/<id>.committed` marker whose manifest has not been
+   *    published yet — the crash-after-marker-before-publish window,
+   *    where the staged files are COMMITTED data awaiting
+   *    [[Txn.recover]]. Pass it whenever the log participates in
+   *    transactions; without it such an epoch would age past the
+   *    horizon and be deleted, losing a committed transaction.
    * Returns the number of staged epochs dropped.
    */
   def vacuumStaged(basePath: String, olderThanMs: Long,
-                   nowMs: () => Long = () => System.currentTimeMillis()): Int = {
+                   nowMs: () => Long = () => System.currentTimeMillis(),
+                   txnRoot: Option[String] = None): Int = {
     val stagingRoot = Paths.get(basePath, "_staging")
     if (!Files.exists(stagingRoot)) return 0
     val manifestDir = Paths.get(basePath, "_manifest")
+    val markerProtected: Set[Long] = txnRoot.map { r =>
+      val markerDir = Paths.get(r, "_txn")
+      if (!Files.exists(markerDir)) Set.empty[Long]
+      else listDir(markerDir)
+        .filter(_.getFileName.toString.endsWith(".committed"))
+        .flatMap(m => Files.readAllLines(m).asScala.filter(_.nonEmpty))
+        .flatMap { line =>
+          val f = line.split("\t")
+          // marker line: path \t epoch \t count \t manifest — collect
+          // the epoch when the line targets THIS log
+          if (f.length >= 2 && Paths.get(f(0)).toAbsolutePath ==
+              Paths.get(basePath).toAbsolutePath)
+            scala.util.Try(f(1).toLong).toOption
+          else None
+        }.toSet
+    }.getOrElse(Set.empty)
     var dropped = 0
-    Files.list(stagingRoot).iterator().asScala.toSeq.foreach { dir =>
-      val epoch = dir.getFileName.toString
-      val newestMs =
-        try {
-          val w = Files.walk(dir)
-          try w.iterator().asScala
-            .map(p => Files.getLastModifiedTime(p).toMillis)
+    listDir(stagingRoot).foreach { dir =>
+      // non-numeric names are not staged epochs — never touch them
+      scala.util.Try(dir.getFileName.toString.toLong).toOption.foreach { epoch =>
+        val newestMs =
+          try walkAll(dir).map(p => Files.getLastModifiedTime(p).toMillis)
             .foldLeft(0L)(math.max)
-          finally w.close()
-        } catch { case _: java.io.IOException => Long.MaxValue }
-      val expired = nowMs() - newestMs > olderThanMs
-      if (expired && !Files.exists(manifestDir.resolve(s"$epoch.commit"))) {
-        val w = Files.walk(dir)
-        try w.iterator().asScala.toSeq.reverse.foreach(p =>
-          try Files.deleteIfExists(p) catch { case _: Throwable => })
-        finally w.close()
-        if (!Files.exists(dir)) dropped += 1
+          catch { case _: java.io.IOException => Long.MaxValue }
+        val expired = nowMs() - newestMs > olderThanMs
+        if (expired && !markerProtected.contains(epoch) &&
+            !Files.exists(manifestDir.resolve(s"$epoch.commit"))) {
+          dropStagedEpoch(basePath, epoch)
+          if (!Files.exists(dir)) dropped += 1
+        }
       }
     }
     dropped
@@ -231,9 +280,9 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
   /** Committed epochs, ascending. */
   private def committedEpochs(): Seq[Long] =
     if (!Files.exists(manifestDir)) Seq.empty
-    else Files.list(manifestDir).iterator().asScala
+    else TopicLog.listDir(manifestDir)
       .map(_.getFileName.toString).filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit").toLong).toSeq.sorted
+      .map(_.stripSuffix(".commit").toLong).sorted
 
   private def latestManifestLines(): Seq[String] =
     committedEpochs().lastOption.map { e =>
@@ -411,8 +460,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
   private def clearStaging(epoch: Long): Unit = {
     val dir = Paths.get(basePath, "_staging", epoch.toString)
     if (Files.exists(dir))
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      TopicLog.walkAll(dir).reverse.foreach(p => Files.deleteIfExists(p))
   }
 
   /** Relative (final) paths of the parquet files staged for `epoch` —
@@ -420,9 +468,9 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     * `_staging/<epoch>/` is the path the file will live at after publish. */
   private def stagedRelPaths(epoch: Long): Seq[String] = {
     val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
-    Files.walk(stagingDir).iterator().asScala
+    TopicLog.walkAll(stagingDir)
       .filter(_.toString.endsWith(".parquet"))
-      .map(p => stagingDir.relativize(p).toString).toSeq.sorted
+      .map(p => stagingDir.relativize(p).toString).sorted
   }
 
   /**
@@ -470,13 +518,13 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     case Some(live) =>
       val liveSet = live.toSet
       val base = Paths.get(basePath)
-      val victims = Files.walk(base).iterator().asScala
+      val victims = TopicLog.walkAll(base)
         .filter { p =>
           p.toString.endsWith(".parquet") &&
             !base.relativize(p).iterator().asScala.exists(
               _.getFileName.toString.startsWith("_")) &&
             !liveSet.contains(base.relativize(p).toString)
-        }.toSeq
+        }
       victims.foreach(Files.deleteIfExists(_))
       victims.size
     case None => 0

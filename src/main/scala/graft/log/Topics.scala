@@ -22,7 +22,8 @@ object Topics {
   def list(root: String): Seq[TopicName] = {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Seq.empty
-    Files.walk(rootPath, 3).iterator().asScala
+    val w = Files.walk(rootPath, 3)
+    try w.iterator().asScala
       .filter(p => Files.isDirectory(p) && rootPath.relativize(p).getNameCount == 3)
       .filterNot(_.getFileName.toString.startsWith("_"))
       .map { p =>
@@ -30,6 +31,7 @@ object Topics {
         TopicName("persistent", rel.getName(0).toString,
           rel.getName(1).toString, rel.getName(2).toString)
       }.toSeq.sortBy(_.fqn)
+    finally w.close()
   }
 
   /** Topics in a namespace whose topic name matches `pattern` (the

@@ -101,6 +101,23 @@ final class Txn private (val txnId: String, root: String,
         val combined = group.map(_._2).reduce(_.unionByName(_))
         (ackLog, ackLog.stageAck(combined))
     }.toList
+    // deadline re-check at the COMMIT POINT, not just at entry: staging
+    // above is data-sized work that can outlive the deadline, and
+    // vacuumStaged's safety proof needs "no marker is ever written after
+    // openedAt + timeout" (its age horizon starts at the staged files'
+    // mtimes, which are ≥ openedAt). On expiry the staged epochs are
+    // dropped eagerly — they are the abandoned garbage vacuum would
+    // otherwise collect later.
+    if (clock() > deadlineMs) {
+      prepared.foreach { case (log, s) =>
+        TopicLog.dropStagedEpoch(log.name.path(root), s.epoch) }
+      preparedAcks.foreach { case (ackLog, s) =>
+        TopicLog.dropStagedEpoch(ackLog.basePath, s.epoch) }
+      staged.clear()
+      stagedAcks.clear()
+      state = "TIMED_OUT"
+      require(false, s"txn $txnId is TIMED_OUT (deadline passed during staging)")
+    }
     // phase 2: single atomic commit point — ONE marker carries produce
     // manifests AND ack manifests (consume-process-produce atomicity;
     // an AckLog line's first field is its base path, which recover()
@@ -163,7 +180,7 @@ object Txn {
     val markerDir = Paths.get(root, "_txn")
     if (!Files.exists(markerDir)) return 0
     var replayed = 0
-    Files.list(markerDir).iterator().asScala
+    TopicLog.listDir(markerDir)
       .filter(_.getFileName.toString.endsWith(".committed"))
       .foreach { marker =>
         Files.readAllLines(marker).asScala.filter(_.nonEmpty).foreach { line =>

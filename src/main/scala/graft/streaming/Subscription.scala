@@ -167,8 +167,9 @@ final class Subscription(
       // already accepts for harness-scale batches
       val meter = batch.agg(
         count(lit(1)).as("n"),
-        coalesce(sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
-          coalesce(octet_length(col(Envelope.Key)), lit(0))), lit(0L)).as("octets"))
+        // the canonical storage-size definition — Admin.payloadOctets —
+        // so byte-rate throttling can never drift from topicStats/rates
+        coalesce(sum(graft.log.Admin.payloadOctets), lit(0L)).as("octets"))
         .head()
       var needMsgs = if (msgBucket.isDefined) meter.getLong(0) else 0L
       var needBytes = if (byteBucket.isDefined) meter.getLong(1) else 0L
@@ -216,8 +217,9 @@ final class Subscription(
     consume { (batch, epochId) =>
       val meter = batch.agg(
         count(lit(1)).as("n"),
-        coalesce(sum(coalesce(octet_length(col(Envelope.Value)), lit(0)) +
-          coalesce(octet_length(col(Envelope.Key)), lit(0))), lit(0L)).as("octets"))
+        // the canonical storage-size definition — Admin.payloadOctets —
+        // so byte-rate throttling can never drift from topicStats/rates
+        coalesce(sum(graft.log.Admin.payloadOctets), lit(0L)).as("octets"))
         .head()
       process(batch, epochId) // dispatch first — the debt pays afterwards
       val now = clock()

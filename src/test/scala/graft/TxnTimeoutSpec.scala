@@ -104,6 +104,63 @@ class TxnTimeoutSpec extends SparkSpec {
     assert(spark.read.parquet(base).count() == 8, "healed rows readable")
   }
 
+  test("vacuum never eats a COMMITTED txn awaiting recovery: marker-referenced epochs are protected") {
+    val root = Files.createTempDirectory("graft-txnto").toString
+    val out = new TopicLog(spark, root, TopicName.parse("out"), 2)
+
+    // crash AFTER the marker, BEFORE publish: the staged epoch has no
+    // topic manifest yet, but the _txn marker makes it COMMITTED data —
+    // exactly the state Txn.recover exists to heal. An age-based vacuum
+    // that checked only the topic manifest would delete it (data loss of
+    // a committed transaction); the marker check must protect it at ANY
+    // age.
+    val stagedOut = out.stageAppend(batch(0 until 9))
+    val markerDir = Paths.get(root, "_txn")
+    Files.createDirectories(markerDir)
+    val line = Seq(out.name.path(root), stagedOut.epoch.toString,
+      stagedOut.count.toString,
+      stagedOut.manifestLines.replace("\n", ";")).mkString("\t")
+    val tmp = markerDir.resolve("txn-vac.tmp")
+    Files.write(tmp, line.getBytes)
+    Files.move(tmp, markerDir.resolve("txn-vac.committed"))
+
+    val farFuture = System.currentTimeMillis() + 365L * 24 * 3600 * 1000
+    assert(TopicLog.vacuumStaged(out.name.path(root),
+      olderThanMs = Txn.DefaultTimeoutMs, nowMs = () => farFuture,
+      txnRoot = Some(root)) == 0,
+      "marker-referenced epoch must survive vacuum at any age")
+    assert(Files.exists(Paths.get(out.name.path(root), "_staging",
+      stagedOut.epoch.toString)))
+    assert(Txn.recover(root) >= 1, "…and recovery completes the commit")
+    assert(out.read().count() == 9, "committed rows intact after vacuum + recover")
+  }
+
+  test("commit re-checks the deadline at the marker: staging that outlives it aborts cleanly") {
+    val root = Files.createTempDirectory("graft-txnto").toString
+    val out = new TopicLog(spark, root, TopicName.parse("out"), 2)
+    // clock advances past the deadline BETWEEN commit() entry and the
+    // marker write (entry check passes; staging "takes too long"):
+    // tick 0 = entry checkOpen, later reads land past the deadline
+    // calls: 1 = begin (deadline), 2 = produce checkOpen, 3 = commit
+    // ENTRY checkOpen (must pass), 4+ = the marker-point re-check (fires)
+    var calls = 0
+    val clock = () => { calls += 1; if (calls <= 3) 0L else 999999L }
+    val txn = Txn.begin(root, timeoutMs = 100L, clock = clock)
+    txn.produce(out, batch(0 until 6))
+    val e = intercept[IllegalArgumentException](txn.commit())
+    assert(e.getMessage.contains("TIMED_OUT"))
+    assert(out.read().count() == 0, "nothing visible")
+    assert(!Files.exists(Paths.get(root, "_txn")) ||
+      Files.list(Paths.get(root, "_txn")).count() == 0, "no marker written")
+    // the at-deadline cleanup dropped the staged epoch eagerly — no
+    // orphan for vacuum to collect
+    val staging = Paths.get(out.name.path(root), "_staging")
+    assert(!Files.exists(staging) || {
+      val l = Files.list(staging)
+      try l.count() == 0 finally l.close()
+    }, "staged epochs dropped at the failed commit point")
+  }
+
   test("timed-out txn's pending acks vacuum away: redelivery unblocks") {
     val root = Files.createTempDirectory("graft-txnto").toString
     val in = new TopicLog(spark, root, TopicName.parse("in"), 2)
