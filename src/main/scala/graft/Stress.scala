@@ -192,6 +192,14 @@ object Stress {
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
+    // pair-stage-only probe for the est_jaccard kernel A/B (clone
+    // cliques make band-collision pairs the dominant cost at K×)
+    if (tierOn("minhash_pairs")) {
+      time("minhash_lsh_Kx")(MinHash.lshCandidates(docsK)
+        .agg(count(lit(1)), sum("est_jaccard")).head().getLong(0))
+      time("minhash_lsh_Kx_rep2")(MinHash.lshCandidates(docsK)
+        .agg(count(lit(1)), sum("est_jaccard")).head().getLong(0))
+    }
     spark.stop()
   }
 

@@ -61,8 +61,8 @@ object MinHash {
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) =>
-          (x === y)), b => b)).cast("double") / size(col("mh_a")))
+        graft.functions.Sketch.minhash_agreement(col("mh_a"), col("mh_b"))
+          .cast("double") / size(col("mh_a")))
       .select("id_a", "id_b", "est_jaccard").distinct()
   }
 

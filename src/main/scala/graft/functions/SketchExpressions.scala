@@ -47,6 +47,9 @@ object Sketch {
     ColumnBridge.column(SignLshExpr(ColumnBridge.expression(vec), bits))
   def minhash_sig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes), k))
+  def minhash_agreement(a: Column, b: Column): Column =
+    ColumnBridge.column(MinHashAgreementExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def simhash_sig(hashes: Column): Column =
     ColumnBridge.column(SimHashSigExpr(ColumnBridge.expression(hashes)))
   def shingle_hashes(text: Column, n: Int, distinct: Boolean): Column =
@@ -233,6 +236,44 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression
   override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+/** Count of positions where two long-array signatures agree — the
+  * MinHash estimator's numerator (est_jaccard = agreement / k). This is
+  * the LSH PAIR stage's inner loop (one call per band-collision pair,
+  * BEFORE candidate dedup), previously a `size(filter(zip_with(...)))`
+  * chain: three interpreted HOF nodes allocating two intermediate
+  * arrays per pair. Real codegen like dot/cosine — the pair stage is a
+  * separate generated method from the banding stage, so the JIT-limit
+  * caveat in the file doc (which is about growing the BANDING stage's
+  * method) does not apply; measured on the same A/B protocol. */
+case class MinHashAgreementExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_agreement"
 }
 
 /**
