@@ -1177,6 +1177,37 @@ object SparkEntry {
       .orderBy("partition")
   }
 
+  /** [[qDispatchRateStream]]'s twin under the reference-exact
+    * dispatch-then-debt discipline
+    * ([[graft.streaming.Subscription.consumeRateLimitedDebt]];
+    * AsyncTokenBucket's consume-unconditionally-then-pause flow): the
+    * batch dispatches first and the bucket balance may go negative —
+    * result-neutrality against the same produce-roundtrip truth proves
+    * the debt pauses reorder NOTHING and drop NOTHING, they only time
+    * the triggers. */
+  private def qDispatchRateDebtStream(s: SparkSession, dir: String): DataFrame = {
+    val tl = qLogFixture(s, dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rate-ckpt")
+    streamOutRoots.add(ckpt)
+    val sub = new graft.streaming.Subscription(tl, "rate-debt-sub",
+      graft.streaming.SubscriptionType.Exclusive, ckpt.toString,
+      policy = graft.streaming.BatchReceivePolicy(maxFilesPerTrigger = Some(8)))
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val q = sub.consumeRateLimitedDebt(
+      msgs = Some((100000.0, 2000L)), bytes = None) { (batch, _) =>
+        batch.groupBy(col(Envelope.Partition))
+          .agg(count(lit(1)).as("n"), max(Envelope.Offset).as("mx"))
+          .collect().foreach(r => acc.add((r.getInt(0), r.getLong(1), r.getLong(2)))): Unit
+    }
+    try q.processAllAvailable() finally q.stop()
+    import scala.collection.JavaConverters._
+    import s.implicits._
+    acc.iterator().asScala.toSeq.toDF("partition", "pn", "pmx")
+      .groupBy("partition")
+      .agg(sum("pn").cast("bigint").as("n"), max("pmx").as("max_offset"))
+      .orderBy("partition")
+  }
+
   /** Chunking × dedup composition (reference
     * MessageChunkingDeduplicationTest; VERDICT r7 #7): documents are
     * chunk-split (one sequence id per LOGICAL message), the arrival
@@ -2132,6 +2163,7 @@ object SparkEntry {
     "txn_ack" -> (qTxnAck _),
     "chunk_dedup" -> (qChunkDedup _),
     "dispatch_rate_stream" -> (qDispatchRateStream _),
+    "dispatch_rate_debt_stream" -> (qDispatchRateDebtStream _),
     "ack_compaction" -> (qAckCompaction _),
     "shadow_read" -> (qShadowRead _),
     "coalesce_roundtrip" -> (qCoalesceRoundtrip _),
@@ -2739,6 +2771,8 @@ object SparkEntry {
     // the rate-limited dispatch loop must also be content-neutral: the
     // token bucket delays batches, never drops or replays them
     "dispatch_rate_stream" -> topicLogRoundtripSql,
+    // the debt discipline must be result-neutral too — same truth
+    "dispatch_rate_debt_stream" -> topicLogRoundtripSql,
     // the rotating file sink (hdfs3/alluxio path) must also be
     // content-neutral: write → read-back → identical counts
     "file_sink_roundtrip" -> topicLogRoundtripSql,
