@@ -650,9 +650,15 @@ object TextOps {
     cands
       .join(sh.toDF("id_a", "sh_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      // one set-build per pair, not two: the shingle sets are distinct
+      // by construction (shingle_hashes distinct=true), so
+      // |∪| = |A| + |B| − |∩| exactly (integer arithmetic — the value
+      // is bit-identical to the array_union form the oracles replay)
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .drop("inter")
       .filter(col("jaccard") >= threshold)
 
   /**
