@@ -172,6 +172,39 @@ object Txn {
       root, clock() + timeoutMs, clock)
 
   /**
+   * Operational janitor: [[recover]] first (completing every marker
+   * whose publish crashed — committed data becomes manifest-visible and
+   * thereby vacuum-proof), then [[TopicLog.vacuumStaged]] over every
+   * topic's staging AND every subscription ack log's staging under the
+   * root, markers protecting anything a slow healer hasn't finished.
+   * The reference analog is the transaction subsystem's periodic
+   * cleanup — the timeout tracker firing aborts and the transaction
+   * buffer discarding the aborted data; on ack logs the sweep releases
+   * dead transactions' pending acks so their messages redeliver.
+   * `olderThanMs` must be ≥ every producer's `timeoutMs` (the
+   * [[TopicLog.vacuumStaged]] age contract). Returns (epochs healed,
+   * staged epochs dropped).
+   */
+  def vacuumAll(root: String, olderThanMs: Long,
+                nowMs: () => Long = () => System.currentTimeMillis()): (Int, Int) = {
+    val healed = recover(root)
+    var dropped = 0
+    Topics.list(root).foreach { t =>
+      val base = t.path(root)
+      dropped += TopicLog.vacuumStaged(base, olderThanMs, nowMs, Some(root))
+      val subsDir = Paths.get(base, "_subs")
+      if (Files.exists(subsDir))
+        TopicLog.listDir(subsDir).filter(Files.isDirectory(_)).foreach { s =>
+          val ackBase = s.resolve("acks")
+          if (Files.exists(ackBase))
+            dropped += TopicLog.vacuumStaged(ackBase.toString, olderThanMs,
+              nowMs, Some(root))
+        }
+    }
+    (healed, dropped)
+  }
+
+  /**
    * Recovery: replay the manifests of every committed marker (recovery
    * rule from the class doc — a marker without its manifests means the
    * process died mid-publish). Idempotent; run at startup.

@@ -161,6 +161,38 @@ class TxnTimeoutSpec extends SparkSpec {
     }, "staged epochs dropped at the failed commit point")
   }
 
+  test("vacuumAll: heals markers first, then sweeps topic AND ack staging across the root") {
+    val root = Files.createTempDirectory("graft-txnto").toString
+    val t1 = new TopicLog(spark, root, TopicName.parse("t1"), 2)
+    val t2 = new TopicLog(spark, root, TopicName.parse("t2"), 2)
+    t2.append(batch(0 until 10)): Unit
+    val acks = new AckLog(spark, t2.name.path(root), "sub-a")
+
+    // t1: crash-after-marker orphan (committed — must HEAL, not drop)
+    val committed = t1.stageAppend(batch(100 until 108))
+    val markerDir = Paths.get(root, "_txn")
+    Files.createDirectories(markerDir)
+    Files.write(markerDir.resolve("txn-va.tmp"),
+      Seq(t1.name.path(root), committed.epoch.toString, committed.count.toString,
+        committed.manifestLines.replace("\n", ";")).mkString("\t").getBytes)
+    Files.move(markerDir.resolve("txn-va.tmp"),
+      markerDir.resolve("txn-va.committed"))
+    // t2: marker-less staged orphan + a dead txn's pending acks
+    t2.stageAppend(batch(200 until 205)): Unit
+    acks.stageAck(t2.read().select(col(Envelope.Partition).as("partition"),
+      col(Envelope.Offset).as("offset"))): Unit
+    assert(acks.pendingAcks().count() == 10)
+
+    val future = System.currentTimeMillis() + 2 * Txn.DefaultTimeoutMs
+    val (healed, dropped) = Txn.vacuumAll(root, Txn.DefaultTimeoutMs,
+      nowMs = () => future)
+    assert(healed >= 1, "the marker's epoch heals during the sweep")
+    assert(dropped == 2, s"t2's staged orphan + the ack orphan drop, got $dropped")
+    assert(t1.read().count() == 8, "committed txn data intact")
+    assert(t2.read().count() == 10, "baseline rows untouched")
+    assert(acks.pendingAcks().count() == 0, "dead txn's pending acks released")
+  }
+
   test("timed-out txn's pending acks vacuum away: redelivery unblocks") {
     val root = Files.createTempDirectory("graft-txnto").toString
     val in = new TopicLog(spark, root, TopicName.parse("in"), 2)
