@@ -1151,23 +1151,30 @@ object SparkEntry {
     * batch breaks the same oracle as topic_log_roundtrip. Rate/burst are
     * set so the fixture takes a few admission waits (the loop really
     * throttles) without inflating the bench. */
-  private def qDispatchRateStream(s: SparkSession, dir: String): DataFrame = {
+  private def qDispatchRateStream(s: SparkSession, dir: String): DataFrame =
+    rateLimitedRoundtrip(s, dir, "rate-sub")((sub, handler) =>
+      sub.consumeRateLimited(rateMsgsPerSec = 100000.0, burst = 2000L)(handler))
+
+  /** Shared harness for the two rate-limited consume twins: same
+    * fixture, fresh per-invocation checkpoint (registered with the
+    * shutdown sweep so bench reps don't accumulate cursor dirs), same
+    * per-batch metering and the same produce-roundtrip re-aggregation —
+    * only the admission discipline differs. */
+  private def rateLimitedRoundtrip(s: SparkSession, dir: String, subName: String)(
+      start: (graft.streaming.Subscription, (DataFrame, Long) => Unit)
+        => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     val tl = qLogFixture(s, dir)
-    // per-invocation checkpoint (the cursor must restart from scratch
-    // each rep); registered with the shutdown sweep so bench reps don't
-    // accumulate orphaned cursor dirs on disk
     val ckpt = java.nio.file.Files.createTempDirectory("graft-rate-ckpt")
     streamOutRoots.add(ckpt)
-    val sub = new graft.streaming.Subscription(tl, "rate-sub",
+    val sub = new graft.streaming.Subscription(tl, subName,
       graft.streaming.SubscriptionType.Exclusive, ckpt.toString,
       policy = graft.streaming.BatchReceivePolicy(maxFilesPerTrigger = Some(8)))
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
-    val q = sub.consumeRateLimited(rateMsgsPerSec = 100000.0, burst = 2000L) {
-      (batch, _) =>
-        batch.groupBy(col(Envelope.Partition))
-          .agg(count(lit(1)).as("n"), max(Envelope.Offset).as("mx"))
-          .collect().foreach(r => acc.add((r.getInt(0), r.getLong(1), r.getLong(2)))): Unit
-    }
+    val q = start(sub, { (batch, _) =>
+      batch.groupBy(col(Envelope.Partition))
+        .agg(count(lit(1)).as("n"), max(Envelope.Offset).as("mx"))
+        .collect().foreach(r => acc.add((r.getInt(0), r.getLong(1), r.getLong(2)))): Unit
+    })
     try q.processAllAvailable() finally q.stop()
     import scala.collection.JavaConverters._
     import s.implicits._
@@ -1185,28 +1192,9 @@ object SparkEntry {
     * result-neutrality against the same produce-roundtrip truth proves
     * the debt pauses reorder NOTHING and drop NOTHING, they only time
     * the triggers. */
-  private def qDispatchRateDebtStream(s: SparkSession, dir: String): DataFrame = {
-    val tl = qLogFixture(s, dir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-rate-ckpt")
-    streamOutRoots.add(ckpt)
-    val sub = new graft.streaming.Subscription(tl, "rate-debt-sub",
-      graft.streaming.SubscriptionType.Exclusive, ckpt.toString,
-      policy = graft.streaming.BatchReceivePolicy(maxFilesPerTrigger = Some(8)))
-    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
-    val q = sub.consumeRateLimitedDebt(
-      msgs = Some((100000.0, 2000L)), bytes = None) { (batch, _) =>
-        batch.groupBy(col(Envelope.Partition))
-          .agg(count(lit(1)).as("n"), max(Envelope.Offset).as("mx"))
-          .collect().foreach(r => acc.add((r.getInt(0), r.getLong(1), r.getLong(2)))): Unit
-    }
-    try q.processAllAvailable() finally q.stop()
-    import scala.collection.JavaConverters._
-    import s.implicits._
-    acc.iterator().asScala.toSeq.toDF("partition", "pn", "pmx")
-      .groupBy("partition")
-      .agg(sum("pn").cast("bigint").as("n"), max("pmx").as("max_offset"))
-      .orderBy("partition")
-  }
+  private def qDispatchRateDebtStream(s: SparkSession, dir: String): DataFrame =
+    rateLimitedRoundtrip(s, dir, "rate-debt-sub")((sub, handler) =>
+      sub.consumeRateLimitedDebt(msgs = Some((100000.0, 2000L)), bytes = None)(handler))
 
   /** Chunking × dedup composition (reference
     * MessageChunkingDeduplicationTest; VERDICT r7 #7): documents are

@@ -232,25 +232,22 @@ object TopicLog {
   def vacuumStaged(basePath: String, olderThanMs: Long,
                    nowMs: () => Long = () => System.currentTimeMillis(),
                    txnRoot: Option[String] = None): Int = {
+    val markerProtected: Set[Long] = txnRoot
+      .map(r => Txn.markerEpochs(r)
+        .getOrElse(Paths.get(basePath).toAbsolutePath.toString, Set.empty))
+      .getOrElse(Set.empty)
+    vacuumStagedProtected(basePath, olderThanMs, nowMs, markerProtected)
+  }
+
+  /** [[vacuumStaged]] against an already-parsed protected-epoch set —
+    * [[Txn.vacuumAll]] parses the marker directory once per SWEEP
+    * instead of once per log. */
+  private[log] def vacuumStagedProtected(basePath: String, olderThanMs: Long,
+                                         nowMs: () => Long,
+                                         markerProtected: Set[Long]): Int = {
     val stagingRoot = Paths.get(basePath, "_staging")
     if (!Files.exists(stagingRoot)) return 0
     val manifestDir = Paths.get(basePath, "_manifest")
-    val markerProtected: Set[Long] = txnRoot.map { r =>
-      val markerDir = Paths.get(r, "_txn")
-      if (!Files.exists(markerDir)) Set.empty[Long]
-      else listDir(markerDir)
-        .filter(_.getFileName.toString.endsWith(".committed"))
-        .flatMap(m => Files.readAllLines(m).asScala.filter(_.nonEmpty))
-        .flatMap { line =>
-          val f = line.split("\t")
-          // marker line: path \t epoch \t count \t manifest — collect
-          // the epoch when the line targets THIS log
-          if (f.length >= 2 && Paths.get(f(0)).toAbsolutePath ==
-              Paths.get(basePath).toAbsolutePath)
-            scala.util.Try(f(1).toLong).toOption
-          else None
-        }.toSet
-    }.getOrElse(Set.empty)
     var dropped = 0
     listDir(stagingRoot).foreach { dir =>
       // non-numeric names are not staged epochs — never touch them

@@ -188,31 +188,78 @@ object Txn {
   def vacuumAll(root: String, olderThanMs: Long,
                 nowMs: () => Long = () => System.currentTimeMillis()): (Int, Int) = {
     val healed = recover(root)
+    // parse the marker set ONCE for the whole sweep (the txnRoot form
+    // of vacuumStaged re-reads every marker per call — with T topics and
+    // S ack logs that is (T+S) full marker passes per sweep)
+    val protectedByBase = markerEpochs(root)
+    def protectedFor(base: String): Set[Long] =
+      protectedByBase.getOrElse(
+        Paths.get(base).toAbsolutePath.toString, Set.empty)
     var dropped = 0
     Topics.list(root).foreach { t =>
       val base = t.path(root)
-      dropped += TopicLog.vacuumStaged(base, olderThanMs, nowMs, Some(root))
+      dropped += TopicLog.vacuumStagedProtected(base, olderThanMs, nowMs,
+        protectedFor(base))
       val subsDir = Paths.get(base, "_subs")
       if (Files.exists(subsDir))
         TopicLog.listDir(subsDir).filter(Files.isDirectory(_)).foreach { s =>
           val ackBase = s.resolve("acks")
           if (Files.exists(ackBase))
-            dropped += TopicLog.vacuumStaged(ackBase.toString, olderThanMs,
-              nowMs, Some(root))
+            dropped += TopicLog.vacuumStagedProtected(ackBase.toString,
+              olderThanMs, nowMs, protectedFor(ackBase.toString))
         }
     }
+    // retire fully-published markers: every line's manifest exists, so
+    // the marker has nothing left to heal and nothing left to protect
+    // (the manifest itself is the vacuum guard from here on). Without
+    // retirement the marker set — and every future sweep's parse —
+    // grows with all-time committed txn count.
+    val markerDir = Paths.get(root, "_txn")
+    if (Files.exists(markerDir))
+      TopicLog.listDir(markerDir)
+        .filter(_.getFileName.toString.endsWith(".committed"))
+        .foreach { marker =>
+          val done = Files.readAllLines(marker).asScala.filter(_.nonEmpty)
+            .forall { line =>
+              val f = line.split("\t")
+              f.length >= 2 &&
+                Files.exists(Paths.get(f(0), "_manifest", s"${f(1)}.commit"))
+            }
+          if (done) { Files.deleteIfExists(marker); () }
+        }
     (healed, dropped)
+  }
+
+  /** Marker-protected epochs per ABSOLUTE base path — one parse of the
+    * `_txn` directory shared by a whole [[vacuumAll]] sweep. */
+  private[log] def markerEpochs(root: String): Map[String, Set[Long]] = {
+    val markerDir = Paths.get(root, "_txn")
+    if (!Files.exists(markerDir)) return Map.empty
+    TopicLog.listDir(markerDir)
+      .filter(_.getFileName.toString.endsWith(".committed"))
+      .flatMap(m => Files.readAllLines(m).asScala.filter(_.nonEmpty))
+      .flatMap { line =>
+        val f = line.split("\t")
+        if (f.length >= 2)
+          scala.util.Try(f(1).toLong).toOption
+            .map(e => Paths.get(f(0)).toAbsolutePath.toString -> e)
+        else None
+      }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
   }
 
   /**
    * Recovery: replay the manifests of every committed marker (recovery
    * rule from the class doc — a marker without its manifests means the
-   * process died mid-publish). Idempotent; run at startup.
+   * process died mid-publish). Idempotent; run at startup. Returns the
+   * number of DISTINCT (topic, epoch)s this call healed — an epoch
+   * counts once whether it needed its manifest written, its staged
+   * files moved, or both.
    */
   def recover(root: String): Int = {
     val markerDir = Paths.get(root, "_txn")
     if (!Files.exists(markerDir)) return 0
-    var replayed = 0
+    val healed = scala.collection.mutable.Set[(String, Long)]()
     TopicLog.listDir(markerDir)
       .filter(_.getFileName.toString.endsWith(".committed"))
       .foreach { marker =>
@@ -227,12 +274,16 @@ object Txn {
             // also guards against)
             if (TopicLog.atomicCreate(manifestFile,
                 hwJoined.replace(";", "\n").getBytes))
-              replayed += 1
+              healed += ((topicPath, epoch.toLong))
           }
-          // crash between manifest write and staged-file moves
-          replayed += TopicLog.recoverStaging(topicPath)
+          // crash between manifest write and staged-file moves: count
+          // the epoch healed iff its staged tree actually existed
+          if (Files.exists(Paths.get(topicPath, "_staging", epoch))) {
+            TopicLog.recoverStaging(topicPath): Unit
+            healed += ((topicPath, epoch.toLong))
+          }
         }
       }
-    replayed
+    healed.size
   }
 }

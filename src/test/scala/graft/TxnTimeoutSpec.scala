@@ -186,11 +186,19 @@ class TxnTimeoutSpec extends SparkSpec {
     val future = System.currentTimeMillis() + 2 * Txn.DefaultTimeoutMs
     val (healed, dropped) = Txn.vacuumAll(root, Txn.DefaultTimeoutMs,
       nowMs = () => future)
-    assert(healed >= 1, "the marker's epoch heals during the sweep")
+    assert(healed == 1, "exactly one (topic, epoch) healed — not the " +
+      "manifest-write + staged-move double count")
     assert(dropped == 2, s"t2's staged orphan + the ack orphan drop, got $dropped")
     assert(t1.read().count() == 8, "committed txn data intact")
     assert(t2.read().count() == 10, "baseline rows untouched")
     assert(acks.pendingAcks().count() == 0, "dead txn's pending acks released")
+    // the fully-published marker retires with the sweep — the janitor's
+    // marker parse cannot grow with all-time committed txn count
+    assert(!Files.exists(markerDir.resolve("txn-va.committed")),
+      "fully-published marker must retire")
+    // and a SECOND sweep is a clean no-op
+    assert(Txn.vacuumAll(root, Txn.DefaultTimeoutMs,
+      nowMs = () => future) == ((0, 0)))
   }
 
   test("timed-out txn's pending acks vacuum away: redelivery unblocks") {
