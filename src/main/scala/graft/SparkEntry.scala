@@ -497,10 +497,12 @@ object SparkEntry {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       streamOutRoots.forEach { root =>
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        if (java.nio.file.Files.exists(root)) {
+          val w = java.nio.file.Files.walk(root)
+          try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+          finally w.close()
+        }
       }))
   }
   private def runStreamToLocal(s: SparkSession, agg: DataFrame,
@@ -525,9 +527,12 @@ object SparkEntry {
       s.catalog.dropTempView(viewName): Unit
       local
     }
-    java.nio.file.Files.walk(ckpt)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    locally {
+      val w = java.nio.file.Files.walk(ckpt)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+      finally w.close()
+    }
     out
   }
 
