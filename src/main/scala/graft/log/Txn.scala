@@ -230,6 +230,60 @@ object Txn {
     (healed, dropped)
   }
 
+  /** One in-flight staged epoch surfaced by [[slowTransactions]]:
+    * `markerCommitted` separates "committed, awaiting [[recover]]"
+    * (heal it) from "abandoned by a crashed/expired producer"
+    * (a [[vacuumAll]] candidate once older than the txn timeout). */
+  final case class SlowStaging(basePath: String, epoch: Long, ageMs: Long,
+                               markerCommitted: Boolean)
+
+  /**
+   * In-flight staged epochs under the root older than `olderThanMs` —
+   * the `pulsar-admin transactions slow-transactions` analog
+   * (MLTransactionMetadataStore.getSlowTransactions:521 lists TxnMetas
+   * past their timeout). Our durable footprint of an open/crashed txn
+   * IS its staged epochs, so the listing walks topic + ack staging
+   * (driver-side, bounded by staging-dir count, no data read) and
+   * classifies each against the commit markers. The operator loop:
+   * `slowTransactions` to see, [[recover]]/[[vacuumAll]] to act.
+   */
+  def slowTransactions(root: String, olderThanMs: Long,
+                       nowMs: () => Long = () => System.currentTimeMillis())
+      : Seq[SlowStaging] = {
+    val marked = markerEpochs(root)
+    def scan(base: String): Seq[SlowStaging] = {
+      val stagingRoot = Paths.get(base, "_staging")
+      if (!Files.exists(stagingRoot)) Seq.empty
+      else TopicLog.listDir(stagingRoot).flatMap { dir =>
+        scala.util.Try(dir.getFileName.toString.toLong).toOption.flatMap { epoch =>
+          // manifest committed = not in-flight (recoverStaging's job)
+          if (Files.exists(Paths.get(base, "_manifest", s"$epoch.commit"))) None
+          else {
+            val newest =
+              try TopicLog.walkAll(dir)
+                .map(p => Files.getLastModifiedTime(p).toMillis)
+                .foldLeft(0L)(math.max)
+              catch { case _: java.io.IOException => Long.MaxValue }
+            val age = nowMs() - newest
+            if (age <= olderThanMs) None
+            else Some(SlowStaging(base, epoch, age,
+              marked.getOrElse(Paths.get(base).toAbsolutePath.toString,
+                Set.empty).contains(epoch)))
+          }
+        }
+      }
+    }
+    Topics.list(root).flatMap { t =>
+      val base = t.path(root)
+      val subsDir = Paths.get(base, "_subs")
+      val ackBases =
+        if (!Files.exists(subsDir)) Seq.empty[String]
+        else TopicLog.listDir(subsDir).filter(Files.isDirectory(_))
+          .map(_.resolve("acks")).filter(Files.exists(_)).map(_.toString)
+      (base +: ackBases).flatMap(scan)
+    }.sortBy(s => (s.basePath, s.epoch))
+  }
+
   /** Marker-protected epochs per ABSOLUTE base path — one parse of the
     * `_txn` directory shared by a whole [[vacuumAll]] sweep. */
   private[log] def markerEpochs(root: String): Map[String, Set[Long]] = {

@@ -201,6 +201,46 @@ class TxnTimeoutSpec extends SparkSpec {
       nowMs = () => future) == ((0, 0)))
   }
 
+  test("slowTransactions lists in-flight staging with marker classification") {
+    val root = Files.createTempDirectory("graft-txnto").toString
+    val t1 = new TopicLog(spark, root, TopicName.parse("t1"), 2)
+    val t2 = new TopicLog(spark, root, TopicName.parse("t2"), 2)
+    t2.append(batch(0 until 6)): Unit
+    val acks = new AckLog(spark, t2.name.path(root), "sub-a")
+
+    // committed-awaiting-recovery (marker) vs abandoned (no marker),
+    // plus an abandoned ack staging — three in-flight entries
+    val committed = t1.stageAppend(batch(100 until 104))
+    val markerDir = Paths.get(root, "_txn")
+    Files.createDirectories(markerDir)
+    Files.write(markerDir.resolve("txn-sl.tmp"),
+      Seq(t1.name.path(root), committed.epoch.toString, committed.count.toString,
+        committed.manifestLines.replace("\n", ";")).mkString("\t").getBytes)
+    Files.move(markerDir.resolve("txn-sl.tmp"),
+      markerDir.resolve("txn-sl.committed"))
+    t2.stageAppend(batch(200 until 203)): Unit
+    acks.stageAck(t2.read().limit(3)
+      .select(col(Envelope.Partition).as("partition"),
+        col(Envelope.Offset).as("offset"))): Unit
+
+    // young staging is NOT slow
+    assert(Txn.slowTransactions(root, olderThanMs = 3600 * 1000L).isEmpty)
+    val future = System.currentTimeMillis() + 3600 * 1000L
+    val slow = Txn.slowTransactions(root, olderThanMs = 60000L,
+      nowMs = () => future)
+    assert(slow.size == 3, s"three in-flight stagings, got $slow")
+    val byBase = slow.groupBy(_.basePath).view.mapValues(_.head).toMap
+    assert(byBase(t1.name.path(root)).markerCommitted,
+      "t1's epoch is committed-awaiting-recovery")
+    assert(!byBase(t2.name.path(root)).markerCommitted,
+      "t2's epoch is abandoned")
+    assert(!byBase(acks.basePath).markerCommitted, "ack staging abandoned")
+    assert(slow.forall(_.ageMs > 60000L))
+    // after the janitor acts, the listing drains
+    Txn.vacuumAll(root, Txn.DefaultTimeoutMs, nowMs = () => future): Unit
+    assert(Txn.slowTransactions(root, 0L, nowMs = () => future).isEmpty)
+  }
+
   test("timed-out txn's pending acks vacuum away: redelivery unblocks") {
     val root = Files.createTempDirectory("graft-txnto").toString
     val in = new TopicLog(spark, root, TopicName.parse("in"), 2)
