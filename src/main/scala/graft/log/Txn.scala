@@ -188,6 +188,15 @@ object Txn {
   def vacuumAll(root: String, olderThanMs: Long,
                 nowMs: () => Long = () => System.currentTimeMillis()): (Int, Int) = {
     val healed = recover(root)
+    // anchor the sweep's clock BEFORE the marker parse: expiry is then
+    // "older than the horizon as of a moment when the parse had not yet
+    // happened", so any marker covering an epoch that can test expired
+    // was already on disk when we parsed (marker time ≤ openedAt +
+    // timeout ≤ newestMtime + timeout < sweepNow < parse time). Without
+    // the anchor, a long sweep against a live clock could age an epoch
+    // past the horizon while its marker — written after the parse —
+    // goes unseen.
+    val sweepNow = nowMs()
     // parse the marker set ONCE for the whole sweep (the txnRoot form
     // of vacuumStaged re-reads every marker per call — with T topics and
     // S ack logs that is (T+S) full marker passes per sweep)
@@ -198,15 +207,15 @@ object Txn {
     var dropped = 0
     Topics.list(root).foreach { t =>
       val base = t.path(root)
-      dropped += TopicLog.vacuumStagedProtected(base, olderThanMs, nowMs,
-        protectedFor(base))
+      dropped += TopicLog.vacuumStagedProtected(base, olderThanMs,
+        () => sweepNow, protectedFor(base))
       val subsDir = Paths.get(base, "_subs")
       if (Files.exists(subsDir))
         TopicLog.listDir(subsDir).filter(Files.isDirectory(_)).foreach { s =>
           val ackBase = s.resolve("acks")
           if (Files.exists(ackBase))
             dropped += TopicLog.vacuumStagedProtected(ackBase.toString,
-              olderThanMs, nowMs, protectedFor(ackBase.toString))
+              olderThanMs, () => sweepNow, protectedFor(ackBase.toString))
         }
     }
     // retire fully-published markers: every line's manifest exists, so
