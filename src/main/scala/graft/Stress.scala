@@ -192,6 +192,7 @@ object Stress {
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
+    if (tierOn("txn")) txnTier(envK)
     // pair-stage-only probe for the est_jaccard kernel A/B (clone
     // cliques make band-collision pairs the dominant cost at K×)
     if (tierOn("minhash_pairs")) {
@@ -311,6 +312,57 @@ object Stress {
       s"$bcAnti (must be 0; the ack side shuffles — broadcast LeftOuter " +
       s"of the 32-row backlog/md aggregates is correct and expected)")
     log.unpersist(): Unit
+  }
+
+  /** Transaction-path scaling probe (round 8): the commit protocol's
+    * data-sized work is the staging write (one pass per topic); the
+    * commit POINT is one marker move and the publish is O(partitions)
+    * manifest work — so commit wall must track bytes staged, recovery
+    * and the janitor must stay metadata-speed (no data read), and the
+    * exactly-once ack leg must not add a data-sized stage. */
+  private def txnTier(ev: DataFrame): Unit = {
+    val spark = ev.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft-stress-txn").toString
+    val outA = new graft.log.TopicLog(spark, root,
+      graft.model.TopicName.parse("stress-txn-a"), 4)
+    val outB = new graft.log.TopicLog(spark, root,
+      graft.model.TopicName.parse("stress-txn-b"), 4)
+    val half = ev.count() / 2
+    val rows = ev.select(
+        col("user_id").cast("string").as(Envelope.Key),
+        col("props").as(Envelope.Value),
+        concat(lit("p"), (col("user_id") % 50).cast("string"))
+          .as(Envelope.ProducerName),
+        col("event_id").as(Envelope.SequenceId),
+        col("ts").as(Envelope.PublishTime))
+      .localCheckpoint(true)
+    val batchA = rows.filter(col(Envelope.SequenceId) % 2 === 0)
+    val batchB = rows.filter(col(Envelope.SequenceId) % 2 =!= 0)
+    timeTasks(spark, "txn_commit_2topics") {
+      graft.log.Txn.begin(root).produce(outA, batchA).produce(outB, batchB)
+        .commit()
+      half
+    }
+    val nA = outA.read().count(); val nB = outB.read().count()
+    require(nA + nB == rows.count(), s"txn commit lost rows: $nA + $nB")
+    // consume-process-produce: ack HALF of A, produce a transform to B —
+    // through one marker; the ack leg is cursor-sized work
+    val acks = new graft.log.AckLog(spark, outA.name.path(root), "stress-sub")
+    val toAck = outA.read().filter(col(Envelope.Offset) % 2 === 0)
+      .select(col(Envelope.Partition).as("partition"),
+        col(Envelope.Offset).as("offset"))
+    timeTasks(spark, "txn_ack_produce") {
+      graft.log.Txn.begin(root).ack(acks, toAck)
+        .produce(outB, batchA.limit(1000)).commit()
+      acks.read().count()
+    }
+    // recovery + janitor on the healthy root: metadata-speed no-ops
+    timeTasks(spark, "txn_recover_noop")(graft.log.Txn.recover(root).toLong)
+    timeTasks(spark, "txn_vacuum_sweep") {
+      val (h, d) = graft.log.Txn.vacuumAll(root, 60000L)
+      (h + d).toLong
+    }
+    rows.unpersist(): Unit
   }
 
   /** AckLog compaction-tier scaling probe (round 8): markDelete's
