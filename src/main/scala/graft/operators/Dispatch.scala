@@ -81,12 +81,26 @@ object Dispatch {
    * (ConsistentHashingStickyKeyConsumerSelector.java:104; AUTO_SPLIT
    * divides the range evenly). `numConsumers` even split of [0, 65536).
    */
-  def keySharedAssign(log: DataFrame, numConsumers: Int): DataFrame = {
-    val routingKey =
+  /** The reference's sticky key per message (Commands.peekStickyKey,
+    * pulsar-common Commands.java:1995-2023): the ordering key when
+    * present, else the partition key, else the literal "NONE_KEY".
+    * ONE definition for every Key_Shared selector — before this, only
+    * the even-split selector honored ordering_key (the ring/auto-split/
+    * sticky selectors hashed the partition key, so an ordering-keyed
+    * row routed to DIFFERENT consumers depending on selector), and a
+    * null key NULL-propagated through least()/element_at into either
+    * the last consumer or a null consumer id instead of the reference's
+    * deterministic NONE_KEY slot. */
+  private[graft] def stickyRoutingKey(log: DataFrame): Column = {
+    val base =
       if (log.columns.contains(Envelope.OrderingKey))
         coalesce(col(Envelope.OrderingKey).cast("string"), col(Envelope.Key))
       else col(Envelope.Key)
-    val slot = Murmur3Pulsar.pulsar_hash(routingKey) % Murmur3Pulsar.HashRangeSize
+    coalesce(base, lit("NONE_KEY"))
+  }
+
+  def keySharedAssign(log: DataFrame, numConsumers: Int): DataFrame = {
+    val slot = Murmur3Pulsar.pulsar_hash(stickyRoutingKey(log)) % Murmur3Pulsar.HashRangeSize
     val rangeSize = Murmur3Pulsar.HashRangeSize / numConsumers
     log.withColumn("slot", slot)
       .withColumn("consumer_id", least(col("slot") / rangeSize,
@@ -131,7 +145,7 @@ object Dispatch {
         rangeMap.put(split, c): Unit
       }
     }
-    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) % rangeSize
+    val slot = Murmur3Pulsar.pulsar_hash(stickyRoutingKey(log)) % rangeSize
     log.withColumn("slot", slot)
       .withColumn("consumer_id",
         ringAssign(rangeMap.toSeq, col("slot"), rangeSize)) // ceiling lookup, top key ≥ every slot
@@ -154,7 +168,7 @@ object Dispatch {
   def keySharedConsistentHash(log: DataFrame, consumers: Seq[String],
                               pointsPerConsumer: Int = 100): DataFrame = {
     require(consumers.nonEmpty)
-    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) %
+    val slot = Murmur3Pulsar.pulsar_hash(stickyRoutingKey(log)) %
       Murmur3Pulsar.HashRangeSize
     log.withColumn("slot", slot)
       .withColumn("consumer_id",
@@ -226,7 +240,7 @@ object Dispatch {
                          drainedUpTo: Map[Int, Long] = Map.empty,
                          pointsPerConsumer: Int = 100): DataFrame = {
     require(oldConsumers.nonEmpty && newConsumers.nonEmpty)
-    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) %
+    val slot = Murmur3Pulsar.pulsar_hash(stickyRoutingKey(log)) %
       Murmur3Pulsar.HashRangeSize
     val drained = typedLit(drainedUpTo.map { case (p, o) => p -> o })
     log.withColumn("slot", slot)
@@ -307,7 +321,7 @@ object Dispatch {
             "reference rejects intersecting ranges")
       case _ => ()
     }
-    val slot = Murmur3Pulsar.pulsar_hash(col(Envelope.Key)) % Murmur3Pulsar.HashRangeSize
+    val slot = Murmur3Pulsar.pulsar_hash(stickyRoutingKey(log)) % Murmur3Pulsar.HashRangeSize
     val assigned = ranges.foldLeft(lit(null).cast("string")) {
       case (acc, (lo, hi, consumer)) =>
         when(slot.between(lo, hi), lit(consumer)).otherwise(acc)
@@ -322,16 +336,26 @@ object Dispatch {
    * redelivery after backoff(redeliveryCount)).
    */
   def dlqRoute(log: DataFrame, subscription: String, maxRedeliverCount: Int,
-               backoffBaseSeconds: Long = 60L): DataFrame = {
+               backoffBaseSeconds: Long = 60L,
+               nackTime: Option[Column] = None): DataFrame = {
     val dlqTopic = concat(col(Envelope.Topic), lit(s"-$subscription-DLQ"))
     val retryTopic = concat(col(Envelope.Topic), lit(s"-$subscription-RETRY"))
     // dead-letter at >= maxRedeliverCount, matching the reference's
     // possibleToDeadLetter (redeliveryCount >= policy.maxRedeliverCount)
     val toDlq = col(Envelope.RedeliveryCnt) >= maxRedeliverCount
+    // the reference anchors the backoff at the NACK instant
+    // (NegativeAcksTracker schedules at nackTime + backoff) — a live
+    // dispatcher passes `nackTime` (current_timestamp() or the
+    // microbatch time), otherwise a message older than its backoff is
+    // immediately due on every retry (the backoff degenerates to a
+    // no-op for aged messages). The publish-time default remains for
+    // replaying a log snapshot where the nack instants aren't recorded
+    // — the only deterministic anchor such a batch has.
+    val anchor = nackTime.getOrElse(col(Envelope.PublishTime))
     log.withColumn("route_topic", when(toDlq, dlqTopic).otherwise(retryTopic))
       .withColumn("next_deliver_at",
         when(toDlq, lit(null).cast("timestamp"))
-          .otherwise(col(Envelope.PublishTime) +
+          .otherwise(anchor +
             expr(s"make_interval(0,0,0,0,0,0,$backoffBaseSeconds * pow(2, redelivery_count))")))
   }
 
@@ -356,11 +380,17 @@ object Dispatch {
     val cursorDf = log.sparkSession.createDataFrame(cursor.toSeq.map {
       case (p, o) => (p, o)
     }).toDF(Envelope.Partition, "cursor")
-    log.join(broadcast(cursorDf), Seq(Envelope.Partition), "left")
+    val advanced = log.join(broadcast(cursorDf), Seq(Envelope.Partition), "left")
       .filter(col("cursor").isNull || col(Envelope.Offset) > col("cursor"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= n)
       .groupBy(Envelope.Partition)
-      .agg(max(Envelope.Offset).as("new_cursor"))
+      .agg(max(Envelope.Offset).as("advanced"))
+    // a fully-consumed partition has no rows left to skip but must KEEP
+    // its cursor entry — dropping it from the returned map would read as
+    // "this partition has consumed nothing" and redeliver everything
+    advanced.join(broadcast(cursorDf), Seq(Envelope.Partition), "full_outer")
+      .select(col(Envelope.Partition),
+        coalesce(col("advanced"), col("cursor")).as("new_cursor"))
   }
 }

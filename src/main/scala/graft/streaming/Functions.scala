@@ -118,6 +118,15 @@ object Functions {
     val transformed = transform(source)
     guarantee match {
       case Guarantee.AtMostOnce =>
+        // the ack markers live beside the checkpoint via LOCAL file IO:
+        // on a remote checkpoint (hdfs://, s3a://) Paths.get would
+        // silently resolve to a bogus driver-local dir, markers would
+        // not survive a driver move, and the guarantee would silently
+        // degrade to duplicates — fail loudly instead (extend with
+        // Hadoop FS when a remote checkpoint is actually needed)
+        require(!checkpoint.contains("://"),
+          s"AT_MOST_ONCE ack markers require a locally-mounted " +
+            s"checkpoint; got '$checkpoint'")
         transformed.writeStream
           .option("checkpointLocation", checkpoint)
           .foreachBatch { (batch: DataFrame, epochId: Long) =>

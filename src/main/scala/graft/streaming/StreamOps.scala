@@ -14,15 +14,25 @@ object StreamOps {
 
   /**
    * Streaming TableView (reference TableViewImpl.java:50,206): last value
-   * per key, updated continuously. `max_by(struct(offset, value), offset)`
-   * in Update mode; `refresh()` (TableView.refreshAsync:138) =
-   * `processAllAvailable()` on the returned query.
+   * per key, updated continuously. `max_by(struct(offset, value), offset)`;
+   * `refresh()` (TableView.refreshAsync:138) = `processAllAvailable()` on
+   * the returned query. Same key/tombstone rules as the batch twin
+   * ([[graft.operators.Compaction.compact]]): null-key rows are not
+   * viewable (TableViewImpl keys its map on the message key) and a key
+   * whose LATEST message is a tombstone (null value) is REMOVED from the
+   * view (handleMessage does data.remove on null payload) — without the
+   * post-aggregate filter a consumer would see a phantom (key, null) row.
+   * The removal is exact in complete output mode ([[tableViewQuery]]);
+   * an update-mode sink sees no retraction row for a removed key — the
+   * same delete-propagation caveat any update-mode consumer has.
    */
   def tableView(stream: DataFrame, keyCol: String = Envelope.Key,
                 valueCol: String = Envelope.Value): DataFrame =
-    stream.groupBy(col(keyCol))
+    stream.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(max_by(col(valueCol), col(Envelope.Offset)).as(valueCol),
         max(Envelope.Offset).as("as_of_offset"))
+      .filter(col(valueCol).isNotNull)
 
   /** Materialize a streaming TableView into an in-memory table readable
     * as `spark.table(viewName)`; returns the query (stop() to drop). */
@@ -70,6 +80,12 @@ object StreamOps {
     // The file records (batchId, wmBeforeBatch, maxSeenAfter): a REPLAYED
     // batch (crash after the file write but before the checkpoint commit)
     // re-reads its own wmBefore, so routing is identical on replay.
+    // LOCAL file IO — a remote checkpoint URI would silently resolve to
+    // a driver-local path and lose the watermark across a driver move,
+    // misrouting after restart; fail loudly instead.
+    require(!checkpoint.contains("://"),
+      s"withLateDataSplit keeps its watermark beside the checkpoint via " +
+        s"local file IO; got non-local checkpoint '$checkpoint'")
     val wmFile = java.nio.file.Paths.get(checkpoint, "graft-watermark")
     def readWmFile(): Option[(Long, Long, Long)] =
       if (!java.nio.file.Files.exists(wmFile)) None
@@ -81,27 +97,35 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
-        val wmBefore = readWmFile() match {
-          case Some((recordedId, wb, _)) if recordedId == batchId => wb // replay
-          case Some((_, _, maxAfter)) => maxAfter
-          case None => Long.MinValue
-        }
-        if (wmBefore == Long.MinValue) mainProcess(b)
-        else {
-          val wm = new java.sql.Timestamp(wmBefore - maxLagMs)
-          lateSink(b.filter(col(eventTimeCol) < lit(wm)))
-          mainProcess(b.filter(col(eventTimeCol) >= lit(wm)))
-        }
-        val mx = b.agg(max(eventTimeCol)).head()
-        val newMax = if (mx.isNullAt(0)) wmBefore
-          else math.max(wmBefore, mx.getTimestamp(0).getTime)
-        java.nio.file.Files.createDirectories(wmFile.getParent)
-        val tmp = wmFile.resolveSibling("graft-watermark.tmp")
-        java.nio.file.Files.writeString(tmp, s"$batchId,$wmBefore,$newMax")
-        java.nio.file.Files.move(tmp, wmFile,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        b.unpersist(); ()
+        try {
+          val wmBefore = readWmFile() match {
+            case Some((recordedId, wb, _)) if recordedId == batchId => wb // replay
+            case Some((_, _, maxAfter)) => maxAfter
+            case None => Long.MinValue
+          }
+          if (wmBefore == Long.MinValue) mainProcess(b)
+          else {
+            val wm = new java.sql.Timestamp(wmBefore - maxLagMs)
+            // a NULL event time cannot be late — it routes to the main
+            // path explicitly. Both comparison filters evaluate NULL to
+            // false, so without the isNull arm such a row would match
+            // NEITHER side and silently vanish — in the one operator
+            // whose contract is that nothing is ever silently dropped.
+            lateSink(b.filter(col(eventTimeCol).isNotNull &&
+              col(eventTimeCol) < lit(wm)))
+            mainProcess(b.filter(col(eventTimeCol).isNull ||
+              col(eventTimeCol) >= lit(wm)))
+          }
+          val mx = b.agg(max(eventTimeCol)).head()
+          val newMax = if (mx.isNullAt(0)) wmBefore
+            else math.max(wmBefore, mx.getTimestamp(0).getTime)
+          java.nio.file.Files.createDirectories(wmFile.getParent)
+          val tmp = wmFile.resolveSibling("graft-watermark.tmp")
+          java.nio.file.Files.writeString(tmp, s"$batchId,$wmBefore,$newMax")
+          java.nio.file.Files.move(tmp, wmFile,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        } finally { b.unpersist(); () }
       }
       .start()
   }

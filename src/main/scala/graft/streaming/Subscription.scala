@@ -61,7 +61,13 @@ final class Subscription(
   def stream(): DataFrame = {
     val schema =
       try spark.read.parquet(log.name.path(log.root)).schema
-      catch { case _: Throwable => Envelope.schema }
+      catch {
+        // ONLY the empty/absent-topic case falls back to the envelope
+        // schema (subscribing before the first append is legal); a
+        // transient IO/permission failure must stay loud — swallowing
+        // it would pin a wrong schema for the query's whole lifetime
+        case _: org.apache.spark.sql.AnalysisException => Envelope.schema
+      }
     var r: DataStreamReader = spark.readStream.schema(schema)
     policy.maxFilesPerTrigger.foreach(n =>
       r = r.option("maxFilesPerTrigger", n))
@@ -76,8 +82,11 @@ final class Subscription(
       case SubscriptionType.Exclusive | SubscriptionType.Failover => df
       case SubscriptionType.Shared => df.repartition(numWorkers)
       case SubscriptionType.KeyShared =>
+        // same sticky key as every Dispatch selector (ordering key if
+        // present, else key, else NONE_KEY — Commands.peekStickyKey)
         df.repartition(numWorkers,
-          pmod(Murmur3Pulsar.pulsar_hash(col(Envelope.Key)), lit(65536)))
+          pmod(Murmur3Pulsar.pulsar_hash(
+            graft.operators.Dispatch.stickyRoutingKey(df)), lit(65536)))
     }
   }
 
@@ -136,6 +145,17 @@ final class Subscription(
                          process: (DataFrame, Long) => Unit): StreamingQuery =
     consumeRateLimitedDual(Some((rateMsgsPerSec, burst)), None, clock)(process)
 
+  /** One metering job for both throttle dimensions: (row count, payload
+    * octets) per microbatch, octets by the canonical storage-size
+    * definition — Admin.payloadOctets — so byte-rate throttling can
+    * never drift from topicStats/rates. Shared by both admission
+    * disciplines. */
+  private def meterBatch(batch: DataFrame): org.apache.spark.sql.Row =
+    batch.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(graft.log.Admin.payloadOctets), lit(0L)).as("octets"))
+      .head()
+
   /**
    * Dual-dimension dispatch throttle — the reference enforces msg-rate
    * AND byte-rate token buckets SIMULTANEOUSLY
@@ -165,12 +185,7 @@ final class Subscription(
       // ONE metering job for both dimensions — the batch recomputes for
       // process(), the same two-pass shape consume()'s manifest gate
       // already accepts for harness-scale batches
-      val meter = batch.agg(
-        count(lit(1)).as("n"),
-        // the canonical storage-size definition — Admin.payloadOctets —
-        // so byte-rate throttling can never drift from topicStats/rates
-        coalesce(sum(graft.log.Admin.payloadOctets), lit(0L)).as("octets"))
-        .head()
+      val meter = meterBatch(batch)
       var needMsgs = if (msgBucket.isDefined) meter.getLong(0) else 0L
       var needBytes = if (byteBucket.isDefined) meter.getLong(1) else 0L
       while (needMsgs > 0 || needBytes > 0) {
@@ -215,12 +230,7 @@ final class Subscription(
     var msgBucket = msgs.map { case (r, b) => TokenBucket.full(r, b, clock()) }
     var byteBucket = bytes.map { case (r, b) => TokenBucket.full(r, b, clock()) }
     consume { (batch, epochId) =>
-      val meter = batch.agg(
-        count(lit(1)).as("n"),
-        // the canonical storage-size definition — Admin.payloadOctets —
-        // so byte-rate throttling can never drift from topicStats/rates
-        coalesce(sum(graft.log.Admin.payloadOctets), lit(0L)).as("octets"))
-        .head()
+      val meter = meterBatch(batch)
       process(batch, epochId) // dispatch first — the debt pays afterwards
       val now = clock()
       var throttled = false
