@@ -28,7 +28,10 @@ import scala.collection.JavaConverters._
 object Admin {
 
   private def dataFiles(log: TopicLog): Seq[Path] = {
-    val base = Paths.get(log.name.path(log.root))
+    // absolute + normalized: fileMax keys on input_file_name()'s DECODED
+    // absolute URI path, so a relative TopicLog root would make every
+    // lookup miss and retention/offload silently no-op forever
+    val base = Paths.get(log.name.path(log.root)).toAbsolutePath.normalize
     log.manifestFiles() match {
       // file snapshot active (post-coalesce): the manifest, not the
       // directory, defines liveness — unreferenced files awaiting vacuum
@@ -49,15 +52,15 @@ object Admin {
     * physical delete/move, so no committed manifest references a missing
     * file. */
   private def unreference(log: TopicLog, victims: Seq[Path]): Unit = {
-    val base = Paths.get(log.name.path(log.root))
+    val base = Paths.get(log.name.path(log.root)).toAbsolutePath.normalize
     log.dropFromSnapshot(victims.map(p => base.relativize(p).toString))
   }
 
   /** Per-file max of `aggCol` in ONE distributed job (input_file_name
     * grouping) — the O(N-files) sequential-job trap is exactly what a
     * continuous 100 TB maintenance path cannot afford. */
-  private def fileMax(log: TopicLog, aggCol: String): Map[String, Any] = {
-    val files = dataFiles(log)
+  private def fileMax(log: TopicLog, files: Seq[Path],
+                      aggCol: String): Map[String, Any] = {
     if (files.isEmpty) return Map.empty
     log.spark.read.parquet(files.map(_.toString): _*)
       .groupBy(input_file_name().as("f"))
@@ -86,8 +89,9 @@ object Admin {
    */
   def retentionTrim(log: TopicLog, nowMs: Long, retentionMs: Long): Int = {
     val cutoff = new java.sql.Timestamp(nowMs - retentionMs)
-    val maxByFile = fileMax(log, Envelope.PublishTime)
-    val victims = dataFiles(log).filter { p =>
+    val files = dataFiles(log)
+    val maxByFile = fileMax(log, files, Envelope.PublishTime)
+    val victims = files.filter { p =>
       maxByFile.get(p.toString) match {
         case Some(ts: java.sql.Timestamp) => ts.before(cutoff)
         case _ => false
@@ -128,28 +132,59 @@ object Admin {
   /**
    * Offload files whose rows are all at/below `beforeOffset` to the cold
    * tier directory `<topic>/_cold/`, preserving the partition subpath.
-   * Returns files moved. [[readTiered]] unions hot + cold.
+   * Returns files offloaded. [[readTiered]] unions hot + cold.
+   *
+   * Crash safety differs by manifest mode:
+   *  - SNAPSHOT mode: COPY to cold first, THEN unreference — the
+   *    committed rows exist in at least one visible tier at every
+   *    instant. Crash after copy, before unreference: the cold copy is
+   *    excluded by [[readTiered]] (its relative path is still live in
+   *    the hot snapshot — no duplicates) and a re-run completes
+   *    (REPLACE_EXISTING). Crash after unreference: the hot original is
+   *    unreferenced garbage [[TopicLog.vacuum]] collects; the cold copy
+   *    serves reads. The earlier unreference-then-MOVE order had a
+   *    window where a crash left the rows in NEITHER tier and vacuum
+   *    then deleted them permanently.
+   *  - offset-only mode: one ATOMIC_MOVE per file is already
+   *    all-or-nothing per file (the directory listing is the snapshot,
+   *    so copy-first would double-read).
    */
   def offload(log: TopicLog, beforeOffset: Long): Int = {
-    val base = Paths.get(log.name.path(log.root))
-    val maxByFile = fileMax(log, Envelope.Offset)
-    val moved = dataFiles(log).filter { p =>
+    val base = Paths.get(log.name.path(log.root)).toAbsolutePath.normalize
+    val files = dataFiles(log)
+    val maxByFile = fileMax(log, files, Envelope.Offset)
+    val moved = files.filter { p =>
       maxByFile.get(p.toString) match {
         case Some(o: java.lang.Long) => o <= beforeOffset
         case _ => false
       }
     }
-    unreference(log, moved)
-    moved.foreach { p =>
-      val rel = base.relativize(p)
-      val target = base.resolve("_cold").resolve(rel)
-      Files.createDirectories(target.getParent)
-      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+    val snapshotMode = log.manifestFiles().isDefined
+    if (snapshotMode) {
+      moved.foreach { p =>
+        val rel = base.relativize(p)
+        val target = base.resolve("_cold").resolve(rel)
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+      unreference(log, moved)
+      // hot originals stay until TopicLog.vacuum() — in-flight readers
+      // planned against the previous snapshot still resolve them
+    } else {
+      moved.foreach { p =>
+        val rel = base.relativize(p)
+        val target = base.resolve("_cold").resolve(rel)
+        Files.createDirectories(target.getParent)
+        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      }
     }
     moved.size
   }
 
-  /** Transparent hot+cold read (reference readOffloaded). */
+  /** Transparent hot+cold read (reference readOffloaded). Cold files
+    * whose relative path is STILL referenced by the hot snapshot are
+    * excluded — they are half-offloaded copies (crash between copy and
+    * unreference) whose rows the hot tier already serves. */
   def readTiered(log: TopicLog): DataFrame = {
     val spark = log.spark
     val base = log.name.path(log.root)
@@ -157,11 +192,18 @@ object Admin {
     val hot = log.read()
     if (!Files.exists(cold)) hot
     else {
-      // cold files keep their hive partition dirs under _cold/
-      val coldDf = spark.read
-        .option("basePath", cold.toString)
-        .parquet(cold.toString)
-      hot.unionByName(coldDf, allowMissingColumns = true)
+      val live = log.manifestFiles().map(_.toSet).getOrElse(Set.empty[String])
+      val visible = TopicLog.walkAll(cold)
+        .filter(_.toString.endsWith(".parquet"))
+        .filterNot(p => live.contains(cold.relativize(p).toString))
+      if (visible.isEmpty) hot
+      else {
+        // cold files keep their hive partition dirs under _cold/
+        val coldDf = spark.read
+          .option("basePath", cold.toString)
+          .parquet(visible.map(_.toString): _*)
+        hot.unionByName(coldDf, allowMissingColumns = true)
+      }
     }
   }
 
@@ -181,8 +223,18 @@ object Admin {
    * consumers dedupe via the (partition, offset) cursor gate.
    */
   def coalesceFiles(log: TopicLog, filesPerPartition: Int = 1): Unit =
+    // numPartitions × filesPerPartition target cells keyed on
+    // (partition, offset-salt): each log partition's rows spread over
+    // ≤ filesPerPartition writer tasks, and the rewrite runs with
+    // partition-count parallelism. The earlier repartition(
+    // filesPerPartition, partition) shape hashed EVERY row into
+    // `filesPerPartition` total Spark partitions — at the default 1,
+    // the whole topic rewrote through a single task, the exact
+    // one-reducer funnel a 100 TB maintenance job cannot contain.
     log.replaceDataFiles(
-      log.read().repartition(filesPerPartition, col(Envelope.Partition)))
+      log.read().repartition(log.numPartitions * filesPerPartition,
+        col(Envelope.Partition),
+        pmod(col(Envelope.Offset), lit(filesPerPartition))))
 
   /**
    * Topic stats (reference `Topics.getStats`,
@@ -221,7 +273,8 @@ object Admin {
     * lifecycle note inside [[topicStats]]. */
   private val lastStatsCache =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.lang.ref.WeakReference[DataFrame]]())
 
   def topicStats(log: DataFrame, subs: Map[String, DataFrame]): DataFrame = {
     require(subs.nonEmpty,
@@ -268,7 +321,12 @@ object Admin {
       .agg(count(lit(1)).cast("bigint").as("backlog"),
         min("offset").as("min_unacked"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastStatsCache.put(spark, backlog))
+    // the value is a WeakReference so it cannot pin its own key (a
+    // DataFrame strongly references its SparkSession; a strong value
+    // would defeat the weak keys and leak one session + cache handle
+    // per stopped session)
+    Option(lastStatsCache.put(spark, new java.lang.ref.WeakReference(backlog)))
+      .flatMap(r => Option(r.get))
       .filterNot(_ eq backlog)
       .foreach(prev => try { prev.unpersist(false); () } catch { case _: Throwable => () })
     // mark-delete = highest acked offset below the first gap; every log

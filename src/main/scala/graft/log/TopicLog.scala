@@ -586,7 +586,23 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
           spark.read.option("basePath", basePath)
             .parquet(files.map(f => s"$basePath/$f"): _*)
             .filter(cond)
-        case None => spark.read.parquet(basePath).filter(cond)
+        case None =>
+          // offset-only mode: the directory listing is the snapshot. A
+          // truncate/retention pass may have deleted EVERY data file
+          // while the high-water lines survive — that state must read
+          // as empty (exactly what the explicit empty snapshot above
+          // returns), not throw UNABLE_TO_INFER_SCHEMA.
+          val hasData = {
+            val base = Paths.get(basePath)
+            TopicLog.walkAll(base).exists { p =>
+              p.toString.endsWith(".parquet") &&
+                !base.relativize(p).iterator().asScala.exists(
+                  _.getFileName.toString.startsWith("_"))
+            }
+          }
+          if (!hasData) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
+          else spark.read.parquet(basePath).filter(cond)
       }
     }
   }

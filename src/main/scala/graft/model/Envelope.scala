@@ -172,8 +172,18 @@ object Envelope {
 final case class TopicName(domain: String, tenant: String, namespace: String, topic: String) {
   require(domain == "persistent" || domain == "non-persistent", s"bad domain: $domain")
   def fqn: String = s"$domain://$tenant/$namespace/$topic"
-  /** Path convention for the parquet-backed topic log. */
-  def path(root: String): String = s"$root/$tenant/$namespace/$topic"
+  /** Path convention for the parquet-backed topic log. Persistent-only:
+    * a non-persistent topic HAS no storage (the reference delivers it
+    * in-memory to connected consumers and drops the rest,
+    * NonPersistentTopic.java) — and because this layout omits the
+    * domain, giving one a path would silently SHARE storage and
+    * manifest epochs with the same-named persistent topic. */
+  def path(root: String): String = {
+    require(domain == "persistent",
+      s"non-persistent topic $fqn has no storage path (reference: " +
+        s"in-memory dispatch only)")
+    s"$root/$tenant/$namespace/$topic"
+  }
   /** Internal partition topic name, reference TopicName.getPartition. */
   def partition(i: Int): String = s"$fqn-partition-$i"
 }

@@ -90,8 +90,12 @@ object SchemaRegistry {
    * one scan — per-version frames decoded with their own schema then
    * unioned by name with missing columns null-filled.
    */
-  def unionRead(frames: Seq[DataFrame]): DataFrame =
+  def unionRead(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty,
+      "unionRead needs at least one schema version's frame (topic has " +
+        "no registered schemas?)")
     frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
 
   /**
    * Decode a JSON `value` column with the registered schema for each row's
@@ -160,17 +164,28 @@ object SchemaRegistry {
   /** Widest struct across versions: union of fields, all nullable; on a
     * per-field type conflict keep the type that can READ the other (long
     * beats int, double beats float) so later widened versions are never
-    * narrowed-and-corrupted on decode. */
+    * narrowed-and-corrupted on decode. INCOMPARABLE same-name types
+    * (int vs string) are rejected loudly: silently keeping one side
+    * would cast the other version's values to null on decode — data
+    * corruption with no error, the exact failure the widening rule
+    * exists to prevent. The reference's compat checker likewise refuses
+    * such version sets (an int→string change passes no strategy). */
   private def widest(versions: Seq[StructType]): StructType = {
     val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
     versions.foreach(_.fields.foreach { f =>
       fields.get(f.name) match {
         case None => fields(f.name) = f.copy(nullable = true)
         case Some(prev) =>
-          if (prev.dataType != f.dataType &&
-              typeCompatible(f.dataType, prev.dataType))
+          if (prev.dataType == f.dataType) () // same type, keep
+          else if (typeCompatible(f.dataType, prev.dataType))
             fields(f.name) = f.copy(nullable = true) // f is wider
-        // else keep prev (already widest or incomparable)
+          else if (typeCompatible(prev.dataType, f.dataType))
+            () // prev already widest
+          else throw new IllegalArgumentException(
+            s"field '${f.name}' has incomparable types across schema " +
+              s"versions (${prev.dataType.simpleString} vs " +
+              s"${f.dataType.simpleString}) — decoding one version " +
+              s"through the other's type would null its values silently")
       }
     })
     StructType(fields.values.toSeq)

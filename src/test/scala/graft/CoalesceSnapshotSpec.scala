@@ -156,4 +156,53 @@ class CoalesceSnapshotSpec extends SparkSpec {
     assert(physicalParquet(log2).isEmpty)
     assert(log2.read().count() == 0)
   }
+
+  test("offload crash windows: rows visible in exactly one tier at every instant") {
+    val log = freshLog()
+    log.append(batch(0 until 100))
+    Admin.coalesceFiles(log, filesPerPartition = 1)
+    log.vacuum()
+    val base = Paths.get(log.name.path(log.root)).toAbsolutePath.normalize
+
+    // crash BETWEEN copy and unreference: simulate by hand-copying one
+    // live file into _cold without touching the manifest — readTiered
+    // must NOT double-count (the cold copy's rel path is still live)
+    val live = log.manifestFiles().get
+    val victim = live.head
+    val target = base.resolve("_cold").resolve(victim)
+    Files.createDirectories(target.getParent)
+    Files.copy(base.resolve(victim), target)
+    assert(Admin.readTiered(log).count() == 100,
+      "half-offloaded copy must not duplicate rows")
+    assert(log.read().count() == 100, "hot tier still serves everything")
+
+    // a re-run completes the interrupted offload (REPLACE_EXISTING)
+    assert(Admin.offload(log, beforeOffset = Long.MaxValue) == 4)
+    assert(log.read().count() == 0)
+    assert(Admin.readTiered(log).count() == 100)
+    // crash AFTER unreference, before any cleanup: hot originals are
+    // unreferenced garbage — still on disk, invisible, vacuum collects
+    assert(physicalParquet(log).nonEmpty,
+      "originals deferred to vacuum (in-flight readers keep resolving)")
+    assert(log.vacuum() == 4)
+    assert(physicalParquet(log).isEmpty)
+    assert(Admin.readTiered(log).count() == 100, "cold tier intact after vacuum")
+  }
+
+  test("coalesce parallelism: the rewrite never funnels through one task") {
+    val log = freshLog()
+    log.append(batch(0 until 200))
+    // capture the shuffle partitioning the rewrite would use: 4 log
+    // partitions × 2 files → 8 target cells, not filesPerPartition
+    // total (which at the default 1 rewrote the whole topic in 1 task)
+    val planned = log.read().repartition(log.numPartitions * 2,
+      col(Envelope.Partition), pmod(col(Envelope.Offset), lit(2)))
+    assert(planned.rdd.getNumPartitions == 8)
+    Admin.coalesceFiles(log, filesPerPartition = 2)
+    log.vacuum()
+    assert(log.read().count() == 200, "rewrite preserves rows")
+    val perPartition = physicalParquet(log).groupBy(_.split("/").head)
+    assert(perPartition.values.forall(_.size <= 2),
+      s"≤ filesPerPartition files per log partition: $perPartition")
+  }
 }
