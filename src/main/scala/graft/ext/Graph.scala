@@ -28,6 +28,17 @@ object Graph {
   /** Canonical undirected edge form: (u, v) with u < v, no self-loops,
     * distinct. Input columns are the first two of `edges`. */
   private def canonical(edges: DataFrame): DataFrame = {
+    // loud, at plan time: the long cast below would throw
+    // CAST_INVALID_INPUT deep inside the job under ANSI for string ids
+    // (UUIDs, URLs) — or, with ANSI off, null every edge and SILENTLY
+    // return empty components, which in leakageSafeSplit means near-dup
+    // docs split across train/test (the exact leak it prevents). String
+    // ids must be mapped to longs (e.g. xxhash64) before entering.
+    edges.schema.fields.take(2).foreach { f =>
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponents needs numeric node ids; column '${f.name}' " +
+          s"is ${f.dataType.simpleString} — hash string ids to longs first")
+    }
     val Seq(a, b) = edges.columns.take(2).toSeq.map(col)
     edges.select(least(a, b).cast("long").as("u"),
         greatest(a, b).cast("long").as("v"))
@@ -129,9 +140,12 @@ object Graph {
    * downstream.
    */
   def dedupByGroup(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val drop = dupGroups(pairs)
-      .filter(col("doc_id") =!= col("group_id"))
-      .select(col("doc_id").as(idCol))
+    // components directly — dupGroups' per-group size aggregate+join is
+    // unused here (node =!= component IS "not the representative"), so
+    // skipping it saves one corpus-component shuffle per run
+    val drop = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
 }

@@ -168,8 +168,14 @@ object LmScore {
     // tie-rank within one (lang, score) class — finer-keyed than lang,
     // so a skewed language still spreads across reducers
     val wTie = Window.partitionBy("lang", "lp_mean_r").orderBy("id")
+    // null-safe join: a NULL lang (upstream language-ID misses) forms
+    // its own group in the histogram and in SQL's PARTITION BY — an
+    // equi-join would silently DROP every null-lang document here
+    // (Sampling.packShards uses <=> for exactly this hazard)
+    val cutsR = cuts.withColumnRenamed("lang", "lang_c")
     scored.withColumn("tie", row_number().over(wTie))
-      .join(broadcast(cuts), Seq("lang"))
+      .join(broadcast(cutsR), col("lang") <=> col("lang_c"))
+      .drop("lang_c")
       .withColumn("bucket",
         when(col("lp_mean_r") > col("s1") ||
           (col("lp_mean_r") === col("s1") && col("tie") <= col("t1")), "head")

@@ -42,8 +42,22 @@ object MinHash {
   def lshCandidates(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", shingleN: Int = 3,
                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): rows = 0 " +
+        s"would make every band hash identical corpus-wide (all-pairs " +
+        s"blowup), and a remainder would silently ignore trailing " +
+        s"signature positions, changing the documented recall")
     val rows = numHashes / bands
+    // docs with NO shingles (shorter than the shingle width) can never
+    // be shingle-near-dups — and their all-sentinel MinHash signatures
+    // would collide in EVERY band (est_jaccard 1.0), silently deleting
+    // unrelated short docs in lshDedup and putting the whole short-doc
+    // class into one bucket per band (O(n²) pairs in a web corpus)
+    // the emptiness test is the cheap token-count equivalent (a doc has
+    // ≥1 shingle ⟺ ≥ shingleN tokens) — re-running the shingle kernel
+    // just to size it would double the dominant per-row cost
     val sig = withSignature(docs, textCol, shingleN, numHashes)
+      .filter(size(split(col(textCol), " ")) >= shingleN)
       .select(col(idCol).as("id"), col("minhash"))
     val banded = sig.select(col("id"), col("minhash"),
         explode(array((0 until bands).map { b =>
@@ -160,6 +174,7 @@ object MinHash {
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val sig = simhashAgg(docs, idCol, textCol)
@@ -168,7 +183,11 @@ object MinHash {
       explode(array((0 until blocks).map { blk =>
         struct(lit(blk).as("blk"),
           shiftright(col("simhash"), blk * width)
-            .bitwiseAND((1L << width) - 1).as("blk_val"))
+            // Scala's shift is mod 64, so width = 64 (maxHamming = 0,
+            // exact-signature blocking) needs the explicit full mask —
+            // (1L << 64) - 1 is 0 and would degenerate to all-pairs
+            .bitwiseAND(if (width == 64) -1L else (1L << width) - 1)
+            .as("blk_val"))
       }: _*)).as("k"))
       .select(col("id"), col("simhash"), col("k.blk"), col("k.blk_val"))
     val a = keyed.toDF("id_a", "sh_a", "blk", "blk_val")

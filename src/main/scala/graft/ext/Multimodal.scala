@@ -296,9 +296,15 @@ object Multimodal {
    */
   def withResizeTarget(df: DataFrame, maxSide: Int): DataFrame =
     df.withColumn("resize_scale",
-        least(lit(1.0),
-          lit(maxSide).cast("double") /
-            greatest(col("media_meta.width"), col("media_meta.height"))))
+        // a malformed-but-parseable header can declare 0×0 dimensions;
+        // the bare division would throw DIVIDE_BY_ZERO under Spark 4's
+        // ANSI default on one corrupt file in a crawl — scale 1.0
+        // (no-op resize of a no-pixel image) instead
+        when(greatest(col("media_meta.width"), col("media_meta.height")) > 0,
+          least(lit(1.0),
+            lit(maxSide).cast("double") /
+              greatest(col("media_meta.width"), col("media_meta.height"))))
+          .otherwise(1.0))
       .withColumn("target_width",
         (col("media_meta.width") * col("resize_scale")).cast("int"))
       .withColumn("target_height",

@@ -127,8 +127,13 @@ object TextOps {
       .withColumn("mean_word_len",
         (nChar - (nTok - 1)).cast("double") / nTok)
       .withColumn("stopword_ratio", stopHits.cast("double") / nTok)
-      .withColumn("digit_ratio", digitChars.cast("double") / nChar)
-      .withColumn("punct_ratio", punctChars.cast("double") / nChar)
+      // empty text has nChar = 0: guard like withGopherSignals does —
+      // under Spark 4's ANSI default a bare division would throw
+      // DIVIDE_BY_ZERO on the first empty document in the corpus
+      .withColumn("digit_ratio",
+        when(nChar > 0, digitChars.cast("double") / nChar).otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(nChar > 0, punctChars.cast("double") / nChar).otherwise(0.0))
       .withColumn("quality_ok",
         col("n_tokens").between(5, 100000) &&
           col("mean_word_len").between(2.0, 12.0) &&
@@ -656,8 +661,18 @@ object TextOps {
       // is bit-identical to the array_union form the oracles replay)
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      // two EMPTY shingle sets (docs shorter than the shingle width)
+      // make the union 0: they share nothing measurable, so jaccard is
+      // 0 by convention — a bare division would throw DIVIDE_BY_ZERO
+      // under ANSI on the first pair of sub-shingle docs, and the
+      // sentinel MinHash signatures of such docs DO collide in every
+      // band (candidate generation filters them, this is the defense
+      // in depth for candidates arriving from any other path)
+      .withColumn("jaccard",
+        when(size(col("sh_a")) + size(col("sh_b")) - col("inter") > 0,
+          col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          .otherwise(0.0))
       .drop("inter")
       .filter(col("jaccard") >= threshold)
 

@@ -132,7 +132,12 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorPair
       val x = Sketch.toDoubleAt(a, ta, i); val y = Sketch.toDoubleAt(b, tb, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm vector: cosine is undefined — return 0 (orthogonal by
+    // convention) instead of NaN, which Spark sorts ABOVE every real
+    // number: a NaN would pass `sim >= threshold` filters and rank a
+    // zero embedding as every query's top neighbor
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
   override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
                                    ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
@@ -149,7 +154,8 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorPair
          |  double $y = ${getAsDouble(b, right, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
