@@ -113,7 +113,12 @@ object AdxSink {
         .select(col(Envelope.Partition), col(Envelope.Offset), col(Envelope.Key),
           col(Envelope.Value), props.as("props"),
           col(Envelope.ProducerName), col(Envelope.SequenceId),
-          col(Envelope.EventTime).cast("long").as("event_us"))
+          // unix_micros, NOT cast("long"): casting a timestamp to long
+          // yields epoch SECONDS, and eventJson consumes MICROS — the
+          // bare cast shipped every event with a 1970-adjacent
+          // timestamp (off by 1e6). Same shape as InfluxSink's line
+          // protocol timestamp.
+          unix_micros(col(Envelope.EventTime)).as("event_us"))
         .repartition(col(Envelope.Partition))
         .sortWithinPartitions(col(Envelope.Offset))
         .drop(Envelope.Partition, Envelope.Offset)

@@ -188,6 +188,11 @@ object AerospikeSink {
   /** Retryable per the client's write-policy disposition: timeout. */
   val ResultTimeout = 9
 
+  /** Per-JVM in-flight semaphores, keyed by sink identity + bound (see
+    * the registry note in [[topicToAerospikeSink]]). */
+  private val inFlightRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Semaphore]()
+
   /**
    * Stream the topic into Aerospike through `transport`. In-flight
    * writes are bounded by `maxConcurrentRequests` ACROSS partitions
@@ -205,8 +210,18 @@ object AerospikeSink {
                            sleeper: Long => Unit = Thread.sleep(_),
                            retryBackoffMs: Long = 50L): StreamingQuery = {
     require(maxConcurrentRequests >= 1, "maxConcurrentRequests must be >= 1")
-    val inFlight = new Semaphore(maxConcurrentRequests)
+    // the bound must hold ACROSS this JVM's concurrently-running
+    // partitions: a closure-captured Semaphore deserializes once PER
+    // TASK, handing every partition its own full permit set (bound ×
+    // partitions writes in flight — the overload the bound exists to
+    // prevent). The executor-side registry lookup shares ONE semaphore
+    // per (sink identity, bound) per JVM; across executors the scope is
+    // per-process, the same as the reference client's listener queue.
+    val registryKey =
+      s"$namespace|$keySet|$columnName|$maxConcurrentRequests"
     SinkHarness.startKeyed(topic, checkpoint) { rows =>
+      val inFlight = inFlightRegistry.computeIfAbsent(registryKey,
+        _ => new Semaphore(maxConcurrentRequests))
       rows.foreach { row =>
         val key = if (row.isNullAt(0)) null else row.getString(0)
         if (key != null) { // reference keys every record; keyless skipped

@@ -32,14 +32,25 @@ object CassandraSink {
     id
   }
 
+  /** Every mutation carries an explicit USING TIMESTAMP bound to the
+    * row's topic OFFSET: inside an UNLOGGED BATCH Cassandra assigns ONE
+    * shared timestamp to all statements, and at equal timestamps a
+    * tombstone beats a later insert regardless of statement order — a
+    * delete-then-reinsert of a key inside one batch would resolve to
+    * deleted. Offset-derived timestamps also make replay idempotent
+    * (same row → same timestamp → a replayed write can't regress a
+    * newer state). The sink owns the table by contract, so the offset
+    * domain never competes with wall-clock writers. */
   private[graft] def insertCql(keyspace: String, table: String,
                                keyCol: String, valueCol: String): String =
     s"INSERT INTO ${checkIdentifier(keyspace)}.${checkIdentifier(table)} " +
-      s"(${checkIdentifier(keyCol)}, ${checkIdentifier(valueCol)}) VALUES (?, ?)"
+      s"(${checkIdentifier(keyCol)}, ${checkIdentifier(valueCol)}) VALUES (?, ?) " +
+      s"USING TIMESTAMP ?"
 
   private[graft] def deleteCql(keyspace: String, table: String,
                                keyCol: String): String =
     s"DELETE FROM ${checkIdentifier(keyspace)}.${checkIdentifier(table)} " +
+      s"USING TIMESTAMP ? " +
       s"WHERE ${checkIdentifier(keyCol)} = ?"
 
   /** A single-partition atomic batch: every statement binds the same
@@ -81,9 +92,11 @@ object CassandraSink {
     }
     rows.foreach { r =>
       val (key, value) = (r.getString(0), r.getString(1))
+      val ts = r.getLong(2).toString // offset → explicit write timestamp
       if (key != null) { // cassandra: partition key can't be null
         if (key != runKey) { flush(); runKey = key }
-        run += (if (value == null) (del, Seq(key)) else (ins, Seq(key, value)))
+        run += (if (value == null) (del, Seq(ts, key))
+          else (ins, Seq(key, value, ts)))
       }
     }
     flush()

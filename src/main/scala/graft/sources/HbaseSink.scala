@@ -49,6 +49,9 @@ object HbaseSink {
 
   /** Bind one envelope record to a RowPut, or None when it can't bind
     * (keyless, or no declared qualifier present in the value). */
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper
+
   private[graft] def bind(key: String, value: String, family: String,
                           qualifierNames: Seq[String]): Option[RowPut] = {
     if (key == null) return None
@@ -56,11 +59,27 @@ object HbaseSink {
       Some(RowPut(key, Seq(Cell(family, "value",
         if (value == null) Array.emptyByteArray else value.getBytes(UTF_8)))))
     else {
-      val fields =
-        try KafkaConnectAdaptor.parseFlatJson(if (value == null) "{}" else value)
-        catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+      // real JSON parse, not the flat string→string canonical-form
+      // inverse (parseFlatJson): a record with numeric/boolean fields —
+      // {"age":36} — matched NOTHING under the string-only regex, so
+      // every such record silently vanished from the batch. Scalar
+      // values bind via their text form; nested objects/arrays and
+      // nulls stay non-binding (the reference's POJO-field binding is
+      // scalar-per-qualifier too).
+      val fields: Map[String, String] =
+        try {
+          val tree = mapper.readTree(if (value == null) "{}" else value)
+          if (!tree.isObject) Map.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            tree.fields().asScala.collect {
+              case e if e.getValue.isValueNode && !e.getValue.isNull =>
+                e.getKey -> e.getValue.asText()
+            }.toMap
+          }
+        } catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
       val cells = qualifierNames.flatMap(q =>
-        fields.get(q).filter(_ != null).map(v => Cell(family, q, v.getBytes(UTF_8))))
+        fields.get(q).map(v => Cell(family, q, v.getBytes(UTF_8))))
       if (cells.isEmpty) None else Some(RowPut(key, cells))
     }
   }

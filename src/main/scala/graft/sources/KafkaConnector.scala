@@ -48,10 +48,16 @@ object KafkaConnector {
     * partition, so (producer, sequence) = (partition producer, offset) is
     * the dedup key that makes replays idempotent. */
   def producerName(cfg: KafkaSourceConfig, partition: Int): String =
-    s"io-kafka-source-${cfg.topic}-${cfg.groupId}-p$partition"
+    s"${producerPrefix(cfg)}$partition"
 
+  /** The topic/group segments carry their LENGTHS, so distinct
+    * (topic, groupId) pairs can never collide through the '-' joiner —
+    * ("t", "g-p2") vs ("t-g", "p2") previously produced the same
+    * prefix, and resumeOffsets would then merge the two sources'
+    * offset high-waters, silently skipping records. */
   private def producerPrefix(cfg: KafkaSourceConfig): String =
-    s"io-kafka-source-${cfg.topic}-${cfg.groupId}-p"
+    s"io-kafka-source-${cfg.topic.length}:${cfg.topic}-" +
+      s"${cfg.groupId.length}:${cfg.groupId}-p"
 
   /** Marker property stamped on the synthetic row a `latest` reset
     * appends to pin the skip position (Pulsar's own pattern: positions

@@ -69,10 +69,24 @@ object MongoSink {
       }
     } catch { case _: Exception => None }
 
-  /** The `insert` command for a batch of documents. `ordered: false`
-    * lets the server apply past duplicate-key errors on replay. */
+  /** The `insert` command for a batch of KEYLESS documents (`ordered:
+    * false` lets the server apply past duplicate-key errors on replay).
+    * Keyed documents go through [[upsertCommand]] — an insert-only path
+    * with dup-key tolerance silently kept the FIRST write of every key,
+    * dropping all later updates to an existing document. */
   private[graft] def insertCommand(collection: String, docs: Seq[String]): String =
     s"""{"insert":"${jsonEscape(collection)}","ordered":false,"documents":[${docs.mkString(",")}]}"""
+
+  /** The `update` command applying keyed documents as ordered UPSERTS:
+    * a later value for the same _id REPLACES the earlier one (the
+    * last-write-wins / replay-convergence contract the doc promises);
+    * `ordered: true` so within-batch per-key order holds server-side. */
+  private[graft] def upsertCommand(collection: String,
+                                   docs: Seq[(String, String)]): String =
+    s"""{"update":"${jsonEscape(collection)}","ordered":true,"updates":[${
+      docs.map { case (id, doc) =>
+        s"""{"q":{"_id":"${jsonEscape(id)}"},"u":$doc,"upsert":true}"""
+      }.mkString(",")}]}"""
 
   /** The `delete` command for a batch of tombstoned ids. */
   private[graft] def deleteCommand(collection: String, ids: Seq[String]): String =
@@ -102,6 +116,7 @@ object MongoSink {
   private def flushPartition(rows: Iterator[Row], collection: String,
                              transport: String => String, batchSize: Int): Unit = {
     val docs = new scala.collection.mutable.ArrayBuffer[String]
+    val ups = new scala.collection.mutable.ArrayBuffer[(String, String)]
     val dels = new scala.collection.mutable.ArrayBuffer[String]
     def send(cmd: String): Unit = {
       val resp = transport(cmd)
@@ -115,17 +130,29 @@ object MongoSink {
       }
     }
     def flushDocs(): Unit = if (docs.nonEmpty) { send(insertCommand(collection, docs.toSeq)); docs.clear() }
+    def flushUps(): Unit = if (ups.nonEmpty) { send(upsertCommand(collection, ups.toSeq)); ups.clear() }
     def flushDels(): Unit = if (dels.nonEmpty) { send(deleteCommand(collection, dels.toSeq)); dels.clear() }
     rows.foreach { r =>
       val (key, value) = (r.getString(0), r.getString(1))
       if (value == null) {
-        if (key != null) { flushDocs(); dels += key; if (dels.length >= batchSize) flushDels() }
+        if (key != null) {
+          flushDocs(); flushUps()
+          dels += key; if (dels.length >= batchSize) flushDels()
+        }
       } else document(key, value) match {
-        case Some(doc) => flushDels(); docs += doc; if (docs.length >= batchSize) flushDocs()
+        case Some(doc) if key != null =>
+          flushDels(); flushDocs()
+          ups += ((key, doc)); if (ups.length >= batchSize) flushUps()
+        case Some(doc) =>
+          // keyless documents have no identity to upsert on: plain
+          // insert (replay of an uncommitted batch can duplicate them —
+          // the keyless caveat every at-least-once sink shares)
+          flushDels(); flushUps()
+          docs += doc; if (docs.length >= batchSize) flushDocs()
         case None => throw new IllegalArgumentException(
           s"value for key=$key is not a JSON object")
       }
     }
-    flushDocs(); flushDels()
+    flushDocs(); flushUps(); flushDels()
   }
 }

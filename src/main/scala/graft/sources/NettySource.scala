@@ -95,14 +95,23 @@ object NettySource {
         try {
           val client = server.accept()
           clients.add(client): Unit
-          val w = new Thread(() => {
+          // lazily declared so the worker can self-remove from the
+          // registry in its finally — without that, a long-lived server
+          // under connection churn accumulates one dead Thread
+          // reference per historical connection (and close() would
+          // serially join them all)
+          var self: Thread = null
+          self = new Thread(() => {
             try handleConnection(client)
             catch { case _: SocketException | _: java.io.EOFException => () }
-            finally { client.close(); clients.remove(client): Unit }
+            finally {
+              client.close(); clients.remove(client): Unit
+              workers.remove(self): Unit
+            }
           }, s"netty-source-conn-$boundPort")
-          w.setDaemon(true)
-          workers.add(w): Unit
-          w.start()
+          self.setDaemon(true)
+          workers.add(self): Unit
+          self.start()
         } catch { case _: SocketException => () /* closed */ }
       }
     }

@@ -30,8 +30,17 @@ private[sources] object SinkHarness {
   def start(topic: TopicLog, checkpoint: String)
            (process: DataFrame => Unit): StreamingQuery = {
     val spark = topic.spark
+    // empty/truncated topic: schema falls back to the envelope (same
+    // rule as Subscription.stream) — a raw parquet peek would throw
+    // UNABLE_TO_INFER_SCHEMA when a sink is wired before the first
+    // append or after a full retention pass
+    val schema =
+      try spark.read.parquet(topic.name.path(topic.root)).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Envelope.schema
+      }
     spark.readStream
-      .schema(spark.read.parquet(topic.name.path(topic.root)).schema)
+      .schema(schema)
       .parquet(topic.name.path(topic.root))
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -61,7 +70,11 @@ private[sources] object SinkHarness {
       if (groupKeyRuns)
         ordered.sortWithinPartitions(col(Envelope.Key), col("_apply_order"))
       else ordered.sortWithinPartitions(col("_apply_order"))
-    sorted.select(Envelope.Key, Envelope.Value)
+    // the offset rides along as column 2: writers that need an explicit
+    // per-mutation ordering token (Cassandra's USING TIMESTAMP) read it;
+    // index-0/1 consumers are unaffected
+    sorted.select(col(Envelope.Key), col(Envelope.Value),
+        col("_apply_order"))
       .rdd.foreachPartition(writePartition)
   }
 

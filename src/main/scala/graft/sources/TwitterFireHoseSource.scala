@@ -32,6 +32,12 @@ import javax.crypto.spec.SecretKeySpec
  */
 object TwitterFireHoseSource {
 
+  /** Upper bound for one length-framed message (same defense as
+    * NettySource's record cap): the reference firehose never ships
+    * multi-megabyte single statuses, and the frame size is
+    * peer-supplied. */
+  private[sources] val MaxMessageBytes: Int = 16 * 1024 * 1024
+
   final case class OAuthKeys(consumerKey: String, consumerSecret: String,
                              token: String, tokenSecret: String)
 
@@ -136,6 +142,12 @@ object TwitterFireHoseSource {
     if (line == null) null
     else if (line.forall(_.isDigit)) {
       val want = line.toInt
+      // the frame size is PEER-SUPPLIED: without a cap a corrupt or
+      // hostile "2000000000" line allocates 2 GB and OOMs the JVM
+      // instead of failing the connection (NettySource caps the same
+      // way with MaxRecordBytes)
+      require(want <= MaxMessageBytes,
+        s"delimited frame of $want bytes exceeds cap $MaxMessageBytes")
       val buf = new Array[Byte](want)
       var off = 0
       while (off < want) {

@@ -13,10 +13,15 @@ import scala.jdk.CollectionConverters._
 class CassandraSinkSpec extends SparkSpec {
 
   test("CQL shaping: bound markers only, validated identifiers") {
+    // every mutation carries an explicit USING TIMESTAMP bound to the
+    // row offset: inside an UNLOGGED BATCH Cassandra shares one
+    // timestamp across statements, and at equal timestamps a tombstone
+    // beats a later insert — delete-then-reinsert of a key in one
+    // batch would resolve to deleted without it
     assert(CassandraSink.insertCql("ks", "cf", "k", "v") ===
-      "INSERT INTO ks.cf (k, v) VALUES (?, ?)")
+      "INSERT INTO ks.cf (k, v) VALUES (?, ?) USING TIMESTAMP ?")
     assert(CassandraSink.deleteCql("ks", "cf", "k") ===
-      "DELETE FROM ks.cf WHERE k = ?")
+      "DELETE FROM ks.cf USING TIMESTAMP ? WHERE k = ?")
     intercept[IllegalArgumentException] {
       CassandraSink.insertCql("ks", "cf; DROP TABLE x", "k", "v")
     }
@@ -55,14 +60,17 @@ class CassandraSinkSpec extends SparkSpec {
     val calls = Files.list(Paths.get(capture)).iterator().asScala.toSeq
       .sortBy(_.getFileName.toString)
       .map(p => new String(Files.readAllBytes(p), UTF_8))
-    // key a: both inserts in ONE single-partition batch, offset order
-    val aBatch = calls.find(_.contains("params=a,1,a,3"))
+    // key a: both inserts in ONE single-partition batch, offset order,
+    // each with its offset riding as the bound write timestamp
+    val aBatch = calls.find(c =>
+      c.matches("(?s).*params=a,1,\\d+,a,3,\\d+.*"))
     assert(aBatch.isDefined, calls.mkString("\n---\n"))
     assert(aBatch.get.startsWith("BEGIN UNLOGGED BATCH") &&
       !aBatch.get.contains("DELETE"), aBatch.get)
     // key b: insert + tombstone delete, one atomic same-key batch,
     // insert BEFORE delete (offset order)
-    val bBatch = calls.find(_.contains("params=b,2,b"))
+    val bBatch = calls.find(c =>
+      c.matches("(?s).*params=b,2,\\d+,\\d+,b.*"))
     assert(bBatch.isDefined, calls.mkString("\n---\n"))
     assert(bBatch.get.startsWith("BEGIN UNLOGGED BATCH") &&
       bBatch.get.indexOf("INSERT") < bBatch.get.indexOf("DELETE"), bBatch.get)

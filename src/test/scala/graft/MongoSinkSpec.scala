@@ -20,9 +20,11 @@ class MongoSinkSpec extends SparkSpec {
     assert(MongoSink.document("k", """not json""") === None)
   }
 
-  test("insert/delete command shaping") {
+  test("insert/upsert/delete command shaping") {
     assert(MongoSink.insertCommand("c", Seq("""{"a":1}""", """{"b":2}""")) ===
       """{"insert":"c","ordered":false,"documents":[{"a":1},{"b":2}]}""")
+    assert(MongoSink.upsertCommand("c", Seq(("k1", """{"a":1,"_id":"k1"}"""))) ===
+      """{"update":"c","ordered":true,"updates":[{"q":{"_id":"k1"},"u":{"a":1,"_id":"k1"},"upsert":true}]}""")
     assert(MongoSink.deleteCommand("c", Seq("""x"y""")) ===
       """{"delete":"c","deletes":[{"q":{"_id":"x\"y"},"limit":1}]}""")
   }
@@ -60,8 +62,10 @@ class MongoSinkSpec extends SparkSpec {
     val cmds = Files.list(Paths.get(capture)).iterator().asScala.toSeq
       .sortBy(_.getFileName.toString)
       .flatMap(p => Files.readAllLines(p).asScala)
-    // key a: insert then (later offset) delete — order preserved per key
-    val aIns = cmds.indexWhere(c => c.startsWith("""{"insert"""") && c.contains(""""_id":"a""""))
+    // key a: upsert then (later offset) delete — order preserved per
+    // key; keyed writes go through the update/upsert command so a later
+    // value REPLACES the earlier one instead of bouncing off dup-key
+    val aIns = cmds.indexWhere(c => c.startsWith("""{"update"""") && c.contains(""""_id":"a""""))
     val aDel = cmds.indexWhere(c => c.startsWith("""{"delete"""") && c.contains(""""_id":"a""""))
     assert(aIns >= 0 && aDel >= 0 && aIns < aDel, cmds.mkString("\n"))
     assert(cmds.exists(c => c.contains(""""v":2""") && c.contains(""""_id":"b"""")))
