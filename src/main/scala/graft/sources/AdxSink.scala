@@ -62,17 +62,7 @@ object AdxSink {
   final case class PermanentIngestException(msg: String) extends RuntimeException(msg)
 
   private def jsonStr(s: String): String =
-    if (s == null) "null"
-    else {
-      val sb = new StringBuilder("\"")
-      s.foreach {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.append('"').toString
-    }
+    if (s == null) "null" else "\"" + JsonUtil.escape(s) + "\""
 
   /** One ADXPulsarEvent as JSON; `eventTime` serializes as an ISO-8601
     * instant (the Jackson JavaTimeModule wire form). */

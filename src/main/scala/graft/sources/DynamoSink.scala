@@ -47,16 +47,7 @@ object DynamoSink {
     name
   }
 
-  private def jsonEscape(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def jsonEscape(s: String): String = JsonUtil.escape(s)
 
   /** One write request: a PutRequest, or a DeleteRequest for tombstones.
     * `sizeBytes` follows the service's item accounting — UTF-8 bytes of

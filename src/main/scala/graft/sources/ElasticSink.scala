@@ -60,16 +60,7 @@ object ElasticSink {
     index
   }
 
-  private def jsonEscape(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def jsonEscape(s: String): String = JsonUtil.escape(s)
 
   // ObjectMapper is thread-safe for reads; one shared instance per JVM
   @transient private lazy val mapper =

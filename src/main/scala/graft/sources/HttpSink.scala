@@ -32,16 +32,7 @@ object HttpSink {
 
   final case class HttpResponse(status: Int, headers: Map[String, String] = Map.empty)
 
-  private def jsonEscape(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def jsonEscape(s: String): String = JsonUtil.escape(s)
 
   private[graft] def line(key: String, value: String): String = {
     val k = if (key == null) "null" else s""""${jsonEscape(key)}""""

@@ -43,16 +43,7 @@ object KinesisSink {
     name
   }
 
-  private def jsonEscape(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def jsonEscape(s: String): String = JsonUtil.escape(s)
 
   /** One record entry; size = RAW data bytes (before base64) + key
     * UTF-8 bytes — the accounting the service applies to the 1 MiB /

@@ -45,16 +45,7 @@ object MongoSink {
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def jsonEscape(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def jsonEscape(s: String): String = JsonUtil.escape(s)
 
   /** Re-serialize a record value as a compact document with `_id`
     * stamped from the key; None when the value isn't a JSON object. */

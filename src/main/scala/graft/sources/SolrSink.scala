@@ -29,16 +29,7 @@ import java.nio.charset.StandardCharsets.UTF_8
  */
 object SolrSink {
 
-  private def jsonEscape(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def jsonEscape(s: String): String = JsonUtil.escape(s)
 
   /** One command in the update stream: `"add":{…}` or `"delete":{…}`.
     * Keyless records are skipped (Solr requires the unique id). */
