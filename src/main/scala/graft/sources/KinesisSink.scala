@@ -59,7 +59,10 @@ object KinesisSink {
   private[graft] def entry(key: String, value: String): Entry = {
     val raw = (if (value == null) "" else value).getBytes(UTF_8)
     Entry(Base64.getEncoder.encodeToString(raw),
-      if (key == null) "0" else key, // reference: keyless records get a fixed key
+      // reference: keyless records get a fixed key; EMPTY counts too —
+      // Kinesis requires PartitionKey length >= 1, so an empty-string
+      // key would be rejected per-record server-side
+      if (key == null || key.isEmpty) "0" else key,
       raw.length)
   }
 

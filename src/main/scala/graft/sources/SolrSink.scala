@@ -61,17 +61,21 @@ object SolrSink {
                       checkpoint: String,
                       commitWithinMs: Long = 1000L,
                       batchSize: Int = 100,
-                      maxAttempts: Int = 3): StreamingQuery = {
+                      maxAttempts: Int = 3,
+                      retryBackoffMs: Long = 100L,
+                      sleeper: Long => Unit = Thread.sleep(_)): StreamingQuery = {
     require(batchSize >= 1 && maxAttempts >= 1 && commitWithinMs >= 0,
       "batchSize/maxAttempts/commitWithinMs out of range")
     SinkHarness.startKeyed(topic, checkpoint) { rows =>
-      flushPartition(rows, transport, commitWithinMs, batchSize, maxAttempts)
+      flushPartition(rows, transport, commitWithinMs, batchSize, maxAttempts,
+        retryBackoffMs, sleeper)
     }
   }
 
   private def flushPartition(rows: Iterator[Row], transport: String => String,
                              commitWithinMs: Long, batchSize: Int,
-                             maxAttempts: Int): Unit = {
+                             maxAttempts: Int, retryBackoffMs: Long,
+                             sleeper: Long => Unit): Unit = {
     val buf = new scala.collection.mutable.ArrayBuffer[String]
     def send(): Unit = if (buf.nonEmpty) {
       val body = requestBody(buf.toSeq)
@@ -84,6 +88,11 @@ object SolrSink {
           case 503 =>
             require(attempt < maxAttempts,
               s"solr update still 503 after $maxAttempts attempts")
+            // 503 = overloaded: a sleep-less loop re-slams the server
+            // with maxAttempts back-to-back requests in microseconds —
+            // the same backoff-and-injectable-clock shape as the
+            // Aerospike/HBase retry paths
+            sleeper(retryBackoffMs)
           case other =>
             throw new IllegalStateException(
               s"solr update rejected permanently: status $other")
