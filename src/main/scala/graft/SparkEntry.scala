@@ -505,6 +505,39 @@ object SparkEntry {
         }
       }))
   }
+  /** Drains `q`, then FAILS LOUDLY if the whole run ingested zero input
+    * rows — a stream twin that streams nothing is a harness defect (a
+    * source glob that misses the fixture shape), never a valid
+    * measurement; the r8 10× probe benched exactly that. Progress
+    * entries are summed via a listener (not `recentProgress`, which is
+    * capped at 100 entries and could rotate past the rows at
+    * maxFilesPerTrigger=1 on a many-file fixture). */
+  private def drainGuarded(s: SparkSession,
+                           q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == q.id) { rows.addAndGet(e.progress.numInputRows): Unit }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    try q.processAllAvailable() finally {
+      q.stop()
+      s.streams.removeListener(listener)
+    }
+    // The listener is async; processAllAvailable does not await delivery.
+    // Fall back to recentProgress before declaring zero.
+    if (rows.get() == 0L &&
+        q.recentProgress.map(_.numInputRows).sum == 0L)
+      throw new IllegalStateException(
+        "stream twin processed ZERO input rows — the source matched no " +
+        "files (fixture-shape/glob mismatch); refusing to report an " +
+        "empty-stream result as a measurement")
+  }
   private def runStreamToLocal(s: SparkSession, agg: DataFrame,
                                mode: String = "complete"): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
@@ -514,13 +547,13 @@ object SparkEntry {
       val q = agg.writeStream.outputMode(mode).format("parquet")
         .option("path", outDir.toString)
         .option("checkpointLocation", ckpt.toString).start()
-      try q.processAllAvailable() finally q.stop()
+      drainGuarded(s, q)
       s.read.schema(agg.schema).parquet(outDir.toString)
     } else {
       val viewName = "graft_stream_" + java.lang.Long.toHexString(System.nanoTime())
       val q = agg.writeStream.outputMode(mode).format("memory")
         .queryName(viewName).option("checkpointLocation", ckpt.toString).start()
-      try q.processAllAvailable() finally q.stop()
+      drainGuarded(s, q)
       val t = s.table(viewName)
       val local = s.createDataFrame(
         java.util.Arrays.asList(t.collect(): _*), t.schema)
@@ -565,10 +598,7 @@ object SparkEntry {
     * use `dropDuplicatesWithinWatermark` so the state store can evict
     * (the same retention decision every streaming dedup makes). */
   private def qQualityFilterStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val stream = Envelope.streamTable(s, dir, "documents")
     val filtered = TextOps.withQualityScore(stream)
       .filter(col("n_tokens") >= 10 && col("mean_word_len").between(2.0, 12.0))
       .select(col("lang"), md5(col("text")).as("content_hash"),

@@ -104,13 +104,26 @@ object Envelope {
   def fromEventsStream(spark: SparkSession, sfDir: String,
                        maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // events.parquet is a single FILE; the streaming file source wants a
-    // directory, so stream the sf dir filtered down to just that file
-    project(spark.readStream.schema(schema)
+    project(streamTable(spark, sfDir, "events", maxFilesPerTrigger))
+  }
+
+  /** Streaming file source over `$sfDir/$table.parquet` that accepts BOTH
+    * fixture shapes: the driver writes a single parquet FILE at that path
+    * (streamed as the parent dir filtered to the one file), while scaled
+    * fixtures (ScaleUp) write a DIRECTORY of part-files (streamed as the
+    * directory itself, all `*.parquet` parts). A glob filter that only
+    * matches the file shape silently streams NOTHING on the directory
+    * shape — which is exactly how the r8 10× probe benched empty streams. */
+  def streamTable(spark: SparkSession, sfDir: String, table: String,
+                  maxFilesPerTrigger: Int = 1): DataFrame = {
+    val path = s"$sfDir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      reader.option("pathGlobFilter", "*.parquet").parquet(path)
+    else
+      reader.option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
   }
 
   private def project(raw: DataFrame): DataFrame = {
