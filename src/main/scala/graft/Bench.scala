@@ -84,6 +84,26 @@ object Bench {
         .fit(spark.range(4).select(array_to_vector(
           array(col("id").cast("double"), lit(0.0))).as("fv"))): Unit
     } catch { case _: Throwable => }
+    // Fixture pre-warm (VERDICT r8 #7): the Fixtures.dir-backed queries
+    // build a one-time on-disk fixture (topic log, txn/ack roots, file
+    // sink output, due-bucket index) on FIRST touch — without this pass
+    // rep 1 of each carries multi-second build cost that the median then
+    // reports as query time (r8: ack_compaction 8.3 s rep1 vs 0.9 s
+    // warm). Build them all once here and report the cost as its own
+    // field so the artifact attributes it instead of hiding it.
+    val fixtureBacked = Seq("topic_log_roundtrip", "txn_ack",
+      "ack_compaction", "coalesce_roundtrip", "file_sink_roundtrip",
+      "delayed_due", "shadow_read")
+    val prewarmT0 = System.nanoTime()
+    fixtureBacked.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prewarm $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    val prewarmSec = (System.nanoTime() - prewarmT0) / 1e9
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val repLoads = new scala.collection.mutable.ArrayBuffer[Double]
     val samples = (1 to reps).flatMap { _ =>
@@ -115,7 +135,7 @@ object Bench {
     // non-numeric setting can't corrupt the artifact
     val cpusJson =
       if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else jstr(cpus)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"fixture_prewarm_sec":$prewarmSec,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
     spark.stop()
   }
 }

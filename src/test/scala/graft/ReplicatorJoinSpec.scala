@@ -141,6 +141,43 @@ class ReplicatorJoinSpec extends SparkSpec {
     assert(travelled(if (foreignPartition == 0) 1 else 0) == otherTop)
   }
 
+  test("torn snapshot: a MID-STREAM replication hole blocks the cut even when tops line up") {
+    import graft.streaming.ReplicatedCursors
+    val dir = Files.createTempDirectory("graft-repl-torn").toString
+    val primary = new TopicLog(spark, s"$dir/east", TopicName.parse("rs-torn"), 2)
+    val replica = new TopicLog(spark, s"$dir/west", TopicName.parse("rs-torn"), 2)
+    primary.append(envRows("p", 0 until 20, "k"))
+    val all = primary.read()
+      .select(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, Envelope.PublishTime)
+      .withColumn(Envelope.ReplicatedFrom, lit("east"))
+    // the replica is missing a MIDDLE slice (seq 8-11) but has the tail:
+    // per-partition high-waters match the primary's shape, so a snapshot
+    // that only compared top positions would wrongly declare the cut
+    // consistent — the identity-level check must refuse it (the
+    // reference's not-ready snapshot, SnapshotBuilder isTimedOut path)
+    replica.append(all.filter(col(Envelope.SequenceId) < 8 ||
+      col(Envelope.SequenceId) >= 12))
+    assert(ReplicatedCursors.snapshot(primary.read(), replica.read()).isEmpty,
+      "a torn (mid-stream hole) replica must not form a consistent cut")
+    // and cursor translation over the torn replica still never skips the
+    // hole: with everything local acked, resume hands over nothing below
+    // the hole twice and nothing above it is lost
+    val travelled = ReplicatedCursors.translateCursor(
+      primary.read(), replica.read(), primary.highWater())
+    val resumed = ReplicatedCursors.applyCursor(replica.read(), travelled)
+      .select(Envelope.ProducerName, Envelope.SequenceId)
+      .as[(String, Long)].collect().toSet
+    // every row present on the replica is acked locally, so the whole
+    // replica prefix closes and nothing re-delivers
+    assert(resumed.isEmpty,
+      "fully-acked torn replica: cumulative ack may advance to its top")
+    // healing the hole re-forms the cut
+    replica.append(all.filter(col(Envelope.SequenceId) >= 8 &&
+      col(Envelope.SequenceId) < 12))
+    assert(ReplicatedCursors.snapshot(primary.read(), replica.read()).nonEmpty)
+  }
+
   test("stream-stream inner join with watermarks (inherited §2.16 surface)") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long)]  // (user, t)
