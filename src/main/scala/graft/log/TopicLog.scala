@@ -232,19 +232,42 @@ object TopicLog {
   def vacuumStaged(basePath: String, olderThanMs: Long,
                    nowMs: () => Long = () => System.currentTimeMillis(),
                    txnRoot: Option[String] = None): Int = {
-    val markerProtected: Set[Long] = txnRoot
-      .map(r => Txn.markerEpochs(r)
-        .getOrElse(Paths.get(basePath).toAbsolutePath.toString, Set.empty))
+    // txnRoot omitted: AUTO-DETECT a `_txn` marker directory at the log
+    // root or an ancestor (the Txn.begin root sits above the
+    // tenant/namespace/topic layout). The old default — no protection
+    // unless the caller remembered the parameter — made the DANGEROUS
+    // mode the implicit one: a crash in the marker-written-but-
+    // manifest-unpublished window plus a parameterless vacuumStaged
+    // call would permanently delete a committed transaction's staged
+    // data once it aged past the horizon.
+    val detectedRoot = txnRoot.orElse {
+      Iterator.iterate(Paths.get(basePath).toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null).take(4)
+        .find(p => Files.isDirectory(p.resolve("_txn")))
+        .map(_.toString)
+    }
+    val baseAbs = Paths.get(basePath).toAbsolutePath.toString
+    def parse(): Set[Long] = detectedRoot
+      .map(r => Txn.markerEpochs(r).getOrElse(baseAbs, Set.empty))
       .getOrElse(Set.empty)
-    vacuumStagedProtected(basePath, olderThanMs, nowMs, markerProtected)
+    vacuumStagedProtected(basePath, olderThanMs, nowMs, parse(),
+      reProtect = detectedRoot.map(_ => () => parse()))
   }
 
   /** [[vacuumStaged]] against an already-parsed protected-epoch set —
     * [[Txn.vacuumAll]] parses the marker directory once per SWEEP
     * instead of once per log. */
+  /** `reProtect`, when given, is re-evaluated IMMEDIATELY before each
+    * epoch delete: the sweep-wide marker parse proves no marker was
+    * written before the parse, but a marker WRITE can land arbitrarily
+    * late (GC pause, slow FS) after its clock re-check — re-parsing at
+    * delete time shrinks that TOCTOU window from sweep-length to
+    * filesystem-operation scale, and is cheap relative to the recursive
+    * delete it gates (zero cost when nothing expires). */
   private[log] def vacuumStagedProtected(basePath: String, olderThanMs: Long,
                                          nowMs: () => Long,
-                                         markerProtected: Set[Long]): Int = {
+                                         markerProtected: Set[Long],
+                                         reProtect: Option[() => Set[Long]] = None): Int = {
     val stagingRoot = Paths.get(basePath, "_staging")
     if (!Files.exists(stagingRoot)) return 0
     val manifestDir = Paths.get(basePath, "_manifest")
@@ -258,6 +281,7 @@ object TopicLog {
           catch { case _: java.io.IOException => Long.MaxValue }
         val expired = nowMs() - newestMs > olderThanMs
         if (expired && !markerProtected.contains(epoch) &&
+            reProtect.forall(f => !f().contains(epoch)) &&
             !Files.exists(manifestDir.resolve(s"$epoch.commit"))) {
           dropStagedEpoch(basePath, epoch)
           if (!Files.exists(dir)) dropped += 1
@@ -592,13 +616,20 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
           // while the high-water lines survive — that state must read
           // as empty (exactly what the explicit empty snapshot above
           // returns), not throw UNABLE_TO_INFER_SCHEMA.
+          // STREAMED walk, not walkAll: this emptiness probe runs on
+          // every offset-only read, and materializing the whole tree
+          // first made it O(total-files) per read on large topics —
+          // findFirst stops the filesystem walk at the first data file
+          // (non-empty topics, the common case, exit almost immediately)
           val hasData = {
             val base = Paths.get(basePath)
-            TopicLog.walkAll(base).exists { p =>
-              p.toString.endsWith(".parquet") &&
-                !base.relativize(p).iterator().asScala.exists(
-                  _.getFileName.toString.startsWith("_"))
-            }
+            val s = Files.walk(base)
+            try s.filter { p =>
+                p.toString.endsWith(".parquet") &&
+                  !base.relativize(p).iterator().asScala.exists(
+                    _.getFileName.toString.startsWith("_"))
+              }.findFirst().isPresent
+            finally s.close()
           }
           if (!hasData) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)

@@ -204,18 +204,25 @@ object Txn {
     def protectedFor(base: String): Set[Long] =
       protectedByBase.getOrElse(
         Paths.get(base).toAbsolutePath.toString, Set.empty)
+    // delete-time re-parse (fresh, not the sweep-wide snapshot): a
+    // marker whose write landed after the sweep parse is seen here,
+    // shrinking the unseen-marker window to filesystem-op scale
+    def reProtectFor(base: String): Option[() => Set[Long]] =
+      Some(() => markerEpochs(root).getOrElse(
+        Paths.get(base).toAbsolutePath.toString, Set.empty))
     var dropped = 0
     Topics.list(root).foreach { t =>
       val base = t.path(root)
       dropped += TopicLog.vacuumStagedProtected(base, olderThanMs,
-        () => sweepNow, protectedFor(base))
+        () => sweepNow, protectedFor(base), reProtectFor(base))
       val subsDir = Paths.get(base, "_subs")
       if (Files.exists(subsDir))
         TopicLog.listDir(subsDir).filter(Files.isDirectory(_)).foreach { s =>
           val ackBase = s.resolve("acks")
           if (Files.exists(ackBase))
             dropped += TopicLog.vacuumStagedProtected(ackBase.toString,
-              olderThanMs, () => sweepNow, protectedFor(ackBase.toString))
+              olderThanMs, () => sweepNow, protectedFor(ackBase.toString),
+              reProtectFor(ackBase.toString))
         }
     }
     // retire fully-published markers: every line's manifest exists, so
@@ -228,13 +235,18 @@ object Txn {
       TopicLog.listDir(markerDir)
         .filter(_.getFileName.toString.endsWith(".committed"))
         .foreach { marker =>
-          val done = Files.readAllLines(marker).asScala.filter(_.nonEmpty)
-            .forall { line =>
-              val f = line.split("\t")
-              f.length >= 2 &&
-                Files.exists(Paths.get(f(0), "_manifest", s"${f(1)}.commit"))
-            }
-          if (done) { Files.deleteIfExists(marker); () }
+          // a concurrent janitor can retire this marker between our
+          // listDir and the read — skip it (best-effort, like the rest
+          // of the sweep) instead of aborting the pass mid-way
+          scala.util.Try(Files.readAllLines(marker).asScala).foreach { lines =>
+            val done = lines.filter(_.nonEmpty)
+              .forall { line =>
+                val f = line.split("\t")
+                f.length >= 2 &&
+                  Files.exists(Paths.get(f(0), "_manifest", s"${f(1)}.commit"))
+              }
+            if (done) { Files.deleteIfExists(marker); () }
+          }
         }
     (healed, dropped)
   }
@@ -300,7 +312,11 @@ object Txn {
     if (!Files.exists(markerDir)) return Map.empty
     TopicLog.listDir(markerDir)
       .filter(_.getFileName.toString.endsWith(".committed"))
-      .flatMap(m => Files.readAllLines(m).asScala.filter(_.nonEmpty))
+      // a concurrent janitor may retire a marker between our listDir and
+      // this read — a vanished marker contributes nothing, same as the
+      // best-effort style everywhere else in the sweep
+      .flatMap(m => scala.util.Try(Files.readAllLines(m).asScala)
+        .getOrElse(Nil).filter(_.nonEmpty))
       .flatMap { line =>
         val f = line.split("\t")
         if (f.length >= 2)

@@ -102,7 +102,7 @@ object Envelope {
     * operators can run against the identical deterministic fixture and
     * be oracle-compared to their batch twins. */
   def fromEventsStream(spark: SparkSession, sfDir: String,
-                       maxFilesPerTrigger: Int = 1): DataFrame = {
+                       maxFilesPerTrigger: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     project(streamTable(spark, sfDir, "events", maxFilesPerTrigger))
   }
@@ -113,9 +113,16 @@ object Envelope {
     * fixtures (ScaleUp) write a DIRECTORY of part-files (streamed as the
     * directory itself, all `*.parquet` parts). A glob filter that only
     * matches the file shape silently streams NOTHING on the directory
-    * shape — which is exactly how the r8 10× probe benched empty streams. */
+    * shape — which is exactly how the r8 10× probe benched empty streams.
+    *
+    * `maxFilesPerTrigger` is the batch-receive granularity (the file-
+    * source analog of BatchReceivePolicy): the default 8 keeps the
+    * single-file driver fixtures at one trigger while letting a
+    * many-part scaled fixture amortize per-trigger overhead across 8
+    * files — at 1, the 10× probe's 32-part fixtures spent the whole
+    * measurement on 32 trigger setups instead of on data. */
   def streamTable(spark: SparkSession, sfDir: String, table: String,
-                  maxFilesPerTrigger: Int = 1): DataFrame = {
+                  maxFilesPerTrigger: Int = 8): DataFrame = {
     val path = s"$sfDir/$table.parquet"
     val schema = spark.read.parquet(path).schema
     val reader = spark.readStream.schema(schema)

@@ -77,21 +77,41 @@ object KafkaConnector {
    * partition absent from the map has never been consumed — the
    * auto.offset.reset policy decides where it starts.
    */
+  /** Pre-length-prefix producer name format (builds before the
+    * collision fix): read-only, for [[resumeOffsets]] upgrade
+    * continuity. Ambiguous by construction — ("t", "g-p2") and
+    * ("t-g", "p2") share a prefix — which is exactly why writes moved
+    * to the length-prefixed format; accepting it on READ only restores
+    * the high-water of topics written by older builds (without it a
+    * restarted source re-ingests everything under new producer names
+    * that (producer, sequence) dedup can't suppress). */
+  private def legacyProducerPrefix(cfg: KafkaSourceConfig): String =
+    s"io-kafka-source-${cfg.topic}-${cfg.groupId}-p"
+
   def resumeOffsets(topic: TopicLog, cfg: KafkaSourceConfig): Map[Int, Long] = {
     val log = topic.read()
     if (log.isEmpty) Map.empty
     else {
-      val prefix = producerPrefix(cfg)
       // strict match: prefix + digits. A bare startsWith would let group
       // "g1"'s prefix swallow group "g1-p1"'s producers (crash or, for
       // numeric tails, silent cross-group offset merging).
-      val strict = "^" + java.util.regex.Pattern.quote(prefix) + "[0-9]+$"
-      log.filter(col(Envelope.ProducerName).rlike(strict))
-        .groupBy(Envelope.ProducerName)
-        .agg(max(Envelope.SequenceId).as("hi"))
-        .collect() // bounded: one row per Kafka partition
-        .map(r => r.getString(0).stripPrefix(prefix).toInt -> r.getLong(1))
-        .toMap
+      def highWaters(prefix: String): Map[Int, Long] = {
+        val strict = "^" + java.util.regex.Pattern.quote(prefix) + "[0-9]+$"
+        log.filter(col(Envelope.ProducerName).rlike(strict))
+          .groupBy(Envelope.ProducerName)
+          .agg(max(Envelope.SequenceId).as("hi"))
+          .collect() // bounded: one row per Kafka partition
+          .map(r => r.getString(0).stripPrefix(prefix).toInt -> r.getLong(1))
+          .toMap
+      }
+      // merge current + legacy-format high-waters (max per partition) so
+      // a topic written by an earlier build resumes instead of re-ingesting
+      val current = highWaters(producerPrefix(cfg))
+      val legacy = highWaters(legacyProducerPrefix(cfg))
+      (current.keySet ++ legacy.keySet).map { p =>
+        p -> math.max(current.getOrElse(p, Long.MinValue),
+          legacy.getOrElse(p, Long.MinValue))
+      }.toMap
     }
   }
 

@@ -502,6 +502,36 @@ class ConnectorsSpec extends SparkSpec {
       kafkaBatch((0, 7L, "d", "v3"))) == 1)
   }
 
+  test("kafka source: resume honors topics written by the pre-length-prefix name format") {
+    import graft.sources.{KafkaConnector, KafkaSourceConfig}
+    val dir = Files.createTempDirectory("graft-kafka-leg").toString
+    val cfg = KafkaSourceConfig("clicks", "broker:9092", "g1")
+    val topic = new TopicLog(spark, s"$dir/log", TopicName.parse("kafka-leg"), 2)
+    // rows written by an OLD build: producer names carry the unprefixed
+    // "io-kafka-source-<topic>-<group>-p<P>" format — without read-side
+    // acceptance a restarted source finds no high-water and re-ingests
+    // the whole backlog under new names that dedup can't suppress
+    val legacy = Seq((0, 3L, "a"), (1, 7L, "b")).toDF("p", "seq", "k")
+      .select(col("k").as(graft.model.Envelope.Key),
+        lit("v").as(graft.model.Envelope.Value),
+        concat(lit("io-kafka-source-clicks-g1-p"), col("p").cast("string"))
+          .as(graft.model.Envelope.ProducerName),
+        col("seq").as(graft.model.Envelope.SequenceId),
+        to_timestamp(lit("2026-01-01 00:00:00"))
+          .as(graft.model.Envelope.PublishTime))
+    topic.append(legacy)
+    assert(KafkaConnector.resumeOffsets(topic, cfg) == Map(0 -> 3L, 1 -> 7L),
+      "legacy-format high-waters must be visible to resume")
+    // the replayed backlog at/below the legacy high-water appends nothing;
+    // only the genuinely new record lands (under the new name format)
+    assert(KafkaConnector.pollToTopic(topic, cfg,
+      kafkaBatch((0, 3L, "a", "v"), (0, 4L, "c", "v2"))) == 1)
+    // resume now merges both formats, max per partition
+    assert(KafkaConnector.resumeOffsets(topic, cfg) == Map(0 -> 4L, 1 -> 7L))
+    // a different group's legacy rows stay invisible
+    assert(KafkaConnector.resumeOffsets(topic, cfg.copy(groupId = "gX")).isEmpty)
+  }
+
   test("kafka source: group ids that extend another group's name never cross-talk") {
     import graft.sources.{KafkaConnector, KafkaSourceConfig}
     val dir = Files.createTempDirectory("graft-kafka-x").toString

@@ -104,6 +104,33 @@ class TxnTimeoutSpec extends SparkSpec {
     assert(spark.read.parquet(base).count() == 8, "healed rows readable")
   }
 
+  test("parameterless vacuumStaged auto-detects the _txn root and still protects marker epochs") {
+    val root = Files.createTempDirectory("graft-txnauto").toString
+    val out = new TopicLog(spark, root, TopicName.parse("out"), 2)
+    // same crash window as the explicit-txnRoot test below — but the
+    // caller FORGETS txnRoot. The old default made that the unsafe mode
+    // (committed data deleted once past the horizon); vacuumStaged must
+    // now find the `_txn` directory at the log's ancestor root itself.
+    val stagedOut = out.stageAppend(batch(0 until 9))
+    val markerDir = Paths.get(root, "_txn")
+    Files.createDirectories(markerDir)
+    val line = Seq(out.name.path(root), stagedOut.epoch.toString,
+      stagedOut.count.toString,
+      stagedOut.manifestLines.replace("\n", ";")).mkString("\t")
+    val tmp = markerDir.resolve("txn-auto.tmp")
+    Files.write(tmp, line.getBytes)
+    Files.move(tmp, markerDir.resolve("txn-auto.committed"))
+
+    val farFuture = System.currentTimeMillis() + 365L * 24 * 3600 * 1000
+    assert(TopicLog.vacuumStaged(out.name.path(root),
+      olderThanMs = Txn.DefaultTimeoutMs, nowMs = () => farFuture) == 0,
+      "auto-detected marker protection must survive a parameterless call")
+    assert(Files.exists(Paths.get(out.name.path(root), "_staging",
+      stagedOut.epoch.toString)))
+    assert(Txn.recover(root) >= 1)
+    assert(out.read().count() == 9)
+  }
+
   test("vacuum never eats a COMMITTED txn awaiting recovery: marker-referenced epochs are protected") {
     val root = Files.createTempDirectory("graft-txnto").toString
     val out = new TopicLog(spark, root, TopicName.parse("out"), 2)
