@@ -188,6 +188,8 @@ object Stress {
     asofTier(envK)
     annTier(vecsK)
     }
+    if (tierOn("simhash_probe")) simhashProbeTier(spark, docsK)
+    if (tierOn("cc_converge")) ccConvergeTier(spark)
     if (tierOn("ccnet_skew")) ccnetSkewTier(docsK)
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
     if (tierOn("topic_stats")) topicStatsTier(envK)
@@ -232,11 +234,14 @@ object Stress {
     val max = if (d.isEmpty) 0L else d.last
     println(f"STRESS $label%-28s $wall%8.2fs  ($n rows, tasks=${d.size}, " +
       f"p50=${p50}ms, max=${max}ms, max/wall=${max / 1e3 / wall}%.2f)")
-    // top tasks with their stage, so a fat task is attributable without
-    // a UI: "stage 12 (runJob at SparkHadoopWriter.scala:83) 21280ms"
-    all.sortBy(-_._2).take(3).foreach { case (sid, ms) =>
-      println(s"STRESS   top-task stage=$sid (${stageNames.synchronized(
-        stageNames.getOrElse(sid, "?"))}) ${ms}ms")
+    // per-stage rollup: a fat STAGE (few tasks doing all the work) is
+    // attributable from the log alone — stage id, task count, total and
+    // max task ms
+    all.groupBy(_._1).map { case (sid, ts) =>
+      (sid, ts.size, ts.map(_._2).sum, ts.map(_._2).max)
+    }.toSeq.sortBy(-_._3).take(3).foreach { case (sid, nt, sum, mx) =>
+      println(s"STRESS   stage=$sid tasks=$nt sum=${sum}ms max=${mx}ms (${
+        stageNames.synchronized(stageNames.getOrElse(sid, "?"))})")
     }
   }
 
@@ -428,6 +433,85 @@ object Stress {
     require(mdBefore == mdAfter,
       "compact changed markDelete at scale — answer-preserving contract broken")
     log.unpersist(): Unit
+  }
+
+  /** SimHash candidate-volume probe (VERDICT r8 #2): the block-permuted
+    * join's cost driver is Σ C(|bucket|, 2) over (blk, blk_val) buckets
+    * — this tier commits that volume, the bucket-size tail, and the
+    * per-task spread of the full pair computation, so a dominating
+    * bucket is attributable from the log alone. `maxHamming = 3` is the
+    * production 4-block config; a 5-block run quantifies what block
+    * splitting would buy if one bucket dominates. */
+  private def simhashProbeTier(spark: SparkSession, docs: DataFrame): Unit = {
+    val sig = MinHash.simhashAgg(docs).select(col("doc_id").as("id"),
+      col("simhash")).localCheckpoint() // signatures once; probe the join
+    // 3 = the 4-block Manku default; 7 = the BENCH query's config
+    // (8×8-bit blocks — near-identical tier, full recall at J≥0.9)
+    for (maxHamming <- Seq(3, 7)) {
+      val blocks = maxHamming + 1
+      val width = 64 / blocks
+      val keyed = sig.select(col("id"),
+        explode(array((0 until blocks).map { blk =>
+          struct(lit(blk).as("blk"),
+            shiftright(col("simhash"), blk * width)
+              .bitwiseAND((1L << width) - 1).as("blk_val"))
+        }: _*)).as("k"))
+        .select(col("k.blk"), col("k.blk_val"))
+      val hist = keyed.groupBy("blk", "blk_val").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val volume = hist.agg(expr("sum(n * (n - 1) DIV 2)")).head().getLong(0)
+      val top = hist.orderBy(col("n").desc).limit(5)
+        .collect() // bounded: top-5 rows
+        .map(r => s"(blk=${r.getInt(0)},n=${r.getLong(2)})").mkString(" ")
+      println(s"STRESS simhash_buckets b=$blocks   pairVolume=$volume top5=$top")
+    }
+    // stage isolation: signature pass alone, then candidates pre-distinct
+    timeTasks(spark, "simhash_sig_only")(
+      MinHash.simhashAgg(docs)
+        .agg(count(lit(1)), sum(col("simhash").cast("decimal(38,0)")))
+        .head().getLong(0))
+    timeTasks(spark, "simhash_pairs_4blk")(
+      MinHash.simhashPairs(docs, 3).count())
+    // bench-config attribution: candidate join alone vs + exact-Jaccard
+    // verify — separates the block-join cost (bucket volume) from the
+    // per-candidate shingle-intersect cost that dominates clone cliques
+    timeTasks(spark, "simhash_pairs_8blk")(
+      MinHash.simhashPairs(docs, 7).count())
+    timeTasks(spark, "simhash_verified_8blk")(
+      MinHash.simhashVerifiedPairs(docs, maxHamming = 7, threshold = 0.9)
+        .count())
+  }
+
+  /** Connected-components convergence probe (VERDICT r8 #8): planted
+    * LONG CHAINS — the diameter-n worst case for large-star/small-star —
+    * at growing n. Kiveris et al. prove O(log² n) rounds; the committed
+    * table must show round count growing ~log n per 10× (NOT linearly)
+    * with per-round edge counts collapsing toward star form. Also runs
+    * the reliable-checkpoint variant once to pin result parity (the
+    * cluster fault-tolerance mode). */
+  private def ccConvergeTier(spark: SparkSession): Unit = {
+    import spark.implicits._
+    for (n <- Seq(10000L, 100000L, 1000000L)) {
+      val chain = spark.range(n - 1).select(col("id").as("u"),
+        (col("id") + 1).as("v"))
+      val rounds = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+      timeTasks(spark, s"cc_chain_n$n")(
+        Graph.connectedComponents(chain,
+            onRound = (r, edges) => { rounds += ((r, edges)); () })
+          .agg(count(lit(1)), countDistinct("component")).head().getLong(0))
+      println(s"STRESS cc_chain_n$n rounds=${rounds.size - 1} " +
+        s"edges/round=${rounds.map(_._2).mkString(",")}")
+    }
+    // reliable-checkpoint parity: same components, blocks on disk
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val chain = spark.range(9999L).select(col("id").as("u"), (col("id") + 1).as("v"))
+    val local = Graph.connectedComponents(chain)
+      .agg(count(lit(1)), countDistinct("component"), sum("component")).head()
+    val reliable = Graph.connectedComponents(chain, checkpointDir = Some(ckpt))
+      .agg(count(lit(1)), countDistinct("component"), sum("component")).head()
+    require(local == reliable,
+      s"checkpoint() variant diverged: $local vs $reliable")
+    println(s"STRESS cc_checkpoint_parity OK ($local)")
   }
 
   /** SemDeDup clusterBits scaling probe (VERDICT r6 #2): the Σ|cluster|²

@@ -82,21 +82,37 @@ object Graph {
    * independent checksum (count + sum of per-edge hashes) — one tiny
    * 2-column aggregate per round, no driver-side edge materialization.
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+                          checkpointDir: Option[String] = None,
+                          onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     // localCheckpoint (eager) TRUNCATES LINEAGE each round, not just
     // caches: each round's plan references the previous round 6× (two
     // symmetrizing unions + two groupBy-join pairs), so without
     // truncation the logical plan grows ~6^rounds and Catalyst analysis
-    // — not the data — dominates within a handful of iterations. On a
-    // cluster job that needs executor-loss tolerance, swap for
-    // checkpoint() with a checkpoint dir; the algorithm is unchanged.
-    var e = canonical(edges).localCheckpoint()
+    // — not the data — dominates within a handful of iterations.
+    // `checkpointDir` switches to RELIABLE checkpoint(): blocks persist
+    // to the given (HDFS/DBFS) directory instead of executor memory, so
+    // an executor loss mid-iteration recomputes from the checkpoint
+    // instead of failing the lineage-truncated job — the right mode for
+    // long cluster runs; identical algorithm, one extra write per round.
+    // `onRound` observes (round, edge-count) per iteration — the
+    // convergence telemetry the Stress probe records; the count is read
+    // from the checksum aggregate the loop already runs (no extra job).
+    def persistRound(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(_) => df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+    checkpointDir.foreach(d =>
+      edges.sparkSession.sparkContext.setCheckpointDir(d))
+    var e = persistRound(canonical(edges))
     var check = checksum(e)
+    onRound(0, check._1)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = persistRound(smallStar(largeStar(e)))
       val nextCheck = checksum(next)
+      onRound(it + 1, nextCheck._1)
       converged = nextCheck == check
       e = next
       check = nextCheck

@@ -173,8 +173,10 @@ object MinHash {
    * join on (block_id, block_value) instead of all-pairs.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   bucketShardCap: Int = 1024): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(bucketShardCap > 0, s"bucketShardCap must be > 0")
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val sig = simhashAgg(docs, idCol, textCol)
@@ -190,14 +192,52 @@ object MinHash {
             .as("blk_val"))
       }: _*)).as("k"))
       .select(col("id"), col("simhash"), col("k.blk"), col("k.blk_val"))
-    val a = keyed.toDF("id_a", "sh_a", "blk", "blk_val")
-    val b = keyed.toDF("id_b", "sh_b", "blk", "blk_val")
+    // TRIANGLE-SHARD oversized buckets (r9 probe finding: at the 8×8-bit
+    // near-identical config one hot (blk, blk_val) bucket put 93% of the
+    // wall on a single task — C(|bucket|,2) pairs are generated by ONE
+    // join key, and narrower blocks only inflate total volume, 24.6M →
+    // 678M measured at 4 → 8 blocks, so block splitting can't help).
+    // A bucket of n > cap members splits into G = ceil(n/cap) id-hash
+    // shards; pair (a,b) is produced exactly once at join key
+    // (blk, blk_val, min(s_a,s_b), max(s_a,s_b)) — the a-side carries
+    // shard s as i for every j ≥ s, the b-side as j for every i ≤ s —
+    // bounding per-key pair work by ~cap² while preserving the exact
+    // pair set. Unsharded buckets (G = 1, the common case) pay one
+    // extra co-partitioned size join and zero replication.
+    val sizes = keyed.groupBy("blk", "blk_val").agg(count(lit(1)).as("_bn"))
+    val sharded = keyed.join(sizes, Seq("blk", "blk_val"))
+      .withColumn("_g", ceil(col("_bn") / lit(bucketShardCap)).cast("int"))
+      .withColumn("_s", pmod(xxhash64(col("id")), col("_g")).cast("int"))
+    val a = sharded
+      .withColumn("_j", explode(sequence(col("_s"), col("_g") - 1)))
+      .select(col("id").as("id_a"), col("simhash").as("sh_a"),
+        col("blk"), col("blk_val"), col("_s").as("_i"), col("_j"))
+    val b = sharded
+      .withColumn("_i", explode(sequence(lit(0), col("_s"))))
+      .select(col("id").as("id_b"), col("simhash").as("sh_b"),
+        col("blk"), col("blk_val"), col("_i"), col("_s").as("_j"))
     // Hamming distance computed (and thresholded) pre-distinct so the
     // dedup exchange carries three scalars per pair, not the signatures.
-    a.join(b, Seq("blk", "blk_val"))
-      .filter(col("id_a") < col("id_b"))
+    // Pairs are NORMALIZED (least, greatest), not order-filtered: at a
+    // cross-shard key (i, j), i < j, the pair arrives in exactly one
+    // orientation — whichever member hashed to shard i is the a-side —
+    // so an `id_a < id_b` filter would drop every pair whose smaller id
+    // landed in the larger shard; same-shard keys arrive in both
+    // orientations and collapse in the distinct.
+    // SHUFFLE_HASH, never broadcast: by BYTES the keyed side is tiny
+    // (50k rows easily clears the autoBroadcast threshold) so Catalyst
+    // picks a broadcast join — which erases the key partitioning and
+    // runs the O(Σ|bucket|²) pair generation map-side at input-partition
+    // parallelism (measured: 10 tasks × ~23 s EACH at 10×, every task
+    // fat). The cost of this join is quadratic in matches, invisible to
+    // byte-based planning; hash-partitioning by (bucket, shard) is the
+    // entire point of the shard split above.
+    a.join(b.hint("shuffle_hash"), Seq("blk", "blk_val", "_i", "_j"))
+      .filter(col("id_a") =!= col("id_b"))
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+      .distinct()
   }
 }

@@ -208,6 +208,30 @@ class PlanQualitySpec extends SparkSpec {
    * the optimized logical plan (Aggregate grouping keys and Join keys),
    * which is where a distinct-over-arrays would surface.
    */
+  test("simhash pair join partitions by bucket key (shuffle-hash), never broadcast") {
+    // the pair join's cost is quadratic in per-key matches — invisible
+    // to byte-based planning. A broadcast join here runs the whole
+    // O(Σ|bucket|²) generation at input-partition parallelism (r9
+    // probe: 10 tasks × ~23 s each at 10×); the gate pins the
+    // hash-partitioned form that the bucket-shard split feeds.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val qe = SparkEntry.queries("simhash_pairs")(spark, sf001).queryExecution
+    // the PAIR join carries the shard columns (_i, _j); the bucket-SIZE
+    // join (2 keys, one row per bucket) is legitimately broadcast
+    val bhjOnShard = qe.sparkPlan.collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("_i")) => j
+    }
+    assert(bhjOnShard.isEmpty,
+      s"pair join must not broadcast:\n${bhjOnShard.mkString("\n")}")
+    val shjOnShard = qe.sparkPlan.collect {
+      case j: ShuffledHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("_i")) => j
+    }
+    assert(shjOnShard.nonEmpty, "shard-keyed shuffle-hash join missing:\n" +
+      qe.sparkPlan.toString.take(1200))
+  }
+
   test("similarity ops: no shuffle or aggregation keyed on an array column") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
