@@ -72,7 +72,11 @@ object MinHash {
     // the candidate dedup: the distinct then shuffles only
     // (id, id, double) — 24 bytes/pair — instead of carrying both full
     // minhash signature arrays (~512 bytes/pair) through the exchange.
-    a.join(b, Seq("band", "band_hash"))
+    // SHUFFLE_HASH for the same reason as [[simhashPairs]]: the band
+    // join's cost is quadratic in per-bucket matches, invisible to the
+    // byte-based estimate that otherwise broadcasts the banded side and
+    // serializes pair generation onto the input partitions
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("est_jaccard",
         graft.functions.Sketch.minhash_agreement(col("mh_a"), col("mh_b"))

@@ -542,7 +542,11 @@ object VectorOps {
     // Exact verify runs pre-distinct: threshold filter drops most
     // candidates before the dedup exchange, which then shuffles only
     // (id_a, id_b, sim) — never the vectors.
-    a.join(b, Seq("tbl", "bucket"))
+    // SHUFFLE_HASH (same rationale as MinHash.simhashPairs): the bucket
+    // join's work is quadratic in per-bucket matches and carries full
+    // vectors — a byte-based broadcast choice would serialize it onto
+    // the input partitions
+    a.join(b.hint("shuffle_hash"), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
@@ -630,7 +634,9 @@ object VectorOps {
     // exchange carries only ids.
     val a = scored.toDF("id_a", "cluster", "va", "simc_a")
     val b = scored.toDF("id_b", "cluster", "vb", "simc_b")
-    val removed = a.join(b, Seq("cluster"))
+    // SHUFFLE_HASH: per-cluster quadratic work must partition by
+    // cluster, not broadcast (see MinHash.simhashPairs)
+    val removed = a.join(b.hint("shuffle_hash"), Seq("cluster"))
       .filter(col("id_a") =!= col("id_b"))
       // rounded to 6 like simc_r, so a last-ulp cross-engine difference
       // exactly at the threshold can't flip a kept/removed verdict
