@@ -115,6 +115,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash pair set is invariant under bucket sharding (forced caps, 3 seeds)") {
+    import graft.ext.MinHash
+    // the default cap (1024) never triggers at test scale, so the
+    // triangle-shard path — shard-pair keys, one-orientation pairs,
+    // least/greatest normalization — gets exercised here with caps small
+    // enough that EVERY bucket shards, including clone cliques that
+    // collapse whole buckets onto one blk_val
+    for (seed <- 50L to 52L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 120).map(i => s"w$i")
+      val docs = (0 until 90).map { i =>
+        val text =
+          if (i % 3 == 0 && i > 0)
+            // heavy clone pressure: 1/3 of docs copy an earlier one
+            // verbatim (identical signature → maximal bucket pile-up)
+            (0 until 60).map(j => vocab((i / 3 + j) % vocab.size)).mkString(" ")
+          else (0 until 50 + rnd.nextInt(30))
+            .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, text)
+      }
+      val df = docs.toDF("doc_id", "text")
+      for (mh <- Seq(3, 7)) {
+        val unsharded = MinHash.simhashPairs(df, mh,
+            bucketShardCap = Int.MaxValue)
+          .as[(Long, Long, Int)].collect().toSet
+        for (cap <- Seq(2, 5)) {
+          val sharded = MinHash.simhashPairs(df, mh, bucketShardCap = cap)
+            .as[(Long, Long, Int)].collect().toSet
+          assert(sharded == unsharded,
+            s"seed $seed maxHamming $mh cap $cap: " +
+              s"missing=${(unsharded -- sharded).take(5)} " +
+              s"extra=${(sharded -- unsharded).take(5)}")
+        }
+      }
+    }
+  }
+
   test("count windows == naive chunking (5 seeds)") {
     for (seed <- 30L to 34L) {
       val log = randomLog(seed, 200).map(m => m.copy(value = "x"))
