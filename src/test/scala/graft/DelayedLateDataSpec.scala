@@ -33,6 +33,47 @@ class DelayedLateDataSpec extends SparkSpec {
     assert(readBuckets < allBuckets)
   }
 
+  test("redelivery backoff composes with the delayed-due index (§2.10 ↔ §2.11)") {
+    // the full broker loop: unacked-timeout redelivery stamps
+    // deliver_at = now + backoff (NegativeAcksTracker), and those rows
+    // then flow through the SAME at-scale delayed-dispatch machinery as
+    // producer-delayed messages — the bucketed index must hold exactly
+    // the redelivered set, dispatch nothing before its backoff expires,
+    // and dispatch precisely the due prefix as time advances
+    val env = graft.model.Envelope.fromEvents(spark, sf001)
+    val now = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val delivered = env.filter(col(Envelope.Offset) % 2 === 0)
+      .select(col(Envelope.Partition).as("partition"),
+        col(Envelope.Offset).as("offset"),
+        col(Envelope.PublishTime).as("delivered_at"))
+    val acks = env.filter(col(Envelope.Offset) % 4 === 0)
+      .select(col(Envelope.Partition).as("partition"),
+        col(Envelope.Offset).as("offset"))
+    val redelivered = graft.streaming.AckState.redeliverOnTimeout(
+      env, delivered, acks, now, ackTimeoutMs = 3600000L,
+      backoffBaseMs = 60000L)
+    val nRedelivered = redelivered.count()
+    assert(nRedelivered > 0)
+
+    val idx = Files.createTempDirectory("graft-redel-idx").toString + "/idx"
+    DelayedBuckets.buildIndex(redelivered, idx)
+
+    // before ANY backoff expires (backoffs start at now + 60s): nothing due
+    assert(DelayedBuckets.dueAt(spark, idx, now).count() == 0L,
+      "no redelivered row may dispatch before its backoff")
+    // redelivery_count ∈ 1..5 → backoffs 60·2^0..2^4 s; at now+16min
+    // every bucket is due — the full redelivered set dispatches once
+    val later = new java.sql.Timestamp(now.getTime + 16 * 60 * 1000L)
+    assert(DelayedBuckets.dueAt(spark, idx, later).count() == nRedelivered)
+    // mid-horizon: exactly the rows whose deliver_at has passed
+    val mid = new java.sql.Timestamp(now.getTime + 5 * 60 * 1000L)
+    val expectMid = redelivered.filter(col(Envelope.DeliverAt) <= lit(mid)).count()
+    assert(expectMid > 0 && expectMid < nRedelivered,
+      s"mid-horizon should split the backoff schedule, got $expectMid/$nRedelivered")
+    assert(DelayedBuckets.dueAt(spark, idx, mid)
+      .filter(col(Envelope.DeliverAt) <= lit(mid)).count() == expectMid)
+  }
+
   test("empty delayed index (zero delayed rows) reads as empty, not a crash") {
     val env = graft.model.Envelope.fromEvents(spark, sf001)
     val idx = Files.createTempDirectory("graft-delayed-empty").toString + "/idx"
