@@ -1505,6 +1505,31 @@ object SparkEntry {
         countDistinct(Envelope.Key).cast("bigint").as("n_keys"))
       .orderBy("consumer_before", "consumer_after")
 
+  /** [[qKeySharedRebalance]] with DRAIN CURSORS (DrainingHashesTracker;
+    * VERDICT r8 #3 as an oracle row, complementing KeySharedDrainSpec):
+    * rows of a moved slot at or below the per-partition drain cursor
+    * (60% of max offset) stay with the OLD owner — in flight, still
+    * draining — while rows above route to the NEW owner. The oracle
+    * replays the consistent-hash ring (mm3 macros) AND the cursor
+    * split, so a drain rule that leaks a row to the wrong side of the
+    * handover breaks the hash. */
+  private def qKeySharedDrain(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir)
+    val cursors: Map[Int, Long] = e.groupBy(Envelope.Partition)
+      .agg(expr(s"max(${Envelope.Offset}) * 3 div 5").as("md"))
+      .collect() // bounded: one row per partition
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Dispatch.keySharedRebalance(e,
+        oldConsumers = Seq("c1", "c2", "c3"),
+        newConsumers = Seq("c1", "c2", "c3", "c4"),
+        drainedUpTo = cursors)
+      .groupBy("moved", "consumer_id")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy("moved", "consumer_id")
+  }
+
   /** Snapshot coalesce end-to-end on the oracle surface: append through
     * the produce path, coalesce to one file per partition (manifest file
     * snapshot), vacuum the replaced files — and prove content identity:
@@ -2287,6 +2312,7 @@ object SparkEntry {
     "multi_topic_union" -> (qMultiTopicUnion _),
     "keyshared_assign" -> (qKeyShared _),
     "keyshared_rebalance" -> (qKeySharedRebalance _),
+    "keyshared_drain" -> (qKeySharedDrain _),
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "hash_wide" -> (qHashWide _),
@@ -2956,6 +2982,49 @@ object SparkEntry {
         |SELECT consumer_before, consumer_after, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
         |FROM joined GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // rebalance + drain cursors: ring ownership replayed as above, then
+    // a moved slot's rows split on the per-partition 60% cursor — at or
+    // below stays with the old owner (still draining), above routes new
+    "keyshared_drain" -> (mm3Macros +
+      """CREATE OR REPLACE TEMP TABLE graft_ring_old AS
+        |  SELECT mm3_8(c || '-' || CAST(i AS VARCHAR)) % 65536 AS point, c AS owner
+        |  FROM (SELECT unnest(['c1','c2','c3']) AS c) cs CROSS JOIN range(0, 100) t(i);
+        |CREATE OR REPLACE TEMP TABLE graft_ring_new AS
+        |  SELECT mm3_8(c || '-' || CAST(i AS VARCHAR)) % 65536 AS point, c AS owner
+        |  FROM (SELECT unnest(['c1','c2','c3','c4']) AS c) cs CROSS JOIN range(0, 100) t(i);
+        |WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), envelope AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(user_id % 4 AS INT) AS partition, event_id AS "offset"
+        |  FROM ev
+        |), cur AS (
+        |  SELECT partition, (MAX("offset") * 3) // 5 AS md
+        |  FROM envelope GROUP BY partition
+        |), uniq AS (
+        |  SELECT DISTINCT key, mm3_8(key) % 65536 AS slot FROM envelope
+        |), a_old AS (
+        |  SELECT key, owner AS consumer_before FROM (
+        |    SELECT u.key, r.owner,
+        |      ROW_NUMBER() OVER (PARTITION BY u.key ORDER BY (r.point < u.slot), r.point, r.owner) AS rn
+        |    FROM uniq u CROSS JOIN graft_ring_old r) t WHERE rn = 1
+        |), a_new AS (
+        |  SELECT key, owner AS consumer_after FROM (
+        |    SELECT u.key, r.owner,
+        |      ROW_NUMBER() OVER (PARTITION BY u.key ORDER BY (r.point < u.slot), r.point, r.owner) AS rn
+        |    FROM uniq u CROSS JOIN graft_ring_new r) t WHERE rn = 1
+        |), eff AS (
+        |  SELECT e.key, (consumer_before <> consumer_after) AS moved,
+        |    CASE WHEN consumer_before <> consumer_after AND e."offset" <= c.md
+        |      THEN consumer_before ELSE consumer_after END AS consumer_id,
+        |    e."offset"
+        |  FROM envelope e
+        |  JOIN a_old USING (key) JOIN a_new USING (key)
+        |  JOIN cur c ON e.partition = c.partition)
+        |SELECT moved, consumer_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+        |  MAX("offset") AS max_offset
+        |FROM eff GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "topic_log_roundtrip" -> topicLogRoundtripSql,
     // both txn legs rebuilt in SQL: dense per-partition offsets via
     // ROW_NUMBER (ack membership depends only on offset VALUES, so
