@@ -938,7 +938,18 @@ object SparkEntry {
     * per-session rows the batch islands oracle derives — gating the
     * streaming session-state machinery (merge-on-gap, state store)
     * under the DuckDB oracle. */
-  private def qSessionWindowsStream(s: SparkSession, dir: String): DataFrame =
+  private def qSessionWindowsStream(s: SparkSession, dir: String): DataFrame = {
+    // 10× growth attribution (r9): 5.8× for 10× data, the one stream
+    // twin above the 2-3× band. The fixture's mean per-user inter-event
+    // gap (~4 h) dwarfs the 30-min session gap, so sessions ≈ singleton
+    // events and complete mode re-emits ~n sessions EVERY trigger —
+    // cost is (state ≈ n) × triggers by semantics, not a plan defect.
+    // SPARK-36576 local pre-merge was A/B'd and does NOT help here
+    // (14.8 s vs 14.4 s warm at 10×): singleton sessions give the local
+    // merge nothing to collapse. A production deployment bounds this
+    // with a watermark + append (sessions emit once, state evicts); the
+    // oracle twin needs complete mode because the fixture's part files
+    // are not time-ordered, so any watermark drops legitimate rows.
     runStreamToLocal(s,
       Windows.session(Envelope.fromEventsStream(s, dir), Envelope.EventTime,
         "30 minutes", keys = Seq(col(Envelope.Key)),
@@ -947,6 +958,7 @@ object SparkEntry {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n"))
       .orderBy(Envelope.Key, "session_start")
+  }
 
   /** §2.4 exact percentiles (median/p25/p75) per event type. */
   private def qMedian(s: SparkSession, dir: String): DataFrame =
