@@ -1320,7 +1320,19 @@ object SparkEntry {
     * throttles) without inflating the bench. */
   private def qDispatchRateStream(s: SparkSession, dir: String): DataFrame =
     rateLimitedRoundtrip(s, dir, "rate-sub")((sub, handler) =>
-      sub.consumeRateLimited(rateMsgsPerSec = 100000.0, burst = 2000L)(handler))
+      sub.consumeRateLimited(rateMsgsPerSec = rateForScale(s, dir),
+        burst = 2000L)(handler))
+
+  /** Scale-invariant throttle rate: rows/rate — the configured wait
+    * FLOOR — is semantics, not machinery; at a fixed 100k msg/s a 10×
+    * fixture spends 10× wall purely WAITING, which measures the config
+    * rather than the bucket. Keying the rate to the fixture row count
+    * (min 100k, so the driver-scale fixtures are unchanged) pins the
+    * floor at ~1 s at every scale while the 2000-token burst still
+    * forces real admission waits on every trigger. */
+  private def rateForScale(s: SparkSession, dir: String): Double =
+    math.max(100000.0,
+      s.read.parquet(s"$dir/events.parquet").count().toDouble)
 
   /** Shared harness for the two rate-limited consume twins: same
     * fixture, fresh per-invocation checkpoint (registered with the
@@ -1361,7 +1373,8 @@ object SparkEntry {
     * the triggers. */
   private def qDispatchRateDebtStream(s: SparkSession, dir: String): DataFrame =
     rateLimitedRoundtrip(s, dir, "rate-debt-sub")((sub, handler) =>
-      sub.consumeRateLimitedDebt(msgs = Some((100000.0, 2000L)), bytes = None)(handler))
+      sub.consumeRateLimitedDebt(msgs = Some((rateForScale(s, dir), 2000L)),
+        bytes = None)(handler))
 
   /** Chunking × dedup composition (reference
     * MessageChunkingDeduplicationTest; VERDICT r7 #7): documents are
