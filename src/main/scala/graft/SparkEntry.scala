@@ -167,6 +167,20 @@ object SparkEntry {
     * diverge the set), cursor = largest dense acked prefix, backlog =
     * anti-join, output = the sequence_id%5 slice re-routed by key
     * hash. */
+  /** Shared by `redelivery` and `redelivery_stream` — one string, so
+    * the batch and stream twins can never verify against diverged
+    * backoff formulas. */
+  private lazy val redeliverySql: String = envSql(
+    """SELECT "offset", partition,
+      |  CAST(redelivery_count + 1 AS INT) AS redelivery_count,
+      |  strftime(TIMESTAMP '2024-01-15 00:00:00'
+      |    + to_seconds(CAST(60 * pow(2, redelivery_count) AS BIGINT)),
+      |    '%Y-%m-%d %H:%M:%S') AS redeliver_at
+      |FROM envelope
+      |WHERE "offset" % 2 = 0 AND "offset" % 4 <> 0
+      |  AND publish_time <= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 1 HOUR
+      |ORDER BY "offset"""".stripMargin)
+
   private lazy val txnAckSql: String = mm3Macros +
     s"WITH ${Envelope.duckdbCte},\n" +
     """routed AS (
@@ -1330,9 +1344,15 @@ object SparkEntry {
     * (min 100k, so the driver-scale fixtures are unchanged) pins the
     * floor at ~1 s at every scale while the 2000-token burst still
     * forces real admission waits on every trigger. */
+  private val rateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Double]()
   private def rateForScale(s: SparkSession, dir: String): Double =
-    math.max(100000.0,
-      s.read.parquet(s"$dir/events.parquet").count().toDouble)
+    // cached per (session, fixture): the count is a metadata job, but an
+    // extra Spark job inside every TIMED bench rep of both rate twins
+    // would re-contaminate the measurement the scaling exists to clean
+    rateCache.computeIfAbsent((s, dir), _ =>
+      math.max(100000.0,
+        s.read.parquet(s"$dir/events.parquet").count().toDouble))
 
   /** Shared harness for the two rate-limited consume twins: same
     * fixture, fresh per-invocation checkpoint (registered with the
@@ -2596,27 +2616,11 @@ object SparkEntry {
     // publish_time), acked = every 4th; timed out = delivered, unacked,
     // publish_time at least ackTimeout (1 h) before "now"; the
     // redelivered row carries count+1 and now + 60s·2^(old count)
-    "redelivery" -> envSql(
-      """SELECT "offset", partition,
-        |  CAST(redelivery_count + 1 AS INT) AS redelivery_count,
-        |  strftime(TIMESTAMP '2024-01-15 00:00:00'
-        |    + to_seconds(CAST(60 * pow(2, redelivery_count) AS BIGINT)),
-        |    '%Y-%m-%d %H:%M:%S') AS redeliver_at
-        |FROM envelope
-        |WHERE "offset" % 2 = 0 AND "offset" % 4 <> 0
-        |  AND publish_time <= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 1 HOUR
-        |ORDER BY "offset"""".stripMargin),
-    // the streaming twin redelivers the identical set on the identical schedule
-    "redelivery_stream" -> envSql(
-      """SELECT "offset", partition,
-        |  CAST(redelivery_count + 1 AS INT) AS redelivery_count,
-        |  strftime(TIMESTAMP '2024-01-15 00:00:00'
-        |    + to_seconds(CAST(60 * pow(2, redelivery_count) AS BIGINT)),
-        |    '%Y-%m-%d %H:%M:%S') AS redeliver_at
-        |FROM envelope
-        |WHERE "offset" % 2 = 0 AND "offset" % 4 <> 0
-        |  AND publish_time <= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 1 HOUR
-        |ORDER BY "offset"""".stripMargin),
+    "redelivery" -> redeliverySql,
+    // the streaming twin redelivers the identical set on the identical
+    // schedule — ONE shared oracle string (the txnAckSql pattern), so an
+    // edit to the backoff formula can never diverge the two twins
+    "redelivery_stream" -> redeliverySql,
     // AUTO_CONSUME two-live-versions decode: v1 rows (even offsets)
     // carry only uid; v2 rows carry user_name + score — union_by_name
     // semantics replayed as per-parity CASEs over the payload formulas

@@ -102,8 +102,26 @@ object Graph {
       case Some(_) => df.checkpoint()
       case None => df.localCheckpoint()
     }
-    checkpointDir.foreach(d =>
-      edges.sparkSession.sparkContext.setCheckpointDir(d))
+    // setCheckpointDir is SparkContext-GLOBAL: remember and restore the
+    // application's own dir so this call can't silently redirect later
+    // unrelated checkpoint() calls (e.g. durable state meant for HDFS)
+    // into our directory. Residual: if the app had NO dir set, ours
+    // stays set after return (there is no unset API), and two
+    // concurrent calls with different dirs race — pass the same dir or
+    // serialize in that case.
+    val sc = edges.sparkSession.sparkContext
+    val previousDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try {
+      connectedComponentsLoop(edges, maxIter, persistRound, onRound)
+    } finally {
+      if (checkpointDir.isDefined) previousDir.foreach(sc.setCheckpointDir)
+    }
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, maxIter: Int,
+                                      persistRound: DataFrame => DataFrame,
+                                      onRound: (Int, Long) => Unit): DataFrame = {
     var e = persistRound(canonical(edges))
     var check = checksum(e)
     onRound(0, check._1)

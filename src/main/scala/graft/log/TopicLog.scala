@@ -233,16 +233,20 @@ object TopicLog {
                    nowMs: () => Long = () => System.currentTimeMillis(),
                    txnRoot: Option[String] = None): Int = {
     // txnRoot omitted: AUTO-DETECT a `_txn` marker directory at the log
-    // root or an ancestor (the Txn.begin root sits above the
-    // tenant/namespace/topic layout). The old default — no protection
-    // unless the caller remembered the parameter — made the DANGEROUS
-    // mode the implicit one: a crash in the marker-written-but-
-    // manifest-unpublished window plus a parameterless vacuumStaged
+    // root or ANY ancestor up to the filesystem root (the Txn.begin
+    // root sits above tenant/namespace/topic for a topic base, and two
+    // MORE levels above <topic>/_subs/<sub>/acks for an ack-log base —
+    // a bounded probe would reach one but not the other, leaving the
+    // data-loss window open on whichever leg it missed; existence
+    // checks are cheap, so walk all the way). The old default — no
+    // protection unless the caller remembered the parameter — made the
+    // DANGEROUS mode the implicit one: a crash in the marker-written-
+    // but-manifest-unpublished window plus a parameterless vacuumStaged
     // call would permanently delete a committed transaction's staged
     // data once it aged past the horizon.
     val detectedRoot = txnRoot.orElse {
       Iterator.iterate(Paths.get(basePath).toAbsolutePath)(_.getParent)
-        .takeWhile(_ != null).take(4)
+        .takeWhile(_ != null)
         .find(p => Files.isDirectory(p.resolve("_txn")))
         .map(_.toString)
     }

@@ -104,14 +104,20 @@ object KafkaConnector {
           .map(r => r.getString(0).stripPrefix(prefix).toInt -> r.getLong(1))
           .toMap
       }
-      // merge current + legacy-format high-waters (max per partition) so
-      // a topic written by an earlier build resumes instead of re-ingesting
+      // a legacy high-water is consulted ONLY for partitions with no
+      // current-format rows yet (the fresh-upgrade state). Because the
+      // legacy format is ambiguous — ("t", "g-p2") and ("t-g", "p2")
+      // share a prefix — an unconditional max-merge could adopt a
+      // DIFFERENT config's offsets and silently skip records forever;
+      // gated per partition, the moment this source writes one
+      // current-format row (whose resume floor was its own legacy
+      // high-water, so it can only be higher), foreign legacy noise is
+      // ignored — the residual risk is re-ingest (dedup-suppressed),
+      // never skipping.
       val current = highWaters(producerPrefix(cfg))
       val legacy = highWaters(legacyProducerPrefix(cfg))
-      (current.keySet ++ legacy.keySet).map { p =>
-        p -> math.max(current.getOrElse(p, Long.MinValue),
-          legacy.getOrElse(p, Long.MinValue))
-      }.toMap
+        .filter { case (p, _) => !current.contains(p) }
+      current ++ legacy
     }
   }
 

@@ -99,10 +99,17 @@ class KeySharedDrainSpec extends SparkSpec {
   }
 
   test("a key with nothing in flight hands over wholesale (drain already complete)") {
-    // cursor below every offset == no pending messages on the old owner:
-    // the reference unblocks immediately and the new consumer takes the
-    // whole key; our model must route every moved row to the new owner
-    val df = rebalanced(Map.empty[Int, Long].withDefaultValue(-1L).empty)
+    // cursors PRESENT but below every offset == no pending messages on
+    // the old owner: the reference unblocks immediately and the new
+    // consumer takes the whole key; our model must route every moved
+    // row to the new owner. This is the present-but-below-min cursor
+    // path — distinct from the absent-cursor (static) test below, which
+    // exercises the coalesce-to-MinValue fallback instead.
+    val belowMin = Envelope.fromEvents(spark, sf001)
+      .select(Envelope.Partition).distinct()
+      .collect().map(_.getInt(0) -> -1L).toMap
+    assert(belowMin.nonEmpty)
+    val df = rebalanced(belowMin)
     assert(df.filter(col("moved") &&
       col("consumer_id") =!= col("consumer_after")).count() == 0L)
   }

@@ -290,4 +290,33 @@ class TxnTimeoutSpec extends SparkSpec {
       "pending acks of the dead txn released — messages redeliver")
     assert(acks.read().count() == 0, "still nothing committed")
   }
+
+  test("parameterless ACK-LEG vacuum auto-detects _txn six levels up and protects the committed leg") {
+    // the ack-log staging base sits at <root>/<tenant>/<ns>/<topic>/
+    // _subs/<sub>/acks — six levels below the _txn root; a bounded
+    // ancestor probe reaches a topic base but NOT this one, silently
+    // reopening the committed-txn data-loss window on the ack leg only
+    val root = Files.createTempDirectory("graft-txnackauto").toString
+    val in = new TopicLog(spark, root, TopicName.parse("in-ack-auto"), 2)
+    in.append(batch(0 until 6)): Unit
+    val acks = new AckLog(spark, in.name.path(root), "sub-a")
+    val toAck = in.read().select(col(Envelope.Partition).as("partition"),
+      col(Envelope.Offset).as("offset"))
+    val staged = acks.stageAck(toAck)
+    // crash AFTER the marker, BEFORE publish — committed, awaiting recovery
+    val markerDir = Paths.get(root, "_txn")
+    Files.createDirectories(markerDir)
+    val line = Seq(acks.basePath, staged.epoch.toString, staged.count.toString,
+      staged.manifestLines.replace("\n", ";")).mkString("\t")
+    val tmp = markerDir.resolve("txn-ack-auto.tmp")
+    Files.write(tmp, line.getBytes)
+    Files.move(tmp, markerDir.resolve("txn-ack-auto.committed"))
+
+    val farFuture = System.currentTimeMillis() + 365L * 24 * 3600 * 1000
+    assert(TopicLog.vacuumStaged(acks.basePath,
+      olderThanMs = Txn.DefaultTimeoutMs, nowMs = () => farFuture) == 0,
+      "marker-protected ack epoch must survive a parameterless ack-leg vacuum")
+    assert(Files.exists(Paths.get(acks.basePath, "_staging",
+      staged.epoch.toString)))
+  }
 }
