@@ -1596,6 +1596,41 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** §2.14 tiered-storage offload on the oracle surface (reference
+    * LedgerOffloader.java:137/183 + transparent read-back): append
+    * through the produce path, offload every file whose max offset sits
+    * in the cold half, vacuum the hot originals, then read through
+    * [[graft.log.Admin.readTiered]] (hot ∪ cold) — the output (and
+    * oracle) is exactly topic_log_roundtrip's, so a row lost,
+    * duplicated, or double-served at the hot/cold seam breaks the hash
+    * match. */
+  private def qOffloadRead(s: SparkSession, dir: String): DataFrame = {
+    val name = graft.model.TopicName.parse("persistent://public/default/events")
+    val root = Fixtures.dir(s, dir, "q-offload") { r =>
+      val tl0 = new graft.log.TopicLog(s, r, name, 4)
+      // four calendar-quartile appends (one append = one file per
+      // partition with a contiguous offset range) — a single append
+      // would leave ONE file per partition whose max offset exceeds any
+      // mid cut, and offload would silently move nothing
+      val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      val day = dayofmonth(col(Envelope.PublishTime))
+      Seq(day <= 8, day > 8 && day <= 15, day > 15 && day <= 23, day > 23)
+        .foreach(p => tl0.append(e.filter(p)): Unit)
+      val mid = tl0.read().agg(max(Envelope.Offset)).head().getLong(0) / 2
+      val moved = graft.log.Admin.offload(tl0, beforeOffset = mid)
+      require(moved > 0,
+        s"offload fixture is VACUOUS: no file's max offset <= $mid — " +
+          "the row would test nothing; fix the batch layout")
+      tl0.vacuum()
+    }
+    val tl = new graft.log.TopicLog(s, root, name, 4)
+    graft.log.Admin.readTiered(tl)
+      .groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
   /** Rotating-file-sink roundtrip on the oracle surface (hdfs3/alluxio
     * connector path): append through the produce path, stream the
     * committed log through the rotating text sink (tmp-write → fsync →
@@ -2358,6 +2393,7 @@ object SparkEntry {
     "keyshared_assign" -> (qKeyShared _),
     "keyshared_rebalance" -> (qKeySharedRebalance _),
     "keyshared_drain" -> (qKeySharedDrain _),
+    "offload_read" -> (qOffloadRead _),
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "hash_wide" -> (qHashWide _),
@@ -3093,6 +3129,8 @@ object SparkEntry {
     // coalesce+vacuum must be content-neutral: same oracle as the plain
     // produce round trip — a lost or duplicated row breaks the match
     "coalesce_roundtrip" -> topicLogRoundtripSql,
+    // offload + transparent hot∪cold read must preserve the same truth
+    "offload_read" -> topicLogRoundtripSql,
     // the rate-limited dispatch loop must also be content-neutral: the
     // token bucket delays batches, never drops or replays them
     "dispatch_rate_stream" -> topicLogRoundtripSql,
