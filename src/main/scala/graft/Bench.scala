@@ -93,7 +93,7 @@ object Bench {
     // field so the artifact attributes it instead of hiding it.
     val fixtureBacked = Seq("topic_log_roundtrip", "txn_ack",
       "ack_compaction", "coalesce_roundtrip", "file_sink_roundtrip",
-      "delayed_due", "shadow_read", "offload_read")
+      "delayed_due", "shadow_read", "offload_read", "retention_trim")
     val prewarmT0 = System.nanoTime()
     fixtureBacked.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>

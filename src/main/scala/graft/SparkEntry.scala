@@ -1631,6 +1631,35 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** §2.3 retention trim on the oracle surface (reference ledger trim:
+    * a ledger is deleted only when ENTIRELY out of retention —
+    * file-granular here): the four-quartile fixture trimmed at
+    * now=Feb 1, retention=14 days deletes exactly the day≤8 and day≤15
+    * files; the day 16-23 file SURVIVES WHOLE even though its Jan 16-17
+    * rows are outside retention — the file-granularity semantics the
+    * oracle replays (survivors = day>15 rows, min surviving offset =
+    * the count of trimmed rows, max untouched). */
+  private def qRetentionTrim(s: SparkSession, dir: String): DataFrame = {
+    val name = graft.model.TopicName.parse("persistent://public/default/events")
+    val root = Fixtures.dir(s, dir, "q-retention") { r =>
+      val tl0 = new graft.log.TopicLog(s, r, name, 4)
+      val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      val day = dayofmonth(col(Envelope.PublishTime))
+      Seq(day <= 8, day > 8 && day <= 15, day > 15 && day <= 23, day > 23)
+        .foreach(p => tl0.append(e.filter(p)): Unit)
+      val trimmed = graft.log.Admin.retentionTrim(tl0,
+        nowMs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime,
+        retentionMs = 14L * 24 * 3600 * 1000)
+      require(trimmed > 0, "retention fixture is VACUOUS: nothing trimmed")
+    }
+    val tl = new graft.log.TopicLog(s, root, name, 4)
+    tl.read().groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min(Envelope.Offset).as("min_offset"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
   /** Rotating-file-sink roundtrip on the oracle surface (hdfs3/alluxio
     * connector path): append through the produce path, stream the
     * committed log through the rotating text sink (tmp-write → fsync →
@@ -2394,6 +2423,7 @@ object SparkEntry {
     "keyshared_rebalance" -> (qKeySharedRebalance _),
     "keyshared_drain" -> (qKeySharedDrain _),
     "offload_read" -> (qOffloadRead _),
+    "retention_trim" -> (qRetentionTrim _),
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "hash_wide" -> (qHashWide _),
@@ -3131,6 +3161,20 @@ object SparkEntry {
     "coalesce_roundtrip" -> topicLogRoundtripSql,
     // offload + transparent hot∪cold read must preserve the same truth
     "offload_read" -> topicLogRoundtripSql,
+    // file-granular retention: day>15 files survive whole; min surviving
+    // offset = count of trimmed (day<=15) rows per partition
+    "retention_trim" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), routed AS (
+        |  SELECT CAST(mm3_8(CAST(user_id AS VARCHAR)) % 4 AS INT) AS partition,
+        |    date_part('day', ts) AS d
+        |  FROM ev)
+        |SELECT partition,
+        |  CAST(SUM(CASE WHEN d > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS min_offset,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
+        |FROM routed GROUP BY partition ORDER BY partition""".stripMargin),
     // the rate-limited dispatch loop must also be content-neutral: the
     // token bucket delays batches, never drops or replays them
     "dispatch_rate_stream" -> topicLogRoundtripSql,
