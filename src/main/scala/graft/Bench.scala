@@ -93,7 +93,8 @@ object Bench {
     // field so the artifact attributes it instead of hiding it.
     val fixtureBacked = Seq("topic_log_roundtrip", "txn_ack",
       "ack_compaction", "coalesce_roundtrip", "file_sink_roundtrip",
-      "delayed_due", "shadow_read", "offload_read", "retention_trim")
+      "delayed_due", "shadow_read", "offload_read", "retention_trim",
+      "partition_update")
     val prewarmT0 = System.nanoTime()
     fixtureBacked.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>

@@ -974,6 +974,41 @@ object SparkEntry {
       .orderBy(Envelope.Key, "session_start")
   }
 
+  /** §2.9 STRATEGIC compaction on the oracle surface (reference
+    * StrategicTwoPhaseCompactor with a pluggable strategy): keep the
+    * MAX-metric message per key (offset tie-break), tombstones (null
+    * value) still deleting the key — the custom total-order strategy
+    * the spec suite exercises, now hash-checked against a DuckDB
+    * ROW_NUMBER replay. */
+  private def qCompactionStrategic(s: SparkSession, dir: String): DataFrame =
+    Compaction.strategic(env(s, dir),
+        Seq(col("metric_value"), col(Envelope.Offset)))
+      .select(col(Envelope.Key),
+        round(col("metric_value"), 6).as("metric_r"), col(Envelope.Offset))
+      .orderBy(Envelope.Key)
+
+  /** §2.3 partition-count expansion (reference `pulsar-admin topics
+    * update-partitions`): the 4-partition log expands to 6, then a new
+    * batch key-hash routes over the NEW count — existing rows keep
+    * their partition and offsets, new partitions start at offset 0,
+    * and the per-partition totals are the mm3%4 originals plus the
+    * mm3%6 appends, replayed exactly in the oracle. */
+  private def qPartitionUpdate(s: SparkSession, dir: String): DataFrame = {
+    val name = graft.model.TopicName.parse("persistent://public/default/events")
+    val root = Fixtures.dir(s, dir, "q-partupd") { r =>
+      val tl0 = new graft.log.TopicLog(s, r, name, 4)
+      val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      tl0.append(e): Unit
+      val tl6 = graft.log.Admin.updatePartitions(tl0, 6)
+      tl6.append(e.filter(col(Envelope.SequenceId) % 5 === 0)): Unit
+    }
+    new graft.log.TopicLog(s, root, name, 6).read()
+      .groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
   /** §2.4 exact percentiles (median/p25/p75) per event type. */
   private def qMedian(s: SparkSession, dir: String): DataFrame =
     env(s, dir).groupBy("event_type")
@@ -2424,6 +2459,8 @@ object SparkEntry {
     "keyshared_drain" -> (qKeySharedDrain _),
     "offload_read" -> (qOffloadRead _),
     "retention_trim" -> (qRetentionTrim _),
+    "compaction_strategic" -> (qCompactionStrategic _),
+    "partition_update" -> (qPartitionUpdate _),
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
     "hash_wide" -> (qHashWide _),
@@ -3163,6 +3200,30 @@ object SparkEntry {
     "offload_read" -> topicLogRoundtripSql,
     // file-granular retention: day>15 files survive whole; min surviving
     // offset = count of trimmed (day<=15) rows per partition
+    // strategic compaction: max-(metric, offset) winner per key, null
+    // values tombstoned after selection
+    "compaction_strategic" -> envSql(
+      """SELECT key, round(metric_value, 6) AS metric_r, "offset"
+        |FROM (
+        |  SELECT key, value, metric_value, "offset",
+        |    ROW_NUMBER() OVER (PARTITION BY key
+        |      ORDER BY metric_value DESC, "offset" DESC) AS rn
+        |  FROM envelope) t
+        |WHERE rn = 1 AND value IS NOT NULL
+        |ORDER BY key""".stripMargin),
+    // partition expansion: originals at mm3%4 keep their slots and
+    // offsets; the sequence_id%5 append routes over the NEW count (6),
+    // with partitions 4-5 starting dense at 0
+    "partition_update" -> (mm3Macros +
+      s"WITH ${graft.model.Envelope.duckdbCte},\n" +
+      """routed AS (
+        |  SELECT CAST(mm3_8(key) % 4 AS INT) AS partition FROM envelope
+        |  UNION ALL
+        |  SELECT CAST(mm3_8(key) % 6 AS INT) AS partition FROM envelope
+        |  WHERE sequence_id % 5 = 0)
+        |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
+        |FROM routed GROUP BY partition ORDER BY partition""".stripMargin),
     "retention_trim" -> (mm3Macros +
       """WITH ev AS (
         |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
