@@ -526,7 +526,7 @@ object SparkEntry {
     * entries are summed via a listener (not `recentProgress`, which is
     * capped at 100 entries and could rotate past the rows at
     * maxFilesPerTrigger=1 on a many-file fixture). */
-  private def drainGuarded(s: SparkSession,
+  private[graft] def drainGuarded(s: SparkSession,
                            q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val rows = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {

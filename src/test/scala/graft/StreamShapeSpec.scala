@@ -66,4 +66,24 @@ class StreamShapeSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("the zero-input guard refuses an empty stream as a measurement") {
+    // a source whose glob matches no files drains zero rows — the exact
+    // r8 10× defect; drainGuarded must throw, not return quietly
+    val emptyDir = java.nio.file.Files.createTempDirectory("shape-empty")
+    val schema = spark.read.parquet(s"$sf001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "matches-nothing.parquet")
+      .parquet(emptyDir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("shape-empty-ckpt")
+    val name = "guard_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = stream.groupBy().count().writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString).start()
+    val ex = intercept[IllegalStateException] {
+      SparkEntry.drainGuarded(spark, q)
+    }
+    assert(ex.getMessage.contains("ZERO input rows"))
+    spark.catalog.dropTempView(name): Unit
+  }
 }
