@@ -94,7 +94,11 @@ object Bench {
     val fixtureBacked = Seq("topic_log_roundtrip", "txn_ack",
       "ack_compaction", "coalesce_roundtrip", "file_sink_roundtrip",
       "delayed_due", "shadow_read", "offload_read", "retention_trim",
-      "partition_update")
+      "partition_update",
+      // the rate twins' one-time costs (q-log fixture + the cached
+      // fixture-size count behind rateForScale) must land in prewarm,
+      // not in rep 1's timed region
+      "dispatch_rate_stream", "dispatch_rate_debt_stream")
     val prewarmT0 = System.nanoTime()
     fixtureBacked.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>

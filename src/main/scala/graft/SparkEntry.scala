@@ -1379,15 +1379,27 @@ object SparkEntry {
     * (min 100k, so the driver-scale fixtures are unchanged) pins the
     * floor at ~1 s at every scale while the 2000-token burst still
     * forces real admission waits on every trigger. */
+  // WeakHashMap on the session: a strong (session, dir) key would pin
+  // every stopped SparkSession for the JVM's lifetime
   private val rateCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Double]()
-  private def rateForScale(s: SparkSession, dir: String): Double =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Double]]()
+  private def rateForScale(s: SparkSession, dir: String): Double = {
     // cached per (session, fixture): the count is a metadata job, but an
     // extra Spark job inside every TIMED bench rep of both rate twins
     // would re-contaminate the measurement the scaling exists to clean
-    rateCache.computeIfAbsent((s, dir), _ =>
+    val perSession = rateCache.synchronized {
+      var m = rateCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+        rateCache.put(s, m): Unit
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ =>
       math.max(100000.0,
         s.read.parquet(s"$dir/events.parquet").count().toDouble))
+  }
 
   /** Shared harness for the two rate-limited consume twins: same
     * fixture, fresh per-invocation checkpoint (registered with the
@@ -3200,8 +3212,6 @@ object SparkEntry {
     "offload_read" -> topicLogRoundtripSql,
     // file-granular retention: day>15 files survive whole; min surviving
     // offset = count of trimmed (day<=15) rows per partition
-    // strategic compaction: max-(metric, offset) winner per key, null
-    // values tombstoned after selection
     "compaction_strategic" -> envSql(
       """SELECT key, round(metric_value, 6) AS metric_r, "offset"
         |FROM (
@@ -3224,6 +3234,10 @@ object SparkEntry {
         |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
         |FROM routed GROUP BY partition ORDER BY partition""".stripMargin),
+    // strategic compaction: max-(metric, offset) winner per key, null
+    // values tombstoned after selection — see qCompactionStrategic.
+    // retention_trim: file-granular survivors (day>15 files whole);
+    // min surviving offset = count of trimmed (day<=15) rows/partition
     "retention_trim" -> (mm3Macros +
       """WITH ev AS (
         |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events

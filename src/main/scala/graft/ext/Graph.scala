@@ -105,17 +105,22 @@ object Graph {
     // setCheckpointDir is SparkContext-GLOBAL: remember and restore the
     // application's own dir so this call can't silently redirect later
     // unrelated checkpoint() calls (e.g. durable state meant for HDFS)
-    // into our directory. Residual: if the app had NO dir set, ours
-    // stays set after return (there is no unset API), and two
-    // concurrent calls with different dirs race — pass the same dir or
-    // serialize in that case.
+    // into our directory. getCheckpointDir returns the INTERNAL
+    // UUID-suffixed subdir of what the app passed — restoring it
+    // verbatim would nest another UUID level per call — so restore its
+    // PARENT (the app's original argument). Residual: if the app had NO
+    // dir set, ours stays set after return (there is no unset API), and
+    // two concurrent calls with different dirs race — pass the same dir
+    // or serialize in that case.
     val sc = edges.sparkSession.sparkContext
-    val previousDir = sc.getCheckpointDir
+    val previousUserDir = sc.getCheckpointDir
+      .flatMap(d => Option(new org.apache.hadoop.fs.Path(d).getParent))
+      .map(_.toString)
     checkpointDir.foreach(sc.setCheckpointDir)
     try {
       connectedComponentsLoop(edges, maxIter, persistRound, onRound)
     } finally {
-      if (checkpointDir.isDefined) previousDir.foreach(sc.setCheckpointDir)
+      if (checkpointDir.isDefined) previousUserDir.foreach(sc.setCheckpointDir)
     }
   }
 

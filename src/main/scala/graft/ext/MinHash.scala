@@ -56,14 +56,17 @@ object MinHash {
     // the emptiness test is the cheap token-count equivalent (a doc has
     // ≥1 shingle ⟺ ≥ shingleN tokens) — re-running the shingle kernel
     // just to size it would double the dominant per-row cost
-    // localCheckpoint: the minhash-signature kernel feeds BOTH sides of
-    // the band self-join as distinct subplans — materialize (id,
-    // minhash) once so the per-doc shingle+permutation work runs one
-    // pass per call, not two
+    // persist (MEMORY_AND_DISK, lazy): the minhash-signature kernel
+    // feeds BOTH sides of the band self-join as distinct subplans —
+    // cache (id, minhash) so the per-doc shingle+permutation work runs
+    // one pass per call, not two. persist over localCheckpoint: lineage
+    // stays intact (an executor loss recomputes instead of failing on a
+    // missing checkpoint block) and nothing executes until the caller
+    // runs the query; the small cached table is LRU-evicted.
     val sig = withSignature(docs, textCol, shingleN, numHashes)
       .filter(size(split(col(textCol), " ")) >= shingleN)
       .select(col(idCol).as("id"), col("minhash"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), col("minhash"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -188,15 +191,17 @@ object MinHash {
     require(bucketShardCap > 0, s"bucketShardCap must be > 0")
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    // localCheckpoint (eager): the signature pass — the per-doc shingle
-    // + bit-vote kernel, the expensive per-row work — feeds THREE plan
-    // branches below (the bucket-size aggregate and both join sides),
-    // and their exchanges differ so ReuseExchange cannot collapse them;
-    // materializing the (id, simhash) pairs once keeps the kernel at
-    // one pass per call instead of three
+    // persist (MEMORY_AND_DISK, lazy): the signature pass — the per-doc
+    // shingle + bit-vote kernel, the expensive per-row work — feeds
+    // THREE plan branches below (the bucket-size aggregate and both
+    // join sides), and their exchanges differ so ReuseExchange cannot
+    // collapse them; caching the (id, simhash) pairs keeps the kernel
+    // at one pass per call instead of three. persist over
+    // localCheckpoint: lineage intact (executor-loss tolerant), no
+    // eager job at construction, LRU-evicted.
     val sig = simhashAgg(docs, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sig.select(col("id"), col("simhash"),
       explode(array((0 until blocks).map { blk =>
         struct(lit(blk).as("blk"),

@@ -108,16 +108,25 @@ object KafkaConnector {
       // current-format rows yet (the fresh-upgrade state). Because the
       // legacy format is ambiguous — ("t", "g-p2") and ("t-g", "p2")
       // share a prefix — an unconditional max-merge could adopt a
-      // DIFFERENT config's offsets and silently skip records forever;
-      // gated per partition, the moment this source writes one
-      // current-format row (whose resume floor was its own legacy
-      // high-water, so it can only be higher), foreign legacy noise is
-      // ignored — the residual risk is re-ingest (dedup-suppressed),
-      // never skipping.
+      // DIFFERENT config's offsets and permanently SKIP records; gated
+      // per partition, the failure mode is bounded to DUPLICATES
+      // instead: in a rollback/re-upgrade sequence where an old build
+      // wrote legacy rows ABOVE the current high-water, those records
+      // re-ingest under the current producer name (and cross-format
+      // (producer, sequence) dedup cannot suppress them — the names
+      // differ). Duplication is the at-least-once envelope; skipping is
+      // silent loss — we pick the former, and surface the signature of
+      // the rollback case loudly.
       val current = highWaters(producerPrefix(cfg))
       val legacy = highWaters(legacyProducerPrefix(cfg))
-        .filter { case (p, _) => !current.contains(p) }
-      current ++ legacy
+      legacy.foreach { case (p, o) =>
+        if (current.get(p).exists(_ < o))
+          System.err.println(s"[kafka-source] partition $p: legacy-format " +
+            s"high-water $o exceeds current-format ${current(p)} — " +
+            "mixed-build writes detected; records between them will " +
+            "re-ingest as duplicates (at-least-once), not be skipped")
+      }
+      current ++ legacy.filter { case (p, _) => !current.contains(p) }
     }
   }
 

@@ -70,8 +70,10 @@ class DelayedLateDataSpec extends SparkSpec {
     val expectMid = redelivered.filter(col(Envelope.DeliverAt) <= lit(mid)).count()
     assert(expectMid > 0 && expectMid < nRedelivered,
       s"mid-horizon should split the backoff schedule, got $expectMid/$nRedelivered")
-    assert(DelayedBuckets.dueAt(spark, idx, mid)
-      .filter(col(Envelope.DeliverAt) <= lit(mid)).count() == expectMid)
+    // plain count, NOT re-filtered: dueAt already applies the residual
+    // deliver_at <= t — re-filtering here would mask a dueAt regression
+    // that leaks not-yet-due rows from an already-due bucket
+    assert(DelayedBuckets.dueAt(spark, idx, mid).count() == expectMid)
   }
 
   test("empty delayed index (zero delayed rows) reads as empty, not a crash") {
