@@ -94,7 +94,7 @@ object Bench {
     val fixtureBacked = Seq("topic_log_roundtrip", "txn_ack",
       "ack_compaction", "coalesce_roundtrip", "file_sink_roundtrip",
       "delayed_due", "shadow_read", "offload_read", "retention_trim",
-      "partition_update",
+      "partition_update", "read_compacted",
       // the rate twins' one-time costs (q-log fixture + the cached
       // fixture-size count behind rateForScale) must land in prewarm,
       // not in rep 1's timed region

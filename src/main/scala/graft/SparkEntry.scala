@@ -1009,6 +1009,37 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** §2.9 triggerCompaction + readCompacted on the oracle surface
+    * (reference Topics.triggerCompaction:2066 → two-phase compactor →
+    * CompactedTopicImpl): the first three calendar quartiles append,
+    * compaction materializes the snapshot + per-partition horizon, the
+    * fourth quartile appends as the uncompacted tail — a readCompacted
+    * consumer sees (last non-tombstone value per key at or below the
+    * horizon) ∪ (raw tail). The oracle replays the horizon cut, the
+    * per-key winner (publish-order = offset order, which the quartile
+    * appends keep aligned with (publish_time, sequence_id)), and the
+    * tombstone drop. */
+  private def qReadCompacted(s: SparkSession, dir: String): DataFrame = {
+    val name = graft.model.TopicName.parse("persistent://public/default/events")
+    val root = Fixtures.dir(s, dir, "q-readcompacted") { r =>
+      val tl0 = new graft.log.TopicLog(s, r, name, 4)
+      val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      val day = dayofmonth(col(Envelope.PublishTime))
+      Seq(day <= 8, day > 8 && day <= 15, day > 15 && day <= 23)
+        .foreach(p => tl0.append(e.filter(p)): Unit)
+      val horizon = Compaction.triggerCompaction(tl0)
+      require(horizon.nonEmpty, "compaction fixture is VACUOUS: no horizon")
+      tl0.append(e.filter(day > 23)): Unit // the uncompacted tail
+    }
+    val tl = new graft.log.TopicLog(s, root, name, 4)
+    Compaction.readCompactedTopic(tl)
+      .groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
   /** §2.4 exact percentiles (median/p25/p75) per event type. */
   private def qMedian(s: SparkSession, dir: String): DataFrame =
     env(s, dir).groupBy("event_type")
@@ -2472,6 +2503,7 @@ object SparkEntry {
     "offload_read" -> (qOffloadRead _),
     "retention_trim" -> (qRetentionTrim _),
     "compaction_strategic" -> (qCompactionStrategic _),
+    "read_compacted" -> (qReadCompacted _),
     "partition_update" -> (qPartitionUpdate _),
     "keyshared_sticky" -> (qKeySharedSticky _),
     "keyshared_hash_oracle" -> (qKeySharedOracle _),
@@ -3238,6 +3270,36 @@ object SparkEntry {
     // values tombstoned after selection — see qCompactionStrategic.
     // retention_trim: file-granular survivors (day>15 files whole);
     // min surviving offset = count of trimmed (day<=15) rows/partition
+    // triggerCompaction horizon cut: per-key last non-tombstone among
+    // day<=23 (offset order == (publish_time, seq) order under quartile
+    // appends), union the raw day>23 tail; rows re-route by mm3%4
+    "read_compacted" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), env2 AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE props END AS value,
+        |    ts AS pt,
+        |    CASE WHEN event_id % 10 = 0 THEN event_id - 1 ELSE event_id END AS seq,
+        |    date_part('day', ts) AS d
+        |  FROM ev
+        |), r AS (
+        |  SELECT *, CAST(mm3_8(key) % 4 AS INT) AS partition FROM env2
+        |), snap AS (
+        |  SELECT key, partition FROM (
+        |    SELECT key, partition, value,
+        |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY pt DESC, seq DESC) AS rn
+        |    FROM r WHERE d <= 23) t
+        |  WHERE rn = 1 AND value IS NOT NULL
+        |), tl AS (SELECT key, partition FROM r WHERE d > 23),
+        |uni AS (SELECT key, partition FROM snap
+        |        UNION ALL SELECT key, partition FROM tl),
+        |tot AS (SELECT partition, COUNT(*) AS total FROM r GROUP BY partition)
+        |SELECT u.partition, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT u.key) AS BIGINT) AS n_keys,
+        |  CAST(t.total - 1 AS BIGINT) AS max_offset
+        |FROM uni u JOIN tot t ON u.partition = t.partition
+        |GROUP BY u.partition, t.total ORDER BY u.partition""".stripMargin),
     "retention_trim" -> (mm3Macros +
       """WITH ev AS (
         |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
