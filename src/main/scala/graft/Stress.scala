@@ -491,7 +491,12 @@ object Stress {
     * cluster fault-tolerance mode). */
   private def ccConvergeTier(spark: SparkSession): Unit = {
     import spark.implicits._
-    for (n <- Seq(10000L, 100000L, 1000000L)) {
+    // SPARK_GRAFT_CC_SIZES overrides the chain sizes (e.g. a one-off
+    // 10M point without re-running the smaller tiers)
+    val ccSizes = sys.env.get("SPARK_GRAFT_CC_SIZES")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(10000L, 100000L, 1000000L))
+    for (n <- ccSizes) {
       val chain = spark.range(n - 1).select(col("id").as("u"),
         (col("id") + 1).as("v"))
       val rounds = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
