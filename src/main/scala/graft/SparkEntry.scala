@@ -1016,14 +1016,25 @@ object SparkEntry {
     * fourth quartile appends as the uncompacted tail — a readCompacted
     * consumer sees (last non-tombstone value per key at or below the
     * horizon) ∪ (raw tail). The oracle replays the horizon cut, the
-    * per-key winner (publish-order = offset order, which the quartile
-    * appends keep aligned with (publish_time, sequence_id)), and the
-    * tombstone drop. */
+    * per-key winner (publish-order = offset order), and the tombstone
+    * drop. The offset-order == (publish_time, seq)-order alignment the
+    * oracle relies on holds ONLY because the dayofmonth quartile cuts
+    * partition publish_time monotonically WITHIN ONE CALENDAR MONTH —
+    * the fixture build asserts that precondition loudly, so a
+    * multi-month fixture refresh fails here instead of silently
+    * diverging the winners. */
   private def qReadCompacted(s: SparkSession, dir: String): DataFrame = {
     val name = graft.model.TopicName.parse("persistent://public/default/events")
     val root = Fixtures.dir(s, dir, "q-readcompacted") { r =>
       val tl0 = new graft.log.TopicLog(s, r, name, 4)
       val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      val months = e.select(countDistinct(
+        date_format(col(Envelope.PublishTime), "yyyy-MM"))).head().getLong(0)
+      require(months == 1L,
+        s"read_compacted fixture spans $months calendar months — the " +
+          "dayofmonth quartile cuts only align offset order with " +
+          "(publish_time, seq) order inside one month; redesign the " +
+          "cuts before trusting this oracle")
       val day = dayofmonth(col(Envelope.PublishTime))
       Seq(day <= 8, day > 8 && day <= 15, day > 15 && day <= 23)
         .foreach(p => tl0.append(e.filter(p)): Unit)
@@ -3274,17 +3285,12 @@ object SparkEntry {
     // day<=23 (offset order == (publish_time, seq) order under quartile
     // appends), union the raw day>23 tail; rows re-route by mm3%4
     "read_compacted" -> (mm3Macros +
-      """WITH ev AS (
-        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
-        |), env2 AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS key,
-        |    CASE WHEN event_type = 'error' THEN NULL ELSE props END AS value,
-        |    ts AS pt,
-        |    CASE WHEN event_id % 10 = 0 THEN event_id - 1 ELSE event_id END AS seq,
-        |    date_part('day', ts) AS d
-        |  FROM ev
-        |), r AS (
-        |  SELECT *, CAST(mm3_8(key) % 4 AS INT) AS partition FROM env2
+      s"WITH ${graft.model.Envelope.duckdbCte},\n" +
+      """r AS (
+        |  SELECT key, value, publish_time AS pt, sequence_id AS seq,
+        |    date_part('day', publish_time) AS d,
+        |    CAST(mm3_8(key) % 4 AS INT) AS partition
+        |  FROM envelope
         |), snap AS (
         |  SELECT key, partition FROM (
         |    SELECT key, partition, value,

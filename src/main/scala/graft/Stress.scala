@@ -494,7 +494,15 @@ object Stress {
     // SPARK_GRAFT_CC_SIZES overrides the chain sizes (e.g. a one-off
     // 10M point without re-running the smaller tiers)
     val ccSizes = sys.env.get("SPARK_GRAFT_CC_SIZES")
-      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .map { v =>
+        val parsed = v.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(tok => tok.toLongOption.getOrElse(sys.error(
+            s"SPARK_GRAFT_CC_SIZES: '$tok' is not a number (in '$v')")))
+          .toSeq
+        require(parsed.nonEmpty,
+          s"SPARK_GRAFT_CC_SIZES is set but empty ('$v')")
+        parsed
+      }
       .getOrElse(Seq(10000L, 100000L, 1000000L))
     for (n <- ccSizes) {
       val chain = spark.range(n - 1).select(col("id").as("u"),
