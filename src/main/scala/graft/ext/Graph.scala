@@ -98,8 +98,37 @@ object Graph {
     // `onRound` observes (round, edge-count) per iteration — the
     // convergence telemetry the Stress probe records; the count is read
     // from the checksum aggregate the loop already runs (no extra job).
+    // Reliable-mode checkpoint GC: Spark never deletes checkpoint data
+    // on its own (cleanCheckpoints only fires on RDD GC with reference
+    // tracking on), so without cleanup a run leaves O(rounds × edges)
+    // of dead blocks in checkpointDir for the application's lifetime.
+    // checkpoint() is EAGER here, so once round N+1's files are on disk
+    // its LogicalRDD has no lineage back to round N — round N's
+    // directory is dead and is deleted right then. Only the FINAL
+    // round's files survive the call (the returned DataFrame reads
+    // them); callers should TTL/clean the directory when done with the
+    // result.
+    var prevCpFile: Option[String] = None
     def persistRound(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(_) => df.checkpoint()
+      case Some(_) =>
+        val cp = df.checkpoint() // eager: materialized before any delete
+        val newFile = cp.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.getCheckpointFile
+        }.flatten
+        // only swap-and-delete when the new round's file is identified:
+        // deleting on a None would risk orphaning the tracked state
+        newFile.foreach { nf =>
+          prevCpFile.filterNot(_ == nf).foreach { prev =>
+            try {
+              val p = new org.apache.hadoop.fs.Path(prev)
+              p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+                .delete(p, true); ()
+            } catch { case _: java.io.IOException => () } // best-effort GC
+          }
+          prevCpFile = Some(nf)
+        }
+        cp
       case None => df.localCheckpoint()
     }
     // setCheckpointDir is SparkContext-GLOBAL: remember and restore the

@@ -16,6 +16,45 @@ import org.apache.spark.sql.functions._
  */
 object MinHash {
 
+  /** Per-(session, kind) handle to the LAST persisted signature cache —
+    * the [[graft.log.Admin]] `lastStatsCache` lifecycle: each new call
+    * releases the previous call's cache, so a long-lived session
+    * invoking the dedup entry points over distinct inputs holds at most
+    * ONE signature cache per kind (minhash/simhash) instead of
+    * accumulating a disk-backed entry per call (MEMORY_AND_DISK blocks
+    * evict to disk under pressure but their CacheManager entries live
+    * until session end). Unpersisting the previous handle is always
+    * safe — a concurrent reader of it merely recomputes from lineage.
+    * Handles are STRONG (a weak ref could be GC'd before the next call,
+    * making the stale cache unreleasable — the CacheManager pins the
+    * blocks regardless); entries for stopped sessions are swept on
+    * every register so the registry never outlives its contexts. */
+  private val lastSigCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def registerSigCache(kind: String, df: DataFrame): DataFrame = {
+    val persisted =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastSigCache.keySet.removeIf(s => s.sparkContext.isStopped)
+    val perSession = lastSigCache.computeIfAbsent(persisted.sparkSession,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame])
+    Option(perSession.put(kind, persisted)).filterNot(_ eq persisted)
+      .foreach(prev => try { prev.unpersist(false); () }
+        catch { case _: Throwable => () })
+    persisted
+  }
+
+  /** Release every signature cache this module holds for `spark` — call
+    * when a dedup pass is fully consumed and the session lives on (a
+    * resident service); the entry points release the PREVIOUS cache
+    * automatically, so this only reclaims the final one. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(lastSigCache.remove(spark)).foreach { m =>
+      m.values.forEach(df => try { df.unpersist(false); () }
+        catch { case _: Throwable => () })
+    }
+
   /**
    * MinHash signature of `numHashes` permutations over word shingles.
    * Permutation i is simulated with xxhash64(seed=i, shingle); the
@@ -62,11 +101,13 @@ object MinHash {
     // one pass per call, not two. persist over localCheckpoint: lineage
     // stays intact (an executor loss recomputes instead of failing on a
     // missing checkpoint block) and nothing executes until the caller
-    // runs the query; the small cached table is LRU-evicted.
-    val sig = withSignature(docs, textCol, shingleN, numHashes)
-      .filter(size(split(col(textCol), " ")) >= shingleN)
-      .select(col(idCol).as("id"), col("minhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // runs the query. Lifecycle via [[registerSigCache]]: each call
+    // releases the previous call's cache; [[releaseCaches]] drops the
+    // last one.
+    val sig = registerSigCache("minhash",
+      withSignature(docs, textCol, shingleN, numHashes)
+        .filter(size(split(col(textCol), " ")) >= shingleN)
+        .select(col(idCol).as("id"), col("minhash")))
     val banded = sig.select(col("id"), col("minhash"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -198,10 +239,11 @@ object MinHash {
     // collapse them; caching the (id, simhash) pairs keeps the kernel
     // at one pass per call instead of three. persist over
     // localCheckpoint: lineage intact (executor-loss tolerant), no
-    // eager job at construction, LRU-evicted.
-    val sig = simhashAgg(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager job at construction. Lifecycle via [[registerSigCache]]
+    // (previous-call release + [[releaseCaches]]).
+    val sig = registerSigCache("simhash",
+      simhashAgg(docs, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash")))
     val keyed = sig.select(col("id"), col("simhash"),
       explode(array((0 until blocks).map { blk =>
         struct(lit(blk).as("blk"),

@@ -313,10 +313,19 @@ object Txn {
     TopicLog.listDir(markerDir)
       .filter(_.getFileName.toString.endsWith(".committed"))
       // a concurrent janitor may retire a marker between our listDir and
-      // this read — a vanished marker contributes nothing, same as the
-      // best-effort style everywhere else in the sweep
-      .flatMap(m => scala.util.Try(Files.readAllLines(m).asScala)
-        .getOrElse(Nil).filter(_.nonEmpty))
+      // this read — a VANISHED marker contributes nothing. That is the
+      // ONLY tolerated failure: any other IO error on a still-existing
+      // marker must propagate and abort the sweep, because silently
+      // yielding zero protected epochs would let vacuumStagedProtected
+      // delete a committed-but-unpublished transaction's staged data
+      // (the fail-safe direction is "can't read ⇒ can't sweep")
+      .flatMap { m =>
+        try Files.readAllLines(m).asScala.filter(_.nonEmpty)
+        catch {
+          case _: java.nio.file.NoSuchFileException if !Files.exists(m) =>
+            Nil
+        }
+      }
       .flatMap { line =>
         val f = line.split("\t")
         if (f.length >= 2)

@@ -126,7 +126,25 @@ object KafkaConnector {
             "mixed-build writes detected; records between them will " +
             "re-ingest as duplicates (at-least-once), not be skipped")
       }
-      current ++ legacy.filter { case (p, _) => !current.contains(p) }
+      val adopted = legacy.filter { case (p, _) => !current.contains(p) }
+      // Residual risk on the adoption path itself: for a partition with
+      // NO current-format rows the mixed-build warning above cannot
+      // fire, and if two configs with colliding legacy prefixes (e.g.
+      // ("t", "g-p2") / ("t-g", "p2")) ever fed the SAME destination
+      // log, the adopted high-water may belong to the OTHER config —
+      // silently skipping records 0..hi. That state is unreachable when
+      // each (topic, group) owns its destination topic (the documented
+      // deployment shape), so adoption is surfaced for audit rather
+      // than rejected.
+      adopted.foreach { case (p, o) =>
+        System.err.println(s"[kafka-source] partition $p: adopting " +
+          s"LEGACY-format high-water $o (no current-format rows yet). " +
+          "If multiple source configs with colliding legacy prefixes " +
+          "ever shared this destination topic, this offset could " +
+          "belong to the other config and skip its backlog — audit " +
+          "before trusting the resume point.")
+      }
+      current ++ adopted
     }
   }
 

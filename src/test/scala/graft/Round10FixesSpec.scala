@@ -1,0 +1,73 @@
+package graft
+
+import graft.ext.{Graph, MinHash}
+import graft.log.Txn
+
+import java.nio.file.{Files, Paths}
+import scala.collection.JavaConverters._
+
+/**
+ * Round-10 review fixes, pinned by behavior:
+ *  - Txn.markerEpochs fails SAFE on an unreadable-but-present marker
+ *    (r9 ADVICE medium: swallowing the IOException would unprotect a
+ *    committed transaction's staged data and let the vacuum delete it);
+ *  - MinHash signature caches follow the previous-call-release
+ *    lifecycle and releaseCaches drops the last handle (VERDICT r9
+ *    "unpersist discipline" — no pinned blocks after a dedup pass);
+ *  - reliable-checkpoint connectedComponents GCs every round's
+ *    checkpoint directory except the final one (r9 ADVICE: Spark never
+ *    deletes checkpoint data on its own).
+ */
+class Round10FixesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vacuumAll aborts loudly on a present-but-unreadable commit marker") {
+    val root = Files.createTempDirectory("graft-txn-badmarker").toString
+    // a directory named *.committed is listed as a marker but cannot be
+    // read as a file — the canonical "present but unreadable" shape
+    Files.createDirectories(Paths.get(root, "_txn", "bad.committed"))
+    intercept[java.io.IOException] {
+      Txn.vacuumAll(root, olderThanMs = 1000L)
+    }
+  }
+
+  test("signature caches: previous-call release, then releaseCaches drops the last") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r s"),
+      (4L, "x y z w q r t"), (5L, "m n o p q u v"))
+      .toDF("doc_id", "text")
+    def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+    val base = persisted
+    MinHash.lshCandidates(docs).count()
+    assert(persisted == base + 1, "first call pins exactly one signature cache")
+    MinHash.lshCandidates(docs.limit(4)).count()
+    assert(persisted == base + 1,
+      "second call must release the first call's cache (one per kind)")
+    MinHash.simhashPairs(docs).count()
+    assert(persisted == base + 2, "simhash is a separate kind")
+    MinHash.releaseCaches(spark)
+    assert(persisted == base, "releaseCaches drops every signature cache")
+  }
+
+  test("reliable-checkpoint CC leaves only the final round's blocks") {
+    val dir = Files.createTempDirectory("graft-cc-gc").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (5L, 6L), (6L, 7L))
+      .toDF("u", "v")
+    val cc = Graph.connectedComponents(edges, checkpointDir = Some(dir))
+    assert(cc.count() == 12)
+    assert(cc.filter($"node" === 4L).head().getLong(1) == 1L)
+    val rddDirs = {
+      val w = Files.walk(Paths.get(dir))
+      try w.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .toList
+      finally w.close()
+    }
+    assert(rddDirs.size == 1,
+      s"all but the final round's checkpoint dir must be GC'd, found $rddDirs")
+    // the surviving blocks are the ones the returned frame reads
+    assert(cc.count() == 12)
+  }
+}
