@@ -1254,6 +1254,40 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** §2.1 DYNAMIC pattern subscribe (reference
+    * PatternMultiTopicsConsumerImpl + TopicListWatcher semantics, the
+    * PatternTopicsConsumerTest behaviors): the regex re-resolves per
+    * microbatch, so evt-error — created only AFTER the first poll
+    * already ran — contributes rows, while the simultaneously created
+    * non-matching other-view never does. A once-resolved implementation
+    * (the pre-r10 batch subscribePattern) would miss evt-error and
+    * hash-mismatch. Fresh temp root + cursor per invocation: the
+    * create-after-start sequence is the semantics under test, so it
+    * must replay on every rep (dirs are GC'd by the shutdown hook). */
+  private def qPatternSubscribe(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-pattern")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pattern-ckpt")
+    streamOutRoots.add(root); streamOutRoots.add(ckpt)
+    val base = env(s, dir).filter(col(Envelope.Offset) < 3000)
+      .drop(Envelope.Topic, Envelope.Partition)
+    def mk(topic: String, etype: String): Unit =
+      new graft.log.TopicLog(s, root.toString,
+        graft.model.TopicName.parse(topic))
+        .append(base.filter(col("event_type") === etype)): Unit
+    mk("evt-purchase", "purchase"); mk("evt-click", "click")
+    val sub = new graft.streaming.PatternSubscription(s, root.toString,
+      "public", "default", "evt-.*", "oracle-sub", ckpt.toString)
+    val batches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    require(sub.poll((df, _) => { batches += df; () }) > 0,
+      "initial match set must dispatch")
+    mk("evt-error", "error"); mk("other-view", "view")
+    require(sub.drain((df, _) => { batches += df; () }) > 0,
+      "the mid-subscription topic must be discovered")
+    batches.reduce(_.unionByName(_, allowMissingColumns = true))
+      .groupBy("event_type").agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy("event_type")
+  }
+
   /** §2.10 Key_Shared ring assignment (murmur3 — rows-only oracle). */
   private def qKeyShared(s: SparkSession, dir: String): DataFrame =
     Dispatch.keySharedAssign(env(s, dir), 4)
@@ -2508,6 +2542,7 @@ object SparkEntry {
     "quantile_sketch" -> (qQuantileSketch _),
     "counters" -> (qCounters _),
     "multi_topic_union" -> (qMultiTopicUnion _),
+    "pattern_subscribe" -> (qPatternSubscribe _),
     "keyshared_assign" -> (qKeyShared _),
     "keyshared_rebalance" -> (qKeySharedRebalance _),
     "keyshared_drain" -> (qKeySharedDrain _),
@@ -2944,6 +2979,15 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
         |  SELECT * FROM envelope WHERE event_type = 'purchase'
         |  UNION ALL SELECT * FROM envelope WHERE event_type = 'click') t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // the dynamic-discovery contract in SQL: the final topic set's union
+    // — purchase + click (pre-subscription) + error (created mid-
+    // subscription, matched) — and NOTHING from the non-matching view
+    // topic. A subscriber that resolved the pattern once misses 'error'.
+    "pattern_subscribe" -> envSql(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM envelope
+        |WHERE "offset" < 3000
+        |  AND event_type IN ('purchase', 'click', 'error')
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
     "keyshared_hash_oracle" -> (mm3Macros +
       """WITH ev AS (

@@ -52,8 +52,16 @@ object Topics {
                        namespace: String, pattern: String,
                        numPartitions: Int = 4): DataFrame = {
     val matching = listMatching(root, tenant, namespace, pattern)
-    require(matching.nonEmpty, s"no topics match $pattern")
-    matching.map(t => new TopicLog(spark, root, t, numPartitions).read())
+    // an empty match set is a LEGAL subscription state (the reference's
+    // pattern consumer starts against an empty namespace and waits for
+    // the watcher to announce topics) — it reads as an empty envelope
+    // frame, not an error; graft.streaming.PatternSubscription is the
+    // dynamic-discovery (re-resolving) form of this one-shot resolve
+    if (matching.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.Envelope.schema)
+    else matching.map(t => new TopicLog(spark, root, t, numPartitions).read())
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
