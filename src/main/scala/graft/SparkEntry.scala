@@ -974,6 +974,90 @@ object SparkEntry {
       .orderBy(Envelope.Key, "session_start")
   }
 
+  /** Write `df` as ONE parquet file `destDir/name` with an explicit
+    * mtime — the unit of replay for file-stream fixtures whose TRIGGER
+    * ORDER matters (the source lists oldest-mtime-first). */
+  private def writeStreamSlice(df: DataFrame, destDir: String, name: String,
+                               mtimeMs: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slice-tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val src = {
+      val w = java.nio.file.Files.list(tmp)
+      try w.iterator().asScala.toSeq
+        .find(_.getFileName.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    src.foreach { f =>
+      val dst = java.nio.file.Paths.get(destDir, name)
+      java.nio.file.Files.move(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
+    }
+    val wAll = java.nio.file.Files.walk(tmp)
+    try wAll.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    finally wAll.close()
+  }
+
+  /** §2.5 session windows, BOUNDED-STATE streaming configuration —
+    * watermark + APPEND mode, the production deployment shape (the
+    * complete-mode twin above is the unordered-source fallback whose
+    * state grows with n × triggers by semantics). The fixture is the
+    * same events data written as TIME-ORDERED range-bucket files
+    * (bucket i's max event_time ≤ bucket i+1's min, mtimes increasing,
+    * so the file source replays them in event-time order and the
+    * watermark never drops a legitimate row), plus one far-future
+    * sentinel row whose final batch advances the watermark past every
+    * real session's end — each session emits EXACTLY ONCE and its state
+    * evicts (Spark's no-data microbatch flushes the tail). Trigger
+    * count is constant in data size (fixed bucket count), so at 10×/
+    * 100× the wall tracks data volume, not trigger overhead. */
+  private def qSessionWindowsWatermark(s: SparkSession, dir: String): DataFrame = {
+    val nb = 8
+    val root = Fixtures.dir(s, dir, "q-sesswm") { r =>
+      val ev = env(s, dir).select(col(Envelope.Key), col(Envelope.EventTime))
+      val b = ev.agg(min(Envelope.EventTime), max(Envelope.EventTime)).head()
+      val lo = b.getTimestamp(0).getTime
+      val hi = b.getTimestamp(1).getTime
+      val span = math.max(1L, hi - lo + 1)
+      val bucketed = ev.withColumn("_b",
+        least(lit(nb - 1), floor((unix_millis(col(Envelope.EventTime)) - lo)
+          * nb / span)).cast("int"))
+      val sentinel = s.range(1).select(
+        lit("__wm__").as(Envelope.Key),
+        timestamp_millis(lit(hi + (150 * 60 * 1000L))).as(Envelope.EventTime),
+        lit(nb).as("_b"))
+      val base = System.currentTimeMillis() - (nb + 2) * 2000L
+      (0 to nb).foreach { i =>
+        val part = if (i == nb) sentinel else bucketed.filter(col("_b") === i)
+        // the file source replays oldest-mtime-first: the bucket order
+        // IS the event-time order, pinned explicitly (a same-ms batch
+        // of moves would otherwise tie)
+        writeStreamSlice(part.drop("_b"), r, f"batch_$i%04d.parquet",
+          base + i * 2000L)
+      }
+    }
+    // 3 range files per trigger: the watermark/state machinery still
+    // cycles across multiple triggers (the semantics under test) without
+    // paying 9 trigger setups — files within one trigger may interleave
+    // freely because the watermark only advances BETWEEN triggers
+    val schema = s.read.parquet(root).schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 3)
+      .option("pathGlobFilter", "*.parquet").parquet(root)
+    runStreamToLocal(s,
+      Windows.session(stream, Envelope.EventTime, "30 minutes",
+        keys = Seq(col(Envelope.Key)),
+        aggs = Seq(count(lit(1)).cast("bigint").as("n")),
+        maxLag = Some("1 second")),
+      mode = "append")
+      .filter(col(Envelope.Key) =!= "__wm__")
+      .select(col(Envelope.Key),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n"))
+      .orderBy(Envelope.Key, "session_start")
+  }
+
   /** §2.9 STRATEGIC compaction on the oracle surface (reference
     * StrategicTwoPhaseCompactor with a pluggable strategy): keep the
     * MAX-metric message per key (offset tie-break), tombstones (null
@@ -1305,6 +1389,35 @@ object SparkEntry {
       uuidCols = Seq(Envelope.Offset))
     operators.Chunking.reassemble(chunks)
       .select(col("chunk_uuid"), col("payload"))
+      .orderBy("chunk_uuid")
+  }
+
+  /** §2.2 chunk reassembly on the CONSUME path (reference
+    * ConsumerImpl.processMessageChunk buffers partial uuid groups
+    * across deliveries; MessageChunkingTest): each uuid's chunks are
+    * SCATTERED across 4 fixture files replayed one per trigger, so no
+    * single microbatch ever sees a whole group — the
+    * flatMapGroupsWithState buffer must carry partial groups across
+    * triggers and emit each payload exactly once. Output hash-matches
+    * the batch chunk_reassembly row (same oracle). */
+  private def qChunkReassemblyStream(s: SparkSession, dir: String): DataFrame = {
+    val root = Fixtures.dir(s, dir, "q-chunkstream") { r =>
+      val e = env(s, dir).filter(col(Envelope.Value).isNotNull &&
+        col(Envelope.Offset) < 100)
+        .select(col(Envelope.Offset), col(Envelope.Value))
+      val chunks = operators.Chunking.split(e, Envelope.Value, chunkSize = 4,
+        uuidCols = Seq(Envelope.Offset))
+      val base = System.currentTimeMillis() - 16000L
+      (0 until 4).foreach { i =>
+        writeStreamSlice(chunks.filter(pmod(col("chunk_id"), lit(4)) === i),
+          r, f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val schema = s.read.parquet(root).schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet").parquet(root)
+    runStreamToLocal(s, operators.Chunking.reassembleStream(stream),
+        mode = "append")
       .orderBy("chunk_uuid")
   }
 
@@ -2533,6 +2646,7 @@ object SparkEntry {
     "window_count_sliding" -> (qWindowCountSliding _),
     "session_windows" -> (qSessionWindows _),
     "session_windows_stream" -> (qSessionWindowsStream _),
+    "session_windows_watermark" -> (qSessionWindowsWatermark _),
     "q_median" -> (qMedian _),
     "hll_cardinality" -> (qHllCardinality _),
     "heavy_hitters" -> (qHeavyHitters _),
@@ -2562,6 +2676,7 @@ object SparkEntry {
     "producer_batches" -> (qProducerBatches _),
     "keyshared_autosplit" -> (qKeySharedAutoSplit _),
     "chunk_reassembly" -> (qChunkReassembly _),
+    "chunk_reassembly_stream" -> (qChunkReassemblyStream _),
     "crypto_roundtrip" -> (qCryptoRoundtrip _),
     "backlog_quota" -> (qBacklogQuota _),
     "admin_skip" -> (qAdminSkip _),
@@ -2952,6 +3067,25 @@ object SparkEntry {
     // the same islands derivation, emitted per session: the streaming
     // session_window state machine must land exactly these rows
     "session_windows_stream" -> envSql(
+      """SELECT key,
+        |  strftime(MIN(event_time), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT key, event_time, SUM(new_s) OVER (PARTITION BY key
+        |    ORDER BY event_time, "offset" ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT key, event_time, "offset",
+        |      CASE WHEN LAG(event_time) OVER w IS NULL
+        |           OR event_time - LAG(event_time) OVER w >= INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_s
+        |    FROM envelope WINDOW w AS (PARTITION BY key ORDER BY event_time, "offset")
+        |  ) m) t
+        |GROUP BY key, sid ORDER BY key, session_start""".stripMargin),
+    // identical islands replay for the BOUNDED-STATE (watermark +
+    // append) configuration — session semantics are order-independent,
+    // so the time-reordered fixture must land exactly the same rows;
+    // any watermark-dropped event or doubly-emitted session mismatches
+    "session_windows_watermark" -> envSql(
       """SELECT key,
         |  strftime(MIN(event_time), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  CAST(COUNT(*) AS BIGINT) AS n
@@ -3372,6 +3506,12 @@ object SparkEntry {
     "file_sink_roundtrip" -> topicLogRoundtripSql,
     "datagen_persons" -> graft.sources.DataGeneratorSource.oracleSql(1000, "dg"),
     "chunk_reassembly" -> envSql(
+      """SELECT CAST("offset" AS VARCHAR) AS chunk_uuid, value AS payload
+        |FROM envelope WHERE value IS NOT NULL AND "offset" < 100
+        |ORDER BY chunk_uuid""".stripMargin),
+    // the streaming consume-path twin must land the identical payloads
+    // even though no microbatch ever sees a complete chunk group
+    "chunk_reassembly_stream" -> envSql(
       """SELECT CAST("offset" AS VARCHAR) AS chunk_uuid, value AS payload
         |FROM envelope WHERE value IS NOT NULL AND "offset" < 100
         |ORDER BY chunk_uuid""".stripMargin),

@@ -57,4 +57,61 @@ object Chunking {
             c => c.getField("chunk_bytes"))).as(outCol))
       .filter(col("got") === col("expected"))
       .drop("expected", "got")
+
+  /**
+   * [[reassemble]] on the CONSUME path of a stream — the reference
+   * reassembles at the consumer, buffering partial chunk groups across
+   * deliveries (ConsumerImpl.java:1563 processMessageChunk,
+   * chunkedMessagesMap keyed by uuid; MessageChunkingTest): chunks of
+   * one uuid may arrive in DIFFERENT microbatches, so a per-batch
+   * groupBy cannot see the whole group. `flatMapGroupsWithState` keyed
+   * by chunk_uuid holds the received (chunk_id → bytes) map until the
+   * group completes, emits the payload EXACTLY ONCE, and drops the
+   * state — state size is bounded by in-flight INCOMPLETE groups (×
+   * chunk payload), never by stream length, the same bound the
+   * reference enforces with maxPendingChunkedMessage.
+   *
+   * `incompleteTimeout`: evict a group that stays incomplete past this
+   * processing-time duration (the reference's
+   * expireTimeOfIncompleteChunkedMessage — a producer that died
+   * mid-payload must not pin consumer memory forever). None = keep
+   * until completion (bounded fixtures / tests).
+   *
+   * Duplicate chunks (redeliveries) overwrite idempotently before
+   * completion; a duplicate arriving AFTER its group emitted re-opens
+   * phantom state — with a timeout configured it evicts on schedule,
+   * mirroring the reference discarding stale duplicate chunks.
+   */
+  def reassembleStream(chunks: DataFrame, outCol: String = "payload",
+                       incompleteTimeout: Option[String] = None): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf = incompleteTimeout.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
+    chunks.select(col("chunk_uuid"), col("chunk_id"), col("num_chunks"),
+        col("chunk_bytes"))
+      .as[(String, Int, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Int, String], (String, String)](
+        OutputMode.Append, timeoutConf) {
+        (uuid: String, rows: Iterator[(String, Int, Int, String)],
+         state: GroupState[Map[Int, String]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption.getOrElse(Map.empty)
+            var expected = -1
+            rows.foreach { r => buf += r._2 -> r._4; expected = r._3 }
+            if (expected > 0 && buf.size >= expected) {
+              state.remove()
+              Iterator((uuid, (0 until expected).map(buf.getOrElse(_, "")).mkString))
+            } else {
+              state.update(buf)
+              incompleteTimeout.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            }
+          }
+      }
+      .toDF("chunk_uuid", outCol)
+  }
 }
