@@ -327,9 +327,11 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     (hw.keySet ++ (0 until numPartitions)).toSeq.sorted
 
   def highWater(): Map[Int, Long] =
-    latestManifestLines().filterNot(_.startsWith("F,")).map { line =>
-      val Array(p, o) = line.split(","); p.toInt -> o.toLong
-    }.toMap
+    latestManifestLines()
+      .filterNot(l => l.startsWith("F,") || l.startsWith("L,"))
+      .map { line =>
+        val Array(p, o) = line.split(","); p.toInt -> o.toLong
+      }.toMap
 
   /**
    * Explicit file snapshot from the latest manifest: relative paths of
@@ -343,18 +345,51 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
    * planned against the old snapshot never lose rows.
    */
   def manifestFiles(): Option[Seq[String]] = {
-    val fs = latestManifestLines().filter(_.startsWith("F,"))
-      .map(_.stripPrefix("F,"))
+    val lines = latestManifestLines()
+    val direct = lines.filter(_.startsWith("F,")).map(_.stripPrefix("F,"))
+    // TWO-LEVEL snapshot (`L,<side-file>` lines): above the inline
+    // threshold the F-section lives in manifest-list side files — the
+    // Iceberg manifest-list shape — so the per-epoch commit file stays
+    // O(1) in size however many data files the snapshot tracks. Side
+    // files are written BEFORE the atomic manifest move (crash ⇒
+    // invisible garbage, identical to staged data files), so a
+    // committed manifest's references always resolve.
+    val chunked = lines.filter(_.startsWith("L,")).map(_.stripPrefix("L,"))
+      .flatMap { n =>
+        Files.readAllLines(manifestDir.resolve(n)).asScala.filter(_.nonEmpty)
+      }
+    val fs = direct ++ chunked
     // "F,-" is the explicit EMPTY snapshot (all files dropped) — distinct
     // from "no F lines at all", which means offset-only legacy mode
     if (fs.isEmpty) None else Some(fs.filterNot(_ == TopicLog.EmptySnapshotMarker))
   }
 
-  /** `Seq("F,relpath"...)` lines for a snapshot, with the explicit
-    * empty-snapshot marker when `files` is empty. */
-  private def fileSnapshotLines(files: Seq[String]): Seq[String] =
+  /** Inline-F-section ceiling: snapshots tracking more files than this
+    * switch to manifest-list side files (`spark.graft.manifestListThreshold`;
+    * the default keeps driver-fixture topics inline while a 100 TB
+    * topic's hundred-thousand-file snapshot becomes ~file-per-4096
+    * chunks read only by [[manifestFiles]], never per-row). */
+  private def manifestListThreshold: Int =
+    spark.conf.getOption("spark.graft.manifestListThreshold")
+      .map(_.toInt).getOrElse(256)
+
+  /** Snapshot section for `epoch`: inline `F,` lines up to the
+    * threshold, else `L,` references to side chunk files written here
+    * (before the manifest move — see [[manifestFiles]] crash argument).
+    * A retried publish of the same epoch rewrites identical chunk
+    * content, so the overwrite is idempotent. */
+  private def fileSnapshotLines(epoch: Long, files: Seq[String]): Seq[String] =
     if (files.isEmpty) Seq(s"F,${TopicLog.EmptySnapshotMarker}")
-    else files.map("F," + _)
+    else if (files.size <= manifestListThreshold) files.map("F," + _)
+    else {
+      Files.createDirectories(manifestDir)
+      files.grouped(4096).zipWithIndex.map { case (chunk, k) =>
+        val sideName = s"$epoch.flist.$k"
+        Files.write(manifestDir.resolve(sideName),
+          chunk.mkString("\n").getBytes("UTF-8"))
+        s"L,$sideName"
+      }.toSeq
+    }
 
   import TopicLog.StagedAppend
 
@@ -430,7 +465,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     // once a file snapshot is active (post-coalesce), every manifest must
     // carry it forward: previous live files + the files this append stages
     val fileLines = manifestFiles() match {
-      case Some(prev) => fileSnapshotLines(prev ++ stagedFiles)
+      case Some(prev) => fileSnapshotLines(epoch, prev ++ stagedFiles)
       case None => Seq.empty
     }
     StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), n)
@@ -515,7 +550,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     df.write.mode("append").partitionBy(Envelope.Partition)
       .parquet(s"$basePath/_staging/$epoch")
     val hwLines = hwPartitionIds(hw).map(p => s"$p,${hw.getOrElse(p, -1L)}")
-    val fileLines = fileSnapshotLines(stagedRelPaths(epoch))
+    val fileLines = fileSnapshotLines(epoch, stagedRelPaths(epoch))
     publishManifest(StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), 0))
   }
 
@@ -530,7 +565,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       val hw = highWater()
       val epoch = committedEpochs().last + 1
       val hwLines = hwPartitionIds(hw).map(p => s"$p,${hw.getOrElse(p, -1L)}")
-      val fileLines = fileSnapshotLines(live.filterNot(drop))
+      val fileLines = fileSnapshotLines(epoch, live.filterNot(drop))
       publishManifest(StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), 0))
     case None => ()
   }

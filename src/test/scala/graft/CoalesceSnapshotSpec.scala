@@ -205,4 +205,45 @@ class CoalesceSnapshotSpec extends SparkSpec {
     assert(perPartition.values.forall(_.size <= 2),
       s"≤ filesPerPartition files per log partition: $perPartition")
   }
+
+  test("two-level snapshot: above the threshold the F-section moves to manifest-list side files") {
+    spark.conf.set("spark.graft.manifestListThreshold", "4")
+    try {
+      val log = freshLog()
+      log.append(batch(0 until 40))
+      Admin.coalesceFiles(log, filesPerPartition = 1) // activates the snapshot (4 files, inline)
+      val before = contents(log)
+      assert(before.size == 40)
+      def commitLines(): Seq[String] = {
+        val dir = Paths.get(log.name.path(log.root), "_manifest")
+        val latest = Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".commit"))
+          .toSeq.maxBy(_.getFileName.toString.stripSuffix(".commit").toLong)
+        Files.readAllLines(latest).asScala.toSeq.filter(_.nonEmpty)
+      }
+      assert(commitLines().count(_.startsWith("F,")) == 4, "inline while small")
+      // appends push the snapshot past the threshold → L, references only
+      log.append(batch(40 until 60))
+      log.append(batch(60 until 80))
+      val lines = commitLines()
+      assert(lines.exists(_.startsWith("L,")), "manifest-list activated")
+      assert(!lines.exists(_.startsWith("F,")), "no inline F lines above threshold")
+      // the commit file stays O(1): hw lines + a handful of L refs
+      assert(lines.size <= 8, s"commit file must stay small, got ${lines.size} lines")
+      // resolved two-level read returns the full file set and all rows
+      val snapshot = log.manifestFiles().getOrElse(fail("snapshot missing"))
+      assert(snapshot.size > 4)
+      assert(log.read().count() == 80, "all rows visible through the two-level snapshot")
+      assert(before.subsetOf(contents(log)), "pre-threshold rows unchanged")
+      // vacuum honors the two-level snapshot: nothing referenced is deleted
+      val liveBefore = physicalParquet(log).size
+      val deleted = log.vacuum()
+      assert(log.read().count() == 80, "vacuum kept every referenced file")
+      assert(physicalParquet(log).size == liveBefore - deleted)
+      // dropping below the threshold returns to inline form
+      Admin.coalesceFiles(log, filesPerPartition = 1)
+      assert(commitLines().count(_.startsWith("F,")) == 4, "re-inlined after coalesce")
+      assert(log.read().count() == 80)
+    } finally spark.conf.unset("spark.graft.manifestListThreshold")
+  }
 }
