@@ -189,6 +189,7 @@ object Stress {
     annTier(vecsK)
     }
     if (tierOn("simhash_probe")) simhashProbeTier(spark, docsK)
+    if (tierOn("stream_state")) streamStateTier(spark, envK, k)
     if (tierOn("cc_converge")) ccConvergeTier(spark)
     if (tierOn("ccnet_skew")) ccnetSkewTier(docsK)
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
@@ -204,6 +205,60 @@ object Stress {
         .agg(count(lit(1)), sum("est_jaccard")).head().getLong(0))
     }
     spark.stop()
+  }
+
+  /**
+   * Streaming-tier state probe (VERDICT r9 #4): run representative
+   * stream twins at K× and record, per query, the wall, total input
+   * rows, and the MAX of `StreamingQueryProgress.stateOperators`'
+   * numRowsTotal / memoryUsedBytes across every progress event. The
+   * 100 TB claim under test: state is bounded by KEYS (event types,
+   * hour buckets, in-flight sessions inside the watermark horizon),
+   * never by input length — so stateRowsMax must stay flat (or grow
+   * with keys) while input grows K×, and stateless twins must report
+   * no state operator at all. The K× events fixture is written once as
+   * a parquet directory and each twin runs through its registered
+   * SparkEntry query — the exact code path the oracle gates.
+   */
+  private def streamStateTier(spark: SparkSession, evK: DataFrame, k: Int): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-state").toString
+    evK.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val input = spark.read.parquet(s"$dir/events.parquet").count()
+    println(s"== stream_state tier: k=$k, events=$input ==")
+    Seq("tableview_stream", "window_tumbling_stream", "redelivery_stream",
+        "session_windows_watermark").foreach { name =>
+      val inRows = new java.util.concurrent.atomic.AtomicLong(0)
+      val stRows = new java.util.concurrent.atomic.AtomicLong(-1)
+      val stBytes = new java.util.concurrent.atomic.AtomicLong(-1)
+      val progresses = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          progresses.incrementAndGet()
+          inRows.addAndGet(e.progress.numInputRows)
+          e.progress.stateOperators.foreach { so =>
+            stRows.getAndUpdate(r => math.max(r, so.numRowsTotal))
+            stBytes.getAndUpdate(b => math.max(b, so.memoryUsedBytes)): Unit
+          }
+        }
+      }
+      spark.streams.addListener(listener)
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      finally {
+        // listener delivery is async — drain before reading the maxima
+        Thread.sleep(500)
+        spark.streams.removeListener(listener)
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val state = if (stRows.get() < 0) "stateless"
+        else f"stateRowsMax=${stRows.get()} stateBytesMax=${stBytes.get()}"
+      println(f"STRESS stream_state/$name%-28s $wall%8.2fs  " +
+        f"input=${inRows.get()} progresses=${progresses.get()} $state")
+    }
   }
 
   /** Wall time plus per-task duration spread (max vs p50) — the skew
