@@ -1407,9 +1407,13 @@ object SparkEntry {
         .select(col(Envelope.Offset), col(Envelope.Value))
       val chunks = operators.Chunking.split(e, Envelope.Value, chunkSize = 4,
         uuidCols = Seq(Envelope.Offset))
+      // 2 parity slices: every multi-chunk uuid still splits across
+      // triggers (the buffering contract), at half the per-trigger
+      // overhead of finer scatters; deeper 3-batch interleavings are
+      // pinned by ChunkStreamSpec's MemoryStream cases
       val base = System.currentTimeMillis() - 16000L
-      (0 until 4).foreach { i =>
-        writeStreamSlice(chunks.filter(pmod(col("chunk_id"), lit(4)) === i),
+      (0 until 2).foreach { i =>
+        writeStreamSlice(chunks.filter(pmod(col("chunk_id"), lit(2)) === i),
           r, f"slice_$i%02d.parquet", base + i * 2000L)
       }
     }

@@ -411,4 +411,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(800))
   }
+
+  test("pattern_subscribe polls prune partitions, push offset bounds, and never scan non-matching topics") {
+    val p = plan("pattern_subscribe")
+    // cursor→high-water range reaches the parquet footer stats
+    assert(p.contains("PushedFilters: [IsNotNull(offset), Or("), p.take(1200))
+    // the per-partition arm of the range prunes hive partitions
+    assert(p.contains("PartitionFilters: [((((partition"), p.take(1200))
+    // column pruning: the aggregate needs only offset/event_type (+ the
+    // partition dir column) — a full-envelope read would be wrong
+    assert(p.contains("ReadSchema: struct<offset:bigint,event_type:string>"),
+      p.take(1200))
+    // the non-matching topic is filtered at DISCOVERY (driver metadata),
+    // so no plan branch ever lists its files
+    assert(!p.contains("other-view"), "non-matching topic reached the plan")
+  }
+
+  test("session watermark config: event-time watermark + session merge nodes in the stream plan") {
+    val stream = graft.model.Envelope.fromEventsStream(spark, sf001)
+    val agg = graft.operators.Windows.session(stream,
+      graft.model.Envelope.EventTime, "30 minutes",
+      keys = Seq(org.apache.spark.sql.functions.col(graft.model.Envelope.Key)),
+      aggs = Seq(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")),
+      maxLag = Some("1 second"))
+    assert(agg.isStreaming)
+    val analyzed = agg.queryExecution.analyzed.toString
+    assert(analyzed.contains("EventTimeWatermark"), analyzed.take(800))
+    assert(analyzed.contains("session_window"), analyzed.take(800))
+  }
 }
