@@ -455,16 +455,8 @@ object SparkEntry {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       roots.forEach(r => deleteRec(r))
     }))
-    private def deleteRec(root: String): Unit = {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
+    private def deleteRec(root: String): Unit =
+      deleteTree(java.nio.file.Paths.get(root))
     def dir(s: SparkSession, sfDir: String, kind: String)(build: String => Unit): String =
       cache.computeIfAbsent((s, sfDir, kind), _ => {
         val root = java.nio.file.Files.createTempDirectory(s"graft-$kind").toString
@@ -510,14 +502,7 @@ object SparkEntry {
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      streamOutRoots.forEach { root =>
-        if (java.nio.file.Files.exists(root)) {
-          val w = java.nio.file.Files.walk(root)
-          try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
-          finally w.close()
-        }
-      }))
+      streamOutRoots.forEach(deleteTree)))
   }
   /** Drains `q`, then FAILS LOUDLY if the whole run ingested zero input
     * rows — a stream twin that streams nothing is a harness defect (a
@@ -574,12 +559,7 @@ object SparkEntry {
       s.catalog.dropTempView(viewName): Unit
       local
     }
-    locally {
-      val w = java.nio.file.Files.walk(ckpt)
-      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
-      finally w.close()
-    }
+    deleteTree(ckpt)
     out
   }
 
@@ -974,6 +954,17 @@ object SparkEntry {
       .orderBy(Envelope.Key, "session_start")
   }
 
+  /** Recursive delete (files then dirs, best-effort) — the ONE temp-tree
+    * cleanup used by the stream-slice writer, the fixture cache, and
+    * the stream-sink shutdown hook. */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(root)) return
+    val w = java.nio.file.Files.walk(root)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    finally w.close()
+  }
+
   /** Write `df` as ONE parquet file `destDir/name` with an explicit
     * mtime — the unit of replay for file-stream fixtures whose TRIGGER
     * ORDER matters (the source lists oldest-mtime-first). */
@@ -994,10 +985,7 @@ object SparkEntry {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
     }
-    val wAll = java.nio.file.Files.walk(tmp)
-    try wAll.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
-    finally wAll.close()
+    deleteTree(tmp)
   }
 
   /** §2.5 session windows, BOUNDED-STATE streaming configuration —
@@ -1021,22 +1009,27 @@ object SparkEntry {
       val lo = b.getTimestamp(0).getTime
       val hi = b.getTimestamp(1).getTime
       val span = math.max(1L, hi - lo + 1)
+      // persist: the loop below writes one slice per bucket — without
+      // the cache each filter re-scans and re-buckets the WHOLE events
+      // frame (nb+1 full passes; at the stress tier's 100× that is the
+      // dominant fixture-build cost)
       val bucketed = ev.withColumn("_b",
         least(lit(nb - 1), floor((unix_millis(col(Envelope.EventTime)) - lo)
           * nb / span)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sentinel = s.range(1).select(
         lit("__wm__").as(Envelope.Key),
         timestamp_millis(lit(hi + (150 * 60 * 1000L))).as(Envelope.EventTime),
         lit(nb).as("_b"))
       val base = System.currentTimeMillis() - (nb + 2) * 2000L
-      (0 to nb).foreach { i =>
+      try (0 to nb).foreach { i =>
         val part = if (i == nb) sentinel else bucketed.filter(col("_b") === i)
         // the file source replays oldest-mtime-first: the bucket order
         // IS the event-time order, pinned explicitly (a same-ms batch
         // of moves would otherwise tie)
         writeStreamSlice(part.drop("_b"), r, f"batch_$i%04d.parquet",
           base + i * 2000L)
-      }
+      } finally { bucketed.unpersist(false): Unit }
     }
     // 3 range files per trigger: the watermark/state machinery still
     // cycles across multiple triggers (the semantics under test) without

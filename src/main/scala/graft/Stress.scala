@@ -245,18 +245,27 @@ object Stress {
         }
       }
       spark.streams.addListener(listener)
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      finally {
-        // listener delivery is async — drain before reading the maxima
-        Thread.sleep(500)
-        spark.streams.removeListener(listener)
+      // two runs: run 1 pays any one-time fixture build (the watermark
+      // session twin constructs its range-bucket files; the others
+      // stream events.parquet directly), run 2 re-streams from a fresh
+      // checkpoint with the fixture warm — the comparable streaming
+      // wall. State maxima accumulate across both (identical replay).
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      val wall = (System.nanoTime() - t0) / 1e9
+      val (cold, warm) =
+        try { val c = run(); (c, run()) }
+        finally {
+          // listener delivery is async — drain before reading the maxima
+          Thread.sleep(500)
+          spark.streams.removeListener(listener)
+        }
       val state = if (stRows.get() < 0) "stateless"
         else f"stateRowsMax=${stRows.get()} stateBytesMax=${stBytes.get()}"
-      println(f"STRESS stream_state/$name%-28s $wall%8.2fs  " +
+      println(f"STRESS stream_state/$name%-28s warm $warm%8.2fs (cold $cold%.2f)  " +
         f"input=${inRows.get()} progresses=${progresses.get()} $state")
     }
   }

@@ -40,6 +40,18 @@ object MinHash {
     val perSession = lastSigCache.computeIfAbsent(persisted.sparkSession,
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame])
     Option(perSession.put(kind, persisted)).filterNot(_ eq persisted)
+      // CacheManager caches by canonical PLAN, not by object: when the
+      // new call re-derives the same input (same docs, same params),
+      // persist() above was a no-op on the already-cached entry, and
+      // unpersisting the "previous" handle here would uncache the very
+      // plan the new call is about to consume — releasing only on a
+      // genuinely different plan keeps the one-pass guarantee for
+      // repeated same-input calls
+      .filterNot { prev =>
+        try prev.queryExecution.analyzed
+          .sameResult(persisted.queryExecution.analyzed)
+        catch { case _: Throwable => false }
+      }
       .foreach(prev => try { prev.unpersist(false); () }
         catch { case _: Throwable => () })
     persisted

@@ -376,17 +376,28 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
   /** Snapshot section for `epoch`: inline `F,` lines up to the
     * threshold, else `L,` references to side chunk files written here
     * (before the manifest move — see [[manifestFiles]] crash argument).
-    * A retried publish of the same epoch rewrites identical chunk
-    * content, so the overwrite is idempotent. */
+    * Side names are CONTENT-ADDRESSED (`<epoch>.flist.<k>.<md5/16>`):
+    * the manifest line itself then carries the chunk's content
+    * identity, so [[publishManifest]]'s same-epoch race detection —
+    * which compares manifest BYTES — still distinguishes two racing
+    * writers' different file lists (name-only references would make
+    * their manifests byte-identical and let the loser silently corrupt
+    * the winner's snapshot). Same content ⇒ same name, so a retried
+    * publish is a no-op write; a losing racer's side file stays as
+    * orphan garbage in `_manifest/` (tiny, same class as `.tmp`
+    * leftovers). */
   private def fileSnapshotLines(epoch: Long, files: Seq[String]): Seq[String] =
     if (files.isEmpty) Seq(s"F,${TopicLog.EmptySnapshotMarker}")
     else if (files.size <= manifestListThreshold) files.map("F," + _)
     else {
       Files.createDirectories(manifestDir)
       files.grouped(4096).zipWithIndex.map { case (chunk, k) =>
-        val sideName = s"$epoch.flist.$k"
-        Files.write(manifestDir.resolve(sideName),
-          chunk.mkString("\n").getBytes("UTF-8"))
+        val bytes = chunk.mkString("\n").getBytes("UTF-8")
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).take(8).map("%02x".format(_)).mkString
+        val sideName = s"$epoch.flist.$k.$digest"
+        val side = manifestDir.resolve(sideName)
+        if (!Files.exists(side)) { Files.write(side, bytes): Unit }
         s"L,$sideName"
       }.toSeq
     }

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
  */
 object Chunking {
 
+  /** Sentinel chunk-id marking a [[reassembleStream]] group that already
+    * emitted (chunk ids are always ≥ 0, so this can never collide). */
+  private val EmittedTombstone = -1
+
   /**
    * Split rows whose `payload` exceeds `chunkSize` bytes into chunk rows
    * (chunk_uuid, chunk_id, num_chunks, chunk_bytes). Small payloads pass
@@ -78,9 +82,15 @@ object Chunking {
    * until completion (bounded fixtures / tests).
    *
    * Duplicate chunks (redeliveries) overwrite idempotently before
-   * completion; a duplicate arriving AFTER its group emitted re-opens
-   * phantom state — with a timeout configured it evicts on schedule,
-   * mirroring the reference discarding stale duplicate chunks.
+   * completion. AFTER completion: with a timeout configured, an
+   * "emitted" tombstone survives for one timeout window and absorbs
+   * late duplicates — even a full redelivery of the whole group inside
+   * the window emits nothing twice — then evicts, so tombstone state
+   * is bounded by completions-per-window, not stream length. Without a
+   * timeout the state drops at emission, so a FULL redelivery of a
+   * completed group after that point re-emits; the at-least-once
+   * envelope's (producer, sequence) dedup upstream is the guard there,
+   * exactly as in the reference consumer.
    */
   def reassembleStream(chunks: DataFrame, outCol: String = "payload",
                        incompleteTimeout: Option[String] = None): DataFrame = {
@@ -99,16 +109,29 @@ object Chunking {
          state: GroupState[Map[Int, String]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var buf = state.getOption.getOrElse(Map.empty)
-            var expected = -1
-            rows.foreach { r => buf += r._2 -> r._4; expected = r._3 }
-            if (expected > 0 && buf.size >= expected) {
-              state.remove()
-              Iterator((uuid, (0 until expected).map(buf.getOrElse(_, "")).mkString))
-            } else {
-              state.update(buf)
-              incompleteTimeout.foreach(state.setTimeoutDuration)
+            val prior = state.getOption.getOrElse(Map.empty)
+            if (prior.contains(EmittedTombstone)) {
+              // group already emitted — absorb late duplicates for the
+              // rest of the tombstone window, emit nothing twice
+              rows.foreach(_ => ())
               Iterator.empty
+            } else {
+              var buf = prior
+              var expected = -1
+              rows.foreach { r => buf += r._2 -> r._4; expected = r._3 }
+              if (expected > 0 && buf.size >= expected) {
+                incompleteTimeout match {
+                  case Some(t) =>
+                    state.update(Map(EmittedTombstone -> ""))
+                    state.setTimeoutDuration(t)
+                  case None => state.remove()
+                }
+                Iterator((uuid, (0 until expected).map(buf.getOrElse(_, "")).mkString))
+              } else {
+                state.update(buf)
+                incompleteTimeout.foreach(state.setTimeoutDuration)
+                Iterator.empty
+              }
             }
           }
       }

@@ -108,9 +108,6 @@ final class PatternSubscription(
     case _ => Topics.listMatching(root, tenant, namespace, pattern)
   }
 
-  private def emptyBatch: DataFrame = spark.createDataFrame(
-    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
-
   /**
    * One microbatch: re-resolve the pattern, read every matching topic's
    * committed rows strictly above the cursor, dispatch the union to
@@ -129,14 +126,25 @@ final class PatternSubscription(
     val perTopic = topics.flatMap { t =>
       val log = new TopicLog(spark, root, t, numPartitions)
       val hw = log.highWater()
-      val fresh = hw.filter { case (p, o) =>
-        o > cursor.getOrElse((t.fqn, p), -1L)
+      // effective per-partition resume point. A high-water BELOW the
+      // stored cursor means the topic was deleted and RECREATED under
+      // the same name (offsets are monotonic within one incarnation —
+      // retention/truncate never lower the manifest high-water): the
+      // stale cursor belongs to the dead incarnation, so the new topic
+      // replays from the start, matching the reference where the
+      // subscription cursor dies with its topic. Equal high-water =
+      // nothing new.
+      val fresh = hw.flatMap { case (p, o) =>
+        val cur = cursor.getOrElse((t.fqn, p), -1L)
+        if (o < cur) Some(p -> (o, -1L))
+        else if (o > cur) Some(p -> (o, cur))
+        else None
       }
       if (fresh.isEmpty) None
       else {
-        val cond = fresh.map { case (p, o) =>
+        val cond = fresh.map { case (p, (o, cur)) =>
           col(Envelope.Partition) === p &&
-            col(Envelope.Offset) > cursor.getOrElse((t.fqn, p), -1L) &&
+            col(Envelope.Offset) > cur &&
             col(Envelope.Offset) <= o
         }.reduce(_ || _)
         Some((t, fresh, log.read().filter(cond)))
@@ -149,7 +157,7 @@ final class PatternSubscription(
       process(batch, epoch)
       // advance AFTER process: at-least-once on a crash mid-dispatch
       writeCursor(cursor ++ perTopic.flatMap { case (t, fresh, _) =>
-        fresh.map { case (p, o) => (t.fqn, p) -> o }
+        fresh.map { case (p, (o, _)) => (t.fqn, p) -> o }
       })
       perTopic.map(_._2.size).sum
     }

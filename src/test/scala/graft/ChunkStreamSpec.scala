@@ -12,18 +12,32 @@ import org.apache.spark.sql.functions._
 class ChunkStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private def run(batches: Seq[Seq[(String, Int, Int, String)]]): Seq[(String, String)] = {
+  private def run(batches: Seq[Seq[(String, Int, Int, String)]],
+                  incompleteTimeout: Option[String] = None): Seq[(String, String)] = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int, Int, String)]
     val chunks = mem.toDF()
       .toDF("chunk_uuid", "chunk_id", "num_chunks", "chunk_bytes")
-    val out = Chunking.reassembleStream(chunks)
+    val out = Chunking.reassembleStream(chunks, incompleteTimeout = incompleteTimeout)
     val name = "chunk_stream_" + java.lang.Long.toHexString(System.nanoTime())
     val ckpt = java.nio.file.Files.createTempDirectory("graft-chunkstream-ckpt")
     val q = out.writeStream.format("memory").outputMode("append")
       .queryName(name).option("checkpointLocation", ckpt.toString).start()
     try {
-      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // deadline-poll on consumed-row progress instead of
+      // processAllAvailable: with ProcessingTimeTimeout registered
+      // state the engine keeps scheduling timeout-check batches and
+      // processAllAvailable's no-new-data latch never fires
+      var added = 0L
+      batches.foreach { b =>
+        mem.addData(b: _*); added += b.size
+        val deadline = System.nanoTime() + 30_000_000_000L
+        def consumed = q.recentProgress.map(_.numInputRows).sum
+        while (consumed < added && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(consumed >= added, s"stream did not consume batch within 30s")
+      }
+      Thread.sleep(300) // let the final sink commit land
       spark.table(name).as[(String, String)].collect().toSeq.sorted
     } finally {
       q.stop()
@@ -44,6 +58,16 @@ class ChunkStreamSpec extends SparkSpec {
       Seq(("x", 0, 2, "L")),
       Seq(("x", 0, 2, "L"), ("x", 1, 2, "R"))))
     assert(out == Seq(("x", "LR")))
+  }
+
+  test("with a timeout, a FULL redelivery of a completed group emits nothing twice") {
+    // at-least-once upstream can redeliver every chunk of an already-
+    // emitted group; the emitted tombstone absorbs them for one timeout
+    // window instead of rebuilding state and double-emitting
+    val group = Seq(("t", 0, 2, "A"), ("t", 1, 2, "B"))
+    val out = run(Seq(group, group, group),
+      incompleteTimeout = Some("10 minutes"))
+    assert(out == Seq(("t", "AB")))
   }
 
   test("incomplete groups never emit") {

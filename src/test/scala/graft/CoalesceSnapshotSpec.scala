@@ -228,6 +228,10 @@ class CoalesceSnapshotSpec extends SparkSpec {
       val lines = commitLines()
       assert(lines.exists(_.startsWith("L,")), "manifest-list activated")
       assert(!lines.exists(_.startsWith("F,")), "no inline F lines above threshold")
+      // side names are content-addressed so publishManifest's byte-level
+      // same-epoch race detection still sees differing file lists
+      assert(lines.filter(_.startsWith("L,"))
+        .forall(_.matches("""L,\d+\.flist\.\d+\.[0-9a-f]{16}""")), lines.toString)
       // the commit file stays O(1): hw lines + a handful of L refs
       assert(lines.size <= 8, s"commit file must stay small, got ${lines.size} lines")
       // resolved two-level read returns the full file set and all rows

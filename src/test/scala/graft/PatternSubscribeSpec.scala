@@ -112,6 +112,60 @@ class PatternSubscribeSpec extends SparkSpec {
     assert(total == 13)
   }
 
+  test("a poll with nothing new runs ZERO Spark jobs — idle topics cost driver metadata only") {
+    val root = Files.createTempDirectory("graft-pat-idle").toString
+    // many topics, all idle after the first drain: the watcher's steady
+    // state on a big namespace must not plan a scan (or any job) per
+    // poll — discovery is a directory walk + one manifest read per
+    // topic, exactly the reference watcher's metadata cost
+    (0 until 20).foreach(i =>
+      new TopicLog(spark, root, TopicName.parse(s"evt-$i")).append(rows(0 until 3)))
+    val sub = newSub(root, "evt-.*")
+    sub.drain((df, _) => { df.count(): Unit })
+    // let the async listener bus drain the drain()'s own JobStart events
+    // BEFORE registering — a lagging queue would otherwise deliver them
+    // to the new listener and fail the zero-jobs assertion spuriously
+    Thread.sleep(1000)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(sub.poll((_, _) => fail("process must not run on an empty poll")) == 0)
+      // listener delivery is async; a job-start event for a job launched
+      // during the poll lands well inside this bound
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"an idle poll over 20 topics launched ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a deleted-and-recreated topic replays from the start, not from the dead cursor") {
+    val root = Files.createTempDirectory("graft-pat-recreate").toString
+    new TopicLog(spark, root, TopicName.parse("evt-a")).append(rows(0 until 20))
+    val sub = newSub(root, "evt-.*")
+    var n = 0L
+    sub.drain((df, _) => n += df.count())
+    assert(n == 20)
+    // delete the topic (its cursor is now stale garbage of a dead
+    // incarnation) and recreate it with FEWER rows — offsets restart
+    // below the stored cursor
+    val topicDir = java.nio.file.Paths.get(root, "public", "default", "evt-a")
+    val w = java.nio.file.Files.walk(topicDir)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p): Unit })
+    finally w.close()
+    new TopicLog(spark, root, TopicName.parse("evt-a")).append(rows(0 until 7))
+    var n2 = 0L
+    sub.drain((df, _) => n2 += df.count())
+    assert(n2 == 7, "the new incarnation's rows must ALL dispatch " +
+      "(a stale high cursor would silently skip them)")
+  }
+
   test("one-shot subscribePattern accepts an empty match set") {
     val root = Files.createTempDirectory("graft-pat5").toString
     val df = Topics.subscribePattern(spark, root, "public", "default", "none-.*")

@@ -36,6 +36,10 @@ class Round10FixesSpec extends SparkSpec {
       (1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r s"),
       (4L, "x y z w q r t"), (5L, "m n o p q u v"))
       .toDF("doc_id", "text")
+    // earlier suites in the shared session may have left registered
+    // signature caches — their release by this test's first call would
+    // skew the relative counts, so start from a clean module state
+    MinHash.releaseCaches(spark)
     def persisted: Int = spark.sparkContext.getPersistentRDDs.size
     val base = persisted
     MinHash.lshCandidates(docs).count()
@@ -45,6 +49,15 @@ class Round10FixesSpec extends SparkSpec {
       "second call must release the first call's cache (one per kind)")
     MinHash.simhashPairs(docs).count()
     assert(persisted == base + 2, "simhash is a separate kind")
+    // SAME input as the previous minhash call: CacheManager caches by
+    // canonical plan, so the re-derived signature hits the existing
+    // entry — the lifecycle must NOT unpersist it from under the new
+    // call (persist() was a no-op on the already-cached plan)
+    val again = MinHash.lshCandidates(docs.limit(4))
+    assert(persisted == base + 2,
+      "same-plan re-registration must not destroy the live cache")
+    again.count()
+    assert(persisted == base + 2)
     MinHash.releaseCaches(spark)
     assert(persisted == base, "releaseCaches drops every signature cache")
   }
