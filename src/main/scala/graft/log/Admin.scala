@@ -102,6 +102,23 @@ object Admin {
     victims.size
   }
 
+  /** Janitor: bound manifest history across every topic AND ack log
+    * under the root — one [[TopicLog.pruneManifestHistory]] per base,
+    * with its txn-marker and staged-epoch skip rules. Run on the
+    * [[Txn.vacuumAll]] cadence; without it `_manifest` listings (on
+    * every read) pay O(all-time appends). Returns files deleted. */
+  def pruneManifests(root: String, keepLast: Int = 16): Int =
+    Topics.list(root).map { t =>
+      val base = t.path(root)
+      val subs = Paths.get(base, "_subs")
+      val ackBases =
+        if (!Files.exists(subs)) Seq.empty[String]
+        else TopicLog.listDir(subs).filter(Files.isDirectory(_))
+          .map(_.resolve("acks")).filter(Files.exists(_)).map(_.toString)
+      (base +: ackBases)
+        .map(b => TopicLog.pruneManifestHistory(b, root, keepLast)).sum
+    }.sum
+
   /** Truncate: remove every data file (manifest/cursors untouched — the
     * reference keeps the topic and subscriptions alive). */
   def truncate(log: TopicLog): Int = {

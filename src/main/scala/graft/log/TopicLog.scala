@@ -120,6 +120,54 @@ object TopicLog {
     } finally { Files.deleteIfExists(tmp); () }
   }
 
+  /**
+   * Bound the `_manifest` history of a TopicLog-layout base dir (topic
+   * or ack log): delete committed manifests — and their `.flist.` side
+   * files — older than the newest `keepLast`. Readers consult only the
+   * LATEST manifest, so pruned history is never on a read path; what
+   * makes this safe are the two skip rules:
+   *
+   *  1. an epoch referenced by a live txn marker under `<root>/_txn`
+   *     survives — deleting its manifest would make the marker
+   *     unretireable (vacuumAll retires a marker only when every line's
+   *     manifest exists) and ping-pong with [[graft.log.Txn.recover]],
+   *     which re-heals missing marker manifests;
+   *  2. an epoch whose `_staging/<epoch>/` tree still exists survives —
+   *     that is a committed-but-unmoved crash window, and
+   *     [[recoverStaging]] refuses manifest-less epochs, so pruning the
+   *     manifest first would orphan the staged rows.
+   *
+   * Without pruning, `_manifest` grows one file per append FOREVER and
+   * every `committedEpochs()` listing — on every read — pays
+   * O(all-time appends); with it, the listing is O(keepLast). Run from
+   * the same operational janitor cadence as [[graft.log.Txn.vacuumAll]]
+   * (`Admin.pruneManifests` sweeps a whole root). Returns files
+   * deleted.
+   */
+  def pruneManifestHistory(basePath: String, root: String,
+                           keepLast: Int = 16): Int = {
+    require(keepLast >= 1, "must keep at least the latest manifest")
+    val manifestDir = Paths.get(basePath, "_manifest")
+    if (!Files.exists(manifestDir)) return 0
+    val epochs = listDir(manifestDir)
+      .map(_.getFileName.toString).filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).sorted
+    if (epochs.size <= keepLast) return 0
+    val marked = Txn.markerEpochs(root)
+      .getOrElse(Paths.get(basePath).toAbsolutePath.toString, Set.empty)
+    val victims = epochs.dropRight(keepLast)
+      .filterNot(marked.contains)
+      .filterNot(e => Files.exists(Paths.get(basePath, "_staging", e.toString)))
+    var deleted = 0
+    victims.foreach { e =>
+      if (Files.deleteIfExists(manifestDir.resolve(s"$e.commit"))) deleted += 1
+      listDir(manifestDir)
+        .filter(_.getFileName.toString.startsWith(s"$e.flist."))
+        .foreach(p => if (Files.deleteIfExists(p)) deleted += 1)
+    }
+    deleted
+  }
+
   /** Move `_staging/<epoch>/` files into the readable partition dirs,
     * preserving relative paths; idempotent (skips already-moved files)
     * AND race-tolerant: two healers (publishManifest, Txn.recover, a
@@ -325,6 +373,10 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     * rows on the expanded partitions and restarting their offsets. */
   private def hwPartitionIds(hw: Map[Int, Long]): Seq[Int] =
     (hw.keySet ++ (0 until numPartitions)).toSeq.sorted
+
+  /** [[TopicLog.pruneManifestHistory]] for this topic's base dir. */
+  def pruneManifests(keepLast: Int = 16): Int =
+    TopicLog.pruneManifestHistory(basePath, root, keepLast)
 
   def highWater(): Map[Int, Long] =
     latestManifestLines()

@@ -62,6 +62,51 @@ class Round10FixesSpec extends SparkSpec {
     assert(persisted == base, "releaseCaches drops every signature cache")
   }
 
+  test("manifest pruning bounds history, spares txn-marked and staged epochs, changes no data") {
+    import graft.log.{Admin, TopicLog}
+    import graft.model.{Envelope, TopicName}
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-prune").toString
+    val log = new TopicLog(spark, root, TopicName.parse("t"))
+    def batch(ids: Range) =
+      ids.map(i => (s"u${i % 5}", s"v$i", "p0", i.toLong)).toDF(
+        Envelope.Key, Envelope.Value, Envelope.ProducerName, Envelope.SequenceId)
+        .withColumn(Envelope.PublishTime, timestamp_seconds(col(Envelope.SequenceId)))
+    (0 until 12).foreach(i => log.append(batch(i * 5 until i * 5 + 5)))
+    val before = log.read().count()
+    val hwBefore = log.highWater()
+    def manifests() = {
+      val d = Paths.get(root, "public", "default", "t", "_manifest")
+      Files.list(d).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".commit")).toSeq.sorted
+    }
+    assert(manifests().size == 12)
+    // marker-protected epoch survives: write a txn marker referencing
+    // epoch 2 of this topic (the committed-awaiting-recover state)
+    val base = Paths.get(root, "public", "default", "t").toAbsolutePath
+    Files.createDirectories(Paths.get(root, "_txn"))
+    Files.writeString(Paths.get(root, "_txn", "txn-test.committed"),
+      s"$base\t2\t5\t0,-1")
+    // staged-epoch guard: a leftover staging tree for epoch 3 protects it
+    Files.createDirectories(Paths.get(base.toString, "_staging", "3"))
+    val deleted = Admin.pruneManifests(root, keepLast = 4)
+    assert(deleted > 0)
+    val left = manifests().map(_.stripSuffix(".commit").toLong).sorted
+    assert(left.contains(2L), "txn-marked epoch must survive")
+    assert(left.contains(3L), "staged epoch must survive")
+    assert(left.takeRight(4) == Seq(8L, 9L, 10L, 11L), "newest keepLast survive")
+    assert(left.size == 6)
+    // data and cursor state are untouched; the next append continues
+    assert(log.read().count() == before)
+    assert(log.highWater() == hwBefore)
+    log.append(batch(60 until 65))
+    assert(log.read().count() == before + 5)
+    // the new epoch pushes exactly one more unprotected manifest past
+    // the window; after that the sweep is idempotent
+    assert(Admin.pruneManifests(root, keepLast = 4) == 1)
+    assert(Admin.pruneManifests(root, keepLast = 4) == 0)
+  }
+
   test("reliable-checkpoint CC leaves only the final round's blocks") {
     val dir = Files.createTempDirectory("graft-cc-gc").toString
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
