@@ -1530,6 +1530,30 @@ object SparkEntry {
       .orderBy(Envelope.Partition)
   }
 
+  /** §2.3/§4 manifest-history pruning on the oracle surface: six
+    * appends build six manifest epochs, then the janitor prunes to the
+    * newest two — and the read must stay byte-identical to the
+    * full-envelope roundtrip (per-partition counts + dense offsets),
+    * proving pruned history is never on the read path. A prune that
+    * touched the latest manifest, a referenced data file, or the
+    * high-water lines would shift counts or offsets and hash-mismatch. */
+  private def qManifestPrune(s: SparkSession, dir: String): DataFrame = {
+    val name = graft.model.TopicName.parse("persistent://public/default/events")
+    val root = Fixtures.dir(s, dir, "q-prune") { r =>
+      val tl = new graft.log.TopicLog(s, r, name, 4)
+      val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      (0 until 6).foreach(i =>
+        tl.append(e.filter(col(Envelope.Offset) % 6 === i)): Unit)
+      require(tl.pruneManifests(keepLast = 2) > 0,
+        "the prune must actually drop manifest history")
+    }
+    new graft.log.TopicLog(s, root, name, 4)
+      .read().groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
   /** Shadow-topic read view (reference ShadowReplicator.java): the
     * shadow shares the source log's committed storage, relabels the
     * topic name, and is read-only — so its per-partition truth is
@@ -2683,6 +2707,7 @@ object SparkEntry {
     "topic_stats_stream" -> (qTopicStatsStream _),
     "q_count_distinct" -> (qCountDistinct _),
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
+    "manifest_prune" -> (qManifestPrune _),
     "txn_ack" -> (qTxnAck _),
     "chunk_dedup" -> (qChunkDedup _),
     "dispatch_rate_stream" -> (qDispatchRateStream _),
@@ -3388,6 +3413,9 @@ object SparkEntry {
         |  MAX("offset") AS max_offset
         |FROM eff GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "topic_log_roundtrip" -> topicLogRoundtripSql,
+    // pruning manifest HISTORY must leave the read surface untouched —
+    // identical counts and dense offsets to the un-pruned roundtrip
+    "manifest_prune" -> topicLogRoundtripSql,
     // both txn legs rebuilt in SQL: dense per-partition offsets via
     // ROW_NUMBER (ack membership depends only on offset VALUES, so
     // (publish_time, sequence_id) ties cannot diverge the set), cursor =
