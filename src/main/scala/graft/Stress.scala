@@ -190,6 +190,7 @@ object Stress {
     }
     if (tierOn("simhash_probe")) simhashProbeTier(spark, docsK)
     if (tierOn("stream_state")) streamStateTier(spark, envK, k)
+    if (tierOn("pattern_scale")) patternScaleTier(spark, env1)
     if (tierOn("cc_converge")) ccConvergeTier(spark)
     if (tierOn("ccnet_skew")) ccnetSkewTier(docsK)
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
@@ -268,6 +269,51 @@ object Stress {
       println(f"STRESS stream_state/$name%-28s warm $warm%8.2fs (cold $cold%.2f)  " +
         f"input=${inRows.get()} progresses=${progresses.get()} $state")
     }
+  }
+
+  /**
+   * Pattern-subscription watcher at namespace scale: a 500-topic
+   * namespace (the reference watcher's stress shape — many topics, few
+   * active). Measures (a) first drain (every topic has one small
+   * backlog), (b) an incremental poll after 5 topics gain rows — wall
+   * must track the ACTIVE set, not the namespace, and (c) an idle poll
+   * — pure driver metadata (the PatternSubscribeSpec zero-jobs gate),
+   * whose wall bounds the watcher's per-tick steady-state cost.
+   */
+  private def patternScaleTier(spark: SparkSession, ev: DataFrame): Unit = {
+    import graft.log.TopicLog
+    import graft.model.TopicName
+    val nTopics = 500
+    val root = java.nio.file.Files.createTempDirectory("graft-pattern-scale").toString
+    val base = ev.filter(col("event_id") < 2000)
+      .drop("topic", "partition")
+    println(s"== pattern_scale tier: $nTopics topics ==")
+    val tBuild = System.nanoTime()
+    (0 until nTopics).foreach { i =>
+      new TopicLog(spark, root, TopicName.parse(s"evt-$i"), 1)
+        .append(base.filter(col("event_id") % nTopics === i)): Unit
+    }
+    println(f"STRESS pattern_scale/build_500        ${(System.nanoTime() - tBuild) / 1e9}%8.2fs")
+    val sub = new graft.streaming.PatternSubscription(spark, root,
+      "public", "default", "evt-.*", "probe",
+      java.nio.file.Files.createTempDirectory("graft-pattern-scale-ckpt").toString,
+      numPartitions = 1)
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"STRESS pattern_scale/$label%-20s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($n rows)")
+    }
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    timed("first_drain")({ rows.set(0)
+      sub.drain((df, _) => { rows.addAndGet(df.count()): Unit }); rows.get() })
+    (0 until 5).foreach { i =>
+      new TopicLog(spark, root, TopicName.parse(s"evt-$i"), 1)
+        .append(base.filter(col("event_id") % nTopics === i)): Unit
+    }
+    timed("incremental_poll")({ rows.set(0)
+      sub.poll((df, _) => { rows.addAndGet(df.count()): Unit }); rows.get() })
+    timed("idle_poll")({ sub.poll((_, _) => ()).toLong })
+    timed("idle_poll_rep2")({ sub.poll((_, _) => ()).toLong })
   }
 
   /** Wall time plus per-task duration spread (max vs p50) — the skew

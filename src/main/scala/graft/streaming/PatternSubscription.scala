@@ -64,7 +64,16 @@ final class PatternSubscription(
     val name: String,
     val checkpointRoot: String,
     val mode: RegexSubscriptionMode = RegexSubscriptionMode.PersistentOnly,
-    val numPartitions: Int = 4) {
+    val numPartitions: Int = 4,
+    // Per-poll topic cap (the multi-topic analog of BatchReceivePolicy's
+    // flow control): a microbatch plans at most this many fresh topics'
+    // reads — each fresh topic contributes a scan branch to the union,
+    // so an uncapped catch-up over a big namespace pays O(topics)
+    // ANALYSIS cost in one batch (probe: 500 all-fresh topics planned
+    // 47 s in one poll; capped polls bound it and [[drain]] spreads the
+    // backlog across triggers). Topics beyond the cap keep their cursor
+    // and dispatch on the next poll — no data is skipped.
+    val maxTopicsPerPoll: Int = 64) {
 
   /** Cursor location: one directory per (pattern, subscription) — the
     * pattern is content-addressed so two patterns over the same
@@ -123,6 +132,11 @@ final class PatternSubscription(
     val topics = matchingTopics()
     val cursor = readCursor()
     val epoch = cursor.hashCode().toLong ^ System.nanoTime()
+    // the full match set is probed for freshness (cheap — one manifest
+    // read per topic), but at most maxTopicsPerPoll fresh topics are
+    // PLANNED this batch; the rest dispatch next poll (their cursors
+    // are untouched below because the cursor merge only covers planned
+    // topics)
     val perTopic = topics.flatMap { t =>
       val log = new TopicLog(spark, root, t, numPartitions)
       val hw = log.highWater()
@@ -140,15 +154,17 @@ final class PatternSubscription(
         else if (o > cur) Some(p -> (o, cur))
         else None
       }
-      if (fresh.isEmpty) None
-      else {
-        val cond = fresh.map { case (p, (o, cur)) =>
-          col(Envelope.Partition) === p &&
-            col(Envelope.Offset) > cur &&
-            col(Envelope.Offset) <= o
-        }.reduce(_ || _)
-        Some((t, fresh, log.read().filter(cond)))
-      }
+      if (fresh.isEmpty) None else Some((t, log, fresh))
+    }.take(maxTopicsPerPoll).map { case (t, log, fresh) =>
+      // reads are constructed only for the CAPPED set — spark.read's
+      // listing + schema inference run at construction, so building a
+      // read per fresh topic before capping would defeat the cap
+      val cond = fresh.map { case (p, (o, cur)) =>
+        col(Envelope.Partition) === p &&
+          col(Envelope.Offset) > cur &&
+          col(Envelope.Offset) <= o
+      }.reduce(_ || _)
+      (t, fresh, log.read().filter(cond))
     }
     if (perTopic.isEmpty) 0
     else {
