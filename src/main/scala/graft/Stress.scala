@@ -258,7 +258,13 @@ object Stress {
         (System.nanoTime() - t0) / 1e9
       }
       val (cold, warm) =
-        try { val c = run(); (c, run()) }
+        try {
+          val c = run()
+          // report the WARM run's ingest, not a two-run total (state
+          // maxima may keep accumulating — the replays are identical)
+          inRows.set(0); progresses.set(0)
+          (c, run())
+        }
         finally {
           // listener delivery is async — drain before reading the maxima
           Thread.sleep(500)

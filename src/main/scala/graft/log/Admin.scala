@@ -107,7 +107,10 @@ object Admin {
     * with its txn-marker and staged-epoch skip rules. Run on the
     * [[Txn.vacuumAll]] cadence; without it `_manifest` listings (on
     * every read) pay O(all-time appends). Returns files deleted. */
-  def pruneManifests(root: String, keepLast: Int = 16): Int =
+  def pruneManifests(root: String, keepLast: Int = 16): Int = {
+    // one marker parse for the whole sweep (Txn.vacuumAll's rule: a
+    // per-base parse costs (T+S) full passes over `_txn`)
+    val markers = Some(Txn.markerEpochs(root))
     Topics.list(root).map { t =>
       val base = t.path(root)
       val subs = Paths.get(base, "_subs")
@@ -116,8 +119,9 @@ object Admin {
         else TopicLog.listDir(subs).filter(Files.isDirectory(_))
           .map(_.resolve("acks")).filter(Files.exists(_)).map(_.toString)
       (base +: ackBases)
-        .map(b => TopicLog.pruneManifestHistory(b, root, keepLast)).sum
+        .map(b => TopicLog.pruneManifestHistory(b, root, keepLast, markers)).sum
     }.sum
+  }
 
   /** Truncate: remove every data file (manifest/cursors untouched — the
     * reference keeps the topic and subscriptions alive). */

@@ -145,25 +145,35 @@ object TopicLog {
    * deleted.
    */
   def pruneManifestHistory(basePath: String, root: String,
-                           keepLast: Int = 16): Int = {
+                           keepLast: Int = 16,
+                           markersByBase: Option[Map[String, Set[Long]]] = None): Int = {
     require(keepLast >= 1, "must keep at least the latest manifest")
     val manifestDir = Paths.get(basePath, "_manifest")
     if (!Files.exists(manifestDir)) return 0
-    val epochs = listDir(manifestDir)
-      .map(_.getFileName.toString).filter(_.endsWith(".commit"))
+    // ONE directory listing for the whole prune: the first sweep of a
+    // long-history topic has O(all-time appends) victims, and a
+    // per-victim re-list would make that first run quadratic in
+    // exactly the case the janitor exists to fix
+    val entries = listDir(manifestDir).map(p => p -> p.getFileName.toString)
+    val epochs = entries.map(_._2).filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong).sorted
     if (epochs.size <= keepLast) return 0
-    val marked = Txn.markerEpochs(root)
+    // `markersByBase` lets Admin.pruneManifests parse the `_txn` marker
+    // set ONCE per sweep instead of once per topic/ack base — the same
+    // (T+S)-passes hazard Txn.vacuumAll documents
+    val marked = markersByBase.getOrElse(Txn.markerEpochs(root))
       .getOrElse(Paths.get(basePath).toAbsolutePath.toString, Set.empty)
     val victims = epochs.dropRight(keepLast)
       .filterNot(marked.contains)
       .filterNot(e => Files.exists(Paths.get(basePath, "_staging", e.toString)))
+    val flistByEpoch = entries
+      .filter(_._2.contains(".flist."))
+      .groupBy(_._2.takeWhile(_ != '.'))
     var deleted = 0
     victims.foreach { e =>
       if (Files.deleteIfExists(manifestDir.resolve(s"$e.commit"))) deleted += 1
-      listDir(manifestDir)
-        .filter(_.getFileName.toString.startsWith(s"$e.flist."))
-        .foreach(p => if (Files.deleteIfExists(p)) deleted += 1)
+      flistByEpoch.getOrElse(e.toString, Seq.empty)
+        .foreach { case (p, _) => if (Files.deleteIfExists(p)) deleted += 1 }
     }
     deleted
   }
@@ -357,11 +367,24 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       .map(_.getFileName.toString).filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong).sorted
 
-  private def latestManifestLines(): Seq[String] =
-    committedEpochs().lastOption.map { e =>
-      Files.readAllLines(manifestDir.resolve(s"$e.commit")).asScala
-        .filter(_.nonEmpty).toSeq
-    }.getOrElse(Seq.empty)
+  private def latestManifestLines(): Seq[String] = {
+    // retry the list→read under a concurrent pruneManifestHistory: the
+    // janitor only deletes epochs with ≥ keepLast NEWER commits, so a
+    // vanished "latest" means a newer one exists — re-listing converges
+    var attempt = 0
+    while (attempt < 5) {
+      committedEpochs().lastOption match {
+        case None => return Seq.empty
+        case Some(e) =>
+          try return Files.readAllLines(manifestDir.resolve(s"$e.commit"))
+            .asScala.filter(_.nonEmpty).toSeq
+          catch { case _: java.nio.file.NoSuchFileException => attempt += 1 }
+      }
+    }
+    // five vanished "latest" manifests in a row is not a prune race —
+    // fail loudly rather than read an empty topic
+    sys.error(s"manifest snapshot unreadable after 5 attempts on $basePath")
+  }
 
   /** Per-partition high-water offsets from the latest commit manifest
     * (`p,offset` lines; `F,` file-snapshot lines are skipped). */
@@ -397,23 +420,38 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
    * planned against the old snapshot never lose rows.
    */
   def manifestFiles(): Option[Seq[String]] = {
-    val lines = latestManifestLines()
-    val direct = lines.filter(_.startsWith("F,")).map(_.stripPrefix("F,"))
-    // TWO-LEVEL snapshot (`L,<side-file>` lines): above the inline
-    // threshold the F-section lives in manifest-list side files — the
-    // Iceberg manifest-list shape — so the per-epoch commit file stays
-    // O(1) in size however many data files the snapshot tracks. Side
-    // files are written BEFORE the atomic manifest move (crash ⇒
-    // invisible garbage, identical to staged data files), so a
-    // committed manifest's references always resolve.
-    val chunked = lines.filter(_.startsWith("L,")).map(_.stripPrefix("L,"))
-      .flatMap { n =>
-        Files.readAllLines(manifestDir.resolve(n)).asScala.filter(_.nonEmpty)
+    // bounded retry for the same prune race latestManifestLines guards:
+    // a side file vanishes only when its whole EPOCH was pruned (side
+    // files delete with their commit), which requires a newer commit —
+    // re-resolving from the new latest converges
+    var attempt = 0
+    while (true) {
+      val lines = latestManifestLines()
+      val direct = lines.filter(_.startsWith("F,")).map(_.stripPrefix("F,"))
+      // TWO-LEVEL snapshot (`L,<side-file>` lines): above the inline
+      // threshold the F-section lives in manifest-list side files — the
+      // Iceberg manifest-list shape — so the per-epoch commit file stays
+      // O(1) in size however many data files the snapshot tracks. Side
+      // files are written atomically BEFORE the manifest move (crash ⇒
+      // invisible garbage, identical to staged data files), so a
+      // committed manifest's references always resolve.
+      try {
+        val chunked = lines.filter(_.startsWith("L,")).map(_.stripPrefix("L,"))
+          .flatMap { n =>
+            Files.readAllLines(manifestDir.resolve(n)).asScala.filter(_.nonEmpty)
+          }
+        val fs = direct ++ chunked
+        // "F,-" is the explicit EMPTY snapshot (all files dropped) —
+        // distinct from "no F lines at all" = offset-only legacy mode
+        return if (fs.isEmpty) None
+          else Some(fs.filterNot(_ == TopicLog.EmptySnapshotMarker))
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt >= 5) throw e
       }
-    val fs = direct ++ chunked
-    // "F,-" is the explicit EMPTY snapshot (all files dropped) — distinct
-    // from "no F lines at all", which means offset-only legacy mode
-    if (fs.isEmpty) None else Some(fs.filterNot(_ == TopicLog.EmptySnapshotMarker))
+    }
+    None // unreachable
   }
 
   /** Inline-F-section ceiling: snapshots tracking more files than this
@@ -449,7 +487,16 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
           .digest(bytes).take(8).map("%02x".format(_)).mkString
         val sideName = s"$epoch.flist.$k.$digest"
         val side = manifestDir.resolve(sideName)
-        if (!Files.exists(side)) { Files.write(side, bytes): Unit }
+        // atomicCreate (tmp + hard-link), never a plain write: a crash
+        // mid-write would leave a TRUNCATED file at the content-
+        // addressed name, and a retry — same content, same digest —
+        // would see it existing, skip the rewrite, and commit a
+        // manifest referencing a partial file list (rows vanish and
+        // vacuum deletes them as unreferenced). With the atomic create
+        // a present side file is by construction complete.
+        if (!Files.exists(side)) {
+          TopicLog.atomicCreate(side, bytes): Unit
+        }
         s"L,$sideName"
       }.toSeq
     }

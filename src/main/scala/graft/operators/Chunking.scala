@@ -112,8 +112,13 @@ object Chunking {
             val prior = state.getOption.getOrElse(Map.empty)
             if (prior.contains(EmittedTombstone)) {
               // group already emitted — absorb late duplicates for the
-              // rest of the tombstone window, emit nothing twice
+              // rest of the tombstone window, emit nothing twice.
+              // GroupState clears any stored timeout on EVERY function
+              // invocation, so the absorb must RE-ARM it — otherwise one
+              // late duplicate would make its tombstone immortal and
+              // state would grow with all-time completions
               rows.foreach(_ => ())
+              incompleteTimeout.foreach(state.setTimeoutDuration)
               Iterator.empty
             } else {
               var buf = prior

@@ -87,6 +87,10 @@ final class PatternSubscription(
 
   private def cursorFile = Paths.get(cursorDir, "cursor.tsv")
 
+  /** Rotation cursor for the per-poll topic cap (fairness across polls
+    * when more topics are fresh than one batch plans). */
+  private val rotation = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Durable consumed position: (topic fqn, partition) → highest
     * dispatched offset. Entries persist for topics that currently do
     * not match (deleted or renamed out of the pattern) so a topic that
@@ -134,10 +138,10 @@ final class PatternSubscription(
     val epoch = cursor.hashCode().toLong ^ System.nanoTime()
     // the full match set is probed for freshness (cheap — one manifest
     // read per topic), but at most maxTopicsPerPoll fresh topics are
-    // PLANNED this batch; the rest dispatch next poll (their cursors
-    // are untouched below because the cursor merge only covers planned
-    // topics)
-    val perTopic = topics.flatMap { t =>
+    // PLANNED this batch; the rest dispatch on later polls (their
+    // cursors are untouched below because the cursor merge only covers
+    // planned topics)
+    val freshTopics = topics.flatMap { t =>
       val log = new TopicLog(spark, root, t, numPartitions)
       val hw = log.highWater()
       // effective per-partition resume point. A high-water BELOW the
@@ -155,7 +159,24 @@ final class PatternSubscription(
         else None
       }
       if (fresh.isEmpty) None else Some((t, log, fresh))
-    }.take(maxTopicsPerPoll).map { case (t, log, fresh) =>
+    }
+    // ROTATING cap window, not take(): Topics.list is fqn-sorted, so a
+    // plain head-take under sustained producers would re-select the
+    // same lexicographically-first topics every poll and STARVE the
+    // rest forever. The rotation cursor advances by the planned count
+    // each poll — every fresh topic is reached within
+    // ceil(fresh/cap) polls whatever the load. Per-instance fairness
+    // (a restart restarts the rotation; no data is ever skipped —
+    // un-planned topics keep their cursors).
+    val capped =
+      if (freshTopics.size <= maxTopicsPerPoll) freshTopics
+      else {
+        val start = ((rotation.getAndAdd(maxTopicsPerPoll)
+          % freshTopics.size) + freshTopics.size) % freshTopics.size
+        (freshTopics.drop(start) ++ freshTopics.take(start))
+          .take(maxTopicsPerPoll)
+      }
+    val perTopic = capped.map { case (t, log, fresh) =>
       // reads are constructed only for the CAPPED set — spark.read's
       // listing + schema inference run at construction, so building a
       // read per fresh topic before capping would defeat the cap

@@ -144,6 +144,30 @@ class PatternSubscribeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("the per-poll cap ROTATES — sustained producers cannot starve later topics") {
+    val root = Files.createTempDirectory("graft-pat-rotate").toString
+    (0 until 9).foreach(i =>
+      new TopicLog(spark, root, TopicName.parse(f"evt-$i%02d")).append(rows(0 until 2)))
+    val sub = new PatternSubscription(spark, root, "public", "default",
+      "evt-.*", "sub1",
+      Files.createTempDirectory("graft-pat-rotate-ckpt").toString,
+      maxTopicsPerPoll = 3)
+    val seen = scala.collection.mutable.Set.empty[String]
+    var next = 2
+    (0 until 5).foreach { _ =>
+      sub.poll((df, _) => { seen ++= df.select(Envelope.Topic).distinct()
+        .collect().map(_.getString(0)): Unit })
+      // keep EVERY topic fresh before the next poll — the starvation
+      // scenario a head-take cap fails (fqn-first topics win forever)
+      (0 until 9).foreach(i =>
+        new TopicLog(spark, root, TopicName.parse(f"evt-$i%02d"))
+          .append(rows(next until next + 1)))
+      next += 1
+    }
+    assert(seen.size == 9,
+      s"rotation must reach every fresh topic under sustained load, saw $seen")
+  }
+
   test("a deleted-and-recreated topic replays from the start, not from the dead cursor") {
     val root = Files.createTempDirectory("graft-pat-recreate").toString
     new TopicLog(spark, root, TopicName.parse("evt-a")).append(rows(0 until 20))
