@@ -160,6 +160,24 @@ object SparkEntry {
       |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset
       |FROM routed GROUP BY partition ORDER BY partition""".stripMargin
 
+  /** Shared oracle for the txn isolation rows: the visible slice of the
+    * envelope (by `pred` over the envelope sequence_id), re-routed by
+    * key hash, with the dense-offset arithmetic (count − 1 = max offset)
+    * that only holds when commits and staged epochs stack exactly. */
+  private def txnVisSql(pred: String): String = mm3Macros +
+    s"""WITH ev AS (
+      |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+      |), env0 AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key,
+      |    CASE WHEN event_id % 10 = 0 THEN event_id - 1 ELSE event_id END AS sequence_id
+      |  FROM ev
+      |), slice AS (SELECT key FROM env0 WHERE $pred),
+      |routed AS (SELECT CAST(mm3_8(key) % 4 AS INT) AS partition, key FROM slice)
+      |SELECT partition, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS max_offset,
+      |  CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+      |FROM routed GROUP BY partition ORDER BY partition""".stripMargin
+
   /** Both txn legs rebuilt in SQL — the oracle for txn_ack AND
     * ack_compaction (compaction must be answer-preserving): dense
     * per-partition offsets via ROW_NUMBER (ack membership depends only
@@ -2620,6 +2638,157 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /**
+   * §2.12 transaction VISIBILITY on the oracle surface (reference
+   * TransactionIsolationLevel semantics, Consumer READ_COMMITTED
+   * default): one topic receives three transactions' slices of the
+   * envelope — txn A (sequence_id % 3 == 0) COMMITS, txn B (% 3 == 1)
+   * ABORTS, and a third slice (% 3 == 2) is left STAGED with no marker
+   * (an in-flight transaction mid-commit). READ_COMMITTED must see
+   * exactly A's rows with dense offsets — an aborted or in-flight row
+   * leaking into the committed view shifts every aggregate and breaks
+   * the hash.
+   */
+  private def txnVisFixture(s: SparkSession, dir: String): graft.log.TopicLog = {
+    val name = graft.model.TopicName.parse("persistent://public/default/txn-vis")
+    val root = Fixtures.dir(s, dir, "q-txn-vis") { r =>
+      val log = new graft.log.TopicLog(s, r, name, 4)
+      val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      graft.log.Txn.begin(r)
+        .produce(log, e.filter(col(Envelope.SequenceId) % 3 === 0)).commit()
+      graft.log.Txn.begin(r)
+        .produce(log, e.filter(col(Envelope.SequenceId) % 3 === 1)).abort()
+      // in-flight: staged epoch, no marker, no manifest — the on-disk
+      // state of an open transaction between stageAppend and commit
+      log.stageAppend(e.filter(col(Envelope.SequenceId) % 3 === 2)): Unit
+    }
+    new graft.log.TopicLog(s, root, name, 4)
+  }
+
+  private def txnVisAgg(df: DataFrame): DataFrame =
+    df.groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(Envelope.Offset).as("max_offset"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"))
+      .orderBy(Envelope.Partition)
+
+  private def qTxnVisibility(s: SparkSession, dir: String): DataFrame =
+    txnVisAgg(txnVisFixture(s, dir)
+      .read(graft.log.TopicLog.IsolationLevel.ReadCommitted))
+
+  /** §2.12 READ_UNCOMMITTED dirty read over the SAME fixture: committed
+    * (txn A) plus in-flight staged (the % 3 == 2 slice, offsets dense
+    * above A's high-water); the aborted slice must stay invisible at
+    * BOTH isolation levels. */
+  private def qTxnUncommitted(s: SparkSession, dir: String): DataFrame =
+    txnVisAgg(txnVisFixture(s, dir)
+      .read(graft.log.TopicLog.IsolationLevel.ReadUncommitted))
+
+  /** §2.1 Reader — the non-durable positioned scan (reference
+    * Reader.java:49 / ConsumerImpl in reader mode): every partition read
+    * from offset 100 to its head, no cursor created. The oracle replays
+    * the dense-offset arithmetic (count − 100 rows, first = 100,
+    * max = count − 1) over the murmur3-routed envelope. */
+  private def qReaderScan(s: SparkSession, dir: String): DataFrame = {
+    val tl = qLogFixture(s, dir)
+    (0 until 4).map(p => tl.readFrom(p, 100L))
+      .reduce(_.unionByName(_))
+      .groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min(Envelope.Offset).as("first_offset"),
+        max(Envelope.Offset).as("max_offset"))
+      .orderBy(Envelope.Partition)
+  }
+
+  /** §2.2 producer interceptor chain (reference ProducerInterceptor
+    * .onSend, applied in registration order): two value-rewriting
+    * interceptors compose — order matters ("ic1:" prefix THEN ":ic2"
+    * suffix), and the oracle rebuilds the wrapped payload per row, so a
+    * dropped, re-ordered, or double-applied interceptor breaks the
+    * length accounting. */
+  private def qInterceptors(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir).filter(col(Envelope.Value).isNotNull)
+    operators.Produce.withInterceptors(e, Seq(
+        df => df.withColumn(Envelope.Value,
+          concat(lit("ic1:"), col(Envelope.Value))),
+        df => df.withColumn(Envelope.Value,
+          concat(col(Envelope.Value), lit(":ic2")))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(length(col(Envelope.Value))).cast("bigint").as("sum_len"))
+      .orderBy("event_type")
+  }
+
+  /** §2.2 Function fan-out (reference Context.newOutputMessage:156):
+    * each record emits to its per-type output topic, and high-metric
+    * records ALSO emit to an audit topic — N sinks from one pass. The
+    * oracle rebuilds both outputs' per-topic counts. */
+  private def qFunctionFanout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = env(s, dir)
+      .select(col("event_type"), col(Envelope.Key), col("metric_value"))
+      .as[(String, String, Double)]
+    graft.streaming.Functions.fanOut(ds) { case (t, k, m) =>
+      (s"fn-out-$t", k) +: (if (m > 250.0) Seq(("fn-audit", k)) else Nil)
+    }.groupBy("out_topic")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct("payload").cast("bigint").as("n_keys"))
+      .orderBy("out_topic")
+  }
+
+  /** §2.2 Function 1→0/1 process() with the null-drop contract
+    * (JavaInstanceRunnable.java:430 skips send on null result): error
+    * events return None and are filtered; survivors double their metric.
+    * Decimal-exact sums keep the aggregate engine-order independent. */
+  private def qFunctionMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = env(s, dir)
+      .select(col("event_type"), col(Envelope.Key), col("metric_value"))
+      .as[(String, String, Double)]
+    graft.streaming.Functions.mapFunction(ds) { case (t, k, m) =>
+      if (t == "error") None else Some((k.toLong % 10, m * 2))
+    }.toDF("bucket", "doubled")
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("doubled").cast("decimal(18,9)")).cast("double").as("sum_doubled"))
+      .orderBy("bucket")
+  }
+
+  /** Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
+    * (the RAG/training-data retrieval shape) — both legs' ranks and the
+    * fused ordering replay exactly in SQL. */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame =
+    ext.Hybrid.rrf(tbl(s, dir, "documents"), tbl(s, dir, "embeddings"),
+      "fast hash join order", queryVecId = 0L)
+
+  /** §2.7 arbitrary keyed state (ByteBufferStateStore put/get/delete via
+    * [[graft.streaming.Functions.statefulFunction]]): per user, a
+    * running-max state emits one record per "record-breaking" metric in
+    * offset order — the oracle replays the running max with a window
+    * function, so dropped state, a wrong initial state, or unordered
+    * group iteration all shift the break counts. */
+  private def qStatefulMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = env(s, dir)
+      .select(col(Envelope.Key), col(Envelope.Offset), col("metric_value"))
+      .as[(String, Long, Double)]
+    graft.streaming.Functions.statefulFunction(ds)(_._1) {
+      (k: String, vs: Iterator[(String, Long, Double)], st: Option[Double]) =>
+        // batch groups iterate in storage order — sort by offset so the
+        // running max is the stream-arrival semantics
+        val sorted = vs.toSeq.sortBy(_._2)
+        var mx = st.getOrElse(Double.NegativeInfinity)
+        val out = sorted.flatMap { case (_, off, m) =>
+          if (m > mx) { mx = m; Some((k, off)) } else None
+        }
+        (out.iterator, Some(mx))
+    }.toDF("key", "break_offset")
+      .groupBy("key")
+      .agg(count(lit(1)).cast("bigint").as("n_breaks"),
+        max("break_offset").as("last_break_offset"))
+      .orderBy("key")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2709,6 +2878,13 @@ object SparkEntry {
     "topic_log_roundtrip" -> (qTopicLogRoundtrip _),
     "manifest_prune" -> (qManifestPrune _),
     "txn_ack" -> (qTxnAck _),
+    "txn_visibility" -> (qTxnVisibility _),
+    "txn_uncommitted" -> (qTxnUncommitted _),
+    "reader_scan" -> (qReaderScan _),
+    "interceptor_chain" -> (qInterceptors _),
+    "function_fanout" -> (qFunctionFanout _),
+    "function_map" -> (qFunctionMap _),
+    "stateful_max" -> (qStatefulMax _),
     "chunk_dedup" -> (qChunkDedup _),
     "dispatch_rate_stream" -> (qDispatchRateStream _),
     "dispatch_rate_debt_stream" -> (qDispatchRateDebtStream _),
@@ -2762,7 +2938,8 @@ object SparkEntry {
     "line_dedup" -> (qLineDedup _),
     "substring_dedup" -> (qSubstringDedup _),
     "doc_chunks" -> (qDocChunks _),
-    "vec_quantize" -> (qVecQuantize _)
+    "vec_quantize" -> (qVecQuantize _),
+    "hybrid_rrf" -> (qHybridRrf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3425,6 +3602,60 @@ object SparkEntry {
     // compaction must not change any answer: same truth, computed
     // through the cursor floor + surviving individual acks
     "ack_compaction" -> txnAckSql,
+    // READ_COMMITTED sees exactly the committed txn's slice, re-routed
+    // by key hash with dense offsets; the aborted and in-flight slices
+    // must contribute NOTHING
+    "txn_visibility" -> txnVisSql("sequence_id % 3 = 0"),
+    // READ_UNCOMMITTED sees committed + in-flight staged (dense above
+    // the committed high-water — the max_offset arithmetic only holds
+    // if the staged epoch's offsets stack exactly on the committed
+    // ones); the aborted slice stays invisible here too
+    "txn_uncommitted" -> txnVisSql("sequence_id % 3 IN (0, 2)"),
+    // positioned reader: dense offsets make the tail arithmetic exact
+    "reader_scan" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), keys AS (SELECT CAST(user_id AS VARCHAR) AS key FROM ev),
+        |routed AS (SELECT CAST(mm3_8(key) % 4 AS INT) AS partition FROM keys),
+        |counts AS (SELECT partition, COUNT(*) AS cnt FROM routed GROUP BY partition)
+        |SELECT partition, CAST(cnt - 100 AS BIGINT) AS n,
+        |  CAST(100 AS BIGINT) AS first_offset,
+        |  CAST(cnt - 1 AS BIGINT) AS max_offset
+        |FROM counts WHERE cnt > 100 ORDER BY partition""".stripMargin),
+    "interceptor_chain" -> envSql(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(length('ic1:' || value || ':ic2')) AS BIGINT) AS sum_len
+        |FROM envelope WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "function_fanout" -> envSql(
+      """SELECT out_topic, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT payload) AS BIGINT) AS n_keys
+        |FROM (
+        |  SELECT 'fn-out-' || event_type AS out_topic, key AS payload FROM envelope
+        |  UNION ALL
+        |  SELECT 'fn-audit' AS out_topic, key AS payload FROM envelope
+        |  WHERE metric_value > 250.0
+        |) t GROUP BY out_topic ORDER BY out_topic""".stripMargin),
+    "function_map" -> envSql(
+      """SELECT CAST(key AS BIGINT) % 10 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(metric_value * 2 AS DECIMAL(18,9))) AS DOUBLE) AS sum_doubled
+        |FROM envelope WHERE event_type <> 'error'
+        |GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // keyed-state running max replayed as a window: a break is a metric
+    // strictly above every earlier metric of the same key (offset order)
+    "stateful_max" -> envSql(
+      """, seqd AS (
+        |  SELECT key, "offset", metric_value,
+        |    MAX(metric_value) OVER (PARTITION BY key ORDER BY "offset"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM envelope),
+        |breaks AS (
+        |  SELECT key, "offset" FROM seqd
+        |  WHERE prev_max IS NULL OR metric_value > prev_max)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_breaks,
+        |  MAX("offset") AS last_break_offset
+        |FROM breaks GROUP BY key ORDER BY key""".stripMargin),
     // chunk-dedup truth: a correct dedup+reassembly is the IDENTITY on
     // the original text; the excluded set is the closed-form lost-chunk
     // condition (last chunk dropped, no %11 resend to refill it, and
@@ -3677,6 +3908,52 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, round(score, 6) AS score_r FROM scored
         |ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin,
+    // hybrid retrieval: both legs' full rankings rebuilt in SQL (BM25 on
+    // 6-dp-rounded scores, cosine on the raw similarity — the same total
+    // orders the engine ranks by), fused with the identical
+    // 1/(60 + rank) arithmetic; rank ties, leg membership, and the fused
+    // ordering must all match for the hash to hold
+    "hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) x WHERE t <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |q(term) AS (VALUES ('fast'), ('hash'), ('join'), ('order')),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks JOIN q ON tok = q.term GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+        |        tf.tf * (1.2 + 1) /
+        |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM tf
+        |  JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |lexr AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM scored),
+        |lexk AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 50),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+        |vscored AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec) AS sim
+        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        |vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank FROM vscored),
+        |veck AS (SELECT doc_id, vec_rank FROM vecr WHERE vec_rank <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+        |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0) +
+        |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0), 9) AS rrf
+        |  FROM lexk l FULL OUTER JOIN veck v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // identical RE2-safe BPE pre-tokenizer pattern replayed in DuckDB;
     // leftmost-first non-overlapping matching matches Java exactly
     "bpe_tokens" ->
