@@ -59,4 +59,73 @@ object Hybrid {
       .limit(kOut)
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
   }
+
+  /**
+   * BATCH hybrid retrieval: N queries fused against the corpus in ONE
+   * pass — the production shape (a query workload runs as a table, not
+   * a loop of single-query jobs that would each rescan the corpus).
+   * `queries` maps query_id → query text; the vector leg uses the
+   * embedding whose `vec_id` equals the query_id.
+   *
+   * One-pass design: the corpus is tokenized ONCE; per-(doc, term)
+   * frequencies are computed once for the UNION of all queries' terms
+   * and only then joined to the broadcast (query, term) table — so
+   * lexical cost is O(corpus + matches), independent of how many
+   * queries share vocabulary. Document frequencies are per TERM
+   * (query-independent), identical to what each single-query run would
+   * compute. Rankings are per-query windows over the bounded match
+   * sets; the fusion join is on (query_id, doc_id) over ≤ N·k rows.
+   */
+  def rrfBatch(docs: DataFrame, vecs: DataFrame, queries: Seq[(Long, String)],
+               kLex: Int = 50, kVec: Int = 50, kOut: Int = 10, rrfK: Int = 60,
+               k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }.toDF("query_id", "tok")
+    require(!qTerms.isEmpty, "queries have no indexable terms")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val allTerms = qTerms.select("tok").distinct()
+    val tf = toks.join(broadcast(allTerms), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy("tok")
+      .agg(countDistinct("doc_id").cast("double").as("df"))
+    val scored = tf.join(broadcast(qTerms), "tok")
+      .join(broadcast(dft), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("contrib"), 6).as("score_r"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("score_r").desc, col("doc_id"))
+    val lex = scored.withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= kLex)
+      .select("query_id", "doc_id", "lex_rank")
+    val vec = VectorOps.annBruteForce(
+        vecs, vecs.filter(col("vec_id").isin(queries.map(_._1): _*)), kVec)
+      .select(col("query_id"), col("corpus_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 9))
+      .withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .filter(col("fused_rank") <= kOut)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("lex_rank"), col("vec_rank"), col("rrf"))
+      .orderBy("query_id", "fused_rank")
+  }
 }

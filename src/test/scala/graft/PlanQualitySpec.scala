@@ -427,6 +427,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("other-view"), "non-matching topic reached the plan")
   }
 
+  test("hybrid_rrf: legs top-k-bounded before fusion; bm25 dims broadcast; no cartesian") {
+    val p = plan("hybrid_rrf")
+    assert(!p.contains("CartesianProduct"))
+    // the lexical leg's TakeOrdered(50) and the final fused TakeOrdered(10)
+    // must both exist — without them the fusion join would see
+    // corpus-sized inputs instead of O(k) rows
+    assert(p.contains("TakeOrderedAndProject(limit=50"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p.take(1200))
+    // df/dl joins inside bm25 broadcast their small sides
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("reader_scan: every partition branch prunes its hive partition and pushes offset bounds") {
+    val p = plan("reader_scan")
+    // four positioned branches, each pruned to ONE partition directory
+    // with the [from, high-water] offset range in PushedFilters — the
+    // reference Reader's ledger-range scan, here as footer-stats skips
+    assert(countOccurrences(p, "GreaterThanOrEqual(offset,100)") == 4, p.take(1600))
+    assert(countOccurrences(p, "PartitionFilters: [isnotnull(partition") == 4,
+      p.take(1600))
+    assert(p.contains("ReadSchema: struct<offset:bigint>"),
+      "reader aggregate must prune to the offset column")
+  }
+
   test("session watermark config: event-time watermark + session merge nodes in the stream plan") {
     val stream = graft.model.Envelope.fromEventsStream(spark, sf001)
     val agg = graft.operators.Windows.session(stream,

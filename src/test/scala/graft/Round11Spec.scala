@@ -103,6 +103,61 @@ class Round11Spec extends SparkSpec {
     assert(rrfs(1L) > rrfs.collect { case (k, v) if k != 1L => v }.max)
   }
 
+  test("batch hybrid RRF with one query reproduces the single-query fusion") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta common word soup here"),
+      (1L, "fast hash join order fast hash join order"),
+      (2L, "fast hash something else entirely different tokens"),
+      (3L, "unrelated text with no query terms at all"),
+      (4L, "join order join order hash fast query terms"))
+      .toDF("doc_id", "text")
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val vecs = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0.9, 0.1, 0, 0)), (2L, v(0, 1, 0, 0)),
+      (3L, v(0, 0, 1, 0)), (4L, v(0.8, 0.2, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val single = Hybrid.rrf(docs, vecs, "fast hash join order", 0L,
+        kLex = 3, kVec = 3, kOut = 5)
+      .select("doc_id", "lex_rank", "vec_rank", "rrf").collect().toSeq
+    val batch = Hybrid.rrfBatch(docs, vecs, Seq((0L, "fast hash join order")),
+        kLex = 3, kVec = 3, kOut = 5)
+      .select("doc_id", "lex_rank", "vec_rank", "rrf").collect().toSeq
+    assert(batch == single,
+      s"batch-of-one must equal the single-query path:\n$batch\n$single")
+  }
+
+  test("batch hybrid RRF keeps per-query rankings independent") {
+    val docs = Seq(
+      (0L, "fast hash join order"), (1L, "stream window agg batch"),
+      (2L, "fast hash stream window"), (3L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val vecs = Seq(
+      (0L, v(1, 0, 0)), (1L, v(0, 1, 0)), (2L, v(0.7, 0.7, 0)), (3L, v(0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val out = Hybrid.rrfBatch(docs, vecs,
+      Seq((0L, "fast hash join order"), (1L, "stream window agg batch")),
+      kLex = 3, kVec = 2, kOut = 3)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L))
+    def ranked(q: Long) = byQuery(q).sortBy(_.getAs[Long]("fused_rank"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    // doc 2 is strong in BOTH legs of BOTH queries (each query's own doc
+    // is excluded from its vector leg) and must fuse first for both;
+    // second place is each query's own lexical exact match — per-query
+    // rankings are independent
+    assert(ranked(0L).take(2) == Seq(2L, 0L), s"q0: ${ranked(0L)}")
+    assert(ranked(1L).take(2) == Seq(2L, 1L), s"q1: ${ranked(1L)}")
+    // doc 3 matches neither query lexically and loses every vector
+    // tie-break at kVec=2 — it must not appear at all
+    assert(!byQuery.values.flatten.exists(_.getAs[Long]("doc_id") == 3L))
+    // fused ranks are dense from 1 within each query
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("fused_rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+  }
+
   test("hybrid RRF handles a doc present in only the vector leg") {
     val docs = Seq((0L, "query terms absent"), (1L, "also absent")).toDF("doc_id", "text")
     def v(xs: Double*) = xs.toArray.map(_.toFloat)
