@@ -197,6 +197,27 @@ object Stress {
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
+    // Hybrid-retrieval tier: a FIXED 20-query RRF workload against the
+    // 1× and K× corpus — cost must track the corpus-side legs (tokenize
+    // + dl/tf aggregates + one cosine pass), NEVER |queries|·|corpus|
+    // materialization beyond the single brute-force cosine join, and
+    // the fusion stage stays O(queries · k) at every scale.
+    if (tierOn("hybrid")) {
+      val vocab = Seq("fast", "hash", "join", "order", "stream", "window",
+        "agg", "batch", "vector", "scan", "filter", "merge", "key", "row",
+        "table", "value", "sort", "group", "query", "data")
+      val queries = (0 until 20).map { i =>
+        (i.toLong, Seq(vocab(i % 20), vocab((i * 7 + 3) % 20),
+          vocab((i * 13 + 5) % 20), vocab((i * 3 + 11) % 20))
+          .distinct.mkString(" "))
+      }
+      def run(label: String, d: DataFrame, v: DataFrame): Unit =
+        time(label)(graft.ext.Hybrid.rrfBatch(d, v, queries)
+          .agg(count(lit(1)), sum("rrf")).head().getLong(0))
+      println(s"== hybrid tier: 20 queries, 1x then ${k}x ==")
+      run("hybrid_rrf_batch_1x", docs1, vecs1)
+      run("hybrid_rrf_batch_Kx", docsK, vecsK)
+    }
     // pair-stage-only probe for the est_jaccard kernel A/B (clone
     // cliques make band-collision pairs the dominant cost at K×)
     if (tierOn("minhash_pairs")) {

@@ -82,20 +82,18 @@ object Hybrid {
                textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val qTerms = queries.flatMap { case (qid, text) =>
+    val qTermPairs = queries.flatMap { case (qid, text) =>
       text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
         .map(t => (qid, t))
-    }.toDF("query_id", "tok")
-    require(!qTerms.isEmpty, "queries have no indexable terms")
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("tok"))
-      .filter(col("tok") =!= "")
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    }
+    require(qTermPairs.nonEmpty, "queries have no indexable terms")
+    val qTerms = qTermPairs.toDF("query_id", "tok")
+    val (dl0, tf0) = TextOps.bm25DocStats(docs,
+      qTermPairs.map(_._2).distinct, idCol, textCol)
+    val dl = dl0.withColumnRenamed(idCol, "doc_id")
+    val tf = tf0.withColumnRenamed(idCol, "doc_id")
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
-    val allTerms = qTerms.select("tok").distinct()
-    val tf = toks.join(broadcast(allTerms), "tok")
-      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
     val dft = tf.groupBy("tok")
       .agg(countDistinct("doc_id").cast("double").as("df"))
     val scored = tf.join(broadcast(qTerms), "tok")

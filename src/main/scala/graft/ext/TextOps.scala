@@ -689,11 +689,14 @@ object TextOps {
    * Tokenization is lower + split on `[^a-z0-9]+` — deterministic and
    * replayed verbatim by the DuckDB oracle.
    *
-   * Scale shape: one narrow tokenize/explode scan; doc lengths and the
-   * (N, avgdl) corpus stats are aggregates a production deployment
+   * Scale shape: ONE tokenize/explode pass over the corpus — doc
+   * lengths and per-(doc, query-term) frequencies come out of a single
+   * (doc, tagged-token) aggregation (non-query tokens collapse into one
+   * NULL bucket per doc under the map-side partial, so the shuffled
+   * cardinality is docs × (1 + matched terms), never docs × vocabulary);
+   * the (N, avgdl) corpus stats are aggregates a production deployment
    * precomputes as table stats; per-term df is computed over the QUERY
-   * terms only (a pushed `isin` filter — never a full-corpus term
-   * index) and broadcast; scoring is one hash aggregation per doc.
+   * terms only and broadcast; scoring is one hash aggregation per doc.
    * No all-pairs, no driver loops, no full-vocabulary state.
    */
   def bm25TopK(docs: DataFrame, query: String, k: Int,
@@ -701,16 +704,9 @@ object TextOps {
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
     require(qTerms.nonEmpty, "query has no indexable terms")
-    val toks = docs.select(col(idCol),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("tok"))
-      .filter(col("tok") =!= "")
-    val dl = toks.groupBy(col(idCol))
-      .agg(count(lit(1)).cast("double").as("dl"))
+    val (dl, tf) = bm25DocStats(docs, qTerms, idCol, textCol)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
-    val tf = toks.filter(col("tok").isin(qTerms: _*))
-      .groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).cast("double").as("tf"))
     val dft = tf.groupBy("tok")
       .agg(countDistinct(col(idCol)).cast("double").as("df"))
     tf.join(broadcast(dft), "tok")
@@ -724,5 +720,32 @@ object TextOps {
       .agg(round(sum("contrib"), 6).as("score_r"))
       .orderBy(col("score_r").desc, col(idCol))
       .limit(k)
+  }
+
+  /**
+   * The ONE corpus pass shared by the BM25 paths: per-doc token length
+   * `dl` and per-(doc, query-term) frequency `tf`, both derived from a
+   * single (doc, tagged-token) aggregation — non-query tokens collapse
+   * into one NULL bucket per doc at the map-side partial, so the
+   * shuffle carries docs × (1 + matched terms) rows. `dl` and `tf` are
+   * two consumers of the SAME exchange: because their first-stage
+   * shuffles are byte-identical, Spark's ReuseExchange executes the
+   * tokenize + partial-aggregate once per job even though the plan
+   * references it from three subtrees (dl, tf, and df-of-tf) — the
+   * previous two-subtree shape (separate groupBys with different keys
+   * and pre-filters) paid the corpus explode once PER subtree.
+   */
+  private[ext] def bm25DocStats(docs: DataFrame, qTerms: Seq[String],
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val perDocTok = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("qtok", when(col("tok").isin(qTerms: _*), col("tok")))
+      .groupBy(col(idCol), col("qtok"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val dl = perDocTok.groupBy(col(idCol)).agg(sum("cnt").as("dl"))
+    val tf = perDocTok.filter(col("qtok").isNotNull)
+      .select(col(idCol), col("qtok").as("tok"), col("cnt").as("tf"))
+    (dl, tf)
   }
 }
