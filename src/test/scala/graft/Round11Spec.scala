@@ -158,6 +158,39 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("property: batch fusion equals per-query single fusion on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("fast", "hash", "join", "order", "stream", "window",
+      "agg", "batch", "scan", "merge", "key", "row")
+    for (round <- 0 until 3) {
+      val nDocs = 12 + rnd.nextInt(8)
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(20))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val vecs = (0 until nDocs).map { i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat()))
+      }.toDF("vec_id", "embedding")
+      val queries = Seq(
+        (0L, Seq.fill(3)(vocab(rnd.nextInt(vocab.length))).mkString(" ")),
+        (1L, Seq.fill(3)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      val batch = Hybrid.rrfBatch(docs, vecs, queries,
+          kLex = 5, kVec = 5, kOut = 8).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.sortBy(_.getAs[Long]("fused_rank"))
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lex_rank"),
+            r.getAs[Long]("vec_rank"), r.getAs[Double]("rrf"))).toSeq }
+      queries.foreach { case (qid, qtext) =>
+        val single = Hybrid.rrf(docs, vecs, qtext, qid,
+            kLex = 5, kVec = 5, kOut = 8).collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lex_rank"),
+            r.getAs[Long]("vec_rank"), r.getAs[Double]("rrf"))).toSeq
+        assert(batch(qid) == single,
+          s"round $round query $qid diverged:\nbatch=${batch(qid)}\nsingle=$single")
+      }
+    }
+  }
+
   test("hybrid RRF handles a doc present in only the vector leg") {
     val docs = Seq((0L, "query terms absent"), (1L, "also absent")).toDF("doc_id", "text")
     def v(xs: Double*) = xs.toArray.map(_.toFloat)
