@@ -2764,10 +2764,25 @@ object SparkEntry {
   /** Batch hybrid retrieval: three queries fused in ONE corpus pass
     * (corpus tokenized once, per-query ranks via windows) — the shape a
     * real query workload takes at corpus scale. */
+  private val hybridQueries = Seq(
+    (0L, "fast hash join order"), (1L, "stream window agg batch"),
+    (2L, "vector scan filter merge"))
+
   private def qHybridRrfBatch(s: SparkSession, dir: String): DataFrame =
     ext.Hybrid.rrfBatch(tbl(s, dir, "documents"), tbl(s, dir, "embeddings"),
-      Seq((0L, "fast hash join order"), (1L, "stream window agg batch"),
-        (2L, "vector scan filter merge")))
+      hybridQueries)
+
+  /** The same fused workload with the IVF dense leg in exact mode
+    * (nprobe = nlist): result provably equals the brute-force leg's, so
+    * it shares hybrid_rrf_batch's oracle — the whole
+    * quantize→probe→verify machinery runs inside the fusion, and the
+    * 100 TB configuration (nprobe < nlist over the disk index) drops in
+    * without touching the fusion code. */
+  private def qHybridRrfIvf(s: SparkSession, dir: String): DataFrame =
+    ext.Hybrid.rrfBatch(tbl(s, dir, "documents"), tbl(s, dir, "embeddings"),
+      hybridQueries,
+      vectorLeg = (c, q, k) => ext.VectorOps.annIvf(c, q, k,
+        nlist = 8, nprobe = 8, iters = 1, initMode = "random"))
 
   /** §2.7 arbitrary keyed state (ByteBufferStateStore put/get/delete via
     * [[graft.streaming.Functions.statefulFunction]]): per user, a
@@ -2948,8 +2963,68 @@ object SparkEntry {
     "doc_chunks" -> (qDocChunks _),
     "vec_quantize" -> (qVecQuantize _),
     "hybrid_rrf" -> (qHybridRrf _),
-    "hybrid_rrf_batch" -> (qHybridRrfBatch _)
+    "hybrid_rrf_batch" -> (qHybridRrfBatch _),
+    "hybrid_rrf_ivf" -> (qHybridRrfIvf _)
   )
+
+  /** Shared oracle for hybrid_rrf_batch AND hybrid_rrf_ivf (exact-mode
+    * IVF provably equals the brute-force dense leg). */
+  private val hybridBatchSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) x WHERE t <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  (0, 'fast'), (0, 'hash'), (0, 'join'), (0, 'order'),
+        |  (1, 'stream'), (1, 'window'), (1, 'agg'), (1, 'batch'),
+        |  (2, 'vector'), (2, 'scan'), (2, 'filter'), (2, 'merge')),
+        |terms AS (SELECT DISTINCT term FROM q),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks JOIN terms ON tok = term GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+        |        tf.tf * (1.2 + 1) /
+        |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6) AS score_r
+        |  FROM tf
+        |  JOIN q ON tf.tok = q.term
+        |  JOIN dft ON dft.tok = tf.tok
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |lexk AS (
+        |  SELECT query_id, doc_id, lex_rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS BIGINT) AS lex_rank
+        |    FROM scored) r WHERE lex_rank <= 50),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |veck AS (
+        |  SELECT query_id, doc_id, vec_rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank
+        |    FROM (
+        |      SELECT qv.query_id, e.vec_id AS doc_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qvec) AS sim
+        |      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id) s) r
+        |  WHERE vec_rank <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+        |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0) +
+        |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0), 9) AS rrf
+        |  FROM lexk l FULL OUTER JOIN veck v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, fused_rank, doc_id,
+        |  lex_rank, vec_rank, rrf FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+        |  FROM fused) r
+        |WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -3966,62 +4041,10 @@ object SparkEntry {
     // the batch twin: same leg arithmetic with query_id carried through
     // every CTE and per-query window ranks — one corpus pass for all
     // three queries on both sides
-    "hybrid_rrf_batch" ->
-      """WITH toks AS (
-        |  SELECT doc_id, t AS tok FROM (
-        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
-        |    FROM documents) x WHERE t <> ''),
-        |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
-        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
-        |q(query_id, term) AS (VALUES
-        |  (0, 'fast'), (0, 'hash'), (0, 'join'), (0, 'order'),
-        |  (1, 'stream'), (1, 'window'), (1, 'agg'), (1, 'batch'),
-        |  (2, 'vector'), (2, 'scan'), (2, 'filter'), (2, 'merge')),
-        |terms AS (SELECT DISTINCT term FROM q),
-        |tf AS (
-        |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
-        |  FROM toks JOIN terms ON tok = term GROUP BY 1, 2),
-        |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-        |  FROM tf GROUP BY tok),
-        |scored AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    round(SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
-        |        tf.tf * (1.2 + 1) /
-        |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6) AS score_r
-        |  FROM tf
-        |  JOIN q ON tf.tok = q.term
-        |  JOIN dft ON dft.tok = tf.tok
-        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
-        |  GROUP BY 1, 2),
-        |lexk AS (
-        |  SELECT query_id, doc_id, lex_rank FROM (
-        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
-        |      PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS BIGINT) AS lex_rank
-        |    FROM scored) r WHERE lex_rank <= 50),
-        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
-        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
-        |veck AS (
-        |  SELECT query_id, doc_id, vec_rank FROM (
-        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
-        |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank
-        |    FROM (
-        |      SELECT qv.query_id, e.vec_id AS doc_id,
-        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qvec) AS sim
-        |      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id) s) r
-        |  WHERE vec_rank <= 50),
-        |fused AS (
-        |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
-        |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
-        |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0) +
-        |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0), 9) AS rrf
-        |  FROM lexk l FULL OUTER JOIN veck v
-        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, fused_rank, doc_id,
-        |  lex_rank, vec_rank, rrf FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
-        |  FROM fused) r
-        |WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin,
+    "hybrid_rrf_batch" -> hybridBatchSql,
+    // IVF leg in exact mode (nprobe = nlist) provably equals brute
+    // force — same oracle; the machinery difference is all Spark-side
+    "hybrid_rrf_ivf" -> hybridBatchSql,
     // identical RE2-safe BPE pre-tokenizer pattern replayed in DuckDB;
     // leftmost-first non-overlapping matching matches Java exactly
     "bpe_tokens" ->

@@ -79,7 +79,14 @@ object Hybrid {
   def rrfBatch(docs: DataFrame, vecs: DataFrame, queries: Seq[(Long, String)],
                kLex: Int = 50, kVec: Int = 50, kOut: Int = 10, rrfK: Int = 60,
                k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text",
+               // pluggable dense leg (corpus, queries, k) → (query_id,
+               // corpus_id, rank, …): brute-force cosine by default; pass
+               // VectorOps.annIvf for the partition-pruned index path at
+               // corpus scale — in exact mode (nprobe = nlist) the fused
+               // output is provably identical to the brute-force leg's
+               vectorLeg: (DataFrame, DataFrame, Int) => DataFrame =
+                 VectorOps.annBruteForce(_, _, _)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val qTermPairs = queries.flatMap { case (qid, text) =>
@@ -111,7 +118,7 @@ object Hybrid {
     val lex = scored.withColumn("lex_rank", row_number().over(wl).cast("long"))
       .filter(col("lex_rank") <= kLex)
       .select("query_id", "doc_id", "lex_rank")
-    val vec = VectorOps.annBruteForce(
+    val vec = vectorLeg(
         vecs, vecs.filter(col("vec_id").isin(queries.map(_._1): _*)), kVec)
       .select(col("query_id"), col("corpus_id").as("doc_id"),
         col("rank").cast("long").as("vec_rank"))
