@@ -89,6 +89,8 @@ object Hybrid {
                  VectorOps.annBruteForce(_, _, _)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids would double-count their terms' contributions")
     val qTermPairs = queries.flatMap { case (qid, text) =>
       text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
         .map(t => (qid, t))

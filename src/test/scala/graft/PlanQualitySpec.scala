@@ -439,6 +439,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("hybrid_rrf_batch: per-query rank windows are WindowGroupLimit-pruned map-side") {
+    val p = plan("hybrid_rrf_batch")
+    // the lexical top-50, the dense leg's top-50, and the fused top-10
+    // per-query windows must all carry Partial+Final WindowGroupLimit —
+    // without map-side rank pruning, a stopword-heavy query's match set
+    // (potentially the whole corpus) would be fully sorted inside one
+    // query_id partition
+    assert(countOccurrences(p, "row_number(), 50, Partial") == 2, p.take(1600))
+    assert(countOccurrences(p, "row_number(), 50, Final") == 2, p.take(1600))
+    assert(countOccurrences(p, "row_number(), 10, Partial") == 1, p.take(1600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("reader_scan: every partition branch prunes its hive partition and pushes offset bounds") {
     val p = plan("reader_scan")
     // four positioned branches, each pruned to ONE partition directory
