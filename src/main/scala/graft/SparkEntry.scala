@@ -2754,6 +2754,39 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** §2.7 processing guarantees on the oracle surface: the WHOLE
+    * [[graft.streaming.Functions.run]] pipeline — readStream source →
+    * user transform (null-drop) → EFFECTIVELY_ONCE output boundary
+    * (watermarked (producer, sequence_id) dedup) → parquet sink — runs
+    * to convergence and the sink is read back. The envelope fixture
+    * carries REAL (producer, seq) duplicates (every event_id % 10 == 0
+    * shares its predecessor's sequence_id when both route to the same
+    * producer), so `n_rows` equals `n_seq` ONLY if the dedup boundary
+    * actually suppressed them; the aggregate uses countDistinct so the
+    * arbitrary survivor choice inside a duplicate pair cannot affect
+    * the hash. Fresh sink/checkpoint dirs per invocation (the run is
+    * the semantics under test; dirs GC'd by the shutdown hook). */
+  private def qFunctionPipelineStream(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-fnrun-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fnrun-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    val q = graft.streaming.Functions.run(
+      Envelope.fromEventsStream(s, dir),
+      df => df.filter(col(Envelope.Value).isNotNull),
+      out.toString, ckpt.toString,
+      graft.streaming.Functions.Guarantee.EffectivelyOnce,
+      // generous event-time window: the fixture's duplicate pairs are
+      // adjacent event ids (≤ ~1 h apart), but the dedup must hold
+      // under ANY trigger slicing of the source files
+      dedupLag = "48 hours")
+    drainGuarded(s, q)
+    s.read.parquet(out.toString)
+      .groupBy(col(Envelope.ProducerName))
+      .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),
+        count(lit(1)).cast("bigint").as("n_rows"))
+      .orderBy(Envelope.ProducerName)
+  }
+
   /** Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     * (the RAG/training-data retrieval shape) — both legs' ranks and the
     * fused ordering replay exactly in SQL. */
@@ -2908,6 +2941,7 @@ object SparkEntry {
     "function_fanout" -> (qFunctionFanout _),
     "function_map" -> (qFunctionMap _),
     "stateful_max" -> (qStatefulMax _),
+    "function_pipeline_stream" -> (qFunctionPipelineStream _),
     "chunk_dedup" -> (qChunkDedup _),
     "dispatch_rate_stream" -> (qDispatchRateStream _),
     "dispatch_rate_debt_stream" -> (qDispatchRateDebtStream _),
@@ -3726,6 +3760,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(metric_value * 2 AS DECIMAL(18,9))) AS DOUBLE) AS sum_doubled
         |FROM envelope WHERE event_type <> 'error'
         |GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // Functions.run EFFECTIVELY_ONCE: the sink holds exactly one row per
+    // (producer, seq) among the non-error slice — n_rows == n_seq ==
+    // distinct seqs; a dedup miss inflates n_rows and breaks the hash
+    "function_pipeline_stream" -> envSql(
+      """SELECT producer_name,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_seq,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_rows
+        |FROM envelope WHERE value IS NOT NULL
+        |GROUP BY producer_name ORDER BY producer_name""".stripMargin),
     // keyed-state running max replayed as a window: a break is a metric
     // strictly above every earlier metric of the same key (offset order)
     "stateful_max" -> envSql(

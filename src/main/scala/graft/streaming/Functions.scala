@@ -111,10 +111,14 @@ object Functions {
   }
 
   /** Run a function pipeline source→transform→sink with the chosen
-    * guarantee applied at the output boundary. */
+    * guarantee applied at the output boundary. `dedupLag` sizes the
+    * EFFECTIVELY_ONCE seq-dedup state window (how far apart in event
+    * time a producer's replayed duplicate can arrive and still be
+    * suppressed — the reference's dedup snapshot horizon). */
   def run(source: DataFrame, transform: DataFrame => DataFrame,
           sinkPath: String, checkpoint: String,
-          guarantee: Guarantee = Guarantee.AtLeastOnce): StreamingQuery = {
+          guarantee: Guarantee = Guarantee.AtLeastOnce,
+          dedupLag: String = "10 minutes"): StreamingQuery = {
     val transformed = transform(source)
     guarantee match {
       case Guarantee.AtMostOnce =>
@@ -149,7 +153,7 @@ object Functions {
       case g =>
         val out = g match {
           case Guarantee.EffectivelyOnce =>
-            StreamOps.dedupWithinWatermark(transformed)
+            StreamOps.dedupWithinWatermark(transformed, dedupLag)
           case _ => transformed
         }
         out.writeStream
