@@ -249,10 +249,11 @@ object Stress {
     val input = spark.read.parquet(s"$dir/events.parquet").count()
     println(s"== stream_state tier: k=$k, events=$input ==")
     Seq("tableview_stream", "window_tumbling_stream", "redelivery_stream",
-        "session_windows_watermark").foreach { name =>
+        "session_windows_watermark", "function_pipeline_stream").foreach { name =>
       val inRows = new java.util.concurrent.atomic.AtomicLong(0)
       val stRows = new java.util.concurrent.atomic.AtomicLong(-1)
       val stBytes = new java.util.concurrent.atomic.AtomicLong(-1)
+      val wmDropped = new java.util.concurrent.atomic.AtomicLong(0)
       val progresses = new java.util.concurrent.atomic.AtomicLong(0)
       val listener = new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -262,7 +263,8 @@ object Stress {
           inRows.addAndGet(e.progress.numInputRows)
           e.progress.stateOperators.foreach { so =>
             stRows.getAndUpdate(r => math.max(r, so.numRowsTotal))
-            stBytes.getAndUpdate(b => math.max(b, so.memoryUsedBytes)): Unit
+            stBytes.getAndUpdate(b => math.max(b, so.memoryUsedBytes))
+            wmDropped.addAndGet(so.numRowsDroppedByWatermark): Unit
           }
         }
       }
@@ -295,6 +297,32 @@ object Stress {
         else f"stateRowsMax=${stRows.get()} stateBytesMax=${stBytes.get()}"
       println(f"STRESS stream_state/$name%-28s warm $warm%8.2fs (cold $cold%.2f)  " +
         f"input=${inRows.get()} progresses=${progresses.get()} $state")
+      // EFFECTIVELY_ONCE completeness at K×: with a MULTI-BATCH replay
+      // of time-UNORDERED files, dropDuplicatesWithinWatermark drops
+      // rows behind the advanced watermark — visibly in
+      // numRowsDroppedByWatermark, but silently from the SINK's point
+      // of view. The ordered-arrival contract (Functions.run scaladoc)
+      // says this replay shape is outside the guarantee — this check
+      // MEASURES the boundary instead of letting it hide: sink n_seq vs
+      // the fixture's distinct (producer, seq | value non-null) count,
+      // with the dropped-row counter printed beside the verdict.
+      if (name == "function_pipeline_stream") {
+        val got = SparkEntry.queries(name)(spark, dir)
+          .agg(sum("n_seq"), sum("n_rows")).head()
+        val expected = spark.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_type") =!= "error")
+          .select(col("user_id") % 4,
+            when(col("event_id") % 10 === 0, col("event_id") - 1)
+              .otherwise(col("event_id")))
+          .distinct().count()
+        println(s"STRESS stream_state/${name}_complete " +
+          s"sink_n_seq=${got.getLong(0)} sink_n_rows=${got.getLong(1)} " +
+          s"expected_distinct=$expected wmDropped=${wmDropped.get()} " +
+          (if (got.getLong(0) == expected && got.getLong(1) == expected)
+            "COMPLETE"
+          else "INCOMPLETE (unordered multi-batch replay is outside " +
+            "the EFFECTIVELY_ONCE ordered-arrival contract)"))
+      }
     }
   }
 

@@ -95,7 +95,21 @@ object Functions {
    * Processing guarantees (JavaInstanceRunnable.java:328,436-440):
    *  - AT_LEAST_ONCE: default — checkpoint commits after sink write;
    *  - EFFECTIVELY_ONCE: AT_LEAST_ONCE + seq-dedup at the output append
-   *    (StreamOps.dedupWithinWatermark) + idempotent manifest commit;
+   *    (StreamOps.dedupWithinWatermark) + idempotent manifest commit.
+   *    ORDERED-ARRIVAL CONTRACT: the dedup window is an event-time
+   *    watermark, so input must arrive roughly time-ordered across
+   *    microbatches (a live subscription — per-partition FIFO — or any
+   *    continuous source; disorder must stay under `dedupLag`). A
+   *    catch-up REPLAY over time-unordered files advances the watermark
+   *    past old rows in the first batch and DROPS them from later
+   *    batches (probe-measured: 78% of a 100× unordered glob replay,
+   *    `numRowsDroppedByWatermark` in the progress telemetry). The
+   *    reference has the same boundary on its dedup path: a producer
+   *    whose sequence ids regress beyond the snapshot horizon is
+   *    dropped as duplicate (PersistentTopic dedup seq high-water). For
+   *    unordered replays, either sort the replay by event time (the
+   *    session-window fixture's range-file recipe) or size `dedupLag`
+   *    beyond the disorder span;
    *  - AT_MOST_ONCE: ack-before-process — an atomic per-epoch ack marker
    *    is committed BEFORE the sink write, and a replayed epoch whose
    *    marker already exists is dropped, not reprocessed. A crash between
