@@ -2776,10 +2776,115 @@ object SparkEntry {
       out.toString, ckpt.toString,
       graft.streaming.Functions.Guarantee.EffectivelyOnce,
       // generous event-time window: the fixture's duplicate pairs are
-      // adjacent event ids (≤ ~1 h apart), but the dedup must hold
-      // under ANY trigger slicing of the source files
+      // adjacent event ids (≤ ~1 h apart), so any ORDERED-ARRIVAL
+      // trigger slicing keeps both halves of a pair inside the dedup
+      // state. ORDERED-ARRIVAL PRECONDITION (the r11 probe's boundary):
+      // the fixture streams as a SINGLE file today (one batch, trivially
+      // ordered); a future multi-part events fixture that arrives
+      // time-unordered across triggers is OUTSIDE the contract — the
+      // run() guard then fails this query loudly (never a silent
+      // hash mismatch), and the catch-up form lives in
+      // function_pipeline_replay via orderedReplaySource.
       dedupLag = "48 hours")
     drainGuarded(s, q)
+    s.read.parquet(out.toString)
+      .groupBy(col(Envelope.ProducerName))
+      .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),
+        count(lit(1)).cast("bigint").as("n_rows"))
+      .orderBy(Envelope.ProducerName)
+  }
+
+  /** §2.7 EFFECTIVELY_ONCE over a CATCH-UP REPLAY — the r11 probe's
+    * failure shape, now run INSIDE the contract: the whole envelope is
+    * handed to [[graft.streaming.Functions.orderedReplaySource]] as one
+    * unordered batch, which rewrites it as 6 time-range bucket files
+    * (mtime-pinned, so the file source replays them in event-time
+    * order), and the pipeline streams them one file per trigger — a
+    * REAL multi-batch replay, the slicing that silently dropped 78% of
+    * an unordered 100× glob. Completeness is enforced twice: the run()
+    * guard throws on ANY watermark drop, and the oracle is the same
+    * one-row-per-(producer, seq) truth as function_pipeline_stream —
+    * dup pairs straddling bucket boundaries (≤1 h apart vs ~5-day
+    * buckets) must still dedup across triggers. */
+  private def qFunctionPipelineReplay(s: SparkSession, dir: String): DataFrame = {
+    val root = Fixtures.dir(s, dir, "q-fnreplay") { r =>
+      graft.streaming.Functions.orderedReplaySource(
+        Envelope.fromEvents(s, dir), Envelope.PublishTime, r, buckets = 6): Unit
+    }
+    val src = s.readStream.schema(Envelope.fromEvents(s, dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet").parquet(root)
+    val out = java.nio.file.Files.createTempDirectory("graft-fnreplay-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fnreplay-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    val q = graft.streaming.Functions.run(
+      src,
+      df => df.filter(col(Envelope.Value).isNotNull),
+      out.toString, ckpt.toString,
+      graft.streaming.Functions.Guarantee.EffectivelyOnce,
+      dedupLag = "48 hours")
+    drainGuarded(s, q)
+    s.read.parquet(out.toString)
+      .groupBy(col(Envelope.ProducerName))
+      .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),
+        count(lit(1)).cast("bigint").as("n_rows"))
+      .orderBy(Envelope.ProducerName)
+  }
+
+  /** §2.7 AT_MOST_ONCE on the oracle surface, BOTH crash windows of the
+    * ack-before-process protocol (the reference acks on receipt,
+    * JavaInstanceRunnable.java:328, with the same loss window):
+    *  - crash AFTER ack, BEFORE sink: epoch 0's ack marker is
+    *    pre-written (a previous attempt died mid-process), so the
+    *    restart must DROP that batch — its rows are lost, never
+    *    reprocessed;
+    *  - crash AFTER sink, BEFORE checkpoint commit: the last batch's
+    *    commit record is deleted and the stream restarted — Spark
+    *    replays the epoch, the existing marker suppresses the second
+    *    write, and the sink holds NO duplicate (vs AT_LEAST_ONCE,
+    *    which would re-append — the spec suite pins that contrast).
+    * The fixture splits the envelope into 3 slices by offset % 3
+    * (mtime-ordered, one per trigger), so "epoch 0's rows" is the
+    * SQL-expressible set offset % 3 = 0 and the oracle replays the
+    * surviving slice exactly; n_rows > n_seq for producers whose seq
+    * duplicates survive — AMO must NOT dedup, only not-redeliver. */
+  private def qFunctionPipelineAmo(s: SparkSession, dir: String): DataFrame = {
+    val root = Fixtures.dir(s, dir, "q-fnamo") { r =>
+      val e = env(s, dir)
+      val base = System.currentTimeMillis() - 10000L
+      (0 until 3).foreach { i =>
+        writeStreamSlice(e.filter(col(Envelope.Offset) % 3 === i), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-fnamo-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fnamo-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    // crash window 1: epoch 0 was acked by an attempt that died before
+    // its sink write — the marker exists, the data does not
+    val acks = ckpt.resolve("_acks")
+    java.nio.file.Files.createDirectories(acks)
+    java.nio.file.Files.write(acks.resolve("0.acked"), Array.emptyByteArray)
+    def run() = graft.streaming.Functions.run(
+      s.readStream.schema(env(s, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      df => df.filter(col(Envelope.Value).isNotNull),
+      out.toString, ckpt.toString,
+      graft.streaming.Functions.Guarantee.AtMostOnce)
+    drainGuarded(s, run())
+    // crash window 2: the LAST batch's checkpoint commit never landed —
+    // delete it (plus the local FS's hidden checksum twin: a real crash
+    // loses both) and restart; the replayed epoch's marker must
+    // suppress a duplicate append
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("2"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".2.crc"))
+    // plain drain, not drainGuarded: the restart's only work is the
+    // REPLAYED epoch, which reports numInputRows = 0 (recovered batches
+    // re-read files outside the progress row counter) — the zero-input
+    // fixture guard already did its job on run 1
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
     s.read.parquet(out.toString)
       .groupBy(col(Envelope.ProducerName))
       .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),
@@ -2942,6 +3047,8 @@ object SparkEntry {
     "function_map" -> (qFunctionMap _),
     "stateful_max" -> (qStatefulMax _),
     "function_pipeline_stream" -> (qFunctionPipelineStream _),
+    "function_pipeline_replay" -> (qFunctionPipelineReplay _),
+    "function_pipeline_amo" -> (qFunctionPipelineAmo _),
     "chunk_dedup" -> (qChunkDedup _),
     "dispatch_rate_stream" -> (qDispatchRateStream _),
     "dispatch_rate_debt_stream" -> (qDispatchRateDebtStream _),
@@ -3768,6 +3875,28 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_seq,
         |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_rows
         |FROM envelope WHERE value IS NOT NULL
+        |GROUP BY producer_name ORDER BY producer_name""".stripMargin),
+    // the ordered catch-up replay must land on the IDENTICAL
+    // one-row-per-(producer, seq) truth — a watermark drop anywhere in
+    // the 6-trigger replay shrinks n_seq/n_rows and breaks the hash
+    // (and the run() guard aborts the query before the oracle even runs)
+    "function_pipeline_replay" -> envSql(
+      """SELECT producer_name,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_seq,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_rows
+        |FROM envelope WHERE value IS NOT NULL
+        |GROUP BY producer_name ORDER BY producer_name""".stripMargin),
+    // AT_MOST_ONCE truth: the pre-acked epoch's slice (offset % 3 = 0)
+    // is LOST, everything else delivered exactly once even though the
+    // final epoch was replayed after a deleted checkpoint commit — a
+    // redelivered batch inflates n_rows; a dropped surviving slice
+    // shrinks it. n_rows intentionally exceeds n_seq (AMO must not
+    // dedup sequence ids, only never deliver the same epoch twice).
+    "function_pipeline_amo" -> envSql(
+      """SELECT producer_name,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM envelope WHERE value IS NOT NULL AND "offset" % 3 <> 0
         |GROUP BY producer_name ORDER BY producer_name""".stripMargin),
     // keyed-state running max replayed as a window: a break is a metric
     // strictly above every earlier metric of the same key (offset order)

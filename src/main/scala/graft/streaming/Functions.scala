@@ -3,7 +3,7 @@ package graft.streaming
 import graft.model.Envelope
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryListener}
 
 /**
  * The Pulsar Functions compute surface (reference
@@ -96,20 +96,29 @@ object Functions {
    *  - AT_LEAST_ONCE: default — checkpoint commits after sink write;
    *  - EFFECTIVELY_ONCE: AT_LEAST_ONCE + seq-dedup at the output append
    *    (StreamOps.dedupWithinWatermark) + idempotent manifest commit.
-   *    ORDERED-ARRIVAL CONTRACT: the dedup window is an event-time
-   *    watermark, so input must arrive roughly time-ordered across
-   *    microbatches (a live subscription — per-partition FIFO — or any
-   *    continuous source; disorder must stay under `dedupLag`). A
-   *    catch-up REPLAY over time-unordered files advances the watermark
-   *    past old rows in the first batch and DROPS them from later
-   *    batches (probe-measured: 78% of a 100× unordered glob replay,
-   *    `numRowsDroppedByWatermark` in the progress telemetry). The
-   *    reference has the same boundary on its dedup path: a producer
-   *    whose sequence ids regress beyond the snapshot horizon is
-   *    dropped as duplicate (PersistentTopic dedup seq high-water). For
-   *    unordered replays, either sort the replay by event time (the
-   *    session-window fixture's range-file recipe) or size `dedupLag`
-   *    beyond the disorder span;
+   *    ORDERED-ARRIVAL CONTRACT — ENFORCED IN CODE: the dedup window is
+   *    an event-time watermark, so input must arrive roughly
+   *    time-ordered across microbatches (a live subscription —
+   *    per-partition FIFO — or any continuous source; disorder must
+   *    stay under `dedupLag`). A catch-up REPLAY over time-unordered
+   *    files advances the watermark past old rows in the first batch
+   *    and would DROP them from later batches (probe-measured: 78% of a
+   *    100× unordered glob replay, `numRowsDroppedByWatermark` in the
+   *    progress telemetry). The reference has the same boundary on its
+   *    dedup path: a producer whose sequence ids regress beyond the
+   *    snapshot horizon is dropped as duplicate
+   *    (MessageDeduplication.java:330 seq high-water) — but there the
+   *    producer CANNOT legally regress ids, while our replay path makes
+   *    disorder easy to hit operationally, so scaladoc alone is not a
+   *    contract. Two code-level defenses:
+   *    (a) the returned query is a GUARD: any watermark drop stops the
+   *        query and every await/drain on the handle throws — a
+   *        violated guarantee can never read as a successful run with a
+   *        silently incomplete sink;
+   *    (b) [[orderedReplaySource]] converts an unordered catch-up batch
+   *        into a time-ordered multi-trigger file stream (the
+   *        session-window fixture's range-file recipe, generalized), so
+   *        replays can run INSIDE the contract instead of around it;
    *  - AT_MOST_ONCE: ack-before-process — an atomic per-epoch ack marker
    *    is committed BEFORE the sink write, and a replayed epoch whose
    *    marker already exists is dropped, not reprocessed. A crash between
@@ -122,6 +131,167 @@ object Functions {
     case object AtLeastOnce extends Guarantee
     case object EffectivelyOnce extends Guarantee
     case object AtMostOnce extends Guarantee
+  }
+
+  /** Total watermark-dropped rows visible for `q` right now: the
+    * listener's accumulation (covers arbitrarily long runs; delivery is
+    * async) maxed with a direct `recentProgress` scan (written
+    * synchronously by the execution thread, so it has no delivery lag —
+    * but rotates past 100 entries). Together they close both windows. */
+  private def observedDrops(q: StreamingQuery,
+                            accumulated: java.util.concurrent.atomic.AtomicLong): Long =
+    math.max(accumulated.get(),
+      q.recentProgress.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
+
+  /**
+   * The EFFECTIVELY_ONCE ordered-arrival guard: wraps the running query
+   * so that ANY `numRowsDroppedByWatermark > 0` — never benign in this
+   * mode; every dropped row is a silently lost output — (a) STOPS the
+   * query (fail-fast: no further output lands after rows are known
+   * missing) and (b) makes every await/drain call on the handle throw.
+   * A violated guarantee can therefore never be observed as a normal
+   * query completion with an incomplete sink, which is exactly how the
+   * round-11 probe's 78%-drop replay presented.
+   */
+  private def guardEffectivelyOnce(q: StreamingQuery): StreamingQuery = {
+    val spark = q.sparkSession
+    val accumulated = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener: StreamingQueryListener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == q.id) {
+          val d = e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+          if (d > 0 && accumulated.getAndAdd(d) == 0L) {
+            // first detection: stop the query. stop() joins the stream
+            // execution thread — never call it on the listener-bus
+            // thread (progress delivery would deadlock behind us).
+            val t = new Thread(() =>
+              try q.stop() catch { case _: Throwable => () },
+              s"graft-eo-guard-stop-${q.id}")
+            t.setDaemon(true)
+            t.start()
+          }
+        }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) spark.streams.removeListener(this)
+    }
+    spark.streams.addListener(listener)
+    new StreamingQuery {
+      private def check(): Unit = {
+        val d = observedDrops(q, accumulated)
+        if (d > 0) throw new IllegalStateException(
+          s"EFFECTIVELY_ONCE guarantee VIOLATED: the dedup watermark dropped " +
+            s"$d input row(s) — the source did not arrive time-ordered " +
+            s"within dedupLag (the ordered-arrival contract, Functions.run " +
+            s"scaladoc). Replay the catch-up input through " +
+            s"Functions.orderedReplaySource, or widen dedupLag past the " +
+            s"disorder span. The query was stopped at first detection; the " +
+            s"sink is INCOMPLETE and must not be consumed as a result.")
+      }
+      override def name: String = q.name
+      override def id: java.util.UUID = q.id
+      override def runId: java.util.UUID = q.runId
+      override def sparkSession: SparkSession = q.sparkSession
+      override def isActive: Boolean = q.isActive
+      override def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+        q.exception
+      override def status: org.apache.spark.sql.streaming.StreamingQueryStatus = q.status
+      override def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+        q.recentProgress
+      override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
+        q.lastProgress
+      override def awaitTermination(): Unit = { q.awaitTermination(); check() }
+      override def awaitTermination(timeoutMs: Long): Boolean = {
+        val r = q.awaitTermination(timeoutMs); check(); r
+      }
+      override def processAllAvailable(): Unit = {
+        q.processAllAvailable()
+        // the guard may have stopped the query between the source
+        // snapshot and the sink commit — surface that as the violation
+        // it is, not as "all available processed"
+        check()
+      }
+      // stop() is cleanup, not an assertion point: a caller's
+      // try/finally q.stop() must not replace the original violation
+      // exception with a second copy thrown from the finally block
+      override def stop(): Unit = q.stop()
+      override def explain(): Unit = q.explain()
+      override def explain(extended: Boolean): Unit = q.explain(extended)
+    }
+  }
+
+  /**
+   * Convert an UNORDERED catch-up batch into a time-ordered file stream
+   * that satisfies the EFFECTIVELY_ONCE ordered-arrival contract: rows
+   * are range-bucketed by `eventTimeCol` (bucket i's max ≤ bucket i+1's
+   * min), each bucket's files land in `stagingDir` with pinned,
+   * strictly-increasing mtimes, and the returned `readStream` replays
+   * them oldest-first — so the watermark never overtakes a pending row,
+   * whatever `maxFilesPerTrigger` slicing applies (files inside one
+   * trigger interleave freely: the watermark only advances BETWEEN
+   * triggers, and no trigger's files are time-later than a later
+   * trigger's).
+   *
+   * 100 TB shape: ONE distributed pass over the input
+   * (`partitionBy` bucket write — no coalesce; a bucket may hold
+   * terabytes across many part files, all sharing the bucket's mtime),
+   * then a driver-side O(files) move. Bucket count is a replay-
+   * granularity knob, not a correctness one: any `buckets ≥ 1` is
+   * contract-safe; more buckets bound per-trigger source volume.
+   * Rows with NULL event time go to bucket 0 (a null is never "late").
+   */
+  def orderedReplaySource(input: DataFrame, eventTimeCol: String,
+                          stagingDir: String, buckets: Int = 8,
+                          maxFilesPerTrigger: Int = 1): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import java.nio.file.{Files, Paths}
+    val spark = input.sparkSession
+    val b = input.agg(min(col(eventTimeCol)), max(col(eventTimeCol))).head()
+    require(!b.isNullAt(0),
+      s"orderedReplaySource: no non-null '$eventTimeCol' values to order by")
+    val lo = b.getTimestamp(0).getTime
+    val hi = b.getTimestamp(1).getTime
+    val span = math.max(1L, hi - lo + 1)
+    val tmp = Files.createTempDirectory("graft-replay-tmp")
+    input.withColumn("_b",
+        when(col(eventTimeCol).isNull, lit(0)).otherwise(
+          least(lit(buckets - 1),
+            floor((unix_millis(col(eventTimeCol)) - lo) * buckets / span))
+            .cast("int")))
+      .repartition(buckets, col("_b"))
+      .write.partitionBy("_b").mode("overwrite").parquet(tmp.toString)
+    val dst = Paths.get(stagingDir)
+    Files.createDirectories(dst)
+    // pinned mtimes, 2 s apart per bucket: the file source lists
+    // oldest-mtime-first, and an explicit pin beats relying on move
+    // timing (a same-ms batch of moves would tie arbitrarily)
+    val base = System.currentTimeMillis() - (buckets + 2) * 2000L
+    import scala.collection.JavaConverters._
+    (0 until buckets).foreach { i =>
+      val bDir = tmp.resolve(s"_b=$i")
+      if (Files.exists(bDir)) {
+        val listing = Files.list(bDir)
+        val parts =
+          try listing.iterator().asScala.toSeq
+            .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+          finally listing.close()
+        parts.zipWithIndex.foreach { case (p, j) =>
+          val t = dst.resolve(f"replay_b$i%04d_p$j%05d.parquet")
+          Files.move(p, t)
+          Files.setLastModifiedTime(t,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+        }
+      }
+    }
+    // best-effort tmp cleanup (data files already moved out)
+    val w = Files.walk(tmp)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { Files.deleteIfExists(p): Unit })
+    finally w.close()
+    spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(stagingDir)
   }
 
   /** Run a function pipeline source→transform→sink with the chosen
@@ -170,10 +340,14 @@ object Functions {
             StreamOps.dedupWithinWatermark(transformed, dedupLag)
           case _ => transformed
         }
-        out.writeStream
+        val q = out.writeStream
           .option("checkpointLocation", checkpoint)
           .format("parquet").option("path", sinkPath)
           .start()
+        g match {
+          case Guarantee.EffectivelyOnce => guardEffectivelyOnce(q)
+          case _ => q
+        }
     }
   }
 }
