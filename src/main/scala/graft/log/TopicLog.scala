@@ -791,10 +791,20 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
    * [[read]] with an explicit isolation level. READ_COMMITTED is the
    * plain manifest-gated read; READ_UNCOMMITTED unions in the staged
    * files of epochs whose manifest is NOT yet committed (an in-flight
-   * transaction's writes — dirty reads, the reference's documented
-   * semantics for TransactionIsolationLevel.READ_UNCOMMITTED). Staged
-   * epochs whose manifest IS committed are excluded: they are already
-   * visible through the committed path the moment recovery moves them.
+   * transaction's writes — dirty reads). Staged epochs whose manifest
+   * IS committed are excluded: they are already visible through the
+   * committed path the moment recovery moves them.
+   *
+   * DELIBERATE DIVERGENCE from the reference (SURVEY §2.12): the
+   * reference's TransactionIsolationLevel.READ_UNCOMMITTED
+   * (TransactionIsolationLevel.java:29) also delivers ABORTED
+   * transactions' messages — they persist in the ledger until the
+   * transaction buffer truncates them. In this storage model an abort
+   * discards staged batches BEFORE anything reaches disk
+   * ([[graft.log.Txn.abort]] clears driver-staged work; files exist
+   * only once commit() stages them), so aborted data is structurally
+   * unreadable at EVERY isolation level — a strictly smaller
+   * dirty-read surface, not reference parity on that one clause.
    */
   def read(isolation: TopicLog.IsolationLevel): DataFrame = isolation match {
     case TopicLog.IsolationLevel.ReadCommitted => read()

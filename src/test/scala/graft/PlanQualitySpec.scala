@@ -100,6 +100,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(probedCells < 8, s"expected a proper subset of cells, got $pf")
   }
 
+  test("hybrid_rrf_pruned: the IVF cell prune survives INSIDE the fused plan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val vecs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("hyb-gate").toString
+    graft.ext.VectorOps.buildIvfIndex(vecs, idx, nlist = 8, iters = 1,
+      initMode = "random")
+    val fused = graft.ext.Hybrid.rrfBatch(docs, vecs,
+      Seq((0L, "fast hash join order"), (1L, "stream window agg batch"),
+        (2L, "vector scan filter merge")),
+      vectorLeg = (_, q, k) => graft.ext.VectorOps.annIvfIndexed(
+        q, idx, k, nprobe = 2))
+    val p = fused.queryExecution.executedPlan.toString
+    // composing the pruned leg into the fusion must not lose the static
+    // cell PartitionFilter — at 100 TB this is the difference between a
+    // probe-sized and a corpus-sized dense leg
+    val pf = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("hyb-gate"))
+      .find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no pruned index scan inside fusion: ${p.take(1500)}"))
+    assert(pf.contains("cell#") && pf.contains(" IN "), pf)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("cdc_apply: one partial max_by aggregation, no window sort, no join") {
     val p = plan("cdc_apply")
     assert(p.contains("partial_max_by"), "map-side combine missing")

@@ -45,7 +45,9 @@ class Round11Spec extends SparkSpec {
     val dirty = log.read(TopicLog.IsolationLevel.ReadUncommitted)
     assert(dirty.count() == 30)
     assert(dirty.filter(col(Envelope.Key).startsWith("a")).isEmpty,
-      "aborted slice must stay invisible even to dirty reads")
+      "aborted slice stays invisible even to dirty reads — the documented " +
+        "divergence from the reference's READ_UNCOMMITTED (which delivers " +
+        "aborted ledger data): abort here discards before persistence")
     assert(dirty.filter(col(Envelope.Key).startsWith("s")).count() == 10)
     // staged offsets stack densely above the committed high-water —
     // the arithmetic txn_uncommitted's oracle depends on

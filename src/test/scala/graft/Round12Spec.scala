@@ -189,6 +189,20 @@ class Round12Spec extends SparkSpec {
     assert(sink.select(Envelope.SequenceId).as[Long].collect().toSet == Set(3L))
   }
 
+  test("hybrid retrieval queries pin no storage blocks after completion") {
+    // VERDICT r11 #8: rrfBatch builds on cached BM25/ANN internals —
+    // the whole fused path (batch, exact-IVF, pruned-IVF) must release
+    // every block it pins (the getPersistentRDDs zero-leak rule
+    // Round10FixesSpec pins for the MinHash caches)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    Seq("hybrid_rrf_batch", "hybrid_rrf_ivf", "hybrid_rrf_pruned").foreach { name =>
+      SparkEntry.queries(name)(spark, sf001)
+        .write.format("noop").mode("overwrite").save()
+      assert(spark.sparkContext.getPersistentRDDs.size == base,
+        s"$name left pinned storage blocks after completing")
+    }
+  }
+
   private def build2Slices(): String = {
     val s0 = envFrame(Seq(("p0", 1L, 0L, "v1"), ("p0", 2L, 1L, "v2")))
     val s1 = envFrame(Seq(("p0", 3L, 2L, "v3")))
