@@ -98,7 +98,10 @@ object Bench {
       // the rate twins' one-time costs (q-log fixture + the cached
       // fixture-size count behind rateForScale) must land in prewarm,
       // not in rep 1's timed region
-      "dispatch_rate_stream", "dispatch_rate_debt_stream")
+      "dispatch_rate_stream", "dispatch_rate_debt_stream",
+      // round 12: ordered-replay range-bucket fixture + the AMO slice
+      // fixture build once here, not in rep 1
+      "function_pipeline_replay", "function_pipeline_amo")
     val prewarmT0 = System.nanoTime()
     fixtureBacked.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>

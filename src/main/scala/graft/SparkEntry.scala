@@ -2815,8 +2815,13 @@ object SparkEntry {
       graft.streaming.Functions.orderedReplaySource(
         Envelope.fromEvents(s, dir), Envelope.PublishTime, r, buckets = 6): Unit
     }
+    // 2 bucket files per trigger → a REAL 3-batch replay (the contract
+    // holds under ANY slicing — files inside a trigger interleave
+    // freely, the watermark advances between triggers) without paying
+    // 6 trigger setups; dup pairs straddling the 1|2 and 3|4 bucket
+    // boundaries still dedup ACROSS triggers
     val src = s.readStream.schema(Envelope.fromEvents(s, dir).schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 2)
       .option("pathGlobFilter", "*.parquet").parquet(root)
     val out = java.nio.file.Files.createTempDirectory("graft-fnreplay-out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-fnreplay-ckpt")
