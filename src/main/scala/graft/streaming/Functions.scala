@@ -124,7 +124,10 @@ object Functions {
    *    marker already exists is dropped, not reprocessed. A crash between
    *    ack and sink loses exactly that in-flight batch and nothing is
    *    ever delivered twice (the reference acks the message on receipt
-   *    for this mode, with the same loss window).
+   *    for this mode, with the same loss window). Markers below the
+   *    replayable tail (epoch − 1; checkpoint commits are written in
+   *    order, a crash loses at most the last) are GC'd each batch, so
+   *    marker metadata is O(1) over the stream's lifetime.
    */
   sealed trait Guarantee
   object Guarantee {
@@ -332,6 +335,28 @@ object Functions {
             }
             // marker already present: this epoch was acked by a previous
             // attempt that died mid-process — drop it (at-most-once)
+            //
+            // marker GC: checkpoint commit files are written in batch
+            // order and a crash loses at most the uncommitted TAIL, so
+            // a restart can only ever replay epochs ≥ epochId − 1 —
+            // markers below that are unreachable, and without GC the
+            // _acks dir grows one file per epoch for the stream's
+            // lifetime (unbounded metadata on a long-running function).
+            // After GC the dir holds ≤ 2 markers, so this listing is
+            // O(1) per batch.
+            val listing = Files.list(ackDir)
+            try {
+              val it = listing.iterator()
+              while (it.hasNext) {
+                val p = it.next()
+                val n = p.getFileName.toString
+                if (n.endsWith(".acked")) {
+                  val id = n.stripSuffix(".acked")
+                  if (id.forall(_.isDigit) && id.toLong < epochId - 1)
+                    Files.deleteIfExists(p): Unit
+                }
+              }
+            } finally listing.close()
           }
           .start()
       case g =>

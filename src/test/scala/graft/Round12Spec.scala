@@ -212,4 +212,75 @@ class Round12Spec extends SparkSpec {
     writeSlice(s1, src, "s1.parquet", t0 + 2000L)
     src
   }
+
+  test("property: ordered replay completes with exact (producer, seq) dedup under random slicing") {
+    // the generic contract behind function_pipeline_replay: for ANY
+    // bucket count and trigger slicing, orderedReplaySource + the
+    // EFFECTIVELY_ONCE pipeline deliver each (producer, seq) exactly
+    // once — duplicates within dedupLag suppressed, nothing watermark-
+    // dropped. Why it must hold: buckets are range-disjoint and replay
+    // oldest-first, so at any trigger the watermark (prevTriggerMax −
+    // lag) sits ≤ currentBucketMin − lag, and a duplicate's original
+    // (≤ 30 min older than the dup, lag = 2 h) is still in state.
+    val rnd = new scala.util.Random(1206L)
+    (1 to 3).foreach { trial =>
+      val buckets = 1 + rnd.nextInt(5)
+      val perTrigger = 1 + rnd.nextInt(3)
+      val n = 200 + rnd.nextInt(200)
+      val base = (0 until n).map { i =>
+        (s"p${rnd.nextInt(4)}", 1000L + i, rnd.nextInt(14400).toLong, s"v$i")
+      }
+      val dups = base.filter(_ => rnd.nextDouble() < 0.15).map {
+        case (p, sq, m, v) => (p, sq, m + rnd.nextInt(30).toLong, v + "-dup")
+      }
+      val unordered = envFrame(rnd.shuffle(base ++ dups))
+      val staging = Files.createTempDirectory(s"r12-prop-src$trial").toString
+      val src = graft.streaming.Functions.orderedReplaySource(
+        unordered, Envelope.PublishTime, staging, buckets, perTrigger)
+      val out = Files.createTempDirectory(s"r12-prop-out$trial").toString
+      val ckpt = Files.createTempDirectory(s"r12-prop-ckpt$trial").toString
+      val q = Functions.run(src, identity, out, ckpt,
+        Guarantee.EffectivelyOnce, dedupLag = "2 hours")
+      try q.processAllAvailable() finally q.stop()
+      val sink = spark.read.parquet(out)
+      val label = s"trial $trial (buckets=$buckets perTrigger=$perTrigger " +
+        s"n=$n dups=${dups.size})"
+      assert(sink.count() == n.toLong, s"$label: exactly one row per key")
+      assert(sink.select(Envelope.ProducerName, Envelope.SequenceId)
+        .distinct().count() == n.toLong, s"$label: all keys present")
+    }
+  }
+
+  test("AT_MOST_ONCE ack markers GC to the replayable tail (bounded metadata)") {
+    val s0 = envFrame(Seq(("p0", 1L, 0L, "a")))
+    val s1 = envFrame(Seq(("p0", 2L, 1L, "b")))
+    val s2 = envFrame(Seq(("p0", 3L, 2L, "c")))
+    val src = Files.createTempDirectory("r12-gc-src").toString
+    val t0 = System.currentTimeMillis() - 60000L
+    writeSlice(s0, src, "s0.parquet", t0)
+    writeSlice(s1, src, "s1.parquet", t0 + 2000L)
+    writeSlice(s2, src, "s2.parquet", t0 + 4000L)
+    val out = Files.createTempDirectory("r12-gc-out").toString
+    val ckpt = Files.createTempDirectory("r12-gc-ckpt").toString
+    def run() = Functions.run(fileStream(src, s0.schema), identity,
+      out, ckpt, Guarantee.AtMostOnce)
+    val q1 = run(); try q1.processAllAvailable() finally q1.stop()
+    def markers(): Set[String] = {
+      val l = Files.list(Paths.get(ckpt, "_acks"))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".acked")).toSet
+      finally l.close()
+    }
+    // epoch 2's GC horizon (epochId − 1 = 1) retired marker 0 — the
+    // checkpoint can only ever replay the tail, so the dir stays O(1)
+    // instead of one file per epoch forever
+    assert(markers() == Set("1.acked", "2.acked"), markers().toString)
+    // and the kept window is exactly what a tail replay needs: crash
+    // the last commit, restart — the replayed epoch's marker suppresses
+    Files.deleteIfExists(Paths.get(ckpt, "commits", "2"))
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".2.crc"))
+    val q2 = run(); try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == 3L, "no duplicate after tail replay")
+    assert(markers() == Set("1.acked", "2.acked"), markers().toString)
+  }
 }
