@@ -2410,6 +2410,23 @@ object SparkEntry {
     VectorOps.semanticDedup(tbl(s, dir, "embeddings"), 0.3)
       .orderBy("vec_id")
 
+  /** Sorscher-style prototypicality pruning (arXiv:2206.14486): keep
+    * the hardest half of every sign-LSH cluster, hardness = low cosine
+    * to the exact decimal-sum centroid. The oracle replays the
+    * quantizer, centroids, per-cluster hardness rank and the
+    * ceil(frac·n) keep rule in pure SQL. */
+  private def qPrototypePrune(s: SparkSession, dir: String): DataFrame =
+    ext.Clustering.prototypePrune(tbl(s, dir, "embeddings"), 0.5)
+      .orderBy("vec_id")
+
+  /** Cluster-balanced subsample: ≤ 8 rows per sign-LSH cluster by the
+    * reproducible md5(cb|id) draw — the diversity-preserving seed-set
+    * draw over a skewed corpus. Literal cap ⇒ WindowGroupLimit prunes
+    * map-side (plan-gated). */
+  private def qClusterBalanced(s: SparkSession, dir: String): DataFrame =
+    ext.Clustering.clusterCapSample(tbl(s, dir, "embeddings"), 8)
+      .orderBy("vec_id")
+
   /** Character-unigram entropy quality signal (RedPajama-V2
     * `rps_doc_unigram_entropy`): a zero-shuffle native kernel per row;
     * the oracle recomputes it the distributed-normal way (explode →
@@ -3126,6 +3143,8 @@ object SparkEntry {
     "pq_recall" -> (qPqRecall _),
     "cosine_near_dup" -> (qCosineNearDup _),
     "semantic_dedup" -> (qSemanticDedup _),
+    "prototype_prune" -> (qPrototypePrune _),
+    "cluster_balanced" -> (qClusterBalanced _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
@@ -4862,6 +4881,60 @@ object SparkEntry {
         |SELECT s.vec_id, s.cluster, s.simc_r, (r.vec_id IS NULL) AS kept
         |FROM scored s LEFT JOIN removed r ON r.vec_id = s.vec_id
         |ORDER BY s.vec_id""".stripMargin),
+    // Clustering.prototypePrune: same quantizer + exact-centroid scoring
+    // as semantic_dedup, then the Sorscher keep rule — hardness rank
+    // (simc asc, id asc) within cluster, kept iff rank <= ceil(0.5 * n).
+    "prototype_prune" -> (mm3Macros +
+      s"""WITH $signLshCte,
+        |mask AS (
+        |  SELECT (CAST(1 AS BIGINT) << LEAST(20, GREATEST(1,
+        |    length(bin(GREATEST(CAST(2 AS BIGINT),
+        |      CAST(ceil(COUNT(*) / 64.0) AS BIGINT)) - 1))))) - 1 AS m
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cl AS (
+        |  SELECT s.vec_id, CAST(sig & (SELECT m FROM mask) AS BIGINT) AS cluster, v
+        |  FROM sigs s JOIN e ON e.vec_id = s.vec_id),
+        |ex AS (
+        |  SELECT vec_id, cluster, i AS pos, v[i + 1] AS x
+        |  FROM cl CROSS JOIN range(0, 64) t(i)),
+        |cent AS (
+        |  SELECT cluster, pos, CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS c
+        |  FROM ex GROUP BY cluster, pos),
+        |carr AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM cent GROUP BY cluster),
+        |scored AS (
+        |  SELECT vec_id, cl.cluster, v,
+        |    round(list_cosine_similarity(v, cv), 6) AS simc_r
+        |  FROM cl JOIN carr ON carr.cluster = cl.cluster),
+        |ranked AS (
+        |  SELECT vec_id, cluster, simc_r,
+        |    CAST(row_number() OVER (PARTITION BY cluster
+        |      ORDER BY simc_r, vec_id) AS BIGINT) AS keep_rank,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_c
+        |  FROM scored)
+        |SELECT vec_id, cluster, simc_r, keep_rank,
+        |  keep_rank <= ceil(0.5 * n_c) AS kept
+        |FROM ranked ORDER BY vec_id""".stripMargin),
+    // Clustering.clusterCapSample: quantize only (no centroid), then the
+    // md5(cb|id) per-cluster rank capped at 8.
+    "cluster_balanced" -> (mm3Macros +
+      s"""WITH $signLshCte,
+        |mask AS (
+        |  SELECT (CAST(1 AS BIGINT) << LEAST(20, GREATEST(1,
+        |    length(bin(GREATEST(CAST(2 AS BIGINT),
+        |      CAST(ceil(COUNT(*) / 64.0) AS BIGINT)) - 1))))) - 1 AS m
+        |  FROM embeddings),
+        |cl AS (
+        |  SELECT vec_id, CAST(sig & (SELECT m FROM mask) AS BIGINT) AS cluster
+        |  FROM sigs),
+        |ranked AS (
+        |  SELECT vec_id, cluster,
+        |    CAST(row_number() OVER (PARTITION BY cluster
+        |      ORDER BY md5('cb|' || CAST(vec_id AS VARCHAR)), vec_id)
+        |    AS BIGINT) AS pick_rank
+        |  FROM cl)
+        |SELECT vec_id, cluster, pick_rank
+        |FROM ranked WHERE pick_rank <= 8 ORDER BY vec_id""".stripMargin),
     // Mirrors Multimodal.MediaGen.forId exactly: a hash match proves the
     // header parsers recover the true dims/channels/duration from the
     // synthesized spec-valid PNG/JPEG/GIF/WAV bytes on every row.

@@ -194,6 +194,7 @@ object Stress {
     if (tierOn("cc_converge")) ccConvergeTier(spark)
     if (tierOn("ccnet_skew")) ccnetSkewTier(docsK)
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
+    if (tierOn("cluster_curation")) { clusterTier(vecs1); clusterTier(vecsK) }
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -753,6 +754,26 @@ object Stress {
     * candidate-pair bound is the paper's k knob — raising clusterBits
     * 6 → 12 must cut the pair count (and the pair-stage wall) the way
     * the paper's k≈50k does at corpus scale. */
+  /** Cluster-curation tier: prototypePrune and clusterCapSample over
+    * the 1× and K× embeddings. Both must stay LINEAR in the corpus —
+    * prune is score + one cluster-partitioned window (auto bits keep
+    * clusters ~64 rows, so K× only multiplies the cluster COUNT, never
+    * a partition's size), and the cap sample's literal rank limit is
+    * WindowGroupLimit-pruned map-side before its exchange. Aggregates
+    * reference the computed columns so pruning can't dead-code the
+    * operator under test. */
+  private def clusterTier(vecs: DataFrame): Unit = {
+    val spark = vecs.sparkSession
+    val n = vecs.count()
+    timeTasks(spark, s"prototype_prune(n=$n)")(
+      graft.ext.Clustering.prototypePrune(vecs, 0.5)
+        .agg(count(lit(1)), sum("simc_r"),
+          sum(when(col("kept"), 1L).otherwise(0L))).head().getLong(0))
+    timeTasks(spark, s"cluster_balanced(n=$n)")(
+      graft.ext.Clustering.clusterCapSample(vecs, 8)
+        .agg(count(lit(1)), sum("pick_rank")).head().getLong(0))
+  }
+
   private def semanticBitsTier(vecs: DataFrame): Unit = {
     val spark = vecs.sparkSession
     for (bits <- Seq(6, 12)) {

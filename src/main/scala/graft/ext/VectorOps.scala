@@ -616,26 +616,7 @@ object VectorOps {
                     clusterBits: Option[Int] = None,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bits = clusterBits.getOrElse(autoClusterBits(vecs.count()))
-    require(bits >= 1 && bits <= 32, s"clusterBits $bits not in [1,32]")
-    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      graft.functions.Sketch.sign_lsh(col(vecCol), 32)
-        .bitwiseAND((1L << bits) - 1).as("cluster"))
-
-    // Exact per-cluster centroid direction: explode to (cluster, pos, x),
-    // sum each component as a decimal (order-independent), reassemble the
-    // array sorted by position. 2^clusterBits rows → broadcast.
-    val exploded = base.select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-    val centroids = exploded
-      .groupBy("cluster", "pos")
-      .agg(sum(col("x").cast("double").cast("decimal(28,9)")).cast("double").as("c"))
-      .groupBy("cluster")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("cluster"), transform(col("pc"), p => p.getField("c")).as("cv"))
-
-    val scored = base.join(broadcast(centroids), Seq("cluster"))
-      .withColumn("simc_r", round(cosine(transform(col("v"), _.cast("double")),
-        col("cv")), 6))
-      .select("id", "cluster", "v", "simc_r")
+    val scored = clusterScored(vecs, bits, idCol, vecCol)
 
     // A row is removed iff a same-cluster row within the threshold
     // outranks it under (simc_r asc, id asc) — the EXISTS is a
@@ -657,6 +638,47 @@ object VectorOps {
     scored.join(removed, col("id") === col("rid"), "left_outer")
       .select(col("id").as(idCol), col("cluster"), col("simc_r"),
         col("rid").isNull.as("kept"))
+  }
+
+  /** The deterministic quantize-and-score stage shared by
+    * [[semanticDedup]] and the cluster-curation operators
+    * ([[Clustering.prototypePrune]], [[Clustering.clusterCapSample]]):
+    * cluster = low `bits` bits of the 32-bit sign-LSH signature;
+    * `simc_r` = round(cosine(v, cluster centroid), 6) against the
+    * EXACT per-cluster centroid direction — the elementwise
+    * DECIMAL(28,9) sum of member embeddings (cosine is scale-invariant,
+    * so the mean's division is skipped and the sum stays exact as a
+    * decimal: no cross-engine float-accumulation drift; the DuckDB
+    * oracles replay every step bit-for-bit).
+    *
+    * Scale: the centroid agg shuffles (cluster, pos) partial sums —
+    * map-side combine keeps it at partitions × 2^bits × dim rows; the
+    * centroid table itself is 2^bits × dim scalars → broadcast back, so
+    * the corpus is never reshuffled to attach its score.
+    *
+    * Returns (id, cluster, v, simc_r). */
+  private[graft] def clusterScored(vecs: DataFrame, bits: Int,
+                                   idCol: String, vecCol: String): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"clusterBits $bits not in [1,32]")
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.Sketch.sign_lsh(col(vecCol), 32)
+        .bitwiseAND((1L << bits) - 1).as("cluster"))
+
+    // Exact per-cluster centroid direction: explode to (cluster, pos, x),
+    // sum each component as a decimal (order-independent), reassemble the
+    // array sorted by position. 2^clusterBits rows → broadcast.
+    val exploded = base.select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+    val centroids = exploded
+      .groupBy("cluster", "pos")
+      .agg(sum(col("x").cast("double").cast("decimal(28,9)")).cast("double").as("c"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster"), transform(col("pc"), p => p.getField("c")).as("cv"))
+
+    base.join(broadcast(centroids), Seq("cluster"))
+      .withColumn("simc_r", round(cosine(transform(col("v"), _.cast("double")),
+        col("cv")), 6))
+      .select("id", "cluster", "v", "simc_r")
   }
 
   /** The [[semanticDedup]] auto-sizing rule, exposed so specs can pin
