@@ -81,6 +81,33 @@ class ClusteringSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("prototypePrune: singleton clusters score simc_r = 1 and are always kept") {
+    // 20 quantizer bits over 500 rows force mostly-singleton clusters;
+    // a singleton's centroid IS its own vector, so cosine rounds to 1
+    // exactly, and ceil(frac·1) = 1 keeps it at ANY keepFrac
+    val out = Clustering.prototypePrune(vecs, 0.25, clusterBits = Some(20)).cache()
+    try {
+      val singletons = out.groupBy("cluster").count().filter(col("count") === 1)
+        .select("cluster")
+      val bad = out.join(singletons, "cluster")
+        .filter(col("simc_r") =!= 1.0 || !col("kept") || col("keep_rank") =!= 1L)
+      assert(singletons.count() > 0, "fixture should yield singleton clusters at 20 bits")
+      assert(bad.count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("prototypePrune: keep counts hold across a keepFrac sweep") {
+    for (frac <- Seq(0.1, 0.25, 0.75)) {
+      val bad = Clustering.prototypePrune(vecs, frac)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .filter(col("n_kept") =!= ceil(lit(frac) * col("n")))
+        .count()
+      assert(bad === 0, s"keepFrac=$frac")
+    }
+  }
+
   test("clusterCapSample: a cap above every cluster size returns the whole corpus") {
     val n = vecs.count()
     assert(Clustering.clusterCapSample(vecs, n.toInt).count() === n)
