@@ -128,6 +128,33 @@ object Bench {
     }
     calibrate(): Unit // codegen/plan warm-up, untimed
     val calWalls = Seq.fill(3)(calibrate())
+    // Second calibration leg (round 12): storage + memory bandwidth.
+    // Measured need: a cross-boot host change slowed the median query
+    // 1.30× while the CPU+shuffle probe above moved only 1.05× (see
+    // SNAPSHOTS.md "cross-boot host factor") — the hash-agg probe's
+    // working set is cache-resident and its shuffle is tiny, so it is
+    // blind to the disk/bandwidth dimension most real queries lean on.
+    // This leg writes an incompressible ~250 MB parquet table to the
+    // host's temp storage and aggregates it back.
+    def calibrateIo(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cal-io")
+      try {
+        val t0 = System.nanoTime()
+        spark.range(32000000L)
+          .withColumn("v", org.apache.spark.sql.functions.xxhash64(col("id")))
+          .write.mode("overwrite").parquet(dir.toString)
+        // max, not sum: summing 32M uniform longs overflows under ANSI
+        spark.read.parquet(dir.toString)
+          .agg(org.apache.spark.sql.functions.max(col("v"))).collect(): Unit
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    calibrateIo(): Unit // warm-up, untimed
+    val calIoWalls = Seq.fill(3)(calibrateIo())
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val repLoads = new scala.collection.mutable.ArrayBuffer[Double]
     val samples = (1 to reps).flatMap { _ =>
@@ -160,7 +187,8 @@ object Bench {
     val cpusJson =
       if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else jstr(cpus)
     val calibration =
-      s"""{"walls":${calWalls.mkString("[", ",", "]")},"median":${median(calWalls)}}"""
+      s"""{"walls":${calWalls.mkString("[", ",", "]")},"median":${median(calWalls)},""" +
+        s""""io_walls":${calIoWalls.mkString("[", ",", "]")},"io_median":${median(calIoWalls)}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"fixture_prewarm_sec":$prewarmSec,"calibration":$calibration,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
     spark.stop()
   }
