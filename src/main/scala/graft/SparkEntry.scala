@@ -2410,6 +2410,39 @@ object SparkEntry {
     VectorOps.semanticDedup(tbl(s, dir, "embeddings"), 0.3)
       .orderBy("vec_id")
 
+  /** Streaming near-dup filter against the persisted two-level LSH
+    * index (ext.NearDupStream): the documents table arrives as three
+    * mtime-ordered slices (doc_id % 3), one per microbatch; each batch
+    * is exact-verify deduplicated against everything previously INDEXED
+    * plus its own earlier (smaller-id) rows, then appended to the
+    * index. Dropped iff an earlier-ARRIVING doc has shingle-set
+    * Jaccard >= 0.8 — the oracle brute-forces the identical
+    * arrival-ordered rule ((a%3, a) <lex (b%3, b)) in SQL. */
+  private def qStreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select("doc_id", "text")
+    val root = Fixtures.dir(s, dir, "q-ndstream") { r =>
+      val base = System.currentTimeMillis() - 10000L
+      (0 until 3).foreach { i =>
+        writeStreamSlice(docs.filter(col("doc_id") % 3 === i), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-nd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt")
+    val idx = java.nio.file.Files.createTempDirectory("graft-nd-idx")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt); streamOutRoots.add(idx)
+    drainGuarded(s, ext.NearDupStream.run(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      idx.toString, out.toString, ckpt.toString, threshold = 0.8))
+    val kept = s.read.parquet(out.toString)
+      .select(col("doc_id"), lit(true).as("k"))
+    docs.select("doc_id").join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("k"), lit(false)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Sorscher-style prototypicality pruning (arXiv:2206.14486): keep
     * the hardest half of every sign-LSH cluster, hardness = low cosine
     * to the exact decimal-sum centroid. The oracle replays the
@@ -3145,6 +3178,7 @@ object SparkEntry {
     "semantic_dedup" -> (qSemanticDedup _),
     "prototype_prune" -> (qPrototypePrune _),
     "cluster_balanced" -> (qClusterBalanced _),
+    "stream_near_dup" -> (qStreamNearDup _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
@@ -4881,6 +4915,27 @@ object SparkEntry {
         |SELECT s.vec_id, s.cluster, s.simc_r, (r.vec_id IS NULL) AS kept
         |FROM scored s LEFT JOIN removed r ON r.vec_id = s.vec_id
         |ORDER BY s.vec_id""".stripMargin),
+    // NearDupStream: arrival order is (slice = doc_id % 3, doc_id) —
+    // slice i is microbatch i (mtime-ordered, maxFilesPerTrigger=1);
+    // dropped iff ANY earlier-arriving doc (dropped or kept: all-seen
+    // contract) has exact shingle-set Jaccard >= 0.8. Sub-shingle-width
+    // docs have empty/under-full shingle lists -> never reach 0.8 ->
+    // kept, mirroring the operator's eligibility bypass.
+    "stream_near_dup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id FROM docs a JOIN docs b
+        |    ON ((a.doc_id % 3 < b.doc_id % 3) OR
+        |        (a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id))
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+        |SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
+        |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Clustering.prototypePrune: same quantizer + exact-centroid scoring
     // as semantic_dedup, then the Sorscher keep rule — hardness rank
     // (simc asc, id asc) within cluster, kept iff rank <= ceil(0.5 * n).

@@ -195,6 +195,7 @@ object Stress {
     if (tierOn("ccnet_skew")) ccnetSkewTier(docsK)
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
     if (tierOn("cluster_curation")) { clusterTier(vecs1); clusterTier(vecsK) }
+    if (tierOn("near_dup_stream")) { nearDupStreamTier(docs1); nearDupStreamTier(docsK) }
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -754,6 +755,57 @@ object Stress {
     * candidate-pair bound is the paper's k knob — raising clusterBits
     * 6 → 12 must cut the pair count (and the pair-stage wall) the way
     * the paper's k≈50k does at corpus scale. */
+  /** Streaming near-dup ingest tier: the corpus arrives as 8
+    * mtime-ordered slices, each deduplicated against the growing
+    * persisted index. THE scale property under test: per-batch wall
+    * must stay ~flat as the index grows (bucket-pruned candidate +
+    * shingle reads — cost tracks the batch, not the accumulated
+    * corpus). The Stress cloning makes every K-clone an EXACT dup of
+    * its original, so later batches are dup-heavy — the worst case for
+    * the verify join. Per-batch durations print from query progress. */
+  private def nearDupStreamTier(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    val d = docs.select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("nd-stress-root")
+    val idx = java.nio.file.Files.createTempDirectory("nd-stress-idx")
+    val out = java.nio.file.Files.createTempDirectory("nd-stress-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-stress-ckpt")
+    val base = System.currentTimeMillis() - 60000L
+    (0 until 8).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("nd-stress-slice")
+      d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      val dst = root.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+    }
+    val t0 = System.nanoTime()
+    val q = graft.ext.NearDupStream.run(
+      spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+      idx.toString, out.toString, ckpt.toString, threshold = 0.8)
+    try q.processAllAvailable() finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val kept = spark.read.parquet(out.toString).count()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+      .map(p => f"${p.batchId}:${p.batchDuration}ms")
+    println(f"STRESS near_dup_stream(n=$n)      $wall%8.2fs  " +
+      f"(kept=$kept, batches=${batches.mkString(" ")})")
+    Seq(root, idx, out, ckpt).foreach { p =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   /** Cluster-curation tier: prototypePrune and clusterCapSample over
     * the 1× and K× embeddings. Both must stay LINEAR in the corpus —
     * prune is score + one cluster-partitioned window (auto bits keep

@@ -1,0 +1,199 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Streaming MinHash-LSH near-duplicate filter against a PERSISTED
+ * signature index — the continuous-ingestion form of
+ * [[MinHash.lshVerifiedPairs]]/[[MinHash.lshDedup]] (which are batch:
+ * every round of this engine's near-dup tier so far compared a corpus
+ * against itself). A production training-data pipeline ingests
+ * forever; each new slice must be deduplicated against EVERYTHING seen
+ * before without rescanning it. This operator does that with a
+ * two-level on-disk index, both levels partition-PRUNED to the
+ * batch's footprint:
+ *
+ *  - `<index>/bands`    — (doc_id, band, band_hash), partitioned by
+ *    (epoch, bp = band_hash mod [[BandBuckets]]). A batch reads ONLY
+ *    the bp partitions its own band hashes fall in: candidate lookup
+ *    cost tracks the BATCH size, never the corpus.
+ *  - `<index>/shingles` — (doc_id, sh = distinct shingle-hash set),
+ *    partitioned by (epoch, sb = doc_id mod [[IdBuckets]]). Exact
+ *    verification fetches only the candidate ids' buckets.
+ *
+ * Semantics ("all-seen", reference-free): a document is dropped iff
+ * some document with EARLIER ARRIVAL (an earlier epoch, or a smaller
+ * id within the same batch) has exact shingle-set Jaccard ≥
+ * `threshold` with it — whether or not that earlier document was
+ * itself dropped. This makes the kept set ORDER-DETERMINED but not
+ * chain-recursive (no kept-set recurrence), so it is exactly
+ * SQL-expressible and the DuckDB oracle brute-forces it
+ * (`stream_near_dup`). Candidate recall: bands=16/rows=2 over 32
+ * hashes, the [[MinHash.lshVerifiedPairs]] setting — 1-(1-s²)^16,
+ * effectively exhaustive at threshold 0.8 (same precedent as the
+ * `minhash_lsh` oracle row). Docs shorter than the shingle width can
+ * never be near-dups: they bypass candidates AND the index (their
+ * sentinel signatures would otherwise collide in every band) and are
+ * always kept.
+ *
+ * Exactly-once: every write — kept output, band index, shingle index —
+ * is parquet partitioned by `epoch` with DYNAMIC partition overwrite,
+ * so a replayed batch REWRITES its own epoch partitions instead of
+ * appending duplicates, and candidate reads filter `epoch < current`
+ * (a replayed batch must not see its own half-written entries or it
+ * would drop every replayed doc as a duplicate of itself).
+ *
+ * Scale: per batch — one signature pass over the batch; a
+ * ShuffledHashJoin against the bp-pruned index slice (pair work is
+ * quadratic per bucket, invisible to byte-based planning — same
+ * rationale as [[MinHash.lshCandidates]]); shingle fetches pruned to
+ * candidate id buckets; exact verify ships each candidate's shingle
+ * set once. The two `collect()`s are the distinct partition-bucket
+ * lists — bounded by [[BandBuckets]] and [[IdBuckets]] regardless of
+ * data volume. Index reads list only pruned partition directories, so
+ * a year-old petabyte index costs a batch only its own buckets.
+ */
+object NearDupStream {
+  /** band-hash partition fanout of the bands index. */
+  val BandBuckets = 256
+  /** doc-id partition fanout of the shingle store. */
+  val IdBuckets = 64
+
+  private def bandStruct(numHashes: Int, bands: Int) = {
+    val rows = numHashes / bands
+    explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("minhash"), b * rows + 1, rows))
+          .as("band_hash"))
+    }: _*)).as("bh")
+  }
+
+  /** (doc_id, band, band_hash, bp) for every eligible batch doc —
+    * the same signature/banding construction as
+    * [[MinHash.lshCandidates]]. */
+  private[graft] def bandedSigs(docs: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int, numHashes: Int,
+                                bands: Int): DataFrame =
+    docs.withColumn("minhash", graft.functions.Sketch.minhash_sig(
+        graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true),
+        numHashes))
+      .select(col(idCol).as("doc_id"), bandStruct(numHashes, bands))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+      .withColumn("bp", pmod(col("band_hash"), lit(BandBuckets.toLong)))
+
+  /** (doc_id, sh, sb) shingle-hash sets for the exact-verify stage. */
+  private[graft] def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true)
+          .as("sh"))
+      .withColumn("sb", pmod(col("doc_id"), lit(IdBuckets.toLong)))
+
+  private def readIndexOrEmpty(spark: SparkSession, path: String,
+                               like: DataFrame): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      spark.read.parquet(path)
+    else like.withColumn("epoch", lit(0L)).limit(0)
+
+  /** Candidate (id_a = indexed earlier doc, id_b = batch doc) pairs for
+    * one batch against the persisted bands index: the read is pruned to
+    * `epoch < epoch` AND the batch's own bp buckets (both partition
+    * columns — exposed as a method so the spec can gate the
+    * PartitionFilters). */
+  private[graft] def indexCandidates(spark: SparkSession, bandsDir: String,
+                                     batchBands: DataFrame,
+                                     epoch: Long): DataFrame = {
+    // bounded collect: ≤ BandBuckets values by construction
+    val bps = batchBands.select("bp").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = readIndexOrEmpty(spark, bandsDir, batchBands)
+      .filter(col("epoch") < epoch &&
+        (if (bps.isEmpty) lit(false) else col("bp").isin(bps: _*)))
+    // SHUFFLE_HASH: per-bucket pair work is quadratic in matches —
+    // never broadcast the banded side (MinHash.lshCandidates rationale)
+    idx.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
+      .join(batchBands.select(col("doc_id").as("id_b"), col("band"),
+        col("band_hash")).hint("shuffle_hash"), Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /**
+   * Run the filter over a streaming `docs` source. Kept documents land
+   * under `outDir` (parquet, epoch-partitioned); the index persists
+   * under `indexDir` across batches and restarts; `checkpointDir` is
+   * the Structured Streaming checkpoint. Returns the running query —
+   * callers drain with `processAllAvailable`.
+   */
+  def run(docs: DataFrame, indexDir: String, outDir: String,
+          checkpointDir: String, threshold: Double = 0.8,
+          idCol: String = "doc_id", textCol: String = "text",
+          shingleN: Int = 3, numHashes: Int = 32,
+          bands: Int = 16): StreamingQuery = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val bandsDir = s"$indexDir/bands"
+    val shDir = s"$indexDir/shingles"
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          // sub-shingle-width docs: never near-dups, never indexed
+          val eligible = cached.filter(
+            size(split(col(textCol), " ")) >= shingleN)
+          val bb = bandedSigs(eligible, idCol, textCol, shingleN,
+            numHashes, bands).persist()
+          val sh = shingleSets(eligible, idCol, textCol, shingleN).persist()
+          try {
+            // 1. candidates vs the persisted index (bp- and epoch-pruned)
+            val candIdx = indexCandidates(spark, bandsDir, bb, epochId)
+            // fetch earlier docs' shingles — pruned to candidate id buckets
+            val sbs = candIdx.select(pmod(col("id_a"), lit(IdBuckets.toLong)))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            val idxSh = readIndexOrEmpty(spark, shDir, sh)
+              .filter(col("epoch") < epochId &&
+                (if (sbs.isEmpty) lit(false) else col("sb").isin(sbs: _*)))
+              .select(col("doc_id").as("id"), col("sh"))
+            val shBatch = sh.select(col("doc_id").as("id"), col("sh"))
+            // one lookup table serves both join sides of the verify; ids
+            // are unique across the union (the epoch < current filter
+            // excludes a replayed batch's own index entries, and a doc
+            // is indexed in exactly one epoch)
+            val droppedByIdx = TextOps.verifyExactJaccard(candIdx,
+                idxSh.unionByName(shBatch), threshold)
+              .select(col("id_b").as("dropped_id"))
+            // 2. candidates within the batch (arrival tie-break: id order)
+            val a = bb.toDF("id_a", "band", "band_hash", "bp")
+            val b = bb.toDF("id_b", "band", "band_hash", "bp")
+            val candSelf = a.join(b.hint("shuffle_hash"), Seq("band", "band_hash"))
+              .filter(col("id_a") < col("id_b"))
+              .select("id_a", "id_b").distinct()
+            val droppedBySelf = TextOps.verifyExactJaccard(candSelf, shBatch,
+                threshold)
+              .select(col("id_b").as("dropped_id"))
+            val dropped = droppedByIdx.unionByName(droppedBySelf).distinct()
+
+            def dynOverwrite(df: DataFrame, parts: Seq[String], path: String): Unit =
+              df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(parts: _*).parquet(path)
+
+            // kept output (short docs bypass candidates → always kept)
+            dynOverwrite(cached
+              .join(dropped, col(idCol) === col("dropped_id"), "left_anti")
+              .withColumn("epoch", lit(epochId)), Seq("epoch"), outDir)
+            // index append: ALL eligible docs, kept or dropped (all-seen)
+            dynOverwrite(bb.withColumn("epoch", lit(epochId)),
+              Seq("epoch", "bp"), bandsDir)
+            dynOverwrite(sh.withColumn("epoch", lit(epochId)),
+              Seq("epoch", "sb"), shDir)
+          } finally { bb.unpersist(); sh.unpersist(); () }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.ext.NearDupStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contracts of the streaming near-dup filter the DuckDB oracle can't
+  * reach: crash-replay idempotence of the epoch-partitioned writes, the
+  * partition-pruned index read, the short-doc bypass, and unpersist
+  * discipline. The value-level truth (which docs drop at 0.8 under
+  * arrival order) is the `stream_near_dup` oracle row. */
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny controlled corpus: 0/1 exact-dup pair split across slices,
+  // 2/5 a near-dup pair within one slice, 3 short (sub-shingle), rest unique
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight"),
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "too short"),
+    (4L, "completely different content about spark shuffles and parquet files"),
+    (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (6L, "yet another unrelated document mentioning broadcast joins and codegen"))
+
+  private def mkSlices(root: java.nio.file.Path): Unit = {
+    val docs = corpus.toDF("doc_id", "text")
+    val base = System.currentTimeMillis() - 10000L
+    (0 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("nd-slice")
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      val dst = root.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+    }
+  }
+
+  private def runStream(root: java.nio.file.Path, idx: java.nio.file.Path,
+                        out: java.nio.file.Path, ckpt: java.nio.file.Path): Unit = {
+    val schema = corpus.toDF("doc_id", "text").schema
+    val q = NearDupStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+      idx.toString, out.toString, ckpt.toString, threshold = 0.8)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def keptIds(out: java.nio.file.Path): Set[Long] =
+    spark.read.parquet(out.toString).select("doc_id").as[Long].collect().toSet
+
+  test("cross-batch + within-batch dedup; short docs bypass; first arrival wins") {
+    val root = java.nio.file.Files.createTempDirectory("nd-root")
+    val idx = java.nio.file.Files.createTempDirectory("nd-idx")
+    val out = java.nio.file.Files.createTempDirectory("nd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    // arrival = (id % 3, id): 0 arrives in batch 0, its dup 1 in batch 1
+    // -> 1 dropped (cross-batch via the index); 2 and 5 both arrive in
+    // batch 2 -> 5 dropped (within-batch, id order); 3 short -> kept
+    assert(keptIds(out) === Set(0L, 2L, 3L, 4L, 6L))
+    // the short doc must NOT be in the shingle index
+    val indexed = spark.read.parquet(s"$idx/shingles")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!indexed.contains(3L))
+    assert(indexed === Set(0L, 1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("crash replay: deleting the last commit and restarting changes nothing") {
+    val root = java.nio.file.Files.createTempDirectory("nd-root")
+    val idx = java.nio.file.Files.createTempDirectory("nd-idx")
+    val out = java.nio.file.Files.createTempDirectory("nd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    val before = keptIds(out)
+    // lose the last checkpoint commit (and its checksum twin) — Spark
+    // replays epoch 2; dynamic epoch-partition overwrite + the
+    // epoch < current read filter must make the replay a no-op
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("2"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".2.crc"))
+    runStream(root, idx, out, ckpt)
+    assert(keptIds(out) === before)
+    // no duplicated index entries: each doc indexed exactly once
+    val counts = spark.read.parquet(s"$idx/shingles")
+      .groupBy("doc_id").count().filter(col("count") =!= 1).count()
+    assert(counts === 0)
+  }
+
+  test("plan: the index candidate read is partition-pruned to epoch < e and the batch's bp buckets") {
+    val root = java.nio.file.Files.createTempDirectory("nd-root")
+    val idx = java.nio.file.Files.createTempDirectory("nd-idx")
+    val out = java.nio.file.Files.createTempDirectory("nd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    val batch = corpus.toDF("doc_id", "text").filter(col("doc_id") === 1L)
+    val bb = NearDupStream.bandedSigs(batch, "doc_id", "text", 3, 32, 16)
+    val plan = NearDupStream.indexCandidates(spark, s"$idx/bands", bb, 1L)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(epoch"),
+      s"epoch prune missing in:\n$plan")
+    assert(plan.contains("bp#") && plan.contains("(epoch"),
+      s"bp prune missing in:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"band join must not broadcast:\n$plan")
+  }
+
+  test("unpersist discipline: no NEW pinned blocks after the stream completes") {
+    val root = java.nio.file.Files.createTempDirectory("nd-root")
+    val idx = java.nio.file.Files.createTempDirectory("nd-idx")
+    val out = java.nio.file.Files.createTempDirectory("nd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
+    // delta, not isEmpty: the session is shared across suites and other
+    // operators legitimately hold registered caches (Round12Spec rule)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    assert(spark.sparkContext.getPersistentRDDs.size === base,
+      "stream left pinned storage blocks after completing")
+  }
+}
