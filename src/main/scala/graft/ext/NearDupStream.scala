@@ -15,12 +15,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * two-level on-disk index, both levels partition-PRUNED to the
  * batch's footprint:
  *
- *  - `<index>/bands`    — (doc_id, band, band_hash), partitioned by
- *    (epoch, bp = band_hash mod [[BandBuckets]]). A batch reads ONLY
- *    the bp partitions its own band hashes fall in: candidate lookup
- *    cost tracks the BATCH size, never the corpus.
+ *  - `<index>/bands`    — (doc_id, band_hash), partitioned by
+ *    (epoch, bp = band_hash mod bandBuckets). A batch reads ONLY the
+ *    bp partitions its own band hashes fall in: candidate lookup cost
+ *    tracks the BATCH size, never the corpus.
  *  - `<index>/shingles` — (doc_id, sh = distinct shingle-hash set),
- *    partitioned by (epoch, sb = doc_id mod [[IdBuckets]]). Exact
+ *    partitioned by (epoch, sb = doc_id mod idBuckets). Exact
  *    verification fetches only the candidate ids' buckets.
  *
  * Semantics ("all-seen", reference-free): a document is dropped iff
@@ -39,11 +39,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * always kept.
  *
  * Exactly-once: every write — kept output, band index, shingle index —
- * is parquet partitioned by `epoch` with DYNAMIC partition overwrite,
- * so a replayed batch REWRITES its own epoch partitions instead of
- * appending duplicates, and candidate reads filter `epoch < current`
- * (a replayed batch must not see its own half-written entries or it
- * would drop every replayed doc as a duplicate of itself).
+ * targets an explicit `epoch=<id>` subdirectory with a plain
+ * overwrite (epoch is constant within a batch), so a replayed batch
+ * REWRITES exactly its own epoch directory instead of appending
+ * duplicates — the same guarantee as dynamic partition overwrite
+ * without its staging/per-partition-move commit protocol (measured
+ * 5-6 s per batch on the bands index). Candidate reads filter
+ * `epoch < current` (a replayed batch must not see its own
+ * half-written entries or it would drop every replayed doc as a
+ * duplicate of itself).
  *
  * Scale: per batch — one signature pass over the batch; a
  * ShuffledHashJoin against the bp-pruned index slice (pair work is
@@ -56,10 +60,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * a year-old petabyte index costs a batch only its own buckets.
  */
 object NearDupStream {
-  /** band-hash partition fanout of the bands index. */
-  val BandBuckets = 256
-  /** doc-id partition fanout of the shingle store. */
-  val IdBuckets = 64
+  /** Default band-hash partition fanout of the bands index. SIZING:
+    * per-epoch index-write cost is ~one parquet file per bucket
+    * (measured ~15 ms/file — 256 buckets cost ~4 s/epoch, 64 ~1 s),
+    * while read pruning only bites when a batch's 16·|batch| band
+    * hashes hit a FRACTION of the buckets — buckets ≈ 16·|batch|/f to
+    * read fraction f of the index. Small local batches saturate any
+    * bucket count (no prune either way), so the default optimizes the
+    * write; a 100 TB deployment with million-doc batches raises it
+    * (the layout choice must be stable for an index's lifetime). */
+  val BandBuckets = 64
+  /** Default doc-id partition fanout of the shingle store (same
+    * file-per-bucket write/prune trade as [[BandBuckets]]). */
+  val IdBuckets = 32
 
   private def bandStruct(numHashes: Int, bands: Int) = {
     val rows = numHashes / bands
@@ -70,27 +83,29 @@ object NearDupStream {
     }: _*)).as("bh")
   }
 
-  /** (doc_id, band, band_hash, bp) for every eligible batch doc —
-    * the same signature/banding construction as
-    * [[MinHash.lshCandidates]]. */
+  /** (doc_id, band_hash, bp) for every eligible batch doc — the same
+    * signature/banding construction as [[MinHash.lshCandidates]]. The
+    * band INDEX is folded into band_hash (xxhash64 salted with it), so
+    * the index stores and joins one long per (doc, band): a cross-band
+    * hash collision could only ADD a candidate, which exact verify
+    * kills. */
   private[graft] def bandedSigs(docs: DataFrame, idCol: String, textCol: String,
                                 shingleN: Int, numHashes: Int,
-                                bands: Int): DataFrame =
+                                bands: Int, bandBuckets: Int): DataFrame =
     docs.withColumn("minhash", graft.functions.Sketch.minhash_sig(
         graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true),
         numHashes))
       .select(col(idCol).as("doc_id"), bandStruct(numHashes, bands))
-      .select(col("doc_id"), col("bh.band").as("band"),
-        col("bh.band_hash").as("band_hash"))
-      .withColumn("bp", pmod(col("band_hash"), lit(BandBuckets.toLong)))
+      .select(col("doc_id"), col("bh.band_hash").as("band_hash"))
+      .withColumn("bp", pmod(col("band_hash"), lit(bandBuckets.toLong)))
 
   /** (doc_id, sh, sb) shingle-hash sets for the exact-verify stage. */
   private[graft] def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                                 shingleN: Int): DataFrame =
+                                 shingleN: Int, idBuckets: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true)
           .as("sh"))
-      .withColumn("sb", pmod(col("doc_id"), lit(IdBuckets.toLong)))
+      .withColumn("sb", pmod(col("doc_id"), lit(idBuckets.toLong)))
 
   private def readIndexOrEmpty(spark: SparkSession, path: String,
                                like: DataFrame): DataFrame =
@@ -114,9 +129,9 @@ object NearDupStream {
         (if (bps.isEmpty) lit(false) else col("bp").isin(bps: _*)))
     // SHUFFLE_HASH: per-bucket pair work is quadratic in matches —
     // never broadcast the banded side (MinHash.lshCandidates rationale)
-    idx.select(col("doc_id").as("id_a"), col("band"), col("band_hash"))
-      .join(batchBands.select(col("doc_id").as("id_b"), col("band"),
-        col("band_hash")).hint("shuffle_hash"), Seq("band", "band_hash"))
+    idx.select(col("doc_id").as("id_a"), col("band_hash"))
+      .join(batchBands.select(col("doc_id").as("id_b"), col("band_hash"))
+        .hint("shuffle_hash"), Seq("band_hash"))
       .select("id_a", "id_b").distinct()
   }
 
@@ -131,7 +146,8 @@ object NearDupStream {
           checkpointDir: String, threshold: Double = 0.8,
           idCol: String = "doc_id", textCol: String = "text",
           shingleN: Int = 3, numHashes: Int = 32,
-          bands: Int = 16): StreamingQuery = {
+          bands: Int = 16, bandBuckets: Int = BandBuckets,
+          idBuckets: Int = IdBuckets): StreamingQuery = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val bandsDir = s"$indexDir/bands"
@@ -140,20 +156,34 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
+        val dbg = sys.env.contains("SPARK_GRAFT_ND_DEBUG")
+        var tPrev = System.nanoTime()
+        def mark(s: String): Unit = if (dbg) {
+          val t = System.nanoTime()
+          println(f"[nd-debug] epoch=$epochId $s%-14s ${(t - tPrev) / 1e9}%6.2fs")
+          tPrev = t
+        }
         val cached = batch.persist()
         try {
           // sub-shingle-width docs: never near-dups, never indexed
           val eligible = cached.filter(
             size(split(col(textCol), " ")) >= shingleN)
           val bb = bandedSigs(eligible, idCol, textCol, shingleN,
-            numHashes, bands).persist()
-          val sh = shingleSets(eligible, idCol, textCol, shingleN).persist()
+            numHashes, bands, bandBuckets).persist()
+          val sh = shingleSets(eligible, idCol, textCol, shingleN, idBuckets)
+            .persist()
           try {
-            // 1. candidates vs the persisted index (bp- and epoch-pruned)
+            // 1. candidates vs the persisted index (bp- and epoch-pruned);
+            // persisted: the sb-collect below and the verify join both
+            // consume it — without the pin the pruned index read + band
+            // join would run twice per batch
             val candIdx = indexCandidates(spark, bandsDir, bb, epochId)
+              .persist()
+            mark("bands+cands")
             // fetch earlier docs' shingles — pruned to candidate id buckets
-            val sbs = candIdx.select(pmod(col("id_a"), lit(IdBuckets.toLong)))
+            val sbs = candIdx.select(pmod(col("id_a"), lit(idBuckets.toLong)))
               .distinct().collect().map(_.getLong(0)).toSeq
+            mark("sbs-collect")
             val idxSh = readIndexOrEmpty(spark, shDir, sh)
               .filter(col("epoch") < epochId &&
                 (if (sbs.isEmpty) lit(false) else col("sb").isin(sbs: _*)))
@@ -167,30 +197,51 @@ object NearDupStream {
                 idxSh.unionByName(shBatch), threshold)
               .select(col("id_b").as("dropped_id"))
             // 2. candidates within the batch (arrival tie-break: id order)
-            val a = bb.toDF("id_a", "band", "band_hash", "bp")
-            val b = bb.toDF("id_b", "band", "band_hash", "bp")
-            val candSelf = a.join(b.hint("shuffle_hash"), Seq("band", "band_hash"))
+            val a = bb.toDF("id_a", "band_hash", "bp")
+            val b = bb.toDF("id_b", "band_hash", "bp")
+            val candSelf = a.join(b.hint("shuffle_hash"), Seq("band_hash"))
               .filter(col("id_a") < col("id_b"))
               .select("id_a", "id_b").distinct()
             val droppedBySelf = TextOps.verifyExactJaccard(candSelf, shBatch,
                 threshold)
               .select(col("id_b").as("dropped_id"))
             val dropped = droppedByIdx.unionByName(droppedBySelf).distinct()
+            mark("plan-dropped")
 
-            def dynOverwrite(df: DataFrame, parts: Seq[String], path: String): Unit =
-              df.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(parts: _*).parquet(path)
+            // Epoch is CONSTANT within a batch, so each write targets an
+            // explicit epoch=<id> subdirectory with a plain overwrite —
+            // replay-idempotent exactly like dynamic partition overwrite
+            // (the replayed epoch rewrites only its own directory), but
+            // without the dynamic commit protocol, whose staging +
+            // per-partition moves measured 5-6 s per batch on the bands
+            // index. key=value directory naming keeps the readers'
+            // partition discovery (and the epoch prune) unchanged.
+            def epochWrite(df: DataFrame, bucket: Option[String],
+                           path: String): Unit = {
+              val w = df.write.mode("overwrite")
+              bucket.fold(w)(b => w.partitionBy(b))
+                .parquet(s"$path/epoch=$epochId")
+            }
 
-            // kept output (short docs bypass candidates → always kept)
-            dynOverwrite(cached
-              .join(dropped, col(idCol) === col("dropped_id"), "left_anti")
-              .withColumn("epoch", lit(epochId)), Seq("epoch"), outDir)
-            // index append: ALL eligible docs, kept or dropped (all-seen)
-            dynOverwrite(bb.withColumn("epoch", lit(epochId)),
-              Seq("epoch", "bp"), bandsDir)
-            dynOverwrite(sh.withColumn("epoch", lit(epochId)),
-              Seq("epoch", "sb"), shDir)
+            // kept output (short docs bypass candidates → always kept) —
+            // NOT bucket-repartitioned: epoch is its only key, so that
+            // would serialize the write
+            epochWrite(cached
+              .join(dropped, col(idCol) === col("dropped_id"), "left_anti"),
+              None, outDir)
+            mark("kept-write")
+            // index append: ALL eligible docs, kept or dropped (all-seen).
+            // Repartition on the bucket key BEFORE partitionBy (the
+            // delayed_due one-file-per-bucket idiom): without it every
+            // task writes a sliver into every bucket dir — 32 × 256 tiny
+            // files per epoch in the bands index, whose footer reads
+            // every LATER batch then pays. With it: ≤ one file per
+            // bucket per epoch.
+            epochWrite(bb.repartition(col("bp")), Some("bp"), bandsDir)
+            mark("bands-write")
+            epochWrite(sh.repartition(col("sb")), Some("sb"), shDir)
+            mark("sh-write")
+            candIdx.unpersist(): Unit
           } finally { bb.unpersist(); sh.unpersist(); () }
         } finally { cached.unpersist(); () }
       }

@@ -100,7 +100,8 @@ class NearDupStreamSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
     mkSlices(root); runStream(root, idx, out, ckpt)
     val batch = corpus.toDF("doc_id", "text").filter(col("doc_id") === 1L)
-    val bb = NearDupStream.bandedSigs(batch, "doc_id", "text", 3, 32, 16)
+    val bb = NearDupStream.bandedSigs(batch, "doc_id", "text", 3, 32, 16,
+      NearDupStream.BandBuckets)
     val plan = NearDupStream.indexCandidates(spark, s"$idx/bands", bb, 1L)
       .queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters: [isnotnull(epoch"),
