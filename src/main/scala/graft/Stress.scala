@@ -788,17 +788,27 @@ object Stress {
         java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
     }
     val t0 = System.nanoTime()
+    // compactEvery=3: the long-running configuration — index epoch dirs
+    // fold on schedule, so metadata stays bounded while results and
+    // per-batch walls must not change
     val q = graft.ext.NearDupStream.run(
       spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet").parquet(root.toString),
-      idx.toString, out.toString, ckpt.toString, threshold = 0.8)
+      idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+      compactEvery = Some(3))
     try q.processAllAvailable() finally q.stop()
     val wall = (System.nanoTime() - t0) / 1e9
     val kept = spark.read.parquet(out.toString).count()
+    val epochDirs = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(idx.resolve("bands"))
+      try l.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
+      finally l.close()
+    }
     val batches = q.recentProgress.filter(_.numInputRows > 0)
       .map(p => f"${p.batchId}:${p.batchDuration}ms")
     println(f"STRESS near_dup_stream(n=$n)      $wall%8.2fs  " +
-      f"(kept=$kept, batches=${batches.mkString(" ")})")
+      f"(kept=$kept, epochDirs=$epochDirs, batches=${batches.mkString(" ")})")
     Seq(root, idx, out, ckpt).foreach { p =>
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

@@ -136,20 +136,114 @@ object NearDupStream {
   }
 
   /**
+   * Fold every index epoch directory ≤ `upToEpoch` of one index level
+   * into a single consolidated `epoch=<upToEpoch>` directory — the
+   * metadata bound for a long-running stream (without it the index
+   * accrues one directory per batch FOREVER, and every batch's
+   * partition discovery lists them all; the TopicLog manifest-prune
+   * analog for this operator).
+   *
+   * Safety: called from inside the batch for `upToEpoch = current − 1`,
+   * every folded epoch has a committed checkpoint entry (the file
+   * source replays at most the last uncommitted batch), so no replay
+   * can ever target a folded epoch, and the consolidated directory
+   * keeps the MAX folded id — the `epoch < current` read filter sees
+   * exactly the same data before and after. Single-writer by
+   * construction (foreachBatch is sequential).
+   *
+   * Crash-safe swap: the consolidated copy is first written to an
+   * UNDERSCORE-prefixed tmp dir (invisible to Spark readers) with its
+   * _SUCCESS marker; only then are the old epoch dirs deleted and the
+   * tmp renamed into place. [[resumeCompaction]] runs at every batch
+   * start: a complete tmp (crash between delete and rename) finishes
+   * the swap; an incomplete one (crash mid-write) is discarded.
+   */
+  private[graft] def compactIndex(spark: SparkSession, levelDir: String,
+                                  bucketCol: String, upToEpoch: Long): Unit = {
+    val dir = java.nio.file.Paths.get(levelDir)
+    if (!java.nio.file.Files.exists(dir)) return
+    val olds = epochDirs(dir).filter(_._1 <= upToEpoch)
+    if (olds.size <= 1) return
+    // the fold point rides in the tmp NAME, so a crash-resume knows
+    // exactly which epochs the tmp subsumes — never inferred from
+    // whatever happens to be on disk
+    val tmp = dir.resolve(s"_compact_tmp-$upToEpoch")
+    deleteTree(tmp) // stale partial write from a crashed compaction
+    // basePath: the olds are sibling partition dirs — without it Spark's
+    // partition discovery rejects the multi-root read; epoch then comes
+    // back as a column and is dropped (the folded dir IS the new epoch)
+    spark.read.option("basePath", levelDir)
+      .parquet(olds.map(_._2.toString): _*)
+      .drop("epoch")
+      .repartition(col(bucketCol))
+      .write.partitionBy(bucketCol).parquet(tmp.toString)
+    finishSwap(dir, tmp, upToEpoch)
+  }
+
+  /** Complete a crash-interrupted compaction swap if a finished tmp is
+    * present; discard an unfinished one. Runs at every batch start. */
+  private[graft] def resumeCompaction(levelDir: String): Unit = {
+    val dir = java.nio.file.Paths.get(levelDir)
+    if (!java.nio.file.Files.exists(dir)) return
+    import scala.jdk.CollectionConverters._
+    val tmps = {
+      val l = java.nio.file.Files.list(dir)
+      try l.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("_compact_tmp-"))
+      finally l.close()
+    }
+    tmps.foreach { tmp =>
+      if (java.nio.file.Files.exists(tmp.resolve("_SUCCESS"))) {
+        val upTo = tmp.getFileName.toString.stripPrefix("_compact_tmp-").toLong
+        finishSwap(dir, tmp, upTo)
+      } else deleteTree(tmp) // crash mid-write: olds are all intact
+    }
+  }
+
+  private def finishSwap(dir: java.nio.file.Path, tmp: java.nio.file.Path,
+                         upToEpoch: Long): Unit = {
+    epochDirs(dir).filter(_._1 <= upToEpoch).foreach(d => deleteTree(d._2))
+    java.nio.file.Files.move(tmp, dir.resolve(s"epoch=$upToEpoch")): Unit
+  }
+
+  private def epochDirs(dir: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(dir)
+    try l.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("epoch="))
+      .map(p => (p.getFileName.toString.stripPrefix("epoch=").toLong, p))
+    finally l.close()
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally w.close()
+    }
+
+  /**
    * Run the filter over a streaming `docs` source. Kept documents land
    * under `outDir` (parquet, epoch-partitioned); the index persists
    * under `indexDir` across batches and restarts; `checkpointDir` is
-   * the Structured Streaming checkpoint. Returns the running query —
-   * callers drain with `processAllAvailable`.
+   * the Structured Streaming checkpoint. `compactEvery = Some(n)`
+   * folds all index epochs below the current batch into one directory
+   * every n batches ([[compactIndex]] — bounds index metadata for
+   * long-running streams). Returns the running query — callers drain
+   * with `processAllAvailable`.
    */
   def run(docs: DataFrame, indexDir: String, outDir: String,
           checkpointDir: String, threshold: Double = 0.8,
           idCol: String = "doc_id", textCol: String = "text",
           shingleN: Int = 3, numHashes: Int = 32,
           bands: Int = 16, bandBuckets: Int = BandBuckets,
-          idBuckets: Int = IdBuckets): StreamingQuery = {
+          idBuckets: Int = IdBuckets,
+          compactEvery: Option[Int] = None): StreamingQuery = {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
+    require(compactEvery.forall(_ >= 2), "compactEvery must be >= 2")
     val bandsDir = s"$indexDir/bands"
     val shDir = s"$indexDir/shingles"
     docs.writeStream
@@ -163,6 +257,17 @@ object NearDupStream {
           println(f"[nd-debug] epoch=$epochId $s%-14s ${(t - tPrev) / 1e9}%6.2fs")
           tPrev = t
         }
+        // finish (or discard) any crash-interrupted compaction BEFORE
+        // reading the index; then fold on schedule — every folded epoch
+        // is committed (this batch is the only possibly-uncommitted one)
+        resumeCompaction(bandsDir); resumeCompaction(shDir)
+        compactEvery.foreach { n =>
+          if (epochId > 0 && epochId % n == 0) {
+            compactIndex(spark, bandsDir, "bp", epochId - 1)
+            compactIndex(spark, shDir, "sb", epochId - 1)
+          }
+        }
+        mark("compaction")
         val cached = batch.persist()
         try {
           // sub-shingle-width docs: never near-dups, never indexed

@@ -112,6 +112,92 @@ class NearDupStreamSpec extends SparkSpec {
       s"band join must not broadcast:\n$plan")
   }
 
+  test("compaction folds epoch dirs without changing results; replay after compaction safe") {
+    val root = java.nio.file.Files.createTempDirectory("nd-root")
+    val idx = java.nio.file.Files.createTempDirectory("nd-idx")
+    val out = java.nio.file.Files.createTempDirectory("nd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
+    mkSlices(root)
+    val schema = corpus.toDF("doc_id", "text").schema
+    def go(): Unit = {
+      val q = NearDupStream.run(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+        compactEvery = Some(2))
+      try q.processAllAvailable() finally q.stop()
+    }
+    go()
+    // same kept set as the uncompacted runs in the tests above
+    assert(keptIds(out) === Set(0L, 2L, 3L, 4L, 6L))
+    // batch 2 folded epochs 0,1 -> dirs are {epoch=1 (folded), epoch=2}
+    def dirs(level: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(idx.resolve(level))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("epoch=")).toSet
+      finally l.close()
+    }
+    assert(dirs("bands") === Set("epoch=1", "epoch=2"))
+    assert(dirs("shingles") === Set("epoch=1", "epoch=2"))
+    // index content identical: every eligible doc present exactly once
+    val counts = spark.read.parquet(s"$idx/shingles")
+      .groupBy("doc_id").count().filter(col("count") =!= 1).count()
+    assert(counts === 0)
+    // replay the last batch over the compacted layout — still a no-op
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("2"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".2.crc"))
+    go()
+    assert(keptIds(out) === Set(0L, 2L, 3L, 4L, 6L))
+    assert(spark.read.parquet(s"$idx/shingles")
+      .groupBy("doc_id").count().filter(col("count") =!= 1).count() === 0)
+  }
+
+  test("compaction crash windows: finished tmp completes the swap, unfinished tmp is discarded") {
+    val root = java.nio.file.Files.createTempDirectory("nd-root")
+    val idx = java.nio.file.Files.createTempDirectory("nd-idx")
+    val out = java.nio.file.Files.createTempDirectory("nd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    val bands = idx.resolve("bands")
+    // crash window A: tmp fully written (_SUCCESS present), old epoch
+    // dirs not yet deleted — simulate by running ONLY the write half
+    // of a fold of epochs <= 1; the fold point rides in the tmp name
+    val olds = spark.read.option("basePath", bands.toString)
+      .parquet(s"$bands/epoch=0", s"$bands/epoch=1").drop("epoch")
+    val tmp = bands.resolve("_compact_tmp-1")
+    olds.repartition(col("bp")).write.partitionBy("bp").parquet(tmp.toString)
+    val before = spark.read.parquet(bands.toString)
+      .select("doc_id", "band_hash").collect().toSet
+    NearDupStream.resumeCompaction(bands.toString)
+    import scala.jdk.CollectionConverters._
+    def epochNames = {
+      val l = java.nio.file.Files.list(bands)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("epoch=")).toSet
+      finally l.close()
+    }
+    assert(!java.nio.file.Files.exists(tmp))
+    // epochs 0,1 folded into epoch=1; epoch=2 (outside the fold point)
+    // untouched — total content byte-identical, nothing duplicated
+    assert(epochNames === Set("epoch=1", "epoch=2"))
+    val after = spark.read.parquet(bands.toString)
+      .select("doc_id", "band_hash").collect().toSet
+    assert(after === before)
+    assert(spark.read.parquet(bands.toString)
+      .groupBy("doc_id", "band_hash").count()
+      .filter(col("count") =!= 1).count() === 0)
+    // crash window B: tmp WITHOUT _SUCCESS is discarded untouched
+    val tmp2 = bands.resolve("_compact_tmp-1")
+    java.nio.file.Files.createDirectories(tmp2)
+    java.nio.file.Files.write(tmp2.resolve("part-stale.parquet"),
+      Array[Byte](1, 2, 3))
+    val names = epochNames
+    NearDupStream.resumeCompaction(bands.toString)
+    assert(!java.nio.file.Files.exists(tmp2))
+    assert(epochNames === names)
+  }
+
   test("unpersist discipline: no NEW pinned blocks after the stream completes") {
     val root = java.nio.file.Files.createTempDirectory("nd-root")
     val idx = java.nio.file.Files.createTempDirectory("nd-idx")
