@@ -650,8 +650,8 @@ object TextOps {
    * `cands` must have columns (id_a, id_b); `sh` columns (id, sh).
    * Returns (id_a, id_b, jaccard) plus the shingle columns.
    */
-  private[ext] def verifyExactJaccard(cands: DataFrame, sh: DataFrame,
-                                      threshold: Double): DataFrame =
+  private[graft] def verifyExactJaccard(cands: DataFrame, sh: DataFrame,
+                                        threshold: Double): DataFrame =
     cands
       .join(sh.toDF("id_a", "sh_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b"), "id_b")

@@ -198,6 +198,71 @@ class NearDupStreamSpec extends SparkSpec {
     assert(epochNames === names)
   }
 
+  test("property: stream equals the batch arrival-order truth on random corpora and slicings") {
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val nSlices = 2 + rnd.nextInt(3) // 2..4
+      // ~1/3 of docs clone an earlier doc verbatim (exact dup), the rest
+      // are random 8-12-token texts (cross-pair jaccard far below 0.8)
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 60).foreach { i =>
+        texts += (if (i > 0 && rnd.nextInt(3) == 0) texts(rnd.nextInt(i))
+        else Seq.fill(8 + rnd.nextInt(5))(pool(rnd.nextInt(pool.size)))
+          .mkString(" "))
+      }
+      val slices = texts.indices.map(_ => rnd.nextInt(nSlices))
+      val docs = texts.indices.map(i => (i.toLong, texts(i), slices(i)))
+        .toDF("doc_id", "text", "slice")
+
+      // batch truth: dropped iff an earlier-arriving doc verifies >= 0.8
+      val sh = docs.select(col("doc_id").as("id"),
+        graft.functions.Sketch.shingle_hashes(col("text"), 3, distinct = true)
+          .as("sh"))
+      val arr = docs.select(col("doc_id"), col("slice"))
+      val allPairs = arr.toDF("id_a", "slice_a")
+        .crossJoin(arr.toDF("id_b", "slice_b"))
+        .filter(col("slice_a") < col("slice_b") ||
+          (col("slice_a") === col("slice_b") && col("id_a") < col("id_b")))
+        .select("id_a", "id_b")
+      val expectedDropped = graft.ext.TextOps.verifyExactJaccard(
+        allPairs, sh, 0.8).select("id_b").as[Long].collect().toSet
+      val expectedKept = texts.indices.map(_.toLong).toSet -- expectedDropped
+
+      // stream the same corpus in slice order
+      val root = java.nio.file.Files.createTempDirectory(s"nd-prop-$seed")
+      val idx = java.nio.file.Files.createTempDirectory("nd-prop-idx")
+      val out = java.nio.file.Files.createTempDirectory("nd-prop-out")
+      val ckpt = java.nio.file.Files.createTempDirectory("nd-prop-ckpt")
+      val base = System.currentTimeMillis() - 60000L
+      (0 until nSlices).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("nd-prop-slice")
+        docs.filter(col("slice") === i).select("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        }
+        val dst = root.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+      }
+      val schema = docs.select("doc_id", "text").schema
+      val q = NearDupStream.run(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+        compactEvery = Some(2))
+      try q.processAllAvailable() finally q.stop()
+      assert(keptIds(out) === expectedKept,
+        s"seed=$seed slices=$nSlices: stream diverged from batch truth")
+    }
+  }
+
   test("unpersist discipline: no NEW pinned blocks after the stream completes") {
     val root = java.nio.file.Files.createTempDirectory("nd-root")
     val idx = java.nio.file.Files.createTempDirectory("nd-idx")
