@@ -2431,11 +2431,15 @@ object SparkEntry {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt")
     val idx = java.nio.file.Files.createTempDirectory("graft-nd-idx")
     streamOutRoots.add(out); streamOutRoots.add(ckpt); streamOutRoots.add(idx)
+    // compactEvery=2: batch 2 folds index epochs 0-1 mid-run, so this
+    // oracle row ALSO proves compaction is content-preserving — the
+    // last batch's verdicts come entirely off the folded layout
     drainGuarded(s, ext.NearDupStream.run(
       s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet").parquet(root),
-      idx.toString, out.toString, ckpt.toString, threshold = 0.8))
+      idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+      compactEvery = Some(2)))
     val kept = s.read.parquet(out.toString)
       .select(col("doc_id"), lit(true).as("k"))
     docs.select("doc_id").join(kept, Seq("doc_id"), "left_outer")
