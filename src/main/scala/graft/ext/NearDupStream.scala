@@ -294,23 +294,22 @@ object NearDupStream {
                 (if (sbs.isEmpty) lit(false) else col("sb").isin(sbs: _*)))
               .select(col("doc_id").as("id"), col("sh"))
             val shBatch = sh.select(col("doc_id").as("id"), col("sh"))
-            // one lookup table serves both join sides of the verify; ids
-            // are unique across the union (the epoch < current filter
-            // excludes a replayed batch's own index entries, and a doc
-            // is indexed in exactly one epoch)
-            val droppedByIdx = TextOps.verifyExactJaccard(candIdx,
-                idxSh.unionByName(shBatch), threshold)
-              .select(col("id_b").as("dropped_id"))
             // 2. candidates within the batch (arrival tie-break: id order)
             val a = bb.toDF("id_a", "band_hash", "bp")
             val b = bb.toDF("id_b", "band_hash", "bp")
             val candSelf = a.join(b.hint("shuffle_hash"), Seq("band_hash"))
               .filter(col("id_a") < col("id_b"))
               .select("id_a", "id_b").distinct()
-            val droppedBySelf = TextOps.verifyExactJaccard(candSelf, shBatch,
-                threshold)
-              .select(col("id_b").as("dropped_id"))
-            val dropped = droppedByIdx.unionByName(droppedBySelf).distinct()
+            // ONE verify serves both candidate sources — the pair schema
+            // is shared and one lookup table covers every id: index-pair
+            // id_a's come from idxSh, self-pair ids and every id_b from
+            // shBatch; ids are unique across the union (the
+            // epoch < current filter excludes a replayed batch's own
+            // index entries, and a doc is indexed in exactly one epoch)
+            val dropped = TextOps.verifyExactJaccard(
+                candIdx.unionByName(candSelf),
+                idxSh.unionByName(shBatch), threshold)
+              .select(col("id_b").as("dropped_id")).distinct()
             mark("plan-dropped")
 
             // Epoch is CONSTANT within a batch, so each write targets an
