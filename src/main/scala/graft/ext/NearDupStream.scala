@@ -277,6 +277,7 @@ object NearDupStream {
             numHashes, bands, bandBuckets).persist()
           val sh = shingleSets(eligible, idCol, textCol, shingleN, idBuckets)
             .persist()
+          var candIdxPin: Option[DataFrame] = None
           try {
             // 1. candidates vs the persisted index (bp- and epoch-pruned);
             // persisted: the sb-collect below and the verify join both
@@ -284,6 +285,7 @@ object NearDupStream {
             // join would run twice per batch
             val candIdx = indexCandidates(spark, bandsDir, bb, epochId)
               .persist()
+            candIdxPin = Some(candIdx)
             mark("bands+cands")
             // fetch earlier docs' shingles — pruned to candidate id buckets
             val sbs = candIdx.select(pmod(col("id_a"), lit(idBuckets.toLong)))
@@ -345,8 +347,10 @@ object NearDupStream {
             mark("bands-write")
             epochWrite(sh.repartition(col("sb")), Some("sb"), shDir)
             mark("sh-write")
-            candIdx.unpersist(): Unit
-          } finally { bb.unpersist(); sh.unpersist(); () }
+          } finally {
+            bb.unpersist(); sh.unpersist()
+            candIdxPin.foreach(_.unpersist()); ()
+          }
         } finally { cached.unpersist(); () }
       }
       .start()
