@@ -2447,6 +2447,44 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Streaming SEMANTIC dedup against the persisted cluster-pruned
+    * vector index (ext.SemanticDedupStream): the embeddings table
+    * arrives as three mtime-ordered slices (vec_id % 3), one per
+    * microbatch; each batch drops vectors whose sign-LSH cluster holds
+    * an earlier-ARRIVING vector with round(cosine, 6) >= 0.3 (all-seen:
+    * dropped earlier vectors still count), then appends ALL its vectors
+    * to the index. clusterBits pinned to 6 — the corpus-scale value the
+    * batch semantic_dedup auto-sizes to at sf0.01 — because the index's
+    * cluster definition is a lifetime constant, not per-batch. The
+    * oracle brute-forces the identical arrival-ordered rule. */
+  private def qStreamSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+    val root = Fixtures.dir(s, dir, "q-sdstream") { r =>
+      val base = System.currentTimeMillis() - 10000L
+      (0 until 3).foreach { i =>
+        writeStreamSlice(vecs.filter(col("vec_id") % 3 === i), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-sd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ckpt")
+    val idx = java.nio.file.Files.createTempDirectory("graft-sd-idx")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt); streamOutRoots.add(idx)
+    // compactEvery=2: batch 2 folds index epochs 0-1 mid-run, so this
+    // row ALSO proves the vector-index fold is content-preserving
+    drainGuarded(s, ext.SemanticDedupStream.run(
+      s.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      idx.toString, out.toString, ckpt.toString, threshold = 0.3,
+      clusterBits = 6, compactEvery = Some(2)))
+    val kept = s.read.parquet(out.toString)
+      .select(col("vec_id"), lit(true).as("k"))
+    vecs.select("vec_id").join(kept, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("k"), lit(false)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Sorscher-style prototypicality pruning (arXiv:2206.14486): keep
     * the hardest half of every sign-LSH cluster, hardness = low cosine
     * to the exact decimal-sum centroid. The oracle replays the
@@ -3183,6 +3221,7 @@ object SparkEntry {
     "prototype_prune" -> (qPrototypePrune _),
     "cluster_balanced" -> (qClusterBalanced _),
     "stream_near_dup" -> (qStreamNearDup _),
+    "stream_semantic_dedup" -> (qStreamSemanticDedup _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
@@ -4940,6 +4979,27 @@ object SparkEntry {
         |SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
         |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // SemanticDedupStream: same hyperplane derivation as semantic_dedup;
+    // cluster = sig & 63 (clusterBits pinned 6 — an index-lifetime
+    // constant, see the query scaladoc). Arrival order is
+    // (slice = vec_id % 3, vec_id); dropped iff ANY earlier-arriving
+    // same-cluster vector (dropped or kept: all-seen) has
+    // round(cosine, 6) >= 0.3.
+    "stream_semantic_dedup" -> (mm3Macros +
+      s"""WITH $signLshCte,
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cl AS (
+        |  SELECT s.vec_id, CAST(sig & 63 AS BIGINT) AS cluster, v
+        |  FROM sigs s JOIN e ON e.vec_id = s.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM cl a JOIN cl b
+        |    ON a.cluster = b.cluster
+        |   AND ((a.vec_id % 3 < b.vec_id % 3) OR
+        |        (a.vec_id % 3 = b.vec_id % 3 AND a.vec_id < b.vec_id))
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3)
+        |SELECT e.vec_id, (d.vec_id IS NULL) AS kept
+        |FROM e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin),
     // Clustering.prototypePrune: same quantizer + exact-centroid scoring
     // as semantic_dedup, then the Sorscher keep rule — hardness rank
     // (simc asc, id asc) within cluster, kept iff rank <= ceil(0.5 * n).

@@ -771,48 +771,56 @@ object Stress {
     val idx = java.nio.file.Files.createTempDirectory("nd-stress-idx")
     val out = java.nio.file.Files.createTempDirectory("nd-stress-out")
     val ckpt = java.nio.file.Files.createTempDirectory("nd-stress-ckpt")
-    val base = System.currentTimeMillis() - 60000L
-    (0 until 8).foreach { i =>
-      val tmp = java.nio.file.Files.createTempDirectory("nd-stress-slice")
-      d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = {
-        val l = java.nio.file.Files.list(tmp)
-        try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    // try/finally around the WHOLE tier body: a failure anywhere (the
+    // stream, the kept-count read, the epoch-dir listing) must not leak
+    // the multi-GB temp trees — at the 500k-doc 100× point that is
+    // real disk
+    try {
+      val base = System.currentTimeMillis() - 60000L
+      (0 until 8).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("nd-stress-slice")
+        d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        }
+        val dst = root.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+      }
+      val t0 = System.nanoTime()
+      // compactEvery=3: the long-running configuration — index epoch dirs
+      // fold on schedule, so metadata stays bounded while results and
+      // per-batch walls must not change
+      val q = graft.ext.NearDupStream.run(
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+        compactEvery = Some(3))
+      try q.processAllAvailable() finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val kept = spark.read.parquet(out.toString).count()
+      val epochDirs = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(idx.resolve("bands"))
+        try l.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
         finally l.close()
       }
-      val dst = root.resolve(f"slice_$i%02d.parquet")
-      java.nio.file.Files.move(part, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
-    }
-    val t0 = System.nanoTime()
-    // compactEvery=3: the long-running configuration — index epoch dirs
-    // fold on schedule, so metadata stays bounded while results and
-    // per-batch walls must not change
-    val q = graft.ext.NearDupStream.run(
-      spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "*.parquet").parquet(root.toString),
-      idx.toString, out.toString, ckpt.toString, threshold = 0.8,
-      compactEvery = Some(3))
-    try q.processAllAvailable() finally q.stop()
-    val wall = (System.nanoTime() - t0) / 1e9
-    val kept = spark.read.parquet(out.toString).count()
-    val epochDirs = {
-      import scala.jdk.CollectionConverters._
-      val l = java.nio.file.Files.list(idx.resolve("bands"))
-      try l.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
-      finally l.close()
-    }
-    val batches = q.recentProgress.filter(_.numInputRows > 0)
-      .map(p => f"${p.batchId}:${p.batchDuration}ms")
-    println(f"STRESS near_dup_stream(n=$n)      $wall%8.2fs  " +
-      f"(kept=$kept, epochDirs=$epochDirs, batches=${batches.mkString(" ")})")
-    Seq(root, idx, out, ckpt).foreach { p =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+        .map(p => f"${p.batchId}:${p.batchDuration}ms")
+      println(f"STRESS near_dup_stream(n=$n)      $wall%8.2fs  " +
+        f"(kept=$kept, epochDirs=$epochDirs, batches=${batches.mkString(" ")})")
+    } finally {
+      Seq(root, idx, out, ckpt).foreach { p =>
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 

@@ -107,9 +107,18 @@ object NearDupStream {
           .as("sh"))
       .withColumn("sb", pmod(col("doc_id"), lit(idBuckets.toLong)))
 
+  // All index-directory bookkeeping rides graft.log.PathIO (the Hadoop
+  // FileSystem seam): existence probes, epoch listings, and the
+  // compaction swap resolve through the path's OWN scheme, so a
+  // persisted index on hdfs:// is seen — the previous java.nio probes
+  // returned false for any non-local URI, silently treating the index
+  // as empty every batch (all cross-batch duplicates kept, no error).
+  import graft.log.PathIO
+  private type HPath = org.apache.hadoop.fs.Path
+
   private def readIndexOrEmpty(spark: SparkSession, path: String,
                                like: DataFrame): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    if (PathIO.exists(PathIO.path(path)))
       spark.read.parquet(path)
     else like.withColumn("epoch", lit(0L)).limit(0)
 
@@ -160,15 +169,15 @@ object NearDupStream {
    */
   private[graft] def compactIndex(spark: SparkSession, levelDir: String,
                                   bucketCol: String, upToEpoch: Long): Unit = {
-    val dir = java.nio.file.Paths.get(levelDir)
-    if (!java.nio.file.Files.exists(dir)) return
+    val dir = PathIO.path(levelDir)
+    if (!PathIO.exists(dir)) return
     val olds = epochDirs(dir).filter(_._1 <= upToEpoch)
     if (olds.size <= 1) return
     // the fold point rides in the tmp NAME, so a crash-resume knows
     // exactly which epochs the tmp subsumes — never inferred from
     // whatever happens to be on disk
-    val tmp = dir.resolve(s"_compact_tmp-$upToEpoch")
-    deleteTree(tmp) // stale partial write from a crashed compaction
+    val tmp = PathIO.child(dir, s"_compact_tmp-$upToEpoch")
+    PathIO.deleteTree(tmp): Unit // stale partial write from a crashed compaction
     // basePath: the olds are sibling partition dirs — without it Spark's
     // partition discovery rejects the multi-root read; epoch then comes
     // back as a column and is dropped (the folded dir IS the new epoch)
@@ -183,46 +192,33 @@ object NearDupStream {
   /** Complete a crash-interrupted compaction swap if a finished tmp is
     * present; discard an unfinished one. Runs at every batch start. */
   private[graft] def resumeCompaction(levelDir: String): Unit = {
-    val dir = java.nio.file.Paths.get(levelDir)
-    if (!java.nio.file.Files.exists(dir)) return
-    import scala.jdk.CollectionConverters._
-    val tmps = {
-      val l = java.nio.file.Files.list(dir)
-      try l.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("_compact_tmp-"))
-      finally l.close()
-    }
+    val dir = PathIO.path(levelDir)
+    if (!PathIO.exists(dir)) return
+    val tmps = PathIO.listDir(dir)
+      .filter(_.getName.startsWith("_compact_tmp-"))
     tmps.foreach { tmp =>
-      if (java.nio.file.Files.exists(tmp.resolve("_SUCCESS"))) {
-        val upTo = tmp.getFileName.toString.stripPrefix("_compact_tmp-").toLong
+      if (PathIO.exists(PathIO.child(tmp, "_SUCCESS"))) {
+        val upTo = tmp.getName.stripPrefix("_compact_tmp-").toLong
         finishSwap(dir, tmp, upTo)
-      } else deleteTree(tmp) // crash mid-write: olds are all intact
+      } else PathIO.deleteTree(tmp): Unit // crash mid-write: olds intact
     }
   }
 
-  private def finishSwap(dir: java.nio.file.Path, tmp: java.nio.file.Path,
-                         upToEpoch: Long): Unit = {
-    epochDirs(dir).filter(_._1 <= upToEpoch).foreach(d => deleteTree(d._2))
-    java.nio.file.Files.move(tmp, dir.resolve(s"epoch=$upToEpoch")): Unit
+  /** Delete the folded epoch dirs, then ONE rename of the tmp into
+    * place. PathIO.move fails fast when the rename cannot complete
+    * (tmp lives inside the level dir, so same filesystem; rename is
+    * atomic on HDFS/POSIX — on an object store run the index on a
+    * rename-atomic layer, the PathIO class-doc contract). */
+  private def finishSwap(dir: HPath, tmp: HPath, upToEpoch: Long): Unit = {
+    epochDirs(dir).filter(_._1 <= upToEpoch)
+      .foreach(d => PathIO.deleteTree(d._2))
+    PathIO.move(tmp, PathIO.child(dir, s"epoch=$upToEpoch"))
   }
 
-  private def epochDirs(dir: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
-    import scala.jdk.CollectionConverters._
-    val l = java.nio.file.Files.list(dir)
-    try l.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("epoch="))
-      .map(p => (p.getFileName.toString.stripPrefix("epoch=").toLong, p))
-    finally l.close()
-  }
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally w.close()
-    }
+  private def epochDirs(dir: HPath): Seq[(Long, HPath)] =
+    PathIO.listDir(dir)
+      .filter(_.getName.startsWith("epoch="))
+      .map(p => (p.getName.stripPrefix("epoch=").toLong, p))
 
   /**
    * Run the filter over a streaming `docs` source. Kept documents land

@@ -4,9 +4,6 @@ import graft.model.Envelope
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Paths}
-import scala.collection.JavaConverters._
-
 /**
  * Durable, manifest-gated ack store for one (topic, subscription) — the
  * storage half of the reference's pending-ack subsystem
@@ -34,13 +31,13 @@ import scala.collection.JavaConverters._
  * ManagedCursorImpl.individualDeletedMessages; [[AckState helpers in
  * graft.streaming]] fold them into markDelete positions / backlog.
  * Single-writer per (topic, subscription), the same posture as topic
- * appends.
+ * appends. All side-channel IO rides [[PathIO]] (Hadoop FileSystem).
  */
 final class AckLog(val spark: SparkSession, val topicPath: String, val sub: String) {
   import TopicLog.StagedAppend
 
   val basePath: String = s"$topicPath/_subs/$sub/acks"
-  private val manifestDir = Paths.get(basePath, "_manifest")
+  private val manifestDir = PathIO.path(basePath, "_manifest")
 
   val schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -50,9 +47,9 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
         org.apache.spark.sql.types.LongType)))
 
   private def committedEpochs(): Seq[Long] =
-    if (!Files.exists(manifestDir)) Seq.empty
+    if (!PathIO.exists(manifestDir)) Seq.empty
     else TopicLog.listDir(manifestDir)
-      .map(_.getFileName.toString).filter(_.endsWith(".commit"))
+      .map(_.getName).filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong).sorted
 
   /** Phase 1: write the ack rows under `_staging/<epoch>/` — invisible
@@ -62,27 +59,18 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     * loses its 4th field. */
   def stageAck(acks: DataFrame): StagedAppend = {
     val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
-    val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
+    val stagingDir = PathIO.path(basePath, "_staging", epoch.toString)
     // a crashed prior attempt may have left files here — same rule as
     // TopicLog.clearStaging: staged-but-unpublished is invisible garbage
-    if (Files.exists(stagingDir)) {
-      val w = Files.walk(stagingDir)
-      try w.iterator().asScala.toSeq.reverse.foreach(p =>
-        Files.deleteIfExists(p))
-      finally w.close()
-    }
+    PathIO.deleteTree(stagingDir): Unit
     val n = acks.count()
     acks.select(col("partition").cast("int"), col("offset").cast("long"))
       .write.mode("append").parquet(stagingDir.toString)
     val rels =
-      if (!Files.exists(stagingDir)) Seq.empty[String]
-      else {
-        val w = Files.walk(stagingDir)
-        try w.iterator().asScala.toSeq
-          .filter(_.toString.endsWith(".parquet"))
-          .map(p => stagingDir.relativize(p).toString).sorted
-        finally w.close()
-      }
+      if (!PathIO.exists(stagingDir)) Seq.empty[String]
+      else PathIO.walkAll(stagingDir)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => PathIO.relativize(stagingDir, p)).sorted
     val content =
       if (rels.isEmpty) TopicLog.EmptySnapshotMarker else rels.mkString("\n")
     StagedAppend(epoch, content, n)
@@ -92,11 +80,11 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     * identical content: txn recovery republishes), then move staged
     * files into the readable layout. */
   def publish(staged: StagedAppend): Unit = {
-    Files.createDirectories(manifestDir)
-    val target = manifestDir.resolve(s"${staged.epoch}.commit")
-    if (!Files.exists(target))
+    PathIO.mkdirs(manifestDir)
+    val target = PathIO.child(manifestDir, s"${staged.epoch}.commit")
+    if (!PathIO.exists(target))
       TopicLog.atomicCreate(target, staged.manifestLines.getBytes): Unit
-    val existing = new String(Files.readAllBytes(target))
+    val existing = new String(PathIO.readBytes(target))
     require(existing == staged.manifestLines,
       s"ack epoch ${staged.epoch} raced a DIFFERENT commit on $basePath")
     TopicLog.completeStagedMoves(basePath, staged.epoch)
@@ -114,14 +102,10 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     * an open or aborted transaction's acks never surface here. */
   def read(): DataFrame = {
     val hasData =
-      Files.exists(Paths.get(basePath)) && {
-        val w = Files.walk(Paths.get(basePath))
-        try w.iterator().asScala.exists { p =>
-          p.toString.endsWith(".parquet") &&
-            !Paths.get(basePath).relativize(p).iterator().asScala
-              .exists(_.getFileName.toString.startsWith("_"))
-        } finally w.close()
-      }
+      PathIO.exists(PathIO.path(basePath)) &&
+        PathIO.existsFileWhere(PathIO.path(basePath)) { rel =>
+          rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))
+        }
     if (!hasData)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -134,16 +118,12 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     * epochs' leftovers (mid-publish crash) are excluded; they belong to
     * [[read]] after recovery. */
   def pendingAcks(): DataFrame = {
-    val stagingRoot = Paths.get(basePath, "_staging")
+    val stagingRoot = PathIO.path(basePath, "_staging")
     val dirs =
-      if (!Files.exists(stagingRoot)) Seq.empty[String]
+      if (!PathIO.exists(stagingRoot)) Seq.empty[String]
       else TopicLog.listDir(stagingRoot)
-        .filter(d => !Files.exists(manifestDir.resolve(s"${d.getFileName}.commit")))
-        .filter { d =>
-          val w = Files.walk(d)
-          try w.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-          finally w.close()
-        }
+        .filter(d => !PathIO.exists(PathIO.child(manifestDir, s"${d.getName}.commit")))
+        .filter(d => PathIO.existsFileWhere(d)(_.endsWith(".parquet")))
         .map(_.toString).sorted
     dirs.foldLeft(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)) {
@@ -164,19 +144,19 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
   // grows with total consumption forever — unbounded at 100 TB.
   // -------------------------------------------------------------------
 
-  private val cursorDir = Paths.get(basePath, "_cursor")
+  private val cursorDir = PathIO.path(basePath, "_cursor")
 
   /** The compaction floor per partition (markDelete at the last
     * compaction; −1 when never compacted): every offset ≤ floor is
     * acked BY CONTRACT and its individual rows may no longer exist. */
   def cursor(): Map[Int, Long] = {
     val epochs =
-      if (!Files.exists(cursorDir)) Seq.empty[Long]
+      if (!PathIO.exists(cursorDir)) Seq.empty[Long]
       else TopicLog.listDir(cursorDir)
-        .map(_.getFileName.toString).filter(_.endsWith(".commit"))
+        .map(_.getName).filter(_.endsWith(".commit"))
         .map(_.stripSuffix(".commit").toLong).sorted
     epochs.lastOption.map { e =>
-      Files.readAllLines(cursorDir.resolve(s"$e.commit")).asScala
+      PathIO.readLines(PathIO.child(cursorDir, s"$e.commit"))
         .filter(_.nonEmpty).map { line =>
           val Array(p, o) = line.split(","); p.toInt -> o.toLong
         }.toMap
@@ -254,16 +234,13 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     val md = markDelete().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (md.isEmpty) return 0L
-    val oldFiles: Seq[java.nio.file.Path] = {
-      val w = Files.walk(Paths.get(basePath))
-      try w.iterator().asScala.toSeq
+    val base = PathIO.path(basePath)
+    val oldFiles: Seq[org.apache.hadoop.fs.Path] =
+      PathIO.walkAll(base)
         .filter { p =>
-          p.toString.endsWith(".parquet") &&
-            !Paths.get(basePath).relativize(p).iterator().asScala
-              .exists(_.getFileName.toString.startsWith("_"))
+          p.getName.endsWith(".parquet") &&
+            !PathIO.relativize(base, p).split('/').exists(_.startsWith("_"))
         }
-      finally w.close()
-    }
     val mdDf = spark.createDataFrame(spark.sparkContext.parallelize(
         md.toSeq.map { case (p, o) => org.apache.spark.sql.Row(p, o) }, 1),
       org.apache.spark.sql.types.StructType(Seq(
@@ -283,18 +260,18 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     val staged = stageAck(survivors)
     publish(staged)
     // cursor epoch: latest wins; first-writer-wins per epoch
-    Files.createDirectories(cursorDir)
-    val cEpoch = (if (!Files.exists(cursorDir)) Seq.empty[Long]
+    PathIO.mkdirs(cursorDir)
+    val cEpoch = (if (!PathIO.exists(cursorDir)) Seq.empty[Long]
       else TopicLog.listDir(cursorDir)
-        .map(_.getFileName.toString).filter(_.endsWith(".commit"))
+        .map(_.getName).filter(_.endsWith(".commit"))
         .map(_.stripSuffix(".commit").toLong)).sorted.lastOption
       .getOrElse(-1L) + 1L
     val merged = (cursor() ++ md).toSeq.sorted // floors only advance
       .map { case (p, o) => s"$p,$o" }.mkString("\n")
-    TopicLog.atomicCreate(cursorDir.resolve(s"$cEpoch.commit"),
+    TopicLog.atomicCreate(PathIO.child(cursorDir, s"$cEpoch.commit"),
       merged.getBytes): Unit
     oldFiles.foreach(p =>
-      try Files.deleteIfExists(p) catch { case _: Throwable => })
+      try { PathIO.deleteIfExists(p); () } catch { case _: Throwable => () })
     before - staged.count
   }
 }

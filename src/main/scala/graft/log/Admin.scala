@@ -4,8 +4,7 @@ import graft.model.Envelope
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.collection.JavaConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 
 /**
  * Log-management jobs: retention trim, truncate, tiered-storage offload,
@@ -27,39 +26,41 @@ import scala.collection.JavaConverters._
  */
 object Admin {
 
-  private def dataFiles(log: TopicLog): Seq[Path] = {
-    // absolute + normalized: fileMax keys on input_file_name()'s DECODED
-    // absolute URI path, so a relative TopicLog root would make every
-    // lookup miss and retention/offload silently no-op forever
-    val base = Paths.get(log.name.path(log.root)).toAbsolutePath.normalize
+  private def dataFiles(log: TopicLog): Seq[HPath] = {
+    // QUALIFIED paths throughout (PathIO.qualify): fileMax keys on
+    // input_file_name()'s decoded-and-qualified URI, so a relative or
+    // scheme-spelled-differently TopicLog root can't make every lookup
+    // miss and retention/offload silently no-op forever
+    val base = PathIO.qualify(log.name.path(log.root))
     log.manifestFiles() match {
       // file snapshot active (post-coalesce): the manifest, not the
       // directory, defines liveness — unreferenced files awaiting vacuum
       // must not be re-trimmed/offloaded/counted
-      case Some(live) => live.map(base.resolve(_)).filter(Files.exists(_))
+      case Some(live) =>
+        live.map(PathIO.child(base, _)).filter(PathIO.exists(_))
       case None =>
-        if (!Files.exists(base)) Seq.empty
+        if (!PathIO.exists(base)) Seq.empty
         else TopicLog.walkAll(base)
-          .filter(p => p.toString.endsWith(".parquet") &&
+          .filter(p => p.getName.endsWith(".parquet") &&
             // any underscore-prefixed subtree is metadata/derived (manifest,
             // cold tier, compacted snapshots, txn markers) — never touch it
-            !base.relativize(p).iterator().asScala.exists(
-              _.getFileName.toString.startsWith("_")))
+            !PathIO.relativize(base, p).split('/').exists(_.startsWith("_")))
+          .map(PathIO.qualify(_))
     }
   }
 
   /** Drop `victims` from the manifest snapshot (when active) BEFORE the
     * physical delete/move, so no committed manifest references a missing
     * file. */
-  private def unreference(log: TopicLog, victims: Seq[Path]): Unit = {
-    val base = Paths.get(log.name.path(log.root)).toAbsolutePath.normalize
-    log.dropFromSnapshot(victims.map(p => base.relativize(p).toString))
+  private def unreference(log: TopicLog, victims: Seq[HPath]): Unit = {
+    val base = PathIO.qualify(log.name.path(log.root))
+    log.dropFromSnapshot(victims.map(p => PathIO.relativize(base, p)))
   }
 
   /** Per-file max of `aggCol` in ONE distributed job (input_file_name
     * grouping) — the O(N-files) sequential-job trap is exactly what a
     * continuous 100 TB maintenance path cannot afford. */
-  private def fileMax(log: TopicLog, files: Seq[Path],
+  private def fileMax(log: TopicLog, files: Seq[HPath],
                       aggCol: String): Map[String, Any] = {
     if (files.isEmpty) return Map.empty
     log.spark.read.parquet(files.map(_.toString): _*)
@@ -69,17 +70,14 @@ object Admin {
       .map(r => decodeFileUri(r.getString(0)) -> r.get(1)).toMap
   }
 
-  /** input_file_name() is a URI (possibly percent-encoded); decode to a
-    * filesystem path so lookups against Path.toString can't silently
-    * miss (which would no-op retention/offload forever). The fallback
-    * strips the scheme AND collapses the `file:///` triple slash that a
-    * bare stripPrefix would leave behind. */
+  /** input_file_name() is a URI (possibly percent-encoded); decode it
+    * and re-qualify through [[PathIO.qualify]] so it keys identically
+    * to [[dataFiles]]' qualified paths on ANY scheme — a silent
+    * spelling mismatch here would no-op retention/offload forever. */
   private def decodeFileUri(raw: String): String =
-    try Paths.get(java.net.URI.create(raw)).toString
+    try PathIO.qualify(new HPath(java.net.URI.create(raw))).toString
     catch {
-      case _: Throwable =>
-        val s = raw.stripPrefix("file:")
-        if (s.startsWith("//")) s.dropWhile(_ == '/').prepended('/') else s
+      case _: Throwable => PathIO.qualify(raw).toString
     }
 
   /**
@@ -98,7 +96,7 @@ object Admin {
       }
     }
     unreference(log, victims)
-    victims.foreach(Files.deleteIfExists(_))
+    victims.foreach(PathIO.deleteIfExists(_))
     victims.size
   }
 
@@ -113,11 +111,12 @@ object Admin {
     val markers = Some(Txn.markerEpochs(root))
     Topics.list(root).map { t =>
       val base = t.path(root)
-      val subs = Paths.get(base, "_subs")
+      val subs = PathIO.path(base, "_subs")
       val ackBases =
-        if (!Files.exists(subs)) Seq.empty[String]
-        else TopicLog.listDir(subs).filter(Files.isDirectory(_))
-          .map(_.resolve("acks")).filter(Files.exists(_)).map(_.toString)
+        if (!PathIO.exists(subs)) Seq.empty[String]
+        else TopicLog.listDir(subs).filter(PathIO.isDirectory(_))
+          .map(s => s"$base/_subs/${s.getName}/acks")
+          .filter(b => PathIO.exists(PathIO.path(b)))
       (base +: ackBases)
         .map(b => TopicLog.pruneManifestHistory(b, root, keepLast, markers)).sum
     }.sum
@@ -128,7 +127,7 @@ object Admin {
   def truncate(log: TopicLog): Int = {
     val victims = dataFiles(log)
     unreference(log, victims)
-    victims.foreach(Files.deleteIfExists(_))
+    victims.foreach(PathIO.deleteIfExists(_))
     victims.size
   }
 
@@ -171,7 +170,7 @@ object Admin {
    *    so copy-first would double-read).
    */
   def offload(log: TopicLog, beforeOffset: Long): Int = {
-    val base = Paths.get(log.name.path(log.root)).toAbsolutePath.normalize
+    val base = PathIO.qualify(log.name.path(log.root))
     val files = dataFiles(log)
     val maxByFile = fileMax(log, files, Envelope.Offset)
     val moved = files.filter { p =>
@@ -183,20 +182,20 @@ object Admin {
     val snapshotMode = log.manifestFiles().isDefined
     if (snapshotMode) {
       moved.foreach { p =>
-        val rel = base.relativize(p)
-        val target = base.resolve("_cold").resolve(rel)
-        Files.createDirectories(target.getParent)
-        Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING): Unit
+        val rel = PathIO.relativize(base, p)
+        val target = PathIO.path(PathIO.child(base, "_cold").toString, rel)
+        PathIO.mkdirs(target.getParent)
+        PathIO.copy(p, target)
       }
       unreference(log, moved)
       // hot originals stay until TopicLog.vacuum() — in-flight readers
       // planned against the previous snapshot still resolve them
     } else {
       moved.foreach { p =>
-        val rel = base.relativize(p)
-        val target = base.resolve("_cold").resolve(rel)
-        Files.createDirectories(target.getParent)
-        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        val rel = PathIO.relativize(base, p)
+        val target = PathIO.path(PathIO.child(base, "_cold").toString, rel)
+        PathIO.mkdirs(target.getParent)
+        PathIO.move(p, target)
       }
     }
     moved.size
@@ -209,14 +208,14 @@ object Admin {
   def readTiered(log: TopicLog): DataFrame = {
     val spark = log.spark
     val base = log.name.path(log.root)
-    val cold = Paths.get(base, "_cold")
+    val cold = PathIO.path(base, "_cold")
     val hot = log.read()
-    if (!Files.exists(cold)) hot
+    if (!PathIO.exists(cold)) hot
     else {
       val live = log.manifestFiles().map(_.toSet).getOrElse(Set.empty[String])
       val visible = TopicLog.walkAll(cold)
-        .filter(_.toString.endsWith(".parquet"))
-        .filterNot(p => live.contains(cold.relativize(p).toString))
+        .filter(_.getName.endsWith(".parquet"))
+        .filterNot(p => live.contains(PathIO.relativize(cold, p)))
       if (visible.isEmpty) hot
       else {
         // cold files keep their hive partition dirs under _cold/
@@ -431,7 +430,7 @@ object Admin {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("head_offset",
             org.apache.spark.sql.types.LongType))))
-    val sizeByFile = files.map(p => p.toString -> Files.size(p)).toMap
+    val sizeByFile = files.map(p => p.toString -> PathIO.size(p)).toMap
     val sizeUdf = udf((f: String) => {
       val path = decodeFileUri(f)
       // fail loudly: a silent 0 here would report wrong storage sizes

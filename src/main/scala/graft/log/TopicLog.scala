@@ -7,7 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{Path => HPath}
+import java.io.{FileNotFoundException, IOException}
 import scala.collection.JavaConverters._
 
 /**
@@ -19,6 +20,11 @@ import scala.collection.JavaConverters._
  * plus a `_manifest/` directory of commit files. Readers only see data
  * referenced by committed manifests (READ_COMMITTED semantics — the Spark
  * stand-in for the reference's transaction buffer markers, SURVEY.md §2.12).
+ *
+ * All control-plane IO (manifests, staging moves, vacuum) goes through
+ * [[PathIO]] — the Hadoop FileSystem seam — so the log root may live on
+ * any scheme the data plane can read (`file:`, `hdfs://`; see
+ * [[PathIO]]'s per-scheme rename semantics).
  *
  * Scale notes (100 TB):
  *  - the log is hive-partitioned on `partition` so per-partition consumers
@@ -54,71 +60,32 @@ object TopicLog {
     def manifestPath: String = s"$epoch.commit"
   }
 
-  /** `Files.list` with a guaranteed close — the returned stream holds an
-    * open directory descriptor that draining the iterator does NOT
-    * release; every bare `Files.list(...).iterator()` leaks one fd. */
-  private[log] def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
+  /** Non-recursive children (one listStatus RPC). */
+  private[log] def listDir(dir: HPath): Seq[HPath] = PathIO.listDir(dir)
 
-  /** `Files.walk` with a guaranteed close (same fd contract as
-    * [[listDir]]). */
-  private[log] def walkAll(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = Files.walk(dir)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
+  /** Recursive pre-order walk, start included (statuses via
+    * [[PathIO.walkStatuses]] when mtimes are also needed — one RPC per
+    * directory instead of one per entry). */
+  private[log] def walkAll(dir: HPath): Seq[HPath] = PathIO.walkAll(dir)
 
-  /** Delete one staged epoch tree (files then dirs; best-effort per
-    * entry). Shared by [[vacuumStaged]] and [[Txn]]'s at-deadline
-    * cleanup. */
+  /** Delete one staged epoch tree (best-effort — a competing healer may
+    * be completing or cleaning the same epoch). Shared by
+    * [[vacuumStaged]] and [[Txn]]'s at-deadline cleanup. */
   private[log] def dropStagedEpoch(basePath: String, epoch: Long): Unit = {
-    val dir = Paths.get(basePath, "_staging", epoch.toString)
-    if (!Files.exists(dir)) return
-    walkAll(dir).reverse.foreach(p =>
-      try Files.deleteIfExists(p) catch { case _: Throwable => })
+    val dir = PathIO.path(basePath, "_staging", epoch.toString)
+    try { PathIO.deleteTree(dir); () } catch { case _: IOException => () }
   }
 
   /**
    * Atomically publish `content` at `target` iff absent — FIRST writer
-   * wins. Uses a hard link of a unique tmp file: link(2) fails
-   * atomically with FileAlreadyExistsException when the target exists,
-   * unlike rename(2), which silently REPLACES it (so a plain
-   * ATOMIC_MOVE can drop a competing commit without any error — the
-   * TOCTOU this helper exists to close). The tmp file is always
-   * removed on any non-crash path. Returns true iff this call created
-   * the target; either way the caller must verify the target's content
-   * against its own. Shared by [[TopicLog.publishManifest]] and
-   * [[Txn.recover]].
+   * wins; either way the caller must verify the target's content
+   * against its own. [[PathIO.atomicCreate]]: hard-link protocol on
+   * local schemes (link(2) fails atomically where rename(2) silently
+   * REPLACES — the TOCTOU this primitive closes), exclusive rename on
+   * HDFS. Shared by [[TopicLog.publishManifest]] and [[Txn.recover]].
    */
-  private[graft] def atomicCreate(target: java.nio.file.Path,
-                                  content: Array[Byte]): Boolean = {
-    val tmp = target.resolveSibling(
-      s"${target.getFileName}.tmp.${java.util.UUID.randomUUID}")
-    Files.write(tmp, content)
-    try {
-      try { Files.createLink(target, tmp); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case e: java.nio.file.NoSuchFileException =>
-          // our tmp vanished before the link: a concurrent publisher's
-          // leftover sweep (publishManifest) deleted it — that sweep
-          // only runs AFTER the sweeper created the target, so the
-          // target existing means we simply lost the race; anything
-          // else is a genuine anomaly and must stay loud
-          if (Files.exists(target)) false else throw e
-        case _: UnsupportedOperationException =>
-          // filesystem without hard links: fall back to rename. rename(2)
-          // REPLACES silently, so first-writer-wins degrades here: the
-          // re-read below catches a replacement that happened before this
-          // call's verification, but a LATER different-content move can
-          // still silently supersede a writer that already returned true
-          // — on such filesystems only same-content races are fully safe.
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          java.util.Arrays.equals(Files.readAllBytes(target), content)
-      }
-    } finally { Files.deleteIfExists(tmp); () }
-  }
+  private[graft] def atomicCreate(target: HPath, content: Array[Byte]): Boolean =
+    PathIO.atomicCreate(target, content)
 
   /**
    * Bound the `_manifest` history of a TopicLog-layout base dir (topic
@@ -148,13 +115,13 @@ object TopicLog {
                            keepLast: Int = 16,
                            markersByBase: Option[Map[String, Set[Long]]] = None): Int = {
     require(keepLast >= 1, "must keep at least the latest manifest")
-    val manifestDir = Paths.get(basePath, "_manifest")
-    if (!Files.exists(manifestDir)) return 0
+    val manifestDir = PathIO.path(basePath, "_manifest")
+    if (!PathIO.exists(manifestDir)) return 0
     // ONE directory listing for the whole prune: the first sweep of a
     // long-history topic has O(all-time appends) victims, and a
     // per-victim re-list would make that first run quadratic in
     // exactly the case the janitor exists to fix
-    val entries = listDir(manifestDir).map(p => p -> p.getFileName.toString)
+    val entries = PathIO.listDir(manifestDir).map(p => p -> p.getName)
     val epochs = entries.map(_._2).filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong).sorted
     if (epochs.size <= keepLast) return 0
@@ -162,18 +129,18 @@ object TopicLog {
     // set ONCE per sweep instead of once per topic/ack base — the same
     // (T+S)-passes hazard Txn.vacuumAll documents
     val marked = markersByBase.getOrElse(Txn.markerEpochs(root))
-      .getOrElse(Paths.get(basePath).toAbsolutePath.toString, Set.empty)
+      .getOrElse(PathIO.qualify(basePath).toString, Set.empty)
     val victims = epochs.dropRight(keepLast)
       .filterNot(marked.contains)
-      .filterNot(e => Files.exists(Paths.get(basePath, "_staging", e.toString)))
+      .filterNot(e => PathIO.exists(PathIO.path(basePath, "_staging", e.toString)))
     val flistByEpoch = entries
       .filter(_._2.contains(".flist."))
       .groupBy(_._2.takeWhile(_ != '.'))
     var deleted = 0
     victims.foreach { e =>
-      if (Files.deleteIfExists(manifestDir.resolve(s"$e.commit"))) deleted += 1
+      if (PathIO.deleteIfExists(PathIO.child(manifestDir, s"$e.commit"))) deleted += 1
       flistByEpoch.getOrElse(e.toString, Seq.empty)
-        .foreach { case (p, _) => if (Files.deleteIfExists(p)) deleted += 1 }
+        .foreach { case (p, _) => if (PathIO.deleteIfExists(p)) deleted += 1 }
     }
     deleted
   }
@@ -186,22 +153,18 @@ object TopicLog {
     * its own success instead of crashing a commit that already
     * happened. */
   private[log] def completeStagedMoves(basePath: String, epoch: Long): Unit = {
-    val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
-    if (!Files.exists(stagingDir)) return
+    val stagingDir = PathIO.path(basePath, "_staging", epoch.toString)
+    if (!PathIO.exists(stagingDir)) return
     // the walk races the competing healer's moves/deletes: an entry
     // vanishing mid-walk aborts the iteration, so RETRY until one walk
     // completes — returning a partial listing and then cleaning up
     // would delete parquet the partial walk never moved
-    def walkOnce(): Option[Seq[java.nio.file.Path]] =
-      try {
-        val s = Files.walk(stagingDir)
-        try Some(s.iterator().asScala.toSeq) finally s.close()
-      } catch {
-        case _: java.io.IOException | _: java.io.UncheckedIOException => None
-      }
-    var entries: Option[Seq[java.nio.file.Path]] = None
+    def walkOnce(): Option[Seq[HPath]] =
+      try Some(PathIO.walkAll(stagingDir))
+      catch { case _: IOException => None }
+    var entries: Option[Seq[HPath]] = None
     var attempts = 0
-    while (entries.isEmpty && attempts < 8 && Files.exists(stagingDir)) {
+    while (entries.isEmpty && attempts < 8 && PathIO.exists(stagingDir)) {
       entries = walkOnce()
       attempts += 1
       // linear backoff so the retries outlive the competitor's burst of
@@ -211,29 +174,28 @@ object TopicLog {
     // giving up silently would return success from publishManifest with
     // committed rows never moved into place — if the staging tree still
     // exists and we could not list it, fail so the caller retries
-    if (entries.isEmpty && Files.exists(stagingDir))
+    if (entries.isEmpty && PathIO.exists(stagingDir))
       throw new IllegalStateException(
         s"staged epoch $epoch: could not complete moves after $attempts " +
           s"contended walks of $stagingDir")
     entries.getOrElse(Seq.empty)
-      .filter(_.toString.endsWith(".parquet"))
+      .filter(_.getName.endsWith(".parquet"))
       .foreach { p =>
-        val target = Paths.get(basePath).resolve(stagingDir.relativize(p))
-        Files.createDirectories(target.getParent)
-        try Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.NoSuchFileException => ()        // competing healer won
-          case _: java.nio.file.FileAlreadyExistsException => () // already at target
-        }
+        val rel = PathIO.relativize(stagingDir, p)
+        val target = PathIO.path(basePath, rel)
+        PathIO.mkdirs(target.getParent)
+        // tolerant: competitor already moved it (src gone) or it is
+        // already at the target — either way the commit happened
+        PathIO.moveTolerant(p, target)
       }
     // clean the emptied staging tree — but NEVER delete a data file:
     // if a parquet somehow lingers (competitor mid-move), a later
     // recoverStaging pass finishes it; deleting directories that still
-    // hold files just no-ops (DirectoryNotEmptyException swallowed)
+    // hold files just no-ops (not-empty failures swallowed)
     if (entries.isDefined)
       walkOnce().getOrElse(Seq.empty).reverse
-        .filterNot(_.toString.endsWith(".parquet"))
-        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => })
+        .filterNot(_.getName.endsWith(".parquet"))
+        .foreach(p => try { PathIO.deleteIfExists(p); () } catch { case _: Throwable => () })
   }
 
   /** Recovery: complete moves for every staged epoch whose manifest is
@@ -241,12 +203,12 @@ object TopicLog {
     * NO manifest stay staged — invisible garbage, never visible rows.
     * Returns epochs healed. */
   def recoverStaging(topicPath: String): Int = {
-    val stagingRoot = Paths.get(topicPath, "_staging")
-    if (!Files.exists(stagingRoot)) return 0
+    val stagingRoot = PathIO.path(topicPath, "_staging")
+    if (!PathIO.exists(stagingRoot)) return 0
     var healed = 0
-    listDir(stagingRoot).foreach { dir =>
-      val epoch = dir.getFileName.toString
-      if (Files.exists(Paths.get(topicPath, "_manifest", s"$epoch.commit"))) {
+    PathIO.listDir(stagingRoot).foreach { dir =>
+      val epoch = dir.getName
+      if (PathIO.exists(PathIO.path(topicPath, "_manifest", s"$epoch.commit"))) {
         completeStagedMoves(topicPath, epoch.toLong)
         healed += 1
       }
@@ -303,12 +265,12 @@ object TopicLog {
     // call would permanently delete a committed transaction's staged
     // data once it aged past the horizon.
     val detectedRoot = txnRoot.orElse {
-      Iterator.iterate(Paths.get(basePath).toAbsolutePath)(_.getParent)
+      Iterator.iterate(PathIO.qualify(basePath))(_.getParent)
         .takeWhile(_ != null)
-        .find(p => Files.isDirectory(p.resolve("_txn")))
+        .find(p => PathIO.isDirectory(PathIO.child(p, "_txn")))
         .map(_.toString)
     }
-    val baseAbs = Paths.get(basePath).toAbsolutePath.toString
+    val baseAbs = PathIO.qualify(basePath).toString
     def parse(): Set[Long] = detectedRoot
       .map(r => Txn.markerEpochs(r).getOrElse(baseAbs, Set.empty))
       .getOrElse(Set.empty)
@@ -330,23 +292,23 @@ object TopicLog {
                                          nowMs: () => Long,
                                          markerProtected: Set[Long],
                                          reProtect: Option[() => Set[Long]] = None): Int = {
-    val stagingRoot = Paths.get(basePath, "_staging")
-    if (!Files.exists(stagingRoot)) return 0
-    val manifestDir = Paths.get(basePath, "_manifest")
+    val stagingRoot = PathIO.path(basePath, "_staging")
+    if (!PathIO.exists(stagingRoot)) return 0
+    val manifestDir = PathIO.path(basePath, "_manifest")
     var dropped = 0
-    listDir(stagingRoot).foreach { dir =>
+    PathIO.listDir(stagingRoot).foreach { dir =>
       // non-numeric names are not staged epochs — never touch them
-      scala.util.Try(dir.getFileName.toString.toLong).toOption.foreach { epoch =>
+      scala.util.Try(dir.getName.toLong).toOption.foreach { epoch =>
         val newestMs =
-          try walkAll(dir).map(p => Files.getLastModifiedTime(p).toMillis)
+          try PathIO.walkStatuses(dir).map(_.getModificationTime)
             .foldLeft(0L)(math.max)
-          catch { case _: java.io.IOException => Long.MaxValue }
+          catch { case _: IOException => Long.MaxValue }
         val expired = nowMs() - newestMs > olderThanMs
         if (expired && !markerProtected.contains(epoch) &&
             reProtect.forall(f => !f().contains(epoch)) &&
-            !Files.exists(manifestDir.resolve(s"$epoch.commit"))) {
+            !PathIO.exists(PathIO.child(manifestDir, s"$epoch.commit"))) {
           dropStagedEpoch(basePath, epoch)
-          if (!Files.exists(dir)) dropped += 1
+          if (!PathIO.exists(dir)) dropped += 1
         }
       }
     }
@@ -358,13 +320,13 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
                      val numPartitions: Int = 4) {
 
   private val basePath = name.path(root)
-  private val manifestDir = Paths.get(basePath, "_manifest")
+  private val manifestDir = PathIO.path(basePath, "_manifest")
 
   /** Committed epochs, ascending. */
   private def committedEpochs(): Seq[Long] =
-    if (!Files.exists(manifestDir)) Seq.empty
-    else TopicLog.listDir(manifestDir)
-      .map(_.getFileName.toString).filter(_.endsWith(".commit"))
+    if (!PathIO.exists(manifestDir)) Seq.empty
+    else PathIO.listDir(manifestDir)
+      .map(_.getName).filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong).sorted
 
   private def latestManifestLines(): Seq[String] = {
@@ -376,9 +338,9 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       committedEpochs().lastOption match {
         case None => return Seq.empty
         case Some(e) =>
-          try return Files.readAllLines(manifestDir.resolve(s"$e.commit"))
-            .asScala.filter(_.nonEmpty).toSeq
-          catch { case _: java.nio.file.NoSuchFileException => attempt += 1 }
+          try return PathIO.readLines(PathIO.child(manifestDir, s"$e.commit"))
+            .filter(_.nonEmpty)
+          catch { case _: FileNotFoundException => attempt += 1 }
       }
     }
     // five vanished "latest" manifests in a row is not a prune race —
@@ -438,7 +400,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       try {
         val chunked = lines.filter(_.startsWith("L,")).map(_.stripPrefix("L,"))
           .flatMap { n =>
-            Files.readAllLines(manifestDir.resolve(n)).asScala.filter(_.nonEmpty)
+            PathIO.readLines(PathIO.child(manifestDir, n)).filter(_.nonEmpty)
           }
         val fs = direct ++ chunked
         // "F,-" is the explicit EMPTY snapshot (all files dropped) —
@@ -446,7 +408,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
         return if (fs.isEmpty) None
           else Some(fs.filterNot(_ == TopicLog.EmptySnapshotMarker))
       } catch {
-        case e: java.nio.file.NoSuchFileException =>
+        case e: FileNotFoundException =>
           attempt += 1
           if (attempt >= 5) throw e
       }
@@ -480,13 +442,13 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     if (files.isEmpty) Seq(s"F,${TopicLog.EmptySnapshotMarker}")
     else if (files.size <= manifestListThreshold) files.map("F," + _)
     else {
-      Files.createDirectories(manifestDir)
+      PathIO.mkdirs(manifestDir)
       files.grouped(4096).zipWithIndex.map { case (chunk, k) =>
         val bytes = chunk.mkString("\n").getBytes("UTF-8")
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(bytes).take(8).map("%02x".format(_)).mkString
         val sideName = s"$epoch.flist.$k.$digest"
-        val side = manifestDir.resolve(sideName)
+        val side = PathIO.child(manifestDir, sideName)
         // atomicCreate (tmp + hard-link), never a plain write: a crash
         // mid-write would leave a TRUNCATED file at the content-
         // addressed name, and a retry — same content, same digest —
@@ -494,7 +456,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
         // manifest referencing a partial file list (rows vanish and
         // vacuum deletes them as unreferenced). With the atomic create
         // a present side file is by construction complete.
-        if (!Files.exists(side)) {
+        if (!PathIO.exists(side)) {
           TopicLog.atomicCreate(side, bytes): Unit
         }
         s"L,$sideName"
@@ -559,7 +521,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     withOffsets.write.mode("append").partitionBy(Envelope.Partition)
       .parquet(s"$basePath/_staging/$epoch")
     val stagedFiles =
-      if (Files.exists(Paths.get(basePath, "_staging", epoch.toString)))
+      if (PathIO.exists(PathIO.path(basePath, "_staging", epoch.toString)))
         stagedRelPaths(epoch)
       else Seq.empty // empty batch: nothing staged
     // count + per-partition max offset from the parquet FOOTERS of the
@@ -589,14 +551,14 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
-    val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
+    val stagingDir = PathIO.path(basePath, "_staging", epoch.toString)
     relPaths.flatMap { rel =>
       val partition = rel.split('/').collectFirst {
         case seg if seg.startsWith(s"${Envelope.Partition}=") =>
           seg.substring(Envelope.Partition.length + 1).toInt
       }.getOrElse(sys.error(s"staged file outside a partition dir: $rel"))
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(stagingDir.resolve(rel).toString), conf))
+        PathIO.path(stagingDir.toString, rel), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         val rows = blocks.map(_.getRowCount).sum
@@ -628,19 +590,19 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     * writing with mode("append") would stage the stale files alongside
     * the fresh ones and commit every row twice. */
   private def clearStaging(epoch: Long): Unit = {
-    val dir = Paths.get(basePath, "_staging", epoch.toString)
-    if (Files.exists(dir))
-      TopicLog.walkAll(dir).reverse.foreach(p => Files.deleteIfExists(p))
+    val dir = PathIO.path(basePath, "_staging", epoch.toString)
+    if (PathIO.exists(dir) && !PathIO.deleteTree(dir) && PathIO.exists(dir))
+      throw new IOException(s"could not clear stale staging tree $dir")
   }
 
   /** Relative (final) paths of the parquet files staged for `epoch` —
     * staging preserves the partition subtree, so the relative path under
     * `_staging/<epoch>/` is the path the file will live at after publish. */
   private def stagedRelPaths(epoch: Long): Seq[String] = {
-    val stagingDir = Paths.get(basePath, "_staging", epoch.toString)
-    TopicLog.walkAll(stagingDir)
-      .filter(_.toString.endsWith(".parquet"))
-      .map(p => stagingDir.relativize(p).toString).sorted
+    val stagingDir = PathIO.path(basePath, "_staging", epoch.toString)
+    PathIO.walkAll(stagingDir)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => PathIO.relativize(stagingDir, p)).sorted
   }
 
   /**
@@ -687,15 +649,15 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
   def vacuum(): Int = manifestFiles() match {
     case Some(live) =>
       val liveSet = live.toSet
-      val base = Paths.get(basePath)
-      val victims = TopicLog.walkAll(base)
+      val base = PathIO.path(basePath)
+      val victims = PathIO.walkAll(base)
         .filter { p =>
-          p.toString.endsWith(".parquet") &&
-            !base.relativize(p).iterator().asScala.exists(
-              _.getFileName.toString.startsWith("_")) &&
-            !liveSet.contains(base.relativize(p).toString)
+          p.getName.endsWith(".parquet") && {
+            val rel = PathIO.relativize(base, p)
+            !rel.split('/').exists(_.startsWith("_")) && !liveSet.contains(rel)
+          }
         }
-      victims.foreach(Files.deleteIfExists(_))
+      victims.foreach(PathIO.deleteIfExists(_))
       victims.size
     case None => 0
   }
@@ -711,10 +673,10 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     * silently dropping one commit (appends are single-writer per topic,
     * ManagedLedgerImpl.internalAsyncAddEntry:821). */
   def publishManifest(staged: StagedAppend): Unit = {
-    Files.createDirectories(manifestDir)
-    val target = manifestDir.resolve(staged.manifestPath)
-    if (Files.exists(target)) {
-      val existing = new String(Files.readAllBytes(target))
+    PathIO.mkdirs(manifestDir)
+    val target = PathIO.child(manifestDir, staged.manifestPath)
+    if (PathIO.exists(target)) {
+      val existing = new String(PathIO.readBytes(target))
       require(existing == staged.manifestLines,
         s"manifest epoch ${staged.epoch} already committed with different " +
           s"content — concurrent writers detected on ${name.fqn}")
@@ -725,16 +687,14 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       // READ_UNCOMMITTED healer) succeeds and a different racing commit
       // fails loudly instead of silently replacing
       TopicLog.atomicCreate(target, staged.manifestLines.getBytes): Unit
-      val existing = new String(Files.readAllBytes(target))
+      val existing = new String(PathIO.readBytes(target))
       require(existing == staged.manifestLines,
         s"manifest epoch ${staged.epoch} raced a DIFFERENT commit — " +
           s"concurrent writers detected on ${name.fqn}")
       // sweep tmp leftovers of crashed earlier attempts at this epoch
-      val l = Files.list(manifestDir)
-      try l.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"${staged.epoch}.commit.tmp."))
-        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => })
-      finally l.close()
+      PathIO.listDir(manifestDir)
+        .filter(_.getName.startsWith(s"${staged.epoch}.commit.tmp."))
+        .foreach(p => try { PathIO.deleteIfExists(p); () } catch { case _: Throwable => () })
     }
     TopicLog.completeStagedMoves(basePath, staged.epoch)
   }
@@ -765,20 +725,13 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
           // while the high-water lines survive — that state must read
           // as empty (exactly what the explicit empty snapshot above
           // returns), not throw UNABLE_TO_INFER_SCHEMA.
-          // STREAMED walk, not walkAll: this emptiness probe runs on
-          // every offset-only read, and materializing the whole tree
-          // first made it O(total-files) per read on large topics —
-          // findFirst stops the filesystem walk at the first data file
-          // (non-empty topics, the common case, exit almost immediately)
-          val hasData = {
-            val base = Paths.get(basePath)
-            val s = Files.walk(base)
-            try s.filter { p =>
-                p.toString.endsWith(".parquet") &&
-                  !base.relativize(p).iterator().asScala.exists(
-                    _.getFileName.toString.startsWith("_"))
-              }.findFirst().isPresent
-            finally s.close()
+          // SHORT-CIRCUITING walk, not walkAll: this emptiness probe
+          // runs on every offset-only read, and materializing the whole
+          // tree first made it O(total-files) per read on large topics —
+          // the walk stops at the first data file (non-empty topics,
+          // the common case, exit almost immediately)
+          val hasData = PathIO.existsFileWhere(PathIO.path(basePath)) { rel =>
+            rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))
           }
           if (!hasData) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Envelope.schema)
@@ -816,19 +769,18 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
       // Safe against a concurrent publishManifest healing the same
       // epoch: completeStagedMoves is race-tolerant per file.
       TopicLog.recoverStaging(basePath)
-      val stagingRoot = Paths.get(basePath, "_staging")
+      val stagingRoot = PathIO.path(basePath, "_staging")
       // the listing races live writers by design (dirty reads run
       // concurrently with in-flight transactions): a dir or file that
       // vanishes mid-walk means the epoch is being completed or
       // cleaned — treat it as nothing to surface, never crash the read
       val inFlight: Seq[String] =
-        if (!Files.exists(stagingRoot)) Seq.empty[String]
+        if (!PathIO.exists(stagingRoot)) Seq.empty[String]
         else try {
-          val listing = Files.list(stagingRoot)
-          try listing.iterator().asScala.toSeq
+          PathIO.listDir(stagingRoot)
             .filter { d =>
-              val committed = Files.exists(
-                manifestDir.resolve(s"${d.getFileName}.commit"))
+              val committed = PathIO.exists(
+                PathIO.child(manifestDir, s"${d.getName}.commit"))
               // an epoch whose manifest committed BETWEEN recoverStaging()
               // above and this listing is excluded from the in-flight
               // union, but its staged files may not have moved yet — the
@@ -837,8 +789,7 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
               // "committed plus in-flight" stays exact (race-tolerant:
               // the publisher may be completing the same moves).
               if (committed)
-                try TopicLog.completeStagedMoves(
-                  basePath, d.getFileName.toString.toLong)
+                try TopicLog.completeStagedMoves(basePath, d.getName.toLong)
                 catch { case _: IllegalStateException | _: NumberFormatException => () }
               !committed
             }
@@ -848,18 +799,13 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
             // segments are hidden to Spark, and planning a dir with
             // only hidden files fails schema inference
             .filter { d =>
-              val w = Files.walk(d)
-              try w.iterator().asScala.exists { p =>
-                p.toString.endsWith(".parquet") &&
-                  !d.relativize(p).iterator().asScala.exists(
-                    _.getFileName.toString.startsWith("_"))
-              } finally w.close()
+              try PathIO.existsFileWhere(d) { rel =>
+                rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))
+              } catch { case _: IOException => false }
             }
             .map(_.toString).sorted
-          finally listing.close()
         } catch {
-          case _: java.io.IOException | _: java.io.UncheckedIOException =>
-            Seq.empty[String]
+          case _: IOException => Seq.empty[String]
         }
       inFlight.foldLeft(read()) { (acc, epochDir) =>
         // basePath at the epoch dir keeps partition=<i> discovery

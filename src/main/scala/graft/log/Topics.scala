@@ -3,16 +3,14 @@ package graft.log
 import graft.model.TopicName
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.nio.file.{Files, Paths}
-import scala.collection.JavaConverters._
-
 /**
  * Topic catalog over the log root — the namespace/topic discovery surface
  * (reference NamespaceService lookup + `CommandWatchTopicList`
  * PulsarApi.proto:794 for regex subscriptions).
  *
  * Layout convention: `<root>/<tenant>/<namespace>/<topic>/partition=i/`.
- * Discovery is a directory walk (the metadata-store read); regex
+ * Discovery is a directory walk through [[PathIO]] (the metadata-store
+ * read — depth-bounded, one listing RPC per directory); regex
  * subscribe re-resolves per call — call again per microbatch for the
  * reference's dynamic topic discovery.
  */
@@ -20,18 +18,17 @@ object Topics {
 
   /** All topics under the root, as fully-qualified names. */
   def list(root: String): Seq[TopicName] = {
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath)) return Seq.empty
-    val w = Files.walk(rootPath, 3)
-    try w.iterator().asScala
-      .filter(p => Files.isDirectory(p) && rootPath.relativize(p).getNameCount == 3)
-      .filterNot(_.getFileName.toString.startsWith("_"))
-      .map { p =>
-        val rel = rootPath.relativize(p)
-        TopicName("persistent", rel.getName(0).toString,
-          rel.getName(1).toString, rel.getName(2).toString)
-      }.toSeq.sortBy(_.fqn)
-    finally w.close()
+    val rootPath = PathIO.path(root)
+    if (!PathIO.exists(rootPath)) return Seq.empty
+    def dirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      PathIO.listStatusSeq(p).filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.startsWith("_"))
+    (for {
+      tenant <- dirs(rootPath)
+      ns <- dirs(tenant)
+      topic <- dirs(ns)
+    } yield TopicName("persistent", tenant.getName, ns.getName, topic.getName))
+      .sortBy(_.fqn)
   }
 
   /** Topics in a namespace whose topic name matches `pattern` (the
@@ -68,13 +65,13 @@ object Topics {
   /** Create a partitioned topic (metadata only — data dirs appear on
     * first append). Reference Topics.createPartitionedTopic. */
   def createPartitioned(root: String, name: TopicName, partitions: Int): Unit = {
-    val meta = Paths.get(name.path(root), "_meta")
-    Files.createDirectories(meta)
-    Files.writeString(meta.resolve("partitions"), partitions.toString)
+    val meta = PathIO.path(name.path(root), "_meta")
+    PathIO.mkdirs(meta)
+    PathIO.writeString(PathIO.child(meta, "partitions"), partitions.toString)
   }
 
   def partitionCount(root: String, name: TopicName): Option[Int] = {
-    val f = Paths.get(name.path(root), "_meta", "partitions")
-    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
+    val f = PathIO.path(name.path(root), "_meta", "partitions")
+    if (PathIO.exists(f)) Some(PathIO.readString(f).trim.toInt) else None
   }
 }

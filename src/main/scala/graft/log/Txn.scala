@@ -2,8 +2,8 @@ package graft.log
 
 import org.apache.spark.sql.DataFrame
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.collection.JavaConverters._
+import java.io.IOException
+import java.io.FileNotFoundException
 
 /**
  * Transactions-lite: atomic multi-topic produce with read-committed
@@ -26,6 +26,10 @@ import scala.collection.JavaConverters._
  * consumer either eventually sees every topic's batch or none — the
  * same end-to-end contract the reference's txn-produce gives, with the
  * marker playing the transaction buffer's commit-marker role.
+ *
+ * Marker IO goes through [[PathIO]] (Hadoop FileSystem), so the txn
+ * root may live on any scheme with atomic rename ([[PathIO]] class doc)
+ * — the reference keeps this layer in its metadata store.
  */
 final class Txn private (val txnId: String, root: String,
                          deadlineMs: Long, clock: () => Long) {
@@ -79,8 +83,8 @@ final class Txn private (val txnId: String, root: String,
     * then publish every manifest. */
   def commit(): Unit = {
     checkOpen()
-    val markerDir = Paths.get(root, "_txn")
-    Files.createDirectories(markerDir)
+    val markerDir = PathIO.path(root, "_txn")
+    PathIO.mkdirs(markerDir)
     // phase 1: stage every batch (data invisible). Batches to the SAME
     // topic are unioned first — staging them separately would compute the
     // same epoch/base offsets twice (colliding offsets, dropped manifest).
@@ -122,7 +126,7 @@ final class Txn private (val txnId: String, root: String,
     // manifests AND ack manifests (consume-process-produce atomicity;
     // an AckLog line's first field is its base path, which recover()
     // replays through the identical layout)
-    val tmp = markerDir.resolve(s"$txnId.tmp")
+    val tmp = PathIO.child(markerDir, s"$txnId.tmp")
     val produceLines = prepared.map { case (log, s) =>
       Seq(log.name.path(root), s.epoch.toString, s.count.toString,
         s.manifestLines.replace("\n", ";")).mkString("\t")
@@ -131,9 +135,8 @@ final class Txn private (val txnId: String, root: String,
       Seq(ackLog.basePath, s.epoch.toString, s.count.toString,
         s.manifestLines.replace("\n", ";")).mkString("\t")
     }
-    Files.write(tmp, (produceLines ++ ackLines).mkString("\n").getBytes)
-    Files.move(tmp, markerDir.resolve(s"$txnId.committed"),
-      StandardCopyOption.ATOMIC_MOVE)
+    PathIO.write(tmp, (produceLines ++ ackLines).mkString("\n").getBytes)
+    PathIO.move(tmp, PathIO.child(markerDir, s"$txnId.committed"))
     // phase 3: publish (idempotent; recover() replays on crash)
     prepared.foreach { case (log, s) => log.publishManifest(s) }
     preparedAcks.foreach { case (ackLog, s) => ackLog.publish(s) }
@@ -202,27 +205,28 @@ object Txn {
     // S ack logs that is (T+S) full marker passes per sweep)
     val protectedByBase = markerEpochs(root)
     def protectedFor(base: String): Set[Long] =
-      protectedByBase.getOrElse(
-        Paths.get(base).toAbsolutePath.toString, Set.empty)
+      protectedByBase.getOrElse(PathIO.qualify(base).toString, Set.empty)
     // delete-time re-parse (fresh, not the sweep-wide snapshot): a
     // marker whose write landed after the sweep parse is seen here,
     // shrinking the unseen-marker window to filesystem-op scale
     def reProtectFor(base: String): Option[() => Set[Long]] =
       Some(() => markerEpochs(root).getOrElse(
-        Paths.get(base).toAbsolutePath.toString, Set.empty))
+        PathIO.qualify(base).toString, Set.empty))
     var dropped = 0
     Topics.list(root).foreach { t =>
       val base = t.path(root)
       dropped += TopicLog.vacuumStagedProtected(base, olderThanMs,
         () => sweepNow, protectedFor(base), reProtectFor(base))
-      val subsDir = Paths.get(base, "_subs")
-      if (Files.exists(subsDir))
-        TopicLog.listDir(subsDir).filter(Files.isDirectory(_)).foreach { s =>
-          val ackBase = s.resolve("acks")
-          if (Files.exists(ackBase))
-            dropped += TopicLog.vacuumStagedProtected(ackBase.toString,
-              olderThanMs, () => sweepNow, protectedFor(ackBase.toString),
-              reProtectFor(ackBase.toString))
+      val subsDir = PathIO.path(base, "_subs")
+      if (PathIO.exists(subsDir))
+        TopicLog.listDir(subsDir).filter(PathIO.isDirectory(_)).foreach { s =>
+          // keep the CALLER's base spelling (listing-derived paths come
+          // back scheme-qualified; markerEpochs keys qualify either way)
+          val ackBase = s"$base/_subs/${s.getName}/acks"
+          if (PathIO.exists(PathIO.path(ackBase)))
+            dropped += TopicLog.vacuumStagedProtected(ackBase,
+              olderThanMs, () => sweepNow, protectedFor(ackBase),
+              reProtectFor(ackBase))
         }
     }
     // retire fully-published markers: every line's manifest exists, so
@@ -230,22 +234,22 @@ object Txn {
     // (the manifest itself is the vacuum guard from here on). Without
     // retirement the marker set — and every future sweep's parse —
     // grows with all-time committed txn count.
-    val markerDir = Paths.get(root, "_txn")
-    if (Files.exists(markerDir))
+    val markerDir = PathIO.path(root, "_txn")
+    if (PathIO.exists(markerDir))
       TopicLog.listDir(markerDir)
-        .filter(_.getFileName.toString.endsWith(".committed"))
+        .filter(_.getName.endsWith(".committed"))
         .foreach { marker =>
           // a concurrent janitor can retire this marker between our
           // listDir and the read — skip it (best-effort, like the rest
           // of the sweep) instead of aborting the pass mid-way
-          scala.util.Try(Files.readAllLines(marker).asScala).foreach { lines =>
+          scala.util.Try(PathIO.readLines(marker)).foreach { lines =>
             val done = lines.filter(_.nonEmpty)
               .forall { line =>
                 val f = line.split("\t")
                 f.length >= 2 &&
-                  Files.exists(Paths.get(f(0), "_manifest", s"${f(1)}.commit"))
+                  PathIO.exists(PathIO.path(f(0), "_manifest", s"${f(1)}.commit"))
               }
-            if (done) { Files.deleteIfExists(marker); () }
+            if (done) { PathIO.deleteIfExists(marker); () }
           }
         }
     (healed, dropped)
@@ -273,22 +277,21 @@ object Txn {
       : Seq[SlowStaging] = {
     val marked = markerEpochs(root)
     def scan(base: String): Seq[SlowStaging] = {
-      val stagingRoot = Paths.get(base, "_staging")
-      if (!Files.exists(stagingRoot)) Seq.empty
+      val stagingRoot = PathIO.path(base, "_staging")
+      if (!PathIO.exists(stagingRoot)) Seq.empty
       else TopicLog.listDir(stagingRoot).flatMap { dir =>
-        scala.util.Try(dir.getFileName.toString.toLong).toOption.flatMap { epoch =>
+        scala.util.Try(dir.getName.toLong).toOption.flatMap { epoch =>
           // manifest committed = not in-flight (recoverStaging's job)
-          if (Files.exists(Paths.get(base, "_manifest", s"$epoch.commit"))) None
+          if (PathIO.exists(PathIO.path(base, "_manifest", s"$epoch.commit"))) None
           else {
             val newest =
-              try TopicLog.walkAll(dir)
-                .map(p => Files.getLastModifiedTime(p).toMillis)
+              try PathIO.walkStatuses(dir).map(_.getModificationTime)
                 .foldLeft(0L)(math.max)
-              catch { case _: java.io.IOException => Long.MaxValue }
+              catch { case _: IOException => Long.MaxValue }
             val age = nowMs() - newest
             if (age <= olderThanMs) None
             else Some(SlowStaging(base, epoch, age,
-              marked.getOrElse(Paths.get(base).toAbsolutePath.toString,
+              marked.getOrElse(PathIO.qualify(base).toString,
                 Set.empty).contains(epoch)))
           }
         }
@@ -296,22 +299,25 @@ object Txn {
     }
     Topics.list(root).flatMap { t =>
       val base = t.path(root)
-      val subsDir = Paths.get(base, "_subs")
+      val subsDir = PathIO.path(base, "_subs")
       val ackBases =
-        if (!Files.exists(subsDir)) Seq.empty[String]
-        else TopicLog.listDir(subsDir).filter(Files.isDirectory(_))
-          .map(_.resolve("acks")).filter(Files.exists(_)).map(_.toString)
+        if (!PathIO.exists(subsDir)) Seq.empty[String]
+        else TopicLog.listDir(subsDir).filter(PathIO.isDirectory(_))
+          .map(s => s"$base/_subs/${s.getName}/acks")
+          .filter(b => PathIO.exists(PathIO.path(b)))
       (base +: ackBases).flatMap(scan)
     }.sortBy(s => (s.basePath, s.epoch))
   }
 
-  /** Marker-protected epochs per ABSOLUTE base path — one parse of the
-    * `_txn` directory shared by a whole [[vacuumAll]] sweep. */
+  /** Marker-protected epochs per QUALIFIED base path
+    * ([[PathIO.qualify]] — "/a/b" and "file:/a/b" key identically) —
+    * one parse of the `_txn` directory shared by a whole [[vacuumAll]]
+    * sweep. */
   private[log] def markerEpochs(root: String): Map[String, Set[Long]] = {
-    val markerDir = Paths.get(root, "_txn")
-    if (!Files.exists(markerDir)) return Map.empty
+    val markerDir = PathIO.path(root, "_txn")
+    if (!PathIO.exists(markerDir)) return Map.empty
     TopicLog.listDir(markerDir)
-      .filter(_.getFileName.toString.endsWith(".committed"))
+      .filter(_.getName.endsWith(".committed"))
       // a concurrent janitor may retire a marker between our listDir and
       // this read — a VANISHED marker contributes nothing. That is the
       // ONLY tolerated failure: any other IO error on a still-existing
@@ -320,17 +326,16 @@ object Txn {
       // delete a committed-but-unpublished transaction's staged data
       // (the fail-safe direction is "can't read ⇒ can't sweep")
       .flatMap { m =>
-        try Files.readAllLines(m).asScala.filter(_.nonEmpty)
+        try PathIO.readLines(m).filter(_.nonEmpty)
         catch {
-          case _: java.nio.file.NoSuchFileException if !Files.exists(m) =>
-            Nil
+          case _: FileNotFoundException if !PathIO.exists(m) => Nil
         }
       }
       .flatMap { line =>
         val f = line.split("\t")
         if (f.length >= 2)
           scala.util.Try(f(1).toLong).toOption
-            .map(e => Paths.get(f(0)).toAbsolutePath.toString -> e)
+            .map(e => PathIO.qualify(f(0)).toString -> e)
         else None
       }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
@@ -345,17 +350,17 @@ object Txn {
    * files moved, or both.
    */
   def recover(root: String): Int = {
-    val markerDir = Paths.get(root, "_txn")
-    if (!Files.exists(markerDir)) return 0
+    val markerDir = PathIO.path(root, "_txn")
+    if (!PathIO.exists(markerDir)) return 0
     val healed = scala.collection.mutable.Set[(String, Long)]()
     TopicLog.listDir(markerDir)
-      .filter(_.getFileName.toString.endsWith(".committed"))
+      .filter(_.getName.endsWith(".committed"))
       .foreach { marker =>
-        Files.readAllLines(marker).asScala.filter(_.nonEmpty).foreach { line =>
+        PathIO.readLines(marker).filter(_.nonEmpty).foreach { line =>
           val Array(topicPath, epoch, _, hwJoined) = line.split("\t")
-          val manifestFile = Paths.get(topicPath, "_manifest", s"$epoch.commit")
-          if (!Files.exists(manifestFile)) {
-            Files.createDirectories(manifestFile.getParent)
+          val manifestFile = PathIO.path(topicPath, "_manifest", s"$epoch.commit")
+          if (!PathIO.exists(manifestFile)) {
+            PathIO.mkdirs(manifestFile.getParent)
             // first-writer-wins: two processes recovering the same
             // marker at startup must not consume each other's tmp file
             // (TopicLog.atomicCreate — the rename race publishManifest
@@ -366,7 +371,7 @@ object Txn {
           }
           // crash between manifest write and staged-file moves: count
           // the epoch healed iff its staged tree actually existed
-          if (Files.exists(Paths.get(topicPath, "_staging", epoch))) {
+          if (PathIO.exists(PathIO.path(topicPath, "_staging", epoch))) {
             TopicLog.recoverStaging(topicPath): Unit
             healed += ((topicPath, epoch.toLong))
           }

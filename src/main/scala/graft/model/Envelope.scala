@@ -127,7 +127,7 @@ object Envelope {
     val schema = spark.read.parquet(path).schema
     val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+    if (graft.log.PathIO.isDirectory(graft.log.PathIO.path(path)))
       reader.option("pathGlobFilter", "*.parquet").parquet(path)
     else
       reader.option("pathGlobFilter", s"$table.parquet").parquet(sfDir)

@@ -120,8 +120,8 @@ object Compaction {
     }.reduce(_ || _))
     val outDir = log.name.path(log.root) + "/_compacted"
     publishOrder(data).write.mode("overwrite").parquet(outDir)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, "_horizon"),
+    graft.log.PathIO.writeString(
+      graft.log.PathIO.path(outDir, "_horizon"),
       horizon.map { case (p, o) => s"$p,$o" }.mkString("\n"))
     horizon
   }
@@ -131,10 +131,10 @@ object Compaction {
     * horizon. */
   def readCompactedTopic(log: graft.log.TopicLog): DataFrame = {
     val outDir = log.name.path(log.root) + "/_compacted"
-    val horizonFile = java.nio.file.Paths.get(outDir, "_horizon")
-    require(java.nio.file.Files.exists(horizonFile),
+    val horizonFile = graft.log.PathIO.path(outDir, "_horizon")
+    require(graft.log.PathIO.exists(horizonFile),
       "no compacted snapshot — run triggerCompaction first")
-    val horizon = java.nio.file.Files.readString(horizonFile).trim
+    val horizon = graft.log.PathIO.readString(horizonFile).trim
       .split("\n").filter(_.nonEmpty)
       .map { l => val Array(p, o) = l.split(","); p.toInt -> o.toLong }.toMap
     val snapshot = log.spark.read.parquet(outDir)

@@ -238,16 +238,18 @@ object Functions {
    * 100 TB shape: ONE distributed pass over the input
    * (`partitionBy` bucket write — no coalesce; a bucket may hold
    * terabytes across many part files, all sharing the bucket's mtime),
-   * then a driver-side O(files) move. Bucket count is a replay-
-   * granularity knob, not a correctness one: any `buckets ≥ 1` is
-   * contract-safe; more buckets bound per-trigger source volume.
+   * then O(buckets) driver listings and a DISTRIBUTED metadata job for
+   * the per-file rename + mtime pins
+   * ([[graft.log.PathIO.distributedMoveAndPin]]). Bucket count is a
+   * replay-granularity knob, not a correctness one: any `buckets ≥ 1`
+   * is contract-safe; more buckets bound per-trigger source volume.
    * Rows with NULL event time go to bucket 0 (a null is never "late").
    */
   def orderedReplaySource(input: DataFrame, eventTimeCol: String,
                           stagingDir: String, buckets: Int = 8,
                           maxFilesPerTrigger: Int = 1): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    import java.nio.file.{Files, Paths}
+    import graft.log.PathIO
     val spark = input.sparkSession
     val b = input.agg(min(col(eventTimeCol)), max(col(eventTimeCol))).head()
     require(!b.isNullAt(0),
@@ -255,7 +257,14 @@ object Functions {
     val lo = b.getTimestamp(0).getTime
     val hi = b.getTimestamp(1).getTime
     val span = math.max(1L, hi - lo + 1)
-    val tmp = Files.createTempDirectory("graft-replay-tmp")
+    val dst = PathIO.path(stagingDir)
+    PathIO.mkdirs(dst)
+    // the bucketed copy stages INSIDE stagingDir (underscore-prefixed —
+    // invisible to the file source): same filesystem as the final
+    // files, so the renames below stay renames, and executors on a
+    // multi-node cluster can reach it — a driver-local temp dir here
+    // only ever worked in local mode
+    val tmp = PathIO.child(dst, s"_replay_tmp_${java.util.UUID.randomUUID}")
     input.withColumn("_b",
         when(col(eventTimeCol).isNull, lit(0)).otherwise(
           least(lit(buckets - 1),
@@ -263,34 +272,26 @@ object Functions {
             .cast("int")))
       .repartition(buckets, col("_b"))
       .write.partitionBy("_b").mode("overwrite").parquet(tmp.toString)
-    val dst = Paths.get(stagingDir)
-    Files.createDirectories(dst)
     // pinned mtimes, 2 s apart per bucket: the file source lists
     // oldest-mtime-first, and an explicit pin beats relying on move
-    // timing (a same-ms batch of moves would tie arbitrarily)
+    // timing (a same-ms batch of moves would tie arbitrarily). The
+    // driver does O(buckets) listings; the per-file rename + mtime ops
+    // — O(files) of metadata — run DISTRIBUTED, never as a sequential
+    // driver loop (a million-part replay would serialize for hours).
     val base = System.currentTimeMillis() - (buckets + 2) * 2000L
-    import scala.collection.JavaConverters._
-    (0 until buckets).foreach { i =>
-      val bDir = tmp.resolve(s"_b=$i")
-      if (Files.exists(bDir)) {
-        val listing = Files.list(bDir)
-        val parts =
-          try listing.iterator().asScala.toSeq
-            .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
-          finally listing.close()
-        parts.zipWithIndex.foreach { case (p, j) =>
-          val t = dst.resolve(f"replay_b$i%04d_p$j%05d.parquet")
-          Files.move(p, t)
-          Files.setLastModifiedTime(t,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+    val specs = (0 until buckets).flatMap { i =>
+      val bDir = PathIO.child(tmp, s"_b=$i")
+      if (!PathIO.exists(bDir)) Seq.empty[(String, String, Long)]
+      else PathIO.listDir(bDir)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.map { case (p, j) =>
+          (p.toString,
+            PathIO.child(dst, f"replay_b$i%04d_p$j%05d.parquet").toString,
+            base + i * 2000L)
         }
-      }
     }
-    // best-effort tmp cleanup (data files already moved out)
-    val w = Files.walk(tmp)
-    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => { Files.deleteIfExists(p): Unit })
-    finally w.close()
+    PathIO.distributedMoveAndPin(spark, specs)
+    PathIO.deleteTree(tmp): Unit // data files already moved out
     spark.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "*.parquet")
@@ -309,28 +310,25 @@ object Functions {
     val transformed = transform(source)
     guarantee match {
       case Guarantee.AtMostOnce =>
-        // the ack markers live beside the checkpoint via LOCAL file IO:
-        // on a remote checkpoint (hdfs://, s3a://) Paths.get would
-        // silently resolve to a bogus driver-local dir, markers would
-        // not survive a driver move, and the guarantee would silently
-        // degrade to duplicates — fail loudly instead (extend with
-        // Hadoop FS when a remote checkpoint is actually needed)
-        require(!checkpoint.contains("://"),
-          s"AT_MOST_ONCE ack markers require a locally-mounted " +
-            s"checkpoint; got '$checkpoint'")
+        // the ack markers live beside the checkpoint and ride
+        // graft.log.PathIO (the Hadoop FileSystem seam), so a remote
+        // checkpoint (hdfs://) carries its markers with it — the
+        // guarantee survives a driver move exactly as far as the
+        // checkpoint itself does. (The pre-seam code was local-only
+        // and fail-louded on '://' checkpoints.)
         transformed.writeStream
           .option("checkpointLocation", checkpoint)
           .foreachBatch { (batch: DataFrame, epochId: Long) =>
-            import java.nio.file.{Files, Paths, StandardCopyOption}
-            val ackDir = Paths.get(checkpoint, "_acks")
-            Files.createDirectories(ackDir)
-            val marker = ackDir.resolve(s"$epochId.acked")
-            if (!Files.exists(marker)) {
+            import graft.log.PathIO
+            val ackDir = PathIO.path(checkpoint, "_acks")
+            PathIO.mkdirs(ackDir)
+            val marker = PathIO.child(ackDir, s"$epochId.acked")
+            if (!PathIO.exists(marker)) {
               // ack FIRST (atomic marker), process second — the order is
               // the whole guarantee
-              val tmp = ackDir.resolve(s"$epochId.tmp")
-              Files.write(tmp, Array.emptyByteArray)
-              Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+              val tmp = PathIO.child(ackDir, s"$epochId.tmp")
+              PathIO.write(tmp, Array.emptyByteArray)
+              PathIO.move(tmp, marker)
               batch.write.mode("append").parquet(sinkPath)
             }
             // marker already present: this epoch was acked by a previous
@@ -344,19 +342,14 @@ object Functions {
             // lifetime (unbounded metadata on a long-running function).
             // After GC the dir holds ≤ 2 markers, so this listing is
             // O(1) per batch.
-            val listing = Files.list(ackDir)
-            try {
-              val it = listing.iterator()
-              while (it.hasNext) {
-                val p = it.next()
-                val n = p.getFileName.toString
-                if (n.endsWith(".acked")) {
-                  val id = n.stripSuffix(".acked")
-                  if (id.forall(_.isDigit) && id.toLong < epochId - 1)
-                    Files.deleteIfExists(p): Unit
-                }
+            PathIO.listDir(ackDir).foreach { p =>
+              val n = p.getName
+              if (n.endsWith(".acked")) {
+                val id = n.stripSuffix(".acked")
+                if (id.forall(_.isDigit) && id.toLong < epochId - 1)
+                  PathIO.deleteIfExists(p): Unit
               }
-            } finally listing.close()
+            }
           }
           .start()
       case g =>

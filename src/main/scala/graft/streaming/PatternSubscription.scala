@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.log.PathIO
 import scala.collection.JavaConverters._
 
 /**
@@ -85,7 +85,7 @@ final class PatternSubscription(
     s"$checkpointRoot/$tenant/$namespace/_patterns/$patternId/$name"
   }
 
-  private def cursorFile = Paths.get(cursorDir, "cursor.tsv")
+  private def cursorFile = PathIO.path(cursorDir, "cursor.tsv")
 
   /** Rotation cursor for the per-poll topic cap (fairness across polls
     * when more topics are fresh than one batch plans). */
@@ -98,20 +98,19 @@ final class PatternSubscription(
     * keeps the per-topic subscription cursor on the broker across
     * unsubscribe/resubscribe of the pattern consumer the same way. */
   private[streaming] def readCursor(): Map[(String, Int), Long] =
-    if (!Files.exists(cursorFile)) Map.empty
-    else Files.readAllLines(cursorFile).asScala.filter(_.nonEmpty).map { l =>
+    if (!PathIO.exists(cursorFile)) Map.empty
+    else PathIO.readLines(cursorFile).filter(_.nonEmpty).map { l =>
       val Array(fqn, p, o) = l.split("\t")
       (fqn, p.toInt) -> o.toLong
     }.toMap
 
   private def writeCursor(c: Map[(String, Int), Long]): Unit = {
-    Files.createDirectories(Paths.get(cursorDir))
-    val tmp = Files.createTempFile(Paths.get(cursorDir), ".cursor", ".tmp")
-    Files.write(tmp, c.toSeq.sortBy(e => (e._1._1, e._1._2))
-      .map { case ((fqn, p), o) => s"$fqn\t$p\t$o" }.mkString("\n")
-      .getBytes("UTF-8"))
-    Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING): Unit
+    PathIO.mkdirs(PathIO.path(cursorDir))
+    val tmp = PathIO.path(cursorDir,
+      s".cursor.${java.util.UUID.randomUUID}.tmp")
+    PathIO.writeString(tmp, c.toSeq.sortBy(e => (e._1._1, e._1._2))
+      .map { case ((fqn, p), o) => s"$fqn\t$p\t$o" }.mkString("\n"))
+    PathIO.moveReplace(tmp, cursorFile)
   }
 
   /** The CURRENT match set — re-resolved on every call (the watcher

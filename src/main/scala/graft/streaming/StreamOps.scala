@@ -80,16 +80,14 @@ object StreamOps {
     // The file records (batchId, wmBeforeBatch, maxSeenAfter): a REPLAYED
     // batch (crash after the file write but before the checkpoint commit)
     // re-reads its own wmBefore, so routing is identical on replay.
-    // LOCAL file IO — a remote checkpoint URI would silently resolve to
-    // a driver-local path and lose the watermark across a driver move,
-    // misrouting after restart; fail loudly instead.
-    require(!checkpoint.contains("://"),
-      s"withLateDataSplit keeps its watermark beside the checkpoint via " +
-        s"local file IO; got non-local checkpoint '$checkpoint'")
-    val wmFile = java.nio.file.Paths.get(checkpoint, "graft-watermark")
+    // The watermark file rides graft.log.PathIO (Hadoop FileSystem), so
+    // a remote checkpoint (hdfs://) carries it across a driver move —
+    // the pre-seam code was local-only and fail-louded on '://'.
+    import graft.log.PathIO
+    val wmFile = PathIO.path(checkpoint, "graft-watermark")
     def readWmFile(): Option[(Long, Long, Long)] =
-      if (!java.nio.file.Files.exists(wmFile)) None
-      else java.nio.file.Files.readString(wmFile).trim.split(",") match {
+      if (!PathIO.exists(wmFile)) None
+      else PathIO.readString(wmFile).trim.split(",") match {
         case Array(b, w, m) => Some((b.toLong, w.toLong, m.toLong))
         case _ => None
       }
@@ -119,12 +117,10 @@ object StreamOps {
           val mx = b.agg(max(eventTimeCol)).head()
           val newMax = if (mx.isNullAt(0)) wmBefore
             else math.max(wmBefore, mx.getTimestamp(0).getTime)
-          java.nio.file.Files.createDirectories(wmFile.getParent)
-          val tmp = wmFile.resolveSibling("graft-watermark.tmp")
-          java.nio.file.Files.writeString(tmp, s"$batchId,$wmBefore,$newMax")
-          java.nio.file.Files.move(tmp, wmFile,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          PathIO.mkdirs(wmFile.getParent)
+          val tmp = PathIO.child(wmFile.getParent, "graft-watermark.tmp")
+          PathIO.writeString(tmp, s"$batchId,$wmBefore,$newMax")
+          PathIO.moveReplace(tmp, wmFile)
         } finally { b.unpersist(); () }
       }
       .start()

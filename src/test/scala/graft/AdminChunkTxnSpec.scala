@@ -208,7 +208,10 @@ class AdminChunkTxnSpec extends SparkSpec {
   test("atomicCreate: first writer wins, loser sees the winner's content, tmp never lingers") {
     import graft.log.TopicLog
     val dir = Files.createTempDirectory("graft-atomic")
-    val target = dir.resolve("0.commit")
+    // the seam's Hadoop-path form — resolves to RawLocalFileSystem here,
+    // where atomicCreate runs the hard-link first-writer-wins protocol
+    val target = graft.log.PathIO.path(dir.toString, "0.commit")
+    val targetNio = dir.resolve("0.commit")
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val pool = Executors.newFixedThreadPool(2)
     val gate = new CountDownLatch(1)
@@ -223,7 +226,7 @@ class AdminChunkTxnSpec extends SparkSpec {
     pool.shutdown()
     assert(pool.awaitTermination(30, TimeUnit.SECONDS))
     assert(wins.get() == 1, "exactly one writer must win")
-    val content = new String(Files.readAllBytes(target))
+    val content = new String(Files.readAllBytes(targetNio))
     assert(content == "content-A" || content == "content-B")
     // no tmp leftovers on the non-crash path
     val leftovers = Files.list(dir).iterator()
@@ -233,7 +236,7 @@ class AdminChunkTxnSpec extends SparkSpec {
     // a conflicting re-publish through the manifest path still fails loudly
     assert(!TopicLog.atomicCreate(target, "content-C".getBytes),
       "existing target must never be replaced")
-    assert(new String(Files.readAllBytes(target)) == content)
+    assert(new String(Files.readAllBytes(targetNio)) == content)
   }
 
   test("shadow topic: read-only view tracking the source, independent cursors") {

@@ -127,9 +127,21 @@ class ClusteringSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     // whole-plan shuffle budget: (cluster,pos) centroid partial-sum,
     // (cluster) centroid assemble, and ONE (cluster) exchange shared by
-    // the rank and size windows — a 4th would mean the windows split
+    // the rank and size windows — MORE than 3 would mean the windows
+    // split into separate shuffles (an UPPER bound, not an exact pin:
+    // a Spark/AQE planning change that fuses or re-renders exchanges
+    // must not fail the suite without a real regression)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges === 3,
-      s"expected exactly 3 shuffle exchanges (2 centroid agg + 1 shared window) in:\n$plan")
+    assert(exchanges <= 3,
+      s"expected at most 3 shuffle exchanges (2 centroid agg + 1 shared window) in:\n$plan")
+    // the regression this gate exists for: the rank window and the size
+    // window must SHARE one cluster-keyed Window node region — two
+    // Window operators each preceded by its own cluster exchange is the
+    // split shape. Count exchanges whose partitioning key set is
+    // exactly the cluster column.
+    val clusterExchanges = "Exchange hashpartitioning\\(cluster#\\d+[,)]".r
+      .findAllIn(plan).length
+    assert(clusterExchanges <= 1,
+      s"rank and size windows must share ONE cluster exchange in:\n$plan")
   }
 }

@@ -1,0 +1,251 @@
+package graft
+
+import graft.log.{AckLog, PathIO, TopicLog, Topics, Txn}
+import graft.model.{Envelope, TopicName}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/**
+ * The distributed-filesystem seam, proven through Hadoop's
+ * RawLocalFileSystem: every path below is spelled with an explicit
+ * `file:` scheme, so NOTHING can fall back to `java.nio` path
+ * resolution — existence probes, listings, manifest commits, txn
+ * markers, staged-file moves, vacuum, the near-dup index swap, and the
+ * AT_MOST_ONCE ack markers all resolve through the Hadoop FileSystem
+ * API exactly as an `hdfs://` deployment would (RawLocalFileSystem and
+ * DistributedFileSystem share the FileSystem contract; rename
+ * overwrite-vs-fail differences are handled inside PathIO — see its
+ * scaladoc).
+ *
+ * Before the seam, `Files.exists("file:/...")` was FALSE for every
+ * scheme-ful path (java.nio treats the string as a relative path named
+ * "file:"), so the entire txn/ack/compaction/replay layer silently
+ * no-opped — these tests fail hard against that behavior.
+ */
+class PathIOSeamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A fresh `file:`-scheme root. */
+  private def schemeRoot(prefix: String): String =
+    "file:" + Files.createTempDirectory(prefix).toString
+
+  private def batch(ids: Range) =
+    ids.map(i => (s"u${i % 7}", s"payload-$i", s"prod-${i % 3}", i.toLong, i.toLong))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, "t")
+      .withColumn(Envelope.PublishTime, timestamp_seconds(col("t"))).drop("t")
+
+  test("PathIO primitives on a file:-scheme path (RawLocalFileSystem)") {
+    val root = schemeRoot("graft-seam-prim")
+    val dir = PathIO.path(root, "a/b")
+    PathIO.mkdirs(dir)
+    assert(PathIO.exists(dir) && PathIO.isDirectory(dir))
+    val f = PathIO.child(dir, "x.txt")
+    PathIO.writeString(f, "hello\nworld")
+    assert(PathIO.readString(f) == "hello\nworld")
+    assert(PathIO.readLines(f) == Seq("hello", "world"))
+    assert(PathIO.size(f) == 11L)
+    // no .crc side files: the seam must resolve the RAW local fs —
+    // checksum shadows would corrupt directory-content protocols
+    // (manifest listings, epoch-dir counts)
+    assert(PathIO.listDir(dir).map(_.getName) == Seq("x.txt"))
+    // walk: pre-order, start included, parents before children
+    val walk = PathIO.walkAll(PathIO.path(root)).map(_.getName)
+    assert(walk.indexOf(PathIO.path(root).getName) == 0)
+    assert(walk.indexOf("a") < walk.indexOf("b"))
+    assert(walk.indexOf("b") < walk.indexOf("x.txt"))
+    // relativize over qualified URIs: scheme-ful and bare spellings agree
+    assert(PathIO.relativize(PathIO.path(root), f) == "a/b/x.txt")
+    assert(PathIO.qualify(root.stripPrefix("file:")).toString ==
+      PathIO.qualify(root).toString)
+    // short-circuiting emptiness probe honors the hidden-segment rule
+    assert(PathIO.existsFileWhere(PathIO.path(root))(_.endsWith(".txt")))
+    assert(!PathIO.existsFileWhere(PathIO.path(root))(_.endsWith(".parquet")))
+    // moveReplace: atomic overwrite rename (FileContext OVERWRITE)
+    val g = PathIO.child(dir, "y.txt")
+    PathIO.writeString(g, "old")
+    val tmp = PathIO.child(dir, "y.tmp")
+    PathIO.writeString(tmp, "new")
+    PathIO.moveReplace(tmp, g)
+    assert(PathIO.readString(g) == "new")
+    assert(!PathIO.exists(tmp))
+    // deleteIfExists refuses a non-empty directory (the nio contract
+    // tree deletion relies on), deleteTree removes it
+    intercept[java.io.IOException] { PathIO.deleteIfExists(dir) }
+    assert(PathIO.deleteTree(PathIO.path(root, "a")))
+    assert(!PathIO.exists(dir))
+  }
+
+  test("atomicCreate rename branch: first writer wins on exclusive-rename filesystems") {
+    // drive the REMOTE-scheme protocol directly (the local fast path
+    // takes the hard-link branch): verify-after catches a same-call
+    // replacement, and an existing target is never replaced
+    val root = schemeRoot("graft-seam-ac")
+    val target = PathIO.path(root, "0.commit")
+    val f = PathIO.fs(target)
+    assert(PathIO.renameAtomicCreate(f, target, "A".getBytes))
+    assert(PathIO.readString(target) == "A")
+    assert(!PathIO.renameAtomicCreate(f, target, "B".getBytes),
+      "existing target must report loss")
+    assert(PathIO.readString(target) == "A", "existing target never replaced")
+    // no tmp leftovers either way
+    assert(PathIO.listDir(PathIO.path(root)).map(_.getName) == Seq("0.commit"))
+  }
+
+  test("TopicLog roundtrip + manifest prune + vacuumStaged on a file: root") {
+    val root = schemeRoot("graft-seam-log")
+    val log = new TopicLog(spark, root, TopicName.parse("t-seam"), 2)
+    log.append(batch(0 until 20))
+    log.append(batch(20 until 30))
+    assert(log.read().count() == 30)
+    assert(log.highWater().values.sum > 0)
+    // staged-but-unpublished data is invisible, then vacuumable
+    log.stageAppend(batch(30 until 40)): Unit
+    assert(log.read().count() == 30)
+    val future = System.currentTimeMillis() + 3600 * 1000L
+    assert(TopicLog.vacuumStaged(log.name.path(root), 60000L,
+      nowMs = () => future) == 1)
+    assert(log.read().count() == 30)
+    // manifest history bounded through the seam
+    (0 until 3).foreach(i => log.append(batch((40 + i) until (41 + i))): Unit)
+    assert(log.pruneManifests(keepLast = 2) > 0)
+    assert(log.read().count() == 33)
+    // topic discovery walks the scheme-ful root
+    assert(Topics.list(root).map(_.topic) == Seq("t-seam"))
+  }
+
+  test("txn crash window on a file: root: marker present, publish missing -> recover heals") {
+    val root = schemeRoot("graft-seam-txn")
+    val t1 = new TopicLog(spark, root, TopicName.parse("t1"), 2)
+    val t2 = new TopicLog(spark, root, TopicName.parse("t2"), 2)
+    // stage both topics and write the marker MANUALLY (the crash point:
+    // marker committed, neither manifest published)
+    val s1 = t1.stageAppend(batch(0 until 8))
+    val s2 = t2.stageAppend(batch(100 until 110))
+    val markerDir = PathIO.path(root, "_txn")
+    PathIO.mkdirs(markerDir)
+    val tmp = PathIO.child(markerDir, "txn-seam.tmp")
+    PathIO.writeString(tmp, Seq(
+      Seq(t1.name.path(root), s1.epoch.toString, s1.count.toString,
+        s1.manifestLines.replace("\n", ";")).mkString("\t"),
+      Seq(t2.name.path(root), s2.epoch.toString, s2.count.toString,
+        s2.manifestLines.replace("\n", ";")).mkString("\t")).mkString("\n"))
+    PathIO.move(tmp, PathIO.child(markerDir, "txn-seam.committed"))
+    assert(t1.read().count() == 0, "pre-recovery: nothing visible")
+    // the marker protects the staged epochs from the janitor...
+    val future = System.currentTimeMillis() + 3600 * 1000L
+    val (healedByVacuum, dropped) =
+      Txn.vacuumAll(root, Txn.DefaultTimeoutMs, nowMs = () => future)
+    assert(dropped == 0, "marker-protected epochs must survive the sweep")
+    // ...and recovery (run inside vacuumAll) completed the commit
+    assert(healedByVacuum == 2)
+    assert(t1.read().count() == 8)
+    assert(t2.read().count() == 10)
+    // fully-published marker retired; second sweep is a no-op
+    assert(!PathIO.exists(PathIO.child(markerDir, "txn-seam.committed")))
+    assert(Txn.vacuumAll(root, Txn.DefaultTimeoutMs,
+      nowMs = () => future) == ((0, 0)))
+  }
+
+  test("txn produce+ack commit and AckLog compaction on a file: root") {
+    val root = schemeRoot("graft-seam-ack")
+    val t = new TopicLog(spark, root, TopicName.parse("t-ack"), 2)
+    t.append(batch(0 until 12))
+    val acks = new AckLog(spark, t.name.path(root), "sub-seam")
+    val out = new TopicLog(spark, root, TopicName.parse("t-out"), 2)
+    Txn.begin(root)
+      .produce(out, batch(200 until 206))
+      .ack(acks, t.read().filter(col(Envelope.Offset) <= 2)
+        .select(col(Envelope.Partition).as("partition"),
+          col(Envelope.Offset).as("offset")))
+      .commit()
+    assert(out.read().count() == 6)
+    val acked = acks.read().count()
+    assert(acked > 0)
+    assert(acks.pendingAcks().count() == 0)
+    // cursor compaction commits its floor through the seam
+    acks.compact(): Unit
+    val floors = acks.cursor()
+    assert(floors.nonEmpty, "compaction must persist a cursor floor")
+    assert(acks.markDelete().count() > 0)
+  }
+
+  test("near-dup stream: persisted file: index dedups across runs; compaction swap survives") {
+    val base = Files.createTempDirectory("graft-seam-nd")
+    val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
+    val idx = "file:" + base.resolve("idx").toString
+    val out = "file:" + base.resolve("out").toString
+    val ckpt = "file:" + base.resolve("ckpt").toString
+    def writeSlice(name: String, docs: Seq[(Long, String)], mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-seam-slice")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val l = Files.list(tmp)
+        try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      Files.move(part, srcDir.resolve(name))
+      Files.setLastModifiedTime(srcDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+    }
+    val t0 = System.currentTimeMillis() - 60000L
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    writeSlice("s0.parquet", Seq((1L, text), (2L, "completely different words here entirely")), t0)
+    val schema = spark.read.parquet(s"$srcDir/s0.parquet").schema
+    def run() = graft.ext.NearDupStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString),
+      idx, out, ckpt, threshold = 0.8, compactEvery = Some(2))
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // SECOND run, new slice: doc 3 duplicates doc 1 — only the
+    // PERSISTED file: index knows doc 1, so a silent empty-index read
+    // (the pre-seam java.nio bug) would keep it
+    writeSlice("s1.parquet", Seq((3L, text), (4L, "unrelated fresh content words")),
+      t0 + 4000L)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val kept = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L),
+      s"doc 3 must be dropped against the persisted scheme-ful index, got $kept")
+    // THIRD slice triggers the scheduled compaction (epochId 2 % 2 == 0):
+    // epochs 0 and 1 fold through the scheme-ful crash-safe swap, and
+    // the folded index still drops duplicates of run-1 docs
+    writeSlice("s2.parquet", Seq((5L, text), (6L, "yet more novel content beyond")),
+      t0 + 8000L)
+    val q3 = run()
+    try q3.processAllAvailable() finally q3.stop()
+    val kept3 = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept3 == Set(1L, 2L, 4L, 6L),
+      s"doc 5 must be dropped against the FOLDED scheme-ful index, got $kept3")
+    // index epoch metadata stayed bounded: one folded dir + the batch's own
+    assert(PathIO.listDir(PathIO.path(idx, "bands"))
+      .count(_.getName.startsWith("epoch=")) == 2)
+  }
+
+  test("AT_MOST_ONCE ack markers ride a file:-scheme checkpoint") {
+    val base = Files.createTempDirectory("graft-seam-amo")
+    val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("s0").toString)
+    val ckpt = "file:" + base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    val schema = spark.read.parquet(srcDir.resolve("s0").toString).schema
+    val q = graft.streaming.Functions.run(
+      spark.readStream.schema(schema).parquet(srcDir.resolve("s0").toString),
+      identity, sink, ckpt,
+      guarantee = graft.streaming.Functions.Guarantee.AtMostOnce)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(sink).count() == 2)
+    // the marker landed beside the scheme-ful checkpoint
+    val ackDir = PathIO.path(ckpt, "_acks")
+    assert(PathIO.exists(ackDir))
+    assert(PathIO.listDir(ackDir).exists(_.getName.endsWith(".acked")))
+  }
+}
