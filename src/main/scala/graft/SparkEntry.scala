@@ -2485,6 +2485,47 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** The end-to-end clean-corpus pipeline as ONE stream
+    * (ext.CleanCorpusStream): quality filter → exact dedup → near-dup
+    * filter, each stage checked against persisted indexes of
+    * everything seen before. The documents table arrives as three
+    * RANGE slices (id-ordered arrival), so every stage's
+    * arrival-ordered rule coincides with the batch operators'
+    * id-ordered rule and the oracle can state the batch composition
+    * directly: quality → min-id-per-md5 exact dedup → all-seen
+    * 3-shingle Jaccard ≥ 0.8, aggregated per language like the batch
+    * capstone. compactEvery=2 folds all three index levels mid-run. */
+  private def qPipelineCleanStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+    val root = Fixtures.dir(s, dir, "q-ccstream") { r =>
+      val base = System.currentTimeMillis() - 10000L
+      val slices = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+      slices.zipWithIndex.foreach { case (cond, i) =>
+        writeStreamSlice(docs.filter(cond), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-cc-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val idx = java.nio.file.Files.createTempDirectory("graft-cc-idx")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt); streamOutRoots.add(idx)
+    drainGuarded(s, ext.CleanCorpusStream.run(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+      compactEvery = Some(2)))
+    s.read.parquet(out.toString)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(size(ext.TextOps.tokens(col("text"))).cast("bigint")).cast("bigint")
+          .as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** Sorscher-style prototypicality pruning (arXiv:2206.14486): keep
     * the hardest half of every sign-LSH cluster, hardness = low cosine
     * to the exact decimal-sum centroid. The oracle replays the
@@ -3222,6 +3263,7 @@ object SparkEntry {
     "cluster_balanced" -> (qClusterBalanced _),
     "stream_near_dup" -> (qStreamNearDup _),
     "stream_semantic_dedup" -> (qStreamSemanticDedup _),
+    "pipeline_clean_corpus_stream" -> (qPipelineCleanStream _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
@@ -5000,6 +5042,37 @@ object SparkEntry {
         |SELECT e.vec_id, (d.vec_id IS NULL) AS kept
         |FROM e LEFT JOIN dropped d ON d.vec_id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin),
+    // CleanCorpusStream: id-ordered (range-sliced) arrival makes the
+    // streaming pipeline equal the batch composition — quality filter,
+    // min-id-per-md5 exact dedup, then all-seen 3-shingle exact Jaccard
+    // (the stream_near_dup rule with id order = arrival order) over the
+    // exact survivors; aggregated per language like the batch capstone.
+    "pipeline_clean_corpus_stream" ->
+      """WITH quality AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10
+        |    AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0),
+        |exact_kept AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM quality) t WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS shl
+        |  FROM exact_kept),
+        |near_dropped AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.shl) > 0 AND len(b.shl) > 0
+        |    AND CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shl, b.shl))) >= 0.8),
+        |clean AS (
+        |  SELECT * FROM exact_kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM clean GROUP BY lang ORDER BY lang""".stripMargin,
     // Clustering.prototypePrune: same quantizer + exact-centroid scoring
     // as semantic_dedup, then the Sorscher keep rule — hardness rank
     // (simc asc, id asc) within cluster, kept iff rank <= ceil(0.5 * n).

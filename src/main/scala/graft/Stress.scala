@@ -196,6 +196,9 @@ object Stress {
     if (tierOn("semantic_bits")) semanticBitsTier(vecsK)
     if (tierOn("cluster_curation")) { clusterTier(vecs1); clusterTier(vecsK) }
     if (tierOn("near_dup_stream")) { nearDupStreamTier(docs1); nearDupStreamTier(docsK) }
+    if (tierOn("semantic_dedup_stream")) {
+      semanticDedupStreamTier(vecs1); semanticDedupStreamTier(vecsK)
+    }
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -813,6 +816,67 @@ object Stress {
       val batches = q.recentProgress.filter(_.numInputRows > 0)
         .map(p => f"${p.batchId}:${p.batchDuration}ms")
       println(f"STRESS near_dup_stream(n=$n)      $wall%8.2fs  " +
+        f"(kept=$kept, epochDirs=$epochDirs, batches=${batches.mkString(" ")})")
+    } finally {
+      Seq(root, idx, out, ckpt).foreach { p =>
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Streaming semantic-dedup tier: 8 mtime-ordered vector slices
+    * through SemanticDedupStream with scheduled index compaction. The
+    * flat-wall claim under test: per-batch cost must track the BATCH
+    * (its own clusters' cb buckets), never the accumulated index — the
+    * same contract as [[nearDupStreamTier]], on the embedding tier.
+    * clusterBits fixed at 12 (the index-lifetime constant a deployment
+    * of this corpus scale would pick). */
+  private def semanticDedupStreamTier(vecs: DataFrame): Unit = {
+    val spark = vecs.sparkSession
+    val n = vecs.count()
+    val d = vecs.select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("sd-stress-root")
+    val idx = java.nio.file.Files.createTempDirectory("sd-stress-idx")
+    val out = java.nio.file.Files.createTempDirectory("sd-stress-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("sd-stress-ckpt")
+    try {
+      val base = System.currentTimeMillis() - 60000L
+      (0 until 8).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("sd-stress-slice")
+        d.filter(pmod(col("vec_id"), lit(8)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        }
+        val dst = root.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+      }
+      val t0 = System.nanoTime()
+      val q = graft.ext.SemanticDedupStream.run(
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        idx.toString, out.toString, ckpt.toString, threshold = 0.3,
+        clusterBits = 12, compactEvery = Some(3))
+      try q.processAllAvailable() finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val kept = spark.read.parquet(out.toString).count()
+      val epochDirs = {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(idx.resolve("vecs"))
+        try l.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
+        finally l.close()
+      }
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+        .map(p => f"${p.batchId}:${p.batchDuration}ms")
+      println(f"STRESS semantic_dedup_stream(n=$n) $wall%8.2fs  " +
         f"(kept=$kept, epochDirs=$epochDirs, batches=${batches.mkString(" ")})")
     } finally {
       Seq(root, idx, out, ckpt).foreach { p =>

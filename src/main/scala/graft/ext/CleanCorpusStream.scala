@@ -1,0 +1,209 @@
+package graft.ext
+
+import graft.log.PathIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * The end-to-end clean-corpus pipeline as ONE continuous stream:
+ * quality filter → exact dedup → near-dup filter, each batch checked
+ * against persisted, partition-pruned indexes of everything seen
+ * before. This is the streaming composition of the batch capstone
+ * (`pipeline_clean_corpus`): the pieces existed separately
+ * (`quality_filter_stream`, [[NearDupStream]]) — composing them in one
+ * foreachBatch is where state interactions hide, which is exactly what
+ * the `pipeline_clean_corpus_stream` oracle row pins down.
+ *
+ * Stages, per batch:
+ *  1. QUALITY (stateless, per-row): `n_tokens ≥ minTokens` and
+ *     `mean_word_len ∈ [minWordLen, maxWordLen]` — the
+ *     [[TextOps.withQualityScore]] signals, the batch capstone's rule.
+ *  2. EXACT dedup (first-arrival wins): a doc is dropped iff an
+ *     EARLIER-ARRIVING quality-surviving doc (earlier epoch, or smaller
+ *     id in the same batch) has the same `md5(text)` — the
+ *     [[TextOps.exactDedup]] identity, made streaming against a
+ *     persisted `<index>/hashes` level partitioned by
+ *     (epoch, hb = xxhash64(text) mod hashBuckets). Only exact KEEPERS
+ *     are indexed: hash identity is transitive, so a later copy matches
+ *     the keeper regardless.
+ *  3. NEAR-DUP (all-seen over exact survivors): the [[NearDupStream]]
+ *     MinHash-LSH candidates + exact shingle-Jaccard verify, against
+ *     the same two-level `<index>/{bands,shingles}` layout — a doc is
+ *     dropped iff some earlier-arriving exact-SURVIVOR (kept or
+ *     near-dup-dropped) has Jaccard ≥ `threshold`. Quality casualties
+ *     and exact duplicates never enter this stage — the batch
+ *     capstone's composition order.
+ *
+ * ORDER-EQUIVALENCE CONTRACT: when arrival order preserves id order
+ * (range-sliced catch-up input, or an id-monotone producer), every
+ * stage's arrival-ordered rule coincides with the batch operators'
+ * id-ordered rule, so the stream's kept set EQUALS the batch
+ * composition `quality → TextOps.exactDedup → all-seen
+ * shingle-Jaccard` on the same corpus (spec-asserted; the oracle row
+ * brute-forces the id-ordered truth in SQL). Under out-of-order
+ * arrival the rules stay well-defined (arrival replaces id order) but
+ * the kept SET can legitimately differ — same contract as
+ * [[NearDupStream]].
+ *
+ * Exactly-once, crash recovery, compaction, and the 100 TB read-prune
+ * story are [[NearDupStream]]'s, unchanged: every write targets an
+ * explicit `epoch=<id>` directory (replay rewrites itself), candidate
+ * reads filter `epoch < current` plus the batch's own hash/band/id
+ * buckets (plan-gated), and scheduled folds ride the crash-safe
+ * [[NearDupStream.compactIndex]] swap on all THREE index levels. All
+ * index bookkeeping rides [[graft.log.PathIO]] (Hadoop FileSystem).
+ */
+object CleanCorpusStream {
+
+  /** Exact-hash partition fanout (file-per-bucket write vs read-prune
+    * trade, same sizing rule as [[NearDupStream.BandBuckets]]). */
+  val HashBuckets = 32
+
+  /** (doc_id, h = md5(text), hb) for a batch — the exact-identity
+    * stage's index schema. */
+  private[graft] def hashed(docs: DataFrame, idCol: String,
+                            textCol: String, hashBuckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"),
+      pmod(xxhash64(col(textCol)), lit(hashBuckets.toLong)).as("hb"))
+
+  private def readIndexOrEmpty(spark: SparkSession, path: String,
+                               like: DataFrame): DataFrame =
+    if (PathIO.exists(PathIO.path(path)))
+      spark.read.parquet(path)
+    else like.withColumn("epoch", lit(0L)).limit(0)
+
+  /** Exact-duplicate DROP verdicts for one batch against the persisted
+    * hash index: read pruned to `epoch < epoch` AND the batch's hb
+    * buckets (both partition columns — exposed for the plan gate),
+    * then an equi-join on the full 128-bit md5. */
+  private[graft] def indexExactDropped(spark: SparkSession, hashesDir: String,
+                                       batchH: DataFrame, epoch: Long): DataFrame = {
+    // bounded collect: ≤ hashBuckets values by construction
+    val hbs = batchH.select("hb").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = readIndexOrEmpty(spark, hashesDir, batchH)
+      .filter(col("epoch") < epoch &&
+        (if (hbs.isEmpty) lit(false) else col("hb").isin(hbs: _*)))
+    idx.select(col("h"))
+      .join(batchH.select(col("doc_id").as("id_b"), col("h"))
+        .hint("shuffle_hash"), Seq("h"))
+      .select(col("id_b").as("dropped_id")).distinct()
+  }
+
+  /**
+   * Run the pipeline over a streaming `docs` source (columns `idCol`,
+   * `textCol`, plus anything else — kept rows pass through whole).
+   * Clean documents land under `outDir` (parquet, epoch-partitioned);
+   * the three index levels persist under `indexDir` across batches and
+   * restarts. Returns the running query.
+   */
+  def run(docs: DataFrame, indexDir: String, outDir: String,
+          checkpointDir: String, threshold: Double = 0.8,
+          minTokens: Int = 10, minWordLen: Double = 2.0,
+          maxWordLen: Double = 12.0,
+          idCol: String = "doc_id", textCol: String = "text",
+          shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+          bandBuckets: Int = NearDupStream.BandBuckets,
+          idBuckets: Int = NearDupStream.IdBuckets,
+          hashBuckets: Int = HashBuckets,
+          compactEvery: Option[Int] = None): StreamingQuery = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(compactEvery.forall(_ >= 2), "compactEvery must be >= 2")
+    val hashesDir = s"$indexDir/hashes"
+    val bandsDir = s"$indexDir/bands"
+    val shDir = s"$indexDir/shingles"
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        Seq(hashesDir, bandsDir, shDir).foreach(NearDupStream.resumeCompaction)
+        compactEvery.foreach { n =>
+          if (epochId > 0 && epochId % n == 0) {
+            NearDupStream.compactIndex(spark, hashesDir, "hb", epochId - 1)
+            NearDupStream.compactIndex(spark, bandsDir, "bp", epochId - 1)
+            NearDupStream.compactIndex(spark, shDir, "sb", epochId - 1)
+          }
+        }
+        // 1. QUALITY — stateless; casualties vanish here (never indexed)
+        val quality = TextOps.withQualityScore(batch, textCol)
+          .filter(col("n_tokens") >= minTokens &&
+            col("mean_word_len").between(minWordLen, maxWordLen))
+          .select(batch.columns.map(col): _*)
+          .persist()
+        try {
+          // 2. EXACT — vs the hash index, then within-batch first-wins
+          val bh = hashed(quality, idCol, textCol, hashBuckets).persist()
+          try {
+            val idxExact = indexExactDropped(spark, hashesDir, bh, epochId)
+            val batchRank = Window.partitionBy("h").orderBy(col("doc_id"))
+            val selfExact = bh
+              .withColumn("_rn", row_number().over(batchRank))
+              .filter(col("_rn") > 1)
+              .select(col("doc_id").as("dropped_id")).distinct()
+            val exactDropped = idxExact.unionByName(selfExact).distinct()
+            val exactKept = quality
+              .join(exactDropped, col(idCol) === col("dropped_id"), "left_anti")
+              .persist()
+            try {
+              // 3. NEAR-DUP over exact survivors — the NearDupStream body
+              // (quality guarantees n_tokens ≥ minTokens ≥ shingleN, so
+              // the short-doc bypass never triggers here)
+              val bb = NearDupStream.bandedSigs(exactKept, idCol, textCol,
+                shingleN, numHashes, bands, bandBuckets).persist()
+              val sh = NearDupStream.shingleSets(exactKept, idCol, textCol,
+                shingleN, idBuckets).persist()
+              var candPin: Option[DataFrame] = None
+              try {
+                val candIdx = NearDupStream.indexCandidates(spark, bandsDir,
+                  bb, epochId).persist()
+                candPin = Some(candIdx)
+                val sbs = candIdx.select(pmod(col("id_a"), lit(idBuckets.toLong)))
+                  .distinct().collect().map(_.getLong(0)).toSeq
+                val idxSh = readIndexOrEmpty(spark, shDir, sh)
+                  .filter(col("epoch") < epochId &&
+                    (if (sbs.isEmpty) lit(false) else col("sb").isin(sbs: _*)))
+                  .select(col("doc_id").as("id"), col("sh"))
+                val shBatch = sh.select(col("doc_id").as("id"), col("sh"))
+                val a = bb.toDF("id_a", "band_hash", "bp")
+                val b = bb.toDF("id_b", "band_hash", "bp")
+                val candSelf = a.join(b.hint("shuffle_hash"), Seq("band_hash"))
+                  .filter(col("id_a") < col("id_b"))
+                  .select("id_a", "id_b").distinct()
+                val nearDropped = TextOps.verifyExactJaccard(
+                    candIdx.unionByName(candSelf),
+                    idxSh.unionByName(shBatch), threshold)
+                  .select(col("id_b").as("dropped_id")).distinct()
+
+                def epochWrite(df: DataFrame, bucket: Option[String],
+                               path: String): Unit = {
+                  val w = df.write.mode("overwrite")
+                  bucket.fold(w)(bk => w.partitionBy(bk))
+                    .parquet(s"$path/epoch=$epochId")
+                }
+                // clean output: quality ∧ exact-kept ∧ near-dup-kept
+                epochWrite(exactKept
+                  .join(nearDropped, col(idCol) === col("dropped_id"),
+                    "left_anti"), None, outDir)
+                // index writes: hashes = exact keepers only (identity is
+                // transitive); bands/shingles = ALL exact survivors
+                // (near-dup all-seen). One file per touched bucket.
+                epochWrite(bh
+                  .join(exactDropped, col("doc_id") === col("dropped_id"),
+                    "left_anti")
+                  .repartition(col("hb")), Some("hb"), hashesDir)
+                epochWrite(bb.repartition(col("bp")), Some("bp"), bandsDir)
+                epochWrite(sh.repartition(col("sb")), Some("sb"), shDir)
+              } finally {
+                bb.unpersist(); sh.unpersist()
+                candPin.foreach(_.unpersist()); ()
+              }
+            } finally { exactKept.unpersist(); () }
+          } finally { bh.unpersist(); () }
+        } finally { quality.unpersist(); () }
+      }
+      .start()
+  }
+}
