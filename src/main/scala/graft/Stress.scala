@@ -199,6 +199,7 @@ object Stress {
     if (tierOn("semantic_dedup_stream")) {
       semanticDedupStreamTier(vecs1); semanticDedupStreamTier(vecsK)
     }
+    if (tierOn("nd_rebucket")) { nearDupRebucketTier(docsK) }
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -819,6 +820,85 @@ object Stress {
         f"(kept=$kept, epochDirs=$epochDirs, batches=${batches.mkString(" ")})")
     } finally {
       Seq(root, idx, out, ckpt).foreach { p =>
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Rebucket-migration tier: the same 8-slice ingest run two ways —
+    * (a) one fanout for the whole run, vs (b) stop after 6 slices,
+    * migrate bands 64→256 + shingles 32→128 on the grown index, resume
+    * the last 2 slices on the NEW fanout. The kept sets must be
+    * IDENTICAL (bucket fanout is a physical layout knob, never a
+    * semantics knob), and the rebucket wall on the grown index is the
+    * price of the resize a deployment would otherwise pay as a full
+    * index rebuild. */
+  private def nearDupRebucketTier(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    val d = docs.select(col("doc_id"), col("text"))
+    def mkSlices(root: java.nio.file.Path, upTo: Int, from: Int = 0): Unit = {
+      val base = System.currentTimeMillis() - 60000L
+      (from until upTo).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("rb-stress-slice")
+        d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        }
+        val dst = root.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+      }
+    }
+    def stream(root: java.nio.file.Path, idx: java.nio.file.Path,
+               out: java.nio.file.Path, ckpt: java.nio.file.Path,
+               bb: Int, ib: Int): Unit = {
+      val q = graft.ext.NearDupStream.run(
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+        bandBuckets = bb, idBuckets = ib)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val tmps = (0 until 8).map(_ =>
+      java.nio.file.Files.createTempDirectory("rb-stress"))
+    val Seq(rootA, outA, ckptA, idxA, rootB, outB, ckptB, idxB) = tmps
+    try {
+      // (a) single-fanout baseline: all 8 slices at 64/32
+      mkSlices(rootA, 8)
+      stream(rootA, idxA, outA, ckptA, 64, 32)
+      val keptA = spark.read.parquet(outA.toString)
+        .select("doc_id").as(org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      // (b) 6 slices at 64/32, MIGRATE, resume last 2 at 256/128
+      mkSlices(rootB, 6)
+      stream(rootB, idxB, outB, ckptB, 64, 32)
+      val t0 = System.nanoTime()
+      graft.ext.NearDupStream.rebucket(spark, s"$idxB/bands", "bp",
+        "band_hash", 256)
+      graft.ext.NearDupStream.rebucket(spark, s"$idxB/shingles", "sb",
+        "doc_id", 128)
+      val rebucketWall = (System.nanoTime() - t0) / 1e9
+      mkSlices(rootB, 8, from = 6)
+      stream(rootB, idxB, outB, ckptB, 256, 128)
+      val keptB = spark.read.parquet(outB.toString)
+        .select("doc_id").as(org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      require(keptA == keptB,
+        s"rebucket changed verdicts: ${(keptA -- keptB) ++ (keptB -- keptA)}")
+      val indexed = spark.read.parquet(s"$idxB/bands").count()
+      println(f"STRESS nd_rebucket(n=$n)          $rebucketWall%8.2fs  " +
+        f"(kept=${keptB.size}, bandsRows=$indexed, verdicts identical)")
+    } finally {
+      tmps.foreach { p =>
         import scala.jdk.CollectionConverters._
         try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
           .foreach(f => java.nio.file.Files.deleteIfExists(f))

@@ -61,12 +61,15 @@ object CleanCorpusStream {
     * trade, same sizing rule as [[NearDupStream.BandBuckets]]). */
   val HashBuckets = 32
 
-  /** (doc_id, h = md5(text), hb) for a batch — the exact-identity
-    * stage's index schema. */
+  /** (doc_id, h = md5(text), xh = xxhash64(text), hb = xh mod buckets)
+    * for a batch — the exact-identity stage's index schema. `xh` is
+    * stored (not just folded into hb) so [[NearDupStream.rebucket]]
+    * can recompute hb under a new fanout without the original text. */
   private[graft] def hashed(docs: DataFrame, idCol: String,
                             textCol: String, hashBuckets: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"),
-      pmod(xxhash64(col(textCol)), lit(hashBuckets.toLong)).as("hb"))
+        xxhash64(col(textCol)).as("xh"))
+      .withColumn("hb", pmod(col("xh"), lit(hashBuckets.toLong)))
 
   private def readIndexOrEmpty(spark: SparkSession, path: String,
                                like: DataFrame): DataFrame =

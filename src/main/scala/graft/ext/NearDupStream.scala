@@ -189,19 +189,66 @@ object NearDupStream {
     finishSwap(dir, tmp, upToEpoch)
   }
 
-  /** Complete a crash-interrupted compaction swap if a finished tmp is
-    * present; discard an unfinished one. Runs at every batch start. */
+  /** Complete a crash-interrupted compaction OR rebucket swap if a
+    * finished tmp is present; discard an unfinished one. Runs at every
+    * batch start (and at [[rebucket]] entry). Both verbs share the
+    * fold-point-in-the-tmp-NAME protocol, so one resume heals both:
+    * `_compact_tmp-<upTo>` and `_rebucket_tmp-<upTo>-<newBuckets>`. */
   private[graft] def resumeCompaction(levelDir: String): Unit = {
     val dir = PathIO.path(levelDir)
     if (!PathIO.exists(dir)) return
     val tmps = PathIO.listDir(dir)
-      .filter(_.getName.startsWith("_compact_tmp-"))
+      .filter(p => p.getName.startsWith("_compact_tmp-") ||
+        p.getName.startsWith("_rebucket_tmp-"))
     tmps.foreach { tmp =>
       if (PathIO.exists(PathIO.child(tmp, "_SUCCESS"))) {
-        val upTo = tmp.getName.stripPrefix("_compact_tmp-").toLong
+        val upTo = tmp.getName.split('-')(1).toLong
         finishSwap(dir, tmp, upTo)
       } else PathIO.deleteTree(tmp): Unit // crash mid-write: olds intact
     }
+  }
+
+  /**
+   * Bucket-fanout migration of one index level (the re-bucketing admin
+   * op a deployment needs when its batch size outgrows the fanout the
+   * index was created with — [[BandBuckets]] sizing is an index-LIFETIME
+   * choice, so growing it otherwise means a full rebuild): fold EVERY
+   * epoch directory into one consolidated `epoch=<maxEpoch>` directory
+   * whose bucket column is recomputed as `pmod(srcCol, newBuckets)`.
+   *
+   * `srcCol` is the stored column the bucket derives from — the index
+   * schemas store it precisely so this op can recompute: `band_hash`
+   * for a bands level (bp), `doc_id` for a shingles level (sb),
+   * `cluster` for a [[SemanticDedupStream]] vecs level (cb), `xh` for
+   * a [[CleanCorpusStream]] hashes level (hb).
+   *
+   * OFFLINE op: run with the stream STOPPED (single-writer, like the
+   * resize it implements). Crash-safe via the [[compactIndex]] swap —
+   * the tmp NAME carries (fold point, new fanout); a crash before
+   * `_SUCCESS` is discarded by [[resumeCompaction]] (olds intact), a
+   * crash after it is completed by the same resume, which BOTH a
+   * retried rebucket and the next stream batch run first. After the
+   * swap, restart the stream passing the NEW fanout — the old value
+   * would prune reads against the wrong layout.
+   */
+  def rebucket(spark: SparkSession, levelDir: String, bucketCol: String,
+               srcCol: String, newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets $newBuckets must be >= 1")
+    val dir = PathIO.path(levelDir)
+    if (!PathIO.exists(dir)) return
+    resumeCompaction(levelDir) // finish anything pending before folding
+    val olds = epochDirs(dir)
+    if (olds.isEmpty) return
+    val upTo = olds.map(_._1).max
+    val tmp = PathIO.child(dir, s"_rebucket_tmp-$upTo-$newBuckets")
+    PathIO.deleteTree(tmp): Unit // stale partial write from a crashed attempt
+    spark.read.option("basePath", levelDir)
+      .parquet(olds.map(_._2.toString): _*)
+      .drop("epoch").drop(bucketCol)
+      .withColumn(bucketCol, pmod(col(srcCol), lit(newBuckets.toLong)))
+      .repartition(col(bucketCol))
+      .write.partitionBy(bucketCol).parquet(tmp.toString)
+    finishSwap(dir, tmp, upTo)
   }
 
   /** Delete the folded epoch dirs, then ONE rename of the tmp into
