@@ -19,11 +19,28 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // task-time accounting: wall alone cannot separate "superlinear
+    // kernel" from "linear kernel behind a fixed driver/setup floor" —
+    // executorRunTime sums the actual compute, so (wall, taskTime)
+    // pairs across scales attribute growth to the right bucket
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            taskMs.addAndGet(e.taskMetrics.executorRunTime): Unit
+      })
     val fn = SparkEntry.queries(name)
     for (i <- 1 to reps) {
+      taskMs.set(0)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[timeone] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener delivery is async — settle before reading the counter
+      Thread.sleep(200)
+      println(f"[timeone] $name run $i: $wall%.2f s  " +
+        f"(task-time ${taskMs.get() / 1000.0}%.1f s, " +
+        f"ratio ${taskMs.get() / 1000.0 / wall}%.1f)")
     }
     spark.stop()
   }

@@ -61,6 +61,21 @@ class AdminChunkTxnSpec extends SparkSpec {
     assert(dec.select(Envelope.Value).as[String].head() == "secret-payload")
   }
 
+  test("aes-gcm kernel is layout-compatible with Spark's builtin, both directions") {
+    val key = "0123456789abcdef"
+    val df = Seq(("k1", "cross-engine-payload")).toDF(Envelope.Key, Envelope.Value)
+    // our kernel's output decrypts through Spark's aes_decrypt
+    val ours = Produce.encryptValue(df, key)
+    val viaSpark = ours.select(
+      aes_decrypt(unbase64(col(Envelope.Value)), lit(key)).cast("string").as("v"))
+    assert(viaSpark.as[String].head() == "cross-engine-payload")
+    // Spark's aes_encrypt output decrypts through our kernel
+    val sparkEnc = df.withColumn(Envelope.Value,
+      base64(aes_encrypt(col(Envelope.Value).cast("binary"), lit(key))))
+    val viaOurs = Produce.decryptValue(sparkEnc, key)
+    assert(viaOurs.select(Envelope.Value).as[String].head() == "cross-engine-payload")
+  }
+
   private def parquetFiles(log: TopicLog): Int = {
     import scala.collection.JavaConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(log.name.path(log.root)))
