@@ -20,9 +20,45 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n## $n\n\n```")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString.take(4000))
+      if (Inner.contains(n)) println(Inner(n)(spark, sfDir).take(4000))
+      else println(SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString.take(4000))
       println("```")
     }
     spark.stop()
   }
+
+  /** Inner per-batch index reads of the streaming dedup operators —
+    * the plan-gated subtrees (their specs assert the PartitionFilters;
+    * this dump is the PLANS.md evidence). Each seeds a one-epoch index
+    * from the fixture, then plans batch 1's pruned read against it. */
+  private val Inner: Map[String, (SparkSession, String) => String] = Map(
+    "inner_semantic_index_read" -> ((s, sfDir) => {
+      import org.apache.spark.sql.functions._
+      val vecs = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val idx = java.nio.file.Files.createTempDirectory("plan-sd-idx").toString
+      val q0 = ext.SemanticDedupStream.quantized(
+        vecs.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", 6, 64)
+      q0.repartition(col("cb")).write.partitionBy("cb")
+        .parquet(s"$idx/vecs/epoch=0")
+      val q1 = ext.SemanticDedupStream.quantized(
+        vecs.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", 6, 64)
+      ext.SemanticDedupStream.indexDropped(s, s"$idx/vecs", q1, 1L, 0.3)
+        .queryExecution.executedPlan.toString
+    }),
+    "inner_cleancorpus_hash_read" -> ((s, sfDir) => {
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("plan-cc-idx").toString
+      val h0 = ext.CleanCorpusStream.hashed(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 32)
+      h0.repartition(col("hb")).write.partitionBy("hb")
+        .parquet(s"$idx/hashes/epoch=0")
+      val h1 = ext.CleanCorpusStream.hashed(
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", 32)
+      ext.CleanCorpusStream.indexExactDropped(s, s"$idx/hashes", h1, 1L)
+        .queryExecution.executedPlan.toString
+    }))
 }

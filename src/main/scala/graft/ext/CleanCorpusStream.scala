@@ -122,6 +122,13 @@ object CleanCorpusStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
+        val dbg = sys.env.contains("SPARK_GRAFT_ND_DEBUG")
+        var tPrev = System.nanoTime()
+        def mark(st: String): Unit = if (dbg) {
+          val t = System.nanoTime()
+          println(f"[cc-debug] epoch=$epochId $st%-14s ${(t - tPrev) / 1e9}%6.2fs")
+          tPrev = t
+        }
         Seq(hashesDir, bandsDir, shDir).foreach(NearDupStream.resumeCompaction)
         compactEvery.foreach { n =>
           if (epochId > 0 && epochId % n == 0) {
@@ -130,11 +137,19 @@ object CleanCorpusStream {
             NearDupStream.compactIndex(spark, shDir, "sb", epochId - 1)
           }
         }
-        // 1. QUALITY — stateless; casualties vanish here (never indexed)
-        val quality = TextOps.withQualityScore(batch, textCol)
-          .filter(col("n_tokens") >= minTokens &&
-            col("mean_word_len").between(minWordLen, maxWordLen))
-          .select(batch.columns.map(col): _*)
+        mark("compaction")
+        // 1. QUALITY — stateless; casualties vanish here (never indexed).
+        // Only the two signals the rule consumes are computed, with
+        // TextOps.withQualityScore's exact formulas — the full scorer
+        // also runs stopword/digit/punct regex passes over every byte
+        // of text that this filter would just discard.
+        val toks = TextOps.tokens(col(textCol))
+        val nTok = size(toks)
+        val meanWordLen =
+          (length(col(textCol)) - (nTok - 1)).cast("double") / nTok
+        val quality = batch
+          .filter(nTok >= minTokens &&
+            meanWordLen.between(minWordLen, maxWordLen))
           .persist()
         try {
           // 2. EXACT — vs the hash index, then within-batch first-wins
@@ -147,6 +162,7 @@ object CleanCorpusStream {
               .filter(col("_rn") > 1)
               .select(col("doc_id").as("dropped_id")).distinct()
             val exactDropped = idxExact.unionByName(selfExact).distinct()
+            mark("exact-plan")
             val exactKept = quality
               .join(exactDropped, col(idCol) === col("dropped_id"), "left_anti")
               .persist()
@@ -175,6 +191,7 @@ object CleanCorpusStream {
                 val candSelf = a.join(b.hint("shuffle_hash"), Seq("band_hash"))
                   .filter(col("id_a") < col("id_b"))
                   .select("id_a", "id_b").distinct()
+                mark("nd-plan")
                 val nearDropped = TextOps.verifyExactJaccard(
                     candIdx.unionByName(candSelf),
                     idxSh.unionByName(shBatch), threshold)
@@ -186,19 +203,27 @@ object CleanCorpusStream {
                   bucket.fold(w)(bk => w.partitionBy(bk))
                     .parquet(s"$path/epoch=$epochId")
                 }
-                // clean output: quality ∧ exact-kept ∧ near-dup-kept
-                epochWrite(exactKept
-                  .join(nearDropped, col(idCol) === col("dropped_id"),
-                    "left_anti"), None, outDir)
-                // index writes: hashes = exact keepers only (identity is
-                // transitive); bands/shingles = ALL exact survivors
-                // (near-dup all-seen). One file per touched bucket.
-                epochWrite(bh
-                  .join(exactDropped, col("doc_id") === col("dropped_id"),
-                    "left_anti")
-                  .repartition(col("hb")), Some("hb"), hashesDir)
-                epochWrite(bb.repartition(col("bp")), Some("bp"), bandsDir)
-                epochWrite(sh.repartition(col("sb")), Some("sb"), shDir)
+                // FOUR independent writes (clean output; hashes = exact
+                // keepers only, identity is transitive; bands/shingles =
+                // ALL exact survivors — near-dup all-seen; one file per
+                // touched bucket) run as CONCURRENT Spark jobs: each is
+                // dominated by per-file fixed cost and they target
+                // distinct epoch dirs off persisted inputs — sequential
+                // writes stacked four floors per batch (measured ~4 s of
+                // the ~6 s batch wall). Replay overwrites each dir.
+                NearDupStream.parallelWrites(
+                  () => epochWrite(exactKept
+                    .join(nearDropped, col(idCol) === col("dropped_id"),
+                      "left_anti"), None, outDir),
+                  () => epochWrite(bh
+                    .join(exactDropped, col("doc_id") === col("dropped_id"),
+                      "left_anti")
+                    .repartition(col("hb")), Some("hb"), hashesDir),
+                  () => epochWrite(bb.repartition(col("bp")), Some("bp"),
+                    bandsDir),
+                  () => epochWrite(sh.repartition(col("sb")), Some("sb"),
+                    shDir))
+                mark("writes(par)")
               } finally {
                 bb.unpersist(); sh.unpersist()
                 candPin.foreach(_.unpersist()); ()

@@ -161,20 +161,24 @@ object SemanticDedupStream {
             val dropped = idxDropped.unionByName(selfDropped).distinct()
 
             // epoch-constant writes: explicit epoch=<id> dir + plain
-            // overwrite = replay-idempotent (NearDupStream protocol)
+            // overwrite = replay-idempotent (NearDupStream protocol).
+            // The two writes are independent (distinct dirs, persisted
+            // inputs) and run as concurrent Spark jobs — per-file fixed
+            // costs dominate both, so sequential writes stack floors.
             def epochWrite(df: DataFrame, bucket: Option[String],
                            path: String): Unit = {
               val w = df.write.mode("overwrite")
               bucket.fold(w)(bk => w.partitionBy(bk))
                 .parquet(s"$path/epoch=$epochId")
             }
-            epochWrite(cached
-              .join(dropped, col(idCol) === col("dropped_id"), "left_anti"),
-              None, outDir)
-            // index append: ALL batch vecs, kept or dropped (all-seen).
-            // Repartition on cb BEFORE partitionBy: ≤ one file per
+            // index append: ALL batch vecs, kept or dropped (all-seen);
+            // repartition on cb BEFORE partitionBy: ≤ one file per
             // bucket per epoch (the NearDupStream write idiom)
-            epochWrite(q.repartition(col("cb")), Some("cb"), vecsDir)
+            NearDupStream.parallelWrites(
+              () => epochWrite(cached
+                .join(dropped, col(idCol) === col("dropped_id"), "left_anti"),
+                None, outDir),
+              () => epochWrite(q.repartition(col("cb")), Some("cb"), vecsDir))
           } finally { q.unpersist(); () }
         } finally { cached.unpersist(); () }
       }
