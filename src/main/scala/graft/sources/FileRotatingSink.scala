@@ -41,6 +41,19 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
  * empty record slot so offsets stay reconstructible; the reference
  * text sink would NPE on them (`HdfsAbstractTextFileSink.java:58`
  * `kv.getValue().toString()`).
+ *
+ * FILESYSTEM SCOPE: this sink writes through `java.nio` by DESIGN —
+ * it is the LOCAL-mount connector (the reference's hdfs3/alluxio sinks
+ * write through their own client libraries, not the broker's storage
+ * layer; this one targets a locally-mounted directory the same way).
+ * It deliberately does NOT ride [[graft.log.PathIO]]: the per-record
+ * append + fsync + rename loop is a sink transport, not engine control
+ * plane, and per-record `FileSystem` round-trips would be the wrong
+ * shape for a remote scheme anyway — a DFS deployment writes parquet
+ * through Spark's own committers instead. Sizing note: `readBack`'s
+ * wall on a huge file census is a driver metadata floor linear in FILE
+ * COUNT (SNAPSHOTS.md round-13 attribution) — scale `rotationRecords`
+ * with throughput so the census stays bounded.
  */
 object FileRotatingSink {
 

@@ -229,6 +229,37 @@ class PathIOSeamSpec extends SparkSpec {
       .count(_.getName.startsWith("epoch=")) == 2)
   }
 
+  test("two healers race the same staged epoch on a file: root without losing rows") {
+    // the AdminChunkTxnSpec race, re-run through the seam: concurrent
+    // publishManifest calls (publisher + recovery healer) on scheme-ful
+    // paths must resolve per-file move races silently with every row
+    // visible exactly once — single-threaded seam tests can't see a
+    // moveTolerant regression
+    val root = schemeRoot("graft-seam-race")
+    val log = new TopicLog(spark, root, TopicName.parse("t-race"), 2)
+    log.append(batch(0 until 10))
+    val staged = log.stageAppend(batch(10 until 40))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 2).foreach { _ =>
+      pool.execute(() => {
+        gate.await()
+        try log.publishManifest(staged)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"concurrent healers must not throw: ${errs.peek()}")
+    assert(log.read().count() == 40)
+    // staging fully drained, no leftovers for a later healer
+    assert(!PathIO.exists(PathIO.path(log.name.path(root), "_staging",
+      staged.epoch.toString)))
+  }
+
   test("AT_MOST_ONCE ack markers ride a file:-scheme checkpoint") {
     val base = Files.createTempDirectory("graft-seam-amo")
     val srcDir = base.resolve("src"); Files.createDirectories(srcDir)

@@ -89,6 +89,41 @@ class RebucketSpec extends SparkSpec {
       s"doc 4 must drop against the rebucketed index, got $keptAfter")
   }
 
+  test("semantic vecs level rebuckets on its stored cluster column") {
+    // the vecs index stores `cluster` precisely so cb is recomputable;
+    // one migration on a real SemanticDedupStream index proves the
+    // machinery is level-agnostic (srcCol is the only difference)
+    val root = java.nio.file.Files.createTempDirectory("rb-sd-root")
+    val idx = java.nio.file.Files.createTempDirectory("rb-sd-idx")
+    val out = java.nio.file.Files.createTempDirectory("rb-sd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("rb-sd-ckpt")
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i % 8) 1.0f else 0.0f)
+    val vecs = Seq(0L -> oneHot(0), 1L -> oneHot(1), 2L -> oneHot(2))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("rb-sd-slice")
+    vecs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = {
+      val l = java.nio.file.Files.list(tmp)
+      try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally l.close()
+    }
+    java.nio.file.Files.move(part, root.resolve("s0.parquet"))
+    val q = graft.ext.SemanticDedupStream.run(
+      spark.readStream.schema(vecs.schema).parquet(root.toString),
+      idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+      clusterBits = 4, clusterBuckets = 8)
+    try q.processAllAvailable() finally q.stop()
+    val before = spark.read.parquet(s"$idx/vecs")
+      .select("vec_id", "cluster").collect().toSet
+    NearDupStream.rebucket(spark, s"$idx/vecs", "cb", "cluster", 16)
+    val after = spark.read.parquet(s"$idx/vecs")
+    assert(after.select("vec_id", "cluster").collect().toSet === before)
+    assert(after.filter(col("cb") =!= pmod(col("cluster"), lit(16L)))
+      .count() === 0)
+  }
+
   test("rebucket crash windows: finished tmp completes, unfinished tmp discards (olds intact)") {
     val root = java.nio.file.Files.createTempDirectory("rb-root")
     val idx = java.nio.file.Files.createTempDirectory("rb-idx")
