@@ -2526,6 +2526,42 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Streaming decontamination against a GROWING eval set
+    * (ext.DecontamStream): one mixed stream (is_eval = doc_id % 50 == 0,
+    * the batch decontam fixture rule) in three mtime-ordered slices
+    * (doc_id % 3). A corpus doc is dropped iff it shares a 5-gram with
+    * an eval doc of its own OR an earlier slice — later eval arrivals
+    * never retroactively unkeep output. The oracle brute-forces the
+    * identical slice-ordered rule on shingle STRINGS (the operator
+    * joins on xxhash64 — the decontam-row precedent). */
+  private def qStreamDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+      (col("doc_id") % 50 === 0).as("is_eval"))
+    val root = Fixtures.dir(s, dir, "q-dcstream") { r =>
+      val base = System.currentTimeMillis() - 10000L
+      (0 until 3).foreach { i =>
+        writeStreamSlice(docs.filter(col("doc_id") % 3 === i), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-dc-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dc-ckpt")
+    val idx = java.nio.file.Files.createTempDirectory("graft-dc-idx")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt); streamOutRoots.add(idx)
+    drainGuarded(s, ext.DecontamStream.run(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      idx.toString, out.toString, ckpt.toString, n = 5,
+      compactEvery = Some(2)))
+    val kept = s.read.parquet(out.toString)
+      .select(col("doc_id"), lit(true).as("k"))
+    docs.filter(!col("is_eval")).select("doc_id")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("k"), lit(false)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Sorscher-style prototypicality pruning (arXiv:2206.14486): keep
     * the hardest half of every sign-LSH cluster, hardness = low cosine
     * to the exact decimal-sum centroid. The oracle replays the
@@ -3264,6 +3300,7 @@ object SparkEntry {
     "stream_near_dup" -> (qStreamNearDup _),
     "stream_semantic_dedup" -> (qStreamSemanticDedup _),
     "pipeline_clean_corpus_stream" -> (qPipelineCleanStream _),
+    "stream_decontam" -> (qStreamDecontam _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
@@ -5073,6 +5110,26 @@ object SparkEntry {
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM clean GROUP BY lang ORDER BY lang""".stripMargin,
+    // DecontamStream: slice-ordered growing-eval rule — corpus doc
+    // (slice = doc_id % 3) dropped iff it shares a 5-gram with an eval
+    // doc (doc_id % 50 = 0) of its own or an earlier slice. Same
+    // shingle construction as the batch decontam row.
+    "stream_decontam" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM documents) t),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |co AS (SELECT * FROM sh WHERE doc_id % 50 != 0),
+        |dropped AS (
+        |  SELECT DISTINCT co.doc_id FROM co JOIN ev
+        |    ON co.shingle = ev.shingle AND (ev.doc_id % 3) <= (co.doc_id % 3))
+        |SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
+        |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 != 0
+        |ORDER BY d.doc_id""".stripMargin,
     // Clustering.prototypePrune: same quantizer + exact-centroid scoring
     // as semantic_dedup, then the Sorscher keep rule — hardness rank
     // (simc asc, id asc) within cluster, kept iff rank <= ceil(0.5 * n).

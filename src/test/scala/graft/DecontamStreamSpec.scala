@@ -1,0 +1,115 @@
+package graft
+
+import graft.ext.DecontamStream
+import org.apache.spark.sql.functions._
+
+/** Contracts of the streaming decontamination filter the DuckDB oracle
+  * can't reach: the GROWING-eval semantics (no retroaction; same-batch
+  * eval counts), crash-replay idempotence, eval-less-batch index
+  * hygiene, and the broadcast/epoch-prune plan shape. The value-level
+  * truth is the `stream_decontam` oracle row. */
+class DecontamStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // arrival = (id % 3, id). Eval doc 4 (batch 1) carries the 5-gram
+  // "alpha beta gamma delta epsilon".
+  //  0 corpus b0 shares it  -> KEPT (eval arrives LATER; no retroaction)
+  //  1 corpus b1 shares it  -> dropped (same-batch eval counts)
+  //  8 corpus b2 shares it  -> dropped (cross-batch via the index)
+  //  2 corpus b2 unrelated  -> kept
+  //  3 corpus b0 short (3 tokens, no 5-grams) -> kept
+  private val gram = "alpha beta gamma delta epsilon"
+  private val corpus = Seq(
+    (0L, s"$gram zero tail words here", false),
+    (1L, s"$gram one other suffix words", false),
+    (2L, "completely unrelated content about spark plans and shuffles", false),
+    (3L, "too short doc", false),
+    (4L, s"$gram eval holdout sentence", true),
+    (8L, s"$gram eight trailing content words", false))
+
+  private def mixedDf = corpus.toDF("doc_id", "text", "is_eval")
+
+  private def mkSlices(root: java.nio.file.Path): Unit = {
+    val base = System.currentTimeMillis() - 10000L
+    (0 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("dc-slice")
+      mixedDf.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      val dst = root.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+    }
+  }
+
+  private def runStream(root: java.nio.file.Path, idx: java.nio.file.Path,
+                        out: java.nio.file.Path, ckpt: java.nio.file.Path): Unit = {
+    val q = DecontamStream.run(
+      spark.readStream.schema(mixedDf.schema).option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+      idx.toString, out.toString, ckpt.toString, n = 5)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def keptIds(out: java.nio.file.Path): Set[Long] =
+    spark.read.parquet(out.toString).select("doc_id").as[Long].collect().toSet
+
+  private def dirs() =
+    (java.nio.file.Files.createTempDirectory("dc-root"),
+      java.nio.file.Files.createTempDirectory("dc-idx"),
+      java.nio.file.Files.createTempDirectory("dc-out"),
+      java.nio.file.Files.createTempDirectory("dc-ckpt"))
+
+  test("growing eval set: same-batch and later corpus drop, earlier output stands") {
+    val (root, idx, out, ckpt) = dirs()
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    assert(keptIds(out) === Set(0L, 2L, 3L))
+    // eval rows never appear in the kept output
+    assert(!spark.read.parquet(out.toString).columns.contains("is_eval"))
+    // the index holds the eval doc's postings exactly once
+    val postings = spark.read.parquet(s"$idx/ngrams")
+    assert(postings.count() === postings.select("shingle_h").distinct().count())
+    // batches 0 and 2 had no eval rows: no empty epoch dirs poison the read
+    import scala.jdk.CollectionConverters._
+    val epochs = {
+      val l = java.nio.file.Files.list(idx.resolve("ngrams"))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("epoch=")).toSet
+      finally l.close()
+    }
+    assert(epochs === Set("epoch=1"))
+  }
+
+  test("crash replay: deleting the last commit and restarting changes nothing") {
+    val (root, idx, out, ckpt) = dirs()
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    val before = keptIds(out)
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("2"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".2.crc"))
+    runStream(root, idx, out, ckpt)
+    assert(keptIds(out) === before)
+  }
+
+  test("plan: eval side broadcasts (corpus never shuffles into the join); index read epoch-pruned") {
+    val (root, idx, out, ckpt) = dirs()
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    val corpusB = mixedDf.filter(col("doc_id") === 8L).drop("is_eval")
+    val newEval = DecontamStream.evalPostings(
+      mixedDf.filter(lit(false)), "text", 5, DecontamStream.EvalBuckets)
+    val plan = DecontamStream.contaminatedIds(spark, s"$idx/ngrams",
+        corpusB, newEval, 2L, 5, 1L, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval postings must broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge into the contamination join:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(epoch") &&
+      plan.contains("(epoch"), s"epoch prune missing in:\n$plan")
+  }
+}
