@@ -200,6 +200,9 @@ object Stress {
       semanticDedupStreamTier(vecs1); semanticDedupStreamTier(vecsK)
     }
     if (tierOn("nd_rebucket")) { nearDupRebucketTier(docsK) }
+    if (tierOn("decontam_stream")) {
+      decontamStreamTier(docs1); decontamStreamTier(docsK)
+    }
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -818,6 +821,60 @@ object Stress {
         .map(p => f"${p.batchId}:${p.batchDuration}ms")
       println(f"STRESS near_dup_stream(n=$n)      $wall%8.2fs  " +
         f"(kept=$kept, epochDirs=$epochDirs, batches=${batches.mkString(" ")})")
+    } finally {
+      Seq(root, idx, out, ckpt).foreach { p =>
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Streaming decontamination tier: 8 mixed slices (every doc with
+    * doc_id % 50 == 0 flagged eval) through DecontamStream. The scale
+    * claim under test: per-batch cost tracks the BATCH's corpus side —
+    * the eval index is read whole but BROADCAST (KBs–MBs by nature), so
+    * walls stay flat as the eval index grows batch over batch. */
+  private def decontamStreamTier(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    val d = docs.select(col("doc_id"), col("text"),
+      (col("doc_id") % 50 === 0).as("is_eval"))
+    val root = java.nio.file.Files.createTempDirectory("dc-stress-root")
+    val idx = java.nio.file.Files.createTempDirectory("dc-stress-idx")
+    val out = java.nio.file.Files.createTempDirectory("dc-stress-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("dc-stress-ckpt")
+    try {
+      val base = System.currentTimeMillis() - 60000L
+      (0 until 8).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("dc-stress-slice")
+        d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        }
+        val dst = root.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+      }
+      val t0 = System.nanoTime()
+      val q = graft.ext.DecontamStream.run(
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        idx.toString, out.toString, ckpt.toString, n = 5,
+        compactEvery = Some(3))
+      try q.processAllAvailable() finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val kept = spark.read.parquet(out.toString).count()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+        .map(p => f"${p.batchId}:${p.batchDuration}ms")
+      println(f"STRESS decontam_stream(n=$n)      $wall%8.2fs  " +
+        f"(kept=$kept, batches=${batches.mkString(" ")})")
     } finally {
       Seq(root, idx, out, ckpt).foreach { p =>
         import scala.jdk.CollectionConverters._
