@@ -260,6 +260,41 @@ class PathIOSeamSpec extends SparkSpec {
       staged.epoch.toString)))
   }
 
+  test("orderedReplaySource stages on a file:-scheme dir: monotone bucket mtimes, no tmp leftovers") {
+    val staging = schemeRoot("graft-seam-replay")
+    val rows = Seq(  // deliberately unordered event times
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-04 00:00:00")),
+      (4L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("id", "ts")
+    val src = graft.streaming.Functions.orderedReplaySource(
+      rows, "ts", staging, buckets = 4)
+    // flat parquet files only — the distributed move drained the hidden
+    // tmp tree and deleteTree removed it
+    val entries = PathIO.listDir(PathIO.path(staging)).map(_.getName)
+    assert(entries.forall(n => n.startsWith("replay_b") && n.endsWith(".parquet")),
+      s"unexpected staging entries: $entries")
+    assert(!entries.exists(_.startsWith("_replay_tmp")), s"tmp leaked: $entries")
+    // pinned mtimes strictly increase with the bucket index — the
+    // property the watermark-ordering contract rests on
+    val byBucket = PathIO.listStatusSeq(PathIO.path(staging))
+      .map(st => st.getPath.getName.substring(8, 12).toInt -> st.getModificationTime)
+      .sortBy(_._1)
+    byBucket.sliding(2).foreach {
+      case Seq((b1, t1), (b2, t2)) =>
+        if (b1 != b2) assert(t1 < t2, s"bucket $b1 mtime !< bucket $b2")
+      case _ => ()
+    }
+    // the stream replays every row, oldest bucket first
+    val out = Files.createTempDirectory("seam-replay-out")
+    val ckpt = Files.createTempDirectory("seam-replay-ckpt")
+    val q = src.writeStream.option("checkpointLocation", ckpt.toString)
+      .format("parquet").option("path", out.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out.toString).count() == 4)
+  }
+
   test("AT_MOST_ONCE ack markers ride a file:-scheme checkpoint") {
     val base = Files.createTempDirectory("graft-seam-amo")
     val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
