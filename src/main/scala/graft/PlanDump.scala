@@ -47,6 +47,23 @@ object PlanDump {
       ext.SemanticDedupStream.indexDropped(s, s"$idx/vecs", q1, 1L, 0.3)
         .queryExecution.executedPlan.toString
     }),
+    "inner_decontam_read" -> ((s, sfDir) => {
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("plan-dc-idx").toString
+      val ev0 = ext.DecontamStream.evalPostings(
+        docs.filter(col("doc_id") % 50 === 0), "text", 5,
+        ext.DecontamStream.EvalBuckets)
+      ev0.repartition(col("eb")).write.partitionBy("eb")
+        .parquet(s"$idx/ngrams/epoch=0")
+      val none = ext.DecontamStream.evalPostings(
+        docs.filter(lit(false)), "text", 5, ext.DecontamStream.EvalBuckets)
+      ext.DecontamStream.contaminatedIds(s, s"$idx/ngrams",
+          docs.filter(col("doc_id") % 50 =!= 0), none, 1L, 5, 1L,
+          "doc_id", "text")
+        .queryExecution.executedPlan.toString
+    }),
     "inner_cleancorpus_hash_read" -> ((s, sfDir) => {
       import org.apache.spark.sql.functions._
       val docs = s.read.parquet(s"$sfDir/documents.parquet")
