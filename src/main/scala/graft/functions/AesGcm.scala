@@ -25,12 +25,19 @@ import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
  * re-`init`s it per row, eliminating the shared lookup entirely.
  *
  * IV discipline (GCM's one hard requirement is IV uniqueness per key):
- * 12-byte IV = 4 random bytes drawn ONCE per JVM (the NIST "fixed
- * field", so counter resets across restarts can't collide except at
- * 2^-32 per pair) + an 8-byte global counter (lock-free CAS — ~ns,
- * three orders below the AES work it serializes). The IV is PREPENDED
- * to the ciphertext, Spark's own GCM layout, so `aes_decrypt` reads
- * this output and [[AesGcmDecryptExpr]] reads `aes_encrypt`'s.
+ * each THREAD draws 12 random bytes from its own `SecureRandom` at
+ * first use — a 4-byte fixed field plus an 8-byte counter whose
+ * STARTING VALUE is also random — and increments the counter per row.
+ * Two IV sequences (any two threads, any two JVMs, any two restarts)
+ * collide only if their 32-bit fixed fields match AND their 64-bit
+ * counter windows overlap: ~2n/2^96 per pair for n rows per thread,
+ * vs the 2^-32 a per-JVM fixed field alone would give across a
+ * 1000-executor fleet (where pairwise 2^-32 odds accumulate to
+ * near-certainty over a year of restarts). Per-row cost is one long
+ * increment on thread-local state — no cross-thread CAS at all. The
+ * IV is PREPENDED to the ciphertext, Spark's own GCM layout, so
+ * `aes_decrypt` reads this output and [[AesGcmDecryptExpr]] reads
+ * `aes_encrypt`'s.
  */
 object AesGcm {
   def aes_gcm_encrypt(value: Column, key: Column): Column =
@@ -43,22 +50,39 @@ object AesGcm {
   private val ciphers: ThreadLocal[Cipher] =
     ThreadLocal.withInitial(() => Cipher.getInstance("AES/GCM/NoPadding"))
 
-  private val fixedField: Int = new java.security.SecureRandom().nextInt()
-  private val ivCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Per-thread IV state: 96 random bits at init, low 64 increment per row. */
+  private final class IvState {
+    private val rng = new java.security.SecureRandom()
+    val fixedField: Int = rng.nextInt()
+    var counter: Long = rng.nextLong()
+  }
+  private val ivState: ThreadLocal[IvState] =
+    ThreadLocal.withInitial(() => new IvState)
 
   private def nextIv(): Array[Byte] = {
+    val st = ivState.get()
     val iv = new Array[Byte](12)
-    val c = ivCounter.getAndIncrement()
-    iv(0) = (fixedField >>> 24).toByte
-    iv(1) = (fixedField >>> 16).toByte
-    iv(2) = (fixedField >>> 8).toByte
-    iv(3) = fixedField.toByte
+    val c = st.counter
+    st.counter = c + 1
+    iv(0) = (st.fixedField >>> 24).toByte
+    iv(1) = (st.fixedField >>> 16).toByte
+    iv(2) = (st.fixedField >>> 8).toByte
+    iv(3) = st.fixedField.toByte
     var i = 0
     while (i < 8) { iv(4 + i) = (c >>> (56 - 8 * i)).toByte; i += 1 }
     iv
   }
 
-  private[functions] def encrypt(v: Array[Byte], key: Array[Byte]): Array[Byte] = {
+  /** Test seam: the calling thread's next IV without encrypting. */
+  private[graft] def peekIv(): Array[Byte] = {
+    val st = ivState.get()
+    val saved = st.counter
+    val iv = nextIv()
+    ivState.get().counter = saved
+    iv
+  }
+
+  private[graft] def encrypt(v: Array[Byte], key: Array[Byte]): Array[Byte] = {
     val cipher = ciphers.get()
     val iv = nextIv()
     cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
