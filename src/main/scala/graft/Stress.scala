@@ -811,12 +811,8 @@ object Stress {
       try q.processAllAvailable() finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val kept = spark.read.parquet(out.toString).count()
-      val epochDirs = {
-        import scala.jdk.CollectionConverters._
-        val l = java.nio.file.Files.list(idx.resolve("bands"))
-        try l.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
-        finally l.close()
-      }
+      val epochDirs =
+        graft.ext.IndexIO.committedEpochs(idx.resolve("bands").toString).size
       val batches = q.recentProgress.filter(_.numInputRows > 0)
         .map(p => f"${p.batchId}:${p.batchDuration}ms")
       println(f"STRESS near_dup_stream(n=$n)      $wall%8.2fs  " +
@@ -1005,12 +1001,8 @@ object Stress {
       try q.processAllAvailable() finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val kept = spark.read.parquet(out.toString).count()
-      val epochDirs = {
-        import scala.jdk.CollectionConverters._
-        val l = java.nio.file.Files.list(idx.resolve("vecs"))
-        try l.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
-        finally l.close()
-      }
+      val epochDirs =
+        graft.ext.IndexIO.committedEpochs(idx.resolve("vecs").toString).size
       val batches = q.recentProgress.filter(_.numInputRows > 0)
         .map(p => f"${p.batchId}:${p.batchDuration}ms")
       println(f"STRESS semantic_dedup_stream(n=$n) $wall%8.2fs  " +

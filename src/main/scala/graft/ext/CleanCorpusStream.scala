@@ -73,9 +73,7 @@ object CleanCorpusStream {
 
   private def readIndexOrEmpty(spark: SparkSession, path: String,
                                like: DataFrame): DataFrame =
-    if (PathIO.exists(PathIO.path(path)))
-      spark.read.parquet(path)
-    else like.withColumn("epoch", lit(0L)).limit(0)
+    IndexIO.read(spark, path, like)
 
   /** Exact-duplicate DROP verdicts for one batch against the persisted
     * hash index: read pruned to `epoch < epoch` AND the batch's hb
@@ -211,7 +209,7 @@ object CleanCorpusStream {
                 // distinct epoch dirs off persisted inputs — sequential
                 // writes stacked four floors per batch (measured ~4 s of
                 // the ~6 s batch wall). Replay overwrites each dir.
-                NearDupStream.parallelWrites(
+                NearDupStream.parallelWrites(spark,
                   () => epochWrite(exactKept
                     .join(nearDropped, col(idCol) === col("dropped_id"),
                       "left_anti"), None, outDir),

@@ -29,9 +29,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * indexes: eval sets are KBs-to-MBs against a TB corpus, so the whole
  * `epoch < current` index slice is read and BROADCAST (the batch
  * operator's posture: the corpus is never shuffled; the contamination
- * join is map-side, and only hits reach the per-doc aggregation). The
- * (epoch, eb) partitioning exists to bound per-epoch file counts and
- * to reuse [[NearDupStream.compactIndex]]/[[NearDupStream.rebucket]]
+ * join is map-side, and only hits reach the per-doc aggregation).
+ * That contract is GUARDED, not assumed: every batch counts the
+ * posting slice (one cheap job over the index it reads anyway — the
+ * same pass also answers "did this batch carry eval rows", replacing
+ * the former per-batch `limit(1).count()`), and past
+ * `evalBroadcastCap` rows the join falls back to a shuffle-hash join
+ * (eval still the build side) instead of forcing a broadcast the
+ * driver can't hold. The (epoch, eb) partitioning exists to bound
+ * per-epoch file counts and to reuse
+ * [[NearDupStream.compactIndex]]/[[NearDupStream.rebucket]]
  * verbatim — not for read pruning, which a broadcast-small side does
  * not need. The index stores DISTINCT shingle hashes only (8 bytes
  * each, no eval ids): existence is what contamination needs, and
@@ -58,29 +65,50 @@ object DecontamStream {
 
   private def readIndexOrEmpty(spark: SparkSession, path: String,
                                like: DataFrame): DataFrame =
-    if (PathIO.exists(PathIO.path(path)))
-      spark.read.parquet(path)
-    else like.withColumn("epoch", lit(0L)).limit(0)
+    IndexIO.read(spark, path, like)
 
-  /** Contaminated corpus ids for one batch: corpus postings map-side
-    * joined against the BROADCAST union of the persisted eval index
-    * (`epoch < epoch`) and the batch's own eval postings. Exposed for
-    * the plan gate (broadcast + epoch prune). */
+  /** Default [[run]] `evalBroadcastCap`: 10M distinct 8-byte shingle
+    * hashes ≈ 80 MB raw, a few hundred MB as a broadcast hash relation —
+    * comfortably inside executor memory, far above any real eval suite
+    * (which is the contract; the cap exists so outgrowing it degrades
+    * to a shuffle join instead of an opaque broadcast OOM). */
+  val DefaultEvalBroadcastCap = 10_000_000L
+
+  /** Contaminated corpus ids for one batch: corpus postings joined
+    * against the union of the persisted eval index (`epoch < epoch`)
+    * and the batch's own eval postings — BROADCAST while the posting
+    * count (pre-counted by the caller) is within `broadcastOk`, else a
+    * shuffle-hash join with eval still the build side. Exposed for the
+    * plan gates (broadcast + epoch prune; fallback = shuffle shape). */
   private[graft] def contaminatedIds(spark: SparkSession, ngramsDir: String,
                                      corpus: DataFrame, newEval: DataFrame,
                                      epoch: Long, n: Int, minShared: Long,
-                                     idCol: String, textCol: String): DataFrame = {
+                                     idCol: String, textCol: String,
+                                     broadcastOk: Boolean = true): DataFrame = {
     val idx = readIndexOrEmpty(spark, ngramsDir, newEval)
       .filter(col("epoch") < epoch).select("shingle_h")
     val evalAll = idx.unionByName(newEval.select("shingle_h")).distinct()
+    val evalSide = if (broadcastOk) broadcast(evalAll)
+      else evalAll.hint("shuffle_hash")
     corpus.select(col(idCol).as("doc_id"),
         explode(graft.functions.Sketch.shingle_hashes(col(textCol), n,
           distinct = true)).as("shingle_h"))
-      .join(broadcast(evalAll), Seq("shingle_h"))
+      .join(evalSide, Seq("shingle_h"))
       .groupBy("doc_id")
       .agg(countDistinct("shingle_h").as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id").as("dropped_id"))
+  }
+
+  /** One pre-pass over the (tiny by contract) eval side: the persisted
+    * slice's row count and the batch's own posting count — feeds the
+    * broadcast guard AND the "did this batch carry eval rows" decision,
+    * so no separate emptiness job runs per batch. */
+  private def evalCounts(spark: SparkSession, ngramsDir: String,
+                         newEval: DataFrame, epoch: Long): (Long, Long) = {
+    val idxCount = readIndexOrEmpty(spark, ngramsDir, newEval)
+      .filter(col("epoch") < epoch).count()
+    (idxCount, newEval.count())
   }
 
   /**
@@ -95,8 +123,10 @@ object DecontamStream {
           idCol: String = "doc_id", textCol: String = "text",
           evalFlagCol: String = "is_eval",
           evalBuckets: Int = EvalBuckets,
-          compactEvery: Option[Int] = None): StreamingQuery = {
+          compactEvery: Option[Int] = None,
+          evalBroadcastCap: Long = DefaultEvalBroadcastCap): StreamingQuery = {
     require(compactEvery.forall(_ >= 2), "compactEvery must be >= 2")
+    require(evalBroadcastCap >= 1, "evalBroadcastCap must be >= 1")
     val ngramsDir = s"$indexDir/ngrams"
     mixed.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -114,8 +144,13 @@ object DecontamStream {
           val newEval = evalPostings(cached.filter(col(evalFlagCol)),
             textCol, n, evalBuckets).persist()
           try {
+            // one pre-pass over the eval side: broadcast-guard counts
+            // AND the has-eval decision (no separate emptiness job)
+            val (idxCount, newCount) =
+              evalCounts(spark, ngramsDir, newEval, epochId)
             val dropped = contaminatedIds(spark, ngramsDir, corpusB,
-              newEval, epochId, n, minShared, idCol, textCol)
+              newEval, epochId, n, minShared, idCol, textCol,
+              broadcastOk = idxCount + newCount <= evalBroadcastCap)
             def epochWrite(df: DataFrame, bucket: Option[String],
                            path: String): Unit = {
               val w = df.write.mode("overwrite")
@@ -128,12 +163,11 @@ object DecontamStream {
             // inference once every dir is empty, and writing nothing is
             // replay-identical (the replayed batch re-derives the same
             // empty posting set)
-            val hasEval = newEval.limit(1).count() > 0
-            NearDupStream.parallelWrites(
+            NearDupStream.parallelWrites(spark,
               (Seq(() => epochWrite(corpusB
                 .join(dropped, col(idCol) === col("dropped_id"), "left_anti"),
                 None, outDir)) ++
-                (if (hasEval)
+                (if (newCount > 0)
                   Seq(() => epochWrite(newEval.repartition(col("eb")),
                     Some("eb"), ngramsDir))
                 else Seq.empty)): _*)

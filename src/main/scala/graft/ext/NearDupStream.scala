@@ -118,9 +118,7 @@ object NearDupStream {
 
   private def readIndexOrEmpty(spark: SparkSession, path: String,
                                like: DataFrame): DataFrame =
-    if (PathIO.exists(PathIO.path(path)))
-      spark.read.parquet(path)
-    else like.withColumn("epoch", lit(0L)).limit(0)
+    IndexIO.read(spark, path, like)
 
   /** Candidate (id_a = indexed earlier doc, id_b = batch doc) pairs for
     * one batch against the persisted bands index: the read is pruned to
@@ -145,76 +143,39 @@ object NearDupStream {
   }
 
   /**
-   * Fold every index epoch directory ≤ `upToEpoch` of one index level
-   * into a single consolidated `epoch=<upToEpoch>` directory — the
-   * metadata bound for a long-running stream (without it the index
-   * accrues one directory per batch FOREVER, and every batch's
-   * partition discovery lists them all; the TopicLog manifest-prune
-   * analog for this operator).
+   * Fold every committed index entry ≤ `upToEpoch` of one level into a
+   * single consolidated fold — the metadata bound for a long-running
+   * stream (without it the index accrues one directory per batch
+   * FOREVER, and every batch's partition discovery lists them all;
+   * the TopicLog manifest-prune analog for this operator).
    *
    * Safety: called from inside the batch for `upToEpoch = current − 1`,
    * every folded epoch has a committed checkpoint entry (the file
    * source replays at most the last uncommitted batch), so no replay
-   * can ever target a folded epoch, and the consolidated directory
-   * keeps the MAX folded id — the `epoch < current` read filter sees
-   * exactly the same data before and after. Single-writer by
-   * construction (foreachBatch is sequential).
-   *
-   * Crash-safe swap: the consolidated copy is first written to an
-   * UNDERSCORE-prefixed tmp dir (invisible to Spark readers) with its
-   * _SUCCESS marker; only then are the old epoch dirs deleted and the
-   * tmp renamed into place. [[resumeCompaction]] runs at every batch
-   * start: a complete tmp (crash between delete and rename) finishes
-   * the swap; an incomplete one (crash mid-write) is discarded.
+   * can ever target a folded epoch, and the fold keeps the MAX folded
+   * id — the `epoch < current` read filter sees exactly the same data
+   * before and after. Single-writer by construction (foreachBatch is
+   * sequential). Commit protocol: [[IndexIO]] pointer indirection —
+   * immutable fold dirs activated by one atomicCreate'd pointer, no
+   * directory rename, so the swap is crash-safe on object stores too.
    */
   private[graft] def compactIndex(spark: SparkSession, levelDir: String,
-                                  bucketCol: String, upToEpoch: Long): Unit = {
-    val dir = PathIO.path(levelDir)
-    if (!PathIO.exists(dir)) return
-    val olds = epochDirs(dir).filter(_._1 <= upToEpoch)
-    if (olds.size <= 1) return
-    // the fold point rides in the tmp NAME, so a crash-resume knows
-    // exactly which epochs the tmp subsumes — never inferred from
-    // whatever happens to be on disk
-    val tmp = PathIO.child(dir, s"_compact_tmp-$upToEpoch")
-    PathIO.deleteTree(tmp): Unit // stale partial write from a crashed compaction
-    // basePath: the olds are sibling partition dirs — without it Spark's
-    // partition discovery rejects the multi-root read; epoch then comes
-    // back as a column and is dropped (the folded dir IS the new epoch)
-    spark.read.option("basePath", levelDir)
-      .parquet(olds.map(_._2.toString): _*)
-      .drop("epoch")
-      .repartition(col(bucketCol))
-      .write.partitionBy(bucketCol).parquet(tmp.toString)
-    finishSwap(dir, tmp, upToEpoch)
-  }
+                                  bucketCol: String, upToEpoch: Long): Unit =
+    IndexIO.compact(spark, levelDir, bucketCol, upToEpoch)
 
-  /** Complete a crash-interrupted compaction OR rebucket swap if a
-    * finished tmp is present; discard an unfinished one. Runs at every
-    * batch start (and at [[rebucket]] entry). Both verbs share the
-    * fold-point-in-the-tmp-NAME protocol, so one resume heals both:
-    * `_compact_tmp-<upTo>` and `_rebucket_tmp-<upTo>-<newBuckets>`. */
-  private[graft] def resumeCompaction(levelDir: String): Unit = {
-    val dir = PathIO.path(levelDir)
-    if (!PathIO.exists(dir)) return
-    val tmps = PathIO.listDir(dir)
-      .filter(p => p.getName.startsWith("_compact_tmp-") ||
-        p.getName.startsWith("_rebucket_tmp-"))
-    tmps.foreach { tmp =>
-      if (PathIO.exists(PathIO.child(tmp, "_SUCCESS"))) {
-        val upTo = tmp.getName.split('-')(1).toLong
-        finishSwap(dir, tmp, upTo)
-      } else PathIO.deleteTree(tmp): Unit // crash mid-write: olds intact
-    }
-  }
+  /** Heal + garbage-collect one level ([[IndexIO.resume]]): finish the
+    * cleanup of a committed fold, discard uncommitted fold data. Runs
+    * at every batch start and at [[rebucket]] entry. */
+  private[graft] def resumeCompaction(levelDir: String): Unit =
+    IndexIO.resume(levelDir)
 
   /**
    * Bucket-fanout migration of one index level (the re-bucketing admin
    * op a deployment needs when its batch size outgrows the fanout the
    * index was created with — [[BandBuckets]] sizing is an index-LIFETIME
    * choice, so growing it otherwise means a full rebuild): fold EVERY
-   * epoch directory into one consolidated `epoch=<maxEpoch>` directory
-   * whose bucket column is recomputed as `pmod(srcCol, newBuckets)`.
+   * committed entry into one consolidated fold whose bucket column is
+   * recomputed as `pmod(srcCol, newBuckets)`.
    *
    * `srcCol` is the stored column the bucket derives from — the index
    * schemas store it precisely so this op can recompute: `band_hash`
@@ -223,60 +184,57 @@ object NearDupStream {
    * a [[CleanCorpusStream]] hashes level (hb).
    *
    * OFFLINE op: run with the stream STOPPED (single-writer, like the
-   * resize it implements). Crash-safe via the [[compactIndex]] swap —
-   * the tmp NAME carries (fold point, new fanout); a crash before
-   * `_SUCCESS` is discarded by [[resumeCompaction]] (olds intact), a
-   * crash after it is completed by the same resume, which BOTH a
-   * retried rebucket and the next stream batch run first. After the
-   * swap, restart the stream passing the NEW fanout — the old value
-   * would prune reads against the wrong layout.
+   * resize it implements). Crash-safe via the [[IndexIO]] pointer
+   * commit — a crash before the pointer leaves the sources intact
+   * (the fold data is unreferenced garbage [[resumeCompaction]]
+   * sweeps), a crash after it is finished by the same resume, which
+   * BOTH a retried rebucket and the next stream batch run first.
+   * After the swap, restart the stream passing the NEW fanout — the
+   * old value would prune reads against the wrong layout.
    */
   def rebucket(spark: SparkSession, levelDir: String, bucketCol: String,
-               srcCol: String, newBuckets: Int): Unit = {
-    require(newBuckets >= 1, s"newBuckets $newBuckets must be >= 1")
-    val dir = PathIO.path(levelDir)
-    if (!PathIO.exists(dir)) return
-    resumeCompaction(levelDir) // finish anything pending before folding
-    val olds = epochDirs(dir)
-    if (olds.isEmpty) return
-    val upTo = olds.map(_._1).max
-    val tmp = PathIO.child(dir, s"_rebucket_tmp-$upTo-$newBuckets")
-    PathIO.deleteTree(tmp): Unit // stale partial write from a crashed attempt
-    spark.read.option("basePath", levelDir)
-      .parquet(olds.map(_._2.toString): _*)
-      .drop("epoch").drop(bucketCol)
-      .withColumn(bucketCol, pmod(col(srcCol), lit(newBuckets.toLong)))
-      .repartition(col(bucketCol))
-      .write.partitionBy(bucketCol).parquet(tmp.toString)
-    finishSwap(dir, tmp, upTo)
-  }
-
-  /** Delete the folded epoch dirs, then ONE rename of the tmp into
-    * place. PathIO.move fails fast when the rename cannot complete
-    * (tmp lives inside the level dir, so same filesystem; rename is
-    * atomic on HDFS/POSIX — on an object store run the index on a
-    * rename-atomic layer, the PathIO class-doc contract). */
-  private def finishSwap(dir: HPath, tmp: HPath, upToEpoch: Long): Unit = {
-    epochDirs(dir).filter(_._1 <= upToEpoch)
-      .foreach(d => PathIO.deleteTree(d._2))
-    PathIO.move(tmp, PathIO.child(dir, s"epoch=$upToEpoch"))
-  }
-
-  private def epochDirs(dir: HPath): Seq[(Long, HPath)] =
-    PathIO.listDir(dir)
-      .filter(_.getName.startsWith("epoch="))
-      .map(p => (p.getName.stripPrefix("epoch=").toLong, p))
+               srcCol: String, newBuckets: Int): Unit =
+    IndexIO.rebucket(spark, levelDir, bucketCol, srcCol, newBuckets)
 
   /** Run independent per-epoch writes as concurrent Spark jobs (they
-    * target distinct directories and read only persisted inputs); the
-    * first failure propagates — the batch fails and replays whole.
-    * Shared by [[NearDupStream]], [[SemanticDedupStream]] and
+    * target distinct directories and read only persisted inputs).
+    * EVERY write is awaited before this returns — success or failure —
+    * so no epoch-dir write can outlive the batch that issued it: the
+    * previous fail-fast version left sibling jobs running, and a
+    * replayed batch's mode("overwrite") could race a zombie write to
+    * the same epoch dir. The writes are additionally tagged with a
+    * per-call job group so an INTERRUPTED await (query.stop mid-batch)
+    * cancels the in-flight jobs instead of orphaning them. Shared by
+    * [[NearDupStream]], [[SemanticDedupStream]] and
     * [[CleanCorpusStream]]. */
-  private[ext] def parallelWrites(writes: (() => Unit)*): Unit = {
+  private[ext] def parallelWrites(spark: SparkSession,
+                                  writes: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf): Unit
+    import scala.util.{Failure, Try}
+    val sc = spark.sparkContext
+    val group = s"graft-epoch-writes-${java.util.UUID.randomUUID}"
+    val futures = writes.map { w =>
+      Future {
+        sc.setJobGroup(group, "graft parallel epoch writes",
+          interruptOnCancel = true)
+        try w() finally sc.clearJobGroup()
+      }
+    }
+    val outcomes =
+      try futures.map(f => Try(Await.result(f, Duration.Inf)))
+      catch {
+        case t: Throwable => // interrupted await: kill the in-flight jobs
+          sc.cancelJobGroup(group)
+          futures.foreach(f =>
+            Try(Await.result(f, scala.concurrent.duration.Duration(60, "s"))): Unit)
+          throw t
+      }
+    outcomes.collectFirst { case Failure(e) =>
+      sc.cancelJobGroup(group) // defensive: all futures already completed
+      throw e
+    }: Unit
   }
 
   /**
@@ -400,7 +358,7 @@ object NearDupStream {
             // partitionBy (the delayed_due one-file-per-bucket idiom) —
             // without it every task writes a sliver into every bucket
             // dir, whose footer reads every LATER batch then pays.
-            parallelWrites(
+            parallelWrites(spark,
               () => epochWrite(cached
                 .join(dropped, col(idCol) === col("dropped_id"), "left_anti"),
                 None, outDir),

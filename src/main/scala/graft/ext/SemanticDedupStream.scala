@@ -80,9 +80,7 @@ object SemanticDedupStream {
 
   private def readIndexOrEmpty(spark: SparkSession, path: String,
                                like: DataFrame): DataFrame =
-    if (PathIO.exists(PathIO.path(path)))
-      spark.read.parquet(path)
-    else like.withColumn("epoch", lit(0L)).limit(0)
+    IndexIO.read(spark, path, like)
 
   /** Earlier-arrival (id_a = indexed vec, id_b = batch vec) DROP
     * verdicts for one batch against the persisted index: the read is
@@ -174,7 +172,7 @@ object SemanticDedupStream {
             // index append: ALL batch vecs, kept or dropped (all-seen);
             // repartition on cb BEFORE partitionBy: ≤ one file per
             // bucket per epoch (the NearDupStream write idiom)
-            NearDupStream.parallelWrites(
+            NearDupStream.parallelWrites(spark,
               () => epochWrite(cached
                 .join(dropped, col(idCol) === col("dropped_id"), "left_anti"),
                 None, outDir),

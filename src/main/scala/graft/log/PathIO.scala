@@ -26,7 +26,9 @@ import java.io.{FileNotFoundException, IOException}
  * offload); here the commit protocol is file-atomicity on whatever
  * filesystem holds the log.
  *
- * Semantics per scheme — the protocol-relevant primitive is RENAME:
+ * Semantics per scheme — the ONLY primitive the commit protocols need
+ * to be atomic is [[atomicCreate]] (publish-content-iff-absent), and
+ * every scheme class has a native implementation of it:
  *  - local (`file:` or schemeless): resolved to [[RawLocalFileSystem]]
  *    (the checksummed [[LocalFileSystem]] would shadow every file with
  *    a `.crc` sibling, breaking directory-content protocols). rename(2)
@@ -36,11 +38,20 @@ import java.io.{FileNotFoundException, IOException}
  *  - HDFS: `rename` is atomic and FAILS when the target exists —
  *    first-writer-wins is native, [[atomicCreate]]'s rename branch is
  *    exact there.
- *  - object stores (s3a): rename is copy+delete — NOT atomic. The
- *    commit protocols here (manifest publish, marker write, index
- *    swap) assume an atomic rename; on S3 run them against a
- *    rename-atomic layer (HDFS, a metadata service) exactly as Spark's
- *    own file committers require.
+ *  - object stores (s3a/gs/abfs/..., see [[isObjectStore]]): rename is
+ *    copy+delete — never relied on for atomicity. [[atomicCreate]]
+ *    takes the CONDITIONAL-PUT branch instead: `create(path,
+ *    overwrite=false)` with content visible only at close, which
+ *    modern stores implement natively as an if-none-match PUT (S3
+ *    conditional writes, GCS preconditions, ABFS ETag create). The
+ *    protocols that previously leaned on directory rename do not
+ *    exist anymore: the index compaction swap is pointer-file
+ *    indirection over immutable data dirs ([[graft.ext.IndexIO]]),
+ *    txn/ack markers are atomicCreate'd directly, and latest-wins
+ *    cursor files go through [[moveReplace]]'s overwrite-PUT branch.
+ *    Per-DATA-file moves (staged publish, offload) remain copy+delete
+ *    under manifest gating — idempotent and content-identical, so
+ *    non-atomicity is harmless there.
  *
  * Failure model: missing paths surface as Hadoop's
  * [[FileNotFoundException]] (an [[IOException]]) — call sites that
@@ -48,13 +59,46 @@ import java.io.{FileNotFoundException, IOException}
  */
 object PathIO {
 
-  /** Hadoop conf: the active session's (inherits `spark.hadoop.*`),
-    * else a fresh default — static janitor helpers run without a
-    * session in scope. */
+  /** Hadoop conf: the active/default session's (inherits
+    * `spark.hadoop.*`); on EXECUTORS — where no SparkSession object
+    * exists but [[org.apache.spark.SparkEnv]] carries the driver's
+    * SparkConf — rebuilt from the shipped `spark.hadoop.*` keys, so
+    * credentials and fs impl overrides survive the boundary (a bare
+    * `new Configuration()` silently dropped them and remote-scheme
+    * paths resolved differently than their driver-side keys). A fresh
+    * default remains only for no-Spark-at-all callers (plain JVM
+    * janitor tools). */
   def conf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+      .getOrElse {
+        val c = new Configuration()
+        Option(org.apache.spark.SparkEnv.get).foreach { env =>
+          env.conf.getAllWithPrefix("spark.hadoop.")
+            .foreach { case (k, v) => c.set(k, v) }
+        }
+        c
+      }
+
+  /** Default object-store scheme set; extend per deployment with the
+    * Hadoop conf key `graft.objectstore.schemes` (comma-separated —
+    * reachable as `spark.hadoop.graft.objectstore.schemes`). */
+  private val DefaultObjectStoreSchemes: Set[String] =
+    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "oss", "cos",
+      "wasb", "wasbs")
+
+  /** Is `p` on an object store? Those schemes get the conditional-PUT
+    * [[atomicCreate]] branch and the overwrite-PUT [[moveReplace]]
+    * branch — rename is never their atomicity primitive. */
+  private[graft] def isObjectStore(p: Path): Boolean = {
+    val scheme = Option(qualify(p).toUri.getScheme).getOrElse("file")
+    DefaultObjectStoreSchemes.contains(scheme) || {
+      import scala.collection.JavaConverters._
+      conf.getTrimmedStringCollection("graft.objectstore.schemes")
+        .asScala.exists(_ == scheme)
+    }
+  }
 
   /** FileSystem for `p`'s scheme; local resolves to the RAW local
     * filesystem (no `.crc` side files — see class doc). */
@@ -192,11 +236,21 @@ object PathIO {
     * wins: pattern cursors, watermark files). Plain `FileSystem.rename`
     * can't express overwrite on HDFS (it fails when the target
     * exists), so this goes through [[FileContext]]'s
-    * `Options.Rename.OVERWRITE` — atomic on HDFS and POSIX. */
+    * `Options.Rename.OVERWRITE` — atomic on HDFS and POSIX. On object
+    * stores (no FileContext binding, rename is copy+delete anyway) the
+    * same latest-wins contract is an overwrite PUT: object visibility
+    * is atomic per PUT, and these verbs tolerate losing a concurrent
+    * latest-wins race by definition. */
   def moveReplace(src: Path, dst: Path): Unit = {
-    val q = qualify(src)
-    FileContext.getFileContext(q.toUri, conf)
-      .rename(q, qualify(dst), Options.Rename.OVERWRITE)
+    if (isObjectStore(src)) {
+      val f = fs(src)
+      write(dst, readBytes(src))
+      f.delete(src, false): Unit
+    } else {
+      val q = qualify(src)
+      FileContext.getFileContext(q.toUri, conf)
+        .rename(q, qualify(dst), Options.Rename.OVERWRITE)
+    }
   }
 
   def lastModified(p: Path): Long = fs(p).getFileStatus(p).getModificationTime
@@ -231,19 +285,19 @@ object PathIO {
    * Local filesystems use the hard-link protocol (link(2) fails
    * atomically with "already exists" where rename(2) would silently
    * REPLACE a competing commit — the TOCTOU this primitive closes).
-   * Remote schemes use write-tmp + rename: on HDFS rename fails when
-   * the target exists, so first-writer-wins is exact there too; on
-   * rename-replacing filesystems the content re-read below catches a
-   * replacement that happened before this call's verification, but a
-   * LATER different-content rename can still silently supersede a
-   * writer that already returned true — only same-content races are
-   * fully safe on such schemes (see class doc: run commit protocols on
-   * rename-atomic storage).
+   * Object stores use a CONDITIONAL PUT (`create(overwrite=false)`,
+   * content visible only at close — if-none-match on S3/GCS/ABFS):
+   * first-writer-wins is native and the object is complete-or-absent
+   * by PUT atomicity. Remaining remote schemes (HDFS and friends) use
+   * write-tmp + rename, exact there because rename fails when the
+   * target exists.
    */
   private[graft] def atomicCreate(target: Path, content: Array[Byte]): Boolean =
     fs(target) match {
       case raw: RawLocalFileSystem =>
         nioAtomicCreate(raw.pathToFile(target).toPath, content)
+      case f if isObjectStore(target) =>
+        conditionalPutCreate(f, target, content)
       case f => renameAtomicCreate(f, target, content)
     }
 
@@ -287,6 +341,33 @@ object PathIO {
           f.setTimes(dp, t, -1)
         }
     }
+  }
+
+  /** Conditional-PUT first-writer-wins (object-store schemes): one
+    * `create(target, overwrite=false)` whose close() is the atomic
+    * publish — no tmp file, no rename anywhere. The store materializes
+    * the object only on a successful conditional close, so a crash
+    * mid-write leaves NOTHING (not even a partial object), and a
+    * concurrent winner surfaces as [[org.apache.hadoop.fs
+    * .FileAlreadyExistsException]] from create() or close() (providers
+    * map the HTTP 412 differently, hence the exists() re-check on any
+    * IOException). A true win is exact — close() succeeded with OUR
+    * bytes — so no verify read-back is needed on that path. */
+  private[graft] def conditionalPutCreate(f: FileSystem, target: Path,
+                                          content: Array[Byte]): Boolean = {
+    if (f.exists(target)) return false // cheap pre-check; the PUT re-checks
+    val out =
+      try f.create(target, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case e: IOException => if (f.exists(target)) return false else throw e
+      }
+    try { out.write(content); out.close() }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+      case e: IOException => if (f.exists(target)) return false else throw e
+    }
+    true
   }
 
   /** Hard-link first-writer-wins (local scheme). */

@@ -126,7 +126,6 @@ final class Txn private (val txnId: String, root: String,
     // manifests AND ack manifests (consume-process-produce atomicity;
     // an AckLog line's first field is its base path, which recover()
     // replays through the identical layout)
-    val tmp = PathIO.child(markerDir, s"$txnId.tmp")
     val produceLines = prepared.map { case (log, s) =>
       Seq(log.name.path(root), s.epoch.toString, s.count.toString,
         s.manifestLines.replace("\n", ";")).mkString("\t")
@@ -135,8 +134,16 @@ final class Txn private (val txnId: String, root: String,
       Seq(ackLog.basePath, s.epoch.toString, s.count.toString,
         s.manifestLines.replace("\n", ";")).mkString("\t")
     }
-    PathIO.write(tmp, (produceLines ++ ackLines).mkString("\n").getBytes)
-    PathIO.move(tmp, PathIO.child(markerDir, s"$txnId.committed"))
+    // atomicCreate, not write-tmp+rename: complete-or-absent on every
+    // scheme (hard-link locally, exclusive rename on HDFS, conditional
+    // PUT on object stores). Txn ids are unique per begin(), so an
+    // existing marker can only be a replay of THIS commit — verify,
+    // never replace.
+    val markerBytes = (produceLines ++ ackLines).mkString("\n").getBytes
+    val marker = PathIO.child(markerDir, s"$txnId.committed")
+    if (!PathIO.atomicCreate(marker, markerBytes))
+      require(java.util.Arrays.equals(PathIO.readBytes(marker), markerBytes),
+        s"txn marker $txnId exists with different content — txn id collision")
     // phase 3: publish (idempotent; recover() replays on crash)
     prepared.foreach { case (log, s) => log.publishManifest(s) }
     preparedAcks.foreach { case (ackLog, s) => ackLog.publish(s) }

@@ -323,12 +323,13 @@ object Functions {
             val ackDir = PathIO.path(checkpoint, "_acks")
             PathIO.mkdirs(ackDir)
             val marker = PathIO.child(ackDir, s"$epochId.acked")
-            if (!PathIO.exists(marker)) {
-              // ack FIRST (atomic marker), process second — the order is
-              // the whole guarantee
-              val tmp = PathIO.child(ackDir, s"$epochId.tmp")
-              PathIO.write(tmp, Array.emptyByteArray)
-              PathIO.move(tmp, marker)
+            // ack FIRST (atomicCreate: complete-or-absent on every
+            // scheme, conditional PUT on object stores), process
+            // second — the order is the whole guarantee. Losing the
+            // create means a previous attempt already acked this epoch
+            // and died mid-process: drop the batch (at-most-once).
+            if (!PathIO.exists(marker) &&
+                PathIO.atomicCreate(marker, Array.emptyByteArray)) {
               batch.write.mode("append").parquet(sinkPath)
             }
             // marker already present: this epoch was acked by a previous

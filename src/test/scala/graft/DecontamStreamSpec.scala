@@ -112,4 +112,31 @@ class DecontamStreamSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(epoch") &&
       plan.contains("(epoch"), s"epoch prune missing in:\n$plan")
   }
+
+  test("broadcast cap: past the bound the contamination join degrades to shuffle-hash, results identical") {
+    // behavioral: a cap the eval postings definitely exceed — the whole
+    // stream runs on the fallback join and keeps the same verdicts
+    val (root, idx, out, ckpt) = dirs()
+    mkSlices(root)
+    val q = DecontamStream.run(
+      spark.readStream.schema(mixedDf.schema).option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+      idx.toString, out.toString, ckpt.toString, n = 5,
+      evalBroadcastCap = 1L)
+    try q.processAllAvailable() finally q.stop()
+    assert(keptIds(out) === Set(0L, 2L, 3L))
+    // plan: the fallback is the SHUFFLE shape with eval still the build
+    // side — not a forced broadcast of a side that outgrew the driver
+    val corpusB = mixedDf.filter(col("doc_id") === 8L).drop("is_eval")
+    val newEval = DecontamStream.evalPostings(
+      mixedDf.filter(lit(false)), "text", 5, DecontamStream.EvalBuckets)
+    val plan = DecontamStream.contaminatedIds(spark, s"$idx/ngrams",
+        corpusB, newEval, 2L, 5, 1L, "doc_id", "text",
+        broadcastOk = false)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fallback must be a shuffle-hash join in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"fallback must not force a broadcast in:\n$plan")
+  }
 }

@@ -130,72 +130,73 @@ class NearDupStreamSpec extends SparkSpec {
     go()
     // same kept set as the uncompacted runs in the tests above
     assert(keptIds(out) === Set(0L, 2L, 3L, 4L, 6L))
-    // batch 2 folded epochs 0,1 -> dirs are {epoch=1 (folded), epoch=2}
-    def dirs(level: String): Set[String] = {
-      import scala.jdk.CollectionConverters._
-      val l = java.nio.file.Files.list(idx.resolve(level))
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("epoch=")).toSet
-      finally l.close()
-    }
-    assert(dirs("bands") === Set("epoch=1", "epoch=2"))
-    assert(dirs("shingles") === Set("epoch=1", "epoch=2"))
+    // batch 2 folded epochs 0,1 -> committed entries {1 (fold), 2}
+    assert(graft.ext.IndexIO.committedEpochs(s"$idx/bands") === Seq(1L, 2L))
+    assert(graft.ext.IndexIO.committedEpochs(s"$idx/shingles") === Seq(1L, 2L))
     // index content identical: every eligible doc present exactly once
-    val counts = spark.read.parquet(s"$idx/shingles")
-      .groupBy("doc_id").count().filter(col("count") =!= 1).count()
-    assert(counts === 0)
+    def shingleLevel = graft.ext.IndexIO.readLevel(spark, s"$idx/shingles")
+    assert(shingleLevel
+      .groupBy("doc_id").count().filter(col("count") =!= 1).count() === 0)
     // replay the last batch over the compacted layout — still a no-op
     java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("2"))
     java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".2.crc"))
     go()
     assert(keptIds(out) === Set(0L, 2L, 3L, 4L, 6L))
-    assert(spark.read.parquet(s"$idx/shingles")
+    assert(shingleLevel
       .groupBy("doc_id").count().filter(col("count") =!= 1).count() === 0)
   }
 
-  test("compaction crash windows: finished tmp completes the swap, unfinished tmp is discarded") {
+  test("fold crash windows: uncommitted fold data discards; committed pointer heals cleanup") {
     val root = java.nio.file.Files.createTempDirectory("nd-root")
     val idx = java.nio.file.Files.createTempDirectory("nd-idx")
     val out = java.nio.file.Files.createTempDirectory("nd-out")
     val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
     mkSlices(root); runStream(root, idx, out, ckpt)
     val bands = idx.resolve("bands")
-    // crash window A: tmp fully written (_SUCCESS present), old epoch
-    // dirs not yet deleted — simulate by running ONLY the write half
-    // of a fold of epochs <= 1; the fold point rides in the tmp name
+    import graft.ext.IndexIO
+    import graft.log.PathIO
+    def bandLevel = IndexIO.readLevel(spark, bands.toString)
+    val before = bandLevel.select("doc_id", "band_hash").collect().toSet
+    // crash window A: fold data fully written (_SUCCESS present) but
+    // the pointer NOT committed — resume discards the data; the source
+    // epochs are intact and the read unchanged
     val olds = spark.read.option("basePath", bands.toString)
       .parquet(s"$bands/epoch=0", s"$bands/epoch=1").drop("epoch")
-    val tmp = bands.resolve("_compact_tmp-1")
-    olds.repartition(col("bp")).write.partitionBy("bp").parquet(tmp.toString)
-    val before = spark.read.parquet(bands.toString)
-      .select("doc_id", "band_hash").collect().toSet
+    olds.repartition(col("bp")).write.partitionBy("bp")
+      .parquet(s"$bands/_fold-1-0/epoch=1")
     NearDupStream.resumeCompaction(bands.toString)
-    import scala.jdk.CollectionConverters._
-    def epochNames = {
-      val l = java.nio.file.Files.list(bands)
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("epoch=")).toSet
-      finally l.close()
-    }
-    assert(!java.nio.file.Files.exists(tmp))
-    // epochs 0,1 folded into epoch=1; epoch=2 (outside the fold point)
-    // untouched — total content byte-identical, nothing duplicated
-    assert(epochNames === Set("epoch=1", "epoch=2"))
-    val after = spark.read.parquet(bands.toString)
-      .select("doc_id", "band_hash").collect().toSet
-    assert(after === before)
-    assert(spark.read.parquet(bands.toString)
-      .groupBy("doc_id", "band_hash").count()
+    assert(!java.nio.file.Files.exists(bands.resolve("_fold-1-0")))
+    assert(IndexIO.committedEpochs(bands.toString) === Seq(0L, 1L, 2L))
+    assert(bandLevel.select("doc_id", "band_hash").collect().toSet === before)
+    // crash window B: fold data AND pointer committed, cleanup not yet
+    // run — the subsumed plain epochs must be excluded from reads (no
+    // double count) and swept by resume
+    olds.repartition(col("bp")).write.partitionBy("bp")
+      .parquet(s"$bands/_fold-1-0/epoch=1")
+    assert(PathIO.atomicCreate(
+      PathIO.path(bands.toString, "_live-1-0"), "_fold-1-0".getBytes))
+    assert(IndexIO.committedEpochs(bands.toString) === Seq(1L, 2L))
+    assert(bandLevel.select("doc_id", "band_hash").collect().toSet === before,
+      "subsumed plain epochs must not double-count")
+    NearDupStream.resumeCompaction(bands.toString)
+    assert(!java.nio.file.Files.exists(bands.resolve("epoch=0")))
+    assert(bandLevel.select("doc_id", "band_hash").collect().toSet === before)
+    assert(bandLevel.groupBy("doc_id", "band_hash").count()
       .filter(col("count") =!= 1).count() === 0)
-    // crash window B: tmp WITHOUT _SUCCESS is discarded untouched
-    val tmp2 = bands.resolve("_compact_tmp-1")
-    java.nio.file.Files.createDirectories(tmp2)
-    java.nio.file.Files.write(tmp2.resolve("part-stale.parquet"),
+    // crash window C: partial fold data (no _SUCCESS) is discarded
+    java.nio.file.Files.createDirectories(bands.resolve("_fold-2-1"))
+    java.nio.file.Files.write(
+      bands.resolve("_fold-2-1").resolve("part-stale.parquet"),
       Array[Byte](1, 2, 3))
-    val names = epochNames
     NearDupStream.resumeCompaction(bands.toString)
-    assert(!java.nio.file.Files.exists(tmp2))
-    assert(epochNames === names)
+    assert(!java.nio.file.Files.exists(bands.resolve("_fold-2-1")))
+    assert(IndexIO.committedEpochs(bands.toString) === Seq(1L, 2L))
+    // a legacy rename-swap tmp dir fails LOUDLY (never misparsed)
+    java.nio.file.Files.createDirectories(bands.resolve("_compact_tmp-1"))
+    intercept[RuntimeException] {
+      NearDupStream.resumeCompaction(bands.toString)
+    }
+    java.nio.file.Files.delete(bands.resolve("_compact_tmp-1"))
   }
 
   test("property: stream equals the batch arrival-order truth on random corpora and slicings") {

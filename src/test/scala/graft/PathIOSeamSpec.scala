@@ -1,5 +1,6 @@
 package graft
 
+import graft.ext.IndexIO
 import graft.log.{AckLog, PathIO, TopicLog, Topics, Txn}
 import graft.model.{Envelope, TopicName}
 import org.apache.spark.sql.functions._
@@ -7,28 +8,26 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /**
- * The distributed-filesystem seam, proven through Hadoop's
- * RawLocalFileSystem: every path below is spelled with an explicit
- * `file:` scheme, so NOTHING can fall back to `java.nio` path
- * resolution — existence probes, listings, manifest commits, txn
- * markers, staged-file moves, vacuum, the near-dup index swap, and the
- * AT_MOST_ONCE ack markers all resolve through the Hadoop FileSystem
- * API exactly as an `hdfs://` deployment would (RawLocalFileSystem and
- * DistributedFileSystem share the FileSystem contract; rename
- * overwrite-vs-fail differences are handled inside PathIO — see its
- * scaladoc).
- *
- * Before the seam, `Files.exists("file:/...")` was FALSE for every
- * scheme-ful path (java.nio treats the string as a relative path named
- * "file:"), so the entire txn/ack/compaction/replay layer silently
- * no-opped — these tests fail hard against that behavior.
+ * The distributed-filesystem seam's crash schedules, parameterized by
+ * scheme: every root below is spelled with an explicit scheme, so
+ * NOTHING can fall back to `java.nio` path resolution — existence
+ * probes, listings, manifest commits, txn markers, staged-file moves,
+ * vacuum, the index fold commit, and the AT_MOST_ONCE ack markers all
+ * resolve through the Hadoop FileSystem API. [[PathIOSeamSpec]] runs
+ * them on `file:` (RawLocalFileSystem — the HDFS-contract stand-in);
+ * [[ObjectStoreSeamSpec]] runs the SAME schedules on `mocks3:`
+ * (rename-replacing, link-less, conditional-PUT — S3 semantics), the
+ * storage class the commit protocols previously excluded.
  */
-class PathIOSeamSpec extends SparkSpec {
+trait SeamSchedules extends SparkSpec {
   import spark.implicits._
 
-  /** A fresh `file:`-scheme root. */
-  private def schemeRoot(prefix: String): String =
-    "file:" + Files.createTempDirectory(prefix).toString
+  /** Scheme under test ("file", "mocks3"). */
+  def schemeName: String
+
+  /** A fresh scheme-ful root. */
+  def makeRoot(prefix: String): String =
+    s"$schemeName:" + Files.createTempDirectory(prefix).toString
 
   private def batch(ids: Range) =
     ids.map(i => (s"u${i % 7}", s"payload-$i", s"prod-${i % 3}", i.toLong, i.toLong))
@@ -36,8 +35,8 @@ class PathIOSeamSpec extends SparkSpec {
         Envelope.SequenceId, "t")
       .withColumn(Envelope.PublishTime, timestamp_seconds(col("t"))).drop("t")
 
-  test("PathIO primitives on a file:-scheme path (RawLocalFileSystem)") {
-    val root = schemeRoot("graft-seam-prim")
+  test(s"PathIO primitives on a $schemeName:-scheme path") {
+    val root = makeRoot("graft-seam-prim")
     val dir = PathIO.path(root, "a/b")
     PathIO.mkdirs(dir)
     assert(PathIO.exists(dir) && PathIO.isDirectory(dir))
@@ -46,23 +45,24 @@ class PathIOSeamSpec extends SparkSpec {
     assert(PathIO.readString(f) == "hello\nworld")
     assert(PathIO.readLines(f) == Seq("hello", "world"))
     assert(PathIO.size(f) == 11L)
-    // no .crc side files: the seam must resolve the RAW local fs —
-    // checksum shadows would corrupt directory-content protocols
-    // (manifest listings, epoch-dir counts)
+    // no .crc side files: checksum shadows would corrupt
+    // directory-content protocols (manifest listings, epoch-dir counts)
     assert(PathIO.listDir(dir).map(_.getName) == Seq("x.txt"))
     // walk: pre-order, start included, parents before children
     val walk = PathIO.walkAll(PathIO.path(root)).map(_.getName)
     assert(walk.indexOf(PathIO.path(root).getName) == 0)
     assert(walk.indexOf("a") < walk.indexOf("b"))
     assert(walk.indexOf("b") < walk.indexOf("x.txt"))
-    // relativize over qualified URIs: scheme-ful and bare spellings agree
+    // relativize over qualified URIs
     assert(PathIO.relativize(PathIO.path(root), f) == "a/b/x.txt")
-    assert(PathIO.qualify(root.stripPrefix("file:")).toString ==
+    // qualification is stable (idempotent) for scheme-ful spellings
+    assert(PathIO.qualify(PathIO.qualify(root).toString).toString ==
       PathIO.qualify(root).toString)
     // short-circuiting emptiness probe honors the hidden-segment rule
     assert(PathIO.existsFileWhere(PathIO.path(root))(_.endsWith(".txt")))
     assert(!PathIO.existsFileWhere(PathIO.path(root))(_.endsWith(".parquet")))
-    // moveReplace: atomic overwrite rename (FileContext OVERWRITE)
+    // moveReplace: atomic latest-wins replace (FileContext OVERWRITE on
+    // rename-atomic schemes; overwrite PUT on object stores)
     val g = PathIO.child(dir, "y.txt")
     PathIO.writeString(g, "old")
     val tmp = PathIO.child(dir, "y.tmp")
@@ -77,24 +77,20 @@ class PathIOSeamSpec extends SparkSpec {
     assert(!PathIO.exists(dir))
   }
 
-  test("atomicCreate rename branch: first writer wins on exclusive-rename filesystems") {
-    // drive the REMOTE-scheme protocol directly (the local fast path
-    // takes the hard-link branch): verify-after catches a same-call
-    // replacement, and an existing target is never replaced
-    val root = schemeRoot("graft-seam-ac")
+  test(s"atomicCreate on $schemeName: first writer wins, loser reports, no replacement") {
+    val root = makeRoot("graft-seam-ac")
     val target = PathIO.path(root, "0.commit")
-    val f = PathIO.fs(target)
-    assert(PathIO.renameAtomicCreate(f, target, "A".getBytes))
+    assert(PathIO.atomicCreate(target, "A".getBytes))
     assert(PathIO.readString(target) == "A")
-    assert(!PathIO.renameAtomicCreate(f, target, "B".getBytes),
+    assert(!PathIO.atomicCreate(target, "B".getBytes),
       "existing target must report loss")
     assert(PathIO.readString(target) == "A", "existing target never replaced")
     // no tmp leftovers either way
     assert(PathIO.listDir(PathIO.path(root)).map(_.getName) == Seq("0.commit"))
   }
 
-  test("TopicLog roundtrip + manifest prune + vacuumStaged on a file: root") {
-    val root = schemeRoot("graft-seam-log")
+  test(s"TopicLog roundtrip + manifest prune + vacuumStaged on a $schemeName: root") {
+    val root = makeRoot("graft-seam-log")
     val log = new TopicLog(spark, root, TopicName.parse("t-seam"), 2)
     log.append(batch(0 until 20))
     log.append(batch(20 until 30))
@@ -115,8 +111,8 @@ class PathIOSeamSpec extends SparkSpec {
     assert(Topics.list(root).map(_.topic) == Seq("t-seam"))
   }
 
-  test("txn crash window on a file: root: marker present, publish missing -> recover heals") {
-    val root = schemeRoot("graft-seam-txn")
+  test(s"txn crash window on a $schemeName: root: marker present, publish missing -> recover heals") {
+    val root = makeRoot("graft-seam-txn")
     val t1 = new TopicLog(spark, root, TopicName.parse("t1"), 2)
     val t2 = new TopicLog(spark, root, TopicName.parse("t2"), 2)
     // stage both topics and write the marker MANUALLY (the crash point:
@@ -125,13 +121,13 @@ class PathIOSeamSpec extends SparkSpec {
     val s2 = t2.stageAppend(batch(100 until 110))
     val markerDir = PathIO.path(root, "_txn")
     PathIO.mkdirs(markerDir)
-    val tmp = PathIO.child(markerDir, "txn-seam.tmp")
-    PathIO.writeString(tmp, Seq(
+    val content = Seq(
       Seq(t1.name.path(root), s1.epoch.toString, s1.count.toString,
         s1.manifestLines.replace("\n", ";")).mkString("\t"),
       Seq(t2.name.path(root), s2.epoch.toString, s2.count.toString,
-        s2.manifestLines.replace("\n", ";")).mkString("\t")).mkString("\n"))
-    PathIO.move(tmp, PathIO.child(markerDir, "txn-seam.committed"))
+        s2.manifestLines.replace("\n", ";")).mkString("\t")).mkString("\n")
+    assert(PathIO.atomicCreate(
+      PathIO.child(markerDir, "txn-seam.committed"), content.getBytes))
     assert(t1.read().count() == 0, "pre-recovery: nothing visible")
     // the marker protects the staged epochs from the janitor...
     val future = System.currentTimeMillis() + 3600 * 1000L
@@ -148,8 +144,8 @@ class PathIOSeamSpec extends SparkSpec {
       nowMs = () => future) == ((0, 0)))
   }
 
-  test("txn produce+ack commit and AckLog compaction on a file: root") {
-    val root = schemeRoot("graft-seam-ack")
+  test(s"txn produce+ack commit and AckLog compaction on a $schemeName: root") {
+    val root = makeRoot("graft-seam-ack")
     val t = new TopicLog(spark, root, TopicName.parse("t-ack"), 2)
     t.append(batch(0 until 12))
     val acks = new AckLog(spark, t.name.path(root), "sub-seam")
@@ -171,12 +167,12 @@ class PathIOSeamSpec extends SparkSpec {
     assert(acks.markDelete().count() > 0)
   }
 
-  test("near-dup stream: persisted file: index dedups across runs; compaction swap survives") {
+  test(s"near-dup stream on $schemeName:: persisted index dedups across runs; fold commit survives") {
     val base = Files.createTempDirectory("graft-seam-nd")
     val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
-    val idx = "file:" + base.resolve("idx").toString
-    val out = "file:" + base.resolve("out").toString
-    val ckpt = "file:" + base.resolve("ckpt").toString
+    val idx = s"$schemeName:" + base.resolve("idx").toString
+    val out = s"$schemeName:" + base.resolve("out").toString
+    val ckpt = s"$schemeName:" + base.resolve("ckpt").toString
     def writeSlice(name: String, docs: Seq[(Long, String)], mtime: Long): Unit = {
       val tmp = Files.createTempDirectory("graft-seam-slice")
       docs.toDF("doc_id", "text").coalesce(1)
@@ -203,8 +199,8 @@ class PathIOSeamSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
     assert(spark.read.parquet(out).count() == 2)
     // SECOND run, new slice: doc 3 duplicates doc 1 — only the
-    // PERSISTED file: index knows doc 1, so a silent empty-index read
-    // (the pre-seam java.nio bug) would keep it
+    // PERSISTED scheme-ful index knows doc 1, so a silent empty-index
+    // read (the pre-seam java.nio bug) would keep it
     writeSlice("s1.parquet", Seq((3L, text), (4L, "unrelated fresh content words")),
       t0 + 4000L)
     val q2 = run()
@@ -214,7 +210,7 @@ class PathIOSeamSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L),
       s"doc 3 must be dropped against the persisted scheme-ful index, got $kept")
     // THIRD slice triggers the scheduled compaction (epochId 2 % 2 == 0):
-    // epochs 0 and 1 fold through the scheme-ful crash-safe swap, and
+    // epochs 0 and 1 fold through the scheme-ful pointer commit, and
     // the folded index still drops duplicates of run-1 docs
     writeSlice("s2.parquet", Seq((5L, text), (6L, "yet more novel content beyond")),
       t0 + 8000L)
@@ -224,18 +220,15 @@ class PathIOSeamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept3 == Set(1L, 2L, 4L, 6L),
       s"doc 5 must be dropped against the FOLDED scheme-ful index, got $kept3")
-    // index epoch metadata stayed bounded: one folded dir + the batch's own
-    assert(PathIO.listDir(PathIO.path(idx, "bands"))
-      .count(_.getName.startsWith("epoch=")) == 2)
+    // index epoch metadata stayed bounded: one fold entry + the batch's own
+    assert(IndexIO.committedEpochs(s"$idx/bands") == Seq(1L, 2L))
   }
 
-  test("two healers race the same staged epoch on a file: root without losing rows") {
-    // the AdminChunkTxnSpec race, re-run through the seam: concurrent
-    // publishManifest calls (publisher + recovery healer) on scheme-ful
-    // paths must resolve per-file move races silently with every row
-    // visible exactly once — single-threaded seam tests can't see a
-    // moveTolerant regression
-    val root = schemeRoot("graft-seam-race")
+  test(s"two healers race the same staged epoch on a $schemeName: root without losing rows") {
+    // concurrent publishManifest calls (publisher + recovery healer) on
+    // scheme-ful paths must resolve per-file move races silently with
+    // every row visible exactly once
+    val root = makeRoot("graft-seam-race")
     val log = new TopicLog(spark, root, TopicName.parse("t-race"), 2)
     log.append(batch(0 until 10))
     val staged = log.stageAppend(batch(10 until 40))
@@ -260,8 +253,8 @@ class PathIOSeamSpec extends SparkSpec {
       staged.epoch.toString)))
   }
 
-  test("orderedReplaySource stages on a file:-scheme dir: monotone bucket mtimes, no tmp leftovers") {
-    val staging = schemeRoot("graft-seam-replay")
+  test(s"orderedReplaySource stages on a $schemeName:-scheme dir: monotone bucket mtimes, no tmp leftovers") {
+    val staging = makeRoot("graft-seam-replay")
     val rows = Seq(  // deliberately unordered event times
       (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
       (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
@@ -295,12 +288,12 @@ class PathIOSeamSpec extends SparkSpec {
     assert(spark.read.parquet(out.toString).count() == 4)
   }
 
-  test("AT_MOST_ONCE ack markers ride a file:-scheme checkpoint") {
+  test(s"AT_MOST_ONCE ack markers ride a $schemeName:-scheme checkpoint") {
     val base = Files.createTempDirectory("graft-seam-amo")
     val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
       .write.mode("overwrite").parquet(srcDir.resolve("s0").toString)
-    val ckpt = "file:" + base.resolve("ckpt").toString
+    val ckpt = s"$schemeName:" + base.resolve("ckpt").toString
     val sink = base.resolve("sink").toString
     val schema = spark.read.parquet(srcDir.resolve("s0").toString).schema
     val q = graft.streaming.Functions.run(
@@ -313,5 +306,34 @@ class PathIOSeamSpec extends SparkSpec {
     val ackDir = PathIO.path(ckpt, "_acks")
     assert(PathIO.exists(ackDir))
     assert(PathIO.listDir(ackDir).exists(_.getName.endsWith(".acked")))
+  }
+}
+
+/** The seam schedules on `file:` — RawLocalFileSystem, the
+  * HDFS-contract stand-in (shares the FileSystem contract with
+  * DistributedFileSystem; rename overwrite-vs-fail differences are
+  * handled inside PathIO). */
+class PathIOSeamSpec extends SeamSchedules {
+  override def schemeName: String = "file"
+
+  test("atomicCreate rename branch: first writer wins on exclusive-rename filesystems") {
+    // drive the REMOTE-scheme (HDFS-class) protocol directly (the local
+    // fast path takes the hard-link branch): verify-after catches a
+    // same-call replacement, and an existing target is never replaced
+    val root = makeRoot("graft-seam-acr")
+    val target = PathIO.path(root, "0.commit")
+    val f = PathIO.fs(target)
+    assert(PathIO.renameAtomicCreate(f, target, "A".getBytes))
+    assert(PathIO.readString(target) == "A")
+    assert(!PathIO.renameAtomicCreate(f, target, "B".getBytes),
+      "existing target must report loss")
+    assert(PathIO.readString(target) == "A", "existing target never replaced")
+    assert(PathIO.listDir(PathIO.path(root)).map(_.getName) == Seq("0.commit"))
+  }
+
+  test("bare and file:-scheme spellings of one path qualify identically") {
+    val root = makeRoot("graft-seam-q")
+    assert(PathIO.qualify(root.stripPrefix("file:")).toString ==
+      PathIO.qualify(root).toString)
   }
 }

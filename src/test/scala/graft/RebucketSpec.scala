@@ -70,13 +70,13 @@ class RebucketSpec extends SparkSpec {
     // migrate both levels: bands 64->256, shingles 32->128
     NearDupStream.rebucket(spark, s"$idx/bands", "bp", "band_hash", 256)
     NearDupStream.rebucket(spark, s"$idx/shingles", "sb", "doc_id", 128)
-    // content identical, single folded epoch, buckets under the new rule
-    val bands = spark.read.parquet(s"$idx/bands")
+    // content identical, single folded entry, buckets under the new rule
+    val bands = graft.ext.IndexIO.readLevel(spark, s"$idx/bands")
     assert(bands.select("doc_id", "band_hash").collect().toSet === bandsBefore)
-    assert(bands.select("epoch").distinct().as[Long].collect().toSeq === Seq(1L))
+    assert(graft.ext.IndexIO.committedEpochs(s"$idx/bands") === Seq(1L))
     assert(bands.filter(col("bp") =!= pmod(col("band_hash"), lit(256L)))
       .count() === 0)
-    assert(spark.read.parquet(s"$idx/shingles")
+    assert(graft.ext.IndexIO.readLevel(spark, s"$idx/shingles")
       .filter(col("sb") =!= pmod(col("doc_id"), lit(128L))).count() === 0)
     // phase 2: the stream continues with the NEW fanout — a duplicate
     // of a pre-migration doc must still drop (the prune now targets the
@@ -118,13 +118,13 @@ class RebucketSpec extends SparkSpec {
     val before = spark.read.parquet(s"$idx/vecs")
       .select("vec_id", "cluster").collect().toSet
     NearDupStream.rebucket(spark, s"$idx/vecs", "cb", "cluster", 16)
-    val after = spark.read.parquet(s"$idx/vecs")
+    val after = graft.ext.IndexIO.readLevel(spark, s"$idx/vecs")
     assert(after.select("vec_id", "cluster").collect().toSet === before)
     assert(after.filter(col("cb") =!= pmod(col("cluster"), lit(16L)))
       .count() === 0)
   }
 
-  test("rebucket crash windows: finished tmp completes, unfinished tmp discards (olds intact)") {
+  test("rebucket crash windows: committed pointer heals, uncommitted fold discards (olds intact)") {
     val root = java.nio.file.Files.createTempDirectory("rb-root")
     val idx = java.nio.file.Files.createTempDirectory("rb-idx")
     val out = java.nio.file.Files.createTempDirectory("rb-out")
@@ -134,41 +134,34 @@ class RebucketSpec extends SparkSpec {
     writeSlice(root, "slice_01.parquet", corpus.drop(2), base + 2000L)
     runStream(root, idx, out, ckpt, 64, 32)
     val bands = idx.resolve("bands")
-    val before = spark.read.parquet(bands.toString)
-      .select("doc_id", "band_hash").collect().toSet
-    import scala.jdk.CollectionConverters._
-    def epochNames = {
-      val l = java.nio.file.Files.list(bands)
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("epoch=")).toSet
-      finally l.close()
-    }
-    // window A: tmp fully written (_SUCCESS), olds not yet swapped —
-    // the write half of rebucket(256), fold point + fanout in the name
+    import graft.ext.IndexIO
+    import graft.log.PathIO
+    def level = IndexIO.readLevel(spark, bands.toString)
+    val before = level.select("doc_id", "band_hash").collect().toSet
+    // window A: fold data fully written under the NEW fanout, pointer
+    // committed, cleanup not yet run — reads exclude the subsumed plain
+    // epochs (no double count); resume finishes the sweep
     val olds = spark.read.option("basePath", bands.toString)
       .parquet(s"$bands/epoch=0", s"$bands/epoch=1")
       .drop("epoch").drop("bp")
       .withColumn("bp", pmod(col("band_hash"), lit(256L)))
-    val tmp = bands.resolve("_rebucket_tmp-1-256")
-    olds.repartition(col("bp")).write.partitionBy("bp").parquet(tmp.toString)
+    olds.repartition(col("bp")).write.partitionBy("bp")
+      .parquet(s"$bands/_fold-1-0/epoch=1")
+    assert(PathIO.atomicCreate(
+      PathIO.path(bands.toString, "_live-1-0"), "_fold-1-0".getBytes))
+    assert(IndexIO.committedEpochs(bands.toString) === Seq(1L))
+    assert(level.select("doc_id", "band_hash").collect().toSet === before)
     NearDupStream.resumeCompaction(bands.toString)
-    assert(!java.nio.file.Files.exists(tmp))
-    assert(epochNames === Set("epoch=1"))
-    val after = spark.read.parquet(bands.toString)
-      .select("doc_id", "band_hash").collect().toSet
-    assert(after === before)
-    assert(spark.read.parquet(bands.toString)
-      .filter(col("bp") =!= pmod(col("band_hash"), lit(256L))).count() === 0)
-    // window B: tmp WITHOUT _SUCCESS discards untouched
-    val tmp2 = bands.resolve("_rebucket_tmp-1-512")
-    java.nio.file.Files.createDirectories(tmp2)
-    java.nio.file.Files.write(tmp2.resolve("part-stale.parquet"),
-      Array[Byte](1, 2, 3))
-    val names = epochNames
+    assert(!java.nio.file.Files.exists(bands.resolve("epoch=0")))
+    assert(!java.nio.file.Files.exists(bands.resolve("epoch=1")))
+    assert(level.select("doc_id", "band_hash").collect().toSet === before)
+    assert(level.filter(col("bp") =!= pmod(col("band_hash"), lit(256L)))
+      .count() === 0)
+    // window B: fold data WITHOUT a pointer discards untouched
+    Seq((99L, 99L, 3L)).toDF("doc_id", "band_hash", "bp")
+      .write.partitionBy("bp").parquet(s"$bands/_fold-1-1/epoch=1")
     NearDupStream.resumeCompaction(bands.toString)
-    assert(!java.nio.file.Files.exists(tmp2))
-    assert(epochNames === names)
-    assert(spark.read.parquet(bands.toString)
-      .select("doc_id", "band_hash").collect().toSet === before)
+    assert(!java.nio.file.Files.exists(bands.resolve("_fold-1-1")))
+    assert(level.select("doc_id", "band_hash").collect().toSet === before)
   }
 }

@@ -112,14 +112,9 @@ class SemanticDedupStreamSpec extends SparkSpec {
     val (root, idx, out, ckpt) = dirs()
     mkSlices(root); runStream(root, idx, out, ckpt, compactEvery = Some(2))
     assert(keptIds(out) === Set(0L, 2L, 3L, 4L, 6L))
-    // batch 2 folded epochs 0-1: one folded dir + the batch's own
-    import scala.jdk.CollectionConverters._
-    val epochDirs = {
-      val l = java.nio.file.Files.list(idx.resolve("vecs"))
-      try l.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
-      finally l.close()
-    }
-    assert(epochDirs === 2, s"expected folded layout, got $epochDirs dirs")
+    // batch 2 folded epochs 0-1: one fold entry + the batch's own
+    assert(graft.ext.IndexIO.committedEpochs(idx.resolve("vecs").toString)
+      === Seq(1L, 2L))
     // replay of the last batch lands on the FOLDED layout unchanged
     java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("2"))
     java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".2.crc"))
