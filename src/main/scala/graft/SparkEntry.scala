@@ -2562,6 +2562,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Retroactive decontamination (ext.DecontamStream.retroScreen): the
+    * same growing-eval stream as stream_decontam, then the offline
+    * re-screen of the kept output against the FULL eval index —
+    * contaminated epoch dirs are rewritten in place (tombstone +
+    * epoch-overwrite). The oracle is the ORDER-FREE batch rule: a
+    * corpus doc is dropped iff it shares a 5-gram with ANY eval doc,
+    * whatever the arrival order — retro screening erases the stream's
+    * no-retroaction asymmetry by construction. */
+  private def qDecontamRetro(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+      (col("doc_id") % 50 === 0).as("is_eval"))
+    val root = Fixtures.dir(s, dir, "q-dcstream") { r =>
+      val base = System.currentTimeMillis() - 10000L
+      (0 until 3).foreach { i =>
+        writeStreamSlice(docs.filter(col("doc_id") % 3 === i), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-dcr-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dcr-ckpt")
+    val idx = java.nio.file.Files.createTempDirectory("graft-dcr-idx")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt); streamOutRoots.add(idx)
+    drainGuarded(s, ext.DecontamStream.run(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      idx.toString, out.toString, ckpt.toString, n = 5,
+      compactEvery = Some(2)))
+    ext.DecontamStream.retroScreen(s, out.toString, idx.toString, n = 5): Unit
+    val kept = s.read.parquet(out.toString)
+      .select(col("doc_id"), lit(true).as("k"))
+    docs.filter(!col("is_eval")).select("doc_id")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("k"), lit(false)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Sorscher-style prototypicality pruning (arXiv:2206.14486): keep
     * the hardest half of every sign-LSH cluster, hardness = low cosine
     * to the exact decimal-sum centroid. The oracle replays the
@@ -3301,6 +3338,7 @@ object SparkEntry {
     "stream_semantic_dedup" -> (qStreamSemanticDedup _),
     "pipeline_clean_corpus_stream" -> (qPipelineCleanStream _),
     "stream_decontam" -> (qStreamDecontam _),
+    "decontam_retro" -> (qDecontamRetro _),
     "pipeline_clean_corpus" -> (qPipeline _),
     "boilerplate_removal" -> (qBoilerplate _),
     "repetition_ratio" -> (qRepetition _),
@@ -5126,6 +5164,24 @@ object SparkEntry {
         |dropped AS (
         |  SELECT DISTINCT co.doc_id FROM co JOIN ev
         |    ON co.shingle = ev.shingle AND (ev.doc_id % 3) <= (co.doc_id % 3))
+        |SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
+        |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 != 0
+        |ORDER BY d.doc_id""".stripMargin,
+    // DecontamStream.retroScreen: after the offline re-screen the kept
+    // set obeys the ORDER-FREE rule — dropped iff sharing a 5-gram with
+    // ANY eval doc, arrival order erased.
+    "decontam_retro" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM documents) t),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |co AS (SELECT * FROM sh WHERE doc_id % 50 != 0),
+        |dropped AS (
+        |  SELECT DISTINCT co.doc_id FROM co JOIN ev ON co.shingle = ev.shingle)
         |SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
         |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
         |WHERE d.doc_id % 50 != 0

@@ -112,6 +112,102 @@ object DecontamStream {
   }
 
   /**
+   * RETROACTIVE decontamination — the batch re-run the no-retroaction
+   * contract points at, as a real verb: re-screen a stream's KEPT
+   * output (epoch-partitioned dirs under `outDir`) against the FULL
+   * persisted eval index (every epoch — no arrival cutoff) and, with
+   * `apply = true`, rewrite each contaminated epoch dir without its
+   * newly-contaminated documents. Returns the tombstone list
+   * `(doc_id, epoch)` either way.
+   *
+   * Run OFFLINE (stream stopped — single-writer, like rebucket).
+   * Crash-safety is idempotence of the whole verb, not atomicity of
+   * any write: filtered epoch content is staged under
+   * `outDir/_retro/epoch=<e>` (underscore — invisible to readers),
+   * then swapped in; [[resumeRetro]] (run at entry) finishes a swap
+   * whose staging carries `_SUCCESS` and discards one that doesn't,
+   * and a re-run re-derives the same tombstones from whatever output
+   * survives — so any crash point converges to the fully-screened
+   * state. Object-store safe: the staging is the durable copy until
+   * the swap completes, so the non-atomic per-file move never strands
+   * rows.
+   */
+  def retroScreen(spark: SparkSession, outDir: String, indexDir: String,
+                  n: Int = 5, minShared: Long = 1L,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  apply: Boolean = true,
+                  evalBroadcastCap: Long = DefaultEvalBroadcastCap): DataFrame = {
+    val ngramsDir = s"$indexDir/ngrams"
+    resumeRetro(outDir)
+    import spark.implicits._
+    val out = PathIO.path(outDir)
+    val epochs =
+      if (!PathIO.exists(out)) Seq.empty
+      else PathIO.listDir(out).map(_.getName).filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong).sorted
+    if (epochs.isEmpty) return Seq.empty[(Long, Long)].toDF("doc_id", "epoch")
+    val like = Seq.empty[(Long, Long)].toDF("shingle_h", "eb")
+    val idx = readIndexOrEmpty(spark, ngramsDir, like).select("shingle_h")
+    val broadcastOk = idx.count() <= evalBroadcastCap
+    val evalSide = {
+      val distinctIdx = idx.distinct()
+      if (broadcastOk) broadcast(distinctIdx)
+      else distinctIdx.hint("shuffle_hash")
+    }
+    // tombstones are MATERIALIZED before any rewrite (the screen reads
+    // the very dirs apply replaces) — a driver list is fine here:
+    // casualties are the eval-overlapping sliver of the kept corpus,
+    // the same size class as the eval suites themselves
+    val tombRows = spark.read.parquet(outDir)
+      .select(col(idCol).as("doc_id"), col("epoch"),
+        explode(graft.functions.Sketch.shingle_hashes(col(textCol), n,
+          distinct = true)).as("shingle_h"))
+      .join(evalSide, Seq("shingle_h"))
+      .groupBy("doc_id", "epoch")
+      .agg(countDistinct("shingle_h").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id").as[Long], col("epoch").as[Long])
+      .collect().toSeq.sorted
+    val tombDf = tombRows.toDF("doc_id", "epoch")
+    if (apply && tombRows.nonEmpty) {
+      val hit = tombRows.map(_._2).distinct.sorted
+      hit.foreach { e =>
+        val ids = tombDf.filter(col("epoch") === e)
+          .select(col("doc_id").as("_tomb_id"))
+        spark.read.parquet(s"$outDir/epoch=$e")
+          .join(broadcast(ids), col(idCol) === col("_tomb_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/_retro/epoch=$e")
+      }
+      hit.foreach(e => finishRetroSwap(outDir, e))
+      PathIO.deleteIfExists(PathIO.path(outDir, "_retro")): Unit
+    }
+    tombDf
+  }
+
+  /** Finish (or discard) a crash-interrupted [[retroScreen]] swap:
+    * staged `_retro/epoch=<e>` WITH `_SUCCESS` replaces the live epoch
+    * dir (the staging is authoritative — its content was derived from
+    * a completed screen); one without is a mid-write crash, discarded
+    * with the live dir intact. */
+  private def resumeRetro(outDir: String): Unit = {
+    val retroRoot = PathIO.path(outDir, "_retro")
+    if (!PathIO.exists(retroRoot)) return
+    PathIO.listDir(retroRoot).filter(_.getName.startsWith("epoch=")).foreach { d =>
+      if (PathIO.exists(PathIO.child(d, "_SUCCESS")))
+        finishRetroSwap(outDir, d.getName.stripPrefix("epoch=").toLong)
+      else PathIO.deleteTree(d): Unit
+    }
+    PathIO.deleteIfExists(retroRoot): Unit // empty once all swaps settle
+  }
+
+  private def finishRetroSwap(outDir: String, epoch: Long): Unit = {
+    val live = PathIO.path(outDir, s"epoch=$epoch")
+    val staged = PathIO.path(outDir, "_retro", s"epoch=$epoch")
+    PathIO.deleteTree(live): Unit // may be partial from a crashed move
+    PathIO.move(staged, live)
+  }
+
+  /**
    * Run the filter over a mixed stream (`evalFlagCol` boolean column
    * separates eval-set updates from corpus rows; everything else
    * passes through on kept corpus rows). Clean corpus rows land under

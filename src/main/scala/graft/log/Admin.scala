@@ -430,26 +430,24 @@ object Admin {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("head_offset",
             org.apache.spark.sql.types.LongType))))
-    val sizeByFile = files.map(p => p.toString -> PathIO.size(p)).toMap
-    val sizeUdf = udf((f: String) => {
-      val path = decodeFileUri(f)
-      // fail loudly: a silent 0 here would report wrong storage sizes
-      // to an operator, the worst failure mode for an observability verb
-      sizeByFile.getOrElse(path,
-        sys.error(s"internal stats: scanned file $path not in the " +
-          s"driver's size map (${sizeByFile.size} files)"))
-    })
-    // files are read individually (outside the hive root), so the
-    // partition id comes from the `partition=<i>` path segment
+    // file sizes ride the scan's own `_metadata.file_size` column (from
+    // the listing Spark already performed) — no driver map keyed by
+    // file, no per-file size RPC: the previous sizeByFile map was
+    // O(files) driver memory plus one namenode call per file, exactly
+    // the footprint a million-file topic's observability verb must not
+    // have. Files are read individually (outside the hive root), so the
+    // partition id comes from the `partition=<i>` path segment.
     log.spark.read.parquet(files.map(_.toString): _*)
-      .groupBy(regexp_extract(input_file_name(), "partition=(\\d+)", 1)
+      .groupBy(regexp_extract(col("_metadata.file_path"), "partition=(\\d+)", 1)
           .cast("int").as("partition"),
-        input_file_name().as("f"))
-      .agg(count(lit(1)).as("entries"), max(Envelope.Offset).as("head"))
+        col("_metadata.file_path").as("f"))
+      .agg(count(lit(1)).as("entries"), max(Envelope.Offset).as("head"),
+        // constant within the group — one value per file
+        max(col("_metadata.file_size")).as("fsize"))
       .groupBy("partition")
       .agg(count(lit(1)).cast("bigint").as("n_files"),
         sum("entries").cast("bigint").as("entries"),
-        sum(sizeUdf(col("f"))).cast("bigint").as("storage_bytes"),
+        sum("fsize").cast("bigint").as("storage_bytes"),
         max("head").as("head_offset"))
   }
 

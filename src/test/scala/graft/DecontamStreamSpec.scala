@@ -139,4 +139,46 @@ class DecontamStreamSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"),
       s"fallback must not force a broadcast in:\n$plan")
   }
+
+  test("retroScreen drops late-contaminated output in place; idempotent; crash windows heal") {
+    val (root, idx, out, ckpt) = dirs()
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    // the stream's no-retroaction rule kept doc 0 (eval 4 arrived later)
+    assert(keptIds(out) === Set(0L, 2L, 3L))
+    // retro re-screen against the FULL index: doc 0 now drops, its
+    // epoch dir is rewritten, everything else stands
+    val tombs = graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(tombs === Set((0L, 0L)), s"tombstones: $tombs")
+    assert(keptIds(out) === Set(2L, 3L))
+    assert(!java.nio.file.Files.exists(out.resolve("_retro")))
+    // the retro'd kept set equals batch decontamination with the full
+    // eval set (order erased)
+    val full = graft.ext.TextOps.decontaminate(
+      mixedDf.filter(!col("is_eval")).drop("is_eval"),
+      mixedDf.filter(col("is_eval")).drop("is_eval"), n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full === keptIds(out))
+    // idempotent: a second screen finds nothing, output unchanged
+    assert(graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5).count() === 0)
+    assert(keptIds(out) === Set(2L, 3L))
+    // crash window: a completed staging (_SUCCESS) replaces the live
+    // epoch on resume — simulate by staging epoch 2 without doc 2
+    spark.read.parquet(s"$out/epoch=2").filter(col("doc_id") =!= 2L)
+      .write.parquet(s"$out/_retro/epoch=2")
+    graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5): Unit
+    assert(keptIds(out) === Set(3L), "completed staging must swap in")
+    // crash window: a staging WITHOUT _SUCCESS discards, live intact
+    java.nio.file.Files.createDirectories(out.resolve("_retro").resolve("epoch=0"))
+    java.nio.file.Files.write(
+      out.resolve("_retro").resolve("epoch=0").resolve("part-x.parquet"),
+      Array[Byte](1, 2, 3))
+    graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5): Unit
+    assert(keptIds(out) === Set(3L))
+    assert(!java.nio.file.Files.exists(out.resolve("_retro")))
+  }
 }

@@ -1,19 +1,105 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+"""Local stand-in for the driver's DuckDB-oracle correctness gate, plus
+the committed cross-cut bench comparison method.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Correctness mode:
+    python3 tools/compare.py <sfDir> <verifyOutDir>
 
 Registers every parquet table in <sfDir> as a DuckDB view, runs each SQL
 from <verifyOutDir>/oracle_sql.json, and compares with the Spark result
 parquet in <verifyOutDir>/<name>/ — schema (column names), row count, and
 value equality after sorting columns by name and rows by all columns.
+
+Bench mode (the BASELINE.md method — raw medians across >= 2 same-code
+cuts, calibration probe as tie-breaker only):
+    python3 tools/compare.py --bench cutA.json cutB.json [...] \
+        [--base prev_round.json] [--threshold 1.3]
+
+Each cut is one BENCH json (per-query medians of its own reps). The
+consensus value per query is the MEDIAN ACROSS CUTS of the raw
+per-query values — never probe-normalized: the r13 calibration study
+measured the probe's error at +-10%, larger than most effects it would
+correct. Against --base, a regression/improvement is CLAIMED only when
+every cut agrees on the direction past the threshold; disagreement is
+reported as noise-band, with the probe ratio printed as annotation
+only. Exit is always 0 in bench mode — the table is the product.
 """
 import sys, os, json, glob
-import duckdb
-import pandas as pd
-import numpy as np
+import statistics
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+if "--bench" not in sys.argv:
+    # the correctness oracle needs these; bench mode must run without them
+    import duckdb
+    import pandas as pd
+    import numpy as np
+
+def bench_mode(argv):
+    import argparse
+    ap = argparse.ArgumentParser(prog="compare.py --bench")
+    ap.add_argument("cuts", nargs="+", help="same-code BENCH json files")
+    ap.add_argument("--base", help="previous-round BENCH json to compare against")
+    ap.add_argument("--threshold", type=float, default=1.3,
+                    help="ratio past which a direction claim is made")
+    args = ap.parse_args(argv)
+
+    cuts = []
+    for p in args.cuts:
+        with open(p) as fh:
+            d = json.load(fh)
+        cuts.append((os.path.basename(p), d))
+    base = None
+    if args.base:
+        with open(args.base) as fh:
+            base = json.load(fh)
+
+    names = sorted(set.intersection(*[set(d["queries"]) for _, d in cuts]))
+    probe = [d.get("calibration") for _, d in cuts]
+    print(f"cross-cut consensus over {len(cuts)} cuts, "
+          f"{len(names)} shared queries "
+          f"(probe, annotation only: {probe})")
+
+    up, down, noise = [], [], []
+    cons_total = 0.0
+    rows = []
+    for n in names:
+        vals = [d["queries"][n] for _, d in cuts]
+        cons = statistics.median(vals)
+        cons_total += cons
+        spread = (max(vals) / min(vals)) if min(vals) > 0 else float("inf")
+        line = f"  {n:<34} {cons:8.3f}s  cuts={['%.3f' % v for v in vals]} spread={spread:.2f}x"
+        if base and n in base.get("queries", {}):
+            b = base["queries"][n]
+            ratios = [v / b for v in vals]
+            line += f"  vs-base={cons / b:.2f}x"
+            if all(r >= args.threshold for r in ratios):
+                up.append(n); line += "  REGRESSED(all-cuts)"
+            elif all(r <= 1 / args.threshold for r in ratios):
+                down.append(n); line += "  improved(all-cuts)"
+            elif any(r >= args.threshold or r <= 1 / args.threshold for r in ratios):
+                noise.append(n); line += "  noise-band(cuts disagree)"
+        rows.append((cons, line))
+    for _, line in sorted(rows, reverse=True):
+        print(line)
+
+    per_cut_totals = [sum(d["queries"][n] for n in names) for _, d in cuts]
+    print(f"\nshared-query totals per cut: "
+          f"{['%.1f' % t for t in per_cut_totals]}  "
+          f"consensus(sum of medians)={cons_total:.1f}s")
+    if base:
+        bt = sum(base["queries"][n] for n in names
+                 if n in base.get("queries", {}))
+        shared_base = [n for n in names if n in base.get("queries", {})]
+        cb = sum(statistics.median([d["queries"][n] for _, d in cuts])
+                 for n in shared_base)
+        print(f"vs base over {len(shared_base)} shared queries: "
+              f"{cb:.1f}s / {bt:.1f}s = {cb / bt:.3f}x raw")
+        print(f"regressed(all-cuts agree, >= {args.threshold}x): {up or 'none'}")
+        print(f"improved(all-cuts agree): {down or 'none'}")
+        print(f"noise-band(some cut crossed, cuts disagree): {noise or 'none'}")
+    sys.exit(0)
+
+
+def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for compare: timestamps -> ns, categories -> str
     for c in df.columns:
@@ -81,4 +167,7 @@ def main():
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--bench":
+        bench_mode(sys.argv[2:])
+    else:
+        main()
