@@ -200,6 +200,7 @@ object Stress {
       semanticDedupStreamTier(vecs1); semanticDedupStreamTier(vecsK)
     }
     if (tierOn("nd_rebucket")) { nearDupRebucketTier(docsK) }
+    if (tierOn("cc_stream")) { cleanCorpusStreamTier(docs1); cleanCorpusStreamTier(docsK) }
     if (tierOn("decontam_stream")) {
       decontamStreamTier(docs1); decontamStreamTier(docsK)
     }
@@ -889,6 +890,98 @@ object Stress {
     * semantics knob), and the rebucket wall on the grown index is the
     * price of the resize a deployment would otherwise pay as a full
     * index rebuild. */
+  /** Composed clean-corpus pipeline tier (quality → exact → near-dup
+    * as ONE stream, three persisted index levels): 8 mtime-ordered
+    * slices with scheduled compaction (folds at batches 3 and 6), then
+    * a mid-ingest REBUCKET of all three levels after slice 5 on a
+    * second corpus. The scale claims under test: per-batch walls track
+    * the BATCH (each level pruned to the batch's buckets), never the
+    * accumulated corpus — and the composition survives a fold AND a
+    * fanout migration with verdicts identical to the uninterrupted
+    * run. Run with SPARK_GRAFT_ND_DEBUG=1 to get the per-stage
+    * cc-debug marks (incl. the four-concurrent-write phase). */
+  private def cleanCorpusStreamTier(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    val d = docs.select(col("doc_id"), col("text"))
+    def mkSlices(root: java.nio.file.Path, upTo: Int, from: Int = 0): Unit = {
+      val base = System.currentTimeMillis() - 60000L
+      (from until upTo).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("cc-stress-slice")
+        d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        }
+        val dst = root.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+      }
+    }
+    def stream(root: java.nio.file.Path, idx: java.nio.file.Path,
+               out: java.nio.file.Path, ckpt: java.nio.file.Path,
+               hb: Int, bb: Int, ib: Int): Seq[String] = {
+      val q = graft.ext.CleanCorpusStream.run(
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        idx.toString, out.toString, ckpt.toString, threshold = 0.8,
+        hashBuckets = hb, bandBuckets = bb, idBuckets = ib,
+        compactEvery = Some(3))
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.filter(_.numInputRows > 0)
+        .map(p => f"${p.batchId}:${p.batchDuration}ms").toSeq
+    }
+    val tmps = (0 until 8).map(_ =>
+      java.nio.file.Files.createTempDirectory("cc-stress"))
+    val Seq(rootA, outA, ckptA, idxA, rootB, outB, ckptB, idxB) = tmps
+    try {
+      // (a) all 8 slices straight through, folds at batches 3 and 6
+      mkSlices(rootA, 8)
+      val t0 = System.nanoTime()
+      val batchesA = stream(rootA, idxA, outA, ckptA, 32, 64, 32)
+      val wallA = (System.nanoTime() - t0) / 1e9
+      val keptA = spark.read.parquet(outA.toString)
+        .select("doc_id").as(org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      val epochsPerLevel = Seq("hashes", "bands", "shingles")
+        .map(l => graft.ext.IndexIO.committedEpochs(s"$idxA/$l").size)
+      println(f"STRESS cc_stream(n=$n)            $wallA%8.2fs  " +
+        f"(kept=${keptA.size}, epochs=$epochsPerLevel, " +
+        f"batches=${batchesA.mkString(" ")})")
+      // (b) 6 slices, MIGRATE every level's fanout, resume last 2
+      mkSlices(rootB, 6)
+      stream(rootB, idxB, outB, ckptB, 32, 64, 32)
+      val t1 = System.nanoTime()
+      graft.ext.NearDupStream.rebucket(spark, s"$idxB/hashes", "hb", "xh", 128)
+      graft.ext.NearDupStream.rebucket(spark, s"$idxB/bands", "bp",
+        "band_hash", 256)
+      graft.ext.NearDupStream.rebucket(spark, s"$idxB/shingles", "sb",
+        "doc_id", 128)
+      val rbWall = (System.nanoTime() - t1) / 1e9
+      mkSlices(rootB, 8, from = 6)
+      val batchesB = stream(rootB, idxB, outB, ckptB, 128, 256, 128)
+      val keptB = spark.read.parquet(outB.toString)
+        .select("doc_id").as(org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      require(keptA == keptB,
+        s"cc rebucket changed verdicts: ${(keptA -- keptB) ++ (keptB -- keptA)}")
+      println(f"STRESS cc_rebucket(n=$n)          $rbWall%8.2fs  " +
+        f"(kept=${keptB.size}, verdicts identical, " +
+        f"post-migration batches=${batchesB.mkString(" ")})")
+    } finally {
+      tmps.foreach { p =>
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
   private def nearDupRebucketTier(docs: DataFrame): Unit = {
     val spark = docs.sparkSession
     val n = docs.count()
@@ -947,7 +1040,7 @@ object Stress {
         .collect().toSet
       require(keptA == keptB,
         s"rebucket changed verdicts: ${(keptA -- keptB) ++ (keptB -- keptA)}")
-      val indexed = spark.read.parquet(s"$idxB/bands").count()
+      val indexed = graft.ext.IndexIO.readLevel(spark, s"$idxB/bands").count()
       println(f"STRESS nd_rebucket(n=$n)          $rebucketWall%8.2fs  " +
         f"(kept=${keptB.size}, bandsRows=$indexed, verdicts identical)")
     } finally {
