@@ -64,6 +64,47 @@ object PlanDump {
           "doc_id", "text")
         .queryExecution.executedPlan.toString
     }),
+    "inner_index_fold_read" -> ((s, sfDir) => {
+      // the r14 pointer-commit layout: epochs 0,1 folded by IndexIO
+      // pointer, epoch 2 plain — the committed view reads TWO roots and
+      // BOTH FileScans must keep the (epoch, bp) PartitionFilters
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("plan-if-idx").toString
+      (0 until 3).foreach { i =>
+        val b = ext.NearDupStream.bandedSigs(
+          docs.filter(col("doc_id") % 3 === i), "doc_id", "text", 3, 32, 16,
+          ext.NearDupStream.BandBuckets)
+        b.repartition(col("bp")).write.partitionBy("bp")
+          .parquet(s"$idx/bands/epoch=$i")
+      }
+      ext.IndexIO.compact(s, s"$idx/bands", "bp", 1L)
+      val b3 = ext.NearDupStream.bandedSigs(
+        docs.filter(col("doc_id") % 3 === 0).limit(50), "doc_id", "text",
+        3, 32, 16, ext.NearDupStream.BandBuckets)
+      ext.NearDupStream.indexCandidates(s, s"$idx/bands", b3, 3L)
+        .queryExecution.executedPlan.toString
+    }),
+    "inner_decontam_fallback" -> ((s, sfDir) => {
+      // the guarded-broadcast fallback (eval postings past
+      // evalBroadcastCap): shuffle-hash join, eval still the build side
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("plan-dcf-idx").toString
+      val ev0 = ext.DecontamStream.evalPostings(
+        docs.filter(col("doc_id") % 50 === 0), "text", 5,
+        ext.DecontamStream.EvalBuckets)
+      ev0.repartition(col("eb")).write.partitionBy("eb")
+        .parquet(s"$idx/ngrams/epoch=0")
+      val none = ext.DecontamStream.evalPostings(
+        docs.filter(lit(false)), "text", 5, ext.DecontamStream.EvalBuckets)
+      ext.DecontamStream.contaminatedIds(s, s"$idx/ngrams",
+          docs.filter(col("doc_id") % 50 =!= 0), none, 1L, 5, 1L,
+          "doc_id", "text", broadcastOk = false)
+        .queryExecution.executedPlan.toString
+    }),
     "inner_cleancorpus_hash_read" -> ((s, sfDir) => {
       import org.apache.spark.sql.functions._
       val docs = s.read.parquet(s"$sfDir/documents.parquet")

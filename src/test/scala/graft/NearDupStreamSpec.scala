@@ -112,6 +112,31 @@ class NearDupStreamSpec extends SparkSpec {
       s"band join must not broadcast:\n$plan")
   }
 
+  test("plan: with a committed fold, BOTH read branches keep the (epoch, bp) PartitionFilters") {
+    val root = java.nio.file.Files.createTempDirectory("nd-root")
+    val idx = java.nio.file.Files.createTempDirectory("nd-idx")
+    val out = java.nio.file.Files.createTempDirectory("nd-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-ckpt")
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    // fold epochs <= 1 by pointer commit; epoch=2 stays plain — the
+    // committed view now reads TWO roots (fold subtree + plain dir)
+    graft.ext.IndexIO.compact(spark, s"$idx/bands", "bp", 1L)
+    assert(graft.ext.IndexIO.committedEpochs(s"$idx/bands") === Seq(1L, 2L))
+    val batch = corpus.toDF("doc_id", "text").filter(col("doc_id") === 1L)
+    val bb = NearDupStream.bandedSigs(batch, "doc_id", "text", 3, 32, 16,
+      NearDupStream.BandBuckets)
+    val plan = NearDupStream.indexCandidates(spark, s"$idx/bands", bb, 3L)
+      .queryExecution.executedPlan.toString()
+    val scans = plan.split('\n').filter(l =>
+      l.contains("FileScan") && (l.contains("_fold-") || l.contains("epoch=")))
+    assert(scans.length == 2, s"expected 2 index scans in:\n$plan")
+    scans.foreach { l =>
+      assert(l.contains("PartitionFilters: [isnotnull(epoch") &&
+        l.contains("(epoch") && l.contains("bp#"),
+        s"a branch lost its partition prune: $l")
+    }
+  }
+
   test("compaction folds epoch dirs without changing results; replay after compaction safe") {
     val root = java.nio.file.Files.createTempDirectory("nd-root")
     val idx = java.nio.file.Files.createTempDirectory("nd-idx")
