@@ -2526,6 +2526,42 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Streaming GPT-style sequence packing (ext.SeqPackStream): the
+    * documents table arrives as three RANGE slices (id-ordered
+    * arrival), each batch continuing the concatenated token stream
+    * from the persisted `_offset` state — so the union of the epoch
+    * outputs equals batch packSequences over the whole corpus and the
+    * oracle is the identical SQL as `seq_pack`. */
+  private def qSeqPackStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+    val root = Fixtures.dir(s, dir, "q-spstream") { r =>
+      val base = System.currentTimeMillis() - 10000L
+      val slices = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+      slices.zipWithIndex.foreach { case (cond, i) =>
+        writeStreamSlice(docs.filter(cond), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-sp-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sp-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    drainGuarded(s, ext.SeqPackStream.run(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      out.toString, ckpt.toString, seqLen = 64L, tokensCol = "n_tokens",
+      bucketWidth = 64L))
+    s.read.parquet(out.toString)
+      .select(col("doc_id"), col("seq_id"), col("tok_start"),
+        col("tok_end"), col("seq_off"))
+      .orderBy("doc_id", "seq_id")
+  }
+
   /** Streaming decontamination against a GROWING eval set
     * (ext.DecontamStream): one mixed stream (is_eval = doc_id % 50 == 0,
     * the batch decontam fixture rule) in three mtime-ordered slices
@@ -2724,6 +2760,22 @@ object SparkEntry {
         sum("n_tokens").cast("bigint").as("shard_tokens"))
       .withColumn("shard_id", col("shard_id").cast("bigint"))
       .orderBy("lang", "shard_id")
+  }
+
+  /** GPT-style sequence packing: the whole corpus concatenated in id
+    * order and cut into 64-token training sequences via the distributed
+    * prefix sum (bucketWidth 64 exercises the multi-bucket path); a doc
+    * crossing a boundary splits. Output: the per-(doc, sequence) span
+    * map a training loader consumes. */
+  private def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    ext.Sampling.packSequences(d, seqLen = 64L, "n_tokens",
+        bucketWidth = 64L)
+      .select(col("doc_id"), col("seq_id"), col("tok_start"),
+        col("tok_end"), col("seq_off"))
+      .orderBy("doc_id", "seq_id")
   }
 
   /** PII scrub with injected fixtures: deterministic email/IP/phone
@@ -3350,6 +3402,8 @@ object SparkEntry {
     "ccnet_buckets" -> (qCcnetBuckets _),
     "char_entropy" -> (qCharEntropy _),
     "shard_pack" -> (qShardPack _),
+    "seq_pack" -> (qSeqPack _),
+    "seq_pack_stream" -> (qSeqPackStream _),
     "pii_redact" -> (qPiiRedact _),
     "decontam" -> (qDecontam _),
     "decontam_bloom" -> (qDecontamBloom _),
@@ -4874,6 +4928,47 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM t)
+        |SELECT c.doc_id, CAST(g.seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(0, g.seq_id * 64 - c.s) AS BIGINT) AS tok_start,
+        |  CAST(LEAST(c.n_tokens, (g.seq_id + 1) * 64 - c.s) AS BIGINT) AS tok_end,
+        |  CAST(GREATEST(0, c.s - g.seq_id * 64) AS BIGINT) AS seq_off
+        |FROM c CROSS JOIN LATERAL (
+        |  SELECT UNNEST(generate_series(CAST(c.s // 64 AS BIGINT),
+        |    CAST((c.s + c.n_tokens - 1) // 64 AS BIGINT))) AS seq_id) g
+        |WHERE c.n_tokens > 0
+        |ORDER BY doc_id, seq_id""".stripMargin,
+    // the stream packs three id-range slices continuing the persisted
+    // offset — on id-ordered arrival the result IS the batch rule, so
+    // the oracle is the identical concat-and-chunk SQL
+    "seq_pack_stream" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM t)
+        |SELECT c.doc_id, CAST(g.seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(0, g.seq_id * 64 - c.s) AS BIGINT) AS tok_start,
+        |  CAST(LEAST(c.n_tokens, (g.seq_id + 1) * 64 - c.s) AS BIGINT) AS tok_end,
+        |  CAST(GREATEST(0, c.s - g.seq_id * 64) AS BIGINT) AS seq_off
+        |FROM c CROSS JOIN LATERAL (
+        |  SELECT UNNEST(generate_series(CAST(c.s // 64 AS BIGINT),
+        |    CAST((c.s + c.n_tokens - 1) // 64 AS BIGINT))) AS seq_id) g
+        |WHERE c.n_tokens > 0
+        |ORDER BY doc_id, seq_id""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH quality AS (
         |  SELECT doc_id, text, lang FROM documents

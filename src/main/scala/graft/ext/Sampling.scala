@@ -244,6 +244,103 @@ object Sampling {
   }
 
   /**
+   * GPT-style sequence packing (concat-and-chunk): documents in `idCol`
+   * order form one concatenated token stream, cut at `seqLen` boundaries
+   * into fixed-length training sequences; a document whose span crosses
+   * a boundary is SPLIT across the adjacent sequences. Output is the
+   * span map a training loader consumes — one row per (document,
+   * sequence) overlap, the input columns plus:
+   *  - `seq_id` — index of the fixed-length sequence;
+   *  - `tok_start`/`tok_end` — the document's token sub-range
+   *    `[tok_start, tok_end)` placed in that sequence;
+   *  - `seq_off` — the offset inside the sequence where that sub-range
+   *    lands.
+   * Every sequence except the global last carries exactly `seqLen`
+   * tokens — zero padding waste, which is why pretraining corpora pack
+   * this way (GPT-3, Brown et al. 2020 §2.1 — documents are
+   * concatenated and split into fixed-context chunks). Zero-token
+   * documents emit no rows; `idCol` must be unique (it defines the
+   * concatenation order, exactly as in [[packShards]]).
+   *
+   * Differs from [[packShards]] on both sides of the boundary:
+   * packShards assigns each document WHOLLY to the shard where its
+   * first token falls (shards are ≈budget, output is one row per doc);
+   * packSequences cuts exactly at `seqLen` and emits the split map.
+   *
+   * Scale shape: the global exclusive cumsum is the same distributed
+   * prefix sum as [[packShards]] (id-range buckets, one local window
+   * per bucket, per-bucket totals — a tiny table — rolled into running
+   * offsets and broadcast back; no single-reducer sort over the
+   * corpus). The boundary explode emits at most `tokens/seqLen + 1`
+   * rows per document. Sequence arithmetic is integral `div`, exact at
+   * any corpus size (no double rounding at 2^53 tokens).
+   */
+  def packSequences(df: DataFrame, seqLen: Long, tokensCol: String,
+                    idCol: String = "doc_id",
+                    bucketWidth: Long = 1000000L): DataFrame =
+    packSequencesFrom(df, seqLen, tokensCol, idCol, bucketWidth,
+      startOffset = 0L)
+
+  /** [[packSequences]] with the concatenated stream starting at token
+    * `startOffset` instead of 0 — the continuation hook
+    * [[SeqPackStream]] uses to pack each microbatch exactly where the
+    * previous batch's stream ended. */
+  private[graft] def packSequencesFrom(df: DataFrame, seqLen: Long,
+                                       tokensCol: String, idCol: String,
+                                       bucketWidth: Long,
+                                       startOffset: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    require(startOffset >= 0, s"startOffset $startOffset must be >= 0")
+    val withBk = df.withColumn("_bk", floor(col(idCol) / lit(bucketWidth)))
+    val wLocal = Window.partitionBy(col("_bk")).orderBy(idCol)
+    val local = withBk.withColumn("_local_cum",
+      sum(col(tokensCol)).over(wLocal))
+    // per-bucket totals: one row per id-range bucket — the single-
+    // partition window below runs over that tiny table, never the corpus
+    val wOff = Window.orderBy("_bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBk.groupBy(col("_bk"))
+      .agg(sum(col(tokensCol)).as("_bk_sum"))
+      .withColumn("_offset", coalesce(sum("_bk_sum").over(wOff), lit(0L)))
+      .drop("_bk_sum")
+      .withColumnRenamed("_bk", "_off_bk")
+    val placed = local.join(broadcast(offsets), col("_bk") <=> col("_off_bk"))
+      .withColumn("_start",
+        col("_local_cum") + col("_offset") - col(tokensCol) + lit(startOffset))
+    spanExplode(placed, seqLen, tokensCol)
+      .drop("_bk", "_off_bk", "_local_cum", "_offset")
+  }
+
+  /** Shared boundary arithmetic of [[packSequences]] and its naive
+    * reference: explode a doc at `_start` spanning `tokensCol` tokens
+    * into its (seq_id, tok_start, tok_end, seq_off) overlaps. */
+  private def spanExplode(placed: DataFrame, seqLen: Long,
+                          tokensCol: String): DataFrame =
+    placed.filter(col(tokensCol) > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_start div $seqLen"),
+        expr(s"(_start + `$tokensCol` - 1) div $seqLen"))))
+      .withColumn("tok_start",
+        greatest(lit(0L), col("seq_id") * lit(seqLen) - col("_start")))
+      .withColumn("tok_end", least(col(tokensCol).cast("long"),
+        (col("seq_id") + lit(1L)) * lit(seqLen) - col("_start")))
+      .withColumn("seq_off",
+        greatest(lit(0L), col("_start") - col("seq_id") * lit(seqLen)))
+      .drop("_start")
+
+  /** Reference implementation of [[packSequences]] as ONE global window
+    * — the spec asserts the distributed form equals it exactly. */
+  private[graft] def packSequencesNaive(df: DataFrame, seqLen: Long,
+                                        tokensCol: String,
+                                        idCol: String = "doc_id"): DataFrame = {
+    val w = Window.orderBy(idCol).rowsBetween(Window.unboundedPreceding, -1)
+    val placed = df.withColumn("_start",
+      coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+    spanExplode(placed, seqLen, tokensCol)
+  }
+
+  /**
    * DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
    * arXiv:2302.03169): select raw documents that look like a target
    * distribution by importance weighting in a hashed n-gram feature

@@ -27,6 +27,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("seq_pack: corpus cumsum windows per id-bucket; only the tiny bucket-totals table hits one partition") {
+    val p = plan("seq_pack")
+    // the corpus-wide window must be PARTITIONED on _bk (local per-bucket
+    // sort), never a global orderBy over corpus rows
+    assert(p.linesIterator.exists(l => l.contains("Window [sum(") &&
+      l.contains("], [_bk#") && l.contains("doc_id#")), p.take(1200))
+    // exactly one SinglePartition exchange: the per-bucket totals
+    // (#buckets rows), whose running offsets then BROADCAST back
+    assert(countOccurrences(p, "Exchange SinglePartition") == 1, p.take(1200))
+    assert(p.contains("BroadcastExchange"), "bucket offsets must broadcast")
+    assert(p.contains("partial_sum"), "bucket totals must combine map-side")
+  }
+
   test("q1: aggregation is partial (map-side) before the exchange") {
     val p = plan("q1_pricing")
     assert(p.contains("partial_sum"))

@@ -84,6 +84,61 @@ class SamplingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("packSequences distributed prefix sum == naive single-window, across bucket widths") {
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cols = Seq("doc_id", "seq_id", "tok_start", "tok_end", "seq_off")
+    val naive = Sampling.packSequencesNaive(d, 64L, "n_tokens")
+      .select(cols.map(col): _*)
+    for (width <- Seq(1L, 7L, 64L, 1000000L)) {
+      val dist = Sampling.packSequences(d, 64L, "n_tokens",
+        bucketWidth = width).select(cols.map(col): _*)
+      assert(dist.except(naive).isEmpty && naive.except(dist).isEmpty,
+        s"bucketWidth=$width diverges from the naive cumsum")
+    }
+  }
+
+  test("packSequences: every sequence except the last carries exactly seqLen tokens") {
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val spans = Sampling.packSequences(d, 64L, "n_tokens", bucketWidth = 64L)
+    val perSeq = spans.groupBy("seq_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("t"))
+    val lastSeq = perSeq.agg(max("seq_id")).head().getLong(0)
+    assert(perSeq.filter(col("seq_id") < lastSeq && col("t") =!= 64L)
+      .count() == 0, "a non-final sequence is not exactly seqLen")
+    val total = d.agg(sum("n_tokens")).head().getLong(0)
+    assert(perSeq.agg(sum("t")).head().getLong(0) == total,
+      "packed token mass != corpus token mass")
+    // the span map is loader-consistent: contiguous coverage of each doc
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("covered"),
+        min("tok_start").as("lo"), max("tok_end").as("hi"))
+      .join(d, Seq("doc_id"))
+    assert(perDoc.filter(col("covered") =!= col("n_tokens") ||
+      col("lo") =!= 0L || col("hi") =!= col("n_tokens")).count() == 0,
+      "doc token ranges are not a contiguous partition of the doc")
+  }
+
+  test("packSequences: zero-token docs emit no rows; boundary doc splits with correct offsets") {
+    import spark.implicits._
+    // ids 0..3 with 32, 64, 0, 40 tokens and seqLen 48:
+    //   doc 0 -> seq 0 [0,32) at off 0
+    //   doc 1 -> seq 0 [0,16) at off 32; seq 1 [16,64) at off 0
+    //   doc 2 -> nothing (zero tokens)
+    //   doc 3 -> seq 2 [0,40) at off 0
+    val d = Seq((0L, 32L), (1L, 64L), (2L, 0L), (3L, 40L))
+      .toDF("doc_id", "n_tokens")
+    val got = Sampling.packSequences(d, 48L, "n_tokens", bucketWidth = 2L)
+      .select("doc_id", "seq_id", "tok_start", "tok_end", "seq_off")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted
+    assert(got.toSeq === Seq(
+      (0L, 0L, 0L, 32L, 0L),
+      (1L, 0L, 0L, 16L, 32L),
+      (1L, 1L, 16L, 64L, 0L),
+      (3L, 2L, 0L, 40L, 0L)))
+  }
+
   test("stratifiedSample keeps exactly ceil(frac * n) rows per stratum, deterministically") {
     val d = docs.select("doc_id", "lang")
     val fr = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125,
