@@ -2562,6 +2562,67 @@ object SparkEntry {
       .orderBy("doc_id", "seq_id")
   }
 
+  /** Epoch-weighted token-budget mixture (ext.Sampling.tokenMixture —
+    * GPT-3 Table 2.2's composition rule): binary-exact per-language
+    * weights against a fixed 65536-token budget. At sf0.01 the en/de
+    * weights demand more tokens than exist (whole-epoch upsampling,
+    * n_copies ≥ 2) while zh fills fractionally via the md5-rank
+    * remainder prefix (hash-prefix distributed prefix sum). Output:
+    * the per-doc loader repeat counts. */
+  private def qTokenMixture(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    ext.Sampling.tokenMixture(d, "lang",
+        weights = Map("en" -> 0.4375, "de" -> 0.25, "es" -> 0.125,
+          "fr" -> 0.125, "zh" -> 0.0625),
+        budgetTokens = 65536L, tokensCol = "n_tokens", salt = "mixt|")
+      .select(col("doc_id"), col("lang"),
+        col("n_copies").cast("bigint").as("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Streaming token-budget mixture admission (ext.MixtureStream): the
+    * documents table arrives as three RANGE slices (id-ordered
+    * arrival); each batch admits docs while their language's token
+    * budget (floor(w · 8192)) is unexhausted, carrying per-language
+    * totals across batches in the `_mixstate` files. On id-ordered
+    * arrival the admission rule is a plain SQL window boundary the
+    * oracle replays; es/fr are unweighted — refused without state. */
+  private def qTokenMixtureStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+    val root = Fixtures.dir(s, dir, "q-mixstream") { r =>
+      val base = System.currentTimeMillis() - 10000L
+      val slices = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+      slices.zipWithIndex.foreach { case (cond, i) =>
+        writeStreamSlice(docs.filter(cond), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-mix-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mix-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    drainGuarded(s, ext.MixtureStream.run(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      out.toString, ckpt.toString,
+      weights = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
+      budgetTokens = 8192L, tokensCol = "n_tokens", strataCol = "lang",
+      bucketWidth = 64L))
+    val kept = s.read.parquet(out.toString)
+      .select(col("doc_id"), lit(true).as("k"))
+    docs.select("doc_id", "lang").join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("k"), lit(false)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming decontamination against a GROWING eval set
     * (ext.DecontamStream): one mixed stream (is_eval = doc_id % 50 == 0,
     * the batch decontam fixture rule) in three mtime-ordered slices
@@ -3404,6 +3465,8 @@ object SparkEntry {
     "shard_pack" -> (qShardPack _),
     "seq_pack" -> (qSeqPack _),
     "seq_pack_stream" -> (qSeqPackStream _),
+    "token_mixture" -> (qTokenMixture _),
+    "token_mixture_stream" -> (qTokenMixtureStream _),
     "pii_redact" -> (qPiiRedact _),
     "decontam" -> (qDecontam _),
     "decontam_bloom" -> (qDecontamBloom _),
@@ -4969,6 +5032,52 @@ object SparkEntry {
         |    CAST((c.s + c.n_tokens - 1) // 64 AS BIGINT))) AS seq_id) g
         |WHERE c.n_tokens > 0
         |ORDER BY doc_id, seq_id""".stripMargin,
+    // epoch-weighted mixture: need = FLOOR(w * budget) (one IEEE double
+    // product), whole passes by integer division, remainder filled by
+    // the md5-order exclusive-cumsum prefix — all replayed verbatim
+    "token_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT lang, SUM(n_tokens) AS avail FROM t GROUP BY lang),
+        |f AS (SELECT lang,
+        |    CASE WHEN avail > 0 THEN need // avail ELSE 0 END AS n_full,
+        |    CASE WHEN avail > 0 THEN need - (need // avail) * avail
+        |      ELSE 0 END AS rem
+        |  FROM (SELECT lang, avail,
+        |    CAST(FLOOR((CASE lang WHEN 'en' THEN 0.4375 WHEN 'de' THEN 0.25
+        |      WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.0625
+        |      ELSE 0.0 END) * 65536) AS BIGINT) AS need FROM s)),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5('mixt|' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT c.doc_id, c.lang,
+        |  CAST(f.n_full + CASE WHEN c.prior < f.rem THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_copies
+        |FROM c JOIN f USING (lang)
+        |WHERE f.n_full + CASE WHEN c.prior < f.rem THEN 1 ELSE 0 END >= 1
+        |ORDER BY doc_id""".stripMargin,
+    // the stream admits while the language's budget is unexhausted; on
+    // id-ordered arrival that is the arrival-order exclusive-cumsum
+    // boundary (unweighted langs: need 0, never admitted)
+    "token_mixture_stream" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |      WHEN 'zh' THEN 0.25 ELSE 0.0 END) * 8192) AS BIGINT) AS need,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT doc_id, lang, (prior < need) AS kept
+        |FROM n ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH quality AS (
         |  SELECT doc_id, text, lang FROM documents

@@ -167,8 +167,27 @@ object Sampling {
                  budget: Long, idCol: String = "doc_id",
                  bucketWidth: Long = 1000000L): DataFrame = {
     require(budget > 0 && bucketWidth > 0)
-    val withBk = df.withColumn("_bk", floor(col(idCol) / lit(bucketWidth)))
-    val wLocal = Window.partitionBy(col(strataCol), col("_bk")).orderBy(idCol)
+    exclusivePrior(df, strataCol, tokensCol,
+        bucket = floor(col(idCol) / lit(bucketWidth)), order = Seq(col(idCol)))
+      .withColumn("shard_id", (col("_prior") / lit(budget)).cast("long"))
+      .drop("_prior")
+  }
+
+  /** Shared machinery of [[packShards]], [[tokenMixture]] and
+    * [[MixtureStream]]: the exclusive cumulative sum of `tokensCol`
+    * within each stratum, over the total order `order`, as a `_prior`
+    * column — computed as a distributed prefix sum. `bucket` must be an
+    * order-preserving coarsening of `order` (id ranges, hash-hex
+    * prefixes): local cumsum per (stratum, bucket), per-bucket totals
+    * (a tiny table) rolled into running offsets in a window over
+    * buckets only, broadcast back. No stage sorts more than one
+    * bucket's rows — the same shape at any stratum size. */
+  private[ext] def exclusivePrior(df: DataFrame, strataCol: String,
+                                  tokensCol: String, bucket: Column,
+                                  order: Seq[Column]): DataFrame = {
+    val withBk = df.withColumn("_bk", bucket)
+    val wLocal = Window.partitionBy(col(strataCol), col("_bk"))
+      .orderBy(order: _*)
     val local = withBk.withColumn("_local_cum",
       sum(col(tokensCol)).over(wLocal))
     val wOff = Window.partitionBy(strataCol).orderBy("_bk")
@@ -184,10 +203,107 @@ object Sampling {
     // equi-join would silently drop every NULL-stratum row
     local.join(broadcast(offsets),
         col(strataCol) <=> col("_off_stratum") && col("_bk") <=> col("_off_bk"))
-      .withColumn("shard_id",
-        ((col("_local_cum") + col("_offset") - col(tokensCol)) / lit(budget))
-          .cast("long"))
+      .withColumn("_prior",
+        col("_local_cum") + col("_offset") - col(tokensCol))
       .drop("_bk", "_off_stratum", "_off_bk", "_local_cum", "_offset")
+  }
+
+  /**
+   * Epoch-weighted token-budget corpus mixture — the composition step
+   * that turns cleaned sources into a training corpus (GPT-3, Brown et
+   * al. 2020 Table 2.2: per-dataset weights with high-quality sets
+   * "seen up to 3.4 epochs"; LLaMA, Touvron et al. 2023 Table 1's
+   * epochs column). Stratum `s` must contribute
+   * `need_s = floor(w_s · budgetTokens)` tokens; holding `avail_s`
+   * tokens it is sampled at `need_s / avail_s` EPOCHS:
+   *
+   *  - every document gets `need_s div avail_s` whole copies
+   *    (upsampling when the weight demands more tokens than exist);
+   *  - the fractional remainder is filled by a deterministic md5-rank
+   *    prefix — documents in draw order whose EXCLUSIVE cumulative
+   *    token sum is still below the remainder get one more copy
+   *    ([[packShards]]'s boundary rule), so the filled tokens land
+   *    within one document of the remainder.
+   *
+   * Output is the input plus `n_copies ≥ 1` — the loader-facing repeat
+   * count; per-stratum emitted tokens miss `need_s` by less than the
+   * stratum's largest document. Strata absent from `weights` (and NULL
+   * strata) weigh zero and drop. `need_s` is `floor` of one IEEE double
+   * product, identical in any engine; binary-exact weights (k/2^m)
+   * make the boundary bit-reproducible exactly as in
+   * [[stratifiedSample]]. All arithmetic past that product is integral
+   * (`div`), exact at any corpus size.
+   *
+   * Scale shape: per-stratum stats are one tiny aggregate (broadcast
+   * back); the remainder prefix is [[exclusivePrior]] over hash-hex
+   * buckets — first two draw chars, an order-preserving 256-way split
+   * of each stratum's md5 order (equal-length lowercase-hex strings
+   * sort bucket-major) — so no single-reducer sort at any stratum
+   * size. Upsampling emits a COLUMN, not exploded rows: 3.4 epochs of
+   * a 100 TB stratum is still one row per document.
+   */
+  def tokenMixture(df: DataFrame, strataCol: String,
+                   weights: Map[String, Double], budgetTokens: Long,
+                   tokensCol: String, idCol: String = "doc_id",
+                   salt: String = ""): DataFrame = {
+    val d = draw(idCol, salt)
+    val pri = exclusivePrior(df, strataCol, tokensCol,
+      bucket = conv(substring(d, 1, 2), 16, 10).cast("long"),
+      order = Seq(d, col(idCol)))
+    applyMixture(pri, mixtureStats(df, strataCol, weights, budgetTokens,
+      tokensCol), strataCol)
+  }
+
+  /** Per-stratum copy counts of [[tokenMixture]]: whole passes `_full`
+    * and remainder tokens `_rem` for each WEIGHTED stratum (inner join
+    * — unweighted and NULL strata drop). `need` is computed driver-side
+    * as `floor(w · budget)` — the identical IEEE product an oracle's
+    * `FLOOR(w * budget)` evaluates. */
+  private def mixtureStats(df: DataFrame, strataCol: String,
+                           weights: Map[String, Double], budgetTokens: Long,
+                           tokensCol: String): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens $budgetTokens must be >= 0")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "weights must be non-empty and non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val needs = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, math.floor(w * budgetTokens).toLong) }
+      .toDF("_m_stratum", "_need")
+    df.groupBy(col(strataCol).as("_m_stratum"))
+      .agg(sum(col(tokensCol)).as("_avail"))
+      .join(needs, Seq("_m_stratum"))
+      .withColumn("_full", when(col("_avail") > 0,
+        expr("_need div _avail")).otherwise(lit(0L)))
+      .withColumn("_rem", when(col("_avail") > 0,
+        col("_need") - col("_full") * col("_avail")).otherwise(lit(0L)))
+      .select("_m_stratum", "_full", "_rem")
+  }
+
+  /** The copy-count rule shared by [[tokenMixture]] and its naive
+    * reference: whole passes plus one for the remainder prefix. */
+  private def applyMixture(pri: DataFrame, stats: DataFrame,
+                           strataCol: String): DataFrame =
+    pri.join(broadcast(stats), col(strataCol) === col("_m_stratum"))
+      .withColumn("n_copies", col("_full") +
+        when(col("_prior") < col("_rem"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") >= 1)
+      .drop("_m_stratum", "_full", "_rem", "_prior")
+
+  /** Reference implementation of [[tokenMixture]] as one window per
+    * stratum — the spec asserts the distributed form equals it. */
+  private[graft] def tokenMixtureNaive(df: DataFrame, strataCol: String,
+                                       weights: Map[String, Double],
+                                       budgetTokens: Long, tokensCol: String,
+                                       idCol: String = "doc_id",
+                                       salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(draw(idCol, salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pri = df.withColumn("_prior",
+      coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+    applyMixture(pri, mixtureStats(df, strataCol, weights, budgetTokens,
+      tokensCol), strataCol)
   }
 
   /**

@@ -260,4 +260,71 @@ class SamplingSpec extends SparkSpec {
       assert(out.except(reparted).isEmpty && reparted.except(out).isEmpty)
     } finally out.unpersist()
   }
+
+  // en/de demand whole-epoch upsampling at sf0.001 token counts
+  // (need 28672/16384 vs ~10k/~4k available); zh's 0.03125 weight needs
+  // 2048 of ~4k — fractional fill. Both regimes in one call.
+  private val mixWeights = Map("en" -> 0.4375, "de" -> 0.25,
+    "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.03125)
+
+  private def mixDocs = docs.select(col("doc_id"), col("lang"),
+    size(split(col("text"), " ")).cast("long").as("n_tokens"))
+
+  test("tokenMixture distributed hash-prefix prefix sum == naive single-window") {
+    val d = mixDocs
+    val naive = Sampling.tokenMixtureNaive(d, "lang", mixWeights, 65536L,
+      "n_tokens", salt = "tm|").select("doc_id", "n_copies")
+    val dist = Sampling.tokenMixture(d, "lang", mixWeights, 65536L,
+      "n_tokens", salt = "tm|").select("doc_id", "n_copies")
+    assert(dist.except(naive).isEmpty && naive.except(dist).isEmpty,
+      "hash-bucketed prefix sum diverges from the naive cumsum")
+  }
+
+  test("tokenMixture: emitted tokens land within one document of every stratum's need") {
+    import spark.implicits._
+    val d = mixDocs
+    val out = Sampling.tokenMixture(d, "lang", mixWeights, 65536L,
+      "n_tokens", salt = "tm|")
+    val emitted = out.groupBy("lang")
+      .agg(sum(col("n_tokens") * col("n_copies")).as("toks"),
+        max("n_copies").as("max_copies"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val maxTok = d.groupBy("lang").agg(max("n_tokens"))
+      .as[(String, Long)].collect().toMap
+    val avail = d.groupBy("lang").agg(sum("n_tokens"))
+      .as[(String, Long)].collect().toMap
+    mixWeights.foreach { case (lang, w) =>
+      val need = math.floor(w * 65536L).toLong
+      val got = emitted.get(lang).map(_._1).getOrElse(0L)
+      assert(math.abs(got - need) < maxTok(lang),
+        s"$lang emitted $got vs need $need (max doc ${maxTok(lang)})")
+      // epochs: copy counts must actually reflect need/avail
+      val fullPasses = need / avail(lang)
+      assert(emitted(lang)._2 == fullPasses ||
+        emitted(lang)._2 == fullPasses + 1,
+        s"$lang max n_copies ${emitted(lang)._2} vs $fullPasses whole passes")
+    }
+    // the sf fixture must exercise BOTH regimes or the test is vacuous
+    assert(emitted("en")._2 >= 2, "en should be upsampled (whole epochs)")
+    assert(emitted("zh")._2 == 1, "zh should be a fractional-only fill")
+  }
+
+  test("tokenMixture: unweighted, NULL, and zero-avail strata drop; no rows repeat") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a", 10L), (1L, "a", 10L), (2L, "b", 10L),
+      (3L, null.asInstanceOf[String], 10L), (4L, "z", 0L), (5L, "z", 0L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    // b unweighted; z weighted but zero tokens available (div guard)
+    val out = Sampling.tokenMixture(d, "lang",
+        Map("a" -> 0.5, "z" -> 0.5), 30L, "n_tokens", salt = "nz|")
+      .select("doc_id", "lang", "n_copies")
+      .as[(Long, String, Long)].collect()
+    assert(out.forall(_._2 == "a"), out.mkString(","))
+    assert(out.map(_._1).distinct.length == out.length,
+      "upsampling must be a column, never duplicated rows")
+    // need(a) = 15, avail = 20: one fractional prefix, no whole pass
+    assert(out.map(r => r._3 * 10L).sum >= 15L - 10L &&
+      out.map(r => r._3 * 10L).sum < 25L)
+  }
 }
