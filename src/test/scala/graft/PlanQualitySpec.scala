@@ -40,6 +40,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"), "bucket totals must combine map-side")
   }
 
+  test("token_mixture: stratified cumsum per hash-bucket, both small sides broadcast, zero single-partition stages") {
+    val p = plan("token_mixture")
+    // the corpus window must be PARTITIONED on (stratum, _bk) — the
+    // md5-order cumsum never globally sorts a stratum
+    assert(p.linesIterator.exists(l => l.contains("Window [sum(") &&
+      l.contains("], [lang#") && l.contains("_bk#")), p.take(1200))
+    // unlike seq_pack's global stream, the bucket-totals window
+    // partitions by stratum — NOTHING in this plan hits one partition
+    assert(countOccurrences(p, "Exchange SinglePartition") == 0, p.take(1200))
+    // bucket offsets, the per-stratum copy-count stats, and the
+    // needs-literal join inside the stats build all broadcast
+    assert(countOccurrences(p, "BroadcastHashJoin") == 3, p.take(1200))
+    assert(p.contains("partial_sum"), "bucket totals must combine map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q1: aggregation is partial (map-side) before the exchange") {
     val p = plan("q1_pricing")
     assert(p.contains("partial_sum"))
