@@ -2497,9 +2497,11 @@ object SparkEntry {
     * capstone. compactEvery=2 folds all three index levels mid-run. */
   private def qPipelineCleanStream(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
-    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
     val root = Fixtures.dir(s, dir, "q-ccstream") { r =>
+      // maxId only shapes the slice boundaries — computed inside the
+      // cached fixture build so re-invocations pay no aggregate job
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
       val base = System.currentTimeMillis() - 10000L
       val slices = Seq(col("doc_id") <= b1,
         col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
@@ -2536,9 +2538,11 @@ object SparkEntry {
     val docs = tbl(s, dir, "documents")
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
-    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
     val root = Fixtures.dir(s, dir, "q-spstream") { r =>
+      // maxId only shapes the slice boundaries — computed inside the
+      // cached fixture build so re-invocations pay no aggregate job
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
       val base = System.currentTimeMillis() - 10000L
       val slices = Seq(col("doc_id") <= b1,
         col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
@@ -2593,9 +2597,11 @@ object SparkEntry {
     val docs = tbl(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
-    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
     val root = Fixtures.dir(s, dir, "q-mixstream") { r =>
+      // maxId only shapes the slice boundaries — computed inside the
+      // cached fixture build so re-invocations pay no aggregate job
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
       val base = System.currentTimeMillis() - 10000L
       val slices = Seq(col("doc_id") <= b1,
         col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)

@@ -27,14 +27,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * unweighted strata are refused unconditionally and never tracked, so
  * state is bounded by the mixture recipe (tens of rows), not the
  * corpus. It persists as `_mixstate-<epoch>` files beside the epoch
- * output dirs, committed with [[PathIO.atomicCreate]]
- * (complete-or-absent on every scheme), under the exactly-once replay
- * argument [[SeqPackStream]] introduced: a replayed batch reads the
- * strictly-prior entry, recomputes identically, overwrites exactly its
- * own `epoch=<id>` dir, and tolerates its own stale commit only on
- * byte-identical content (a mismatch means a second writer and fails
- * loudly); entries older than `epoch - 1` prune, so the state chain
- * holds at two tiny files for the stream's lifetime.
+ * output dirs under the [[EpochState]] commit protocol (atomicCreate,
+ * strictly-prior replay read, identical-content tolerance, prune to
+ * two entries). Once every budget has closed — readable from the
+ * prior totals alone — a batch skips the prefix sum AND the epoch-dir
+ * write entirely, so a stream left running after composition
+ * completes accumulates no empty output dirs (and a batch carrying no
+ * weighted rows likewise writes nothing; both skips re-derive
+ * identically on replay).
  *
  * 100 TB posture: per-batch work is [[Sampling.exclusivePrior]] over
  * THE BATCH alone (id-range buckets, broadcast offsets) plus one
@@ -42,14 +42,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * index, no growing join side.
  */
 object MixtureStream {
-  private val StatePrefix = "_mixstate-"
-
-  /** Per-stratum token targets — `floor` of one IEEE double product,
-    * the identical value an oracle's `FLOOR(w * budget)` computes. */
-  private[graft] def needsFor(weights: Map[String, Double],
-                              budgetTokens: Long): Map[String, Long] =
-    weights.map { case (s, w) => s -> math.floor(w * budgetTokens).toLong }
-
   /** State file content: sorted `<url-encoded stratum>\t<seen total>`
     * lines — canonical, so a replayed batch's recomputation is
     * byte-comparable against a stale commit. */
@@ -67,45 +59,22 @@ object MixtureStream {
       }
     }.toMap
 
-  /** Highest committed per-stratum totals below `epoch` (the pre-batch
-    * stream position); empty before the first batch. Parses loudly —
-    * an unrecognized `_mixstate-*` name is corruption, not a skip. */
-  private[graft] def priorTotals(outDir: String,
-                                 epoch: Long): Map[String, Long] = {
-    val root = PathIO.path(outDir)
-    if (!PathIO.exists(root)) return Map.empty
-    val entries = PathIO.listDir(root).map(_.getName)
-      .filter(_.startsWith(StatePrefix))
-      .map { n =>
-        val e = n.stripPrefix(StatePrefix)
-        require(e.nonEmpty && e.forall(_.isDigit),
-          s"unrecognized mixture state name: $n")
-        e.toLong
-      }
-      .filter(_ < epoch)
-    if (entries.isEmpty) Map.empty
-    else parse(PathIO.readString(
-      PathIO.path(outDir, s"$StatePrefix${entries.max}")))
-  }
+  private val state = new EpochState[Map[String, Long]]("_mixstate-",
+    render, parse, Map.empty)
 
-  /** Commit this epoch's post-batch totals; tolerate a byte-identical
-    * replay-stale entry, refuse a diverging one; prune entries the
-    * replay window can never read again. */
+  /** Per-stratum token targets — `floor` of one IEEE double product,
+    * the identical value an oracle's `FLOOR(w * budget)` computes. */
+  private[graft] def needsFor(weights: Map[String, Double],
+                              budgetTokens: Long): Map[String, Long] =
+    weights.map { case (s, w) => s -> math.floor(w * budgetTokens).toLong }
+
+  private[graft] def priorTotals(outDir: String,
+                                 epoch: Long): Map[String, Long] =
+    state.prior(outDir, epoch)
+
   private[graft] def commitTotals(outDir: String, epoch: Long,
-                                  totals: Map[String, Long]): Unit = {
-    val content = render(totals)
-    val target = PathIO.path(outDir, s"$StatePrefix$epoch")
-    if (!PathIO.atomicCreate(target, content)) {
-      val existing = PathIO.readString(target)
-      if (existing != new String(content, "UTF-8"))
-        sys.error(s"mixture state $target diverges from this batch's " +
-          "recomputation — second writer or nondeterministic input")
-    }
-    PathIO.listDir(PathIO.path(outDir)).map(_.getName)
-      .filter(_.startsWith(StatePrefix))
-      .filter(_.stripPrefix(StatePrefix).toLong < epoch - 1)
-      .foreach(n => PathIO.deleteIfExists(PathIO.path(outDir, n)): Unit)
-  }
+                                  totals: Map[String, Long]): Unit =
+    state.commit(outDir, epoch, totals)
 
   /**
    * Run budget-gated admission over a document stream carrying
@@ -120,6 +89,7 @@ object MixtureStream {
           idCol: String = "doc_id",
           bucketWidth: Long = 1000000L): StreamingQuery = {
     require(budgetTokens >= 0, s"budgetTokens $budgetTokens must be >= 0")
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
     require(weights.nonEmpty && weights.values.forall(_ >= 0),
       "weights must be non-empty and non-negative")
     val needs = needsFor(weights, budgetTokens)
@@ -131,24 +101,34 @@ object MixtureStream {
         val prior = priorTotals(outDir, epochId)
         val cached = batch.persist()
         try {
+          // every budget closed (decidable from prior state alone):
+          // nothing can admit and totals need not advance — no Spark
+          // job, no empty epoch dir, identical decision on replay
+          val allClosed = needs.forall { case (s, n) =>
+            prior.getOrElse(s, 0L) >= n }
           // unweighted strata: refused without entering the prefix sum
           val weighted = cached
             .filter(col(strataCol).isin(weights.keys.toSeq: _*))
-          val bounds = needs.toSeq.sortBy(_._1)
-            .map { case (s, n) => (s, n, prior.getOrElse(s, 0L)) }
-            .toDF("_m_stratum", "_need", "_base")
-          Sampling.exclusivePrior(weighted, strataCol, tokensCol,
-              bucket = floor(col(idCol) / lit(bucketWidth)),
-              order = Seq(col(idCol)))
-            .join(broadcast(bounds), col(strataCol) === col("_m_stratum"))
-            .filter(col("_base") + col("_prior") < col("_need"))
-            .drop("_m_stratum", "_need", "_base", "_prior")
-            .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-          // totals advance by every SEEN weighted token (admitted or
-          // not — the boundary rule needs the full arrival cumsum)
-          val sums = weighted.groupBy(strataCol)
-            .agg(sum(col(tokensCol)).cast("long").as("_t"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          // totals advance by every SEEN weighted token until closure
+          // (admitted or not — the boundary rule needs the full
+          // arrival cumsum)
+          val sums =
+            if (allClosed) Map.empty[String, Long]
+            else weighted.groupBy(strataCol)
+              .agg(sum(col(tokensCol)).cast("long").as("_t"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (sums.nonEmpty) {
+            val bounds = needs.toSeq.sortBy(_._1)
+              .map { case (s, n) => (s, n, prior.getOrElse(s, 0L)) }
+              .toDF("_m_stratum", "_need", "_base")
+            Sampling.exclusivePrior(weighted, strataCol, tokensCol,
+                bucket = floor(col(idCol) / lit(bucketWidth)),
+                order = Seq(col(idCol)))
+              .join(broadcast(bounds), col(strataCol) === col("_m_stratum"))
+              .filter(col("_base") + col("_prior") < col("_need"))
+              .drop("_m_stratum", "_need", "_base", "_prior")
+              .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+          }
           val merged = needs.keys.map { s =>
             s -> (prior.getOrElse(s, 0L) + sums.getOrElse(s, 0L))
           }.toMap

@@ -1,6 +1,5 @@
 package graft.ext
 
-import graft.log.PathIO
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -18,20 +17,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *
  * Cross-batch state is ONE number — the running token total — persisted
  * as `_offset-<epoch>` files beside the epoch output dirs (underscore:
- * invisible to parquet readers) and committed with
- * [[PathIO.atomicCreate]], complete-or-absent on every scheme. The
- * exactly-once analysis is the replay argument the index streams use:
- *  - a replayed batch reads the PRE-batch offset (highest `_offset-<e>`
- *    with `e <` its epoch — its own possibly-committed offset is
- *    filtered out), recomputes the identical spans, and overwrites
- *    exactly its own `epoch=<id>` output dir;
- *  - its own offset commit then hits the already-present file: same
- *    deterministic content → tolerated; a content MISMATCH means a
- *    second writer or nondeterministic input and fails loudly (the
- *    single-writer posture of every stream here);
- *  - offsets older than `epoch - 1` are pruned after commit — replay
- *    only ever needs the immediately-prior entry, so the state chain
- *    holds at two tiny files regardless of stream lifetime.
+ * invisible to parquet readers) under the [[EpochState]] commit
+ * protocol: atomicCreate'd, replay reads the strictly-prior entry and
+ * recomputes identically, a stale commit is tolerated only on
+ * identical content, and the chain prunes to two tiny files for the
+ * stream's lifetime.
  *
  * 100 TB posture: per-batch work is the batch operator's distributed
  * prefix sum over THE BATCH alone (id-range buckets, broadcast
@@ -39,45 +29,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * growing join side, 8 bytes of state.
  */
 object SeqPackStream {
-  private val OffsetPrefix = "_offset-"
+  private val state = new EpochState[Long]("_offset-",
+    l => l.toString.getBytes("UTF-8"), _.trim.toLong, 0L)
 
-  /** Highest committed offset below `epoch` (the pre-batch stream
-    * position); 0 before the first batch. Parses loudly — an
-    * unrecognized `_offset-*` name is corruption, not a skip. */
-  private[graft] def priorOffset(outDir: String, epoch: Long): Long = {
-    val root = PathIO.path(outDir)
-    if (!PathIO.exists(root)) return 0L
-    val entries = PathIO.listDir(root).map(_.getName)
-      .filter(_.startsWith(OffsetPrefix))
-      .map { n =>
-        val e = n.stripPrefix(OffsetPrefix)
-        require(e.nonEmpty && e.forall(_.isDigit),
-          s"unrecognized seq-pack offset name: $n")
-        e.toLong
-      }
-      .filter(_ < epoch)
-    if (entries.isEmpty) 0L
-    else PathIO.readString(
-      PathIO.path(outDir, s"$OffsetPrefix${entries.max}")).trim.toLong
-  }
+  private[graft] def priorOffset(outDir: String, epoch: Long): Long =
+    state.prior(outDir, epoch)
 
-  /** Commit this epoch's post-batch stream position; tolerate an
-    * identical replay-stale entry, refuse a diverging one; prune
-    * entries the replay window can never read again. */
   private[graft] def commitOffset(outDir: String, epoch: Long,
-                                  total: Long): Unit = {
-    val target = PathIO.path(outDir, s"$OffsetPrefix$epoch")
-    if (!PathIO.atomicCreate(target, total.toString.getBytes("UTF-8"))) {
-      val existing = PathIO.readString(target).trim.toLong
-      if (existing != total)
-        sys.error(s"seq-pack offset $target holds $existing but this " +
-          s"batch computed $total — second writer or nondeterministic input")
-    }
-    PathIO.listDir(PathIO.path(outDir)).map(_.getName)
-      .filter(_.startsWith(OffsetPrefix))
-      .filter(_.stripPrefix(OffsetPrefix).toLong < epoch - 1)
-      .foreach(n => PathIO.deleteIfExists(PathIO.path(outDir, n)): Unit)
-  }
+                                  total: Long): Unit =
+    state.commit(outDir, epoch, total)
 
   /**
    * Run the packer over a document stream carrying `tokensCol` (long

@@ -13,8 +13,8 @@ class MixtureStreamSpec extends SparkSpec {
   import spark.implicits._
 
   // weights a=0.5 b=0.25 of budget 64 -> needs a=32, b=16; c unweighted.
-  // a's budget closes at id 8 (prior 40), b's exactly at id 5 (prior
-  // 16 - the strict-< boundary), c never admits.
+  // a's budget closes at id 8 (exclusive prior 10+10+10+2 = 32, the
+  // strict-< boundary), b's exactly at id 5 (prior 16), c never admits.
   private val corpus = Seq(
     (0L, "a", 10L), (1L, "b", 8L), (2L, "a", 10L), (3L, "b", 8L),
     (4L, "a", 10L), (5L, "b", 8L), (6L, "a", 2L), (7L, "c", 5L),
@@ -70,9 +70,15 @@ class MixtureStreamSpec extends SparkSpec {
     val states = PathIO.listDir(PathIO.path(out.toString)).map(_.getName)
       .filter(_.startsWith("_mixstate-"))
     assert(states.toSet == Set("_mixstate-1", "_mixstate-2"), states.toString)
-    // final totals are per-stratum SEEN sums for weighted strata only
+    // final totals are per-stratum SEEN sums for weighted strata only,
+    // FROZEN at closure: batch 2 finds both budgets closed in the prior
+    // state, skips its jobs, and re-commits the prior totals
     val content = PathIO.readString(PathIO.path(out.toString, "_mixstate-2"))
-    assert(content == "a\t42\nb\t24", s"'$content'")
+    assert(content == "a\t32\nb\t24", s"'$content'")
+    // ...and the closed batch writes NO empty epoch dir
+    val epochDirs = PathIO.listDir(PathIO.path(out.toString)).map(_.getName)
+      .filter(_.startsWith("epoch=")).toSet
+    assert(epochDirs == Set("epoch=0", "epoch=1"), epochDirs.toString)
   }
 
   test("stream == the batch arrival-order boundary rule on a wider corpus") {
@@ -150,9 +156,33 @@ class MixtureStreamSpec extends SparkSpec {
     }: Unit
   }
 
-  test("batch tokenMixture and the stream agree when hash order IS arrival order") {
-    // one doc per stratum: the md5-rank prefix and the arrival prefix
-    // coincide trivially, pinning the two operators to one boundary rule
+  test("crash leftovers of the state commit are skipped on read and pruned later") {
+    val out = java.nio.file.Files.createTempDirectory("mixt-out")
+    MixtureStream.commitTotals(out.toString, 0L, Map("a" -> 7L))
+    // a driver kill between atomicCreate's tmp write and its finally-
+    // delete strands a '<name>.tmp.<uuid>' sibling; a strict name
+    // parser would then refuse every later batch forever
+    PathIO.atomicCreate(
+      PathIO.path(out.toString, "_mixstate-0.tmp.deadbeef"),
+      "garbage".getBytes("UTF-8"))
+    assert(MixtureStream.priorTotals(out.toString, 1L) == Map("a" -> 7L))
+    MixtureStream.commitTotals(out.toString, 1L, Map("a" -> 9L))
+    MixtureStream.commitTotals(out.toString, 2L, Map("a" -> 9L))
+    // the epoch-0 leftover left the replay window with epoch 0 itself
+    val names = PathIO.listDir(PathIO.path(out.toString)).map(_.getName)
+      .filter(_.startsWith("_mixstate-")).toSet
+    assert(names == Set("_mixstate-1", "_mixstate-2"), names.toString)
+    // genuinely unrecognized names stay loud
+    PathIO.atomicCreate(PathIO.path(out.toString, "_mixstate-3x"),
+      "1".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      MixtureStream.priorTotals(out.toString, 9L)
+    }: Unit
+  }
+
+  test("tokenMixture whole-pass + remainder copy counts on a one-doc-per-stratum fixture") {
+    // one doc per stratum: need/avail arithmetic is hand-checkable, and
+    // the remainder prefix (prior 0 < rem) reduces to rem > 0
     val d = Seq((0L, "a", 10L), (1L, "b", 6L)).toDF("doc_id", "lang", "n_tokens")
     val batch = Sampling.tokenMixture(d, "lang", weights, 64L, "n_tokens")
       .select("doc_id").as[Long].collect().toSet
