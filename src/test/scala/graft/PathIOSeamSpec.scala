@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.IndexIO
+import graft.ext.{IndexIO, MixtureStream, SeqPackStream}
 import graft.log.{AckLog, PathIO, TopicLog, Topics, Txn}
 import graft.model.{Envelope, TopicName}
 import org.apache.spark.sql.functions._
@@ -28,6 +28,31 @@ trait SeamSchedules extends SparkSpec {
   /** A fresh scheme-ful root. */
   def makeRoot(prefix: String): String =
     s"$schemeName:" + Files.createTempDirectory(prefix).toString
+
+  test(s"EpochState chains (seq-pack offset, mixture totals) on a $schemeName: root") {
+    val root = makeRoot("graft-seam-estate")
+    // the mixture totals chain: commit, strictly-prior read, identical
+    // replay tolerated, divergence loud, prune to two entries — all
+    // through PathIO.atomicCreate on this scheme
+    val mix = PathIO.child(PathIO.path(root), "mix").toString
+    MixtureStream.commitTotals(mix, 0L, Map("a" -> 5L))
+    assert(MixtureStream.priorTotals(mix, 1L) == Map("a" -> 5L))
+    assert(MixtureStream.priorTotals(mix, 0L) == Map.empty)
+    MixtureStream.commitTotals(mix, 0L, Map("a" -> 5L)) // replay: tolerated
+    intercept[RuntimeException] {
+      MixtureStream.commitTotals(mix, 0L, Map("a" -> 6L))
+    }
+    MixtureStream.commitTotals(mix, 1L, Map("a" -> 8L))
+    MixtureStream.commitTotals(mix, 2L, Map("a" -> 8L))
+    val names = PathIO.listDir(PathIO.path(mix)).map(_.getName)
+      .filter(_.startsWith("_mixstate-")).toSet
+    assert(names == Set("_mixstate-1", "_mixstate-2"), names.toString)
+    // the seq-pack offset chain rides the same helper
+    val sp = PathIO.child(PathIO.path(root), "sp").toString
+    SeqPackStream.commitOffset(sp, 0L, 42L)
+    assert(SeqPackStream.priorOffset(sp, 1L) == 42L)
+    assert(SeqPackStream.priorOffset(sp, 0L) == 0L)
+  }
 
   private def batch(ids: Range) =
     ids.map(i => (s"u${i % 7}", s"payload-$i", s"prod-${i % 3}", i.toLong, i.toLong))
