@@ -2629,6 +2629,48 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Composed corpus assembly (ext.AssembleStream): token-budget
+    * mixture admission feeding GPT-style sequence packing as ONE
+    * stream over three id-range slices — admitted docs continue the
+    * packed token stream where the previous batch's admissions ended
+    * (offset chain advances by ADMITTED tokens, the composition
+    * point). On id-ordered arrival the result is the batch rule the
+    * oracle states: the admission window boundary, then the
+    * concat-and-chunk span map over the admitted corpus. */
+  private def qAssembleStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val root = Fixtures.dir(s, dir, "q-asmstream") { r =>
+      // maxId only shapes the slice boundaries — computed inside the
+      // cached fixture build so re-invocations pay no aggregate job
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      val base = System.currentTimeMillis() - 10000L
+      val slices = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+      slices.zipWithIndex.foreach { case (cond, i) =>
+        writeStreamSlice(docs.filter(cond), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-asm-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-asm-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    drainGuarded(s, ext.AssembleStream.run(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      out.toString, ckpt.toString,
+      weights = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
+      budgetTokens = 8192L, seqLen = 64L, tokensCol = "n_tokens",
+      strataCol = "lang", bucketWidth = 64L))
+    s.read.parquet(out.toString)
+      .select(col("doc_id"), col("seq_id"), col("tok_start"),
+        col("tok_end"), col("seq_off"))
+      .orderBy("doc_id", "seq_id")
+  }
+
   /** Streaming decontamination against a GROWING eval set
     * (ext.DecontamStream): one mixed stream (is_eval = doc_id % 50 == 0,
     * the batch decontam fixture rule) in three mtime-ordered slices
@@ -3473,6 +3515,7 @@ object SparkEntry {
     "seq_pack_stream" -> (qSeqPackStream _),
     "token_mixture" -> (qTokenMixture _),
     "token_mixture_stream" -> (qTokenMixtureStream _),
+    "assemble_stream" -> (qAssembleStream _),
     "pii_redact" -> (qPiiRedact _),
     "decontam" -> (qDecontam _),
     "decontam_bloom" -> (qDecontamBloom _),
@@ -5084,6 +5127,35 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, (prior < need) AS kept
         |FROM n ORDER BY doc_id""".stripMargin,
+    // the composed assembly: the admission boundary above, then the
+    // seq_pack concat-and-chunk rule over the ADMITTED corpus
+    "assemble_stream" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |      WHEN 'zh' THEN 0.25 ELSE 0.0 END) * 8192) AS BIGINT) AS need,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t),
+        |a AS (SELECT doc_id, n_tokens FROM n WHERE prior < need),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM a)
+        |SELECT c.doc_id, CAST(g.seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(0, g.seq_id * 64 - c.s) AS BIGINT) AS tok_start,
+        |  CAST(LEAST(c.n_tokens, (g.seq_id + 1) * 64 - c.s) AS BIGINT) AS tok_end,
+        |  CAST(GREATEST(0, c.s - g.seq_id * 64) AS BIGINT) AS seq_off
+        |FROM c CROSS JOIN LATERAL (
+        |  SELECT UNNEST(generate_series(CAST(c.s // 64 AS BIGINT),
+        |    CAST((c.s + c.n_tokens - 1) // 64 AS BIGINT))) AS seq_id) g
+        |WHERE c.n_tokens > 0
+        |ORDER BY doc_id, seq_id""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH quality AS (
         |  SELECT doc_id, text, lang FROM documents

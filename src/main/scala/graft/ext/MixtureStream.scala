@@ -76,6 +76,35 @@ object MixtureStream {
                                   totals: Map[String, Long]): Unit =
     state.commit(outDir, epoch, totals)
 
+  /** Per-stratum token sums of one batch's weighted rows, collected to
+    * the driver — bounded by |weights|, never the corpus. */
+  private[ext] def seenSums(weighted: DataFrame, tokensCol: String,
+                            strataCol: String): Map[String, Long] =
+    weighted.groupBy(strataCol)
+      .agg(sum(col(tokensCol)).cast("long").as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** One batch's admissions: weighted rows whose stratum budget (given
+    * the carried-in `prior` totals) is still open at their exclusive
+    * within-batch arrival prior — the boundary rule of the class doc,
+    * shared with [[AssembleStream]]'s composed form. */
+  private[ext] def admitted(weighted: DataFrame, needs: Map[String, Long],
+                            prior: Map[String, Long], tokensCol: String,
+                            strataCol: String, idCol: String,
+                            bucketWidth: Long): DataFrame = {
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    val bounds = needs.toSeq.sortBy(_._1)
+      .map { case (s, n) => (s, n, prior.getOrElse(s, 0L)) }
+      .toDF("_m_stratum", "_need", "_base")
+    Sampling.exclusivePrior(weighted, strataCol, tokensCol,
+        bucket = floor(col(idCol) / lit(bucketWidth)),
+        order = Seq(col(idCol)))
+      .join(broadcast(bounds), col(strataCol) === col("_m_stratum"))
+      .filter(col("_base") + col("_prior") < col("_need"))
+      .drop("_m_stratum", "_need", "_base", "_prior")
+  }
+
   /**
    * Run budget-gated admission over a document stream carrying
    * `tokensCol` (long token counts) and a string `strataCol`. Admitted
@@ -114,21 +143,11 @@ object MixtureStream {
           // arrival cumsum)
           val sums =
             if (allClosed) Map.empty[String, Long]
-            else weighted.groupBy(strataCol)
-              .agg(sum(col(tokensCol)).cast("long").as("_t"))
-              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          if (sums.nonEmpty) {
-            val bounds = needs.toSeq.sortBy(_._1)
-              .map { case (s, n) => (s, n, prior.getOrElse(s, 0L)) }
-              .toDF("_m_stratum", "_need", "_base")
-            Sampling.exclusivePrior(weighted, strataCol, tokensCol,
-                bucket = floor(col(idCol) / lit(bucketWidth)),
-                order = Seq(col(idCol)))
-              .join(broadcast(bounds), col(strataCol) === col("_m_stratum"))
-              .filter(col("_base") + col("_prior") < col("_need"))
-              .drop("_m_stratum", "_need", "_base", "_prior")
+            else seenSums(weighted, tokensCol, strataCol)
+          if (sums.nonEmpty)
+            admitted(weighted, needs, prior, tokensCol, strataCol, idCol,
+              bucketWidth)
               .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-          }
           val merged = needs.keys.map { s =>
             s -> (prior.getOrElse(s, 0L) + sums.getOrElse(s, 0L))
           }.toMap
