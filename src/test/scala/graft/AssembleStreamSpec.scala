@@ -121,6 +121,85 @@ class AssembleStreamSpec extends SparkSpec {
     assert(spans(out) == expected(corpus))
   }
 
+  test("chained production path: clean-corpus stream output feeds the assembly stream") {
+    import graft.ext.CleanCorpusStream
+    // dirty corpus: unique 12-token docs (kept) + an exact dup, a
+    // quality casualty, and a near-dup casualty per lang block
+    def doc(i: Long) = (0 until 12).map(w => s"u${i}w$w").mkString(" ")
+    val dirty = Seq(
+      (0L, doc(0), "en"), (1L, doc(0), "en"), // 1 exact-dup of 0
+      (2L, "too short", "en"), // quality casualty
+      (3L, doc(3), "en"), (4L, doc(3).replace("w11", "x11"), "en"), // 4 near-dups 3
+      (5L, doc(5), "de"), (6L, doc(6), "de"), (7L, doc(7), "en"),
+      (8L, doc(8), "de"), (9L, doc(9), "en"))
+    val root = java.nio.file.Files.createTempDirectory("chain-root")
+    val cleanIdx = java.nio.file.Files.createTempDirectory("chain-idx")
+    val cleanOut = java.nio.file.Files.createTempDirectory("chain-cout")
+    val cleanCkpt = java.nio.file.Files.createTempDirectory("chain-cckpt")
+    val dirtyDf = dirty.toDF("doc_id", "text", "lang")
+    Seq(dirty.filter(_._1 <= 4L), dirty.filter(_._1 > 4L))
+      .zipWithIndex.foreach { case (rows, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("chain-slice")
+        rows.toDF("doc_id", "text", "lang").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        }
+        val dst = root.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 10000L + i * 2000L)): Unit
+      }
+    val q1 = CleanCorpusStream.run(
+      spark.readStream.schema(dirtyDf.schema).option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+      cleanIdx.toString, cleanOut.toString, cleanCkpt.toString,
+      threshold = 0.8)
+    try q1.processAllAvailable() finally q1.stop()
+    val cleaned = spark.read.parquet(cleanOut.toString)
+    assert(cleaned.select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 3L, 5L, 6L, 7L, 8L, 9L), "cleaning fixture drifted")
+    // chain: the assembly stream CONSUMES the cleaner's epoch dirs (one
+    // availableNow batch — within-batch admission is id-ordered by
+    // construction, so arrival order is the id order the oracle states)
+    val out = java.nio.file.Files.createTempDirectory("chain-aout")
+    val ckpt = java.nio.file.Files.createTempDirectory("chain-ackpt")
+    val q2 = AssembleStream.run(
+      spark.readStream.schema(dirtyDf.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$cleanOut/epoch=*")
+        .withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long")),
+      out.toString, ckpt.toString, Map("en" -> 0.5, "de" -> 0.25),
+      budgetTokens = 64L, seqLen = 16L, tokensCol = "n_tokens",
+      strataCol = "lang", bucketWidth = 4L)
+    try q2.processAllAvailable() finally q2.stop()
+    // expected: admission boundary then batch packing over the CLEANED
+    // corpus (needs: en 32, de 16; every kept doc is 12 tokens -> en
+    // admits 0,3,7 at priors 0/12/24; de admits 5,6 at priors 0/12;
+    // en 9 and de 8 arrive past their boundaries)
+    val cleanedTok = cleaned
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val admitted = cleanedTok
+      .withColumn("prior", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("prior") < when(col("lang") === "en", 32L)
+        .when(col("lang") === "de", 16L).otherwise(0L))
+      .select("doc_id", "n_tokens")
+    val expectedSpans = Sampling
+      .packSequences(admitted, 16L, "n_tokens", bucketWidth = 4L)
+      .select("doc_id", "seq_id", "tok_start", "tok_end", "seq_off")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans(out) == expectedSpans, spans(out).toString)
+    // the dropped dirty docs never reached the packer
+    assert(!spans(out).exists(s => Set(1L, 2L, 4L).contains(s._1)))
+  }
+
   test("crash replay: deleting the last stream commit and restarting changes nothing") {
     val root = java.nio.file.Files.createTempDirectory("asm3-root")
     val out = java.nio.file.Files.createTempDirectory("asm3-out")
