@@ -201,6 +201,7 @@ object Stress {
     }
     if (tierOn("nd_rebucket")) { nearDupRebucketTier(docsK) }
     if (tierOn("cc_stream")) { cleanCorpusStreamTier(docs1); cleanCorpusStreamTier(docsK) }
+    if (tierOn("asm_stream")) { assembleStreamTier(docs1); assembleStreamTier(docsK) }
     if (tierOn("decontam_stream")) {
       decontamStreamTier(docs1); decontamStreamTier(docsK)
     }
@@ -973,6 +974,107 @@ object Stress {
         f"(kept=${keptB.size}, verdicts identical, " +
         f"post-migration batches=${batchesB.mkString(" ")})")
     } finally {
+      tmps.foreach { p =>
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /**
+   * Assembly-stream tier (round 14): the composed mixture→pack stream
+   * over 8 id-hash slices, five synthetic strata (s4 unweighted). Two
+   * regimes:
+   *  (a) budget = corpus/2 — per-stratum needs (corpus/8) close
+   *      mid-stream, so the tail batches must ride the skip path
+   *      (decided from prior state: no Spark job, no write, ~0 wall);
+   *  (b) budget = 2×corpus — no budget ever closes, every batch packs
+   *      its full weighted slice; walls must track the batch.
+   * Both runs verify the committed offset against the packed output
+   * (the assembly's only cross-batch invariant — there is no index,
+   * so nothing else CAN grow with corpus lifetime).
+   */
+  private def assembleStreamTier(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      concat(lit("s"), pmod(col("doc_id"), lit(5L)).cast("string"))
+        .as("lang")).cache()
+    val total = d.agg(sum("n_tokens")).head().getLong(0)
+    def mkSlices(root: java.nio.file.Path): Unit = {
+      val base = System.currentTimeMillis() - 60000L
+      (0 until 8).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("asm-stress-slice")
+        d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val l = java.nio.file.Files.list(tmp)
+          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        }
+        val dst = root.resolve(f"slice_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+      }
+    }
+    def stream(root: java.nio.file.Path, out: java.nio.file.Path,
+               ckpt: java.nio.file.Path, budget: Long): Seq[String] = {
+      val q = graft.ext.AssembleStream.run(
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        out.toString, ckpt.toString,
+        weights = Map("s0" -> 0.25, "s1" -> 0.25, "s2" -> 0.25,
+          "s3" -> 0.25),
+        budgetTokens = budget, seqLen = 1024L, tokensCol = "n_tokens",
+        strataCol = "lang", bucketWidth = 100000L)
+      try q.processAllAvailable() finally q.stop()
+      // NO row filter: the post-closure skip batches are the point
+      q.recentProgress
+        .map(p => f"${p.batchId}:${p.batchDuration}ms(${p.numInputRows}r)")
+        .toSeq
+    }
+    def packedTokens(out: java.nio.file.Path): Long = {
+      val dirs = graft.log.PathIO.listDir(graft.log.PathIO.path(out.toString))
+        .filter(_.getName.startsWith("epoch="))
+      if (dirs.isEmpty) 0L
+      else spark.read.parquet(out.toString)
+        .agg(sum(col("tok_end") - col("tok_start"))).head().getLong(0)
+    }
+    val tmps = (0 until 5).map(_ =>
+      java.nio.file.Files.createTempDirectory("asm-stress"))
+    val Seq(root, outA, ckptA, outB, ckptB) = tmps
+    try {
+      mkSlices(root)
+      // (a) budgets close mid-stream: the tail is the skip path
+      val t0 = System.nanoTime()
+      val batchesA = stream(root, outA, ckptA, total / 2)
+      val wallA = (System.nanoTime() - t0) / 1e9
+      val offA = graft.ext.SeqPackStream.priorOffset(outA.toString, Long.MaxValue)
+      require(packedTokens(outA) == offA,
+        s"packed tokens ${packedTokens(outA)} != committed offset $offA")
+      println(f"STRESS asm_stream_close(n=$n)     $wallA%8.2fs  " +
+        f"(admitted_tokens=$offA/$total, batches=${batchesA.mkString(" ")})")
+      // (b) budgets never close: every batch packs its weighted slice
+      val weightedTotal = d.filter(col("lang") =!= "s4")
+        .agg(sum("n_tokens")).head().getLong(0)
+      val t1 = System.nanoTime()
+      val batchesB = stream(root, outB, ckptB, total * 2)
+      val wallB = (System.nanoTime() - t1) / 1e9
+      val offB = graft.ext.SeqPackStream.priorOffset(outB.toString, Long.MaxValue)
+      require(offB == weightedTotal,
+        s"open-budget offset $offB != weighted corpus $weightedTotal")
+      require(packedTokens(outB) == offB,
+        s"packed tokens ${packedTokens(outB)} != committed offset $offB")
+      println(f"STRESS asm_stream_open(n=$n)      $wallB%8.2fs  " +
+        f"(admitted_tokens=$offB, batches=${batchesB.mkString(" ")})")
+    } finally {
+      d.unpersist()
       tmps.foreach { p =>
         import scala.jdk.CollectionConverters._
         try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
