@@ -901,28 +901,43 @@ object Stress {
     * fanout migration with verdicts identical to the uninterrupted
     * run. Run with SPARK_GRAFT_ND_DEBUG=1 to get the per-stage
     * cc-debug marks (incl. the four-concurrent-write phase). */
+  /** Materialize `d` as mtime-ordered `doc_id % 8` hash slices under
+    * `root` (one parquet part per slice; the staging dir and its
+    * _SUCCESS/.crc side files are removed — tier runs must not
+    * accumulate tmp garbage across bench rounds). Shared by the
+    * cc/assembly/rebucket streaming tiers. */
+  private def mkHashSlices(d: DataFrame, root: java.nio.file.Path,
+                           upTo: Int, from: Int = 0): Unit = {
+    val base = System.currentTimeMillis() - 60000L
+    (from until upTo).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("stress-slice")
+      d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      val dst = root.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+      val leftovers = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala.toSeq finally l.close()
+      }
+      leftovers.foreach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+    }
+  }
+
   private def cleanCorpusStreamTier(docs: DataFrame): Unit = {
     val spark = docs.sparkSession
     val n = docs.count()
     val d = docs.select(col("doc_id"), col("text"))
-    def mkSlices(root: java.nio.file.Path, upTo: Int, from: Int = 0): Unit = {
-      val base = System.currentTimeMillis() - 60000L
-      (from until upTo).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory("cc-stress-slice")
-        d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-          finally l.close()
-        }
-        val dst = root.resolve(f"slice_$i%02d.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
-      }
-    }
+    def mkSlices(root: java.nio.file.Path, upTo: Int, from: Int = 0): Unit =
+      mkHashSlices(d, root, upTo, from)
     def stream(root: java.nio.file.Path, idx: java.nio.file.Path,
                out: java.nio.file.Path, ckpt: java.nio.file.Path,
                hb: Int, bb: Int, ib: Int): Seq[String] = {
@@ -1005,24 +1020,7 @@ object Stress {
       concat(lit("s"), pmod(col("doc_id"), lit(5L)).cast("string"))
         .as("lang")).cache()
     val total = d.agg(sum("n_tokens")).head().getLong(0)
-    def mkSlices(root: java.nio.file.Path): Unit = {
-      val base = System.currentTimeMillis() - 60000L
-      (0 until 8).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory("asm-stress-slice")
-        d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-          finally l.close()
-        }
-        val dst = root.resolve(f"slice_$i%02d.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
-      }
-    }
+    def mkSlices(root: java.nio.file.Path): Unit = mkHashSlices(d, root, 8)
     def stream(root: java.nio.file.Path, out: java.nio.file.Path,
                ckpt: java.nio.file.Path, budget: Long): Seq[String] = {
       val q = graft.ext.AssembleStream.run(
@@ -1088,24 +1086,8 @@ object Stress {
     val spark = docs.sparkSession
     val n = docs.count()
     val d = docs.select(col("doc_id"), col("text"))
-    def mkSlices(root: java.nio.file.Path, upTo: Int, from: Int = 0): Unit = {
-      val base = System.currentTimeMillis() - 60000L
-      (from until upTo).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory("rb-stress-slice")
-        d.filter(pmod(col("doc_id"), lit(8)) === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-          finally l.close()
-        }
-        val dst = root.resolve(f"slice_$i%02d.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
-      }
-    }
+    def mkSlices(root: java.nio.file.Path, upTo: Int, from: Int = 0): Unit =
+      mkHashSlices(d, root, upTo, from)
     def stream(root: java.nio.file.Path, idx: java.nio.file.Path,
                out: java.nio.file.Path, ckpt: java.nio.file.Path,
                bb: Int, ib: Int): Unit = {

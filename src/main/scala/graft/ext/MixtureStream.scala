@@ -125,8 +125,6 @@ object MixtureStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
         val prior = priorTotals(outDir, epochId)
         val cached = batch.persist()
         try {

@@ -23,11 +23,11 @@ class AssembleStreamSpec extends SparkSpec {
     (8L, "a", 10L))
   private val weights = Map("a" -> 0.5, "b" -> 0.25)
 
-  private def writeSlice(root: java.nio.file.Path, name: String,
-                         rows: Seq[(Long, String, Long)], mtime: Long): Unit = {
+  private def writeSliceDf(root: java.nio.file.Path, name: String,
+                           df: org.apache.spark.sql.DataFrame,
+                           mtime: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("asm-slice")
-    rows.toDF("doc_id", "lang", "n_tokens").coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     import scala.jdk.CollectionConverters._
     val part = {
       val l = java.nio.file.Files.list(tmp)
@@ -39,6 +39,10 @@ class AssembleStreamSpec extends SparkSpec {
     java.nio.file.Files.setLastModifiedTime(dst,
       java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
   }
+
+  private def writeSlice(root: java.nio.file.Path, name: String,
+                         rows: Seq[(Long, String, Long)], mtime: Long): Unit =
+    writeSliceDf(root, name, rows.toDF("doc_id", "lang", "n_tokens"), mtime)
 
   private val schema = corpus.toDF("doc_id", "lang", "n_tokens").schema
 
@@ -139,20 +143,9 @@ class AssembleStreamSpec extends SparkSpec {
     val dirtyDf = dirty.toDF("doc_id", "text", "lang")
     Seq(dirty.filter(_._1 <= 4L), dirty.filter(_._1 > 4L))
       .zipWithIndex.foreach { case (rows, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("chain-slice")
-        rows.toDF("doc_id", "text", "lang").coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val part = {
-          val l = java.nio.file.Files.list(tmp)
-          try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-          finally l.close()
-        }
-        val dst = root.resolve(f"slice_$i%02d.parquet")
-        java.nio.file.Files.move(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() - 10000L + i * 2000L)): Unit
+        writeSliceDf(root, f"slice_$i%02d.parquet",
+          rows.toDF("doc_id", "text", "lang"),
+          System.currentTimeMillis() - 10000L + i * 2000L)
       }
     val q1 = CleanCorpusStream.run(
       spark.readStream.schema(dirtyDf.schema).option("maxFilesPerTrigger", 1)
