@@ -2586,6 +2586,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Mixture materialization (ext.Sampling.packMixture): the
+    * token_mixture recipe's (doc, copy) pairs placed in one GLOBAL
+    * md5 order — whole-epoch copies interleave across strata — and
+    * cut into 64-token training sequences. The loader-facing end of
+    * corpus composition; the oracle replays the copy explode, the
+    * draw order, and the span arithmetic verbatim. */
+  private def qMixturePack(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val mixed = ext.Sampling.tokenMixture(d, "lang",
+      weights = Map("en" -> 0.4375, "de" -> 0.25, "es" -> 0.125,
+        "fr" -> 0.125, "zh" -> 0.0625),
+      budgetTokens = 65536L, tokensCol = "n_tokens", salt = "mixt|")
+    ext.Sampling.packMixture(mixed, seqLen = 64L, "n_tokens", salt = "mp|")
+      .select(col("doc_id"), col("copy").cast("bigint").as("copy"),
+        col("seq_id"), col("tok_start"), col("tok_end"), col("seq_off"))
+      .orderBy("doc_id", "copy", "seq_id")
+  }
+
   /** Streaming token-budget mixture admission (ext.MixtureStream): the
     * documents table arrives as three RANGE slices (id-ordered
     * arrival); each batch admits docs while their language's token
@@ -3514,6 +3534,7 @@ object SparkEntry {
     "seq_pack" -> (qSeqPack _),
     "seq_pack_stream" -> (qSeqPackStream _),
     "token_mixture" -> (qTokenMixture _),
+    "mixture_pack" -> (qMixturePack _),
     "token_mixture_stream" -> (qTokenMixtureStream _),
     "assemble_stream" -> (qAssembleStream _),
     "pii_redact" -> (qPiiRedact _),
@@ -5110,6 +5131,57 @@ object SparkEntry {
         |FROM c JOIN f USING (lang)
         |WHERE f.n_full + CASE WHEN c.prior < f.rem THEN 1 ELSE 0 END >= 1
         |ORDER BY doc_id""".stripMargin,
+    // the mixture materialized: copies exploded, placed in one global
+    // md5(salt||id||'#'||copy) order, then the seq_pack span rule
+    "mixture_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT lang, SUM(n_tokens) AS avail FROM t GROUP BY lang),
+        |f AS (SELECT lang,
+        |    CASE WHEN avail > 0 THEN need // avail ELSE 0 END AS n_full,
+        |    CASE WHEN avail > 0 THEN need - (need // avail) * avail
+        |      ELSE 0 END AS rem
+        |  FROM (SELECT lang, avail,
+        |    CAST(FLOOR((CASE lang WHEN 'en' THEN 0.4375 WHEN 'de' THEN 0.25
+        |      WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.0625
+        |      ELSE 0.0 END) * 65536) AS BIGINT) AS need FROM s)),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5('mixt|' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t),
+        |m AS (
+        |  SELECT p.doc_id, p.n_tokens,
+        |    f.n_full + CASE WHEN p.prior < f.rem THEN 1 ELSE 0 END AS n_copies
+        |  FROM p JOIN f USING (lang)
+        |  WHERE f.n_full + CASE WHEN p.prior < f.rem THEN 1 ELSE 0 END >= 1),
+        |e AS (
+        |  SELECT doc_id, n_tokens,
+        |    UNNEST(generate_series(1, CAST(n_copies AS BIGINT))) AS copy
+        |  FROM m),
+        |d AS (
+        |  SELECT doc_id, n_tokens, copy,
+        |    md5('mp|' || CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(copy AS VARCHAR)) AS dr
+        |  FROM e),
+        |c AS (
+        |  SELECT doc_id, n_tokens, copy,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY dr, doc_id, copy
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM d)
+        |SELECT c.doc_id, CAST(c.copy AS BIGINT) AS copy,
+        |  CAST(g.seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(0, g.seq_id * 64 - c.s) AS BIGINT) AS tok_start,
+        |  CAST(LEAST(c.n_tokens, (g.seq_id + 1) * 64 - c.s) AS BIGINT) AS tok_end,
+        |  CAST(GREATEST(0, c.s - g.seq_id * 64) AS BIGINT) AS seq_off
+        |FROM c CROSS JOIN LATERAL (
+        |  SELECT UNNEST(generate_series(CAST(c.s // 64 AS BIGINT),
+        |    CAST((c.s + c.n_tokens - 1) // 64 AS BIGINT))) AS seq_id) g
+        |WHERE c.n_tokens > 0
+        |ORDER BY doc_id, copy, seq_id""".stripMargin,
     // the stream admits while the language's budget is unexhausted; on
     // id-ordered arrival that is the arrival-order exclusive-cumsum
     // boundary (unweighted langs: need 0, never admitted)

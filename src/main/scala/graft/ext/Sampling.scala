@@ -290,6 +290,87 @@ object Sampling {
       .filter(col("n_copies") >= 1)
       .drop("_m_stratum", "_full", "_rem", "_prior")
 
+  /**
+   * Materialize a [[tokenMixture]] result into the packed training
+   * stream: every (document, copy) pair takes a deterministic position
+   * in ONE GLOBAL md5 order — epochs and strata interleave instead of
+   * a document's copies repeating back-to-back (the shuffled weighted
+   * mix a training run actually consumes; GPT-3, Brown et al. 2020
+   * §2.2 sample mixture components per batch, not per corpus pass) —
+   * and the concatenated token stream is cut at `seqLen` boundaries
+   * with the same split-span map as [[packSequences]]. Output: the
+   * span columns plus `copy`, the 1-based epoch index of the
+   * duplicate.
+   *
+   * The position draw is `md5(salt || id || '#' || copy)` —
+   * reproducible by any engine, and copies of one document land at
+   * unrelated positions.
+   *
+   * Scale shape: the same distributed prefix sum as [[packSequences]],
+   * bucketed by the draw's first two hex chars (a global 256-way
+   * order-preserving split, as in [[tokenMixture]]); only the tiny
+   * bucket-totals table crosses a single partition. The explode
+   * multiplies rows by `n_copies` — that is the intended output size
+   * (the span map IS the epoch-weighted training corpus).
+   */
+  def packMixture(mixed: DataFrame, seqLen: Long, tokensCol: String,
+                  idCol: String = "doc_id", copiesCol: String = "n_copies",
+                  salt: String = ""): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    val placed = packMixturePlaced(mixed, tokensCol, idCol, copiesCol, salt)
+    spanExplode(placed, seqLen, tokensCol)
+      .drop("_bk", "_off_bk", "_local_cum", "_offset", "_d")
+  }
+
+  /** The global draw-order placement of [[packMixture]]: explode the
+    * copies, bucket by draw prefix, distributed exclusive cumsum. */
+  private def packMixturePlaced(mixed: DataFrame, tokensCol: String,
+                                idCol: String, copiesCol: String,
+                                salt: String): DataFrame = {
+    // filter BEFORE sequence(): sequence(1, 0) would step DOWNWARD
+    val copies = mixed.filter(col(copiesCol) >= 1)
+      .withColumn("copy", explode(sequence(lit(1L),
+        col(copiesCol).cast("long"))))
+    val withBk = copies
+      .withColumn("_d", md5(concat(lit(salt), col(idCol).cast("string"),
+        lit("#"), col("copy").cast("string")).cast("binary")))
+      .withColumn("_bk", conv(substring(col("_d"), 1, 2), 16, 10)
+        .cast("long"))
+    val wLocal = Window.partitionBy(col("_bk"))
+      .orderBy(col("_d"), col(idCol), col("copy"))
+    val local = withBk.withColumn("_local_cum",
+      sum(col(tokensCol)).over(wLocal))
+    val wOff = Window.orderBy("_bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBk.groupBy(col("_bk"))
+      .agg(sum(col(tokensCol)).as("_bk_sum"))
+      .withColumn("_offset", coalesce(sum("_bk_sum").over(wOff), lit(0L)))
+      .drop("_bk_sum")
+      .withColumnRenamed("_bk", "_off_bk")
+    local.join(broadcast(offsets), col("_bk") <=> col("_off_bk"))
+      .withColumn("_start",
+        col("_local_cum") + col("_offset") - col(tokensCol))
+  }
+
+  /** Reference implementation of [[packMixture]] as one global window
+    * — the spec asserts the distributed form equals it. */
+  private[graft] def packMixtureNaive(mixed: DataFrame, seqLen: Long,
+                                      tokensCol: String,
+                                      idCol: String = "doc_id",
+                                      copiesCol: String = "n_copies",
+                                      salt: String = ""): DataFrame = {
+    val copies = mixed.filter(col(copiesCol) >= 1)
+      .withColumn("copy", explode(sequence(lit(1L),
+        col(copiesCol).cast("long"))))
+      .withColumn("_d", md5(concat(lit(salt), col(idCol).cast("string"),
+        lit("#"), col("copy").cast("string")).cast("binary")))
+    val w = Window.orderBy(col("_d"), col(idCol), col("copy"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = copies.withColumn("_start",
+      coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+    spanExplode(placed, seqLen, tokensCol).drop("_d")
+  }
+
   /** Reference implementation of [[tokenMixture]] as one window per
     * stratum — the spec asserts the distributed form equals it. */
   private[graft] def tokenMixtureNaive(df: DataFrame, strataCol: String,

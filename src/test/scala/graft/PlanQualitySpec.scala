@@ -56,6 +56,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("mixture_pack: copy explode feeds a draw-bucketed window; one tiny single-partition stage") {
+    val p = plan("mixture_pack")
+    // the (doc, copy) placement window partitions on the draw bucket —
+    // the global md5 order never sorts the exploded corpus whole
+    assert(p.linesIterator.exists(l => l.contains("Window [sum(") &&
+      l.contains("], [_bk#") && l.contains("copy#")), p.take(1500))
+    // exactly one SinglePartition exchange: packMixture's 256-row
+    // bucket-totals table (the mixture stage underneath has none)
+    assert(countOccurrences(p, "Exchange SinglePartition") == 1, p.take(1500))
+    // copies materialize as Generate explode, never a join against a
+    // numbers table
+    assert(p.contains("Generate explode(sequence(1, n_copies"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q1: aggregation is partial (map-side) before the exchange") {
     val p = plan("q1_pricing")
     assert(p.contains("partial_sum"))

@@ -309,6 +309,55 @@ class SamplingSpec extends SparkSpec {
     assert(emitted("zh")._2 == 1, "zh should be a fractional-only fill")
   }
 
+  test("packMixture distributed hash-prefix prefix sum == naive global window") {
+    val mixed = Sampling.tokenMixture(mixDocs, "lang", mixWeights, 65536L,
+      "n_tokens", salt = "tm|")
+    val cols = Seq("doc_id", "copy", "seq_id", "tok_start", "tok_end", "seq_off")
+    val naive = Sampling.packMixtureNaive(mixed, 64L, "n_tokens",
+      salt = "mp|").selectExpr(cols: _*)
+    val dist = Sampling.packMixture(mixed, 64L, "n_tokens", salt = "mp|")
+      .selectExpr(cols: _*)
+    assert(dist.except(naive).isEmpty && naive.except(dist).isEmpty,
+      "draw-bucketed prefix sum diverges from the naive global window")
+  }
+
+  test("packMixture: every copy fully placed; sequences exactly seqLen except the last") {
+    import spark.implicits._
+    val mixed = Sampling.tokenMixture(mixDocs, "lang", mixWeights, 65536L,
+      "n_tokens", salt = "tm|").cache()
+    try {
+      val out = Sampling.packMixture(mixed, 64L, "n_tokens", salt = "mp|")
+        .cache()
+      try {
+        // each (doc, copy) contributes exactly its token count, and the
+        // copy indexes are exactly 1..n_copies
+        val perCopy = out.groupBy("doc_id", "copy")
+          .agg(sum(col("tok_end") - col("tok_start")).as("toks"))
+        val bad = perCopy.join(mixed, "doc_id")
+          .filter(col("toks") =!= col("n_tokens") ||
+            col("copy") < 1 || col("copy") > col("n_copies"))
+        assert(bad.isEmpty, bad.collect().mkString(","))
+        val nCopies = out.select("doc_id", "copy").distinct().count()
+        assert(nCopies == mixed.agg(sum("n_copies")).head().getLong(0))
+        // the packed stream: every sequence except the global last
+        // carries exactly 64 tokens
+        val seqTotals = out.groupBy("seq_id")
+          .agg(sum(col("tok_end") - col("tok_start")).as("t"))
+        val maxSeq = seqTotals.agg(max("seq_id")).head().getLong(0)
+        val short = seqTotals
+          .filter(col("seq_id") < maxSeq && col("t") =!= 64L).count()
+        assert(short == 0L, "a non-final sequence is not exactly seqLen")
+        // interleaving: an upsampled doc's copies do NOT pack into the
+        // same sequence run (distinct draws scatter them)
+        val sameSeq = out.groupBy("doc_id", "seq_id")
+          .agg(countDistinct("copy").as("c")).filter(col("c") > 1).count()
+        val totalSpans = out.count()
+        assert(sameSeq < totalSpans / 10,
+          s"copies cluster: $sameSeq/$totalSpans spans share (doc, seq)")
+      } finally out.unpersist()
+    } finally mixed.unpersist()
+  }
+
   test("tokenMixture: unweighted, NULL, and zero-avail strata drop; no rows repeat") {
     import spark.implicits._
     val d = Seq(
