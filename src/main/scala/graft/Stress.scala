@@ -953,7 +953,8 @@ object Stress {
     }
     val tmps = (0 until 8).map(_ =>
       java.nio.file.Files.createTempDirectory("cc-stress"))
-    val Seq(rootA, outA, ckptA, idxA, rootB, outB, ckptB, idxB) = tmps
+    val (rootA, outA, ckptA, idxA) = (tmps(0), tmps(1), tmps(2), tmps(3))
+    val (rootB, outB, ckptB, idxB) = (tmps(4), tmps(5), tmps(6), tmps(7))
     try {
       // (a) all 8 slices straight through, folds at batches 3 and 6
       mkSlices(rootA, 8)
@@ -1046,7 +1047,8 @@ object Stress {
     }
     val tmps = (0 until 5).map(_ =>
       java.nio.file.Files.createTempDirectory("asm-stress"))
-    val Seq(root, outA, ckptA, outB, ckptB) = tmps
+    val (root, outA, ckptA) = (tmps(0), tmps(1), tmps(2))
+    val (outB, ckptB) = (tmps(3), tmps(4))
     try {
       mkSlices(root)
       // (a) budgets close mid-stream: the tail is the skip path
@@ -1100,7 +1102,8 @@ object Stress {
     }
     val tmps = (0 until 8).map(_ =>
       java.nio.file.Files.createTempDirectory("rb-stress"))
-    val Seq(rootA, outA, ckptA, idxA, rootB, outB, ckptB, idxB) = tmps
+    val (rootA, outA, ckptA, idxA) = (tmps(0), tmps(1), tmps(2), tmps(3))
+    val (rootB, outB, ckptB, idxB) = (tmps(4), tmps(5), tmps(6), tmps(7))
     try {
       // (a) single-fanout baseline: all 8 slices at 64/32
       mkSlices(rootA, 8)

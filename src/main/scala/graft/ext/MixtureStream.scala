@@ -98,7 +98,7 @@ object MixtureStream {
       .map { case (s, n) => (s, n, prior.getOrElse(s, 0L)) }
       .toDF("_m_stratum", "_need", "_base")
     Sampling.exclusivePrior(weighted, strataCol, tokensCol,
-        bucket = floor(col(idCol) / lit(bucketWidth)),
+        bucket = Sampling.idBucket(idCol, bucketWidth),
         order = Seq(col(idCol)))
       .join(broadcast(bounds), col(strataCol) === col("_m_stratum"))
       .filter(col("_base") + col("_prior") < col("_need"))
@@ -142,10 +142,20 @@ object MixtureStream {
           val sums =
             if (allClosed) Map.empty[String, Long]
             else seenSums(weighted, tokensCol, strataCol)
-          if (sums.nonEmpty)
-            admitted(weighted, needs, prior, tokensCol, strataCol, idCol,
-              bucketWidth)
-              .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+          if (sums.nonEmpty) {
+            val adm = admitted(weighted, needs, prior, tokensCol,
+              strataCol, idCol, bucketWidth).persist()
+            try {
+              // a batch can carry weighted rows whose strata are all
+              // already closed (another stratum keeps `allClosed`
+              // false): nothing admits, so skip the write — the same
+              // no-empty-dirs rule as AssembleStream; replay re-derives
+              // the identical skip from the same prior totals
+              if (!adm.isEmpty)
+                adm.write.mode("overwrite")
+                  .parquet(s"$outDir/epoch=$epochId")
+            } finally { adm.unpersist(); () }
+          }
           val merged = needs.keys.map { s =>
             s -> (prior.getOrElse(s, 0L) + sums.getOrElse(s, 0L))
           }.toMap

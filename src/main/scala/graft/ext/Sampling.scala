@@ -168,10 +168,18 @@ object Sampling {
                  bucketWidth: Long = 1000000L): DataFrame = {
     require(budget > 0 && bucketWidth > 0)
     exclusivePrior(df, strataCol, tokensCol,
-        bucket = floor(col(idCol) / lit(bucketWidth)), order = Seq(col(idCol)))
-      .withColumn("shard_id", (col("_prior") / lit(budget)).cast("long"))
+        bucket = idBucket(idCol, bucketWidth), order = Seq(col(idCol)))
+      .withColumn("shard_id", expr(s"_prior div $budget"))
       .drop("_prior")
   }
+
+  /** The id-range bucket key of the prefix-sum family: integral `div`
+    * of the (non-negative) id by the bucket width — exact at any id
+    * magnitude, unlike `floor(id / width)` in double arithmetic whose
+    * quotient loses integer resolution past 2^53. Order-preserving
+    * coarsening of the id order, as [[exclusivePrior]] requires. */
+  private[ext] def idBucket(idCol: String, bucketWidth: Long): Column =
+    expr(s"`$idCol` div $bucketWidth")
 
   /** Shared machinery of [[packShards]], [[tokenMixture]] and
     * [[MixtureStream]]: the exclusive cumulative sum of `tokensCol`
@@ -489,7 +497,7 @@ object Sampling {
     require(seqLen > 0, s"seqLen $seqLen must be positive")
     require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
     require(startOffset >= 0, s"startOffset $startOffset must be >= 0")
-    val withBk = df.withColumn("_bk", floor(col(idCol) / lit(bucketWidth)))
+    val withBk = df.withColumn("_bk", idBucket(idCol, bucketWidth))
     val wLocal = Window.partitionBy(col("_bk")).orderBy(idCol)
     val local = withBk.withColumn("_local_cum",
       sum(col(tokensCol)).over(wLocal))

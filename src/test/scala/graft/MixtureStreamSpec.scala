@@ -180,6 +180,32 @@ class MixtureStreamSpec extends SparkSpec {
     }: Unit
   }
 
+  test("a batch of only-closed-strata rows writes no empty epoch dir while another stratum stays open") {
+    // needs: a=32, b=16. Slice 0 closes a exactly (16+16); slice 1
+    // carries ONLY a-rows — weighted, but its stratum is closed while b
+    // stays open, so nothing admits and no epoch=1 dir may appear;
+    // slice 2 opens b's admissions.
+    val rows = Seq(
+      (0L, "a", 16L), (1L, "a", 16L), // slice 0
+      (2L, "a", 10L),                 // slice 1: weighted but closed
+      (3L, "b", 16L))                 // slice 2
+    val root = java.nio.file.Files.createTempDirectory("mixe-root")
+    val out = java.nio.file.Files.createTempDirectory("mixe-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("mixe-ckpt")
+    val base = System.currentTimeMillis() - 10000L
+    writeSlice(root, "slice_00.parquet", rows.filter(_._1 <= 1L), base)
+    writeSlice(root, "slice_01.parquet", rows.filter(_._1 == 2L), base + 2000L)
+    writeSlice(root, "slice_02.parquet", rows.filter(_._1 == 3L), base + 4000L)
+    drain(root, out, ckpt)
+    assert(kept(out) == Set(0L, 1L, 3L), kept(out).toString)
+    val epochDirs = PathIO.listDir(PathIO.path(out.toString)).map(_.getName)
+      .filter(_.startsWith("epoch=")).toSet
+    assert(epochDirs == Set("epoch=0", "epoch=2"), epochDirs.toString)
+    // totals still advanced past the skipped batch (seen, not admitted)
+    assert(MixtureStream.priorTotals(out.toString, 3L) ==
+      Map("a" -> 42L, "b" -> 16L))
+  }
+
   test("tokenMixture whole-pass + remainder copy counts on a one-doc-per-stratum fixture") {
     // one doc per stratum: need/avail arithmetic is hand-checkable, and
     // the remainder prefix (prior 0 < rem) reduces to rem > 0
