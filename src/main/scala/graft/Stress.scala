@@ -205,6 +205,7 @@ object Stress {
     if (tierOn("decontam_stream")) {
       decontamStreamTier(docs1); decontamStreamTier(docsK)
     }
+    if (tierOn("retro_apply")) retroApplyTier(docs1)
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -825,6 +826,52 @@ object Stress {
         try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
         catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Retroactive-decontamination APPLY tier: one fixed kept corpus
+    * split over E epoch dirs, a late eval sliver (doc_id % 97 == 0,
+    * drawn from the corpus itself so every epoch is contaminated), and
+    * retroScreen run screen-only then with apply. The scale claim
+    * under test: the per-epoch rewrites and swaps run as CONCURRENT
+    * awaited jobs, so the apply wall stays near-flat as the
+    * contaminated-epoch count grows 4× on the same data — a serial
+    * loop would pay E job-latency floors (the dirs are small; the
+    * floor IS the cost). */
+  private def retroApplyTier(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    val n = docs.count()
+    Seq(4, 16).foreach { epochs =>
+      val out = java.nio.file.Files.createTempDirectory("retro-out")
+      val idx = java.nio.file.Files.createTempDirectory("retro-idx")
+      try {
+        docs.select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(epochs.toLong)).as("epoch"))
+          .repartition(col("epoch"))
+          .write.mode("overwrite").partitionBy("epoch").parquet(out.toString)
+        graft.ext.DecontamStream.evalPostings(
+            docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+            "text", 5, graft.ext.DecontamStream.EvalBuckets)
+          .write.partitionBy("eb").parquet(s"$idx/ngrams/epoch=0")
+        val t0 = System.nanoTime()
+        val screened = graft.ext.DecontamStream.retroScreen(spark,
+          out.toString, idx.toString, n = 5, apply = false).count()
+        val screenWall = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.ext.DecontamStream.retroScreen(spark,
+          out.toString, idx.toString, n = 5, apply = true): Unit
+        val applyRunWall = (System.nanoTime() - t1) / 1e9
+        val keptAfter = spark.read.parquet(out.toString).count()
+        println(f"STRESS retro_apply(E=$epochs%2d,n=$n) screen=$screenWall%7.2fs  " +
+          f"screen+apply=$applyRunWall%7.2fs  (tombs=$screened, kept=$keptAfter)")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Seq(out, idx).foreach { p =>
+          try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          catch { case _: java.io.IOException => () }
+        }
       }
     }
   }

@@ -170,15 +170,24 @@ object DecontamStream {
       .collect().toSeq.sorted
     val tombDf = tombRows.toDF("doc_id", "epoch")
     if (apply && tombRows.nonEmpty) {
-      val hit = tombRows.map(_._2).distinct.sorted
-      hit.foreach { e =>
-        val ids = tombDf.filter(col("epoch") === e)
-          .select(col("doc_id").as("_tomb_id"))
+      // per-epoch rewrites are independent (each reads its own live
+      // dir, stages under its own _retro dir): run them as CONCURRENT
+      // awaited Spark jobs — a broadly-contaminating eval set over a
+      // long-lived corpus hits O(epochs) dirs, and a serial loop pays
+      // O(epochs) job-latency floors. Same helper (job-group tagged,
+      // every write awaited) as the other streaming indexes.
+      val idsByEpoch = tombRows.groupBy(_._2)
+      val hit = idsByEpoch.keys.toSeq.sorted
+      NearDupStream.parallelWrites(spark, hit.map { e => () => {
+        val ids = idsByEpoch(e).map(_._1).toDF("_tomb_id")
         spark.read.parquet(s"$outDir/epoch=$e")
           .join(broadcast(ids), col(idCol) === col("_tomb_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$outDir/_retro/epoch=$e")
-      }
-      hit.foreach(e => finishRetroSwap(outDir, e))
+      }}: _*)
+      // swaps are driver-side metadata ops; concurrent too — each
+      // touches only its own epoch's live + staged dirs
+      NearDupStream.parallelWrites(spark,
+        hit.map { e => () => finishRetroSwap(outDir, e) }: _*)
       PathIO.deleteIfExists(PathIO.path(outDir, "_retro")): Unit
     }
     tombDf

@@ -181,4 +181,79 @@ class DecontamStreamSpec extends SparkSpec {
     assert(keptIds(out) === Set(3L))
     assert(!java.nio.file.Files.exists(out.resolve("_retro")))
   }
+
+  test("two epochs contaminated at once: concurrent rewrites both swap in") {
+    // eval arrives LAST (batch 2): docs 0 (epoch 0) and 1 (epoch 1)
+    // both kept by the no-retroaction stream, both dropped by the
+    // retro screen — the apply path stages and swaps TWO epoch dirs in
+    // one call (the concurrent-rewrite path, not a single-epoch apply)
+    val gram2 = "zeta eta theta iota kappa"
+    val rows = Seq(
+      (0L, s"$gram2 zero tail words here", false),
+      (3L, "too short doc", false),
+      (1L, s"$gram2 one other suffix words", false),
+      (4L, "unrelated corpus content about joins and shuffles", false),
+      (2L, "another unrelated kept document entirely", false),
+      (5L, s"$gram2 late eval holdout", true))
+    val root = java.nio.file.Files.createTempDirectory("dc2-root")
+    val idx = java.nio.file.Files.createTempDirectory("dc2-idx")
+    val out = java.nio.file.Files.createTempDirectory("dc2-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("dc2-ckpt")
+    val base = System.currentTimeMillis() - 10000L
+    val df = rows.toDF("doc_id", "text", "is_eval")
+    (0 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("dc2-slice")
+      df.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      val dst = root.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)): Unit
+    }
+    val q = DecontamStream.run(
+      spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+      idx.toString, out.toString, ckpt.toString, n = 5)
+    try q.processAllAvailable() finally q.stop()
+    assert(keptIds(out) === Set(0L, 1L, 2L, 3L, 4L)) // no retroaction
+    val tombs = graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(tombs === Set((0L, 0L), (1L, 1L)), s"tombstones: $tombs")
+    assert(keptIds(out) === Set(2L, 3L, 4L))
+    assert(!java.nio.file.Files.exists(out.resolve("_retro")))
+    // the untouched epoch 2 dir was never rewritten
+    assert(spark.read.parquet(s"$out/epoch=2").select("doc_id")
+      .as[Long].collect().toSet === Set(2L))
+  }
+
+  test("crash with TWO concurrently staged epochs (one complete, one mid-write) heals per-epoch") {
+    val (root, idx, out, ckpt) = dirs()
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5): Unit
+    assert(keptIds(out) === Set(2L, 3L)) // doc 2 in epoch 2, doc 3 in epoch 0
+    // simulate a crash mid-apply with two epochs staged at once: the
+    // epoch=2 staging completed (_SUCCESS — parquet write commits it),
+    // the epoch=0 staging is a mid-write torso without _SUCCESS
+    spark.read.parquet(s"$out/epoch=2").filter(col("doc_id") =!= 2L)
+      .write.parquet(s"$out/_retro/epoch=2")
+    java.nio.file.Files.createDirectories(out.resolve("_retro").resolve("epoch=0"))
+    java.nio.file.Files.write(
+      out.resolve("_retro").resolve("epoch=0").resolve("part-y.parquet"),
+      Array[Byte](9, 9, 9))
+    // resume (entry of any retroScreen call): the completed staging
+    // swaps in, the torso discards with its live dir intact
+    graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5): Unit
+    assert(keptIds(out) === Set(3L),
+      "completed staging must swap, torso must discard")
+    assert(!java.nio.file.Files.exists(out.resolve("_retro")))
+  }
 }
