@@ -33,6 +33,14 @@ import java.nio.file.{Files, StandardCopyOption}
  * Paths are `mocks3:/abs/path`, mapped 1:1 onto the local filesystem —
  * only the scheme changes, so tests can create roots with
  * `Files.createTempDirectory` and inspect them with java.nio.
+ *
+ * Every operation increments a global per-op counter
+ * ([[MockS3FileSystem.Ops]]) in the object store's own cost units —
+ * LIST, HEAD (getFileStatus), GET (open), conditional PUT, overwrite
+ * PUT, per-object COPY (inside "rename"), DELETE — so a stress run can
+ * report per-batch request counts, the axis object stores bill and
+ * throttle on, alongside walls. Lives in main (not test) sources
+ * because the Stress tiers drive it.
  */
 class MockS3FileSystem extends FileSystem {
   private var fsUri: URI = _
@@ -55,21 +63,27 @@ class MockS3FileSystem extends FileSystem {
     st.setPath(toMock(st.getPath)); st
   }
 
-  override def open(f: Path, bufferSize: Int): FSDataInputStream =
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    MockS3FileSystem.Ops.get.incrementAndGet()
     local.open(toLocal(f), bufferSize)
+  }
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
-                      progress: Progressable): FSDataOutputStream =
+                      progress: Progressable): FSDataOutputStream = {
+    (if (overwrite) MockS3FileSystem.Ops.put
+     else MockS3FileSystem.Ops.condPut).incrementAndGet()
     new FSDataOutputStream(
       new MockS3FileSystem.PutStream(
         java.nio.file.Paths.get(f.toUri.getPath), overwrite), null)
+  }
 
   override def append(f: Path, bufferSize: Int,
                       progress: Progressable): FSDataOutputStream =
     throw new UnsupportedOperationException("object stores cannot append")
 
   override def rename(src: Path, dst: Path): Boolean = {
+    MockS3FileSystem.Ops.rename.incrementAndGet()
     val ls = toLocal(src)
     var ld = toLocal(dst)
     if (!local.exists(ls)) false
@@ -94,6 +108,7 @@ class MockS3FileSystem extends FileSystem {
       local.listStatus(src).foreach(c =>
         copyTree(c.getPath, new Path(dst, c.getPath.getName)))
     } else {
+      MockS3FileSystem.Ops.copy.incrementAndGet()
       val bytes = {
         val in = local.open(src)
         try {
@@ -107,11 +122,15 @@ class MockS3FileSystem extends FileSystem {
     }
   }
 
-  override def delete(f: Path, recursive: Boolean): Boolean =
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    MockS3FileSystem.Ops.delete.incrementAndGet()
     local.delete(toLocal(f), recursive)
+  }
 
-  override def listStatus(f: Path): Array[FileStatus] =
+  override def listStatus(f: Path): Array[FileStatus] = {
+    MockS3FileSystem.Ops.list.incrementAndGet()
     local.listStatus(toLocal(f)).map(fix)
+  }
 
   override def setWorkingDirectory(dir: Path): Unit =
     local.setWorkingDirectory(toLocal(dir))
@@ -121,8 +140,10 @@ class MockS3FileSystem extends FileSystem {
   override def mkdirs(f: Path, permission: FsPermission): Boolean =
     local.mkdirs(toLocal(f), permission)
 
-  override def getFileStatus(f: Path): FileStatus =
+  override def getFileStatus(f: Path): FileStatus = {
+    MockS3FileSystem.Ops.head.incrementAndGet()
     fix(local.getFileStatus(toLocal(f)))
+  }
 
   override def setTimes(f: Path, mtime: Long, atime: Long): Unit =
     local.setTimes(toLocal(f), mtime, atime)
@@ -130,6 +151,34 @@ class MockS3FileSystem extends FileSystem {
 
 object MockS3FileSystem {
   val Scheme = "mocks3"
+
+  /** Global request counters in object-store cost units. Static (the
+    * Hadoop FileSystem cache hands out instances per scheme+UGI, and a
+    * Spark job touches them from many task threads), reset between
+    * measured regions. `copy` counts the per-OBJECT server-side copies
+    * a "rename" decomposes into; `rename` counts the logical calls. */
+  object Ops {
+    import java.util.concurrent.atomic.AtomicLong
+    val list = new AtomicLong
+    val head = new AtomicLong
+    val get = new AtomicLong
+    val condPut = new AtomicLong
+    val put = new AtomicLong
+    val copy = new AtomicLong
+    val delete = new AtomicLong
+    val rename = new AtomicLong
+    private def all = Seq("list" -> list, "head" -> head, "get" -> get,
+      "condPut" -> condPut, "put" -> put, "copy" -> copy,
+      "delete" -> delete, "rename" -> rename)
+    def snapshot(): Map[String, Long] = all.map { case (n, c) => n -> c.get }.toMap
+    def reset(): Unit = all.foreach(_._2.set(0L))
+    /** Compact one-line rendering of a snapshot delta, stable order. */
+    def render(m: Map[String, Long]): String =
+      all.map(_._1).filter(k => m.getOrElse(k, 0L) != 0L)
+        .map(k => s"$k=${m(k)}").mkString(",")
+    def delta(before: Map[String, Long], after: Map[String, Long]): Map[String, Long] =
+      after.map { case (k, v) => k -> (v - before.getOrElse(k, 0L)) }
+  }
 
   /** Register the scheme on a Hadoop conf (idempotent). */
   def register(conf: Configuration): Unit = {

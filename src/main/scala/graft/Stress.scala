@@ -206,6 +206,7 @@ object Stress {
       decontamStreamTier(docs1); decontamStreamTier(docsK)
     }
     if (tierOn("retro_apply")) retroApplyTier(docs1)
+    if (tierOn("os_stream")) { osStreamTier(docs1); osStreamTier(docsK) }
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -1184,6 +1185,151 @@ object Stress {
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
         catch { case _: java.io.IOException => () }
       }
+    }
+  }
+
+  /** Object-store COST tier: the composed streams with their OUTPUT
+    * and INDEX roots on `mocks3:` — the rename-replacing,
+    * conditional-PUT FileSystem the crash-schedule suite proves
+    * correctness on — instrumented with per-request counters
+    * ([[MockS3FileSystem.Ops]]), so the 100 TB-on-S3 posture carries a
+    * COST record beside the correctness record. Three probes:
+    *  - cc_stream driven slice-by-slice: per-batch wall + request
+    *    delta (LIST/HEAD/GET/condPUT/PUT/COPY/DELETE). Flat claim:
+    *    batch requests track the batch's bucket fanout (a constant),
+    *    never the accumulated corpus; the scheduled folds at batches
+    *    3 and 6 are bounded spikes.
+    *  - asm_stream likewise, budget = corpus/2: POST-CLOSURE batches
+    *    must cost O(1) requests (the skip decision reads prior state
+    *    only — no PUT, no COPY).
+    *  - one bands rebucket on the grown mocks3 index: fold write +
+    *    pointer commit + source GC, priced in requests.
+    * Kept rows / committed offsets must equal the file: runs exactly.
+    * Source slices and Spark checkpoints stay on file: — the measured
+    * surface is the ENGINE's index/output protocol (what this repo
+    * owns), not Spark's checkpoint manager. NOTE: parquet job commits
+    * ride Hadoop's FileOutputCommitter, whose task-dir renames this fs
+    * decomposes into per-object COPY+DELETE — those copies are the
+    * committer's (the well-known S3A-committer gap), reported here so
+    * the engine-protocol requests (atomicCreate condPUTs, pointer
+    * files, state chains) are visible beside them. */
+  private def osStreamTier(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    MockS3FileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val Ops = MockS3FileSystem.Ops
+    val n = docs.count()
+    import org.apache.spark.sql.Encoders
+
+    def cleanup(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      catch { case _: java.io.IOException => () }
+    }
+    /** Start `mk`, feed one slice at a time, snapshot request deltas
+      * around each drain; returns (perBatch, stop-result). */
+    def driveSlices(d: DataFrame, root: java.nio.file.Path,
+                    mk: () => org.apache.spark.sql.streaming.StreamingQuery)
+        : Seq[(Int, Double, Map[String, Long])] = {
+      val q = mk()
+      try (0 until 8).map { i =>
+        mkHashSlices(d, root, i + 1, from = i)
+        val before = Ops.snapshot()
+        val t = System.nanoTime()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t) / 1e9
+        (i, wall, Ops.delta(before, Ops.snapshot()))
+      } finally q.stop()
+    }
+
+    // ---- cc_stream: file: baseline vs mocks3, kept sets equal ----
+    locally {
+      val d = docs.select(col("doc_id"), col("text"))
+      val tmps = (0 until 8).map(_ =>
+        java.nio.file.Files.createTempDirectory("os-cc"))
+      val (rootF, outF, ckptF, idxF) = (tmps(0), tmps(1), tmps(2), tmps(3))
+      val (rootS, outS, ckptS, idxS) = (tmps(4), tmps(5), tmps(6), tmps(7))
+      try {
+        def run(root: java.nio.file.Path, idx: String, out: String,
+                ckpt: java.nio.file.Path) =
+          graft.ext.CleanCorpusStream.run(
+            spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+            idx, out, ckpt.toString, threshold = 0.8,
+            hashBuckets = 32, bandBuckets = 64, idBuckets = 32,
+            compactEvery = Some(3))
+        mkHashSlices(d, rootF, 8)
+        val qF = run(rootF, idxF.toString, outF.toString, ckptF)
+        try qF.processAllAvailable() finally qF.stop()
+        val keptF = spark.read.parquet(outF.toString)
+          .select("doc_id").as(Encoders.scalaLong).collect().toSet
+        val outUri = s"mocks3:$outS"
+        val idxUri = s"mocks3:$idxS"
+        val marks = driveSlices(d, rootS,
+          () => run(rootS, idxUri, outUri, ckptS))
+        val keptS = spark.read.parquet(outUri)
+          .select("doc_id").as(Encoders.scalaLong).collect().toSet
+        require(keptF == keptS, s"os_cc kept set diverged: " +
+          s"${(keptF -- keptS) ++ (keptS -- keptF)}")
+        println(f"STRESS os_cc_stream(n=$n)         kept=${keptS.size} == file: run")
+        marks.foreach { case (i, w, del) =>
+          println(f"STRESS os_cc_batch$i(n=$n)         $w%8.2fs  ${Ops.render(del)}")
+        }
+        // one fanout migration on the grown mocks3 index, in requests
+        Ops.reset()
+        val t0 = System.nanoTime()
+        graft.ext.NearDupStream.rebucket(spark, s"$idxUri/bands", "bp",
+          "band_hash", 256)
+        val rbWall = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS os_rebucket(n=$n)          $rbWall%8.2fs  " +
+          Ops.render(Ops.snapshot()))
+      } finally cleanup(tmps)
+    }
+
+    // ---- asm_stream on mocks3: post-closure batches ~zero requests ----
+    locally {
+      import spark.implicits._
+      val d = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        concat(lit("s"), pmod(col("doc_id"), lit(5L)).cast("string"))
+          .as("lang")).cache()
+      val total = d.agg(sum("n_tokens")).head().getLong(0)
+      val tmps = (0 until 5).map(_ =>
+        java.nio.file.Files.createTempDirectory("os-asm"))
+      val (rootF, outF, ckptF) = (tmps(0), tmps(1), tmps(2))
+      val (rootS, ckptS) = (tmps(3), tmps(4))
+      try {
+        def run(root: java.nio.file.Path, out: String,
+                ckpt: java.nio.file.Path) =
+          graft.ext.AssembleStream.run(
+            spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+            out, ckpt.toString,
+            weights = Map("s0" -> 0.25, "s1" -> 0.25, "s2" -> 0.25,
+              "s3" -> 0.25),
+            budgetTokens = total / 2, seqLen = 1024L,
+            tokensCol = "n_tokens", strataCol = "lang",
+            bucketWidth = 100000L)
+        mkHashSlices(d, rootF, 8)
+        val qF = run(rootF, outF.toString, ckptF)
+        try qF.processAllAvailable() finally qF.stop()
+        val offF = graft.ext.SeqPackStream.priorOffset(outF.toString,
+          Long.MaxValue)
+        val outUri = s"mocks3:${outF.toString}-s3"
+        val marks = driveSlices(d, rootS, () => run(rootS, outUri, ckptS))
+        val offS = graft.ext.SeqPackStream.priorOffset(outUri, Long.MaxValue)
+        require(offF == offS,
+          s"os_asm committed offset diverged: file=$offF mocks3=$offS")
+        val spansF = spark.read.parquet(outF.toString).count()
+        val spansS = spark.read.parquet(outUri).count()
+        require(spansF == spansS,
+          s"os_asm span count diverged: file=$spansF mocks3=$spansS")
+        println(f"STRESS os_asm_stream(n=$n)        offset=$offS == file: run")
+        marks.foreach { case (i, w, del) =>
+          println(f"STRESS os_asm_batch$i(n=$n)        $w%8.2fs  ${Ops.render(del)}")
+        }
+        cleanup(Seq(java.nio.file.Paths.get(s"${outF.toString}-s3")))
+      } finally { d.unpersist(); cleanup(tmps) }
     }
   }
 
