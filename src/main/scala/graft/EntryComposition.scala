@@ -1,0 +1,1080 @@
+package graft
+
+import graft.model.Envelope
+import graft.operators.{AsOfJoin, Compaction, Dedup, Dispatch, Produce, Windows}
+import graft.ext.{Graph, MinHash, TextOps, VectorOps}
+import graft.functions.Murmur3Pulsar
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus composition tier: sampling/mixture/packing (batch + streaming), assembly stream, pipelines, txn visibility, function pipelines, hybrid retrieval, stateful max.
+  *
+  * One domain slice of the driver-contract registry: `queries` holds
+  * this domain's `SparkEntry.queries` entries, `oracleSql` the
+  * matching DuckDB oracles; [[SparkEntry]] concatenates the slices.
+  * Split from the former single-file registry for hygiene — no
+  * behavior change, same 161 keys. Shared helpers and oracle CTE
+  * fragments live in [[EntryShared]]. */
+private[graft] object EntryComposition {
+  import EntryShared._
+
+  /** DSIR importance resampling: pick the 100 raw documents that look
+    * most like the English-language target slice under hashed-ngram
+    * importance weights, sampled via Gumbel top-k. The oracle replays
+    * the bucket models, decimal weight sums, the Gumbel draws and the
+    * final ranking in pure SQL. */
+  private def qDsirSample(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.dsirResample(tbl(s, dir, "documents"), col("lang") === "en", 100)
+      .orderBy(col("rank"))
+
+  /** Corpus-DF boilerplate removal: tokens present in > 60% of documents
+    * are corpus chrome; each document is reassembled without them. The
+    * md5 of every cleaned document is oracle-compared. The 60% cap is
+    * computed inside the plan (broadcast scalar) — no count() pre-pass. */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextOps.removeBoilerplateLinesByRatio(tbl(s, dir, "documents"),
+        num = 6, den = 10, sep = " ")
+      .select(col("doc_id"), md5(col("text")).as("clean_hash"))
+      .orderBy("doc_id")
+
+  /** Repetition-ratio quality rule (top-bigram fraction per doc). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.withRepetitionRatio(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("top_bigram_ratio"))
+      .orderBy("doc_id")
+
+  /** Gopher A1.1 quality verdict, zero-shuffle per-row signals; the
+    * oracle recomputes every fraction through unnest/group-by SQL — a
+    * structurally different plan arriving at bit-identical doubles
+    * (every signal is a ratio of exact integers). */
+  private def qGopherQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.withGopherSignals(tbl(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("alpha_word_frac"), col("symbol_ratio"), col("stop_hits"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("top2gram_char_frac"), col("top3gram_char_frac"),
+        col("top4gram_char_frac"), col("gopher_ok"))
+      .orderBy("doc_id")
+
+  /** Deterministic corpus mixing: per-language mixture weights applied as
+    * an exact stratified sample (md5-rank within stratum, `ceil(w·n)`
+    * kept). Fractions are binary-exact (k/2³) so the ceil boundary is
+    * bit-identical cross-engine. The rank itself is in the output — the
+    * oracle re-derives the full ordering, not just membership. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.stratifiedSample(
+        tbl(s, dir, "documents").select("doc_id", "lang"), "lang",
+        fractions = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25,
+          "fr" -> 0.125, "zh" -> 0.375),
+        defaultFraction = 0.125, salt = "mix1|")
+      .select(col("doc_id"), col("lang"), col("rk").cast("bigint").as("rk"))
+      .orderBy("doc_id")
+
+  /** Temperature-weighted corpus mix (mT5-style α=0.5), oracle-checked
+    * bit-for-bit: quota_s = floor(2000 · sqrt(n_s) / Σ sqrt(n_k)) capped
+    * at n_s — sqrt is IEEE-correctly-rounded (pow is not) and the weight
+    * total accumulates in stratum order on both engines, so the floor
+    * boundary is reproducible. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.temperatureMix(
+        tbl(s, dir, "documents").select("doc_id", "lang"), "lang",
+        targetRows = 2000L, salt = "temp|")
+      .select(col("doc_id"), col("lang"), col("rk").cast("bigint").as("rk"))
+      .orderBy("doc_id")
+
+  /** Deterministic hash-fraction sample (the 100 TB path: pure filter, no
+    * shuffle): keep docs whose md5 draw sorts below fraction 0.25 of the
+    * 32-bit space. Reproducible by any engine with md5. */
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.hashFractionSample(
+        tbl(s, dir, "documents").select("doc_id", "lang", "source"),
+        fraction = 0.25, salt = "s|")
+      .orderBy("doc_id")
+
+  /** Token-budget shard packing per language: docs in id order packed
+    * into ≈1000-token shards via the distributed prefix sum (range
+    * buckets of 64 ids — the multi-bucket path is what sf data
+    * exercises). Output: per-shard doc and token counts. */
+  private def qShardPack(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    ext.Sampling.packShards(d, "lang", "n_tokens", budget = 1000L,
+        bucketWidth = 64L)
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tokens").cast("bigint").as("shard_tokens"))
+      .withColumn("shard_id", col("shard_id").cast("bigint"))
+      .orderBy("lang", "shard_id")
+  }
+
+  /** GPT-style sequence packing: the whole corpus concatenated in id
+    * order and cut into 64-token training sequences via the distributed
+    * prefix sum (bucketWidth 64 exercises the multi-bucket path); a doc
+    * crossing a boundary splits. Output: the per-(doc, sequence) span
+    * map a training loader consumes. */
+  private def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    ext.Sampling.packSequences(d, seqLen = 64L, "n_tokens",
+        bucketWidth = 64L)
+      .select(col("doc_id"), col("seq_id"), col("tok_start"),
+        col("tok_end"), col("seq_off"))
+      .orderBy("doc_id", "seq_id")
+  }
+
+  /** PII scrub with injected fixtures: deterministic email/IP/phone
+    * strings are appended to every document, then redacted by the
+    * regexp chain; the oracle replays the same injection AND the same
+    * patterns through DuckDB regexp_replace — a hash match proves exact
+    * cross-engine regex parity, and the per-kind booleans prove every
+    * token class was actually hit. */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = tbl(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact admin"), col("doc_id").cast("string"),
+        lit("@corp.example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 call +1 555-"),
+        lpad(col("doc_id").cast("string"), 4, "0")).as("text"))
+    TextOps.withPiiRedacted(withPii)
+      .select(col("doc_id"), md5(col("text_redacted")).as("red_hash"),
+        (instr(col("text_redacted"), "<EMAIL>") > 0).as("has_email"),
+        (instr(col("text_redacted"), "<IP>") > 0).as("has_ip"),
+        (instr(col("text_redacted"), "<PHONE>") > 0).as("has_phone"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set decontamination: docs sharing any distinct 5-gram with the
+    * held-out eval slice (doc_id % 50 == 0) are reported with shared-
+    * shingle and eval-doc counts. Inverted hash join, eval side
+    * broadcast — the corpus never shuffles. */
+  private def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val evals = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    TextOps.contaminationReport(corpus, evals, n = 5, minShared = 1L)
+      .select(col("doc_id"), col("n_shared").cast("bigint").as("n_shared"),
+        col("n_eval_docs").cast("bigint").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** C4-style global span dedup: every 5-word span kept only at its
+    * first corpus occurrence (smallest doc_id, span_idx), documents
+    * reassembled from survivors. clean_text ships as md5 so the result
+    * stays narrow; the oracle rebuilds the identical string in SQL. */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupSpans(tbl(s, dir, "documents"), spanWords = 5)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
+  /** Lee-style overlapping-window exact-substring dedup at k=10: every
+    * token covered by a repeated 10-token window (at any alignment)
+    * drops; first occurrence survives. clean_text ships as md5. */
+  private def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupSubstrings(tbl(s, dir, "documents"), k = 10)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
+  /** Int8 scalar quantization over the embeddings table: the oracle
+    * replays scale/code arithmetic per element and the query carries
+    * the reconstruction-bound certificate (max per-dim error ≤ scale/2,
+    * true by construction for a correct quantizer). */
+  private def qVecQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q = ext.VectorOps.withQuantizedI8(tbl(s, dir, "embeddings"))
+    q.select(col("vec_id"),
+        size(col("q.codes")).cast("bigint").as("n_dims"),
+        aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        (aggregate(zip_with(col("embedding"), col("q.codes"),
+            (x, c) => abs(x.cast("double") - c.cast("double") * col("q.scale"))),
+          lit(0.0), (a, e) => greatest(a, e)) <=
+          col("q.scale") * 0.5000001).as("err_ok"))
+      .orderBy("vec_id")
+  }
+
+  /** Pretraining chunking: 32-token windows, 8-token overlap. The
+    * oracle replays the stride arithmetic and rebuilds each chunk
+    * string; chunk_text ships as md5 to stay narrow. */
+  private def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocuments(tbl(s, dir, "documents"), chunkTokens = 32,
+        overlapTokens = 8)
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Bloom-prefiltered decontamination: MUST equal [[qDecontam]] row for
+    * row (the bloom only prunes; the exact join restores soundness), so
+    * it shares decontam's oracle — a false negative anywhere in the
+    * bloom path breaks the hash match. */
+  private def qDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val evals = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    TextOps.contaminationReportBloom(corpus, evals, n = 5, minShared = 1L)
+      .select(col("doc_id"), col("n_shared").cast("bigint").as("n_shared"),
+        col("n_eval_docs").cast("bigint").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /**
+   * Composite training-data pipeline, end-to-end oracle-checked:
+   * quality filter → exact dedup (md5) → near-dup removal (5-gram
+   * Jaccard ≥ 0.8, keep the smaller doc_id of each pair) → corpus stats
+   * per language. Every stage is SQL-expressible so the whole pipeline
+   * hash-matches DuckDB.
+   */
+  private def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val quality = TextOps.withQualityScore(docs)
+      .filter(col("n_tokens") >= 10 && col("mean_word_len").between(2.0, 12.0))
+      .select("doc_id", "text", "lang")
+    val exactDeduped = TextOps.exactDedup(quality)
+    val nearDupIds = TextOps.jaccardPairs(exactDeduped, n = 5, threshold = 0.8,
+        maxDf = 250)
+      .select(col("id_b").as("doc_id")).distinct()
+    val clean = exactDeduped.join(nearDupIds, Seq("doc_id"), "left_anti")
+    clean.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("bigint")).cast("bigint")
+          .as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  /**
+   * §2.12 transaction VISIBILITY on the oracle surface (reference
+   * TransactionIsolationLevel semantics, Consumer READ_COMMITTED
+   * default): one topic receives three transactions' slices of the
+   * envelope — txn A (sequence_id % 3 == 0) COMMITS, txn B (% 3 == 1)
+   * ABORTS, and a third slice (% 3 == 2) is left STAGED with no marker
+   * (an in-flight transaction mid-commit). READ_COMMITTED must see
+   * exactly A's rows with dense offsets — an aborted or in-flight row
+   * leaking into the committed view shifts every aggregate and breaks
+   * the hash.
+   */
+  private def txnVisFixture(s: SparkSession, dir: String): graft.log.TopicLog = {
+    val name = graft.model.TopicName.parse("persistent://public/default/txn-vis")
+    val root = Fixtures.dir(s, dir, "q-txn-vis") { r =>
+      val log = new graft.log.TopicLog(s, r, name, 4)
+      val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      graft.log.Txn.begin(r)
+        .produce(log, e.filter(col(Envelope.SequenceId) % 3 === 0)).commit()
+      graft.log.Txn.begin(r)
+        .produce(log, e.filter(col(Envelope.SequenceId) % 3 === 1)).abort()
+      // in-flight: staged epoch, no marker, no manifest — the on-disk
+      // state of an open transaction between stageAppend and commit
+      log.stageAppend(e.filter(col(Envelope.SequenceId) % 3 === 2)): Unit
+    }
+    new graft.log.TopicLog(s, root, name, 4)
+  }
+
+  private def txnVisAgg(df: DataFrame): DataFrame =
+    df.groupBy(Envelope.Partition)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(Envelope.Offset).as("max_offset"),
+        countDistinct(Envelope.Key).cast("bigint").as("n_keys"))
+      .orderBy(Envelope.Partition)
+
+  private def qTxnVisibility(s: SparkSession, dir: String): DataFrame =
+    txnVisAgg(txnVisFixture(s, dir)
+      .read(graft.log.TopicLog.IsolationLevel.ReadCommitted))
+
+  /** §2.12 READ_UNCOMMITTED dirty read over the SAME fixture: committed
+    * (txn A) plus in-flight staged (the % 3 == 2 slice, offsets dense
+    * above A's high-water). The aborted slice stays invisible at BOTH
+    * isolation levels — a DOCUMENTED divergence from the reference
+    * (whose READ_UNCOMMITTED delivers aborted data still sitting in the
+    * ledger): here abort discards before persistence, so dirty reads of
+    * aborted txns are structurally impossible (TopicLog.read scaladoc,
+    * SURVEY §2.12). */
+  private def qTxnUncommitted(s: SparkSession, dir: String): DataFrame =
+    txnVisAgg(txnVisFixture(s, dir)
+      .read(graft.log.TopicLog.IsolationLevel.ReadUncommitted))
+
+  /** §2.2 producer interceptor chain (reference ProducerInterceptor
+    * .onSend, applied in registration order): two value-rewriting
+    * interceptors compose — order matters ("ic1:" prefix THEN ":ic2"
+    * suffix), and the oracle rebuilds the wrapped payload per row, so a
+    * dropped, re-ordered, or double-applied interceptor breaks the
+    * length accounting. */
+  private def qInterceptors(s: SparkSession, dir: String): DataFrame = {
+    val e = env(s, dir).filter(col(Envelope.Value).isNotNull)
+    operators.Produce.withInterceptors(e, Seq(
+        df => df.withColumn(Envelope.Value,
+          concat(lit("ic1:"), col(Envelope.Value))),
+        df => df.withColumn(Envelope.Value,
+          concat(col(Envelope.Value), lit(":ic2")))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(length(col(Envelope.Value))).cast("bigint").as("sum_len"))
+      .orderBy("event_type")
+  }
+
+  /** §2.2 Function fan-out (reference Context.newOutputMessage:156):
+    * each record emits to its per-type output topic, and high-metric
+    * records ALSO emit to an audit topic — N sinks from one pass. The
+    * oracle rebuilds both outputs' per-topic counts. */
+  private def qFunctionFanout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = env(s, dir)
+      .select(col("event_type"), col(Envelope.Key), col("metric_value"))
+      .as[(String, String, Double)]
+    graft.streaming.Functions.fanOut(ds) { case (t, k, m) =>
+      (s"fn-out-$t", k) +: (if (m > 250.0) Seq(("fn-audit", k)) else Nil)
+    }.groupBy("out_topic")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct("payload").cast("bigint").as("n_keys"))
+      .orderBy("out_topic")
+  }
+
+  /** §2.2 Function 1→0/1 process() with the null-drop contract
+    * (JavaInstanceRunnable.java:430 skips send on null result): error
+    * events return None and are filtered; survivors double their metric.
+    * Decimal-exact sums keep the aggregate engine-order independent. */
+  private def qFunctionMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = env(s, dir)
+      .select(col("event_type"), col(Envelope.Key), col("metric_value"))
+      .as[(String, String, Double)]
+    graft.streaming.Functions.mapFunction(ds) { case (t, k, m) =>
+      if (t == "error") None else Some((k.toLong % 10, m * 2))
+    }.toDF("bucket", "doubled")
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("doubled").cast("decimal(18,9)")).cast("double").as("sum_doubled"))
+      .orderBy("bucket")
+  }
+
+  /** §2.7 processing guarantees on the oracle surface: the WHOLE
+    * [[graft.streaming.Functions.run]] pipeline — readStream source →
+    * user transform (null-drop) → EFFECTIVELY_ONCE output boundary
+    * (watermarked (producer, sequence_id) dedup) → parquet sink — runs
+    * to convergence and the sink is read back. The envelope fixture
+    * carries REAL (producer, seq) duplicates (every event_id % 10 == 0
+    * shares its predecessor's sequence_id when both route to the same
+    * producer), so `n_rows` equals `n_seq` ONLY if the dedup boundary
+    * actually suppressed them; the aggregate uses countDistinct so the
+    * arbitrary survivor choice inside a duplicate pair cannot affect
+    * the hash. Fresh sink/checkpoint dirs per invocation (the run is
+    * the semantics under test; dirs GC'd by the shutdown hook). */
+  private def qFunctionPipelineStream(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-fnrun-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fnrun-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    val q = graft.streaming.Functions.run(
+      Envelope.fromEventsStream(s, dir),
+      df => df.filter(col(Envelope.Value).isNotNull),
+      out.toString, ckpt.toString,
+      graft.streaming.Functions.Guarantee.EffectivelyOnce,
+      // generous event-time window: the fixture's duplicate pairs are
+      // adjacent event ids (≤ ~1 h apart), so any ORDERED-ARRIVAL
+      // trigger slicing keeps both halves of a pair inside the dedup
+      // state. ORDERED-ARRIVAL PRECONDITION (the r11 probe's boundary):
+      // the fixture streams as a SINGLE file today (one batch, trivially
+      // ordered); a future multi-part events fixture that arrives
+      // time-unordered across triggers is OUTSIDE the contract — the
+      // run() guard then fails this query loudly (never a silent
+      // hash mismatch), and the catch-up form lives in
+      // function_pipeline_replay via orderedReplaySource.
+      dedupLag = "48 hours")
+    drainGuarded(s, q)
+    s.read.parquet(out.toString)
+      .groupBy(col(Envelope.ProducerName))
+      .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),
+        count(lit(1)).cast("bigint").as("n_rows"))
+      .orderBy(Envelope.ProducerName)
+  }
+
+  /** §2.7 EFFECTIVELY_ONCE over a CATCH-UP REPLAY — the r11 probe's
+    * failure shape, now run INSIDE the contract: the whole envelope is
+    * handed to [[graft.streaming.Functions.orderedReplaySource]] as one
+    * unordered batch, which rewrites it as 6 time-range bucket files
+    * (mtime-pinned, so the file source replays them in event-time
+    * order), and the pipeline streams them one file per trigger — a
+    * REAL multi-batch replay, the slicing that silently dropped 78% of
+    * an unordered 100× glob. Completeness is enforced twice: the run()
+    * guard throws on ANY watermark drop, and the oracle is the same
+    * one-row-per-(producer, seq) truth as function_pipeline_stream —
+    * dup pairs straddling bucket boundaries (≤1 h apart vs ~5-day
+    * buckets) must still dedup across triggers. */
+  private def qFunctionPipelineReplay(s: SparkSession, dir: String): DataFrame = {
+    val root = Fixtures.dir(s, dir, "q-fnreplay") { r =>
+      graft.streaming.Functions.orderedReplaySource(
+        Envelope.fromEvents(s, dir), Envelope.PublishTime, r, buckets = 6): Unit
+    }
+    // 2 bucket files per trigger → a REAL 3-batch replay (the contract
+    // holds under ANY slicing — files inside a trigger interleave
+    // freely, the watermark advances between triggers) without paying
+    // 6 trigger setups; dup pairs straddling the 1|2 and 3|4 bucket
+    // boundaries still dedup ACROSS triggers
+    val src = s.readStream.schema(Envelope.fromEvents(s, dir).schema)
+      .option("maxFilesPerTrigger", 2)
+      .option("pathGlobFilter", "*.parquet").parquet(root)
+    val out = java.nio.file.Files.createTempDirectory("graft-fnreplay-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fnreplay-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    val q = graft.streaming.Functions.run(
+      src,
+      df => df.filter(col(Envelope.Value).isNotNull),
+      out.toString, ckpt.toString,
+      graft.streaming.Functions.Guarantee.EffectivelyOnce,
+      dedupLag = "48 hours")
+    drainGuarded(s, q)
+    s.read.parquet(out.toString)
+      .groupBy(col(Envelope.ProducerName))
+      .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),
+        count(lit(1)).cast("bigint").as("n_rows"))
+      .orderBy(Envelope.ProducerName)
+  }
+
+  /** §2.7 AT_MOST_ONCE on the oracle surface, BOTH crash windows of the
+    * ack-before-process protocol (the reference acks on receipt,
+    * JavaInstanceRunnable.java:328, with the same loss window):
+    *  - crash AFTER ack, BEFORE sink: epoch 0's ack marker is
+    *    pre-written (a previous attempt died mid-process), so the
+    *    restart must DROP that batch — its rows are lost, never
+    *    reprocessed;
+    *  - crash AFTER sink, BEFORE checkpoint commit: the last batch's
+    *    commit record is deleted and the stream restarted — Spark
+    *    replays the epoch, the existing marker suppresses the second
+    *    write, and the sink holds NO duplicate (vs AT_LEAST_ONCE,
+    *    which would re-append — the spec suite pins that contrast).
+    * The fixture splits the envelope into 3 slices by offset % 3
+    * (mtime-ordered, one per trigger), so "epoch 0's rows" is the
+    * SQL-expressible set offset % 3 = 0 and the oracle replays the
+    * surviving slice exactly; n_rows > n_seq for producers whose seq
+    * duplicates survive — AMO must NOT dedup, only not-redeliver. */
+  private def qFunctionPipelineAmo(s: SparkSession, dir: String): DataFrame = {
+    val root = Fixtures.dir(s, dir, "q-fnamo") { r =>
+      val e = env(s, dir)
+      val base = System.currentTimeMillis() - 10000L
+      (0 until 3).foreach { i =>
+        writeStreamSlice(e.filter(col(Envelope.Offset) % 3 === i), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-fnamo-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fnamo-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    // crash window 1: epoch 0 was acked by an attempt that died before
+    // its sink write — the marker exists, the data does not
+    val acks = ckpt.resolve("_acks")
+    java.nio.file.Files.createDirectories(acks)
+    java.nio.file.Files.write(acks.resolve("0.acked"), Array.emptyByteArray)
+    def run() = graft.streaming.Functions.run(
+      s.readStream.schema(env(s, dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      df => df.filter(col(Envelope.Value).isNotNull),
+      out.toString, ckpt.toString,
+      graft.streaming.Functions.Guarantee.AtMostOnce)
+    drainGuarded(s, run())
+    // crash window 2: the LAST batch's checkpoint commit never landed —
+    // delete it (plus the local FS's hidden checksum twin: a real crash
+    // loses both) and restart; the replayed epoch's marker must
+    // suppress a duplicate append
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("2"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".2.crc"))
+    // plain drain, not drainGuarded: the restart's only work is the
+    // REPLAYED epoch, which reports numInputRows = 0 (recovered batches
+    // re-read files outside the progress row counter) — the zero-input
+    // fixture guard already did its job on run 1
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    s.read.parquet(out.toString)
+      .groupBy(col(Envelope.ProducerName))
+      .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),
+        count(lit(1)).cast("bigint").as("n_rows"))
+      .orderBy(Envelope.ProducerName)
+  }
+
+  /** Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
+    * (the RAG/training-data retrieval shape) — both legs' ranks and the
+    * fused ordering replay exactly in SQL. */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame =
+    ext.Hybrid.rrf(tbl(s, dir, "documents"), tbl(s, dir, "embeddings"),
+      "fast hash join order", queryVecId = 0L)
+
+  /** Batch hybrid retrieval: three queries fused in ONE corpus pass
+    * (corpus tokenized once, per-query ranks via windows) — the shape a
+    * real query workload takes at corpus scale. */
+  private val hybridQueries = Seq(
+    (0L, "fast hash join order"), (1L, "stream window agg batch"),
+    (2L, "vector scan filter merge"))
+
+  private def qHybridRrfBatch(s: SparkSession, dir: String): DataFrame =
+    ext.Hybrid.rrfBatch(tbl(s, dir, "documents"), tbl(s, dir, "embeddings"),
+      hybridQueries)
+
+  /** The same fused workload with the IVF dense leg in exact mode
+    * (nprobe = nlist): result provably equals the brute-force leg's, so
+    * it shares hybrid_rrf_batch's oracle — the whole
+    * quantize→probe→verify machinery runs inside the fusion, and the
+    * 100 TB configuration (nprobe < nlist over the disk index) drops in
+    * without touching the fusion code. */
+  private def qHybridRrfIvf(s: SparkSession, dir: String): DataFrame =
+    ext.Hybrid.rrfBatch(tbl(s, dir, "documents"), tbl(s, dir, "embeddings"),
+      hybridQueries,
+      vectorLeg = (c, q, k) => ext.VectorOps.annIvf(c, q, k,
+        nlist = 8, nprobe = 8, iters = 1, initMode = "random"))
+
+  /** The 100 TB hybrid configuration CERTIFIED, not argued: the dense
+    * leg runs PRUNED (nprobe = 2 of nlist = 8 over the DISK index, so
+    * the probe scan reads 1/4 of the cell partitions) inside the same
+    * fusion, and the fused top-10 set is compared against the exact
+    * fused output in-query — the pq_recall pattern. The fixture
+    * embeddings are uniform-random (no cluster structure, IVF's hostile
+    * case: cell membership is ~arbitrary, so nprobe 2/8 carries ~25% of
+    * dense candidates) yet fused recall stays well above the dense
+    * leg's own, because the lexical leg is exact and RRF demotes rather
+    * than removes a document the pruned leg misses: measured 0.63–0.70
+    * across sf0.001–0.1. The certificate asserts ≥ 0.4 — a ≥7-document
+    * margin below measurement, far above the ~kOut/N chance floor. */
+  private def qHybridRrfPruned(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val vecs = tbl(s, dir, "embeddings")
+    val idx = Fixtures.dir(s, dir, "q-hybivfidx") { r =>
+      ext.VectorOps.buildIvfIndex(vecs, r, nlist = 8, iters = 1,
+        initMode = "random")
+    }
+    val pruned = ext.Hybrid.rrfBatch(docs, vecs, hybridQueries,
+        vectorLeg = (_, q, k) => ext.VectorOps.annIvfIndexed(q, idx, k,
+          nprobe = 2))
+      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+    ext.Hybrid.rrfBatch(docs, vecs, hybridQueries)
+      .select("query_id", "doc_id")
+      .join(pruned, Seq("query_id", "doc_id"), "left")
+      .agg(count(lit(1)).cast("bigint").as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("n_exact"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
+  }
+
+  /** §2.7 arbitrary keyed state (ByteBufferStateStore put/get/delete via
+    * [[graft.streaming.Functions.statefulFunction]]): per user, a
+    * running-max state emits one record per "record-breaking" metric in
+    * offset order — the oracle replays the running max with a window
+    * function, so dropped state, a wrong initial state, or unordered
+    * group iteration all shift the break counts. */
+  private def qStatefulMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = env(s, dir)
+      .select(col(Envelope.Key), col(Envelope.Offset), col("metric_value"))
+      .as[(String, Long, Double)]
+    graft.streaming.Functions.statefulFunction(ds)(_._1) {
+      (k: String, vs: Iterator[(String, Long, Double)], st: Option[Double]) =>
+        // batch groups iterate in storage order — sort by offset so the
+        // running max is the stream-arrival semantics
+        val sorted = vs.toSeq.sortBy(_._2)
+        var mx = st.getOrElse(Double.NegativeInfinity)
+        val out = sorted.flatMap { case (_, off, m) =>
+          if (m > mx) { mx = m; Some((k, off)) } else None
+        }
+        (out.iterator, Some(mx))
+    }.toDF("key", "break_offset")
+      .groupBy("key")
+      .agg(count(lit(1)).cast("bigint").as("n_breaks"),
+        max("break_offset").as("last_break_offset"))
+      .orderBy("key")
+  }
+
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txn_visibility" -> (qTxnVisibility _),
+    "txn_uncommitted" -> (qTxnUncommitted _),
+    "interceptor_chain" -> (qInterceptors _),
+    "function_fanout" -> (qFunctionFanout _),
+    "function_map" -> (qFunctionMap _),
+    "stateful_max" -> (qStatefulMax _),
+    "function_pipeline_stream" -> (qFunctionPipelineStream _),
+    "function_pipeline_replay" -> (qFunctionPipelineReplay _),
+    "function_pipeline_amo" -> (qFunctionPipelineAmo _),
+    "pipeline_clean_corpus" -> (qPipeline _),
+    "boilerplate_removal" -> (qBoilerplate _),
+    "repetition_ratio" -> (qRepetition _),
+    "gopher_quality" -> (qGopherQuality _),
+    "sample_stratified" -> (qSampleStratified _),
+    "sample_temperature" -> (qTemperatureMix _),
+    "sample_hash" -> (qSampleHash _),
+    "dsir_sample" -> (qDsirSample _),
+    "shard_pack" -> (qShardPack _),
+    "seq_pack" -> (qSeqPack _),
+    "pii_redact" -> (qPiiRedact _),
+    "decontam" -> (qDecontam _),
+    "decontam_bloom" -> (qDecontamBloom _),
+    "line_dedup" -> (qLineDedup _),
+    "substring_dedup" -> (qSubstringDedup _),
+    "doc_chunks" -> (qDocChunks _),
+    "vec_quantize" -> (qVecQuantize _),
+    "hybrid_rrf" -> (qHybridRrf _),
+    "hybrid_rrf_batch" -> (qHybridRrfBatch _),
+    "hybrid_rrf_ivf" -> (qHybridRrfIvf _),
+    "hybrid_rrf_pruned" -> (qHybridRrfPruned _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "txn_visibility" -> txnVisSql("sequence_id % 3 = 0"),
+    // READ_UNCOMMITTED sees committed + in-flight staged (dense above
+    // the committed high-water — the max_offset arithmetic only holds
+    // if the staged epoch's offsets stack exactly on the committed
+    // ones); the aborted slice stays invisible here too,
+    "txn_uncommitted" -> txnVisSql("sequence_id % 3 IN (0, 2)"),
+    // positioned reader: dense offsets make the tail arithmetic exact,
+    "interceptor_chain" -> envSql(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(length('ic1:' || value || ':ic2')) AS BIGINT) AS sum_len
+        |FROM envelope WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "function_fanout" -> envSql(
+      """SELECT out_topic, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT payload) AS BIGINT) AS n_keys
+        |FROM (
+        |  SELECT 'fn-out-' || event_type AS out_topic, key AS payload FROM envelope
+        |  UNION ALL
+        |  SELECT 'fn-audit' AS out_topic, key AS payload FROM envelope
+        |  WHERE metric_value > 250.0
+        |) t GROUP BY out_topic ORDER BY out_topic""".stripMargin),
+    "function_map" -> envSql(
+      """SELECT CAST(key AS BIGINT) % 10 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(metric_value * 2 AS DECIMAL(18,9))) AS DOUBLE) AS sum_doubled
+        |FROM envelope WHERE event_type <> 'error'
+        |GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // Functions.run EFFECTIVELY_ONCE: the sink holds exactly one row per
+    // (producer, seq) among the non-error slice — n_rows == n_seq ==
+    // distinct seqs; a dedup miss inflates n_rows and breaks the hash,
+    "stateful_max" -> envSql(
+      """, seqd AS (
+        |  SELECT key, "offset", metric_value,
+        |    MAX(metric_value) OVER (PARTITION BY key ORDER BY "offset"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM envelope),
+        |breaks AS (
+        |  SELECT key, "offset" FROM seqd
+        |  WHERE prev_max IS NULL OR metric_value > prev_max)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_breaks,
+        |  MAX("offset") AS last_break_offset
+        |FROM breaks GROUP BY key ORDER BY key""".stripMargin),
+    // chunk-dedup truth: a correct dedup+reassembly is the IDENTITY on
+    // the original text; the excluded set is the closed-form lost-chunk
+    // condition (last chunk dropped, no %11 resend to refill it, and
+    // not a 2-chunk %7 doc whose chunk-1 retransmit refills the loss —
+    // num_chunks = 2 ⟺ 64 < length ≤ 128 at the 64-char chunk size),
+    "function_pipeline_stream" -> envSql(
+      """SELECT producer_name,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_seq,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_rows
+        |FROM envelope WHERE value IS NOT NULL
+        |GROUP BY producer_name ORDER BY producer_name""".stripMargin),
+    // the ordered catch-up replay must land on the IDENTICAL
+    // one-row-per-(producer, seq) truth — a watermark drop anywhere in
+    // the 6-trigger replay shrinks n_seq/n_rows and breaks the hash
+    // (and the run() guard aborts the query before the oracle even runs),
+    "function_pipeline_replay" -> envSql(
+      """SELECT producer_name,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_seq,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_rows
+        |FROM envelope WHERE value IS NOT NULL
+        |GROUP BY producer_name ORDER BY producer_name""".stripMargin),
+    // AT_MOST_ONCE truth: the pre-acked epoch's slice (offset % 3 = 0)
+    // is LOST, everything else delivered exactly once even though the
+    // final epoch was replayed after a deleted checkpoint commit — a
+    // redelivered batch inflates n_rows; a dropped surviving slice
+    // shrinks it. n_rows intentionally exceeds n_seq (AMO must not
+    // dedup sequence ids, only never deliver the same epoch twice).,
+    "function_pipeline_amo" -> envSql(
+      """SELECT producer_name,
+        |  CAST(COUNT(DISTINCT sequence_id) AS BIGINT) AS n_seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM envelope WHERE value IS NOT NULL AND "offset" % 3 <> 0
+        |GROUP BY producer_name ORDER BY producer_name""".stripMargin),
+    // keyed-state running max replayed as a window: a break is a metric
+    // strictly above every earlier metric of the same key (offset order),
+    "pipeline_clean_corpus" ->
+      """WITH quality AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10
+        |    AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0),
+        |exact_deduped AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM quality) t WHERE rn = 1),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM exact_deduped) t),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |near_dups AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM pairs
+        |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+        |clean AS (
+        |  SELECT * FROM exact_deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM near_dups))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM clean GROUP BY lang ORDER BY lang""".stripMargin,
+    "boilerplate_removal" ->
+      """WITH blocklist AS (
+        |  SELECT list(tok) AS bl FROM (
+        |    SELECT tok FROM (
+        |      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents) t
+        |    GROUP BY tok
+        |    HAVING COUNT(*) > (SELECT COUNT(*) * 6 // 10 FROM documents)) b)
+        |SELECT doc_id,
+        |  md5(COALESCE(array_to_string(list_filter(string_split(text, ' '),
+        |    t -> NOT list_contains(bl, t)), ' '), '')) AS clean_hash
+        |FROM documents CROSS JOIN blocklist ORDER BY doc_id""".stripMargin,
+    "repetition_ratio" ->
+      """SELECT doc_id,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_ratio
+        |FROM (
+        |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bg
+        |    FROM documents) t
+        |  GROUP BY doc_id, bg) g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher A1.1 signals: the oracle recomputes every per-row array scan
+    // through list-HOF SQL; each fraction is a ratio of exact integers so
+    // the doubles are bit-identical across engines,
+    "gopher_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |         string_split(text, chr(10)) AS lines,
+        |         length(text) AS n_chars
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_word_frac,
+        |    ((n_chars - length(replace(text, '#', ''))) + (n_chars - length(replace(text, '...', ''))) / 3) / len(w) AS symbol_ratio,
+        |    CAST(len(list_intersect(list_distinct(w), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_line_frac,
+        |    CASE WHEN list_aggregate(list_transform(lines, x -> length(x)), 'sum') > 0 THEN
+        |      CAST(list_aggregate(list_transform(list_distinct(lines),
+        |        d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d)), 'sum') AS DOUBLE)
+        |      / list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+        |    ELSE 0.0 END AS dup_line_char_frac,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) / len(lines) AS bullet_line_frac,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) / len(lines) AS ellipsis_line_frac,
+        |    CASE WHEN len(w) >= 2 THEN CAST(list_max(list_transform(
+        |      list_distinct(list_transform(range(0, len(w) - 1), i -> array_to_string(w[(i+1):(i+2)], ' '))),
+        |      d -> len(list_filter(list_transform(range(0, len(w) - 1), i -> array_to_string(w[(i+1):(i+2)], ' ')), x -> x = d)) * length(d))) AS DOUBLE) / n_chars ELSE 0.0 END AS top2gram_char_frac,
+        |    CASE WHEN len(w) >= 3 THEN CAST(list_max(list_transform(
+        |      list_distinct(list_transform(range(0, len(w) - 2), i -> array_to_string(w[(i+1):(i+3)], ' '))),
+        |      d -> len(list_filter(list_transform(range(0, len(w) - 2), i -> array_to_string(w[(i+1):(i+3)], ' ')), x -> x = d)) * length(d))) AS DOUBLE) / n_chars ELSE 0.0 END AS top3gram_char_frac,
+        |    CASE WHEN len(w) >= 4 THEN CAST(list_max(list_transform(
+        |      list_distinct(list_transform(range(0, len(w) - 3), i -> array_to_string(w[(i+1):(i+4)], ' '))),
+        |      d -> len(list_filter(list_transform(range(0, len(w) - 3), i -> array_to_string(w[(i+1):(i+4)], ' ')), x -> x = d)) * length(d))) AS DOUBLE) / n_chars ELSE 0.0 END AS top4gram_char_frac
+        |  FROM base)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_word_frac, symbol_ratio, stop_hits,
+        |  dup_line_frac, dup_line_char_frac,
+        |  top2gram_char_frac, top3gram_char_frac, top4gram_char_frac,
+        |  (n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        |   AND alpha_word_frac >= 0.8 AND stop_hits >= 2
+        |   AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+        |   AND top2gram_char_frac <= 0.2 AND top3gram_char_frac <= 0.18
+        |   AND top4gram_char_frac <= 0.16) AS gopher_ok
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('mix1|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r
+        |WHERE rk <= CEIL(n * (CASE lang
+        |  WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.25
+        |  WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.375 ELSE 0.125 END))
+        |ORDER BY doc_id""".stripMargin,
+    // α=0.5 temperature quotas recomputed with the SAME float recipe:
+    // correctly-rounded sqrt, weight total summed in stratum order (a
+    // full-frame ordered window, not an unordered aggregate) -> the
+    // floor() boundary matches Spark bit-for-bit,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_s, sqrt(CAST(n_s AS DOUBLE)) AS w FROM c),
+        |t AS (SELECT lang, n_s, w, SUM(w) OVER (ORDER BY lang
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tw FROM w),
+        |q AS (SELECT lang, LEAST(n_s, CAST(FLOOR(2000 * w / tw) AS BIGINT)) AS quota FROM t),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('temp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r JOIN q USING (lang) WHERE rk <= quota
+        |ORDER BY doc_id""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+    // Streaming cleaning pipeline: quality filter → keyed dedup state →
+    // complete-mode stats; the oracle is the batch-equivalent SQL (the
+    // quality formulas match withQualityScore term-for-term),
+    "dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS w
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, tgt, unnest(w) AS ngram FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, tgt,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS ngram
+        |  FROM toks),
+        |db AS (
+        |  SELECT doc_id, tgt, substr(md5(ngram), 1, 3) AS b, COUNT(*) AS c
+        |  FROM ng GROUP BY doc_id, tgt, b),
+        |bt AS (
+        |  SELECT b, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_b, SUM(c) AS all_b
+        |  FROM db GROUP BY b),
+        |tot AS (SELECT SUM(tgt_b) AS tgt_tot, SUM(all_b) AS all_tot FROM bt),
+        |wt AS (
+        |  SELECT b,
+        |    round(ln(CAST(tgt_b + 1 AS DOUBLE) / CAST(tgt_tot + 4096 AS DOUBLE))
+        |        - ln(CAST(all_b + 1 AS DOUBLE) / CAST(all_tot + 4096 AS DOUBLE)), 9) AS lnw
+        |  FROM bt CROSS JOIN tot),
+        |lw AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(c AS DECIMAL(10,0)) * CAST(lnw AS DECIMAL(12,9))) AS DOUBLE) AS lw
+        |  FROM db JOIN wt USING (b) GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT doc_id, round(lw, 6) AS lw_r,
+        |    round(lw + round(-ln(-ln(
+        |      (CAST(('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |        / 4294967296.0)), 9), 6) AS key_r
+        |  FROM lw)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_r DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, lw_r, key_r
+        |FROM keyed ORDER BY key_r DESC, doc_id LIMIT 100""".stripMargin,
+    "shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT lang, CAST(prior // 1000 AS BIGINT) AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM t)
+        |SELECT c.doc_id, CAST(g.seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(0, g.seq_id * 64 - c.s) AS BIGINT) AS tok_start,
+        |  CAST(LEAST(c.n_tokens, (g.seq_id + 1) * 64 - c.s) AS BIGINT) AS tok_end,
+        |  CAST(GREATEST(0, c.s - g.seq_id * 64) AS BIGINT) AS seq_off
+        |FROM c CROSS JOIN LATERAL (
+        |  SELECT UNNEST(generate_series(CAST(c.s // 64 AS BIGINT),
+        |    CAST((c.s + c.n_tokens - 1) // 64 AS BIGINT))) AS seq_id) g
+        |WHERE c.n_tokens > 0
+        |ORDER BY doc_id, seq_id""".stripMargin,
+    // the stream packs three id-range slices continuing the persisted
+    // offset — on id-ordered arrival the result IS the batch rule, so
+    // the oracle is the identical concat-and-chunk SQL,
+    "pii_redact" ->
+      """WITH withpii AS (
+        |  SELECT doc_id, text || ' contact admin' || CAST(doc_id AS VARCHAR)
+        |    || '@corp.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7 call +1 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}[- ]\d{3}[- ]?\d{4}', '<PHONE>', 'g') AS r
+        |  FROM withpii)
+        |SELECT doc_id, md5(r) AS red_hash,
+        |  POSITION('<EMAIL>' IN r) > 0 AS has_email,
+        |  POSITION('<IP>' IN r) > 0 AS has_ip,
+        |  POSITION('<PHONE>' IN r) > 0 AS has_phone
+        |FROM red ORDER BY doc_id""".stripMargin,
+    "decontam" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM documents) t),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |co AS (SELECT * FROM sh WHERE doc_id % 50 != 0)
+        |SELECT co.doc_id,
+        |  CAST(COUNT(DISTINCT co.shingle) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+        |FROM co JOIN ev ON co.shingle = ev.shingle
+        |GROUP BY co.doc_id ORDER BY co.doc_id""".stripMargin,
+    // C4-style span dedup: first corpus occurrence survives, docs
+    // reassembled — the oracle rebuilds the exact clean string,
+    "decontam_bloom" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shingle
+        |    FROM documents) t),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |co AS (SELECT * FROM sh WHERE doc_id % 50 != 0)
+        |SELECT co.doc_id,
+        |  CAST(COUNT(DISTINCT co.shingle) AS BIGINT) AS n_shared,
+        |  CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+        |FROM co JOIN ev ON co.shingle = ev.shingle
+        |GROUP BY co.doc_id ORDER BY co.doc_id""".stripMargin,
+    "line_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS span_idx,
+        |    array_to_string(w[(i*5+1):(i*5+5)], ' ') AS span
+        |  FROM words, UNNEST(range(0, CAST(ceil(len(w)/5.0) AS BIGINT))) AS t(i)),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS total
+        |  FROM spans)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(ANY_VALUE(total) - COUNT(*) AS BIGINT) AS n_dropped,
+        |  md5(string_agg(span, ' ' ORDER BY span_idx)) AS clean_hash
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // overlapping-window substring dedup: the oracle marks covered token
+    // positions with a correlated range EXISTS over the dup-window starts
+    // (the Spark side replaces that range join with one ordered window
+    // pass); windows keyed by string here, by 64-bit hash there,
+    "substring_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+10)], ' ') AS win
+        |  FROM words, UNNEST(range(0, GREATEST(len(w) - 9, 0))) AS t(i)),
+        |dups AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |    FROM wins) r WHERE rn > 1),
+        |toks AS (
+        |  SELECT doc_id, j AS tpos, w[j+1] AS tok, len(w) AS n_total
+        |  FROM words, UNNEST(range(0, len(w))) AS t(j)),
+        |kept AS (
+        |  SELECT t.* FROM toks t WHERE NOT EXISTS (
+        |    SELECT 1 FROM dups d WHERE d.doc_id = t.doc_id
+        |      AND d.pos <= t.tpos AND t.tpos < d.pos + 10))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(ANY_VALUE(n_total) - COUNT(*) AS BIGINT) AS n_dropped,
+        |  md5(string_agg(tok, ' ' ORDER BY tpos)) AS clean_hash
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // int8 quantization: scale/code arithmetic replayed element-wise;
+    // round-half-away spelled as sign·floor(|x|/scale + 0.5) so both
+    // engines compute identical doubles,
+    "doc_chunks" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |counted AS (
+        |  SELECT doc_id, w, CASE WHEN len(w) <= 32 THEN 1
+        |    ELSE 1 + CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) END AS n_chunks
+        |  FROM words)
+        |SELECT doc_id, i AS chunk_idx,
+        |  CAST(len(w[(i*24+1):(i*24+32)]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(w[(i*24+1):(i*24+32)], ' ')) AS chunk_hash
+        |FROM counted, UNNEST(range(0, n_chunks)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the bloom pre-filter is result-neutral by construction — same truth,
+    "vec_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) / scale + 0.5) AS BIGINT))
+        |    END AS codes
+        |  FROM q)
+        |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+        |  (list_max(list_transform(range(1, len(embedding) + 1),
+        |     i -> abs(CAST(embedding[i] AS DOUBLE) - codes[i] * scale)))
+        |   <= scale * 0.5000001) AS err_ok
+        |FROM c ORDER BY vec_id""".stripMargin,
+    // chunking: stride arithmetic replayed, chunk strings rebuilt; chunk
+    // i covers tokens [i*24, i*24 + 32) (stride = 32 - 8),
+    "hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) x WHERE t <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |q(term) AS (VALUES ('fast'), ('hash'), ('join'), ('order')),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM toks JOIN q ON tok = q.term GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+        |        tf.tf * (1.2 + 1) /
+        |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM tf
+        |  JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |lexr AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM scored),
+        |lexk AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 50),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+        |vscored AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec) AS sim
+        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        |vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank FROM vscored),
+        |veck AS (SELECT doc_id, vec_rank FROM vecr WHERE vec_rank <= 50),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+        |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0) +
+        |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0), 9) AS rrf
+        |  FROM lexk l FULL OUTER JOIN veck v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // the batch twin: same leg arithmetic with query_id carried through
+    // every CTE and per-query window ranks — one corpus pass for all
+    // three queries on both sides,
+    "hybrid_rrf_batch" -> hybridBatchSql,
+    // IVF leg in exact mode (nprobe = nlist) provably equals brute
+    // force — same oracle; the machinery difference is all Spark-side,
+    "hybrid_rrf_ivf" -> hybridBatchSql,
+    // identical RE2-safe BPE pre-tokenizer pattern replayed in DuckDB;
+    // leftmost-first non-overlapping matching matches Java exactly,
+    "hybrid_rrf_pruned" ->
+      "SELECT CAST(30 AS BIGINT) AS n_exact, TRUE AS recall_ok"
+  )
+}
