@@ -43,6 +43,67 @@ private[graft] object EntryAdmin {
       .orderBy("subscription", "partition")
   }
 
+  /** Composed admin LIFECYCLE (§2.3/2.9/2.14 seams together): produce
+    * three quartile appends → OFFLOAD the log's offset-prefix to cold
+    * storage (Admin.offload + vacuum of the hot originals) → trigger
+    * compaction with the prefix already cold (the tiered scan: a
+    * hot-only compactor would lose keys whose last write is cold) →
+    * append the uncompacted tail → readCompacted over the
+    * snapshot ∪ tiered tail → storage stats (the msg_count /
+    * storage_bytes / head_offset / producers block of topicStats) on
+    * the consumer view. This is the first row crossing the
+    * offload↔compaction↔stats seams — where double-counted cold files
+    * or a hot-only compaction scan would hide. The oracle replays the
+    * mm3 routing, the horizon cut (offset order == (publish_time, seq)
+    * order under single-month quartile appends), tombstone removal,
+    * tail union, and octet accounting; tiering must be invisible in
+    * every number. */
+  private def qLifecycleComposed(s: SparkSession, dir: String): DataFrame = {
+    val name = graft.model.TopicName.parse("persistent://public/default/events")
+    val root = Fixtures.dir(s, dir, "q-lifecycle") { r =>
+      val tl0 = new graft.log.TopicLog(s, r, name, 4)
+      val e = env(s, dir).drop(Envelope.Topic, Envelope.Partition)
+      val months = e.select(countDistinct(
+        date_format(col(Envelope.PublishTime), "yyyy-MM"))).head().getLong(0)
+      require(months == 1L,
+        s"lifecycle fixture spans $months months — quartile cuts only " +
+          "align offset order with (publish_time, seq) inside one month")
+      // (publish_time, seq) is the offset-assignment order AND the
+      // oracle's only handle on offset ranks — ties would make the
+      // compaction winner (whose VALUE feeds storage_bytes) ambiguous
+      val ties = e.groupBy(col(Envelope.PublishTime), col(Envelope.SequenceId))
+        .count().filter(col("count") > 1).limit(1).count()
+      require(ties == 0L,
+        "lifecycle fixture has (publish_time, seq) ties — offset order " +
+          "is ambiguous; redesign the cuts before trusting this oracle")
+      val day = dayofmonth(col(Envelope.PublishTime))
+      Seq(day <= 8, day > 8 && day <= 15, day > 15 && day <= 23)
+        .foreach(p => tl0.append(e.filter(p)): Unit)
+      val mid = tl0.read().agg(max(Envelope.Offset)).head().getLong(0) / 2
+      require(graft.log.Admin.offload(tl0, beforeOffset = mid) > 0,
+        "lifecycle fixture is VACUOUS: offload moved nothing")
+      val horizon = Compaction.triggerCompaction(tl0)
+      require(horizon.nonEmpty, "lifecycle fixture: no compaction horizon")
+      tl0.append(e.filter(day > 23)): Unit
+      val tailParts = tl0.read().filter(horizon.map { case (p, o) =>
+          (col(Envelope.Partition) === p) && (col(Envelope.Offset) > o)
+        }.reduce(_ || _)).select(Envelope.Partition).distinct().count()
+      require(tailParts == 4,
+        s"lifecycle fixture: tail rows in only $tailParts/4 partitions — " +
+          "the head_offset oracle needs a tail in every partition")
+      tl0.vacuum(): Unit // collect offloaded hot originals
+    }
+    val tl = new graft.log.TopicLog(s, root, name, 4)
+    Compaction.readCompactedTopic(tl)
+      .groupBy(col(Envelope.Partition).as("partition"))
+      .agg(count(lit(1)).cast("bigint").as("msg_count"),
+        countDistinct(col(Envelope.Key)).cast("bigint").as("n_keys"),
+        sum(graft.log.Admin.payloadOctets).cast("bigint").as("storage_bytes"),
+        countDistinct(col(Envelope.ProducerName)).cast("bigint").as("producers"),
+        max(col(Envelope.Offset)).as("head_offset"))
+      .orderBy("partition")
+  }
+
   /** Topic throughput counters per hour (the msgRate/msgThroughput
     * surface of TopicStats as windowed counts). */
   private def qTopicRates(s: SparkSession, dir: String): DataFrame =
@@ -728,6 +789,7 @@ private[graft] object EntryAdmin {
     "producer_batches" -> (qProducerBatches _),
     "keyshared_autosplit" -> (qKeySharedAutoSplit _),
     "topic_stats" -> (qTopicStats _),
+    "lifecycle_composed" -> (qLifecycleComposed _),
     "topic_rates" -> (qTopicRates _),
     "topic_stats_partitioned" -> (qTopicStatsPartitioned _),
     "topic_stats_stream" -> (qTopicStatsStream _),
@@ -749,6 +811,35 @@ private[graft] object EntryAdmin {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "lifecycle_composed" -> (mm3Macros +
+      """WITH ev AS (
+        |  SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events
+        |), r AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE props END AS value,
+        |    'p' || CAST(user_id % 4 AS VARCHAR) AS producer_name,
+        |    ts AS pt,
+        |    CASE WHEN event_id % 10 = 0 THEN event_id - 1 ELSE event_id END AS seq,
+        |    date_part('day', ts) AS d,
+        |    CAST(mm3_8(CAST(user_id AS VARCHAR)) % 4 AS INT) AS partition
+        |  FROM ev
+        |), snap AS (
+        |  SELECT key, partition, value, producer_name FROM (
+        |    SELECT key, partition, value, producer_name,
+        |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY pt DESC, seq DESC) AS rn
+        |    FROM r WHERE d <= 23) t
+        |  WHERE rn = 1 AND value IS NOT NULL
+        |), tl AS (SELECT key, partition, value, producer_name FROM r WHERE d > 23),
+        |uni AS (SELECT * FROM snap UNION ALL SELECT * FROM tl),
+        |tot AS (SELECT partition, COUNT(*) AS total FROM r GROUP BY partition)
+        |SELECT u.partition, CAST(COUNT(*) AS BIGINT) AS msg_count,
+        |  CAST(COUNT(DISTINCT u.key) AS BIGINT) AS n_keys,
+        |  CAST(SUM(COALESCE(octet_length(CAST(u.value AS BLOB)), 0) +
+        |    COALESCE(octet_length(CAST(u.key AS BLOB)), 0)) AS BIGINT) AS storage_bytes,
+        |  CAST(COUNT(DISTINCT u.producer_name) AS BIGINT) AS producers,
+        |  CAST(t.total - 1 AS BIGINT) AS head_offset
+        |FROM uni u JOIN tot t ON u.partition = t.partition
+        |GROUP BY u.partition, t.total ORDER BY u.partition""".stripMargin),
     "keyshared_rebalance" -> (mm3Macros +
       """CREATE OR REPLACE TEMP TABLE graft_ring_old AS
         |  SELECT mm3_8(c || '-' || CAST(i AS VARCHAR)) % 65536 AS point, c AS owner

@@ -581,9 +581,64 @@ private[graft] object EntryComposition {
       .orderBy("key")
   }
 
+  /** The production composition sequence END-TO-END: continuous ingest
+    * (ext.MixtureStream admission over id-ordered slices, budgets
+    * en/de/zh of 8192 tokens — the `token_mixture_stream` stage run to
+    * closure), then the PERIODIC batch composition over the stream's
+    * kept epoch-partitioned dirs: a NEW recipe
+    * (ext.Sampling.tokenMixture, en/zh of 4096 — de admitted by the
+    * stream but unweighted at composition time, a real recipe change)
+    * materialized by ext.Sampling.packMixture into 64-token training
+    * sequences. Nothing else exercises epoch-partitioned kept output
+    * as mixture INPUT. The oracle is the batch rule on the equivalent
+    * static corpus: the arrival-order admission window boundary, then
+    * the whole-pass + md5-remainder copy counts, the global interleave
+    * draw, and the span arithmetic — all replayed in SQL. */
+  private def qMixtureFromStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    // identical builder to token_mixture_stream's fixture (same kind
+    // key -> Fixtures.dir builds it once per session, either query)
+    val root = Fixtures.dir(s, dir, "q-mixstream") { r =>
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      val base = System.currentTimeMillis() - 10000L
+      val slices = Seq(col("doc_id") <= b1,
+        col("doc_id") > b1 && col("doc_id") <= b2, col("doc_id") > b2)
+      slices.zipWithIndex.foreach { case (cond, i) =>
+        writeStreamSlice(docs.filter(cond), r,
+          f"slice_$i%02d.parquet", base + i * 2000L)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-mfs-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mfs-ckpt")
+    streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    drainGuarded(s, ext.MixtureStream.run(
+      s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root),
+      out.toString, ckpt.toString,
+      weights = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
+      budgetTokens = 8192L, tokensCol = "n_tokens", strataCol = "lang",
+      bucketWidth = 64L))
+    // the handoff under test: the stream's epoch-partitioned kept dirs
+    // ARE the batch composition's input
+    val kept = s.read.parquet(out.toString)
+      .select("doc_id", "lang", "n_tokens")
+    val mixed = ext.Sampling.tokenMixture(kept, "lang",
+      weights = Map("en" -> 0.5, "zh" -> 0.5), budgetTokens = 4096L,
+      tokensCol = "n_tokens", salt = "mfs|")
+    ext.Sampling.packMixture(mixed, seqLen = 64L, "n_tokens", salt = "mfp|")
+      .select(col("doc_id"), col("copy").cast("bigint").as("copy"),
+        col("seq_id"), col("tok_start"), col("tok_end"), col("seq_off"))
+      .orderBy("doc_id", "copy", "seq_id")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_from_stream" -> (qMixtureFromStream _),
     "txn_visibility" -> (qTxnVisibility _),
     "txn_uncommitted" -> (qTxnUncommitted _),
     "interceptor_chain" -> (qInterceptors _),
@@ -617,6 +672,62 @@ private[graft] object EntryComposition {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mixture_from_stream" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |adm AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |      WHEN 'zh' THEN 0.25 ELSE 0.0 END) * 8192) AS BIGINT) AS need,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS aprior
+        |  FROM t0),
+        |t AS (SELECT doc_id, lang, n_tokens FROM adm WHERE aprior < need),
+        |s AS (SELECT lang, SUM(n_tokens) AS avail FROM t GROUP BY lang),
+        |f AS (SELECT lang,
+        |    CASE WHEN avail > 0 THEN need // avail ELSE 0 END AS n_full,
+        |    CASE WHEN avail > 0 THEN need - (need // avail) * avail
+        |      ELSE 0 END AS rem
+        |  FROM (SELECT lang, avail,
+        |    CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.5
+        |      ELSE 0.0 END) * 4096) AS BIGINT) AS need FROM s)),
+        |p AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5('mfs|' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t),
+        |m AS (
+        |  SELECT p.doc_id, p.n_tokens,
+        |    f.n_full + CASE WHEN p.prior < f.rem THEN 1 ELSE 0 END AS n_copies
+        |  FROM p JOIN f USING (lang)
+        |  WHERE f.n_full + CASE WHEN p.prior < f.rem THEN 1 ELSE 0 END >= 1),
+        |e AS (
+        |  SELECT doc_id, n_tokens,
+        |    UNNEST(generate_series(1, CAST(n_copies AS BIGINT))) AS copy
+        |  FROM m),
+        |d AS (
+        |  SELECT doc_id, n_tokens, copy,
+        |    md5('mfp|' || CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(copy AS VARCHAR)) AS dr
+        |  FROM e),
+        |c AS (
+        |  SELECT doc_id, n_tokens, copy,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY dr, doc_id, copy
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM d)
+        |SELECT c.doc_id, CAST(c.copy AS BIGINT) AS copy,
+        |  CAST(g.seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(0, g.seq_id * 64 - c.s) AS BIGINT) AS tok_start,
+        |  CAST(LEAST(c.n_tokens, (g.seq_id + 1) * 64 - c.s) AS BIGINT) AS tok_end,
+        |  CAST(GREATEST(0, c.s - g.seq_id * 64) AS BIGINT) AS seq_off
+        |FROM c CROSS JOIN LATERAL (
+        |  SELECT UNNEST(generate_series(CAST(c.s // 64 AS BIGINT),
+        |    CAST((c.s + c.n_tokens - 1) // 64 AS BIGINT))) AS seq_id) g
+        |WHERE c.n_tokens > 0
+        |ORDER BY doc_id, copy, seq_id""".stripMargin,
     "txn_visibility" -> txnVisSql("sequence_id % 3 = 0"),
     // READ_UNCOMMITTED sees committed + in-flight staged (dense above
     // the committed high-water — the max_offset arithmetic only holds

@@ -115,7 +115,12 @@ object Compaction {
     // otherwise fall into neither snapshot nor tail.
     val horizon = log.highWater()
     if (horizon.isEmpty) return Map.empty
-    val data = log.read().filter(horizon.map { case (p, o) =>
+    // tiered scan: rows at or below the horizon may have been OFFLOADED
+    // to cold storage (Admin.offload) — a hot-only scan would silently
+    // compact without them, and the snapshot would lose keys whose last
+    // write sits in a cold file (the offloaded-but-compacted overlap).
+    // readTiered == read() when no _cold dir exists.
+    val data = graft.log.Admin.readTiered(log).filter(horizon.map { case (p, o) =>
       (col(Envelope.Partition) === p) && (col(Envelope.Offset) <= o)
     }.reduce(_ || _))
     val outDir = log.name.path(log.root) + "/_compacted"
@@ -142,7 +147,12 @@ object Compaction {
       (col(Envelope.Partition) === p) && (col(Envelope.Offset) > o)
     }.reduce(_ || _) ||
       !col(Envelope.Partition).isin(horizon.keys.toSeq: _*)
-    val tail = log.read().filter(pastHorizon)
-    snapshot.unionByName(tail)
+    // tiered tail: offload can run between compaction and this read;
+    // cold rows at or below the horizon are filtered out either way.
+    // allowMissingColumns: an EMPTY hot tier reads back with the full
+    // envelope schema while parquet-backed sides carry the appended
+    // columns — the union must tolerate either side being wider
+    val tail = graft.log.Admin.readTiered(log).filter(pastHorizon)
+    snapshot.unionByName(tail, allowMissingColumns = true)
   }
 }
