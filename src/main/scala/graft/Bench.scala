@@ -155,6 +155,33 @@ object Bench {
     }
     calibrateIo(): Unit // warm-up, untimed
     val calIoWalls = Seq.fill(3)(calibrateIo())
+    // Boot-floor SENTINELS (round 15, prospective form of the round-14
+    // forensic method): warm walls of the DESIGNATED floor-bound rows —
+    // short queries with task-time well under their wall, untouched by
+    // agreement across rounds (BASELINE.md lists them) — measured AT
+    // THE CUT. A cross-boot driver/JVM-floor shift moves these rows
+    // whole while the cpu probe stays flat (r14: url_dedup 0.52 s vs
+    // 0.28 s, same code, probe ±2%); recording them in the artifact
+    // lets compare.py tag all-cuts regressions that sit inside the
+    // sentinel-measured floor band without a forensic rerun.
+    val sentinelNames =
+      Seq("url_dedup", "char_entropy", "q_distinct", "sample_hash")
+    val sentinels = sentinelNames.flatMap { n =>
+      SparkEntry.queries.get(n).flatMap { fn =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+          val walls = Seq.fill(3) {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Some(n -> median(walls))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sentinel $n failed: ${e.getMessage}")
+          None
+        }
+      }
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val repLoads = new scala.collection.mutable.ArrayBuffer[Double]
     val samples = (1 to reps).flatMap { _ =>
@@ -189,7 +216,9 @@ object Bench {
     val calibration =
       s"""{"walls":${calWalls.mkString("[", ",", "]")},"median":${median(calWalls)},""" +
         s""""io_walls":${calIoWalls.mkString("[", ",", "]")},"io_median":${median(calIoWalls)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"fixture_prewarm_sec":$prewarmSec,"calibration":$calibration,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
+    val sentinelsJson = sentinels
+      .map { case (n, v) => jstr(n) + ":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"fixture_prewarm_sec":$prewarmSec,"calibration":$calibration,"sentinels":$sentinelsJson,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
     spark.stop()
   }
 }

@@ -30,17 +30,23 @@ object TimeOne {
           if (e.taskMetrics != null)
             taskMs.addAndGet(e.taskMetrics.executorRunTime): Unit
       })
-    val fn = SparkEntry.queries(name)
+    // comma-separated names run as a SEQUENCE within each rep — the
+    // bench-context reproducer for interaction effects (shared persist
+    // caches, AQE reuse) a single-query loop can't see
+    val names = name.split(",").toSeq
+    val fns = names.map(n => n -> SparkEntry.queries(n))
     for (i <- 1 to reps) {
-      taskMs.set(0)
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      // listener delivery is async — settle before reading the counter
-      Thread.sleep(200)
-      println(f"[timeone] $name run $i: $wall%.2f s  " +
-        f"(task-time ${taskMs.get() / 1000.0}%.1f s, " +
-        f"ratio ${taskMs.get() / 1000.0 / wall}%.1f)")
+      fns.foreach { case (n, fn) =>
+        taskMs.set(0)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener delivery is async — settle before reading the counter
+        Thread.sleep(200)
+        println(f"[timeone] $n run $i: $wall%.2f s  " +
+          f"(task-time ${taskMs.get() / 1000.0}%.1f s, " +
+          f"ratio ${taskMs.get() / 1000.0 / wall}%.1f)")
+      }
     }
     spark.stop()
   }

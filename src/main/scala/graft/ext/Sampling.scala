@@ -598,7 +598,11 @@ object Sampling {
         explode(concat(TextOps.shinglesAll(col(textCol), 1),
           TextOps.shinglesAll(col(textCol), 2))).as("ngram"))
       .select(col("id"), col("tgt"),
-        substring(md5(col("ngram")), 1, hexDigits).as("b"))
+        // per-NGRAM hash: the builtin md5's per-row
+        // MessageDigest.getInstance convoys at high thread counts
+        // (bimodal 15 s / 100 s task time at 32 threads — see Md5Fast)
+        substring(graft.functions.Md5Fast.md5_fast(col("ngram")), 1,
+          hexDigits).as("b"))
     // (doc, cell) counts feed BOTH the cell models and the per-doc
     // weight sums; truncate the lineage so the n-gram explode + md5 +
     // count runs once, not once per consumer (at 100 TB this

@@ -337,18 +337,42 @@ object Admin {
     // GC-collected; a per-invocation leak would accumulate across bench
     // reps / a stats-polling loop). Unpersisting the previous handle is
     // always safe — a concurrent reader of it merely recomputes.
-    val backlog = unacked.groupBy("subscription", "partition")
+    val backlogRaw = unacked.groupBy("subscription", "partition")
       .agg(count(lit(1)).cast("bigint").as("backlog"),
         min("offset").as("min_unacked"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the value is a WeakReference so it cannot pin its own key (a
-    // DataFrame strongly references its SparkSession; a strong value
-    // would defeat the weak keys and leak one session + cache handle
-    // per stopped session)
-    Option(lastStatsCache.put(spark, new java.lang.ref.WeakReference(backlog)))
+    // Deterministic reuse across calls (round 15 — the bimodal-wall
+    // fix): consecutive topicStats calls over the same log and subs
+    // build PLAN-IDENTICAL backlog aggregates, and the old
+    // unpersist-then-re-persist flow left reuse to a RACE between the
+    // CacheManager's same-plan dedup and the previous handle's async
+    // unpersist — measured as a 0.4 s / 1.2 s bimodal wall (task-time
+    // 0.1 s vs 1.2 s) on the stats bench rows. Reuse the live handle
+    // outright when the plan AND the concrete input file set match; the
+    // file-set guard keeps a GROWING topic's poller correct (new files
+    // → different inputFiles → recompute), which plan equality alone
+    // would not.
+    val prevLive = Option(lastStatsCache.get(spark))
       .flatMap(r => Option(r.get))
-      .filterNot(_ eq backlog)
-      .foreach(prev => try { prev.unpersist(false); () } catch { case _: Throwable => () })
+    val backlog = prevLive match {
+      case Some(prev) if prev.queryExecution.analyzed
+            .sameResult(backlogRaw.queryExecution.analyzed) &&
+          prev.inputFiles.sorted.sameElements(backlogRaw.inputFiles.sorted) =>
+        prev
+      case other =>
+        val b = backlogRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the value is a WeakReference so it cannot pin its own key (a
+        // DataFrame strongly references its SparkSession; a strong
+        // value would defeat the weak keys and leak one session + cache
+        // handle per stopped session)
+        lastStatsCache.put(spark, new java.lang.ref.WeakReference(b)): Unit
+        // release the superseded entry — bounds the cache-manager
+        // footprint at one entry per session; a concurrent reader of
+        // the old handle merely recomputes
+        other.foreach(prev =>
+          try { prev.unpersist(false); () } catch { case _: Throwable => () })
+        b
+    }
     // mark-delete = highest acked offset below the first gap; every log
     // offset below min_unacked is acked by construction, so no sort
     // backlog/md sides are (subs × partitions) rows — bounded by

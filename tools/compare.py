@@ -58,6 +58,35 @@ def bench_mode(argv):
           f"{len(names)} shared queries "
           f"(probe, annotation only: {probe})")
 
+    # Boot-floor sentinels (BASELINE.md standard, round 15): warm walls
+    # of the designated floor-bound rows, recorded AT each cut by Bench.
+    # floor_factor = median over sentinel rows of (cut / base) — the
+    # measured per-job driver/JVM floor shift of this boot vs the base
+    # boot. All-cuts regressions whose vs-base ratio sits inside this
+    # band are tagged: the shift is environmental, not code, by the
+    # same evidence the r14 forensics reconstructed after the fact.
+    floor_factor = None
+    for cname, d in cuts:
+        if d.get("sentinels"):
+            print(f"  sentinels[{cname}]: " + ", ".join(
+                f"{k}={v:.3f}s" for k, v in sorted(d["sentinels"].items())))
+    if base and base.get("sentinels"):
+        ratios_per_cut = []
+        for _, d in cuts:
+            sn = d.get("sentinels") or {}
+            shared_s = [k for k in sn if k in base["sentinels"]
+                        and base["sentinels"][k] > 0]
+            if shared_s:
+                ratios_per_cut.append(statistics.median(
+                    [sn[k] / base["sentinels"][k] for k in shared_s]))
+        if ratios_per_cut:
+            floor_factor = statistics.median(ratios_per_cut)
+            print(f"  sentinel floor factor vs base: {floor_factor:.2f}x "
+                  f"(per cut: {['%.2f' % r for r in ratios_per_cut]})")
+    elif base is not None:
+        print("  (base cut carries no sentinels — floor band unavailable, "
+              "fall back to the r14 forensic TimeOne method)")
+
     up, down, noise = [], [], []
     cons_total = 0.0
     rows = []
@@ -73,6 +102,8 @@ def bench_mode(argv):
             line += f"  vs-base={cons / b:.2f}x"
             if all(r >= args.threshold for r in ratios):
                 up.append(n); line += "  REGRESSED(all-cuts)"
+                if floor_factor and cons / b <= floor_factor * 1.1:
+                    line += f"  [within sentinel floor band {floor_factor:.2f}x]"
             elif all(r <= 1 / args.threshold for r in ratios):
                 down.append(n); line += "  improved(all-cuts)"
             elif any(r >= args.threshold or r <= 1 / args.threshold for r in ratios):
