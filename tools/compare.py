@@ -122,8 +122,12 @@ def bench_mode(argv):
         shared_base = [n for n in names if n in base.get("queries", {})]
         cb = sum(statistics.median([d["queries"][n] for _, d in cuts])
                  for n in shared_base)
-        print(f"vs base over {len(shared_base)} shared queries: "
-              f"{cb:.1f}s / {bt:.1f}s = {cb / bt:.3f}x raw")
+        if bt > 0:
+            print(f"vs base over {len(shared_base)} shared queries: "
+                  f"{cb:.1f}s / {bt:.1f}s = {cb / bt:.3f}x raw")
+        else:
+            print("vs base: NO shared queries (is the base a raw Bench "
+                  "json with a 'queries' map?)")
         print(f"regressed(all-cuts agree, >= {args.threshold}x): {up or 'none'}")
         print(f"improved(all-cuts agree): {down or 'none'}")
         print(f"noise-band(some cut crossed, cuts disagree): {noise or 'none'}")
