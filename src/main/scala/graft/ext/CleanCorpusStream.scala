@@ -67,7 +67,8 @@ object CleanCorpusStream {
     * can recompute hb under a new fanout without the original text. */
   private[graft] def hashed(docs: DataFrame, idCol: String,
                             textCol: String, hashBuckets: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"),
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.Md5Fast.md5_fast(col(textCol)).as("h"),
         xxhash64(col(textCol)).as("xh"))
       .withColumn("hb", pmod(col("xh"), lit(hashBuckets.toLong)))
 

@@ -110,7 +110,8 @@ object Clustering {
         .bitwiseAND((1L << bits) - 1).as("cluster"))
     // Same draw shape as Sampling: lowercase-hex md5 over the UTF-8
     // bytes of "salt|id" — any SQL engine with md5 replays it.
-    val draw = md5(concat(lit(salt + "|"), col("id").cast("string")).cast("binary"))
+    val draw = graft.functions.Md5Fast.md5_fast(
+      concat(lit(salt + "|"), col("id").cast("string")))
     val byDraw = Window.partitionBy("cluster").orderBy(col("draw"), col("id"))
     base.withColumn("draw", draw)
       .withColumn("pick_rank", row_number().over(byDraw))

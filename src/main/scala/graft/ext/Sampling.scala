@@ -40,7 +40,8 @@ object Sampling {
   /** The reproducible uniform draw: lowercase-hex md5 of salt||id —
     * any engine computes the identical 32-char string. */
   private def draw(idCol: String, salt: String) =
-    md5(concat(lit(salt), col(idCol).cast("string")).cast("binary"))
+    graft.functions.Md5Fast.md5_fast(
+      concat(lit(salt), col(idCol).cast("string")))
 
   /** Deterministic hash-fraction sample: keeps rows where the first 8 hex
     * chars of the draw sort below `fraction` of the 32-bit space. A plain
@@ -340,7 +341,7 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1L),
         col(copiesCol).cast("long"))))
     val withBk = copies
-      .withColumn("_d", md5(concat(lit(salt), col(idCol).cast("string"),
+      .withColumn("_d", graft.functions.Md5Fast.md5_fast(concat(lit(salt), col(idCol).cast("string"),
         lit("#"), col("copy").cast("string")).cast("binary")))
       .withColumn("_bk", conv(substring(col("_d"), 1, 2), 16, 10)
         .cast("long"))
@@ -370,7 +371,7 @@ object Sampling {
     val copies = mixed.filter(col(copiesCol) >= 1)
       .withColumn("copy", explode(sequence(lit(1L),
         col(copiesCol).cast("long"))))
-      .withColumn("_d", md5(concat(lit(salt), col(idCol).cast("string"),
+      .withColumn("_d", graft.functions.Md5Fast.md5_fast(concat(lit(salt), col(idCol).cast("string"),
         lit("#"), col("copy").cast("string")).cast("binary")))
     val w = Window.orderBy(col("_d"), col(idCol), col("copy"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -422,7 +423,7 @@ object Sampling {
     val withGroup = docs.join(groups, Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
     val groupDraw = substring(
-      md5(concat(lit(salt), col("group_id").cast("string")).cast("binary")), 1, 8)
+      graft.functions.Md5Fast.md5_fast(concat(lit(salt), col("group_id").cast("string"))), 1, 8)
     val cums = weights.init.scanLeft(0.0)(_ + _._2).tail
     val thresholds = cums.map(c =>
       f"${math.min((c * (1L << 32)).toLong, 0xffffffffL)}%08x")

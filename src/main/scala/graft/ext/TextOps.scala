@@ -152,7 +152,7 @@ object TextOps {
     docs
       .withColumn("fp_exact", xxhash64(col(textCol)))
       .withColumn("fp_norm", xxhash64(normalized))
-      .withColumn("fp_norm_md5", md5(normalized))
+      .withColumn("fp_norm_md5", graft.functions.Md5Fast.md5_fast(normalized))
   }
 
   /**
@@ -162,7 +162,8 @@ object TextOps {
    */
   def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    docs.select(col(idCol),
+        graft.functions.Md5Fast.md5_fast(col(textCol)).as("content_hash"))
       .groupBy("content_hash")
       .agg(count(lit(1)).as("dup_count"),
         min(idCol).as("keep_id"),
@@ -172,7 +173,8 @@ object TextOps {
   /** Exact dedup: keep the smallest doc id per content hash. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val w = Window.partitionBy(
+      graft.functions.Md5Fast.md5_fast(col(textCol))).orderBy(col(idCol))
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
