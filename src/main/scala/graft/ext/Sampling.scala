@@ -342,7 +342,7 @@ object Sampling {
         col(copiesCol).cast("long"))))
     val withBk = copies
       .withColumn("_d", graft.functions.Md5Fast.md5_fast(concat(lit(salt), col(idCol).cast("string"),
-        lit("#"), col("copy").cast("string")).cast("binary")))
+        lit("#"), col("copy").cast("string"))))
       .withColumn("_bk", conv(substring(col("_d"), 1, 2), 16, 10)
         .cast("long"))
     val wLocal = Window.partitionBy(col("_bk"))
@@ -372,7 +372,7 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1L),
         col(copiesCol).cast("long"))))
       .withColumn("_d", graft.functions.Md5Fast.md5_fast(concat(lit(salt), col(idCol).cast("string"),
-        lit("#"), col("copy").cast("string")).cast("binary")))
+        lit("#"), col("copy").cast("string"))))
     val w = Window.orderBy(col("_d"), col(idCol), col("copy"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val placed = copies.withColumn("_start",
