@@ -614,6 +614,11 @@ private[graft] object EntryComposition {
     val out = java.nio.file.Files.createTempDirectory("graft-mfs-out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-mfs-ckpt")
     streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    // env-gated drain/compose split (verdict r15 #5): the stream drain
+    // replays N microbatches serially on EVERY invocation (fresh
+    // out/ckpt dirs), so at 10× the row's growth can sit in the drain
+    // (fixture) or the composition (operator) — the mark attributes it
+    val tDrain = System.nanoTime()
     drainGuarded(s, ext.MixtureStream.run(
       s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -622,6 +627,9 @@ private[graft] object EntryComposition {
       weights = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
       budgetTokens = 8192L, tokensCol = "n_tokens", strataCol = "lang",
       bucketWidth = 64L))
+    if (sys.env.contains("SPARK_GRAFT_MFS_DEBUG"))
+      println(f"[mfs-debug] drain ${(System.nanoTime() - tDrain) / 1e9}%6.2fs" +
+        " (composition is the remainder of the row's wall)")
     // the handoff under test: the stream's epoch-partitioned kept dirs
     // ARE the batch composition's input
     val kept = s.read.parquet(out.toString)

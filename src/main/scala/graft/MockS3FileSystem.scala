@@ -188,10 +188,18 @@ object MockS3FileSystem {
 
   /** PUT emulation: bytes staged in an invisible tmp file; the object
     * materializes at close() — hard-link (fail-if-exists = the 412)
-    * for conditional PUTs, atomic replace for overwrite PUTs. */
+    * for conditional PUTs, atomic replace for overwrite PUTs. The tmp
+    * file is staged in the TARGET's parent directory, not
+    * java.io.tmpdir: the materialization is a link/ATOMIC_MOVE, and
+    * neither can cross filesystems — a backing root on a different
+    * device than tmpdir would fail with FileSystemException instead of
+    * emulating the PUT (ADVICE r15). */
   private final class PutStream(target: java.nio.file.Path,
                                 overwrite: Boolean) extends OutputStream {
-    private val tmp = Files.createTempFile("mocks3-put", ".staged")
+    private val tmp = {
+      Option(target.getParent).foreach(Files.createDirectories(_))
+      Files.createTempFile(target.getParent, ".mocks3-put", ".staged")
+    }
     private val out = Files.newOutputStream(tmp)
     private var closed = false
 

@@ -16,6 +16,7 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(graft.log.DirectCommitProtocol.Key, graft.log.DirectCommitProtocol.Value)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -38,6 +38,7 @@ object ScaleUp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(graft.log.DirectCommitProtocol.Key, graft.log.DirectCommitProtocol.Value)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -25,6 +25,7 @@ object Stress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(graft.log.DirectCommitProtocol.Key, graft.log.DirectCommitProtocol.Value)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -207,6 +208,7 @@ object Stress {
     }
     if (tierOn("retro_apply")) retroApplyTier(docs1)
     if (tierOn("os_stream")) { osStreamTier(docs1); osStreamTier(docsK) }
+    if (tierOn("os_index")) { osIndexTier(docs1, vecs1); osIndexTier(docsK, vecsK) }
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -1328,8 +1330,161 @@ object Stress {
         marks.foreach { case (i, w, del) =>
           println(f"STRESS os_asm_batch$i(n=$n)        $w%8.2fs  ${Ops.render(del)}")
         }
-        cleanup(Seq(java.nio.file.Paths.get(s"${outF.toString}-s3")))
-      } finally { d.unpersist(); cleanup(tmps) }
+      } finally {
+        d.unpersist()
+        // the mocks3 asm output root is outside tmps — clean it on EVERY
+        // exit path, not just success (ADVICE r15: a require/IO failure
+        // leaked it across stress runs)
+        cleanup(tmps :+ java.nio.file.Paths.get(s"${outF.toString}-s3"))
+      }
+    }
+  }
+
+  /** Object-store COST record for the index families os_stream does
+    * not cover (verdict r15 #6): the semantic-dedup `vecs` level, the
+    * decontam `ngrams` level, and the seq-pack `_offset` EpochState
+    * chain — same protocol (epoch dirs + pointer folds + atomicCreate
+    * state), so the claims under test are the same: kept sets equal
+    * the `file:` runs, per-batch request counts are a function of
+    * bucket fanout (identical at 1× and 10×), and with the r16 direct
+    * committer + catalog reads, COPY = rename = 0 and LIST stays flat
+    * across epochs between folds. Slice-by-slice drive so every
+    * batch's request delta is exact (the osStreamTier driver). */
+  private def osIndexTier(docs: DataFrame, vecs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    MockS3FileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val Ops = MockS3FileSystem.Ops
+    val n = docs.count()
+    import org.apache.spark.sql.Encoders
+
+    def cleanup(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      catch { case _: java.io.IOException => () }
+    }
+    def driveSlices(d: DataFrame, root: java.nio.file.Path,
+                    mk: () => org.apache.spark.sql.streaming.StreamingQuery)
+        : Seq[(Int, Double, Map[String, Long])] = {
+      val q = mk()
+      try (0 until 8).map { i =>
+        mkHashSlices(d, root, i + 1, from = i)
+        val before = Ops.snapshot()
+        val t = System.nanoTime()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t) / 1e9
+        (i, wall, Ops.delta(before, Ops.snapshot()))
+      } finally q.stop()
+    }
+    def tmpSet(k: Int, prefix: String): Seq[java.nio.file.Path] =
+      (0 until k).map(_ => java.nio.file.Files.createTempDirectory(prefix))
+
+    // ---- sd_stream: semantic-dedup vecs index + output on mocks3 ----
+    locally {
+      // mkHashSlices slices on doc_id; rename so one driver serves all
+      val d = vecs.select(col("vec_id").as("doc_id"), col("embedding"))
+      val tmps = tmpSet(8, "os-sd")
+      val (rootF, outF, ckptF, idxF) = (tmps(0), tmps(1), tmps(2), tmps(3))
+      val (rootS, outS, ckptS, idxS) = (tmps(4), tmps(5), tmps(6), tmps(7))
+      try {
+        def run(root: java.nio.file.Path, idx: String, out: String,
+                ckpt: java.nio.file.Path) =
+          graft.ext.SemanticDedupStream.run(
+            spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+            idx, out, ckpt.toString, threshold = 0.3, clusterBits = 12,
+            idCol = "doc_id", compactEvery = Some(3))
+        mkHashSlices(d, rootF, 8)
+        val qF = run(rootF, idxF.toString, outF.toString, ckptF)
+        try qF.processAllAvailable() finally qF.stop()
+        val keptF = spark.read.parquet(outF.toString)
+          .select("doc_id").as(Encoders.scalaLong).collect().toSet
+        val marks = driveSlices(d, rootS,
+          () => run(rootS, s"mocks3:$idxS", s"mocks3:$outS", ckptS))
+        val keptS = spark.read.parquet(s"mocks3:$outS")
+          .select("doc_id").as(Encoders.scalaLong).collect().toSet
+        require(keptF == keptS, s"os_sd kept set diverged: " +
+          s"${(keptF -- keptS) ++ (keptS -- keptF)}")
+        println(f"STRESS os_sd_stream(n=${vecs.count()})         kept=${keptS.size} == file: run")
+        marks.foreach { case (i, w, del) =>
+          println(f"STRESS os_sd_batch$i(n=$n)          $w%8.2fs  ${Ops.render(del)}")
+        }
+      } finally cleanup(tmps)
+    }
+
+    // ---- dc_stream: decontam ngrams index + output on mocks3 ----
+    locally {
+      val d = docs.select(col("doc_id"), col("text"),
+        (col("doc_id") % 50 === 0).as("is_eval"))
+      val tmps = tmpSet(8, "os-dc")
+      val (rootF, outF, ckptF, idxF) = (tmps(0), tmps(1), tmps(2), tmps(3))
+      val (rootS, outS, ckptS, idxS) = (tmps(4), tmps(5), tmps(6), tmps(7))
+      try {
+        def run(root: java.nio.file.Path, idx: String, out: String,
+                ckpt: java.nio.file.Path) =
+          graft.ext.DecontamStream.run(
+            spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+            idx, out, ckpt.toString, n = 5, compactEvery = Some(3))
+        mkHashSlices(d, rootF, 8)
+        val qF = run(rootF, idxF.toString, outF.toString, ckptF)
+        try qF.processAllAvailable() finally qF.stop()
+        val keptF = spark.read.parquet(outF.toString)
+          .select("doc_id").as(Encoders.scalaLong).collect().toSet
+        val marks = driveSlices(d, rootS,
+          () => run(rootS, s"mocks3:$idxS", s"mocks3:$outS", ckptS))
+        val keptS = spark.read.parquet(s"mocks3:$outS")
+          .select("doc_id").as(Encoders.scalaLong).collect().toSet
+        require(keptF == keptS, s"os_dc kept set diverged: " +
+          s"${(keptF -- keptS) ++ (keptS -- keptF)}")
+        println(f"STRESS os_dc_stream(n=$n)          kept=${keptS.size} == file: run")
+        marks.foreach { case (i, w, del) =>
+          println(f"STRESS os_dc_batch$i(n=$n)          $w%8.2fs  ${Ops.render(del)}")
+        }
+        // retro screen + apply on the mocks3 output: tombstones against
+        // the full index, epoch rewrite — must be COPY- and rename-free
+        Ops.reset()
+        val t0 = System.nanoTime()
+        val tombs = graft.ext.DecontamStream.retroScreen(
+          spark, s"mocks3:$outS", s"mocks3:$idxS", n = 5).count()
+        val rw = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS os_dc_retro(n=$n)           $rw%8.2fs  " +
+          s"(tombstones=$tombs) ${Ops.render(Ops.snapshot())}")
+      } finally cleanup(tmps)
+    }
+
+    // ---- sp_stream: seq-pack spans + _offset state chain on mocks3 ----
+    locally {
+      val d = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val tmps = tmpSet(6, "os-sp")
+      val (rootF, outF, ckptF) = (tmps(0), tmps(1), tmps(2))
+      val (rootS, outS, ckptS) = (tmps(3), tmps(4), tmps(5))
+      try {
+        def run(root: java.nio.file.Path, out: String,
+                ckpt: java.nio.file.Path) =
+          graft.ext.SeqPackStream.run(
+            spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+            out, ckpt.toString, seqLen = 1024L, tokensCol = "n_tokens",
+            bucketWidth = 100000L)
+        mkHashSlices(d, rootF, 8)
+        val qF = run(rootF, outF.toString, ckptF)
+        try qF.processAllAvailable() finally qF.stop()
+        val offF = graft.ext.SeqPackStream.priorOffset(outF.toString,
+          Long.MaxValue)
+        val spansF = spark.read.parquet(outF.toString).count()
+        val marks = driveSlices(d, rootS, () => run(rootS, s"mocks3:$outS", ckptS))
+        val offS = graft.ext.SeqPackStream.priorOffset(s"mocks3:$outS",
+          Long.MaxValue)
+        val spansS = spark.read.parquet(s"mocks3:$outS").count()
+        require(offF == offS && spansF == spansS,
+          s"os_sp diverged: offset $offF/$offS spans $spansF/$spansS")
+        println(f"STRESS os_sp_stream(n=$n)          offset=$offS spans=$spansS == file: run")
+        marks.foreach { case (i, w, del) =>
+          println(f"STRESS os_sp_batch$i(n=$n)          $w%8.2fs  ${Ops.render(del)}")
+        }
+      } finally cleanup(tmps)
     }
   }
 

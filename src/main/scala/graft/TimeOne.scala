@@ -17,6 +17,7 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(graft.log.DirectCommitProtocol.Key, graft.log.DirectCommitProtocol.Value)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // task-time accounting: wall alone cannot separate "superlinear

@@ -122,15 +122,28 @@ object DecontamStream {
    *
    * Run OFFLINE (stream stopped — single-writer, like rebucket).
    * Crash-safety is idempotence of the whole verb, not atomicity of
-   * any write: filtered epoch content is staged under
-   * `outDir/_retro/epoch=<e>` (underscore — invisible to readers),
-   * then swapped in; [[resumeRetro]] (run at entry) finishes a swap
-   * whose staging carries `_SUCCESS` and discards one that doesn't,
-   * and a re-run re-derives the same tombstones from whatever output
-   * survives — so any crash point converges to the fully-screened
-   * state. Object-store safe: the staging is the durable copy until
-   * the swap completes, so the non-atomic per-file move never strands
-   * rows.
+   * any write — and, since round 16, the rewrite is RENAME-FREE: the
+   * filtered content is appended DIRECTLY into the live epoch dir
+   * under job-unique final names (never colliding with the old files,
+   * which are pinned by an explicit list before the write), then the
+   * old files are deleted. The previous protocol staged under
+   * `outDir/_retro/epoch=<e>` and swapped with deleteTree+move — on an
+   * object store that move is a per-object COPY+DELETE of the entire
+   * rewritten epoch plus a reader-visible absence window between the
+   * delete and the move (verdict r15); here no byte is ever written
+   * twice and the dir is never empty. Commit record per epoch, both
+   * [[graft.log.PathIO.atomicCreate]]'d at the `outDir` root:
+   *  - `_retro_old-<e>` — the pre-rewrite file list (the intent);
+   *  - `_retro_done-<e>` — published after the append commits: the old
+   *    files are now condemned.
+   * [[resumeRetro]] (run at entry) converges every crash window:
+   * intent without done = mid-write, delete the partial new files (all
+   * old files still present); done = finish deleting the old files,
+   * then the markers (done before intent, so an intent-only state with
+   * ALL old files absent is the final cleanup tail). A re-run
+   * re-derives the same tombstones from whatever content survives.
+   * Legacy `_retro/epoch=<e>` stagings from the pre-r16 protocol are
+   * still healed on entry with the old move-based finish.
    */
   def retroScreen(spark: SparkSession, outDir: String, indexDir: String,
                   n: Int = 5, minShared: Long = 1L,
@@ -170,50 +183,109 @@ object DecontamStream {
       .collect().toSeq.sorted
     val tombDf = tombRows.toDF("doc_id", "epoch")
     if (apply && tombRows.nonEmpty) {
-      // per-epoch rewrites are independent (each reads its own live
-      // dir, stages under its own _retro dir): run them as CONCURRENT
-      // awaited Spark jobs — a broadly-contaminating eval set over a
-      // long-lived corpus hits O(epochs) dirs, and a serial loop pays
-      // O(epochs) job-latency floors. Same helper (job-group tagged,
-      // every write awaited) as the other streaming indexes.
+      // per-epoch rewrites are independent (each reads its own pinned
+      // old-file list, appends into its own dir): run them as
+      // CONCURRENT awaited Spark jobs — a broadly-contaminating eval
+      // set over a long-lived corpus hits O(epochs) dirs, and a serial
+      // loop pays O(epochs) job-latency floors. Same helper (job-group
+      // tagged, every write awaited) as the other streaming indexes.
       val idsByEpoch = tombRows.groupBy(_._2)
       val hit = idsByEpoch.keys.toSeq.sorted
-      NearDupStream.parallelWrites(spark, hit.map { e => () => {
-        val ids = idsByEpoch(e).map(_._1).toDF("_tomb_id")
-        spark.read.parquet(s"$outDir/epoch=$e")
-          .join(broadcast(ids), col(idCol) === col("_tomb_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$outDir/_retro/epoch=$e")
-      }}: _*)
-      // swaps are driver-side metadata ops; concurrent too — each
-      // touches only its own epoch's live + staged dirs
-      NearDupStream.parallelWrites(spark,
-        hit.map { e => () => finishRetroSwap(outDir, e) }: _*)
-      PathIO.deleteIfExists(PathIO.path(outDir, "_retro")): Unit
+      NearDupStream.parallelWrites(spark, hit.map { e => () =>
+        rewriteEpoch(spark, outDir, e,
+          idsByEpoch(e).map(_._1), idCol)
+      }: _*)
     }
     tombDf
   }
 
-  /** Finish (or discard) a crash-interrupted [[retroScreen]] swap:
-    * staged `_retro/epoch=<e>` WITH `_SUCCESS` replaces the live epoch
-    * dir (the staging is authoritative — its content was derived from
-    * a completed screen); one without is a mid-write crash, discarded
-    * with the live dir intact. */
+  private def retroOldMarker(outDir: String, e: Long) =
+    PathIO.path(outDir, s"_retro_old-$e")
+  private def retroDoneMarker(outDir: String, e: Long) =
+    PathIO.path(outDir, s"_retro_done-$e")
+
+  /** Non-underscore (data) file names directly under one epoch dir. */
+  private def dataFileNames(dir: org.apache.hadoop.fs.Path): Seq[String] =
+    PathIO.listStatusSeq(dir).filter(!_.isDirectory).map(_.getPath.getName)
+      .filter(!_.startsWith("_")).sorted
+
+  /** The rename-free per-epoch rewrite (class doc protocol): pin the
+    * old file list in the intent marker, append the filtered content
+    * into the SAME dir (job-unique names — on object stores via the
+    * direct committer, so nothing stages or renames anywhere), publish
+    * the done marker, delete the old files, then the markers. */
+  private def rewriteEpoch(spark: SparkSession, outDir: String, e: Long,
+                           tombIds: Seq[Long], idCol: String): Unit = {
+    import spark.implicits._
+    val dir = PathIO.path(outDir, s"epoch=$e")
+    val old = dataFileNames(dir)
+    require(old.nonEmpty, s"retro rewrite of $dir found no data files")
+    if (!PathIO.atomicCreate(retroOldMarker(outDir, e),
+        old.mkString("\n").getBytes("UTF-8")))
+      sys.error(s"retro intent marker already exists for epoch=$e — " +
+        "concurrent retroScreen writers detected (run it offline, once)")
+    val ids = tombIds.toDF("_tomb_id")
+    // the read pins the OLD files explicitly: the append lands new
+    // files in the same dir mid-job, and a directory-based read would
+    // race its own output
+    spark.read.parquet(old.map(n => PathIO.child(dir, n).toString): _*)
+      .join(broadcast(ids), col(idCol) === col("_tomb_id"), "left_anti")
+      .write.mode("append").parquet(dir.toString)
+    if (!PathIO.atomicCreate(retroDoneMarker(outDir, e), Array.emptyByteArray))
+      sys.error(s"retro done marker already exists for epoch=$e")
+    old.foreach(n => PathIO.deleteIfExists(PathIO.child(dir, n)): Unit)
+    PathIO.deleteIfExists(retroDoneMarker(outDir, e)): Unit
+    PathIO.deleteIfExists(retroOldMarker(outDir, e)): Unit
+  }
+
+  /** Converge a crash-interrupted [[retroScreen]] rewrite (class doc
+    * crash windows), plus the legacy staged-dir protocol's leftovers. */
   private def resumeRetro(outDir: String): Unit = {
+    val root = PathIO.path(outDir)
+    if (!PathIO.exists(root)) return
+    val names = PathIO.listDir(root).map(_.getName)
+    names.filter(_.startsWith("_retro_old-")).foreach { n =>
+      val e = n.stripPrefix("_retro_old-").toLong
+      val dir = PathIO.path(outDir, s"epoch=$e")
+      val old = PathIO.readLines(retroOldMarker(outDir, e)).filter(_.nonEmpty)
+      val present = old.filter(n0 => PathIO.exists(PathIO.child(dir, n0)))
+      if (names.contains(s"_retro_done-$e") || present.isEmpty) {
+        // append committed (or cleanup tail): condemn the old files
+        present.foreach(n0 => PathIO.deleteIfExists(PathIO.child(dir, n0)): Unit)
+        PathIO.deleteIfExists(retroDoneMarker(outDir, e)): Unit
+        PathIO.deleteIfExists(retroOldMarker(outDir, e)): Unit
+      } else if (present.size == old.size) {
+        // mid-write crash: the old content is whole; new files are the
+        // uncommitted strays — discard them and the intent
+        dataFileNames(dir).filterNot(old.contains(_))
+          .foreach(n0 => PathIO.deleteIfExists(PathIO.child(dir, n0)): Unit)
+        PathIO.deleteIfExists(retroOldMarker(outDir, e)): Unit
+      } else sys.error(
+        s"retro epoch=$e has a partially-deleted old file set with no " +
+          "done marker — unreachable under the single-writer protocol")
+    }
+    // a done marker can never outlive its intent (deleted first); one
+    // STILL PRESENT without its intent is a foreign artifact — refuse
+    // loudly rather than guess (the exists() re-checks skip pairs the
+    // heal above just consumed, whose names linger in this listing)
+    names.filter(_.startsWith("_retro_done-")).foreach { n =>
+      val e = n.stripPrefix("_retro_done-").toLong
+      if (PathIO.exists(retroDoneMarker(outDir, e)) &&
+          !PathIO.exists(retroOldMarker(outDir, e)))
+        sys.error(s"orphan retro done marker $n in $outDir")
+    }
+    // legacy staged-dir protocol (pre-r16): heal exactly as before
     val retroRoot = PathIO.path(outDir, "_retro")
     if (!PathIO.exists(retroRoot)) return
     PathIO.listDir(retroRoot).filter(_.getName.startsWith("epoch=")).foreach { d =>
-      if (PathIO.exists(PathIO.child(d, "_SUCCESS")))
-        finishRetroSwap(outDir, d.getName.stripPrefix("epoch=").toLong)
-      else PathIO.deleteTree(d): Unit
+      if (PathIO.exists(PathIO.child(d, "_SUCCESS"))) {
+        val live = PathIO.path(outDir,
+          s"epoch=${d.getName.stripPrefix("epoch=")}")
+        PathIO.deleteTree(live): Unit
+        PathIO.move(d, live)
+      } else PathIO.deleteTree(d): Unit
     }
     PathIO.deleteIfExists(retroRoot): Unit // empty once all swaps settle
-  }
-
-  private def finishRetroSwap(outDir: String, epoch: Long): Unit = {
-    val live = PathIO.path(outDir, s"epoch=$epoch")
-    val staged = PathIO.path(outDir, "_retro", s"epoch=$epoch")
-    PathIO.deleteTree(live): Unit // may be partial from a crashed move
-    PathIO.move(staged, live)
   }
 
   /**

@@ -109,41 +109,89 @@ private[graft] object IndexIO {
   /** Root paths of the committed view, paired with the basePath each
     * must be read under (plain dirs under the level dir; the fold's
     * `epoch=<upTo>` subtree under its own `_fold-*` dir, so partition
-    * parsing sees the identical `epoch=`/`<bucket>=` segments). */
-  private def committedRoots(levelDir: String): Seq[(String, String)] = {
+    * parsing sees the identical `epoch=`/`<bucket>=` segments) and the
+    * root's epoch id. */
+  private def committedRoots(levelDir: String): Seq[(String, String, Long)] = {
     val dir = PathIO.path(levelDir)
     val (live, plain) = view(dir)
     val foldRoot = live.map { p =>
       val base = PathIO.child(dir, p.foldName)
-      (base.toString, PathIO.child(base, s"epoch=${p.upTo}").toString)
+      (base.toString, PathIO.child(base, s"epoch=${p.upTo}").toString, p.upTo)
     }
-    plain.map { case (_, p) => (levelDir, p.toString) } ++ foldRoot
+    plain.map { case (e, p) => (levelDir, p.toString, e) } ++ foldRoot
   }
 
   /** Read the committed view of one level (partition columns `epoch` +
     * the bucket column intact, so `epoch <`/`bucket isin` filters stay
     * PartitionFilters on every branch); empty-with-schema when the
-    * level doesn't exist yet. `like` supplies the data schema. */
+    * level doesn't exist yet. `like` supplies the data schema.
+    *
+    * Discovery cost: when EVERY committed root carries a
+    * [[graft.log.DirectCommitProtocol]] manifest (levels written on
+    * object-store schemes), the read plans from the recorded file sets
+    * through a [[CatalogFileIndex]] — one GET per root, ZERO directory
+    * LISTs — instead of Spark's recursive discovery, whose
+    * O(epochs × buckets) LISTs were the one per-epoch-growing request
+    * axis in the round-15 os_stream record. Stock-committed levels
+    * (local/HDFS, where listing is a namenode call, not a billed
+    * request) keep the listing path byte-identically. */
   def read(spark: SparkSession, levelDir: String, like: DataFrame): DataFrame = {
     val roots = committedRoots(levelDir)
     if (roots.isEmpty) like.withColumn("epoch", lit(0L)).limit(0)
-    else roots.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (base, rs) =>
-        spark.read.option("basePath", base).parquet(rs.map(_._2): _*)
-      }
-      .reduce(_.unionByName(_))
+    else catalogRead(spark, levelDir, roots, like).getOrElse(listingRead(spark, roots))
   }
 
-  /** [[read]] of a level that must already have committed entries —
-    * the ops/verification form (no `like` schema needed). */
-  private[graft] def readLevel(spark: SparkSession, levelDir: String): DataFrame = {
-    val roots = committedRoots(levelDir)
-    require(roots.nonEmpty, s"no committed index entries under $levelDir")
+  /** The listing-discovery read branch (pre-round-16 behavior). */
+  private def listingRead(spark: SparkSession,
+                          roots: Seq[(String, String, Long)]): DataFrame =
     roots.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (base, rs) =>
         spark.read.option("basePath", base).parquet(rs.map(_._2): _*)
       }
       .reduce(_.unionByName(_))
+
+  /** The manifest-catalog read branch: Some(df) iff every root's
+    * `_SUCCESS` is a direct-commit manifest with a uniform `k=v`
+    * partition-segment layout; None falls back to listing (mixed or
+    * stock-committed levels, irregular names). */
+  private def catalogRead(spark: SparkSession, levelDir: String,
+                          roots: Seq[(String, String, Long)],
+                          like: DataFrame): Option[DataFrame] = {
+    import graft.log.DirectCommitProtocol
+    val perRoot = roots.map { case (_, root, epoch) =>
+      DirectCommitProtocol.readManifest(root).map { mf =>
+        mf.map { case (rel, size) =>
+          CatalogFileIndex.parseRel(rel).map { case (cols, vals) =>
+            (cols, CatalogFileIndex.Entry(epoch +: vals,
+              PathIO.path(root, rel), size))
+          }
+        }
+      }
+    }
+    if (perRoot.exists(_.isEmpty)) return None // a stock-committed root
+    val flat = perRoot.flatMap(_.get)
+    if (flat.exists(_.isEmpty)) return None // unparseable segment layout
+    val parsed = flat.flatten
+    if (parsed.isEmpty) return None // all-empty manifests: let listing decide
+    val colSets = parsed.map(_._1).distinct
+    if (colSets.size != 1) return None // non-uniform bucket segments
+    val partCols = "epoch" +: colSets.head
+    val partSet = partCols.toSet
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      like.schema.fields.filterNot(f => partSet.contains(f.name)))
+    Some(CatalogFileIndex.relation(spark, PathIO.path(levelDir), partCols,
+      parsed.map(_._2), dataSchema))
+  }
+
+  /** [[read]] of a level that must already have committed entries —
+    * the ops/verification form. No `like` schema is available here, so
+    * it stays on the listing branch (footer-inferred schema); these
+    * callers read the whole level anyway, so discovery cost tracks the
+    * data read. */
+  private[graft] def readLevel(spark: SparkSession, levelDir: String): DataFrame = {
+    val roots = committedRoots(levelDir)
+    require(roots.nonEmpty, s"no committed index entries under $levelDir")
+    listingRead(spark, roots)
   }
 
   /** Heal + garbage-collect one level (see class doc crash windows).

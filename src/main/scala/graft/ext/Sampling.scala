@@ -174,13 +174,18 @@ object Sampling {
       .drop("_prior")
   }
 
-  /** The id-range bucket key of the prefix-sum family: integral `div`
-    * of the (non-negative) id by the bucket width — exact at any id
-    * magnitude, unlike `floor(id / width)` in double arithmetic whose
-    * quotient loses integer resolution past 2^53. Order-preserving
-    * coarsening of the id order, as [[exclusivePrior]] requires. */
+  /** The id-range bucket key of the prefix-sum family: exact integer
+    * FLOOR division of the id by the bucket width — `(id − pmod(id,
+    * width)) div width`, which subtracts the non-negative remainder
+    * first so the integral `div` (truncate-toward-zero) coincides with
+    * floor at EVERY id sign and magnitude. Plain `id div width` would
+    * round negative ids toward zero (bucket −0.5 → 0, merging it with
+    * the positive range and breaking the order-preserving-coarsening
+    * contract [[exclusivePrior]] requires), and `floor(id / width)` in
+    * double arithmetic loses integer resolution past 2^53 (ADVICE r15
+    * flagged the former; r14 measured the latter). */
   private[ext] def idBucket(idCol: String, bucketWidth: Long): Column =
-    expr(s"`$idCol` div $bucketWidth")
+    expr(s"(`$idCol` - pmod(`$idCol`, $bucketWidth)) div $bucketWidth")
 
   /** Shared machinery of [[packShards]], [[tokenMixture]] and
     * [[MixtureStream]]: the exclusive cumulative sum of `tokensCol`

@@ -350,7 +350,14 @@ object Admin {
     // outright when the plan AND the concrete input file set match; the
     // file-set guard keeps a GROWING topic's poller correct (new files
     // → different inputFiles → recompute), which plan equality alone
-    // would not.
+    // would not. INVARIANT the name-only guard leans on: TopicLog and
+    // AckLog writers only ever ADD uniquely-named part files (offset- or
+    // UUID-stamped) and janitor verbs DELETE whole files — no writer in
+    // this engine overwrites an existing data file IN PLACE under the
+    // same name. A future fixed-name writer would defeat this guard
+    // silently (same names, changed bytes → stale persisted backlog
+    // served); if one ever appears, extend the guard with per-file
+    // length+mtime from listStatus rather than names alone.
     val prevLive = Option(lastStatsCache.get(spark))
       .flatMap(r => Option(r.get))
     val backlog = prevLive match {

@@ -233,6 +233,97 @@ class DecontamStreamSpec extends SparkSpec {
       .as[Long].collect().toSet === Set(2L))
   }
 
+  private def epochFiles(dir: java.nio.file.Path): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(dir)
+    try l.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    finally l.close()
+  }
+
+  test("rename-free rewrite crash windows: mid-write strays discard; done condemns old; tail cleans; orphan done is loud") {
+    val (root, idx, out, ckpt) = dirs()
+    mkSlices(root); runStream(root, idx, out, ckpt)
+    val e0 = out.resolve("epoch=0")
+    val old0 = epochFiles(e0)
+    // window 1 — mid-write crash: intent marker + a stray new file,
+    // old content whole → resume discards the stray and the intent
+    java.nio.file.Files.write(out.resolve("_retro_old-0"),
+      old0.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(e0.resolve("part-stray-torso.parquet"),
+      Array[Byte](9, 9, 9))
+    graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5, apply = false): Unit
+    assert(epochFiles(e0) === old0, "mid-write stray must be discarded")
+    assert(!java.nio.file.Files.exists(out.resolve("_retro_old-0")))
+    assert(keptIds(out) === Set(0L, 2L, 3L), "mid-write heal keeps old content")
+    // now the real apply: doc 0 drops via the rename-free rewrite
+    graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5): Unit
+    assert(keptIds(out) === Set(2L, 3L))
+    assert((epochFiles(e0) & old0) === Set.empty, "old files must be deleted")
+    // window 2 — crash AFTER the done marker: the appended rewrite is
+    // committed; resume must delete exactly the old files and markers.
+    // epoch=2 currently holds doc 2; simulate a committed rewrite of it
+    // without doc 2 (the protocol's own append form).
+    val e2 = out.resolve("epoch=2")
+    val old2 = epochFiles(e2)
+    spark.read.parquet(old2.toSeq.map(n => s"$e2/$n"): _*)
+      .filter(col("doc_id") =!= 2L)
+      .write.mode("append").parquet(e2.toString)
+    java.nio.file.Files.write(out.resolve("_retro_old-2"),
+      old2.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out.resolve("_retro_done-2"), Array.emptyByteArray)
+    graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5): Unit
+    assert((epochFiles(e2) & old2) === Set.empty,
+      "done marker must condemn every old file")
+    assert(keptIds(out) === Set(3L))
+    assert(!java.nio.file.Files.exists(out.resolve("_retro_old-2")) &&
+      !java.nio.file.Files.exists(out.resolve("_retro_done-2")))
+    // window 3 — cleanup tail: intent alone with ALL old files already
+    // gone is the post-done final step → marker removed, content kept
+    java.nio.file.Files.write(out.resolve("_retro_old-2"),
+      old2.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    val keepNow = epochFiles(e2)
+    graft.ext.DecontamStream.retroScreen(
+      spark, out.toString, idx.toString, n = 5): Unit
+    assert(epochFiles(e2) === keepNow)
+    assert(!java.nio.file.Files.exists(out.resolve("_retro_old-2")))
+    // orphan done marker (no intent): foreign state — refuse loudly
+    java.nio.file.Files.write(out.resolve("_retro_done-1"), Array.emptyByteArray)
+    intercept[RuntimeException] {
+      graft.ext.DecontamStream.retroScreen(
+        spark, out.toString, idx.toString, n = 5)
+    }
+    java.nio.file.Files.deleteIfExists(out.resolve("_retro_done-1")): Unit
+  }
+
+  test("retro apply on a mocks3 output: ZERO copy, ZERO rename, no absence window dirs") {
+    MockS3FileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val (root, idx, _, ckpt) = dirs()
+    val outLocal = java.nio.file.Files.createTempDirectory("dc-s3out")
+    val outUri = s"${MockS3FileSystem.Scheme}:$outLocal"
+    mkSlices(root)
+    val q = DecontamStream.run(
+      spark.readStream.schema(mixedDf.schema).option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+      idx.toString, outUri, ckpt.toString, n = 5)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(outUri).select("doc_id")
+      .as[Long].collect().toSet === Set(0L, 2L, 3L))
+    val Ops = MockS3FileSystem.Ops
+    Ops.reset()
+    val tombs = graft.ext.DecontamStream.retroScreen(
+      spark, outUri, idx.toString, n = 5).as[(Long, Long)].collect().toSet
+    val d = Ops.snapshot()
+    assert(tombs === Set((0L, 0L)))
+    assert(spark.read.parquet(outUri).select("doc_id")
+      .as[Long].collect().toSet === Set(2L, 3L))
+    assert(d("copy") == 0L, s"retro apply copied objects: ${Ops.render(d)}")
+    assert(d("rename") == 0L, s"retro apply renamed: ${Ops.render(d)}")
+  }
+
   test("crash with TWO concurrently staged epochs (one complete, one mid-write) heals per-epoch") {
     val (root, idx, out, ckpt) = dirs()
     mkSlices(root); runStream(root, idx, out, ckpt)

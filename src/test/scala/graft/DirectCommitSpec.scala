@@ -1,0 +1,133 @@
+package graft
+
+import graft.log.{DirectCommitProtocol, PathIO}
+
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.internal.io.FileNameSpec
+import org.apache.spark.sql.functions.col
+
+import java.nio.file.Files
+
+/**
+ * The rename-free data-file commit on object-store schemes
+ * ([[graft.log.DirectCommitProtocol]]): every engine session registers
+ * it as `spark.sql.sources.commitProtocolClass`, so these assertions
+ * hold for every epoch/index/output write the streams issue. The
+ * headline property, measured in [[MockS3FileSystem.Ops]] request
+ * units: a partitioned parquet write to a `mocks3:` root performs
+ * ZERO COPY and ZERO rename — data files are conditional PUTs at
+ * their final names, the only other write is the `_SUCCESS` manifest.
+ */
+class DirectCommitSpec extends SparkSpec {
+  MockS3FileSystem.register(SparkSpec.session.sparkContext.hadoopConfiguration)
+  private val Ops = MockS3FileSystem.Ops
+
+  private def mockRoot(prefix: String): String =
+    s"${MockS3FileSystem.Scheme}:" + Files.createTempDirectory(prefix).toString
+
+  test("partitioned overwrite write on mocks3: zero COPY, zero rename, no _temporary") {
+    import spark.implicits._
+    val root = mockRoot("dc-part")
+    val df = (0L until 64L).map(i => (i, i % 4, s"t$i")).toDF("id", "b", "t")
+    Ops.reset()
+    df.repartition(col("b")).write.mode("overwrite")
+      .partitionBy("b").parquet(root)
+    val d = Ops.snapshot()
+    assert(d("copy") == 0L, s"data commit copied objects: ${Ops.render(d)}")
+    assert(d("rename") == 0L, s"data commit renamed: ${Ops.render(d)}")
+    assert(d("condPut") >= 4L, "data files must be conditional PUTs")
+    assert(d("put") == 1L, "_SUCCESS manifest is the only overwrite PUT")
+    val names = PathIO.listDir(PathIO.path(root)).map(_.getName)
+    assert(!names.exists(_.startsWith("_temporary")), s"staging dir leaked: $names")
+    // read-back equality and manifest fidelity
+    val back = spark.read.parquet(root).select("id", "b", "t")
+      .as[(Long, Long, String)].collect().toSet
+    assert(back == (0L until 64L).map(i => (i, i % 4, s"t$i")).toSet)
+    val mf = DirectCommitProtocol.readManifest(root).get
+    assert(mf.nonEmpty && mf.forall { case (rel, _) => rel.startsWith("b=") })
+    mf.foreach { case (rel, len) =>
+      assert(PathIO.size(PathIO.path(root, rel)) == len,
+        s"manifest size drifted for $rel")
+    }
+    // manifest covers exactly the data files on disk
+    val onDisk = PathIO.walkStatuses(PathIO.path(root)).filter(!_.isDirectory)
+      .map(s => PathIO.relativize(PathIO.qualify(new org.apache.hadoop.fs.Path(root)), s.getPath))
+      .filter(!_.split('/').last.startsWith("_")).toSet
+    assert(mf.map(_._1).toSet == onDisk)
+  }
+
+  test("append job's manifest lists only that job's files; union reads back") {
+    import spark.implicits._
+    val root = mockRoot("dc-append")
+    (0L until 8L).map(i => (i, s"a$i")).toDF("id", "t")
+      .coalesce(1).write.mode("overwrite").parquet(root)
+    val first = DirectCommitProtocol.readManifest(root).get.map(_._1).toSet
+    Ops.reset()
+    (8L until 16L).map(i => (i, s"a$i")).toDF("id", "t")
+      .coalesce(1).write.mode("append").parquet(root)
+    val d = Ops.snapshot()
+    assert(d("copy") == 0L && d("rename") == 0L, Ops.render(d))
+    val second = DirectCommitProtocol.readManifest(root).get.map(_._1).toSet
+    assert(second.nonEmpty && (second & first).isEmpty,
+      s"append manifest must carry ONLY the new job's files: $second vs $first")
+    assert(spark.read.parquet(root).count() == 16L)
+  }
+
+  test("file: scheme stays on the stock committer (empty _SUCCESS, no manifest)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dc-local").toString
+    (0L until 8L).toDF("id").coalesce(1).write.mode("overwrite").parquet(root)
+    assert(PathIO.exists(PathIO.path(root, "_SUCCESS")))
+    assert(DirectCommitProtocol.readManifest(root).isEmpty,
+      "stock committer's empty marker must not parse as a manifest")
+    assert(spark.read.parquet(root).count() == 8L)
+  }
+
+  /** Drive the task-side protocol directly with fabricated attempt
+    * contexts — the retry/abort semantics Spark scheduling can't
+    * surface deterministically in a local[n] (maxFailures=1) JVM. */
+  private def taskCtx(attempt: Int): TaskAttemptContextImpl = {
+    val id = new TaskAttemptID(
+      new TaskID(new JobID("graft-dc", 1), TaskType.MAP, 3), attempt)
+    new TaskAttemptContextImpl(
+      spark.sparkContext.hadoopConfiguration, id)
+  }
+
+  test("abortTask deletes the attempt's closed files; retry attempt pre-deletes stale finals") {
+    val root = mockRoot("dc-retry")
+    val proto = new DirectCommitProtocol("job-uuid-1", root, false)
+    // attempt 0: close a file, then abort — the file must vanish
+    val a0 = taskCtx(0)
+    proto.setupTask(a0)
+    val f0 = proto.newTaskTempFile(a0, Some("b=1"), FileNameSpec("", ".parquet"))
+    PathIO.writeString(new org.apache.hadoop.fs.Path(f0), "complete-bytes")
+    assert(PathIO.exists(new org.apache.hadoop.fs.Path(f0)))
+    proto.abortTask(a0)
+    assert(!PathIO.exists(new org.apache.hadoop.fs.Path(f0)),
+      "failed attempt's closed file must be deleted by abortTask")
+    // executor-death window: the stale complete file is still there when
+    // the RETRY starts — newTaskTempFile(attempt>0) must clear it so the
+    // conditional PUT can re-create
+    PathIO.writeString(new org.apache.hadoop.fs.Path(f0), "stale-from-dead-executor")
+    val a1 = taskCtx(1)
+    proto.setupTask(a1)
+    val f1 = proto.newTaskTempFile(a1, Some("b=1"), FileNameSpec("", ".parquet"))
+    assert(f1 == f0, "retry must target the same final name")
+    assert(!PathIO.exists(new org.apache.hadoop.fs.Path(f1)),
+      "retry must pre-delete the dead predecessor's file")
+    val ok = PathIO.conditionalPutCreate(PathIO.fs(new org.apache.hadoop.fs.Path(f1)),
+      new org.apache.hadoop.fs.Path(f1), "retried-bytes".getBytes)
+    assert(ok, "conditional PUT must succeed after the pre-delete")
+  }
+
+  test("absolute-path partitions refuse loudly in direct mode") {
+    val root = mockRoot("dc-abs")
+    val proto = new DirectCommitProtocol("job-uuid-2", root, false)
+    val a0 = taskCtx(0)
+    proto.setupTask(a0)
+    intercept[UnsupportedOperationException] {
+      proto.newTaskTempFileAbsPath(a0, "/abs/elsewhere", FileNameSpec("", ".parquet"))
+    }
+  }
+}
