@@ -101,8 +101,15 @@ class DirectCommitProtocol(jobId: String, path: String,
       // a RETRY may find a complete file from a failed-after-close
       // predecessor whose abortTask never ran (executor death): delete
       // it so the conditional PUT can re-create. Attempt 0 — the only
-      // path a healthy job takes — issues no request here.
-      if (taskContext.getTaskAttemptID.getId > 0)
+      // path a healthy job takes — issues no request here. The attempt
+      // number comes from Spark's TaskContext: FileFormatWriter seeds
+      // the Hadoop TaskAttemptID's id field with the GLOBAL task
+      // counter (unique per execution, > 0 on healthy first attempts),
+      // so getId cannot distinguish a retry.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.attemptNumber())
+        .getOrElse(taskContext.getTaskAttemptID.getId)
+      if (attempt > 0)
         PathIO.fs(file).delete(file, false): Unit
       taskFiles += file.toString
       file.toString

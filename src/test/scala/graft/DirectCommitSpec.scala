@@ -38,6 +38,8 @@ class DirectCommitSpec extends SparkSpec {
     assert(d("rename") == 0L, s"data commit renamed: ${Ops.render(d)}")
     assert(d("condPut") >= 4L, "data files must be conditional PUTs")
     assert(d("put") == 1L, "_SUCCESS manifest is the only overwrite PUT")
+    assert(d("delete") <= 1L, "only the overwrite's target-dir delete — no " +
+      s"per-file deletes on a healthy attempt-0 write: ${Ops.render(d)}")
     val names = PathIO.listDir(PathIO.path(root)).map(_.getName)
     assert(!names.exists(_.startsWith("_temporary")), s"staging dir leaked: $names")
     // read-back equality and manifest fidelity
