@@ -123,6 +123,61 @@ class DirectCommitSpec extends SparkSpec {
     assert(ok, "conditional PUT must succeed after the pre-delete")
   }
 
+  test("stream epoch replay on mocks3: the overwrite rewrite is idempotent and the manifest tracks the replay's files") {
+    import spark.implicits._
+    val d = (0L until 64L)
+      .map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tokens")
+    val root = Files.createTempDirectory("dc-replay-root")
+    val ckpt = Files.createTempDirectory("dc-replay-ckpt")
+    val out = s"${MockS3FileSystem.Scheme}:" +
+      Files.createTempDirectory("dc-replay-out")
+    def slice(i: Int): Unit = {
+      val tmp = Files.createTempDirectory("dc-replay-slice")
+      d.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val l = java.nio.file.Files.list(tmp)
+        try l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      java.nio.file.Files.move(part, root.resolve(f"slice_$i%02d.parquet"))
+      java.nio.file.Files.setLastModifiedTime(
+        root.resolve(f"slice_$i%02d.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000L + i * 2000L)): Unit
+    }
+    (0 until 3).foreach(slice)
+    def run(): Unit = {
+      val q = graft.ext.SeqPackStream.run(
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(root.toString),
+        out, ckpt.toString, seqLen = 32L, tokensCol = "n_tokens")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val spans = spark.read.parquet(out).count()
+    val mf2 = DirectCommitProtocol.readManifest(s"$out/epoch=2").get.map(_._1).toSet
+    // crash-replay the last batch: drop its checkpoint commit, rerun
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve("2"))
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("commits").resolve(".2.crc"))
+    MockS3FileSystem.Ops.reset()
+    run()
+    val dAfter = MockS3FileSystem.Ops.snapshot()
+    assert(dAfter("copy") == 0L && dAfter("rename") == 0L,
+      s"replay must stay rename-free: ${MockS3FileSystem.Ops.render(dAfter)}")
+    assert(spark.read.parquet(out).count() === spans,
+      "replayed epoch must rewrite, not append duplicates")
+    val mf2b = DirectCommitProtocol.readManifest(s"$out/epoch=2").get.map(_._1).toSet
+    assert(mf2b.nonEmpty && (mf2b & mf2).isEmpty,
+      "the replay's manifest must name the NEW job's files")
+    // no stale first-run files survive beside the replay's
+    val onDisk = graft.log.PathIO.listStatusSeq(
+        graft.log.PathIO.path(s"$out/epoch=2"))
+      .map(_.getPath.getName).filter(!_.startsWith("_")).toSet
+    assert(onDisk === mf2b, s"stale files beside the replay: ${onDisk -- mf2b}")
+  }
+
   test("absolute-path partitions refuse loudly in direct mode") {
     val root = mockRoot("dc-abs")
     val proto = new DirectCommitProtocol("job-uuid-2", root, false)
