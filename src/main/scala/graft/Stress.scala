@@ -1486,6 +1486,56 @@ object Stress {
         }
       } finally cleanup(tmps)
     }
+
+    // ---- topic log: the APPEND path priced on mocks3 (direct staged
+    // appends — r16: data files land at final paths, publish is the
+    // manifest commit; pre-r16 every append paid a per-file COPY+DELETE
+    // of its whole batch at publish) + the lifecycle verbs over the
+    // resulting snapshot-mode log ----
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("os-log")
+      val root = s"mocks3:$dir"
+      try {
+        val env = docs.select(
+          concat(lit("u"), pmod(col("doc_id"), lit(50L)).cast("string"))
+            .as(graft.model.Envelope.Key),
+          col("text").as(graft.model.Envelope.Value),
+          concat(lit("p"), pmod(col("doc_id"), lit(4L)).cast("string"))
+            .as(graft.model.Envelope.ProducerName),
+          col("doc_id").as(graft.model.Envelope.SequenceId),
+          timestamp_seconds(col("doc_id"))
+            .as(graft.model.Envelope.PublishTime))
+          .withColumn(graft.model.Envelope.RedeliveryCnt, lit(0)).cache()
+        env.count(): Unit
+        val t = new graft.log.TopicLog(spark, root,
+          graft.model.TopicName.parse("oslog"), 4)
+        (0 until 4).foreach { i =>
+          val before = Ops.snapshot()
+          val t0 = System.nanoTime()
+          val rows = t.append(env.filter(pmod(col(
+            graft.model.Envelope.SequenceId), lit(4L)) === i))
+          val w = (System.nanoTime() - t0) / 1e9
+          println(f"STRESS os_log_append$i(n=$n)        $w%8.2fs  " +
+            s"(rows=$rows) ${Ops.render(Ops.delta(before, Ops.snapshot()))}")
+        }
+        val total = t.read().count()
+        def priced(label: String)(f: => Long): Unit = {
+          val before = Ops.snapshot()
+          val t0 = System.nanoTime()
+          val v = f
+          val w = (System.nanoTime() - t0) / 1e9
+          println(f"STRESS $label%-26s $w%8.2fs  ($v) " +
+            Ops.render(Ops.delta(before, Ops.snapshot())))
+        }
+        priced(s"os_log_read(n=$n)")(total)
+        priced(s"os_log_offload(n=$n)")(
+          graft.log.Admin.offload(t, beforeOffset = Long.MaxValue).toLong)
+        priced(s"os_log_vacuum(n=$n)")(t.vacuum().toLong)
+        priced(s"os_log_compact(n=$n)")(
+          graft.operators.Compaction.triggerCompaction(t).size.toLong)
+        env.unpersist(): Unit
+      } finally cleanup(Seq(dir))
+    }
   }
 
   /** Streaming semantic-dedup tier: 8 mtime-ordered vector slices

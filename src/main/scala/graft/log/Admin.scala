@@ -40,12 +40,23 @@ object Admin {
         live.map(PathIO.child(base, _)).filter(PathIO.exists(_))
       case None =>
         if (!PathIO.exists(base)) Seq.empty
-        else TopicLog.walkAll(base)
-          .filter(p => p.getName.endsWith(".parquet") &&
-            // any underscore-prefixed subtree is metadata/derived (manifest,
-            // cold tier, compacted snapshots, txn markers) — never touch it
-            !PathIO.relativize(base, p).split('/').exists(_.startsWith("_")))
-          .map(PathIO.qualify(_))
+        else {
+          // direct stagings park final-path files BEFORE any manifest
+          // references them (TopicLog.stagingRecord) — in-flight writer
+          // state the offset-only walk must skip, or retention/offload
+          // would move/delete a transaction's staged rows
+          val staged = log.stagingRecordFiles()
+          TopicLog.walkAll(base)
+            .filter(p => p.getName.endsWith(".parquet") && {
+              val rel = PathIO.relativize(base, p)
+              // any underscore-prefixed subtree is metadata/derived
+              // (manifest, cold tier, compacted snapshots, txn markers)
+              // — never touch it
+              !rel.split('/').exists(_.startsWith("_")) &&
+                !staged.contains(rel)
+            })
+            .map(PathIO.qualify(_))
+        }
     }
   }
 

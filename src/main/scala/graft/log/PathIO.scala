@@ -49,9 +49,13 @@ import java.io.{FileNotFoundException, IOException}
  *    indirection over immutable data dirs ([[graft.ext.IndexIO]]),
  *    txn/ack markers are atomicCreate'd directly, and latest-wins
  *    cursor files go through [[moveReplace]]'s overwrite-PUT branch.
- *    Per-DATA-file moves (staged publish, offload) remain copy+delete
- *    under manifest gating — idempotent and content-identical, so
- *    non-atomicity is harmless there.
+ *    Per-DATA-file moves are nearly gone on these schemes: staged
+ *    publish writes at final paths ([[TopicLog]] direct staging, the
+ *    `_staging/<epoch>.files` record) and stream/index epoch writes
+ *    commit via [[DirectCommitProtocol]] — only OFFLOAD still moves
+ *    bytes between tiers, which on a real store is the server-side
+ *    COPY a tier migration inherently is, idempotent and
+ *    content-identical under manifest gating.
  *
  * Failure model: missing paths surface as Hadoop's
  * [[FileNotFoundException]] (an [[IOException]]) — call sites that

@@ -68,12 +68,45 @@ object TopicLog {
     * directory instead of one per entry). */
   private[log] def walkAll(dir: HPath): Seq[HPath] = PathIO.walkAll(dir)
 
-  /** Delete one staged epoch tree (best-effort — a competing healer may
-    * be completing or cleaning the same epoch). Shared by
-    * [[vacuumStaged]] and [[Txn]]'s at-deadline cleanup. */
+  /** The DIRECT-staging record of one epoch (object-store topics): a
+    * small `_staging/<epoch>.files` file, atomicCreate'd right after the
+    * epoch's data files are written AT THEIR FINAL PATHS, listing those
+    * relative paths. It plays exactly the `_staging/<epoch>/` tree's
+    * protocol role — existence marks an in-flight/abandoned staging,
+    * mtime carries its age, the txn-marker set protects it — without
+    * the per-object COPY+DELETE the publish-time moves cost on stores
+    * whose rename is a copy. Deleted by [[TopicLog.publishManifest]]
+    * after the manifest commits (the files are live from the manifest
+    * alone) or by [[dropStagedEpoch]] when the staging is abandoned. */
+  private[graft] def stagingRecord(basePath: String, epoch: Long): HPath =
+    PathIO.path(basePath, "_staging", s"$epoch.files")
+
+  /** Relative final paths listed by a direct-staging record; empty when
+    * the record is absent (or vanished to a competing healer). */
+  private[graft] def readStagingRecord(basePath: String, epoch: Long): Seq[String] =
+    try PathIO.readLines(stagingRecord(basePath, epoch)).filter(_.nonEmpty)
+    catch { case _: IOException => Seq.empty }
+
+  /** Delete one staged epoch — the `_staging/<epoch>/` tree AND, for a
+    * direct staging, the record's listed final-path files plus the
+    * record itself (best-effort — a competing healer may be completing
+    * or cleaning the same epoch). Callers gate on the epoch's manifest
+    * being ABSENT: a direct staging whose manifest committed is live
+    * data. Shared by [[vacuumStaged]] and [[Txn]]'s at-deadline
+    * cleanup. */
   private[log] def dropStagedEpoch(basePath: String, epoch: Long): Unit = {
     val dir = PathIO.path(basePath, "_staging", epoch.toString)
     try { PathIO.deleteTree(dir); () } catch { case _: IOException => () }
+    val rec = stagingRecord(basePath, epoch)
+    try {
+      if (PathIO.exists(rec)) {
+        readStagingRecord(basePath, epoch).foreach { rel =>
+          try { PathIO.deleteIfExists(PathIO.path(basePath, rel)); () }
+          catch { case _: IOException => () }
+        }
+        PathIO.deleteIfExists(rec): Unit
+      }
+    } catch { case _: IOException => () }
   }
 
   /**
@@ -133,6 +166,7 @@ object TopicLog {
     val victims = epochs.dropRight(keepLast)
       .filterNot(marked.contains)
       .filterNot(e => PathIO.exists(PathIO.path(basePath, "_staging", e.toString)))
+      .filterNot(e => PathIO.exists(stagingRecord(basePath, e)))
     val flistByEpoch = entries
       .filter(_._2.contains(".flist."))
       .groupBy(_._2.takeWhile(_ != '.'))
@@ -207,9 +241,18 @@ object TopicLog {
     if (!PathIO.exists(stagingRoot)) return 0
     var healed = 0
     PathIO.listDir(stagingRoot).foreach { dir =>
-      val epoch = dir.getName
-      if (PathIO.exists(PathIO.path(topicPath, "_manifest", s"$epoch.commit"))) {
-        completeStagedMoves(topicPath, epoch.toLong)
+      val n = dir.getName
+      if (n.endsWith(".files")) {
+        // DIRECT staging: the files are already final; a committed
+        // manifest means only the record's cleanup crashed — finish it
+        val epoch = n.stripSuffix(".files")
+        if (PathIO.exists(PathIO.path(topicPath, "_manifest", s"$epoch.commit"))) {
+          PathIO.deleteIfExists(dir): Unit
+          healed += 1
+        }
+      } else if (PathIO.exists(
+          PathIO.path(topicPath, "_manifest", s"$n.commit"))) {
+        completeStagedMoves(topicPath, n.toLong)
         healed += 1
       }
     }
@@ -297,18 +340,39 @@ object TopicLog {
     val manifestDir = PathIO.path(basePath, "_manifest")
     var dropped = 0
     PathIO.listDir(stagingRoot).foreach { dir =>
-      // non-numeric names are not staged epochs — never touch them
-      scala.util.Try(dir.getName.toLong).toOption.foreach { epoch =>
+      val n = dir.getName
+      // staged-epoch entries come in two forms: the `<epoch>/` tree
+      // (move-based staging) and the `<epoch>.files` record (direct
+      // staging — final-path files, see [[stagingRecord]]); any other
+      // name is not a staged epoch — never touch it
+      val epochOpt =
+        if (n.endsWith(".files"))
+          scala.util.Try(n.stripSuffix(".files").toLong).toOption
+        else scala.util.Try(n.toLong).toOption
+      epochOpt.foreach { epoch =>
         val newestMs =
-          try PathIO.walkStatuses(dir).map(_.getModificationTime)
-            .foldLeft(0L)(math.max)
-          catch { case _: IOException => Long.MaxValue }
+          try {
+            val recordMs = PathIO.walkStatuses(dir).map(_.getModificationTime)
+              .foldLeft(0L)(math.max)
+            if (!n.endsWith(".files")) recordMs
+            else readStagingRecord(basePath, epoch).foldLeft(recordMs) { (m, rel) =>
+              try math.max(m, PathIO.lastModified(PathIO.path(basePath, rel)))
+              catch { case _: IOException => m }
+            }
+          } catch { case _: IOException => Long.MaxValue }
         val expired = nowMs() - newestMs > olderThanMs
-        if (expired && !markerProtected.contains(epoch) &&
+        lazy val manifestCommitted =
+          PathIO.exists(PathIO.child(manifestDir, s"$epoch.commit"))
+        if (n.endsWith(".files") && manifestCommitted) {
+          // publish crashed between manifest commit and record cleanup:
+          // the files are live — heal by removing only the record
+          PathIO.deleteIfExists(dir): Unit
+        } else if (expired && !markerProtected.contains(epoch) &&
             reProtect.forall(f => !f().contains(epoch)) &&
-            !PathIO.exists(PathIO.child(manifestDir, s"$epoch.commit"))) {
+            !manifestCommitted) {
           dropStagedEpoch(basePath, epoch)
-          if (!PathIO.exists(dir)) dropped += 1
+          if (!PathIO.exists(dir) &&
+              !PathIO.exists(stagingRecord(basePath, epoch))) dropped += 1
         }
       }
     }
@@ -511,54 +575,140 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
 
     val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
     clearStaging(epoch) // a crashed prior attempt may have left files here
-    // ONE computation of the batch, straight to disk — data lands under
-    // _staging/<epoch>/ (underscore dirs are invisible to Spark file
-    // listing, so neither batch readers nor streaming subscribers can
-    // observe rows before publishManifest moves them). No persist: a
-    // 100 TB incoming batch cannot be cached, but the just-written
-    // staged files can be re-read cheaply (two columns, parquet
-    // min/max stats, page-cache warm) for the count + high-water.
-    withOffsets.write.mode("append").partitionBy(Envelope.Partition)
-      .parquet(s"$basePath/_staging/$epoch")
-    val stagedFiles =
-      if (PathIO.exists(PathIO.path(basePath, "_staging", epoch.toString)))
-        stagedRelPaths(epoch)
-      else Seq.empty // empty batch: nothing staged
+    val stagedFiles: Seq[String] =
+      if (directStage) {
+        // DIRECT staging (object-store topics): write the data files AT
+        // THEIR FINAL PATHS through the rename-free committer — the
+        // publish-time per-file moves, which an object store bills as a
+        // server-side COPY of the batch's entire bytes, do not exist.
+        // Invisibility before publish holds on BOTH read paths: the
+        // manifest from this stage always carries a file SNAPSHOT (so
+        // snapshot-mode readers plan only committed files), and an
+        // offset-only reader's `offset <= committed-hw` filter excludes
+        // the staged rows, whose offsets start past the committed
+        // high-water. The staging RECORD (`_staging/<epoch>.files`)
+        // carries the protocol state the staged TREE used to: age for
+        // the vacuum horizon, txn-marker protection, loud single-writer
+        // collisions. The reference's cold tier has the same posture —
+        // direct block uploads, an index activating them
+        // (tiered-storage/jcloud/.../BlobStoreManagedLedgerOffloader.java).
+        withOffsets.write.mode("append").partitionBy(Envelope.Partition)
+          .parquet(basePath)
+        val fs = DirectCommitProtocol.readManifest(basePath)
+          .map(_.map(_._1).sorted)
+          .getOrElse(sys.error(
+            s"direct staged append on $basePath found no commit manifest — " +
+              s"object-store topics require ${DirectCommitProtocol.Key} = " +
+              DirectCommitProtocol.Value))
+        if (!TopicLog.atomicCreate(TopicLog.stagingRecord(basePath, epoch),
+            fs.mkString("\n").getBytes("UTF-8"))) {
+          val existing = TopicLog.readStagingRecord(basePath, epoch)
+          require(existing == fs,
+            s"staging record for epoch $epoch exists with different " +
+              s"content — concurrent writers detected on ${name.fqn}")
+        }
+        fs
+      } else {
+        // ONE computation of the batch, straight to disk — data lands
+        // under _staging/<epoch>/ (underscore dirs are invisible to
+        // Spark file listing, so neither batch readers nor streaming
+        // subscribers can observe rows before publishManifest moves
+        // them). No persist: a 100 TB incoming batch cannot be cached,
+        // but the just-written staged files can be re-read cheaply (two
+        // columns, parquet min/max stats, page-cache warm) for the
+        // count + high-water.
+        withOffsets.write.mode("append").partitionBy(Envelope.Partition)
+          .parquet(s"$basePath/_staging/$epoch")
+        if (PathIO.exists(PathIO.path(basePath, "_staging", epoch.toString)))
+          stagedRelPaths(epoch)
+        else Seq.empty // empty batch: nothing staged
+      }
     // count + per-partition max offset from the parquet FOOTERS of the
     // just-written files — metadata-only, no second scan of the batch
     // (row counts and column min/max live in the block metadata). The
     // partition id comes from the hive path segment.
-    val stagedStats = footerStats(epoch, stagedFiles)
+    val statsBase =
+      if (directStage) PathIO.path(basePath)
+      else PathIO.path(basePath, "_staging", epoch.toString)
+    val stagedStats = footerStatsAt(statsBase, stagedFiles)
     val n = stagedStats.values.map(_._1).sum
     val merged = hwPartitionIds(hw)
       .map(p => p -> math.max(hw.getOrElse(p, -1L),
         stagedStats.get(p).map(_._2).getOrElse(-1L)))
     val hwLines = merged.map { case (p, o) => s"$p,$o" }
     // once a file snapshot is active (post-coalesce), every manifest must
-    // carry it forward: previous live files + the files this append stages
+    // carry it forward: previous live files + the files this append
+    // stages. Direct staging BOOTSTRAPS snapshot mode on its first
+    // append: its files sit at final paths, so only an explicit file
+    // list keeps an abandoned sibling staging's files out of reads
+    // whose offsets a later epoch reuses.
     val fileLines = manifestFiles() match {
       case Some(prev) => fileSnapshotLines(epoch, prev ++ stagedFiles)
+      case None if directStage =>
+        fileSnapshotLines(epoch, bootstrapLiveFiles(stagedFiles) ++ stagedFiles)
       case None => Seq.empty
     }
     StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), n)
   }
 
-  /** Per-partition (rowCount, max offset) for `epoch`'s staged files,
-    * read from parquet block metadata only — O(files) footer reads on
-    * the driver, never a scan of the data pages. */
-  private def footerStats(epoch: Long,
-                          relPaths: Seq[String]): Map[Int, (Long, Long)] = {
+  /** Whether this topic stages appends DIRECTLY at final paths (class
+    * doc of [[TopicLog.stagingRecord]]): object-store base paths, the
+    * rename-free posture. Opt-out with `spark.graft.directStage=false`
+    * (compatibility escape hatch); never engages under speculative
+    * execution, whose duplicate task attempts need the stock staging's
+    * isolation. */
+  private def directStage: Boolean =
+    PathIO.isObjectStore(PathIO.path(basePath)) &&
+      spark.conf.getOption("spark.graft.directStage").forall(_.toBoolean) &&
+      !spark.sparkContext.getConf.getBoolean("spark.speculation",
+        defaultValue = false)
+
+  /** Pre-snapshot live files of this topic for the direct-staging
+    * bootstrap: every data file under the base EXCEPT files claimed by
+    * ANY staging record (an abandoned earlier direct staging's files
+    * are at final paths but were never committed) and this epoch's own
+    * `stagedFiles` (listed explicitly by the caller). In offset-only
+    * history every non-underscore data file is committed, so the walk
+    * is exact. */
+  private def bootstrapLiveFiles(stagedFiles: Seq[String]): Seq[String] = {
+    val base = PathIO.path(basePath)
+    if (!PathIO.exists(base)) return Seq.empty
+    val staged = stagedFiles.toSet
+    val recorded: Set[String] = {
+      val stagingRoot = PathIO.path(basePath, "_staging")
+      if (!PathIO.exists(stagingRoot)) Set.empty
+      else PathIO.listDir(stagingRoot).map(_.getName)
+        .filter(_.endsWith(".files"))
+        .flatMap(nm => TopicLog.readStagingRecord(basePath,
+          nm.stripSuffix(".files").toLong))
+        .toSet
+    }
+    TopicLog.walkAll(base)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .map(p => PathIO.relativize(base, p))
+      .filterNot(rel => rel.split('/').exists(_.startsWith("_")))
+      .filterNot(staged.contains)
+      .filterNot(recorded.contains)
+      .sorted
+  }
+
+  /** Per-partition (rowCount, max offset) for staged files under
+    * `statsBase` (the `_staging/<epoch>/` tree, or the topic base
+    * itself for direct stagings), read from parquet block metadata
+    * only — O(files) footer reads on the driver, never a scan of the
+    * data pages. */
+  private def footerStatsAt(statsBase: org.apache.hadoop.fs.Path,
+                            relPaths: Seq[String]): Map[Int, (Long, Long)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
-    val stagingDir = PathIO.path(basePath, "_staging", epoch.toString)
     relPaths.flatMap { rel =>
       val partition = rel.split('/').collectFirst {
         case seg if seg.startsWith(s"${Envelope.Partition}=") =>
           seg.substring(Envelope.Partition.length + 1).toInt
       }.getOrElse(sys.error(s"staged file outside a partition dir: $rel"))
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        PathIO.path(stagingDir.toString, rel), conf))
+        PathIO.path(statsBase.toString, rel), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         val rows = blocks.map(_.getRowCount).sum
@@ -593,6 +743,12 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     val dir = PathIO.path(basePath, "_staging", epoch.toString)
     if (PathIO.exists(dir) && !PathIO.deleteTree(dir) && PathIO.exists(dir))
       throw new IOException(s"could not clear stale staging tree $dir")
+    // a crashed DIRECT attempt at this epoch left final-path files under
+    // a record — this epoch is un-published by construction (a committed
+    // epoch would have advanced committedEpochs), so its files are
+    // garbage a retry must purge before re-staging
+    if (PathIO.exists(TopicLog.stagingRecord(basePath, epoch)))
+      TopicLog.dropStagedEpoch(basePath, epoch)
   }
 
   /** Relative (final) paths of the parquet files staged for `epoch` —
@@ -616,23 +772,99 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
    * No caching: `df` is written once, directly to staging.
    */
   def replaceDataFiles(df: DataFrame): Unit = {
+    requireNoInflightStagings("data-file replace (coalesce)")
     val hw = highWater()
     val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
     clearStaging(epoch) // a crashed prior attempt may have left files here
-    df.write.mode("append").partitionBy(Envelope.Partition)
-      .parquet(s"$basePath/_staging/$epoch")
+    val newFiles =
+      if (directStage) {
+        // same rename-free posture as [[stageAppend]]'s direct branch:
+        // the rewrite lands at final paths (job-unique names — they can
+        // never collide with the files they replace), the snapshot flip
+        // is the manifest commit, and the REPLACED files await vacuum()
+        df.write.mode("append").partitionBy(Envelope.Partition)
+          .parquet(basePath)
+        val fs = DirectCommitProtocol.readManifest(basePath)
+          .map(_.map(_._1).sorted)
+          .getOrElse(sys.error(
+            s"direct data-file replace on $basePath found no commit " +
+              s"manifest — object-store topics require " +
+              s"${DirectCommitProtocol.Key} = ${DirectCommitProtocol.Value}"))
+        if (!TopicLog.atomicCreate(TopicLog.stagingRecord(basePath, epoch),
+            fs.mkString("\n").getBytes("UTF-8"))) {
+          val existing = TopicLog.readStagingRecord(basePath, epoch)
+          require(existing == fs,
+            s"staging record for epoch $epoch exists with different " +
+              s"content — concurrent writers detected on ${name.fqn}")
+        }
+        fs
+      } else {
+        df.write.mode("append").partitionBy(Envelope.Partition)
+          .parquet(s"$basePath/_staging/$epoch")
+        stagedRelPaths(epoch)
+      }
     val hwLines = hwPartitionIds(hw).map(p => s"$p,${hw.getOrElse(p, -1L)}")
-    val fileLines = fileSnapshotLines(epoch, stagedRelPaths(epoch))
+    val fileLines = fileSnapshotLines(epoch, newFiles)
     publishManifest(StagedAppend(epoch, (hwLines ++ fileLines).mkString("\n"), 0))
+  }
+
+  /** In-flight staged epochs (tree or record form) whose manifest has
+    * not been committed — the set the snapshot-REWRITE verbs must
+    * serialize against: they allocate `committedEpochs.last + 1`, the
+    * very number an in-flight staging reserved at stage time, and a
+    * manifest landing there first makes the staging's later publish
+    * collide (loud) or, worse, strands a marker-committed transaction
+    * behind a newer snapshot that omits its rows. */
+  /** Relative final paths claimed by ANY direct-staging record of this
+    * log — in-flight (or crashed, pre-janitor) writer state that
+    * directory-walking verbs must treat as invisible. */
+  private[log] def stagingRecordFiles(): Set[String] = {
+    val stagingRoot = PathIO.path(basePath, "_staging")
+    if (!PathIO.exists(stagingRoot)) Set.empty
+    else PathIO.listDir(stagingRoot).map(_.getName)
+      .filter(_.endsWith(".files"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".files").toLong).toOption)
+      .flatMap(e => TopicLog.readStagingRecord(basePath, e))
+      .toSet
+  }
+
+  private def inflightStagedEpochs(): Seq[Long] = {
+    val stagingRoot = PathIO.path(basePath, "_staging")
+    if (!PathIO.exists(stagingRoot)) Seq.empty
+    else PathIO.listDir(stagingRoot).map(_.getName).flatMap { n =>
+      if (n.endsWith(".files"))
+        scala.util.Try(n.stripSuffix(".files").toLong).toOption
+      else scala.util.Try(n.toLong).toOption
+    }.distinct
+      .filterNot(e => PathIO.exists(
+        PathIO.path(basePath, "_manifest", s"$e.commit")))
+      .sorted
+  }
+
+  /** Refuse a snapshot-rewrite verb while stagings are in flight — the
+    * serialization the reference gets from the broker (these verbs and
+    * the transaction buffer share one write path there). The remedy is
+    * operational: let the txn finish, or run [[Txn.recover]] /
+    * [[Txn.vacuumAll]] to heal/collect crashed ones, then re-run. */
+  private def requireNoInflightStagings(verb: String): Unit = {
+    val inflight = inflightStagedEpochs()
+    require(inflight.isEmpty,
+      s"$verb on ${name.fqn} would race in-flight staged epoch(s) " +
+        s"${inflight.mkString(",")} for the next manifest number — " +
+        "quiesce writers (commit/abort open transactions, or heal " +
+        "crashed ones with Txn.recover / collect them with " +
+        "Txn.vacuumAll) and re-run")
   }
 
   /** Publish a next-epoch manifest dropping `relPaths` from the file
     * snapshot. Call BEFORE physically deleting/moving files (retention,
     * offload, truncate) so no committed manifest ever references a
     * missing file. No-op in offset-only mode, where the directory
-    * listing reflects deletions by itself. */
+    * listing reflects deletions by itself. Serializes against in-flight
+    * stagings ([[requireNoInflightStagings]]). */
   def dropFromSnapshot(relPaths: Seq[String]): Unit = manifestFiles() match {
     case Some(live) =>
+      requireNoInflightStagings("snapshot rewrite (retention/offload/truncate)")
       val drop = relPaths.toSet
       val hw = highWater()
       val epoch = committedEpochs().last + 1
@@ -648,7 +880,12 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
     * offset-only mode. */
   def vacuum(): Int = manifestFiles() match {
     case Some(live) =>
-      val liveSet = live.toSet
+      // DIRECT stagings park their files at final paths before any
+      // manifest references them — record-listed files are in-flight
+      // writer state, never vacuum victims (their own lifecycle is the
+      // staged-epoch protocol: publish, or dropStagedEpoch via the
+      // aged/marker-aware janitor)
+      val liveSet = live.toSet ++ stagingRecordFiles()
       val base = PathIO.path(basePath)
       val victims = PathIO.walkAll(base)
         .filter { p =>
@@ -697,6 +934,10 @@ final class TopicLog(val spark: SparkSession, val root: String, val name: TopicN
         .foreach(p => try { PathIO.deleteIfExists(p); () } catch { case _: Throwable => () })
     }
     TopicLog.completeStagedMoves(basePath, staged.epoch)
+    // direct staging: the files were final all along — with the
+    // manifest committed, the staging record has nothing left to
+    // protect (vacuumStagedProtected/recoverStaging heal a crash here)
+    PathIO.deleteIfExists(TopicLog.stagingRecord(basePath, staged.epoch)): Unit
   }
 
   /** Full-log batch read (committed data only — up to the manifest HW,

@@ -287,7 +287,15 @@ object Txn {
       val stagingRoot = PathIO.path(base, "_staging")
       if (!PathIO.exists(stagingRoot)) Seq.empty
       else TopicLog.listDir(stagingRoot).flatMap { dir =>
-        scala.util.Try(dir.getName.toLong).toOption.flatMap { epoch =>
+        // both staging forms are in-flight txn footprints: the
+        // `<epoch>/` tree (move-based) and the `<epoch>.files` record
+        // (direct staging at final paths)
+        val n = dir.getName
+        val epochOpt =
+          if (n.endsWith(".files"))
+            scala.util.Try(n.stripSuffix(".files").toLong).toOption
+          else scala.util.Try(n.toLong).toOption
+        epochOpt.flatMap { epoch =>
           // manifest committed = not in-flight (recoverStaging's job)
           if (PathIO.exists(PathIO.path(base, "_manifest", s"$epoch.commit"))) None
           else {

@@ -106,11 +106,22 @@ class CoalesceSnapshotSpec extends SparkSpec {
     log.append(batch(0 until 70))
     val before = contents(log)
     // crashed first attempt: staged files exist at the NEXT epoch (1),
-    // no manifest — exactly what a retry will reuse
+    // no manifest — indistinguishable from a LIVE transaction's staging
+    // at that epoch, so the retry REFUSES instead of purging (round 16:
+    // the old silent purge would have deleted a live txn's staged rows;
+    // snapshot-rewrite verbs serialize against in-flight stagings)
     log.read().repartition(1, col(Envelope.Partition))
       .write.mode("append").partitionBy(Envelope.Partition)
       .parquet(log.name.path(log.root) + "/_staging/1")
-    // the retry must purge the stale staging, not append beside it
+    val refusal = intercept[IllegalArgumentException] {
+      Admin.coalesceFiles(log, filesPerPartition = 1)
+    }
+    assert(refusal.getMessage.contains("in-flight staged"))
+    assert(contents(log) == before, "refusal must leave the log untouched")
+    // the janitor collects the abandoned staging (markerless, aged),
+    // then the retry proceeds cleanly
+    assert(graft.log.TopicLog.vacuumStaged(
+      log.name.path(log.root), olderThanMs = 0L) === 1)
     Admin.coalesceFiles(log, filesPerPartition = 1)
     assert(contents(log) == before, "stale staged files must not double rows")
     assert(log.manifestFiles().get.size == 4)

@@ -106,17 +106,25 @@ class TxnLifecycleSeamSpec extends SparkSpec {
     assert(Txn.slowTransactions(root, 0L, nowMs = () => future).isEmpty)
   }
 
-  test("mocks3 crash schedule: marker written, publish crashed, offload runs before the janitor — heal, then compact tiered") {
+  test("mocks3 crash schedule: marker written, publish crashed, offload refuses until the janitor heals — then compact tiered") {
     val local = Files.createTempDirectory("txnlc-s3")
     val root = s"${MockS3FileSystem.Scheme}:$local"
     val t = new TopicLog(spark, root, TopicName.parse("ls3"), 2)
-    t.append(batch(0 until 10)): Unit
+    t.append(batch(0 until 10)): Unit // snapshot mode (direct staging)
     val s = t.stageAppend(batch(100 until 105))
     writeMarker(root, "txn-lc2", t, s)
     // CRASH here: committed by marker, manifest unpublished. The
-    // lifecycle keeps moving: offload the committed prefix to cold.
-    assert(Admin.offload(t, beforeOffset = Long.MaxValue) > 0)
-    assert(Admin.readTiered(t).count() === 10)
+    // lifecycle keeps moving — but a SNAPSHOT-REWRITE verb would
+    // allocate the staged epoch's manifest number and strand the
+    // committed txn behind a snapshot omitting its rows, so it REFUSES
+    // while the staging is in flight (the broker-side serialization
+    // the reference gives these verbs), pointing at the janitor.
+    val refusal = intercept[IllegalArgumentException] {
+      Admin.offload(t, beforeOffset = Long.MaxValue)
+    }
+    assert(refusal.getMessage.contains("in-flight staged"),
+      s"refusal must name the staging: ${refusal.getMessage}")
+    assert(Admin.readTiered(t).count() === 10, "committed view unharmed")
     // janitor from an hour out: the marker PROTECTS the aged staged
     // epoch and recover() completes the publish
     val future = System.currentTimeMillis() + 3600 * 1000L
@@ -124,8 +132,11 @@ class TxnLifecycleSeamSpec extends SparkSpec {
       nowMs = () => future)
     assert(healed >= 1 && dropped === 0,
       s"janitor must heal, not drop (healed=$healed dropped=$dropped)")
+    assert(Admin.readTiered(t).count() === 15, "healed txn rows visible")
+    // with the staging healed the offload proceeds
+    assert(Admin.offload(t, beforeOffset = Long.MaxValue) > 0)
     assert(Admin.readTiered(t).count() === 15,
-      "healed txn rows visible beside the offloaded prefix")
+      "offloaded prefix + healed txn rows all served tiered")
     // compaction over the healed, tiered log: every key's winner is the
     // txn's write; the tiered read serves hot tail + cold prefix
     Compaction.triggerCompaction(t): Unit
