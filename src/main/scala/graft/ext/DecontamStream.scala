@@ -142,6 +142,13 @@ object DecontamStream {
    * then the markers (done before intent, so an intent-only state with
    * ALL old files absent is the final cleanup tail). A re-run
    * re-derives the same tombstones from whatever content survives.
+   * OFFLINE caveat: between a mid-apply crash and the next
+   * retroScreen/resume, a rewritten epoch dir can hold old files PLUS
+   * committed new files — a reader in that window would double-count
+   * the kept subset. That window exists only inside the offline verb's
+   * crash state (the pre-r16 staged-dir swap instead had a reader-
+   * visible ABSENCE window); resume any crashed retro before handing
+   * the output back to consumers.
    * Legacy `_retro/epoch=<e>` stagings from the pre-r16 protocol are
    * still healed on entry with the old move-based finish.
    */
