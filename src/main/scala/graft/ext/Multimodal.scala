@@ -40,6 +40,95 @@ object Multimodal {
     StructField("size_bytes", LongType)))
 
   // ======================================================================
+  // Pluggable PIXEL codec seam (round 17): the decode step the header
+  // parsers can't do. A [[PixelDecoder]] turns container bytes into
+  // pixel-level stats; [[ImageIODecoder]] is the REAL implementation
+  // over the JDK's javax.imageio (PNG/JPEG/GIF/BMP — no external media
+  // libraries needed), and the deterministic stubs remain the fallback
+  // for formats it can't read (video frames, audio samples). This is
+  // the production shape: swap in an OpenCV/ffmpeg-backed decoder with
+  // the same two-method surface and every operator below upgrades.
+  // ======================================================================
+
+  /** Pixel-level stats a real codec yields: dimensions, channel count,
+    * mean luma (ITU-R BT.601 weights over the actual pixels, 0..255)
+    * and a 256-bin luma histogram — the inputs our metadata/feature
+    * operators consume without ever shipping raw pixel buffers through
+    * the plan. */
+  final case class PixelStats(width: Int, height: Int, channels: Int,
+                              meanLuma: Double, lumaHist: Array[Long])
+
+  /** The codec seam. Implementations must be Serializable (evaluated
+    * executor-side inside Catalyst expressions) and return None for
+    * bytes they cannot decode — callers fall back to the header parse /
+    * deterministic stub. */
+  trait PixelDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[PixelStats]
+  }
+
+  /** REAL pixel decode via the JDK's ImageIO: exercises the full PNG
+    * (and JPEG/GIF/BMP) pixel path — inflate, defilter, color-model
+    * resolve — then folds the pixels to [[PixelStats]]. Disk caching is
+    * off (pure in-memory decode; executor threads must not contend on
+    * a temp-file cache). */
+  object ImageIODecoder extends PixelDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    override def decode(bytes: Array[Byte]): Option[PixelStats] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Long](256)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              sum += luma
+              // round, don't truncate: the three-term float fold of a
+              // solid gray can land at g − 1e-15, and truncation would
+              // shift the whole image one histogram bin down
+              hist(math.min(255, math.max(0, math.round(luma).toInt))) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val px = w.toLong * h
+          Some(PixelStats(w, h, img.getColorModel.getNumComponents,
+            if (px == 0) 0.0 else sum / px, hist))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Schema of [[withPixelStats]]' output struct. */
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("mean_luma", DoubleType)))
+
+  /** Real-codec features: the 256-bin luma histogram folded into `dim`
+    * buckets and normalized by pixel count — a deterministic, pixel-true
+    * embedding (the stand-in for an encoder forward pass that a real
+    * deployment would swap in behind the same [[PixelDecoder]] seam). */
+  private[ext] def histFeatures(ps: PixelStats, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val px = math.max(1L, ps.width.toLong * ps.height)
+    var i = 0
+    while (i < 256) {
+      out(i * dim / 256) += ps.lumaHist(i).toFloat / px
+      i += 1
+    }
+    out
+  }
+
+  // ======================================================================
   // Real container-header codecs (public format specs, pure JVM):
   // PNG spec (W3C, IHDR chunk), JPEG/JFIF (ITU T.81 marker structure),
   // GIF89a (screen descriptor), RIFF/WAVE (fmt + data chunks).
@@ -261,6 +350,36 @@ object Multimodal {
     out
   }
 
+  /** Fully-ENCODED (decodable, not merely header-valid like
+    * [[MediaGen]]'s fixtures) PNG synthesis for the real-codec leg: a
+    * solid-gray w×h image whose gray level, width and height derive
+    * from the id by fixed arithmetic — so a SQL oracle recomputes the
+    * DECODED stats with no codec at all. Encoded through ImageIO's real
+    * PNG writer; decoding it exercises the full inflate + defilter +
+    * color-resolve pixel path. */
+  private[graft] def synthPng(id: Long): Array[Byte] = {
+    val w = 1 + java.lang.Math.floorMod(id, 8L).toInt
+    val h = 1 + java.lang.Math.floorMod(id, 5L).toInt
+    val g = java.lang.Math.floorMod(id, 256L).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos): Unit
+    bos.toByteArray
+  }
+
+  /** Column form of [[synthPng]]. */
+  def pngSynth(id: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PngSynthExpr(org.apache.spark.sql.graft.ColumnBridge.expression(id)))
+
   // ======================================================================
   // Real Spark plumbing
   // ======================================================================
@@ -274,19 +393,35 @@ object Multimodal {
    * `mapPartitions` with this same schema and batch shape.
    */
   def withDecodedMeta(df: DataFrame, bytesCol: String,
-                      mediaType: String = "image"): DataFrame =
+                      mediaType: String = "image",
+                      decoder: Option[PixelDecoder] = None): DataFrame =
     df.withColumn("media_meta",
       org.apache.spark.sql.graft.ColumnBridge.column(
         MediaMetaExpr(org.apache.spark.sql.graft.ColumnBridge.expression(
-          col(bytesCol)), mediaType)))
+          col(bytesCol)), mediaType, decoder)))
 
   /** Feature-extract a binary media column into a float embedding —
-    * same Catalyst-expression shape as the decode. */
-  def withFeatures(df: DataFrame, bytesCol: String, dim: Int = 64): DataFrame =
+    * same Catalyst-expression shape as the decode. With a
+    * [[PixelDecoder]], features are pixel-true ([[histFeatures]] over
+    * the real decode); without one (or for bytes it can't read) the
+    * deterministic stub stands in, unchanged. */
+  def withFeatures(df: DataFrame, bytesCol: String, dim: Int = 64,
+                   decoder: Option[PixelDecoder] = None): DataFrame =
     df.withColumn("features",
       org.apache.spark.sql.graft.ColumnBridge.column(
         MediaFeaturesExpr(org.apache.spark.sql.graft.ColumnBridge.expression(
-          col(bytesCol)), dim)))
+          col(bytesCol)), dim, decoder)))
+
+  /** Pixel-true stats column from a real codec ([[ImageIODecoder]] by
+    * default): struct(width, height, n_channels, mean_luma), null for
+    * bytes the codec cannot decode. The oracle-checked REAL-pixel leg
+    * of the multimodal surface. */
+  def withPixelStats(df: DataFrame, bytesCol: String,
+                     decoder: PixelDecoder = ImageIODecoder): DataFrame =
+    df.withColumn("pixel_stats",
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        MediaPixelStatsExpr(org.apache.spark.sql.graft.ColumnBridge.expression(
+          col(bytesCol)), decoder)))
 
   /**
    * Resize plan: pure-metadata transform (target dims recorded; actual
@@ -452,14 +587,16 @@ object Multimodal {
  * documents as the production shape.
  */
 case class MediaMetaExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
-                         mediaType: String)
+                         mediaType: String,
+                         decoder: Option[Multimodal.PixelDecoder] = None)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.unsafe.types.UTF8String
 
   override def dataType: DataType = Multimodal.mediaMetaSchema
   override def nullSafeEval(v: Any): Any = {
-    val row = Multimodal.decodeMeta(v.asInstanceOf[Array[Byte]], mediaType)
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val row = Multimodal.decodeMeta(bytes, mediaType)
     val out = new Array[Any](row.length)
     var i = 0
     while (i < row.length) {
@@ -469,6 +606,14 @@ case class MediaMetaExpr(child: org.apache.spark.sql.catalyst.expressions.Expres
       }
       i += 1
     }
+    // pluggable real codec: pixel-true dimensions/channels override the
+    // header parse when the bytes decode (the header keeps media_type/
+    // format/duration — the codec keeps the pixels' truth)
+    decoder.flatMap(_.decode(bytes)).foreach { ps =>
+      out(2) = ps.width
+      out(3) = ps.height
+      out(4) = ps.channels
+    }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
   override protected def withNewChildInternal(
@@ -476,18 +621,59 @@ case class MediaMetaExpr(child: org.apache.spark.sql.catalyst.expressions.Expres
   override def prettyName: String = "media_meta"
 }
 
-/** Stub feature extraction as a Catalyst expression (same rationale). */
+/** Feature extraction as a Catalyst expression: pixel-true histogram
+  * features through the pluggable codec seam when the bytes decode,
+  * the deterministic stub otherwise (same rationale as the decode). */
 case class MediaFeaturesExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
-                             dim: Int)
+                             dim: Int,
+                             decoder: Option[Multimodal.PixelDecoder] = None)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  override def nullSafeEval(v: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Multimodal.stubFeatures(v.asInstanceOf[Array[Byte]], dim))
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val feats = decoder.flatMap(_.decode(bytes))
+      .map(Multimodal.histFeatures(_, dim))
+      .getOrElse(Multimodal.stubFeatures(bytes, dim))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(feats)
+  }
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
   override def prettyName: String = "media_features"
+}
+
+/** REAL pixel stats via the codec seam ([[Multimodal.withPixelStats]]):
+  * null when the codec cannot decode the bytes. */
+case class MediaPixelStatsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                               decoder: Multimodal.PixelDecoder)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = Multimodal.pixelStatsSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    decoder.decode(v.asInstanceOf[Array[Byte]]) match {
+      case Some(ps) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ps.width, ps.height, ps.channels, ps.meanLuma))
+      case None => null
+    }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "pixel_stats"
+}
+
+/** Fully-encoded PNG synthesis as a scalar expression: id → decodable
+  * PNG bytes via [[Multimodal.synthPng]] (the real-codec leg's
+  * fixture). */
+case class PngSynthExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    Multimodal.synthPng(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "png_synth"
 }
 
 /** Deterministic media-fixture synthesis as a scalar expression:

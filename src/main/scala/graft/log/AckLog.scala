@@ -56,7 +56,15 @@ final class AckLog(val spark: SparkSession, val topicPath: String, val sub: Stri
     * until [[publish]] moves them. Manifest content = the staged file
     * list (the idempotent-republish verification token), or the empty
     * marker for an empty ack batch so the [[Txn]] marker line never
-    * loses its 4th field. */
+    * loses its 4th field.
+    *
+    * DELIBERATELY move-based even on object stores (unlike
+    * [[TopicLog.stageAppend]]'s direct staging): ack rows are two
+    * columns of (int, long) — bytes-trivial — so the publish-time
+    * per-file move costs a few hundred bytes of server-side copy,
+    * while converting would add the record/merge machinery's extra
+    * REQUESTS to every ack batch. Revisit only if ack batches ever
+    * carry payload-scale data. */
   def stageAck(acks: DataFrame): StagedAppend = {
     val epoch = committedEpochs().lastOption.getOrElse(-1L) + 1L
     val stagingDir = PathIO.path(basePath, "_staging", epoch.toString)

@@ -253,8 +253,12 @@ object Txn {
             val done = lines.filter(_.nonEmpty)
               .forall { line =>
                 val f = line.split("\t")
-                f.length >= 2 &&
-                  PathIO.exists(PathIO.path(f(0), "_manifest", s"${f(1)}.commit"))
+                // resolved, not mere `<epoch>.commit` existence: a
+                // lifecycle rewrite may occupy the epoch number while
+                // the staged content still awaits its merge — retiring
+                // the marker then would unprotect committed txn data
+                f.length >= 2 && scala.util.Try(f(1).toLong).toOption
+                  .exists(e => TopicLog.stagedEpochResolved(f(0), e))
               }
             if (done) { PathIO.deleteIfExists(marker); () }
           }
@@ -296,8 +300,10 @@ object Txn {
             scala.util.Try(n.stripSuffix(".files").toLong).toOption
           else scala.util.Try(n.toLong).toOption
         epochOpt.flatMap { epoch =>
-          // manifest committed = not in-flight (recoverStaging's job)
-          if (PathIO.exists(PathIO.path(base, "_manifest", s"$epoch.commit"))) None
+          // content resolved (own or merged manifest) = not in-flight
+          // (recoverStaging's job); a lifecycle manifest merely
+          // occupying the number leaves the staging in-flight
+          if (TopicLog.stagedEpochResolved(base, epoch)) None
           else {
             val newest =
               try PathIO.walkStatuses(dir).map(_.getModificationTime)
@@ -372,23 +378,38 @@ object Txn {
       .filter(_.getName.endsWith(".committed"))
       .foreach { marker =>
         PathIO.readLines(marker).filter(_.nonEmpty).foreach { line =>
-          val Array(topicPath, epoch, _, hwJoined) = line.split("\t")
-          val manifestFile = PathIO.path(topicPath, "_manifest", s"$epoch.commit")
+          val Array(topicPath, epochStr, countStr, hwJoined) = line.split("\t")
+          val epoch = epochStr.toLong
+          val content = hwJoined.replace(";", "\n")
+          val manifestFile = PathIO.path(topicPath, "_manifest",
+            s"$epochStr.commit")
           if (!PathIO.exists(manifestFile)) {
             PathIO.mkdirs(manifestFile.getParent)
             // first-writer-wins: two processes recovering the same
             // marker at startup must not consume each other's tmp file
             // (TopicLog.atomicCreate — the rename race publishManifest
             // also guards against)
-            if (TopicLog.atomicCreate(manifestFile,
-                hwJoined.replace(";", "\n").getBytes))
-              healed += ((topicPath, epoch.toLong))
+            if (TopicLog.atomicCreate(manifestFile, content.getBytes))
+              healed += ((topicPath, epoch))
           }
-          // crash between manifest write and staged-file moves: count
-          // the epoch healed iff its staged tree actually existed
-          if (PathIO.exists(PathIO.path(topicPath, "_staging", epoch))) {
+          // the reserved epoch may hold a LIFECYCLE rewrite's manifest:
+          // retention/offload/coalesce advanced the chain while the txn
+          // was mid-publish. Replay the merge exactly as the publisher
+          // would — stagedEpochResolved short-circuits a merge that
+          // already completed, so this converges to a no-op.
+          if (PathIO.exists(manifestFile) &&
+              new String(PathIO.readBytes(manifestFile)) != content &&
+              !TopicLog.stagedEpochResolved(topicPath, epoch)) {
+            TopicLog.mergeForwardPublish(topicPath, topicPath,
+              TopicLog.StagedAppend(epoch, content, countStr.toLong))
+            healed += ((topicPath, epoch))
+          }
+          // crash between commit/merge and staged-file cleanup: count
+          // the epoch healed iff staged leftovers actually existed
+          if (PathIO.exists(PathIO.path(topicPath, "_staging", epochStr)) ||
+              PathIO.exists(TopicLog.stagingRecord(topicPath, epoch))) {
             TopicLog.recoverStaging(topicPath): Unit
-            healed += ((topicPath, epoch.toLong))
+            healed += ((topicPath, epoch))
           }
         }
       }

@@ -107,24 +107,34 @@ class CoalesceSnapshotSpec extends SparkSpec {
     val before = contents(log)
     // crashed first attempt: staged files exist at the NEXT epoch (1),
     // no manifest — indistinguishable from a LIVE transaction's staging
-    // at that epoch, so the retry REFUSES instead of purging (round 16:
-    // the old silent purge would have deleted a live txn's staged rows;
-    // snapshot-rewrite verbs serialize against in-flight stagings)
+    // at that epoch. Round 17: the retry no longer refuses OR purges —
+    // the rewrite stages under its own `rw-` name and commits a
+    // lifecycle manifest at the contended epoch; were the staging a
+    // live txn's, its publish would merge forward past it.
     log.read().repartition(1, col(Envelope.Partition))
       .write.mode("append").partitionBy(Envelope.Partition)
       .parquet(log.name.path(log.root) + "/_staging/1")
-    val refusal = intercept[IllegalArgumentException] {
-      Admin.coalesceFiles(log, filesPerPartition = 1)
-    }
+    // escape hatch first: with merge-forward off, the round-16 refusal
+    // is retained verbatim
+    spark.conf.set("spark.graft.lifecycleMerge", "false")
+    val refusal =
+      try intercept[IllegalArgumentException] {
+        Admin.coalesceFiles(log, filesPerPartition = 1)
+      } finally spark.conf.unset("spark.graft.lifecycleMerge")
     assert(refusal.getMessage.contains("in-flight staged"))
     assert(contents(log) == before, "refusal must leave the log untouched")
-    // the janitor collects the abandoned staging (markerless, aged),
-    // then the retry proceeds cleanly
-    assert(graft.log.TopicLog.vacuumStaged(
-      log.name.path(log.root), olderThanMs = 0L) === 1)
+    // merge-forward path: the retry proceeds WITHOUT waiting for the
+    // janitor, and the abandoned staging stays untouched (it might be a
+    // live transaction's)
     Admin.coalesceFiles(log, filesPerPartition = 1)
     assert(contents(log) == before, "stale staged files must not double rows")
     assert(log.manifestFiles().get.size == 4)
+    assert(graft.log.PathIO.exists(graft.log.PathIO.path(
+      log.name.path(log.root), "_staging", "1")),
+      "the rewrite must not purge a staging it cannot prove abandoned")
+    // the janitor collects the abandoned (markerless, aged) staging
+    assert(graft.log.TopicLog.vacuumStaged(
+      log.name.path(log.root), olderThanMs = 0L) === 1)
     log.vacuum()
     assert(contents(log) == before)
   }

@@ -178,6 +178,65 @@ class DirectCommitSpec extends SparkSpec {
     assert(onDisk === mf2b, s"stale files beside the replay: ${onDisk -- mf2b}")
   }
 
+  test("token-bound write: readManifest verifies the manifest is THIS job's; a racer's overwrite fails loudly") {
+    import spark.implicits._
+    val root = mockRoot("dc-token")
+    val token = "tok-abc-123"
+    val sc = spark.sparkContext
+    sc.setLocalProperty(DirectCommitProtocol.TokenProp, token)
+    try (0L until 8L).toDF("id").coalesce(1).write.mode("overwrite").parquet(root)
+    finally sc.setLocalProperty(DirectCommitProtocol.TokenProp, null)
+    // the bound token verifies; a wrong expectation fails loudly
+    assert(DirectCommitProtocol.readManifest(root,
+      expectToken = Some(token)).get.nonEmpty)
+    assert(DirectCommitProtocol.readManifest(root).get.nonEmpty,
+      "no-expectation read accepts any job's manifest")
+    intercept[IllegalArgumentException] {
+      DirectCommitProtocol.readManifest(root, expectToken = Some("other-job"))
+    }
+    // a racing same-directory writer OVERWRITES _SUCCESS (last PUT wins
+    // on an object store): the first writer's verified read must fail
+    // loudly instead of adopting the racer's file list as its own
+    val racer = DirectCommitProtocol.ManifestHeader + " tok-racer\nb=0/x.parquet\t5"
+    PathIO.writeString(PathIO.path(root, DirectCommitProtocol.SuccessName), racer)
+    intercept[IllegalArgumentException] {
+      DirectCommitProtocol.readManifest(root, expectToken = Some(token))
+    }
+    // an UNtokened manifest (stock engine elsewhere) also fails a
+    // tokened expectation
+    PathIO.writeString(PathIO.path(root, DirectCommitProtocol.SuccessName),
+      DirectCommitProtocol.ManifestHeader + "\nb=0/x.parquet\t5")
+    intercept[IllegalArgumentException] {
+      DirectCommitProtocol.readManifest(root, expectToken = Some(token))
+    }
+  }
+
+  test("abortJob deletes every committed-task file the driver collected") {
+    val root = mockRoot("dc-abort")
+    val proto = new DirectCommitProtocol("job-abort-1", root, false)
+    // two tasks commit, then the job fails (e.g. a third task exhausts
+    // retries): abortJob must sweep the committed tasks' files — the
+    // caller's replay can't always reach them (append-mode staging)
+    val files = (0 until 2).map { split =>
+      val id = new TaskAttemptID(
+        new TaskID(new JobID("graft-dc", 9), TaskType.MAP, split), 0)
+      val ctx = new TaskAttemptContextImpl(
+        spark.sparkContext.hadoopConfiguration, id)
+      proto.setupTask(ctx)
+      val f = proto.newTaskTempFile(ctx, Some(s"b=$split"),
+        FileNameSpec("", ".parquet"))
+      PathIO.writeString(new org.apache.hadoop.fs.Path(f), s"bytes-$split")
+      proto.onTaskCommit(proto.commitTask(ctx))
+      f
+    }
+    files.foreach(f => assert(PathIO.exists(new org.apache.hadoop.fs.Path(f))))
+    proto.abortJob(new org.apache.hadoop.mapreduce.task.JobContextImpl(
+      spark.sparkContext.hadoopConfiguration, new JobID("graft-dc", 9)))
+    files.foreach(f => assert(!PathIO.exists(new org.apache.hadoop.fs.Path(f)),
+      s"abortJob left committed-task file $f"))
+    assert(!PathIO.exists(PathIO.path(root, DirectCommitProtocol.SuccessName)))
+  }
+
   test("absolute-path partitions refuse loudly in direct mode") {
     val root = mockRoot("dc-abs")
     val proto = new DirectCommitProtocol("job-uuid-2", root, false)

@@ -146,6 +146,77 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(m.getString(1) == "stub")
   }
 
+  test("REAL pixel path: ImageIO decodes the synthesized PNG — dimensions, channels and mean luma are pixel-true") {
+    (Seq(0L, 1L, 7L, 41L, 255L, 256L, 511L, 1234567L)).foreach { id =>
+      val png = Multimodal.synthPng(id)
+      // it is a real PNG (the header parser agrees)...
+      assert(decode(png).getString(1) == "png")
+      // ...and the PIXELS decode: solid gray at the arithmetic level
+      val ps = Multimodal.ImageIODecoder.decode(png).get
+      assert(ps.width == 1 + (id % 8).toInt)
+      assert(ps.height == 1 + (id % 5).toInt)
+      assert(ps.channels == 3)
+      assert(math.round(ps.meanLuma) == id % 256,
+        s"id $id: mean luma ${ps.meanLuma} != gray ${id % 256}")
+      assert(ps.lumaHist.sum == ps.width.toLong * ps.height)
+    }
+    // undecodable bytes → None (callers fall back to the stub)
+    assert(Multimodal.ImageIODecoder.decode("not pixels".getBytes).isEmpty)
+  }
+
+  test("pluggable decoder seam: withDecodedMeta overrides dims from real pixels; withFeatures goes pixel-true; withPixelStats surfaces mean luma; stub fallback unchanged") {
+    val ids = spark.range(0, 48).toDF("doc_id").repartition(4)
+    val pngs = ids.withColumn("payload", Multimodal.pngSynth($"doc_id"))
+    // withPixelStats: distributed real decode
+    val stats = Multimodal.withPixelStats(pngs, "payload")
+      .select($"doc_id", $"pixel_stats.width", $"pixel_stats.height",
+        $"pixel_stats.n_channels", $"pixel_stats.mean_luma")
+      .collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 1 + (id % 8).toInt)
+      assert(r.getInt(2) == 1 + (id % 5).toInt)
+      assert(r.getInt(3) == 3)
+      assert(math.round(r.getDouble(4)) == id % 256)
+    }
+    // withDecodedMeta with the decoder: header keeps format, pixels own
+    // the dimensions (here they agree — the PNG is honest)
+    val meta = Multimodal.withDecodedMeta(pngs, "payload",
+        decoder = Some(Multimodal.ImageIODecoder))
+      .select($"doc_id", $"media_meta.format", $"media_meta.width")
+      .collect()
+    meta.foreach { r =>
+      assert(r.getString(1) == "png")
+      assert(r.getInt(2) == 1 + (r.getLong(0) % 8).toInt)
+    }
+    // withFeatures through the seam: pixel-true histogram — a solid-gray
+    // image has ALL its mass in one luma bin, so exactly one feature
+    // bucket is ~1.0 and it differs from the stub's pseudo-embedding
+    val dim = 16
+    val feats = Multimodal.withFeatures(pngs, "payload", dim,
+        decoder = Some(Multimodal.ImageIODecoder))
+      .select($"doc_id", $"features").as[(Long, Array[Float])].collect()
+    feats.foreach { case (id, f) =>
+      assert(f.length == dim)
+      val g = (id % 256).toInt
+      assert(math.abs(f(g * dim / 256) - 1.0f) < 1e-6,
+        s"id $id: luma mass must sit in bucket ${g * dim / 256}: ${f.toSeq}")
+      assert(f.map(_.toDouble).sum > 0.999 && f.map(_.toDouble).sum < 1.001)
+    }
+    // no decoder (or undecodable bytes): byte-identical stub behavior
+    val stub = Seq(Tuple1("not an image".getBytes)).toDF("payload")
+    val viaSeam = Multimodal.withFeatures(stub, "payload", 8,
+      decoder = Some(Multimodal.ImageIODecoder)).select("features")
+      .as[Array[Float]].head()
+    val plain = Multimodal.withFeatures(stub, "payload", 8)
+      .select("features").as[Array[Float]].head()
+    assert(viaSeam.toSeq == plain.toSeq,
+      "undecodable bytes must fall back to the unchanged stub")
+    // pixel_stats is null for undecodable bytes
+    assert(Multimodal.withPixelStats(stub, "payload")
+      .select("pixel_stats").head().isNullAt(0))
+  }
+
   test("malformed RIFF files fall back to the stub instead of crashing") {
     // valid RIFF/WAVE magic, then a chunk whose size overruns the buffer
     val overrun = ("RIFF".getBytes("US-ASCII") ++

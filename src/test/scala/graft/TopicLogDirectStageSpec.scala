@@ -175,6 +175,74 @@ class TopicLogDirectStageSpec extends SparkSpec {
       Envelope.Value).as[(Int, Long, String)].collect().toSet === before)
   }
 
+  test("record-less crash (driver death before the staging record): orphans stay outside the snapshot; the retry never doubles rows") {
+    val root = mkRoot()
+    val t = new TopicLog(spark, root, TopicName.parse("d8"), 2)
+    t.append(batch(0 until 10)): Unit
+    val base = t.name.path(root)
+    // simulate the ADVICE-r16 window: the direct write completed (files
+    // at final paths) but the process died before the `_staging` record
+    // existed — stage, then erase the record
+    val s = t.stageAppend(batch(100 until 105))
+    val orphans = TopicLog.readStagingRecord(base, s.epoch)
+    assert(orphans.nonEmpty)
+    assert(PathIO.deleteIfExists(TopicLog.stagingRecord(base, s.epoch)))
+    // the orphans are invisible: a direct topic is ALWAYS in snapshot
+    // mode (bootstrapped before the first write), and nothing ever
+    // references them
+    assert(t.read().count() === 10)
+    // the retry lands the same rows at the SAME offsets — served once
+    t.append(batch(100 until 105)): Unit
+    assert(t.read().count() === 15)
+    assert(t.read().select(Envelope.Partition, Envelope.Offset)
+      .distinct().count() === 15, "no offset served twice")
+    assert(orphans.forall(f => !t.manifestFiles().get.contains(f)),
+      "orphan files must never enter the snapshot")
+    // vacuum collects them
+    assert(t.vacuum() >= orphans.size)
+    orphans.foreach(f => assert(!PathIO.exists(PathIO.path(base, f))))
+    assert(t.read().count() === 15)
+  }
+
+  test("offset-only legacy history: the snapshot bootstrap's footer guard deletes record-less orphans past the high-water") {
+    val root = mkRoot()
+    val t = new TopicLog(spark, root, TopicName.parse("d9"), 2)
+    // build OFFSET-ONLY history the pre-direct way (escape hatch)
+    spark.conf.set("spark.graft.directStage", "false")
+    try t.append(batch(0 until 10)): Unit
+    finally spark.conf.unset("spark.graft.directStage")
+    assert(t.manifestFiles().isEmpty, "fixture must be offset-only")
+    val base = t.name.path(root)
+    val hw = t.highWater()
+    // a LEGACY crashed direct attempt's orphan: complete parquet at a
+    // final path, offsets past the committed high-water, no record
+    val tmpOut = s"${MockS3FileSystem.Scheme}:" +
+      Files.createTempDirectory("tl-orphan")
+    Seq(("uX", "orphan-a", "p", 0L, hw(0) + 1L),
+        ("uX", "orphan-b", "p", 1L, hw(0) + 2L))
+      .toDF(Envelope.Key, Envelope.Value, Envelope.ProducerName,
+        Envelope.SequenceId, Envelope.Offset)
+      .withColumn(Envelope.PublishTime, timestamp_seconds(lit(1)))
+      .withColumn(Envelope.RedeliveryCnt, lit(0))
+      .withColumn(Envelope.Topic, lit(t.name.fqn))
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = PathIO.walkAll(PathIO.path(tmpOut))
+      .find(_.getName.endsWith(".parquet")).get
+    val orphan = PathIO.path(base, "partition=0", "part-legacy-orphan.parquet")
+    PathIO.copy(part, orphan)
+    assert(PathIO.exists(orphan))
+    // first DIRECT append: the bootstrap walks the offset-only history —
+    // the footer guard must exclude AND delete the orphan, not adopt it
+    t.append(batch(10 until 16)): Unit
+    assert(!PathIO.exists(orphan),
+      "bootstrap must purge the past-high-water orphan")
+    assert(t.read().count() === 16)
+    assert(!t.read().select(Envelope.Value).as[String].collect()
+      .exists(_.startsWith("orphan-")), "orphan rows must never surface")
+    assert(t.read().select(Envelope.Partition, Envelope.Offset)
+      .distinct().count() === 16)
+  }
+
   test("escape hatch: spark.graft.directStage=false restores the move-based staging") {
     val root = mkRoot()
     spark.conf.set("spark.graft.directStage", "false")

@@ -106,38 +106,44 @@ class TxnLifecycleSeamSpec extends SparkSpec {
     assert(Txn.slowTransactions(root, 0L, nowMs = () => future).isEmpty)
   }
 
-  test("mocks3 crash schedule: marker written, publish crashed, offload refuses until the janitor heals — then compact tiered") {
+  test("mocks3 crash schedule: marker written, publish crashed, offload PROCEEDS (takes the reserved epoch) — the janitor merges the txn forward, then compact tiered") {
     val local = Files.createTempDirectory("txnlc-s3")
     val root = s"${MockS3FileSystem.Scheme}:$local"
     val t = new TopicLog(spark, root, TopicName.parse("ls3"), 2)
     t.append(batch(0 until 10)): Unit // snapshot mode (direct staging)
     val s = t.stageAppend(batch(100 until 105))
     writeMarker(root, "txn-lc2", t, s)
-    // CRASH here: committed by marker, manifest unpublished. The
-    // lifecycle keeps moving — but a SNAPSHOT-REWRITE verb would
-    // allocate the staged epoch's manifest number and strand the
-    // committed txn behind a snapshot omitting its rows, so it REFUSES
-    // while the staging is in flight (the broker-side serialization
-    // the reference gives these verbs), pointing at the janitor.
-    val refusal = intercept[IllegalArgumentException] {
-      Admin.offload(t, beforeOffset = Long.MaxValue)
-    }
-    assert(refusal.getMessage.contains("in-flight staged"),
-      s"refusal must name the staging: ${refusal.getMessage}")
-    assert(Admin.readTiered(t).count() === 10, "committed view unharmed")
+    // CRASH here: committed by marker, manifest unpublished. Round 17:
+    // the lifecycle keeps moving WITHOUT refusing — offload commits its
+    // lifecycle manifest AT the staged epoch's reserved number; the
+    // txn's content merges forward when the janitor replays the marker
+    // (the availability the reference gets from broker serialization).
+    assert(Admin.offload(t, beforeOffset = Long.MaxValue) > 0)
+    assert(Admin.readTiered(t).count() === 10,
+      "committed view unharmed; staged rows still invisible")
+    assert(PathIO.exists(TopicLog.stagingRecord(t.name.path(root), s.epoch)),
+      "offload must not touch the in-flight staging record")
     // janitor from an hour out: the marker PROTECTS the aged staged
-    // epoch and recover() completes the publish
+    // epoch; recover() finds the reserved epoch occupied by the
+    // lifecycle manifest and MERGES the txn forward
     val future = System.currentTimeMillis() + 3600 * 1000L
     val (healed, dropped) = Txn.vacuumAll(root, Txn.DefaultTimeoutMs,
       nowMs = () => future)
     assert(healed >= 1 && dropped === 0,
-      s"janitor must heal, not drop (healed=$healed dropped=$dropped)")
-    assert(Admin.readTiered(t).count() === 15, "healed txn rows visible")
-    // with the staging healed the offload proceeds
+      s"janitor must merge-heal, not drop (healed=$healed dropped=$dropped)")
+    assert(Admin.readTiered(t).count() === 15, "merged txn rows visible")
+    assert(PathIO.exists(TopicLog.mergedMarker(t.name.path(root), s.epoch)),
+      "the merge must be durably recorded")
+    assert(!PathIO.exists(TopicLog.stagingRecord(t.name.path(root), s.epoch)),
+      "the staging record clears once the merge is durable")
+    // no offset ever served twice across the merge
+    assert(Admin.readTiered(t)
+      .select(Envelope.Partition, Envelope.Offset).distinct().count() === 15)
+    // with the txn merged the next offload picks up its rows
     assert(Admin.offload(t, beforeOffset = Long.MaxValue) > 0)
     assert(Admin.readTiered(t).count() === 15,
-      "offloaded prefix + healed txn rows all served tiered")
-    // compaction over the healed, tiered log: every key's winner is the
+      "offloaded prefix + merged txn rows all served tiered")
+    // compaction over the merged, tiered log: every key's winner is the
     // txn's write; the tiered read serves hot tail + cold prefix
     Compaction.triggerCompaction(t): Unit
     val winners = Compaction.readCompactedTopic(t)
@@ -151,9 +157,93 @@ class TxnLifecycleSeamSpec extends SparkSpec {
     assert(Admin.readTiered(t)
       .select(Envelope.Partition, Envelope.Offset).distinct().count()
       === Admin.readTiered(t).count(), "tiered read must not double-count")
-    // converged: second sweep heals and drops nothing
+    // converged: second sweep heals and drops nothing, and the marker
+    // retires only because the merged epoch RESOLVES it
     assert(Txn.vacuumAll(root, Txn.DefaultTimeoutMs,
       nowMs = () => future) === ((0, 0)))
+    assert(!PathIO.exists(PathIO.path(root, "_txn", "txn-lc2.committed")),
+      "fully-merged marker retires")
+  }
+
+  test("merge-forward on local fs: coalesce AND retention land during a staged txn; the late commit re-bases with no refusal and no loss") {
+    val root = Files.createTempDirectory("txnlc-mf").toString
+    val t = new TopicLog(spark, root, TopicName.parse("lmf"), 2)
+    t.append(batch(0 until 10)): Unit
+    Admin.coalesceFiles(t, filesPerPartition = 1) // enter snapshot mode
+    t.vacuum(): Unit
+    val hwBefore = t.highWater()
+    // txn stages (move-based tree at the reserved epoch) and stalls
+    val s = t.stageAppend(batch(100 until 105))
+    // TWO lifecycle verbs advance the chain past the reservation
+    Admin.coalesceFiles(t, filesPerPartition = 1)
+    assert(Admin.offload(t, beforeOffset = Long.MaxValue) > 0) // drops + moves cold
+    assert(t.highWater() === hwBefore,
+      "lifecycle manifests must preserve the high-water")
+    assert(t.read().count() === 0, "offloaded prefix left the hot tier")
+    // the stalled txn commits late: marker + publish — publish finds its
+    // epoch taken by lifecycle manifests and merges forward
+    writeMarker(root, "txn-mf1", t, s)
+    t.publishManifest(s)
+    assert(Admin.readTiered(t).count() === 15, "no row lost across the merge")
+    assert(Admin.readTiered(t)
+      .select(Envelope.Partition, Envelope.Offset).distinct().count() === 15,
+      "no offset served twice after the merge")
+    // txn rows are all past the (preserved) high-water of stage time
+    val txnMin = t.read().filter(col(Envelope.Value).startsWith("payload-10"))
+      .groupBy(Envelope.Partition).agg(min(Envelope.Offset).as("o"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    txnMin.foreach { case (p, o) =>
+      assert(o > hwBefore(p), s"txn offset $o at partition $p must be past " +
+        s"the pre-merge high-water ${hwBefore(p)}")
+    }
+    assert(PathIO.exists(TopicLog.mergedMarker(t.name.path(root), s.epoch)))
+    assert(!PathIO.exists(PathIO.path(t.name.path(root), "_staging",
+      s.epoch.toString)), "staged tree moves complete after the merge")
+    // replay (Txn.recover) after the merged-forward chain: converges to
+    // a no-op — no new epochs, same rows
+    val epochsAfter = PathIO.listDir(
+      PathIO.path(t.name.path(root), "_manifest"))
+      .map(_.getName).filter(_.endsWith(".commit")).sorted
+    assert(Txn.recover(root) === 0)
+    assert(PathIO.listDir(PathIO.path(t.name.path(root), "_manifest"))
+      .map(_.getName).filter(_.endsWith(".commit")).sorted === epochsAfter)
+    assert(Admin.readTiered(t).count() === 15)
+    // marker retires once resolved
+    val future = System.currentTimeMillis() + 3600 * 1000L
+    Txn.vacuumAll(root, Txn.DefaultTimeoutMs, nowMs = () => future): Unit
+    assert(!PathIO.exists(PathIO.path(root, "_txn", "txn-mf1.committed")))
+  }
+
+  test("merge crash window on mocks3: merged manifest committed but durable marker lost — replay converges without re-merging") {
+    val local = Files.createTempDirectory("txnlc-s3b")
+    val root = s"${MockS3FileSystem.Scheme}:$local"
+    val t = new TopicLog(spark, root, TopicName.parse("ls3b"), 2)
+    t.append(batch(0 until 10)): Unit
+    val s = t.stageAppend(batch(100 until 105))
+    writeMarker(root, "txn-lc3", t, s)
+    val base = t.name.path(root)
+    val record = PathIO.readString(TopicLog.stagingRecord(base, s.epoch))
+    // lifecycle takes the reserved epoch, then the merge completes
+    Admin.coalesceFiles(t, filesPerPartition = 1)
+    t.publishManifest(s)
+    assert(Admin.readTiered(t).count() === 15)
+    val epochsDone = TopicLog.committedEpochsAt(base)
+    // CRASH RECONSTRUCTION: the merged manifest (with its M-provenance)
+    // is durable, but the merged marker and record cleanup are lost —
+    // the window between the merged commit and finishVia's bookkeeping
+    assert(PathIO.deleteIfExists(TopicLog.mergedMarker(base, s.epoch)))
+    assert(PathIO.atomicCreate(TopicLog.stagingRecord(base, s.epoch),
+      record.getBytes("UTF-8")))
+    // replay: the provenance scan finds the merged epoch, re-creates the
+    // marker, clears the record — and commits NOTHING new
+    assert(Txn.recover(root) >= 1)
+    assert(TopicLog.committedEpochsAt(base) === epochsDone,
+      "replay after the crash window must not grow the chain")
+    assert(PathIO.exists(TopicLog.mergedMarker(base, s.epoch)))
+    assert(!PathIO.exists(TopicLog.stagingRecord(base, s.epoch)))
+    assert(Admin.readTiered(t).count() === 15)
+    assert(Admin.readTiered(t)
+      .select(Envelope.Partition, Envelope.Offset).distinct().count() === 15)
   }
 
   test("janitor past the timeout drops an ABANDONED (markerless) staged epoch but only that") {
