@@ -25,6 +25,14 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // Default 200 routes every SQL shuffle with <=200 reducers through the
+  // bypass-merge writer, which opens R scratch files PER MAP TASK (32x32
+  // per exchange at local[32]) — thread dumps showed the executors in
+  // FileOutputStream.open0 and the shuffle-commit lock, not compute.
+  // 1 = always the unified/tungsten sort writer (one data+index file per
+  // map task) — the exact code path production takes at R > 200, so this
+  // is scale-neutral; env knob restores the stock default for A/B runs.
+  s"-Dspark.shuffle.sort.bypassMergeThreshold=${sys.env.getOrElse("SPARK_GRAFT_BYPASS", "1")}",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

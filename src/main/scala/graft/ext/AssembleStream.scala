@@ -50,6 +50,7 @@ object AssembleStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        BatchTune.adapt(batch)
         val priorTotals = MixtureStream.priorTotals(outDir, epochId)
         val priorOffset = SeqPackStream.priorOffset(outDir, epochId)
         val cached = batch.persist()

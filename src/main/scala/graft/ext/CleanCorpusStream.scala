@@ -121,6 +121,7 @@ object CleanCorpusStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
+        BatchTune.adapt(batch)
         val dbg = sys.env.contains("SPARK_GRAFT_ND_DEBUG")
         var tPrev = System.nanoTime()
         def mark(st: String): Unit = if (dbg) {
@@ -131,9 +132,13 @@ object CleanCorpusStream {
         Seq(hashesDir, bandsDir, shDir).foreach(NearDupStream.resumeCompaction)
         compactEvery.foreach { n =>
           if (epochId > 0 && epochId % n == 0) {
-            NearDupStream.compactIndex(spark, hashesDir, "hb", epochId - 1)
-            NearDupStream.compactIndex(spark, bandsDir, "bp", epochId - 1)
-            NearDupStream.compactIndex(spark, shDir, "sb", epochId - 1)
+            // the three levels fold independently (distinct dirs, own
+            // pointer commits) — concurrent jobs, same rationale as the
+            // epoch writes below: each fold is per-file-floor-bound
+            NearDupStream.parallelWrites(spark,
+              () => NearDupStream.compactIndex(spark, hashesDir, "hb", epochId - 1),
+              () => NearDupStream.compactIndex(spark, bandsDir, "bp", epochId - 1),
+              () => NearDupStream.compactIndex(spark, shDir, "sb", epochId - 1))
           }
         }
         mark("compaction")

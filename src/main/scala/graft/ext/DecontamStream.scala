@@ -316,6 +316,7 @@ object DecontamStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
+        BatchTune.adapt(batch)
         NearDupStream.resumeCompaction(ngramsDir)
         compactEvery.foreach { cn =>
           if (epochId > 0 && epochId % cn == 0)

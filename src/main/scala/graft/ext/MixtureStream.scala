@@ -125,6 +125,7 @@ object MixtureStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        BatchTune.adapt(batch)
         val prior = priorTotals(outDir, epochId)
         val cached = batch.persist()
         try {

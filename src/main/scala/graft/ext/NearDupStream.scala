@@ -263,6 +263,7 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
+        BatchTune.adapt(batch)
         val dbg = sys.env.contains("SPARK_GRAFT_ND_DEBUG")
         var tPrev = System.nanoTime()
         def mark(s: String): Unit = if (dbg) {
@@ -276,8 +277,11 @@ object NearDupStream {
         resumeCompaction(bandsDir); resumeCompaction(shDir)
         compactEvery.foreach { n =>
           if (epochId > 0 && epochId % n == 0) {
-            compactIndex(spark, bandsDir, "bp", epochId - 1)
-            compactIndex(spark, shDir, "sb", epochId - 1)
+            // independent levels (distinct dirs, own pointer commits):
+            // concurrent fold jobs — each is per-file-floor-bound
+            parallelWrites(spark,
+              () => compactIndex(spark, bandsDir, "bp", epochId - 1),
+              () => compactIndex(spark, shDir, "sb", epochId - 1))
           }
         }
         mark("compaction")

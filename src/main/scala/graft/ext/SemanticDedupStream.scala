@@ -132,6 +132,7 @@ object SemanticDedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
+        BatchTune.adapt(batch)
         // finish (or discard) any crash-interrupted compaction BEFORE
         // reading the index; then fold on schedule — every folded epoch
         // is committed (this batch is the only possibly-uncommitted one)

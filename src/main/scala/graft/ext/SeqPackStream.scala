@@ -54,6 +54,7 @@ object SeqPackStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        BatchTune.adapt(batch)
         val prior = priorOffset(outDir, epochId)
         val cached = batch.persist()
         try {

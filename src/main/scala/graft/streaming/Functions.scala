@@ -320,6 +320,7 @@ object Functions {
           .option("checkpointLocation", checkpoint)
           .foreachBatch { (batch: DataFrame, epochId: Long) =>
             import graft.log.PathIO
+            graft.ext.BatchTune.adapt(batch)
             val ackDir = PathIO.path(checkpoint, "_acks")
             PathIO.mkdirs(ackDir)
             val marker = PathIO.child(ackDir, s"$epochId.acked")

@@ -94,6 +94,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.BatchTune.adapt(batch)
         val b = batch.persist()
         try {
           val wmBefore = readWmFile() match {

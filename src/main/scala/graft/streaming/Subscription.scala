@@ -105,6 +105,7 @@ final class Subscription(
       .option("checkpointLocation", checkpointDir)
       .trigger(policy.trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.ext.BatchTune.adapt(batch)
         val hw = log.highWater()
         val committed =
           if (hw.isEmpty) batch.limit(0)
