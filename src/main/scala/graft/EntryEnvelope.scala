@@ -163,6 +163,8 @@ private[graft] object EntryEnvelope {
     * hash — the oracle replays both versions' payload formulas. */
   private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    // NOT widened (avro/proto are): measured — the versioned decode is
+    // cheap per row, wall stayed 1.16 s while task-time grew 8×
     val base = env(s, dir)
       .withColumn(Envelope.SchemaVersion,
         (col(Envelope.Offset) % 2 + 1).cast("int"))
@@ -669,7 +671,9 @@ private[graft] object EntryEnvelope {
         |  {"name":"lang","type":"string"},{"name":"n","type":"long"}]}},
         |{"name":"props","type":{"type":"map","values":"string"}},
         |{"name":"ids","type":{"type":"array","items":"long"}}]}""".stripMargin
-    val in = serdeNestedInput(env(s, dir))
+    // widen the single-split events scan: the nested encode+decode
+    // kernel is the whole wall (~0.2 ms/row single-threaded otherwise)
+    val in = ext.TextOps.ensureParallelism(serdeNestedInput(env(s, dir)))
     val enc = AvroSerde.avro_encode(
       struct(in.columns.map(col).toIndexedSeq: _*), schemaJson)
     serdeFlatten(in.select(AvroSerde.avro_decode(enc, schemaJson).as("d")))
@@ -686,7 +690,9 @@ private[graft] object EntryEnvelope {
     val spec = "1:int64:offset,2:string:key,3:string:value,4:string:event_type," +
       "5:message{1:string:lang,2:int64:n}:meta," +
       "6:map{string,string}:props,7:repeated int64:ids"
-    val in = serdeNestedInput(env(s, dir))
+    // widen the single-split events scan: the nested encode+decode
+    // kernel is the whole wall (~0.2 ms/row single-threaded otherwise)
+    val in = ext.TextOps.ensureParallelism(serdeNestedInput(env(s, dir)))
     val enc = ProtoSerde.proto_encode(
       struct(in.columns.map(col).toIndexedSeq: _*), spec)
     serdeFlatten(in.select(ProtoSerde.proto_decode(enc, spec).as("d")))

@@ -340,8 +340,45 @@ private[graft] object EntryShared {
         "empty-stream result as a measurement")
   }
 
+  /** Scale-adaptive shuffle/state width for a stream twin (guide §2:
+    * derive partitioning from input size, never a constant). Stateful
+    * streaming operators freeze their state-partition count at the
+    * FIRST checkpoint from `spark.sql.shuffle.partitions`, AQE is off
+    * in streaming, and every micro-batch then pays one state-store
+    * commit (delta file + CRC) PER partition per stateful operator —
+    * at local[32] over a kB-scale fixture that was 32 task launches +
+    * 32 file commits per batch per operator for rows of data (measured:
+    * session_windows_watermark task-time 55.9 s at width 32 vs 5.9 s at
+    * width 4, same results — every run starts a FRESH checkpoint, so
+    * the width never crosses runs). The width derives from the file
+    * source's on-disk bytes — one walk of the fixture dir the source
+    * lists anyway — clamped to the session value, so a cluster-scale
+    * input keeps the cluster-sized width (identity at 100 TB). */
+  private def adaptiveStreamWidth(s: SparkSession, agg: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+    val paths = agg.queryExecution.logical.collect {
+      case sr: StreamingRelation => sr.dataSource.options.get("path")
+    }.flatten
+    if (paths.isEmpty) None // non-file source: keep the session width
+    else {
+      import graft.log.PathIO
+      val bytes = paths.map { p =>
+        val hp = PathIO.path(p)
+        if (!PathIO.exists(hp)) 0L
+        else PathIO.walkStatuses(hp).filter(!_.isDirectory).map(_.getLen).sum
+      }.sum
+      val session = s.conf.get("spark.sql.shuffle.partitions").toInt
+      Some(math.min(session,
+        math.max(2, (bytes / (16L << 20)).toInt + 2)))
+    }
+  }
+
   private[graft] def runStreamToLocal(s: SparkSession, agg: DataFrame,
                                mode: String = "complete"): DataFrame = {
+    val width = adaptiveStreamWidth(s, agg)
+    val prev = width.map(_ => s.conf.get("spark.sql.shuffle.partitions"))
+    width.foreach(w => s.conf.set("spark.sql.shuffle.partitions", w.toString))
+    try {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
     val out = if (mode == "append") {
       val outDir = java.nio.file.Files.createTempDirectory("graft-stream-out")
@@ -364,6 +401,9 @@ private[graft] object EntryShared {
     }
     deleteTree(ckpt)
     out
+    } finally {
+      prev.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+    }
   }
 
   /** Recursive delete (files then dirs, best-effort) — the ONE temp-tree

@@ -178,7 +178,7 @@ object DecontamStream {
     // the very dirs apply replaces) — a driver list is fine here:
     // casualties are the eval-overlapping sliver of the kept corpus,
     // the same size class as the eval suites themselves
-    val tombRows = spark.read.parquet(outDir)
+    val tombRows = TextOps.ensureParallelism(spark.read.parquet(outDir))
       .select(col(idCol).as("doc_id"), col("epoch"),
         explode(graft.functions.Sketch.shingle_hashes(col(textCol), n,
           distinct = true)).as("shingle_h"))

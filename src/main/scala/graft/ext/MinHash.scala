@@ -79,9 +79,14 @@ object MinHash {
    */
   def withSignature(docs: DataFrame, textCol: String = "text",
                     shingleN: Int = 3, numHashes: Int = 32): DataFrame =
-    docs.withColumn("minhash", graft.functions.Sketch.minhash_sig(
-      graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true),
-      numHashes))
+    // widen a single-split scan first: the shingle+minhash kernel is the
+    // expensive per-row stage (measured ~0.5 ms/doc — the sub-128MB
+    // fixture file otherwise runs it on ONE task; ensureParallelism is
+    // an identity on real multi-split inputs)
+    TextOps.ensureParallelism(docs)
+      .withColumn("minhash", graft.functions.Sketch.minhash_sig(
+        graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true),
+        numHashes))
 
   /**
    * LSH candidate pairs: split the signature into `bands` bands of
@@ -164,7 +169,8 @@ object MinHash {
                        bands: Int = 16): DataFrame = {
     val cands = lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
       .select("id_a", "id_b")
-    val sh = docs.select(col(idCol).as("id"),
+    // the verify side re-runs the shingle kernel — widen it too
+    val sh = TextOps.ensureParallelism(docs).select(col(idCol).as("id"),
       graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true).as("sh"))
     TextOps.verifyExactJaccard(cands, sh, threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
@@ -177,7 +183,8 @@ object MinHash {
                            textCol: String = "text", shingleN: Int = 3): DataFrame = {
     val cands = simhashPairs(docs, maxHamming, idCol, textCol)
       .select("id_a", "id_b")
-    val sh = docs.select(col(idCol).as("id"),
+    // the verify side re-runs the shingle kernel — widen it too
+    val sh = TextOps.ensureParallelism(docs).select(col(idCol).as("id"),
       graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true).as("sh"))
     TextOps.verifyExactJaccard(cands, sh, threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
@@ -223,7 +230,9 @@ object MinHash {
    */
   def simhashAgg(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
+    // widen like [[withSignature]]: the token-hash + 64-bit-vote kernel
+    // on a single-split scan is the whole wall of simhash_pairs
+    TextOps.ensureParallelism(docs).select(col(idCol),
       graft.functions.Sketch.simhash_sig(
         graft.functions.Sketch.shingle_hashes(col(textCol), 1, distinct = false))
         .as("simhash"))

@@ -40,10 +40,18 @@ object TextOps {
     // e.g. 24 splits on a 32-slot session must NOT pay a full
     // round-robin shuffle of the raw text for a marginal gain
     val estSplits = (bytes + maxSplit - 1) / maxSplit
+    // IDEMPOTENT: a frame already widened by an outer operator (nested
+    // entry points — e.g. verified-pairs widening the docs it hands to
+    // the candidate stage) must not pay a second round-robin exchange
+    // of the same text
+    val alreadyWide = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+        if r.numPartitions >= want => r
+    }.isDefined
     // multiplication, not `want / 2` — integer division truncates, so at
     // want=2..3 a single-split scan would never repartition (1 >= 1),
     // leaving most slots idle under an expensive per-row stage
-    if (estSplits * 2 >= want) df else df.repartition(want)
+    if (alreadyWide || estSplits * 2 >= want) df else df.repartition(want)
   }
 
   /** Unicode-clean text: NFC canonical composition (native kernel —
