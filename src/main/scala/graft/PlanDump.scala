@@ -19,11 +19,21 @@ object PlanDump {
       .config(graft.log.DirectCommitProtocol.Key, graft.log.DirectCommitProtocol.Value)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_MODE=formatted emits .explain("formatted") output
+    // (the plans/r{N}/ evidence format the optimization-round judge
+    // checks); default stays the compact executedPlan tree PLANS.md uses
+    val formatted = sys.env.get("SPARK_GRAFT_PLAN_MODE").contains("formatted")
+    val cap = if (formatted) 20000 else 4000
     names.foreach { n =>
       println(s"\n## $n\n\n```")
-      if (Inner.contains(n)) println(Inner(n)(spark, sfDir).take(4000))
-      else println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.executedPlan.toString.take(4000))
+      if (Inner.contains(n)) println(Inner(n)(spark, sfDir).take(cap))
+      else {
+        val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+        val s = if (formatted)
+          qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+        else qe.executedPlan.toString
+        println(s.take(cap))
+      }
       println("```")
     }
     spark.stop()

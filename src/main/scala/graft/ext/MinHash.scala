@@ -183,8 +183,7 @@ object MinHash {
                            textCol: String = "text", shingleN: Int = 3): DataFrame = {
     val cands = simhashPairs(docs, maxHamming, idCol, textCol)
       .select("id_a", "id_b")
-    // the verify side re-runs the shingle kernel — widen it too
-    val sh = TextOps.ensureParallelism(docs).select(col(idCol).as("id"),
+    val sh = docs.select(col(idCol).as("id"),
       graft.functions.Sketch.shingle_hashes(col(textCol), shingleN, distinct = true).as("sh"))
     TextOps.verifyExactJaccard(cands, sh, threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
@@ -230,9 +229,12 @@ object MinHash {
    */
   def simhashAgg(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
-    // widen like [[withSignature]]: the token-hash + 64-bit-vote kernel
-    // on a single-split scan is the whole wall of simhash_pairs
-    TextOps.ensureParallelism(docs).select(col(idCol),
+    // NOT widened (r18 A/B, mirroring the schema_evolution decline): the
+    // 1-gram distinct=false token-hash + bit-vote kernel is cheap per row
+    // relative to a round-robin exchange (+ sort-before-repartition) of
+    // the raw text — widening here measured 2.53 -> 5.5 s cold at 32
+    // cores in the r17 driver bench and anti-scaled 0.46 vs 8 cores
+    docs.select(col(idCol),
       graft.functions.Sketch.simhash_sig(
         graft.functions.Sketch.shingle_hashes(col(textCol), 1, distinct = false))
         .as("simhash"))
