@@ -33,6 +33,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // map task) — the exact code path production takes at R > 200, so this
   // is scale-neutral; env knob restores the stock default for A/B runs.
   s"-Dspark.shuffle.sort.bypassMergeThreshold=${sys.env.getOrElse("SPARK_GRAFT_BYPASS", "1")}",
+  // Hadoop's default file:// filesystem is ChecksumFileSystem: every
+  // parquet file written gets a .crc sibling — a second create+write+
+  // close per file, pure per-file-floor inflation for the epoch-indexed
+  // stream writes (~one tiny file per bucket dir; measured w:index
+  // 1.0 -> 0.6-0.8 s/epoch on stream_semantic_dedup). The engine's own
+  // control plane (graft.log.PathIO) already resolves local paths to
+  // RawLocalFileSystem; this aligns the data plane. Scale-neutral:
+  // hdfs:// and object-store schemes have their own integrity story and
+  // never consult fs.file.impl. Env knob restores the stock default.
+  s"-Dspark.hadoop.fs.file.impl=${sys.env.getOrElse("SPARK_GRAFT_FILE_IMPL", "org.apache.hadoop.fs.RawLocalFileSystem")}",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -226,7 +226,21 @@ object Bench {
         s""""io_walls":${calIoWalls.mkString("[", ",", "]")},"io_median":${median(calIoWalls)}}"""
     val sentinelsJson = sentinels
       .map { case (n, v) => jstr(n) + ":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"fixture_prewarm_sec":$prewarmSec,"calibration":$calibration,"sentinels":$sentinelsJson,"rep_walls":$walls,"loadavg":$loads,"fixtures":$fixturesJson}""")
+    // rep_walls + fixtures go to a SIDE file (path in the metric line):
+    // they are ~80% of the line's bytes, and the driver's finite tail
+    // window truncated round 16's (contract-conformant) metric line into
+    // `parsed: null`, killing the round-over-round table. The contract
+    // fields (metric/value/unit/queries/sf) stay on the one line.
+    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS",
+      s"${System.getProperty("java.io.tmpdir")}/graft_bench_details.json")
+    val detailsJson =
+      s"""{"rep_walls":$walls,"fixtures":$fixturesJson,"loadavg":$loads}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailsPath),
+      detailsJson.getBytes("UTF-8")): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] details write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"cpus":$cpusJson,"fixture_prewarm_sec":$prewarmSec,"calibration":$calibration,"sentinels":$sentinelsJson,"loadavg":$loads,"details_file":${jstr(detailsPath)}}""")
     spark.stop()
   }
 }

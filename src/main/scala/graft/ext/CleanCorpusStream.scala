@@ -121,7 +121,8 @@ object CleanCorpusStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
-        BatchTune.adapt(batch)
+        BatchTune.adapt(batch, indexBytes = IndexIO.committedBytes(hashesDir) +
+          IndexIO.committedBytes(bandsDir) + IndexIO.committedBytes(shDir))
         val dbg = sys.env.contains("SPARK_GRAFT_ND_DEBUG")
         var tPrev = System.nanoTime()
         def mark(st: String): Unit = if (dbg) {
@@ -130,16 +131,20 @@ object CleanCorpusStream {
           tPrev = t
         }
         Seq(hashesDir, bandsDir, shDir).foreach(NearDupStream.resumeCompaction)
-        compactEvery.foreach { n =>
-          if (epochId > 0 && epochId % n == 0) {
-            // the three levels fold independently (distinct dirs, own
-            // pointer commits) — concurrent jobs, same rationale as the
-            // epoch writes below: each fold is per-file-floor-bound
-            NearDupStream.parallelWrites(spark,
-              () => NearDupStream.compactIndex(spark, hashesDir, "hb", epochId - 1),
-              () => NearDupStream.compactIndex(spark, bandsDir, "bp", epochId - 1),
-              () => NearDupStream.compactIndex(spark, shDir, "sb", epochId - 1))
-          }
+        // the three levels fold independently (distinct dirs, own
+        // pointer commits) and CONCURRENTLY with the whole batch body
+        // (guide §2.6; gcNow=false defers subsumed-dir deletes to the
+        // next batch's resume — the NearDupStream overlap rationale);
+        // awaited in the batch's finally
+        val pendingFold = compactEvery.collect {
+          case n if epochId > 0 && epochId % n == 0 =>
+            NearDupStream.startJobs(spark,
+              () => NearDupStream.compactIndex(spark, hashesDir, "hb",
+                epochId - 1, gcNow = false),
+              () => NearDupStream.compactIndex(spark, bandsDir, "bp",
+                epochId - 1, gcNow = false),
+              () => NearDupStream.compactIndex(spark, shDir, "sb",
+                epochId - 1, gcNow = false))
         }
         mark("compaction")
         // 1. QUALITY — stateless; casualties vanish here (never indexed).
@@ -234,7 +239,11 @@ object CleanCorpusStream {
               }
             } finally { exactKept.unpersist(); () }
           } finally { bh.unpersist(); () }
-        } finally { quality.unpersist(); () }
+        } finally {
+          quality.unpersist()
+          pendingFold.foreach(_.await())
+          mark("fold-await")
+        }
       }
       .start()
   }

@@ -316,11 +316,16 @@ object DecontamStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
-        BatchTune.adapt(batch)
+        BatchTune.adapt(batch, indexBytes = IndexIO.committedBytes(ngramsDir))
         NearDupStream.resumeCompaction(ngramsDir)
-        compactEvery.foreach { cn =>
-          if (epochId > 0 && epochId % cn == 0)
-            NearDupStream.compactIndex(spark, ngramsDir, "eb", epochId - 1)
+        // fold CONCURRENTLY with the batch body (guide §2.6; gcNow=false
+        // defers subsumed-dir deletes to the next batch's resume — the
+        // NearDupStream overlap rationale); awaited in the finally
+        val pendingFold = compactEvery.collect {
+          case cn if epochId > 0 && epochId % cn == 0 =>
+            NearDupStream.startJobs(spark,
+              () => NearDupStream.compactIndex(spark, ngramsDir, "eb",
+                epochId - 1, gcNow = false))
         }
         val cached = batch.persist()
         try {
@@ -357,7 +362,10 @@ object DecontamStream {
                     Some("eb"), ngramsDir))
                 else Seq.empty)): _*)
           } finally { newEval.unpersist(); () }
-        } finally { cached.unpersist(); () }
+        } finally {
+          cached.unpersist()
+          pendingFold.foreach(_.await()); ()
+        }
       }
       .start()
   }

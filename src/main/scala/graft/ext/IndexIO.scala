@@ -194,6 +194,23 @@ private[graft] object IndexIO {
     listingRead(spark, roots)
   }
 
+  /** On-disk bytes of one level's committed view — the index-size
+    * signal [[BatchTune.adapt]] folds into the batch's shuffle width
+    * (a trickle batch against a large index must not fold/join the
+    * whole index through 2 reducers). Manifest-first: a direct-commit
+    * root answers from its recorded file sizes (one GET, no LIST);
+    * stock-committed roots pay one recursive walk. */
+  private[graft] def committedBytes(levelDir: String): Long =
+    committedRoots(levelDir).map { case (_, root, _) =>
+      graft.log.DirectCommitProtocol.readManifest(root) match {
+        case Some(mf) => mf.map(_._2).sum
+        case None =>
+          val hp = PathIO.path(root)
+          if (!PathIO.exists(hp)) 0L
+          else PathIO.walkStatuses(hp).filter(!_.isDirectory).map(_.getLen).sum
+      }
+    }.sum
+
   /** Heal + garbage-collect one level (see class doc crash windows).
     * Idempotent; every stream batch runs it before reading. */
   def resume(levelDir: String): Unit = {
@@ -226,10 +243,18 @@ private[graft] object IndexIO {
     * consolidated fold dir, committed by pointer. No-op below two
     * sources. `bucketCol` is the level's bucket partition column —
     * repartitioned on before the write so each bucket lands in one
-    * file (the per-file fixed cost every later pruned read pays). */
+    * file (the per-file fixed cost every later pruned read pays).
+    *
+    * `gcNow = false` defers the post-commit cleanup (deleting the
+    * subsumed plain epoch dirs) to the NEXT [[resume]] call: the fold
+    * then never deletes anything, so it can run CONCURRENTLY with
+    * readers of the same level — a batch's index reads planned against
+    * the pre-fold view keep their files until the next batch's resume.
+    * This is exactly the documented "after the pointer, mid-cleanup"
+    * crash window, held open deliberately for one batch. */
   def compact(spark: SparkSession, levelDir: String, bucketCol: String,
-              upToEpoch: Long): Unit =
-    fold(spark, levelDir, bucketCol, rebucketTo = None, Some(upToEpoch))
+              upToEpoch: Long, gcNow: Boolean = true): Unit =
+    fold(spark, levelDir, bucketCol, rebucketTo = None, Some(upToEpoch), gcNow)
 
   /** Bucket-fanout migration: fold EVERY committed entry, recomputing
     * the bucket column as `pmod(srcCol, newBuckets)` — proceeds even
@@ -240,12 +265,12 @@ private[graft] object IndexIO {
                srcCol: String, newBuckets: Int): Unit = {
     require(newBuckets >= 1, s"newBuckets $newBuckets must be >= 1")
     fold(spark, levelDir, bucketCol, rebucketTo = Some((srcCol, newBuckets)),
-      upTo = None)
+      upTo = None, gcNow = true)
   }
 
   private def fold(spark: SparkSession, levelDir: String, bucketCol: String,
                    rebucketTo: Option[(String, Int)],
-                   upTo: Option[Long]): Unit = {
+                   upTo: Option[Long], gcNow: Boolean): Unit = {
     val dir = PathIO.path(levelDir)
     if (!PathIO.exists(dir)) return
     resume(levelDir) // finish/discard anything pending before folding
@@ -289,6 +314,9 @@ private[graft] object IndexIO {
         next.foldName.getBytes("UTF-8")))
       sys.error(s"index fold pointer ${next.ptrName} already exists in " +
         s"$dir — concurrent compaction writers detected")
-    resume(levelDir) // delete what the new pointer subsumes
+    // delete what the new pointer subsumes — unless the caller runs this
+    // fold concurrently with same-level readers (gcNow = false), in
+    // which case the next resume() performs the identical cleanup
+    if (gcNow) resume(levelDir)
   }
 }

@@ -160,8 +160,9 @@ object NearDupStream {
    * directory rename, so the swap is crash-safe on object stores too.
    */
   private[graft] def compactIndex(spark: SparkSession, levelDir: String,
-                                  bucketCol: String, upToEpoch: Long): Unit =
-    IndexIO.compact(spark, levelDir, bucketCol, upToEpoch)
+                                  bucketCol: String, upToEpoch: Long,
+                                  gcNow: Boolean = true): Unit =
+    IndexIO.compact(spark, levelDir, bucketCol, upToEpoch, gcNow)
 
   /** Heal + garbage-collect one level ([[IndexIO.resume]]): finish the
     * cleanup of a committed fold, discard uncommitted fold data. Runs
@@ -208,33 +209,55 @@ object NearDupStream {
     * [[NearDupStream]], [[SemanticDedupStream]] and
     * [[CleanCorpusStream]]. */
   private[ext] def parallelWrites(spark: SparkSession,
-                                  writes: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
+                                  writes: (() => Unit)*): Unit =
+    startJobs(spark, writes: _*).await()
+
+  /** Handle to a group of in-flight [[startJobs]] jobs: [[await]] blocks
+    * until every one finishes and rethrows the first failure. MUST be
+    * awaited before the launching batch returns — an un-awaited job
+    * could outlive the batch and race a replayed batch's overwrite. */
+  private[ext] final class PendingJobs(
+      sc: org.apache.spark.SparkContext, group: String,
+      futures: Seq[scala.concurrent.Future[Unit]]) {
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     import scala.util.{Failure, Try}
+    def await(): Unit = {
+      val outcomes =
+        try futures.map(f => Try(Await.result(f, Duration.Inf)))
+        catch {
+          case t: Throwable => // interrupted await: kill the in-flight jobs
+            sc.cancelJobGroup(group)
+            futures.foreach(f =>
+              Try(Await.result(f, Duration(60, "s"))): Unit)
+            throw t
+        }
+      outcomes.collectFirst { case Failure(e) =>
+        sc.cancelJobGroup(group) // defensive: all futures already completed
+        throw e
+      }: Unit
+    }
+  }
+
+  /** Launch independent jobs as concurrent Spark jobs (guide §2.6 —
+    * overlap independent work so one job's stragglers back-fill with the
+    * next job's tasks), tagged with a per-call job group so an
+    * interrupted await cancels them. Callers must [[PendingJobs.await]]
+    * within the same batch. */
+  private[ext] def startJobs(spark: SparkSession,
+                             works: (() => Unit)*): PendingJobs = {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
     val sc = spark.sparkContext
     val group = s"graft-epoch-writes-${java.util.UUID.randomUUID}"
-    val futures = writes.map { w =>
+    val futures = works.map { w =>
       Future {
         sc.setJobGroup(group, "graft parallel epoch writes",
           interruptOnCancel = true)
         try w() finally sc.clearJobGroup()
       }
     }
-    val outcomes =
-      try futures.map(f => Try(Await.result(f, Duration.Inf)))
-      catch {
-        case t: Throwable => // interrupted await: kill the in-flight jobs
-          sc.cancelJobGroup(group)
-          futures.foreach(f =>
-            Try(Await.result(f, scala.concurrent.duration.Duration(60, "s"))): Unit)
-          throw t
-      }
-    outcomes.collectFirst { case Failure(e) =>
-      sc.cancelJobGroup(group) // defensive: all futures already completed
-      throw e
-    }: Unit
+    new PendingJobs(sc, group, futures)
   }
 
   /**
@@ -263,7 +286,8 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
-        BatchTune.adapt(batch)
+        BatchTune.adapt(batch, indexBytes =
+          IndexIO.committedBytes(bandsDir) + IndexIO.committedBytes(shDir))
         val dbg = sys.env.contains("SPARK_GRAFT_ND_DEBUG")
         var tPrev = System.nanoTime()
         def mark(s: String): Unit = if (dbg) {
@@ -275,14 +299,19 @@ object NearDupStream {
         // reading the index; then fold on schedule — every folded epoch
         // is committed (this batch is the only possibly-uncommitted one)
         resumeCompaction(bandsDir); resumeCompaction(shDir)
-        compactEvery.foreach { n =>
-          if (epochId > 0 && epochId % n == 0) {
-            // independent levels (distinct dirs, own pointer commits):
-            // concurrent fold jobs — each is per-file-floor-bound
-            parallelWrites(spark,
-              () => compactIndex(spark, bandsDir, "bp", epochId - 1),
-              () => compactIndex(spark, shDir, "sb", epochId - 1))
-          }
+        // Folds run CONCURRENTLY with the whole batch body (guide §2.6):
+        // gcNow=false defers the subsumed-dir deletes to the next batch's
+        // resumeCompaction, so the batch's own index reads — planned
+        // against either the pre- or post-fold view, both content-
+        // identical — never lose files mid-job. Awaited in the batch's
+        // finally, so no fold outlives the batch that scheduled it.
+        val pendingFold = compactEvery.collect {
+          case n if epochId > 0 && epochId % n == 0 =>
+            startJobs(spark,
+              () => compactIndex(spark, bandsDir, "bp", epochId - 1,
+                gcNow = false),
+              () => compactIndex(spark, shDir, "sb", epochId - 1,
+                gcNow = false))
         }
         mark("compaction")
         val cached = batch.persist()
@@ -373,7 +402,11 @@ object NearDupStream {
             bb.unpersist(); sh.unpersist()
             candIdxPin.foreach(_.unpersist()); ()
           }
-        } finally { cached.unpersist(); () }
+        } finally {
+          cached.unpersist()
+          pendingFold.foreach(_.await())
+          mark("fold-await")
+        }
       }
       .start()
   }

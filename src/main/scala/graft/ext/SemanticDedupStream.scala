@@ -132,15 +132,29 @@ object SemanticDedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val spark = batch.sparkSession
-        BatchTune.adapt(batch)
+        BatchTune.adapt(batch, indexBytes = IndexIO.committedBytes(vecsDir))
+        val dbg = sys.env.contains("SPARK_GRAFT_ND_DEBUG")
+        var tPrev = System.nanoTime()
+        def mark(st: String): Unit = if (dbg) {
+          val t = System.nanoTime()
+          println(f"[sd-debug] epoch=$epochId $st%-14s ${(t - tPrev) / 1e9}%6.2fs")
+          tPrev = t
+        }
         // finish (or discard) any crash-interrupted compaction BEFORE
         // reading the index; then fold on schedule — every folded epoch
-        // is committed (this batch is the only possibly-uncommitted one)
+        // is committed (this batch is the only possibly-uncommitted one).
+        // The fold runs CONCURRENTLY with the batch body (guide §2.6;
+        // gcNow=false defers subsumed-dir deletes to the next batch's
+        // resume — the NearDupStream overlap rationale), awaited in the
+        // batch's finally.
         NearDupStream.resumeCompaction(vecsDir)
-        compactEvery.foreach { n =>
-          if (epochId > 0 && epochId % n == 0)
-            NearDupStream.compactIndex(spark, vecsDir, "cb", epochId - 1)
+        val pendingFold = compactEvery.collect {
+          case n if epochId > 0 && epochId % n == 0 =>
+            NearDupStream.startJobs(spark,
+              () => NearDupStream.compactIndex(spark, vecsDir, "cb",
+                epochId - 1, gcNow = false))
         }
+        mark("compaction")
         val cached = batch.persist()
         try {
           val q = quantized(cached, idCol, vecCol, clusterBits,
@@ -148,6 +162,7 @@ object SemanticDedupStream {
           try {
             // 1. drops vs the persisted index ((epoch, cb)-pruned)
             val idxDropped = indexDropped(spark, vecsDir, q, epochId, threshold)
+            mark("quantize+idx")
             // 2. drops within the batch (arrival tie-break: id order)
             val a = q.select(col("vec_id").as("id_a"), col("cluster"),
               col("v").as("va"))
@@ -173,13 +188,25 @@ object SemanticDedupStream {
             // index append: ALL batch vecs, kept or dropped (all-seen);
             // repartition on cb BEFORE partitionBy: ≤ one file per
             // bucket per epoch (the NearDupStream write idiom)
+            def timed(label: String)(w: => Unit): () => Unit = () => {
+              val t0 = System.nanoTime()
+              w
+              if (dbg) println(f"[sd-debug] epoch=$epochId   w:$label%-10s " +
+                f"${(System.nanoTime() - t0) / 1e9}%6.2fs")
+            }
             NearDupStream.parallelWrites(spark,
-              () => epochWrite(cached
+              timed("kept") { epochWrite(cached
                 .join(dropped, col(idCol) === col("dropped_id"), "left_anti"),
-                None, outDir),
-              () => epochWrite(q.repartition(col("cb")), Some("cb"), vecsDir))
+                None, outDir) },
+              timed("index") { epochWrite(q.repartition(col("cb")),
+                Some("cb"), vecsDir) })
+            mark("writes(par)")
           } finally { q.unpersist(); () }
-        } finally { cached.unpersist(); () }
+        } finally {
+          cached.unpersist()
+          pendingFold.foreach(_.await())
+          mark("fold-await")
+        }
       }
       .start()
   }

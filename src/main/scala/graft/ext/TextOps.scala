@@ -44,9 +44,12 @@ object TextOps {
     // entry points — e.g. verified-pairs widening the docs it hands to
     // the candidate stage) must not pay a second round-robin exchange
     // of the same text
+    // `r.shuffle` excludes coalesce(n) (shuffle=false), which never
+    // INCREASES partitions — a frame "coalesced up" from one split must
+    // still be widened or the expensive kernel stays single-threaded
     val alreadyWide = df.queryExecution.optimizedPlan.collectFirst {
       case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
-        if r.numPartitions >= want => r
+        if r.shuffle && r.numPartitions >= want => r
     }.isDefined
     // multiplication, not `want / 2` — integer division truncates, so at
     // want=2..3 a single-split scan would never repartition (1 >= 1),
