@@ -364,8 +364,12 @@ private[graft] object EntryComposition {
     val out = java.nio.file.Files.createTempDirectory("graft-fnrun-out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-fnrun-ckpt")
     streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    val src = Envelope.fromEventsStream(s, dir)
+    // withStreamWidth: the EffectivelyOnce watermark dedup is stateful —
+    // fixture-sized state width instead of session-width commits/batch
+    withStreamWidth(s, src) {
     val q = graft.streaming.Functions.run(
-      Envelope.fromEventsStream(s, dir),
+      src,
       df => df.filter(col(Envelope.Value).isNotNull),
       out.toString, ckpt.toString,
       graft.streaming.Functions.Guarantee.EffectivelyOnce,
@@ -381,6 +385,7 @@ private[graft] object EntryComposition {
       // function_pipeline_replay via orderedReplaySource.
       dedupLag = "48 hours")
     drainGuarded(s, q)
+    }
     s.read.parquet(out.toString)
       .groupBy(col(Envelope.ProducerName))
       .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),
@@ -416,6 +421,8 @@ private[graft] object EntryComposition {
     val out = java.nio.file.Files.createTempDirectory("graft-fnreplay-out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-fnreplay-ckpt")
     streamOutRoots.add(out); streamOutRoots.add(ckpt)
+    // withStreamWidth: fixture-sized state width for the watermark dedup
+    withStreamWidth(s, src) {
     val q = graft.streaming.Functions.run(
       src,
       df => df.filter(col(Envelope.Value).isNotNull),
@@ -423,6 +430,7 @@ private[graft] object EntryComposition {
       graft.streaming.Functions.Guarantee.EffectivelyOnce,
       dedupLag = "48 hours")
     drainGuarded(s, q)
+    }
     s.read.parquet(out.toString)
       .groupBy(col(Envelope.ProducerName))
       .agg(countDistinct(Envelope.SequenceId).cast("bigint").as("n_seq"),

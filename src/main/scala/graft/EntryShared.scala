@@ -373,6 +373,25 @@ private[graft] object EntryShared {
     }
   }
 
+  /** Run `body` (start + drain of ONE stream over `src`) with the
+    * [[adaptiveStreamWidth]] shuffle width — the r17 state-store-width
+    * fix, reusable for streams that do not go through
+    * [[runStreamToLocal]] (e.g. the Functions pipelines, whose
+    * watermark dedup otherwise commits session-width state partitions
+    * per batch). Same single-threaded-harness assumption as
+    * [[runStreamToLocal]]: the session conf is mutated for the body's
+    * duration, so queries planned CONCURRENTLY on this session would
+    * inherit the narrow width (the entry points run one query at a
+    * time; set the width on a cloned session if that ever changes). */
+  private[graft] def withStreamWidth[T](s: SparkSession, src: DataFrame)
+                                       (body: => T): T = {
+    val width = adaptiveStreamWidth(s, src)
+    val prev = width.map(_ => s.conf.get("spark.sql.shuffle.partitions"))
+    width.foreach(w => s.conf.set("spark.sql.shuffle.partitions", w.toString))
+    try body
+    finally prev.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+  }
+
   private[graft] def runStreamToLocal(s: SparkSession, agg: DataFrame,
                                mode: String = "complete"): DataFrame = {
     val width = adaptiveStreamWidth(s, agg)
