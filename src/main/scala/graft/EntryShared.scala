@@ -356,7 +356,15 @@ private[graft] object EntryShared {
     * input keeps the cluster-sized width (identity at 100 TB). */
   private def adaptiveStreamWidth(s: SparkSession, agg: DataFrame): Option[Int] = {
     import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
-    val paths = agg.queryExecution.logical.collect {
+    // ANALYZED plan, not `.logical`: Spark 4 defers source resolution, so
+    // a raw `readStream...parquet(path)` frame's logical plan is a single
+    // UnresolvedDataSource node — StreamingRelation (and its path option)
+    // only exists after analysis. `.logical` worked for the aggregated
+    // stream twins (whose construction forces analysis) but silently
+    // returned None for raw-source streams (function_pipeline_replay ran
+    // its dedup state 32-wide: 4 stages x 32 tasks, 10-19 s
+    // executorRunTime EACH, for a kB-scale fixture).
+    val paths = agg.queryExecution.analyzed.collect {
       case sr: StreamingRelation => sr.dataSource.options.get("path")
     }.flatten
     if (paths.isEmpty) None // non-file source: keep the session width
@@ -386,6 +394,8 @@ private[graft] object EntryShared {
   private[graft] def withStreamWidth[T](s: SparkSession, src: DataFrame)
                                        (body: => T): T = {
     val width = adaptiveStreamWidth(s, src)
+    if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
+      println(s"[width] withStreamWidth computed $width")
     val prev = width.map(_ => s.conf.get("spark.sql.shuffle.partitions"))
     width.foreach(w => s.conf.set("spark.sql.shuffle.partitions", w.toString))
     try body

@@ -25,11 +25,23 @@ object TimeOne {
     // executorRunTime sums the actual compute, so (wall, taskTime)
     // pairs across scales attribute growth to the right bucket
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    // SPARK_GRAFT_STAGE_DEBUG: per-stage executorRunTime attribution —
+    // which stages own a suspicious task-time total (prints stages over
+    // 200 ms, with name + task count)
+    val stageDbg = sys.env.contains("SPARK_GRAFT_STAGE_DEBUG")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (e.taskMetrics != null)
             taskMs.addAndGet(e.taskMetrics.executorRunTime): Unit
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (stageDbg) {
+            val run = e.stageInfo.taskMetrics.executorRunTime
+            if (run > 200)
+              println(f"[stage] id=${e.stageInfo.stageId}%5d run=${run / 1000.0}%7.2fs " +
+                f"tasks=${e.stageInfo.numTasks}%4d ${e.stageInfo.name.take(90)}")
+          }
       })
     // comma-separated names run as a SEQUENCE within each rep — the
     // bench-context reproducer for interaction effects (shared persist
